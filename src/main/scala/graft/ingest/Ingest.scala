@@ -36,9 +36,10 @@ object Ingest {
       col("book.category").as("category"),
       col("h.note").as("note"),
       col("h.location").cast("int").as("location"),
-      // to_timestamp = null-on-error, matching parse_iso_datetime
-      to_timestamp(col("h.highlighted_at")).as("highlighted_at"),
-      to_timestamp(col("h.updated_at")).as("updated_at"),
+      // try_to_timestamp = null-on-error under ANSI mode, matching
+      // parse_iso_datetime's invalid→None semantics (jobs/parser.py:7-16)
+      try_to_timestamp(col("h.highlighted_at")).as("highlighted_at"),
+      try_to_timestamp(col("h.updated_at")).as("updated_at"),
       transform(col("h.tags"), t => t.getField("name")).as("tags"))
 
   /** Keyed newest-wins upsert, the ON CONFLICT (id) DO UPDATE analog
