@@ -396,12 +396,13 @@ object SparkEntry {
           lit("2024-01-15T10:00:00Z").as("highlighted_at"),
           lit("not-a-date").as("updated_at"))).as("highlights"),
         first(col("source")).as("title"))
-      val pages = books.select(struct(
+      // one export page per book (no global single-row collect — a page is
+      // a bounded API response, not the whole corpus)
+      val pages = books.select(array(struct(
           col("title"), concat(lit("auth-"), col("title")).as("author"),
           lit("book").as("category"),
           concat(lit("https://x/"), col("title")).as("source_url"),
-          col("highlights")).as("book"))
-        .agg(collect_list(col("book")).as("results"))
+          col("highlights"))).as("results"))
       val parsed = Ingest.parseHighlights(Ingest.flattenExport(pages))
       parsed.select(col("id"), col("text"), col("source_type"),
           col("source_author"), col("source_title"), col("source_url"),

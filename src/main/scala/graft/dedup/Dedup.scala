@@ -31,19 +31,30 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** All-pairs word-k-gram Jaccard similarity ≥ threshold. O(n²) — intended
-    * for small candidate sets (post-LSH verification or bounded subsets). */
+  /** Word-k-gram Jaccard similarity ≥ threshold, inverted-index shape:
+    * explode shingles → equi-join docs on shared shingle → count common per
+    * pair → |A∪B| = |A|+|B|−|A∩B|. Pairs sharing no shingle never
+    * materialize, so the pair space is output-sensitive instead of O(n²) —
+    * the shape that survives 100 TB (hot-shingle skew is handled by AQE
+    * skew-join splitting). Requires threshold > 0 (zero-overlap pairs are
+    * definitionally absent). */
   def jaccardPairs(df: DataFrame, textCol: String, keyCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
+    require(threshold > 0.0, "jaccardPairs: threshold must be > 0")
     val sh = df.select(col(keyCol).as("id"),
         TextAnalysis.shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
-    val a = sh.as("a")
-    val b = sh.as("b")
-    a.join(b, col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("jaccard"))
+    val toks = sh.select(col("id"), size(col("sh")).as("n"),
+      explode(col("sh")).as("s"))
+    val common = toks.as("a")
+      .join(toks.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("c"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+    common
+      .select(col("id_a"), col("id_b"),
+        (col("c").cast("double") /
+          (col("na") + col("nb") - col("c")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -66,10 +77,15 @@ object Dedup {
   def minHashLshPairs(df: DataFrame, textCol: String, keyCol: String,
       k: Int = 3): DataFrame = {
     val sigs = minHashSignatures(df, textCol, keyCol, k)
-    val bands = (0 until 4).map { bidx =>
-      sigs.select(col("id"), lit(bidx).as("band"),
+    // one row per (doc, band) via a single explode — the signature pipeline
+    // runs once per join side, not once per band
+    val bandStructs = (0 until 4).map { bidx =>
+      struct(lit(bidx).as("band"),
         concat_ws("-", (0 until 4).map(r => col(s"mh${bidx * 4 + r}")): _*).as("bsig"))
-    }.reduce(_ unionByName _)
+    }
+    val bands = sigs
+      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
           col("x.id") < col("y.id"))
