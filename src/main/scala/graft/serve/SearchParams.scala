@@ -1,0 +1,83 @@
+package graft.serve
+
+import java.time.LocalDate
+
+/** Validated search parameters shared by every protocol entry (reference:
+  * readwise_vector_db/mcp/search_service.py SearchParams + the two parsers).
+  * Query text is embedded downstream; filters map 1:1 onto
+  * [[graft.search.SemanticSearch]] columns. */
+final case class SearchParams(
+    query: String,
+    k: Int = SearchParams.DefaultK,
+    sourceType: Option[String] = None,
+    author: Option[String] = None,
+    tags: Option[Seq[String]] = None,
+    highlightedAtRange: Option[(LocalDate, LocalDate)] = None)
+
+object SearchParams {
+  /** Reference defaults: k=20, invalid k silently coerced to the default
+    * (search_service.py:78-80); HTTP clamps to [1, 100] (routes.py:100). */
+  val DefaultK = 20
+  val MaxK = 100
+
+  private def parseDate(s: String): Option[LocalDate] =
+    try Option(s).filter(_.nonEmpty).map(LocalDate.parse)
+    catch { case _: Exception => None }
+
+  /** Both-ends-or-nothing date-range fold (search_service.py:88-102,
+    * 147-156): any unparseable or missing end drops the whole range. */
+  def dateRange(from: Option[String], to: Option[String]): Option[(LocalDate, LocalDate)] =
+    for {
+      f <- from.flatMap(parseDate)
+      t <- to.flatMap(parseDate)
+    } yield (f, t)
+
+  /** Comma-split + trim + drop-empty for the HTTP `tags` query param
+    * (api/routes.py:134-137). */
+  def splitTags(raw: Option[String]): Option[Seq[String]] =
+    raw.map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+
+  /** MCP params parsing (search_service.py:60-111). Missing/invalid `q` is
+    * the only hard error; invalid k falls back to the default. */
+  def fromMcp(params: Map[String, Any]): Either[String, SearchParams] =
+    params.get("q") match {
+      case Some(q: String) if q.nonEmpty =>
+        val k = params.get("k") match {
+          case Some(n: Long) if n > 0 => n.toInt
+          case Some(n: Int) if n > 0 => n
+          case _ => DefaultK
+        }
+        val range = params.get("highlighted_at_range") match {
+          case Some(xs: Seq[_]) if xs.length >= 2 =>
+            dateRange(
+              Option(xs(0)).map(_.toString),
+              Option(xs(1)).map(_.toString))
+          case _ => None
+        }
+        Right(SearchParams(
+          query = q,
+          k = k,
+          sourceType = params.get("source_type").collect { case s: String => s },
+          author = params.get("author").collect { case s: String => s },
+          tags = params.get("tags").collect {
+            case xs: Seq[_] => xs.map(_.toString) }.filter(_.nonEmpty),
+          highlightedAtRange = range))
+      case _ => Left("Missing or invalid 'q' parameter")
+    }
+
+  /** HTTP query-param parsing (search_service.py:113-165 + the route's
+    * comma-split). */
+  def fromHttp(query: String, k: Int = DefaultK,
+      sourceType: Option[String] = None, author: Option[String] = None,
+      tagsCsv: Option[String] = None, fromDate: Option[String] = None,
+      toDate: Option[String] = None): Either[String, SearchParams] =
+    if (query == null || query.isEmpty) Left("Missing or invalid 'q' parameter")
+    else Right(SearchParams(
+      query = query,
+      k = if (k > 0) math.min(k, MaxK) else DefaultK,
+      sourceType = sourceType,
+      author = author,
+      tags = splitTags(tagsCsv),
+      highlightedAtRange = dateRange(fromDate, toDate)))
+}

@@ -1,0 +1,92 @@
+package graft.serve
+
+import java.io.{BufferedReader, BufferedWriter, InputStreamReader, OutputStreamWriter}
+import java.net.Socket
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.embed.Embedder
+
+/** Full reference lifecycle over real testdata: documents → highlight store
+  * (deterministic embeddings) → protocol search via MCP TCP and SSE. */
+class SearchGatewaySpec extends SparkTestBase {
+
+  private lazy val store: DataFrame = {
+    val embed = Embedder.embedUdf()
+    table("documents").select(
+      col("doc_id").cast("string").as("id"),
+      col("text"),
+      col("source").as("source_type"),
+      lit("auth").as("source_author"),
+      col("source").as("source_title"),
+      lit(null).cast("string").as("source_url"),
+      lit("article").as("category"),
+      lit(null).cast("string").as("note"),
+      col("n_chars").cast("int").as("location"),
+      to_timestamp(lit("2024-03-01 10:00:00")).as("highlighted_at"),
+      array(col("lang"), col("source")).as("tags"),
+      embed(col("text")).as("embedding")
+    ).cache()
+  }
+
+  test("gateway: top-k rows decoded with score ascending") {
+    val gw = new SearchGateway(store)
+    val rows = gw.search(SearchParams(query = "spark vector join", k = 5)).toList
+    assert(rows.length == 5)
+    val scores = rows.map(_("score").asInstanceOf[Double])
+    assert(scores == scores.sorted)
+    assert(rows.head.contains("id") && rows.head.contains("text"))
+    assert(rows.head("highlighted_at").toString.startsWith("2024-03-01T10:00"))
+  }
+
+  test("gateway: filters narrow the result set") {
+    val gw = new SearchGateway(store)
+    val lang = store.select(element_at(col("tags"), 1)).head().getString(0)
+    val rows = gw.search(SearchParams(query = "data", k = 50,
+      tags = Some(Seq(lang)))).toList
+    assert(rows.nonEmpty)
+    assert(rows.forall(_("tags").asInstanceOf[scala.collection.Seq[String]].contains(lang)))
+
+    val none = gw.search(SearchParams(query = "data", k = 5,
+      sourceType = Some("no-such-source"))).toList
+    assert(none.isEmpty)
+  }
+
+  test("MCP server serves real searches over TCP") {
+    val gw = new SearchGateway(store)
+    val server = new McpServer(gw.search).start()
+    try {
+      val sock = new Socket("127.0.0.1", server.boundPort)
+      try {
+        val out = new BufferedWriter(new OutputStreamWriter(
+          sock.getOutputStream, StandardCharsets.UTF_8))
+        val in = new BufferedReader(new InputStreamReader(
+          sock.getInputStream, StandardCharsets.UTF_8))
+        out.write("""{"jsonrpc":"2.0","method":"search","params":{"q":"filter sort","k":3},"id":1}""" + "\n")
+        out.flush()
+        sock.shutdownOutput()
+        val replies = Iterator.continually(in.readLine()).takeWhile(_ != null).toList
+        assert(replies.length == 3)
+        val m = McpFraming.parseLine(replies.head)
+        val row = m.result.get.asInstanceOf[Map[String, Any]]
+        assert(row.contains("id") && row.contains("text") && row.contains("score"))
+      } finally sock.close()
+    } finally server.shutdown(1000)
+  }
+
+  test("SSE stream over real search results") {
+    val gw = new SearchGateway(store)
+    val events = SseFraming.stream(
+      gw.search(SearchParams(query = "table row", k = 2))).toList
+    assert(events.length == 3)
+    assert(events.take(2).forall(_.startsWith("event: result\ndata: {\"id\":")))
+    assert(events.last == "event: complete\ndata: {\"total\":2}\n\n")
+  }
+
+  test("health probe") {
+    assert(Health.check(spark) == Map("status" -> "ok"))
+  }
+}
