@@ -1,0 +1,108 @@
+package graft.sync
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.embed.Embedder
+import graft.ingest.{Ingest, SyncState}
+import graft.sources.{ExportClient, ExportSource}
+
+/** Parquet-backed highlight store with atomic replace (SURVEY.md §7.4:
+  * plain-parquet overwrite is not transactional → write to a temp dir and
+  * swap via rename; readers see old-or-new, never partial). */
+object HighlightStore {
+
+  def read(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val cur = Paths.get(dir, "current")
+    if (Files.exists(cur)) Some(spark.read.parquet(cur.toString)) else None
+  }
+
+  /** Write `df` as the new store state. The swap is a directory rename —
+    * atomic on one filesystem; on object stores use a versioned-manifest
+    * (Delta/Iceberg) instead. */
+  def writeAtomic(df: DataFrame, dir: String): Unit = {
+    val root = Paths.get(dir)
+    Files.createDirectories(root)
+    val tmp = root.resolve(s".staging-${System.nanoTime()}")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val cur = root.resolve("current")
+    val old = root.resolve(s".old-${System.nanoTime()}")
+    val hadOld = Files.exists(cur)
+    if (hadOld) Files.move(cur, old, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(tmp, cur, StandardCopyOption.ATOMIC_MOVE)
+    if (hadOld) deleteRecursively(old)
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}
+
+/** Backfill + incremental sync jobs (reference: jobs/backfill.py:17-66,
+  * jobs/incremental.py:22-79). Pipeline per run: fetch export pages
+  * (driver, paced) → flatten/parse on the cluster → embed `text` → keyed
+  * newest-wins upsert → advance the `syncstate` watermark once at the end.
+  *
+  * At-least-once + idempotent: a failed run never advances the watermark,
+  * and reprocessing re-upserts the same keys (Ingest.upsert). The
+  * reference's incremental path embeds `"{text} {note}"` with swapped args
+  * — a latent bug (incremental.py:57-59 vs embedding.py:44); we embed
+  * `text` in both paths (SURVEY.md §2.8 ST1, documented divergence).
+  */
+object Sync {
+  val ServiceName = "readwise"
+
+  /** Parse + embed pages into canonical highlight rows. `version` stamps
+    * arrival order for last-wins tie-breaks inside one sync run. */
+  private def toEmbedded(spark: SparkSession, pages: Seq[String],
+      embedder: Embedder, version: Long): DataFrame = {
+    val embedUdf = Embedder.embedUdf(embedder)
+    ExportSource.pagesToHighlights(spark, pages)
+      .withColumn("embedding", embedUdf(col("text")))
+      .withColumn("version", lit(version))
+  }
+
+  /** Full backfill (ST2): everything the export returns replaces/merges
+    * into the store; watermark initialized. */
+  def backfill(spark: SparkSession, client: ExportClient, storeDir: String,
+      checkpointDir: String, embedder: Embedder = Embedder.Default,
+      now: () => Instant = () => Instant.now()): Long = {
+    val pages = client.export(None).toSeq
+    val fresh = toEmbedded(spark, pages, embedder, version = now().toEpochMilli)
+    val merged = HighlightStore.read(spark, storeDir) match {
+      case Some(existing) => Ingest.upsert(existing, fresh, "id", "version")
+      case None => fresh
+    }
+    HighlightStore.writeAtomic(merged, storeDir)
+    SyncState.write(checkpointDir, ServiceName, now())
+    fresh.count()
+  }
+
+  /** Incremental sync (ST1): `since` defaults to the stored watermark;
+    * no watermark and no explicit since → nothing to do (reference returns
+    * with a "run a backfill first" message, incremental.py:42-47). */
+  def incremental(spark: SparkSession, client: ExportClient, storeDir: String,
+      checkpointDir: String, since: Option[Instant] = None,
+      embedder: Embedder = Embedder.Default,
+      now: () => Instant = () => Instant.now()): Option[Long] = {
+    val effectiveSince = since.orElse(SyncState.read(checkpointDir, ServiceName))
+    effectiveSince.map { s =>
+      val pages = client.export(Some(s.toString)).toSeq
+      val fresh = toEmbedded(spark, pages, embedder, version = now().toEpochMilli)
+      val merged = HighlightStore.read(spark, storeDir) match {
+        case Some(existing) => Ingest.upsert(existing, fresh, "id", "version")
+        case None => fresh
+      }
+      HighlightStore.writeAtomic(merged, storeDir)
+      val n = fresh.count()
+      // advance once, at the end (at-least-once; incremental.py:78)
+      SyncState.write(checkpointDir, ServiceName, now())
+      n
+    }
+  }
+}

@@ -1,0 +1,127 @@
+package graft.sync
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.{ExportClient, ExportSource, Page}
+
+class ExportClientSpec extends SparkTestBase {
+
+  private def page(books: String, cursor: Option[String]): String =
+    s"""{"results":[$books]${cursor.map(c => s""","nextPageCursor":"$c"""").getOrElse("")}}"""
+
+  private def book(id: Int, nHighlights: Int): String = {
+    val hs = (0 until nHighlights).map { i =>
+      s"""{"id":"${id * 100 + i}","text":"highlight $i of book $id",
+         |"note":null,"location":${i + 1},"url":null,
+         |"tags":[{"name":"t$i"}],
+         |"highlighted_at":"2024-02-0${i + 1}T08:00:00Z","updated_at":"bogus"}""".stripMargin.replace("\n", "")
+    }.mkString(",")
+    s"""{"user_book_id":$id,"title":"Book $id","author":"A$id","category":"books",
+       |"source":"kindle","source_url":"https://b/$id","highlights":[$hs]}""".stripMargin.replace("\n", "")
+  }
+
+  test("cursor pagination: follows nextPageCursor, paces between pages") {
+    var delays = 0
+    val fetched = scala.collection.mutable.ArrayBuffer[Map[String, String]]()
+    val client = new ExportClient(
+      fetchPage = (_, params) => {
+        fetched += params
+        params.get("pageCursor") match {
+          case None => Page(page(book(1, 2), Some("c1")), Some("c1"))
+          case Some("c1") => Page(page(book(2, 1), Some("c2")), Some("c2"))
+          case Some("c2") => Page(page(book(3, 1), None), None)
+          case other => fail(s"unexpected cursor $other")
+        }
+      },
+      delayMillis = 3000,
+      sleep = _ => delays += 1)
+    val pages = client.export(Some("2024-01-01T00:00:00Z")).toList
+    assert(pages.length == 3)
+    assert(delays == 2) // paced between pages, not before the first
+    assert(fetched.head.get("updatedAfter").contains("2024-01-01T00:00:00Z"))
+    assert(fetched.head.get("pageCursor").isEmpty)
+    assert(fetched(2).get("pageCursor").contains("c2"))
+  }
+
+  test("pagesToHighlights: declared schema parse + flatten + canonicalize") {
+    val pages = Seq(page(book(1, 2) + "," + book(2, 1), None))
+    val df = ExportSource.pagesToHighlights(spark, pages)
+    val rows = df.orderBy(col("id")).collect()
+    assert(rows.length == 3)
+    val r = rows.head
+    assert(r.getAs[String]("id") == "100")
+    assert(r.getAs[String]("source_title") == "Book 1")
+    assert(r.getAs[String]("source_author") == "A1")
+    assert(r.getAs[String]("source_url") == "https://b/1") // coalesce: book fallback
+    assert(r.getAs[scala.collection.Seq[String]]("tags") == Seq("t0"))
+    assert(r.getAs[java.sql.Timestamp]("highlighted_at") != null)
+    assert(r.isNullAt(r.fieldIndex("updated_at"))) // "bogus" → null-on-error
+  }
+}
+
+class SyncSpec extends SparkTestBase {
+
+  private def pageJson(bookId: Int, text: String, hid: String): String =
+    s"""{"results":[{"user_book_id":$bookId,"title":"B$bookId","author":"A","category":"books",
+       |"source":"kindle","source_url":"https://b/$bookId","highlights":[
+       |{"id":"$hid","text":"$text","note":null,"location":1,"url":null,"tags":[],
+       |"highlighted_at":"2024-02-01T08:00:00Z","updated_at":"2024-02-01T08:00:00Z"}]}]}"""
+      .stripMargin.replace("\n", "")
+
+  private def clientFor(pages: Seq[String]): ExportClient = {
+    new ExportClient(
+      fetchPage = (_, params) => {
+        val idx = params.get("pageCursor").map(_.toInt).getOrElse(0)
+        val next = if (idx + 1 < pages.length) Some((idx + 1).toString) else None
+        Page(pages(idx), next)
+      },
+      sleep = _ => ())
+  }
+
+  test("backfill then incremental: upsert newest-wins, watermark advances") {
+    val dir = Files.createTempDirectory("graft-sync").toString
+    val store = s"$dir/store"
+    val ckpt = s"$dir/ckpt"
+    var clock = Instant.parse("2024-03-01T00:00:00Z")
+
+    // backfill: two pages, two highlights
+    val n1 = Sync.backfill(spark,
+      clientFor(Seq(pageJson(1, "original text", "h1"), pageJson(2, "other", "h2"))),
+      store, ckpt, now = () => clock)
+    assert(n1 == 2)
+    val wm1 = graft.ingest.SyncState.read(ckpt, Sync.ServiceName)
+    assert(wm1.contains(clock))
+    val after1 = HighlightStore.read(spark, store).get
+    assert(after1.count() == 2)
+    assert(after1.filter(col("embedding").isNotNull).count() == 2)
+
+    // incremental: h1 updated, h3 new; watermark advances to new clock
+    clock = Instant.parse("2024-03-02T00:00:00Z")
+    val n2 = Sync.incremental(spark,
+      clientFor(Seq(pageJson(1, "updated text", "h1"), pageJson(3, "brand new", "h3"))),
+      store, ckpt, now = () => clock)
+    assert(n2.contains(2L))
+    val after2 = HighlightStore.read(spark, store).get
+    assert(after2.count() == 3)
+    assert(after2.filter(col("id") === "h1").head().getAs[String]("text") == "updated text")
+    assert(graft.ingest.SyncState.read(ckpt, Sync.ServiceName).contains(clock))
+
+    // idempotence: re-running the same increment changes nothing
+    val n3 = Sync.incremental(spark,
+      clientFor(Seq(pageJson(1, "updated text", "h1"))),
+      store, ckpt, now = () => clock)
+    assert(n3.contains(1L))
+    assert(HighlightStore.read(spark, store).get.count() == 3)
+  }
+
+  test("incremental without watermark or since → None (backfill required)") {
+    val dir = Files.createTempDirectory("graft-sync2").toString
+    val r = Sync.incremental(spark, clientFor(Seq(pageJson(1, "x", "h1"))),
+      s"$dir/store", s"$dir/ckpt")
+    assert(r.isEmpty)
+  }
+}
