@@ -411,8 +411,85 @@ object SparkEntry {
           date_format(col("updated_at"), "yyyy-MM-dd HH:mm:ss").as("updated_at"),
           array_join(col("tags"), ",").as("tags"))
         .orderBy(col("id"))
+    }),
+
+    // ---- embed + search end-to-end (F10 + T1): query text → deterministic
+    //      hash-ngram embedding → cosine top-k over freshly embedded docs ----
+    "q35_embed_search" -> ((s, dir) => {
+      val emb = graft.embed.Embedder.embedUdf()
+      val qv = graft.embed.Embedder.Default.embed(EmbedProbeText)
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          cosine_distance(emb(col("text")), typedLit(qv)).as("score"))
+        .orderBy(col("score"), col("doc_id"))
+        .limit(20)
+    }),
+
+    // ---- multimodal: binary payload columns + typed metadata ----
+    "q36_blob_meta" -> ((s, dir) => {
+      val d = graft.multimodal.Multimodal.attachBlob(
+        t(s, dir, "documents"), frameBytes = 64)
+      d.select(col("doc_id"),
+          col("media_meta.n_bytes").cast("long").as("n_bytes"),
+          md5(col("blob")).as("digest"),
+          graft.multimodal.Multimodal.frameCount(col("blob"), 64).as("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- multimodal: frame sampling (every 2nd 64-byte frame) + per-frame
+    //      digest — the explode-a-video-into-frames shape ----
+    "q37_frame_sample" -> ((s, dir) => {
+      val d = graft.multimodal.Multimodal.attachBlob(
+        t(s, dir, "documents").filter(col("doc_id") < 100), frameBytes = 64)
+      d.select(col("doc_id"),
+          posexplode(graft.multimodal.Multimodal.sampleFrames(col("blob"), 64, every = 2)))
+        .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+          md5(col("col")).as("frame_digest"),
+          octet_length(col("col")).cast("long").as("frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // ---- multimodal: batched per-partition decode stub (mapPartitions) ----
+    "q38_blob_features" -> ((s, dir) => {
+      val d = graft.multimodal.Multimodal.attachBlob(t(s, dir, "documents"))
+      val f = graft.multimodal.FrameDecoder.extractFeatures(d, "doc_id", "blob")
+      val cols = col("doc_id") +: (0 until graft.multimodal.FrameDecoder.Stripes)
+        .map(i => element_at(col("features"), i + 1).as(s"f$i"))
+      f.select(cols: _*).orderBy(col("doc_id"))
     })
   )
+
+  /** Probe text for q35 (shared by the Spark query and the DuckDB oracle). */
+  private val EmbedProbeText = "spark vector join stream"
+
+  /** DuckDB replication of [[graft.embed.HashNgramEmbedder]] (dim 64):
+    * whitespace tokens + char trigrams → poly-hash bucket ± sign → L2
+    * normalize with float32 rounding (CAST AS REAL) so vectors are
+    * bit-identical to the engine's Array[Float]. `src(key, text)` must be
+    * in scope. */
+  private def sqlEmbedderCtes: String =
+    s"""toks AS (SELECT key, unnest(string_split(text, ' ')) AS f FROM src),
+       |tris AS (SELECT key, unnest(list_transform(
+       |  range(1, greatest(length(text)-1, 1)), i -> text[i:i+2])) AS f FROM src),
+       |feats AS (SELECT * FROM toks UNION ALL SELECT * FROM tris),
+       |h AS (SELECT key, ${sqlPolyHash("f")} AS h FROM feats),
+       |buckets AS (
+       |  SELECT key, h % 64 AS idx,
+       |         SUM(CASE WHEN (h // 64) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS w
+       |  FROM h GROUP BY 1, 2),
+       |grid AS (SELECT key, i FROM (SELECT DISTINCT key FROM src) s,
+       |  (SELECT unnest(range(64)) AS i)),
+       |vec0 AS (
+       |  SELECT g.key, list(COALESCE(b.w, 0.0) ORDER BY g.i) AS v
+       |  FROM grid g LEFT JOIN buckets b ON b.key = g.key AND b.idx = g.i
+       |  GROUP BY g.key),
+       |normed AS (
+       |  SELECT key,
+       |    CASE WHEN sqrt(list_dot_product(v, v)) > 0
+       |      THEN list_transform(v, x ->
+       |        CAST(CAST(x / sqrt(list_dot_product(v, v)) AS REAL) AS DOUBLE))
+       |      ELSE v END AS v
+       |  FROM vec0)""".stripMargin
 
   // ====================================================================
   // DuckDB oracle SQL — one per query, same column names, same ordering.
@@ -754,6 +831,49 @@ object SparkEntry {
         |  '2024-01-15 10:00:00' AS highlighted_at,
         |  CAST(NULL AS VARCHAR) AS updated_at,
         |  lang || ',' || source AS tags
-        |FROM documents ORDER BY id""".stripMargin
+        |FROM documents ORDER BY id""".stripMargin,
+
+    "q35_embed_search" ->
+      s"""WITH src AS (
+         |  SELECT doc_id AS key, text FROM documents
+         |  UNION ALL SELECT -1, '$EmbedProbeText'),
+         |$sqlEmbedderCtes,
+         |q AS (SELECT v AS qv FROM normed WHERE key = -1)
+         |SELECT key AS doc_id, ${sqlCosine("v", "qv")} AS score
+         |FROM normed, q WHERE key >= 0
+         |ORDER BY score, doc_id LIMIT 20""".stripMargin,
+
+    "q36_blob_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  md5(text) AS digest,
+        |  CAST((octet_length(encode(text)) + 63) // 64 AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q37_frame_sample" ->
+      """WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id < 100),
+        |f AS (SELECT doc_id, unnest(range(0, (n + 63) // 64)) AS fr, text FROM d),
+        |s AS (SELECT doc_id, fr // 2 AS frame_idx,
+        |  substring(text, fr * 64 + 1, 64) AS frame FROM f WHERE fr % 2 = 0)
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  md5(frame) AS frame_digest,
+        |  CAST(octet_length(encode(frame)) AS BIGINT) AS frame_bytes
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q38_blob_features" -> {
+      val fcols = (0 until 8).map(i =>
+        s"CAST(COALESCE(MAX(CASE WHEN stripe = $i THEN sv END), 0) AS BIGINT) AS f$i")
+        .mkString(",\n  ")
+      s"""WITH d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+         |b AS (SELECT doc_id, n, unnest(range(n)) AS i, text FROM d),
+         |s AS (SELECT doc_id,
+         |  least(i // greatest((n + 7) // 8, 1), 7) AS stripe,
+         |  CAST(ascii(text[i+1:i+1]) AS BIGINT) AS v FROM b),
+         |a AS (SELECT doc_id, stripe, SUM(v) AS sv FROM s GROUP BY 1, 2)
+         |SELECT d.doc_id,
+         |  $fcols
+         |FROM d LEFT JOIN a ON d.doc_id = a.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    }
   )
 }
