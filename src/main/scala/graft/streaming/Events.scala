@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event-stream operators over the `events` table (ts, user_id, event_type,
   * value). Batch and Structured-Streaming forms share the same column
@@ -62,6 +63,77 @@ object Events {
         min(col("__us")).as("start_us"),
         max(col("__us")).as("end_us"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
+  }
+
+  /** One event on the stream-facing schema. `ts` stays a TimestampType so
+    * the upstream watermark survives into the stateful operator. */
+  final case class Ev(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+  private def micros(t: java.sql.Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
+  /** Open-session state kept per user between micro-batches. */
+  final case class SessionState(startUs: Long, endUs: Long, n: Long, sum: Double)
+
+  /** One closed session. */
+  final case class Session(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, sum_value: Double)
+
+  /** Gap-based sessionization, Structured-Streaming form: custom per-key
+    * state via `flatMapGroupsWithState` with an *event-time* timeout —
+    * a session closes either when a later event for the same user exceeds
+    * the gap, or when the watermark passes end + gap (no more on-time
+    * events can extend it). The batch form above answers the same question
+    * over historical data; this is the operator a live event firehose needs:
+    * state is per-user-tiny, partitioned by the group key, and evicted on
+    * timeout.
+    *
+    * Input must carry a watermarked TimestampType `ts` plus user_id/value.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+    val typed = events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("ts"), col("value").cast("double").as("value"))
+      .as[Ev]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.startUs, s.endUs, s.n, s.sum))
+          } else {
+            val sorted = it.toSeq.sortBy(e => micros(e.ts))
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val us = micros(e.ts)
+              cur match {
+                case Some(s) if us - s.endUs <= gapUs =>
+                  cur = Some(SessionState(s.startUs, math.max(s.endUs, us),
+                    s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= Session(user, s.startUs, s.endUs, s.n, s.sum)
+                  cur = Some(SessionState(us, us, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(us, us, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close once the watermark passes the last event + gap
+              state.setTimeoutTimestamp((s.endUs + gapUs) / 1000L)
+            }
+            closed.reverseIterator
+          }
+      }
   }
 
   /** Sliding-window counts (batch form): 1-hour windows sliding by 30

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Real Structured Streaming runs (MemoryStream source → memory sink):
+  * watermarked tumbling aggregation and stateful sessionization. */
+class StreamingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("tumblingHourlyStream: append-mode windows close as watermark advances") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = Events.tumblingHourlyStream(events)
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), 1L, "view", 1.0),
+        (ts("2024-01-01 10:40:00"), 2L, "view", 2.0),
+        (ts("2024-01-01 11:10:00"), 1L, "click", 3.0))
+      q.processAllAvailable()
+      // watermark (2h) hasn't passed 10:00+1h+2h yet → nothing emitted
+      assert(spark.table("hourly").count() == 0)
+      // advance event time far enough to close the 10:00 and 11:00 windows
+      input.addData((ts("2024-01-01 14:30:00"), 3L, "view", 4.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 18:00:00"), 3L, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly")
+        .orderBy($"hour", $"event_type").collect()
+      assert(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+        Seq(("2024-01-01 10:00:00", "view", 2L),
+            ("2024-01-01 11:00:00", "click", 1L),
+            ("2024-01-01 14:00:00", "view", 1L)))
+      assert(rows(0).getDouble(3) == 3.0) // sum_value of the 10:00 window
+    } finally q.stop()
+  }
+
+  test("sessionizeStream: sessions split on gap and close on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "10 minutes")
+    val q = Events.sessionizeStream(events, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 50-min gap event
+      input.addData(
+        (ts("2024-01-01 09:00:00"), 1L, 1.0),
+        (ts("2024-01-01 09:05:00"), 1L, 2.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 09:55:00"), 1L, 4.0)) // gap 50min > 30min
+      q.processAllAvailable()
+      // the first session closes immediately via the in-batch gap split
+      val afterGap = spark.table("sessions").as[Events.Session].collect()
+      assert(afterGap.length == 1)
+      assert(afterGap(0).n_events == 2 && afterGap(0).sum_value == 3.0)
+      // push the watermark past 09:55 + 30min gap → open session times out
+      input.addData((ts("2024-01-01 11:30:00"), 2L, 9.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 13:00:00"), 2L, 1.0))
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[Events.Session].collect()
+        .sortBy(s => (s.user_id, s.start_us))
+      assert(all.exists(s => s.user_id == 1L && s.n_events == 1 && s.sum_value == 4.0))
+    } finally q.stop()
+  }
+
+  test("streaming ingest: foreachBatch upsert keeps newest-wins store (ST1)") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-upsert").toString
+    val input = MemoryStream[(String, String, Long)]
+    val updates = input.toDF().toDF("id", "text", "version")
+    val q = updates.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val merged = graft.sync.HighlightStore.read(spark, s"$dir/store") match {
+          case Some(existing) =>
+            graft.ingest.Ingest.upsert(existing, batch, "id", "version")
+          case None => batch
+        }
+        graft.sync.HighlightStore.writeAtomic(merged, s"$dir/store")
+      }
+      .start()
+    try {
+      input.addData(("h1", "one", 1L), ("h2", "two", 1L))
+      q.processAllAvailable()
+      input.addData(("h1", "one-v2", 2L), ("h3", "three", 2L))
+      q.processAllAvailable()
+      val store = graft.sync.HighlightStore.read(spark, s"$dir/store").get
+      assert(store.count() == 3)
+      assert(store.filter($"id" === "h1").head().getAs[String]("text") == "one-v2")
+    } finally q.stop()
+  }
+}
