@@ -1,0 +1,113 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+
+import graft.serve.{Health, Json, SearchGateway, SearchParams}
+import graft.sources.{ExportClient, Page}
+import graft.sync.{HighlightStore, Sync}
+
+/** CLI entry point (reference: readwise_vector_db/main.py:15-76 — `rwv sync
+  * --backfill|--since` and `rwv search QUERY --k N`). Zero-egress transport:
+  * `--pages-dir` holds export pages as one JSON file per page, consumed in
+  * filename order through the same paginated-client path a live HTTP
+  * transport would use.
+  *
+  *   graft.Cli sync --backfill --pages-dir D --store S --ckpt C
+  *   graft.Cli sync --since 2024-01-01T00:00:00Z --pages-dir D --store S --ckpt C
+  *   graft.Cli search "query text" --k 5 --store S [--source-type T]
+  *   graft.Cli health
+  */
+object Cli {
+
+  private def flags(args: Seq[String]): Map[String, String] =
+    args.sliding(2).collect {
+      case Seq(k, v) if k.startsWith("--") && !v.startsWith("--") =>
+        k.stripPrefix("--") -> v
+    }.toMap
+
+  /** Pages-from-directory transport: file N is page N; the "cursor" is the
+    * next file index, mirroring nextPageCursor chaining. */
+  private[graft] def dirClient(dir: String): ExportClient = {
+    val files = Files.list(Paths.get(dir)).iterator().asScala.toSeq
+      .filter(_.toString.endsWith(".json")).sortBy(_.getFileName.toString)
+    new ExportClient(
+      fetchPage = (_, params) => {
+        val idx = params.get("pageCursor").map(_.toInt).getOrElse(0)
+        val next = if (idx + 1 < files.length) Some((idx + 1).toString) else None
+        Page(Files.readString(files(idx)), next)
+      },
+      sleep = _ => ()) // no politeness needed against the local filesystem
+  }
+
+  def run(args: Array[String], spark: SparkSession): Int = args.toSeq match {
+    case Seq("health", _*) =>
+      println(Json.write(Health.check(spark)))
+      0
+
+    case "sync" +: rest =>
+      val f = flags(rest)
+      val (pagesDir, store, ckpt) =
+        (f.get("pages-dir"), f.get("store"), f.get("ckpt")) match {
+          case (Some(p), Some(s), Some(c)) => (p, s, c)
+          case _ =>
+            System.err.println("sync requires --pages-dir, --store, --ckpt")
+            return 2
+        }
+      if (rest.contains("--backfill")) {
+        val n = Sync.backfill(spark, dirClient(pagesDir), store, ckpt)
+        println(Json.write(Map("synced" -> n, "mode" -> "backfill")))
+        0
+      } else {
+        val since = f.get("since").map(java.time.Instant.parse)
+        Sync.incremental(spark, dirClient(pagesDir), store, ckpt, since) match {
+          case Some(n) =>
+            println(Json.write(Map("synced" -> n, "mode" -> "incremental")))
+            0
+          case None =>
+            System.err.println(
+              "no sync watermark found; run --backfill first or pass --since")
+            1
+        }
+      }
+
+    case "search" +: query +: rest =>
+      val f = flags(rest)
+      val store = f.getOrElse("store", {
+        System.err.println("search requires --store"); return 2 })
+      HighlightStore.read(spark, store) match {
+        case None =>
+          System.err.println(s"no highlight store at $store"); 1
+        case Some(df) =>
+          SearchParams.fromHttp(
+            query = query,
+            k = f.get("k").map(_.toInt).getOrElse(SearchParams.DefaultK),
+            sourceType = f.get("source-type"),
+            author = f.get("author"),
+            tagsCsv = f.get("tags"),
+            fromDate = f.get("from"),
+            toDate = f.get("to")) match {
+            case Left(err) => System.err.println(err); 2
+            case Right(params) =>
+              new SearchGateway(df).search(params)
+                .foreach(row => println(Json.write(row)))
+              0
+          }
+      }
+
+    case _ =>
+      System.err.println("usage: graft.Cli sync|search|health ...")
+      2
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    spark.sparkContext.setLogLevel("WARN")
+    val code = run(args, spark)
+    spark.stop()
+    if (code != 0) sys.exit(code)
+  }
+}

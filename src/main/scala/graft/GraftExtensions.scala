@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+import graft.text.{MinHashSig, PolyHash, SimHash16}
+
+/** Session-extension entry point: makes every graft expression available in
+  * plain SQL on any session built with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
+  * idiomatic deployment path for a cluster (spark-defaults.conf), where
+  * per-session `registerAll` calls aren't an option.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    def inject(name: String, usage: String)(b: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), b))
+
+    inject("cosine_distance",
+      "cosine_distance(a, b) - pgvector <=> analog over ARRAY<FLOAT>") {
+      e => CosineDistance(e(0), e(1)) }
+    inject("dot_product", "dot_product(a, b) over ARRAY<FLOAT>") {
+      e => DotProduct(e(0), e(1)) }
+    inject("l2_distance", "l2_distance(a, b) - pgvector <-> analog") {
+      e => L2Distance(e(0), e(1)) }
+    inject("poly_hash", "poly_hash(s) - rolling hash fingerprint") {
+      e => PolyHash(e.head) }
+    inject("minhash_sig", "minhash_sig(hashes) - 16-slot MinHash signature") {
+      e => MinHashSig(e.head) }
+    inject("simhash16", "simhash16(hashes) - 16-bit SimHash") {
+      e => SimHash16(e.head) }
+    inject("fp16_encode", "fp16_encode(vec) - half-precision storage codec") {
+      e => Fp16Encode(e.head) }
+    inject("fp16_decode", "fp16_decode(bin) - half-precision read codec") {
+      e => Fp16Decode(e.head) }
+  }
+}

@@ -449,6 +449,14 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // ---- dedup: LSH-bucketed embedding near-dup (scale path of q25) ----
+    "q39_embedding_lsh" -> ((s, dir) => {
+      Dedup.embeddingLshPairs(
+          t(s, dir, "embeddings"), "embedding", "vec_id",
+          maxDistance = 0.8, nBits = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- multimodal: batched per-partition decode stub (mapPartitions) ----
     "q38_blob_features" -> ((s, dir) => {
       val d = graft.multimodal.Multimodal.attachBlob(t(s, dir, "documents"))
@@ -842,6 +850,17 @@ object SparkEntry {
          |SELECT key AS doc_id, ${sqlCosine("v", "qv")} AS score
          |FROM normed, q WHERE key >= 0
          |ORDER BY score, doc_id LIMIT 20""".stripMargin,
+
+    "q39_embedding_lsh" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |b AS (SELECT id, v, list_sum(list_transform(range(8),
+         |  j -> CASE WHEN v[j+1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS bucket
+         |  FROM v)
+         |SELECT a.id AS id_a, b2.id AS id_b, ${sqlCosine("a.v", "b2.v")} AS distance
+         |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+         |WHERE ${sqlCosine("a.v", "b2.v")} < 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q36_blob_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,

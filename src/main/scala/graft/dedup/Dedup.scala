@@ -100,12 +100,36 @@ object Dedup {
         TextAnalysis.hashTokens(TextAnalysis.words(col(textCol)))).as("simhash"))
 
   /** Embedding-cosine near-duplicate pairs below a distance threshold.
-    * O(n²) form — bound the input or LSH-bucket first at scale. */
+    * O(n²) form — bound the input or LSH-bucket first at scale
+    * (see [[embeddingLshPairs]]). */
   def embeddingNearDupPairs(df: DataFrame, vecCol: String, keyCol: String,
       maxDistance: Double): DataFrame = {
     val v = df.select(col(keyCol).as("id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull)
     v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine_distance(col("a.v"), col("b.v")).as("distance"))
+      .filter(col("distance") < maxDistance)
+  }
+
+  /** LSH-bucketed embedding near-dup — the scale path: hyperplane LSH with
+    * axis-aligned planes (the sign bit of the first `nBits` dimensions)
+    * folds each vector into a bucket id; candidate pairs are an *equi-join*
+    * on the bucket (shuffled hash join, output-sensitive), then verified
+    * with the exact cosine distance. Approximate by construction: only
+    * same-bucket pairs are considered — the recall/throughput dial is
+    * `nBits` (fewer bits → bigger buckets → higher recall, more compute).
+    */
+  def embeddingLshPairs(df: DataFrame, vecCol: String, keyCol: String,
+      maxDistance: Double, nBits: Int = 16): DataFrame = {
+    val v = df.select(col(keyCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+    val bucket = (0 until nBits).map { j =>
+      when(element_at(col("v"), j + 1) > 0f, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val b = v.withColumn("bucket", bucket)
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosine_distance(col("a.v"), col("b.v")).as("distance"))
       .filter(col("distance") < maxDistance)

@@ -26,6 +26,12 @@ package object functions {
   def simhash16(c: Column): Column =
     shims.column(graft.text.SimHash16(shims.expression(c)))
 
+  def fp16_encode(c: Column): Column =
+    shims.column(Fp16Encode(shims.expression(c)))
+
+  def fp16_decode(c: Column): Column =
+    shims.column(Fp16Decode(shims.expression(c)))
+
   /** Register graft functions in the session's FunctionRegistry so they are
     * callable from `spark.sql(...)` as `cosine_distance(a, b)` etc. */
   def registerAll(spark: SparkSession): Unit = {
@@ -42,5 +48,9 @@ package object functions {
       "minhash_sig", exprs => graft.text.MinHashSig(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash16", exprs => graft.text.SimHash16(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "fp16_encode", exprs => Fp16Encode(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "fp16_decode", exprs => Fp16Decode(exprs.head), "built-in")
   }
 }

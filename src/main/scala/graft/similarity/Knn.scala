@@ -67,4 +67,56 @@ object Knn {
       .orderBy(col("score").asc, col("id").asc)
       .limit(k)
       .select(col("id"), col("centroid_id"), col("score"))
+
+  /** Top-k over the `nprobe` cells nearest to the query — the recall dial
+    * of IVF search. Cell pruning happens *before* any distance work on
+    * corpus vectors: only assigned rows in probed cells are scored. */
+  def ivfTopKProbes(assigned: DataFrame, centroids: DataFrame,
+      centVec: String, centKey: String, queryVec: Array[Float], k: Int,
+      nprobe: Int): DataFrame = {
+    val probed = centroids
+      .select(col(centKey).as("centroid_id"),
+        cosine_distance(col(centVec), typedLit(queryVec)).as("cdist"))
+      .orderBy(col("cdist").asc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    assigned.join(broadcast(probed), "centroid_id")
+      .withColumn("score", cosine_distance(col("v"), typedLit(queryVec)))
+      .orderBy(col("score").asc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("centroid_id"), col("score"))
+  }
+
+  /** Lloyd-iteration centroid training for the IVF index, DataFrame-native:
+    * seed = the `k` lowest-key vectors; each iteration broadcast-assigns
+    * every corpus vector to its nearest centroid, then recomputes the
+    * element-wise mean per cell via posexplode + two partial-aggregated
+    * shuffles. Deterministic in structure (seeding/ordering fixed); mean
+    * values carry the usual floating-point aggregation-order jitter.
+    *
+    * At 100 TB: train on a sample (`corpus.sample`), not the full corpus —
+    * the assignment pass is the expensive full scan and runs once per
+    * iteration either way.
+    */
+  def trainCentroids(corpus: DataFrame, vecCol: String, keyCol: String,
+      k: Int, iters: Int = 5): DataFrame = {
+    val c = corpus.select(col(keyCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+    var cents = c.orderBy(col("id").asc).limit(k)
+      .select(col("id").as("centroid_id"), col("v").as("cvec"))
+    for (_ <- 0 until iters) {
+      val assigned = ivfAssign(c, "v", "id",
+        cents, "cvec", "centroid_id")
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("cvec"))
+      cents = means
+    }
+    cents
+  }
 }

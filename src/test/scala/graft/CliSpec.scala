@@ -1,0 +1,54 @@
+package graft
+
+import java.io.{ByteArrayOutputStream, PrintStream}
+import java.nio.file.Files
+
+class CliSpec extends SparkTestBase {
+
+  private def pageJson(hid: String, text: String): String =
+    s"""{"results":[{"user_book_id":1,"title":"B","author":"A","category":"books",
+       |"source":"kindle","source_url":"https://b/1","highlights":[
+       |{"id":"$hid","text":"$text","note":null,"location":1,"url":null,
+       |"tags":[{"name":"t"}],"highlighted_at":"2024-02-01T08:00:00Z",
+       |"updated_at":"2024-02-01T08:00:00Z"}]}]}""".stripMargin.replace("\n", "")
+
+  private def capture(f: => Int): (Int, String) = {
+    val bos = new ByteArrayOutputStream()
+    val code = Console.withOut(new PrintStream(bos)) {
+      scala.util.Try(f).getOrElse(-1)
+    }
+    (code, bos.toString)
+  }
+
+  test("sync --backfill then search end-to-end; incremental without watermark fails") {
+    val dir = Files.createTempDirectory("graft-cli").toString
+    val pages = s"$dir/pages"
+    Files.createDirectories(java.nio.file.Paths.get(pages))
+    Files.writeString(java.nio.file.Paths.get(pages, "page0.json"),
+      pageJson("h1", "spark joins and shuffles"))
+    Files.writeString(java.nio.file.Paths.get(pages, "page1.json"),
+      pageJson("h2", "completely different topic words"))
+
+    val (c1, out1) = capture(Cli.run(Array("sync", "--backfill",
+      "--pages-dir", pages, "--store", s"$dir/store", "--ckpt", s"$dir/ckpt"), spark))
+    assert(c1 == 0)
+    assert(out1.contains("\"synced\":2") && out1.contains("backfill"))
+
+    val (c2, out2) = capture(Cli.run(Array("search", "spark joins",
+      "--k", "2", "--store", s"$dir/store"), spark))
+    assert(c2 == 0)
+    val lines = out2.trim.split("\n")
+    assert(lines.length == 2)
+    assert(lines.head.contains("\"id\":\"h1\"")) // best match first
+    assert(lines.head.contains("\"score\":"))
+
+    // incremental against a fresh ckpt dir → exit 1 (backfill required)
+    val (c3, _) = capture(Cli.run(Array("sync",
+      "--pages-dir", pages, "--store", s"$dir/store2", "--ckpt", s"$dir/ckpt2"), spark))
+    assert(c3 == 1)
+
+    // bad usage → exit 2
+    assert(capture(Cli.run(Array("search", "q"), spark))._1 == 2)
+    assert(capture(Cli.run(Array("frobnicate"), spark))._1 == 2)
+  }
+}

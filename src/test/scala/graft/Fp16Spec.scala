@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{cosine_distance, fp16_decode, fp16_encode, Fp16}
+
+class Fp16Spec extends SparkTestBase {
+  import spark.implicits._
+
+  test("scalar codec: exact for fp16-representable, RTN-even otherwise") {
+    // exactly representable values round-trip bit-perfectly
+    for (v <- Seq(0f, 1f, -1f, 0.5f, 2048f, -0.25f, 65504f /* fp16 max */ ))
+      assert(Fp16.halfToFloat(Fp16.floatToHalf(v)) == v)
+    // subnormal range survives
+    val sub = 6.0e-8f
+    assert(math.abs(Fp16.halfToFloat(Fp16.floatToHalf(sub)) - sub) < 6e-8)
+    // overflow → Inf; NaN stays NaN; relative error ≤ 2^-11 in normal range
+    assert(Fp16.halfToFloat(Fp16.floatToHalf(1e6f)).isInfinity)
+    assert(Fp16.halfToFloat(Fp16.floatToHalf(Float.NaN)).isNaN)
+    for (v <- Seq(0.1f, 3.14159f, -123.456f, 0.0007f)) {
+      val r = Fp16.halfToFloat(Fp16.floatToHalf(v))
+      assert(math.abs(r - v) / math.abs(v) <= math.pow(2, -11))
+    }
+  }
+
+  test("column codec: 50% storage, small cosine perturbation") {
+    val emb = table("embeddings").limit(200)
+    val coded = emb.select($"vec_id", $"embedding",
+      fp16_encode($"embedding").as("h"))
+    val r = coded.select(octet_length($"h"), size($"embedding")).head()
+    assert(r.getInt(0) == 2 * r.getInt(1)) // 2 bytes/dim vs 4
+    val err = coded
+      .select(cosine_distance($"embedding", fp16_decode($"h")).as("d"))
+      .agg(max($"d")).head().getDouble(0)
+    assert(err < 1e-5, s"fp16 round-trip cosine distortion $err")
+  }
+
+  test("GraftExtensions: SQL functions resolve on an extensions-built session") {
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // withExtensions exercises the same injection path as
+      // spark.sql.extensions=graft.GraftExtensions (which only applies when
+      // the session owns a fresh SparkContext — not reproducible in-suite)
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .appName("ext-test")
+        .withExtensions(new GraftExtensions())
+        .getOrCreate()
+      val got = s2.sql(
+        "SELECT cosine_distance(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
+          "array(CAST(0 AS FLOAT), CAST(1 AS FLOAT))) AS d, " +
+          "poly_hash('ab') AS h, " +
+          "octet_length(fp16_encode(array(CAST(1.5 AS FLOAT)))) AS n").head()
+      assert(got.getDouble(0) == 1.0)
+      assert(got.getLong(1) == 'a'.toLong * 31 + 'b'.toLong)
+      assert(got.getInt(2) == 2)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan shape guards: the properties that make these operators
+  * survive a 100× scale-up, asserted so a refactor can't silently regress
+  * them (the driver's BENCH only sees wall-clock at small SF). */
+class PlanShapeSpec extends SparkTestBase {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("q02: filters and column pruning reach the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"))
+    // projection pruned: no unused wide columns in ReadSchema
+    assert(!p.contains("l_comment"))
+  }
+
+  test("top-k searches plan as TakeOrderedAndProject over a broadcast probe") {
+    for (q <- Seq("q14_search_topk", "q15_search_filtered", "q16_search_docs")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q lost top-k pushdown")
+      assert(!p.contains("CartesianProduct"), s"$q fell back to cartesian")
+      assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+        s"$q probe not broadcast")
+    }
+  }
+
+  test("q04: dimension joins broadcast instead of shuffling the fact side") {
+    val p = plan("q04_region_stats")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q06/q07: EXISTS/NOT EXISTS plan as semi/anti joins, not subquery scans") {
+    assert(plan("q06_exists").contains("LeftSemi"))
+    assert(plan("q07_not_exists").contains("LeftAnti"))
+  }
+
+  test("q31: sessionization uses one shuffle for both window passes") {
+    val p = plan("q31_sessions")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 1,
+      s"expected a single hash exchange on user_id, saw $shuffles")
+  }
+
+  test("q23: LSH bands join is an equi hash join, not nested-loop") {
+    val p = plan("q23_lsh_pairs")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+}

@@ -1,0 +1,66 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.dedup.Dedup
+import graft.functions.cosine_distance
+
+class KnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = table("embeddings").cache()
+
+  test("trainCentroids: k cells, right dimensionality, assignment improves") {
+    val k = 4
+    val cents = Knn.trainCentroids(emb, "embedding", "vec_id", k, iters = 3)
+      .cache()
+    assert(cents.count() == k)
+    assert(cents.select(size($"cvec")).head().getInt(0) == 64)
+    // every corpus vector lands in exactly one of the k cells
+    val assigned = Knn.ivfAssign(emb, "embedding", "vec_id",
+      cents, "cvec", "centroid_id")
+    assert(assigned.count() == emb.filter($"embedding".isNotNull).count())
+    assert(assigned.select($"centroid_id").distinct().count() <= k)
+    // trained centroids give a lower mean distance-to-centroid than the
+    // arbitrary seed centroids (the point of Lloyd iterations)
+    def meanDist(c: org.apache.spark.sql.DataFrame): Double =
+      Knn.ivfAssign(emb, "embedding", "vec_id", c, "cvec", "centroid_id")
+        .join(c, "centroid_id")
+        .select(avg(cosine_distance($"v", $"cvec"))).head().getDouble(0)
+    val seed = emb.orderBy($"vec_id").limit(k)
+      .select($"vec_id".as("centroid_id"), $"embedding".as("cvec"))
+    assert(meanDist(cents) <= meanDist(seed))
+  }
+
+  test("ivfTopKProbes: nprobe=all equals exact top-k; nprobe=1 is a subset") {
+    val cents = Knn.trainCentroids(emb, "embedding", "vec_id", 4, iters = 2)
+    val assigned = Knn.ivfAssign(emb, "embedding", "vec_id",
+      cents, "cvec", "centroid_id").cache()
+    val q = emb.filter($"vec_id" === 7).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val exact = Knn.topK(emb, "embedding", q, 10, "vec_id")
+      .select($"vec_id").collect().map(_.getLong(0)).toSeq
+    val all = Knn.ivfTopKProbes(assigned, cents, "cvec", "centroid_id",
+      q, 10, nprobe = 4).select($"id").collect().map(_.getLong(0)).toSeq
+    assert(all == exact) // probing every cell = exact search
+    val one = Knn.ivfTopKProbes(assigned, cents, "cvec", "centroid_id",
+      q, 10, nprobe = 1).select($"id").collect().map(_.getLong(0)).toSet
+    assert(one.subsetOf(exact.toSet ++ one)) // well-formed, k or fewer
+    assert(one.size <= 10)
+  }
+
+  test("embeddingLshPairs ⊆ exact near-dup pairs, and contains same-bucket hits") {
+    val sub = emb.filter($"vec_id" < 200)
+    val exact = Dedup.embeddingNearDupPairs(sub, "embedding", "vec_id", 0.8)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingLshPairs(sub, "embedding", "vec_id", 0.8, nBits = 8)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact)) // verification step keeps only true pairs
+    assert(lsh.nonEmpty)
+    // plan: candidate generation is an equi hash join, not a cross product
+    val plan = Dedup.embeddingLshPairs(sub, "embedding", "vec_id", 0.8, nBits = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
+  }
+}
