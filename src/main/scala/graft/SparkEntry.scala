@@ -449,6 +449,19 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // ---- corpus profiling: token counts + type/token ratios per lang ----
+    "q40_token_profile" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), explode(TextAnalysis.words(col("text"))).as("tok"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_distinct_tokens"),
+          (count(lit(1)).cast("double") / countDistinct(col("tok")))
+            .as("tokens_per_type"))
+        .orderBy(col("lang"))
+    }),
+
     // ---- dedup: LSH-bucketed embedding near-dup (scale path of q25) ----
     "q39_embedding_lsh" -> ((s, dir) => {
       Dedup.embeddingLshPairs(
@@ -850,6 +863,14 @@ object SparkEntry {
          |SELECT key AS doc_id, ${sqlCosine("v", "qv")} AS score
          |FROM normed, q WHERE key >= 0
          |ORDER BY score, doc_id LIMIT 20""".stripMargin,
+
+    "q40_token_profile" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT lang, COUNT(*) AS n_tokens,
+        |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct_tokens,
+        |  CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT tok) AS tokens_per_type
+        |FROM toks GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q39_embedding_lsh" ->
       s"""WITH v AS (SELECT vec_id AS id, embedding AS v FROM embeddings

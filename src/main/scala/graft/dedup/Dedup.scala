@@ -37,15 +37,32 @@ object Dedup {
     * materialize, so the pair space is output-sensitive instead of O(n²) —
     * the shape that survives 100 TB (hot-shingle skew is handled by AQE
     * skew-join splitting). Requires threshold > 0 (zero-overlap pairs are
-    * definitionally absent). */
+    * definitionally absent).
+    *
+    * `maxShingleDf`: optional hot-key guard for the skewed tail — shingles
+    * appearing in more than this many documents are dropped from *candidate
+    * generation* (a document-frequency stoplist, the standard dedup-at-scale
+    * mitigation: a shingle in 10⁶ docs contributes 10¹² candidate pairs and
+    * ~zero discrimination). Approximate when set: intersection counts
+    * shrink, so reported Jaccard is a lower bound. */
   def jaccardPairs(df: DataFrame, textCol: String, keyCol: String,
-      threshold: Double, k: Int = 3): DataFrame = {
+      threshold: Double, k: Int = 3,
+      maxShingleDf: Option[Long] = None): DataFrame = {
     require(threshold > 0.0, "jaccardPairs: threshold must be > 0")
     val sh = df.select(col(keyCol).as("id"),
         TextAnalysis.shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
-    val toks = sh.select(col("id"), size(col("sh")).as("n"),
+    val allToks = sh.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
+    val toks = maxShingleDf match {
+      case None => allToks
+      case Some(cap) =>
+        val rare = allToks.groupBy(col("s"))
+          .agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= cap)
+          .select(col("s"))
+        allToks.join(rare, "s")
+    }
     val common = toks.as("a")
       .join(toks.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

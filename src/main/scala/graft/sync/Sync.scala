@@ -22,12 +22,19 @@ object HighlightStore {
 
   /** Write `df` as the new store state. The swap is a directory rename —
     * atomic on one filesystem; on object stores use a versioned-manifest
-    * (Delta/Iceberg) instead. */
-  def writeAtomic(df: DataFrame, dir: String): Unit = {
+    * (Delta/Iceberg) instead.
+    *
+    * `partitionBy` lays the store out hive-style (e.g. by `source_type`,
+    * SURVEY.md §4 partitioning row) so filtered searches prune whole
+    * partitions at plan time instead of scanning them. */
+  def writeAtomic(df: DataFrame, dir: String,
+      partitionBy: Seq[String] = Nil): Unit = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
     val tmp = root.resolve(s".staging-${System.nanoTime()}")
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val writer = if (partitionBy.nonEmpty)
+      df.write.partitionBy(partitionBy: _*) else df.write
+    writer.mode("overwrite").parquet(tmp.toString)
     val cur = root.resolve("current")
     val old = root.resolve(s".old-${System.nanoTime()}")
     val hadOld = Files.exists(cur)

@@ -1,0 +1,65 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.sync.HighlightStore
+
+/** Scale-path behaviors: partition pruning on the partitioned store,
+  * hot-shingle candidate capping, approx-distinct profiling accuracy. */
+class ScalePathSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("partitioned store: source_type filter prunes partitions at plan time") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val docs = table("documents").select(
+      $"doc_id".cast("string").as("id"), $"text",
+      $"source".as("source_type"))
+    HighlightStore.writeAtomic(docs, dir, partitionBy = Seq("source_type"))
+    val st = docs.select($"source_type").head().getString(0)
+    val read = HighlightStore.read(spark, dir).get.filter($"source_type" === st)
+    val scan = read.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.contains(s"source_type"), "filter did not reach PartitionFilters")
+    // the pruned read returns exactly that partition's rows
+    assert(read.count() == docs.filter($"source_type" === st).count())
+    // partition directories exist hive-style
+    val parts = Files.list(java.nio.file.Paths.get(dir, "current"))
+      .iterator()
+    val names = scala.jdk.CollectionConverters.IteratorHasAsScala(parts)
+      .asScala.map(_.getFileName.toString).toSeq
+    assert(names.exists(_.startsWith("source_type=")))
+  }
+
+  test("jaccardPairs hot-shingle cap: capped pairs are a subset, lower-bound scores") {
+    // every doc shares the hot prefix "a b c"; only 1&2 share a rare tail
+    val docs = Seq(
+      (1L, "a b c x1 y1 z1 q q2 q3"),
+      (2L, "a b c x1 y1 z1 r r2 r3"),
+      (3L, "a b c p1 p2 p3 p4 p5 p6"),
+      (4L, "a b c w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+    val uncapped = Dedup.jaccardPairs(docs, "text", "doc_id", 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // cap df at 3: the "a b c" shingle (df=4) drops out of candidates
+    val capped = Dedup.jaccardPairs(docs, "text", "doc_id", 0.01,
+      maxShingleDf = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    assert(uncapped.contains((3L, 4L))) // hot-shingle-only pair present uncapped
+    assert(!capped.contains((3L, 4L))) // …and gone once the hot key is dropped
+    assert(capped.contains((1L, 2L))) // rare-shingle pair survives
+  }
+
+  test("approx_count_distinct tracks exact distinct within 5% (profiling path)") {
+    val toks = table("documents")
+      .select(explode(graft.text.TextAnalysis.words($"text")).as("tok"))
+    val r = toks.agg(
+      countDistinct($"tok").as("exact"),
+      approx_count_distinct($"tok").as("approx")).head()
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.05,
+      s"approx $approx vs exact $exact")
+  }
+}
