@@ -74,20 +74,31 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
-    // ---- joins (J-class): shuffled fact joins + top-k ----
+    // ---- joins (J-class): shuffled fact joins + top-k.
+    //      Aggregate-then-join: revenue per custkey is reduced on the two
+    //      fact tables first, top-10 taken via TakeOrdered, and only those
+    //      10 keys join (broadcast) against customer — the wide customer
+    //      table never shuffles and the join input is k rows, not |orders|.
+    //      (c_custkey is unique, so grouping by it alone is equivalent to
+    //      the oracle's GROUP BY c_custkey, c_name.) ----
     "q03_top_customers" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01")
           && col("o_orderdate") < lit("1998-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
       val l = t(s, dir, "lineitem")
-      c.join(o, col("c_custkey") === col("o_custkey"))
-        .join(l, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("c_custkey"), col("c_name"))
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val top = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
         .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
           .as("revenue"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
+        .orderBy(col("revenue").desc, col("o_custkey"))
         .limit(10)
+      broadcast(top)
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
     }),
 
     // ---- broadcast dimension joins ----

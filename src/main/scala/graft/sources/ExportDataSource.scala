@@ -1,0 +1,168 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 source for export-page archives: `spark.read
+  * .format("graft-export").load(dir)` reads a directory of page-JSON files
+  * and yields *canonical highlight rows* — the S1→S2→S4 pipeline
+  * (pagination transport → flatten → parse) as a native Spark source.
+  *
+  * Scale posture: one input partition per page file (pages are the API's
+  * natural chunk; a 1000-executor cluster parses pages in parallel with no
+  * shuffle), and `SupportsPushDownRequiredColumns` so column pruning
+  * reaches JSON parsing — pruned fields are never materialized.
+  */
+class ExportDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-export"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ExportDataSource.highlightSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new ExportTable(properties.get("path"))
+}
+
+object ExportDataSource {
+  /** Canonical highlight schema (SURVEY.md §1.4 drift resolution). */
+  val highlightSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("text", StringType),
+    StructField("source_type", StringType),
+    StructField("source_author", StringType),
+    StructField("source_title", StringType),
+    StructField("source_url", StringType),
+    StructField("category", StringType),
+    StructField("note", StringType),
+    StructField("location", IntegerType),
+    StructField("highlighted_at", TimestampType),
+    StructField("updated_at", TimestampType),
+    StructField("tags", ArrayType(StringType))))
+
+  private[sources] def parseTimestampMicros(s: String): Any =
+    try {
+      if (s == null) null
+      else java.time.Instant.parse(
+        if (s.endsWith("Z") || s.contains("+")) s else s + "Z") match {
+        case i => i.getEpochSecond * 1000000L + i.getNano / 1000L
+      }
+    } catch { case _: Exception => null } // null-on-error (jobs/parser.py:7-16)
+}
+
+final class ExportTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-export:$path"
+  override def schema(): StructType = ExportDataSource.highlightSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ExportScanBuilder(path)
+}
+
+final class ExportScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = ExportDataSource.highlightSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new ExportScan(path, required)
+}
+
+final case class PageFilePartition(file: String) extends InputPartition
+
+final class ExportScan(path: String, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Files.list(Paths.get(path)).iterator().asScala.toSeq
+      .filter(_.toString.endsWith(".json"))
+      .sortBy(_.getFileName.toString)
+      .map(p => PageFilePartition(p.toString): InputPartition)
+      .toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ExportReaderFactory(required)
+}
+
+final class ExportReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PageReader(partition.asInstanceOf[PageFilePartition].file, required)
+}
+
+/** Parses one page file: iterate results[*].highlights[*], project only the
+  * required columns into InternalRows. */
+final class PageReader(file: String, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val mapper = new ObjectMapper()
+  private val rows: Iterator[InternalRow] = {
+    val page = mapper.readTree(Files.readString(Paths.get(file)))
+    val books = Option(page.get("results"))
+      .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+    books.iterator.flatMap { book =>
+      Option(book.get("highlights"))
+        .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
+        .iterator.map(h => toRow(book, h))
+    }
+  }
+
+  private def str(n: JsonNode, field: String): Any = {
+    val v = n.get(field)
+    if (v == null || v.isNull) null else UTF8String.fromString(v.asText())
+  }
+
+  private def toRow(book: JsonNode, h: JsonNode): InternalRow = {
+    val values = required.fields.map { f =>
+      f.name match {
+        case "id" => str(h, "id")
+        case "text" => str(h, "text")
+        case "source_type" =>
+          Option(str(book, "category")).getOrElse(UTF8String.fromString("article"))
+        case "source_author" => str(book, "author")
+        case "source_title" => str(book, "title")
+        case "source_url" =>
+          Option(str(h, "url")).orElse(Option(str(book, "source_url"))).orNull
+        case "category" => str(book, "category")
+        case "note" => str(h, "note")
+        case "location" =>
+          val v = h.get("location")
+          if (v == null || v.isNull) null else Int.box(v.asInt())
+        case "highlighted_at" =>
+          val v = h.get("highlighted_at")
+          if (v == null || v.isNull) null
+          else ExportDataSource.parseTimestampMicros(v.asText())
+        case "updated_at" =>
+          val v = h.get("updated_at")
+          if (v == null || v.isNull) null
+          else ExportDataSource.parseTimestampMicros(v.asText())
+        case "tags" =>
+          val v = h.get("tags")
+          if (v == null || v.isNull) null
+          else new GenericArrayData(v.elements().asScala.toArray.flatMap { t =>
+            Option(t.get("name")).filterNot(_.isNull)
+              .map(n => UTF8String.fromString(n.asText()): Any)
+          })
+        case other => throw new IllegalArgumentException(s"unknown column $other")
+      }
+    }
+    new GenericInternalRow(values.asInstanceOf[Array[Any]])
+  }
+
+  private var current: InternalRow = _
+  override def next(): Boolean =
+    if (rows.hasNext) { current = rows.next(); true } else false
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}

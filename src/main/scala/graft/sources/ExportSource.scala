@@ -22,7 +22,28 @@ final case class Page(body: String, nextPageCursor: Option[String])
 final class ExportClient(
     fetchPage: (String, Map[String, String]) => Page,
     delayMillis: Long = 3000,
+    retryAttempts: Int = 3,
+    retryBaseMillis: Long = 1000,
     sleep: Long => Unit = Thread.sleep) {
+
+  /** Exponential-backoff retry around one page fetch (reference policy:
+    * 3 attempts, 1 s base, ×2 — db/supabase_ops.py:22-73). */
+  private def fetchWithRetry(path: String, params: Map[String, String]): Page = {
+    var attempt = 1
+    var delay = retryBaseMillis
+    var result: Option[Page] = None
+    while (result.isEmpty) {
+      try result = Some(fetchPage(path, params))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          if (attempt >= retryAttempts) throw e
+          sleep(delay)
+          delay *= 2
+          attempt += 1
+      }
+    }
+    result.get
+  }
 
   /** Follow `nextPageCursor` until exhausted, pacing between pages
     * (readwise.py:29-38). Lazy: pages fetch as consumed. */
@@ -34,7 +55,7 @@ final class ExportClient(
       def hasNext: Boolean = !done
       def next(): String = {
         if (!first) sleep(delayMillis)
-        val p = fetchPage(path, params ++ cursor.map("pageCursor" -> _))
+        val p = fetchWithRetry(path, params ++ cursor.map("pageCursor" -> _))
         first = false
         cursor = p.nextPageCursor
         done = cursor.isEmpty

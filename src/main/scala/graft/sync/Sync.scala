@@ -78,17 +78,30 @@ object Sync {
     * into the store; watermark initialized. */
   def backfill(spark: SparkSession, client: ExportClient, storeDir: String,
       checkpointDir: String, embedder: Embedder = Embedder.Default,
-      now: () => Instant = () => Instant.now()): Long = {
-    val pages = client.export(None).toSeq
-    val fresh = toEmbedded(spark, pages, embedder, version = now().toEpochMilli)
-    val merged = HighlightStore.read(spark, storeDir) match {
-      case Some(existing) => Ingest.upsert(existing, fresh, "id", "version")
-      case None => fresh
+      now: () => Instant = () => Instant.now()): Long =
+    timed {
+      val pages = client.export(None).toSeq
+      val fresh = toEmbedded(spark, pages, embedder, version = now().toEpochMilli)
+      val merged = HighlightStore.read(spark, storeDir) match {
+        case Some(existing) => Ingest.upsert(existing, fresh, "id", "version")
+        case None => fresh
+      }
+      HighlightStore.writeAtomic(merged, storeDir)
+      SyncState.write(checkpointDir, ServiceName, now())
+      val n = fresh.count()
+      graft.serve.Metrics.counter("rows_synced_total").inc(n)
+      n
     }
-    HighlightStore.writeAtomic(merged, storeDir)
-    SyncState.write(checkpointDir, ServiceName, now())
-    fresh.count()
-  }
+
+  /** Sync metrics (reference: rows_synced_total / error_rate counters +
+    * sync_duration_seconds histogram, api/routes.py:224-247). */
+  private def timed[T](f: => T): T =
+    try graft.serve.Metrics.timer("sync_duration_seconds").time(f)
+    catch {
+      case e: Throwable =>
+        graft.serve.Metrics.counter("sync_errors_total").inc()
+        throw e
+    }
 
   /** Incremental sync (ST1): `since` defaults to the stored watermark;
     * no watermark and no explicit since → nothing to do (reference returns
@@ -99,17 +112,20 @@ object Sync {
       now: () => Instant = () => Instant.now()): Option[Long] = {
     val effectiveSince = since.orElse(SyncState.read(checkpointDir, ServiceName))
     effectiveSince.map { s =>
-      val pages = client.export(Some(s.toString)).toSeq
-      val fresh = toEmbedded(spark, pages, embedder, version = now().toEpochMilli)
-      val merged = HighlightStore.read(spark, storeDir) match {
-        case Some(existing) => Ingest.upsert(existing, fresh, "id", "version")
-        case None => fresh
+      timed {
+        val pages = client.export(Some(s.toString)).toSeq
+        val fresh = toEmbedded(spark, pages, embedder, version = now().toEpochMilli)
+        val merged = HighlightStore.read(spark, storeDir) match {
+          case Some(existing) => Ingest.upsert(existing, fresh, "id", "version")
+          case None => fresh
+        }
+        HighlightStore.writeAtomic(merged, storeDir)
+        val n = fresh.count()
+        // advance once, at the end (at-least-once; incremental.py:78)
+        SyncState.write(checkpointDir, ServiceName, now())
+        graft.serve.Metrics.counter("rows_synced_total").inc(n)
+        n
       }
-      HighlightStore.writeAtomic(merged, storeDir)
-      val n = fresh.count()
-      // advance once, at the end (at-least-once; incremental.py:78)
-      SyncState.write(checkpointDir, ServiceName, now())
-      n
     }
   }
 }
