@@ -17,6 +17,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * float list to DOUBLE[] and sums sequentially.
   */
 object VectorMath extends Serializable {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+
   /** Sequential dot product, Double accumulation. */
   def dot(a: Array[Float], b: Array[Float]): Double = {
     val n = math.min(a.length, b.length)
@@ -48,6 +50,64 @@ object VectorMath extends Serializable {
     }
     math.sqrt(s)
   }
+
+  // ---- ArrayData-direct hot path (no per-row Array[Float] copy) ----------
+  // The codegen of the vector expressions calls these against Spark's
+  // columnar/unsafe array representations directly; identical sequential
+  // double accumulation, so results are bit-identical to the copying forms.
+
+  def dotData(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  def normData(a: ArrayData): Double = math.sqrt(dotData(a, a))
+
+  def cosineDistanceData(a: ArrayData, b: ArrayData): Double = {
+    val na = normData(a)
+    val nb = normData(b)
+    if (na == 0.0 || nb == 0.0) 1.0
+    else 1.0 - dotData(a, b) / (na * nb)
+  }
+
+  /** Cosine against a pre-extracted query vector with a precomputed norm —
+    * the top-k search hot loop (the query side is a literal; its norm is
+    * folded once at codegen instead of recomputed per corpus row). */
+  def cosineDistancePre(a: ArrayData, q: Array[Float], qNorm: Double): Double = {
+    val n = math.min(a.numElements(), q.length)
+    var dotAQ = 0.0
+    var dotAA = 0.0
+    var i = 0
+    while (i < n) {
+      val av = a.getFloat(i).toDouble
+      dotAQ += av * q(i).toDouble
+      dotAA += av * av
+      i += 1
+    }
+    // keep exact parity with cosineDistance: norm(a) sums ALL of a's
+    // elements even when q is shorter
+    var j = n
+    val m = a.numElements()
+    while (j < m) { val av = a.getFloat(j).toDouble; dotAA += av * av; j += 1 }
+    val na = math.sqrt(dotAA)
+    if (na == 0.0 || qNorm == 0.0) 1.0
+    else 1.0 - dotAQ / (na * qNorm)
+  }
+
+  def l2DistanceData(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
 }
 
 abstract class BinaryVectorExpression extends BinaryExpression {
@@ -65,31 +125,51 @@ abstract class BinaryVectorExpression extends BinaryExpression {
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
-  /** Fully-qualified static method on [[VectorMath]] to invoke. */
+  /** Fully-qualified static method on [[VectorMath]] to invoke — the
+    * ArrayData-direct form (no per-row array copy). */
   protected def mathFn: String
 
-  protected def compute(a: Array[Float], b: Array[Float]): Double
+  protected def compute(a: ArrayData, b: ArrayData): Double
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    compute(
-      a.asInstanceOf[ArrayData].toFloatArray(),
-      b.asInstanceOf[ArrayData].toFloatArray())
+    compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // static forwarders on the object's companion class — Janino-resolvable
     val vm = VectorMath.getClass.getName.stripSuffix("$")
     nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = $vm.$mathFn($a.toFloatArray(), $b.toFloatArray());")
+      s"${ev.value} = $vm.$mathFn($a, $b);")
   }
 }
 
-/** pgvector `<=>` equivalent (cosine distance). */
+/** pgvector `<=>` equivalent (cosine distance). When the query side is
+  * foldable (the overwhelmingly common top-k case: `cosine_distance(col,
+  * lit(queryVec))`), its float array and norm are extracted ONCE at codegen
+  * and embedded as references — the per-row work drops to one fused
+  * dot+self-norm pass over the corpus vector. */
 case class CosineDistance(left: Expression, right: Expression)
     extends BinaryVectorExpression {
-  override protected def mathFn: String = "cosineDistance"
-  override protected def compute(a: Array[Float], b: Array[Float]): Double =
-    VectorMath.cosineDistance(a, b)
+  override protected def mathFn: String = "cosineDistanceData"
+  override protected def compute(a: ArrayData, b: ArrayData): Double =
+    VectorMath.cosineDistanceData(a, b)
   override def prettyName: String = "cosine_distance"
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vm = VectorMath.getClass.getName.stripSuffix("$")
+    val foldedRight: Option[Array[Float]] =
+      if (right.foldable)
+        Option(right.eval(null)).map(_.asInstanceOf[ArrayData].toFloatArray())
+      else None
+    foldedRight match {
+      case Some(q) =>
+        val qRef = ctx.addReferenceObj("queryVec", q, "float[]")
+        val qNorm = VectorMath.norm(q)
+        nullSafeCodeGen(ctx, ev, (a, _) =>
+          s"${ev.value} = $vm.cosineDistancePre($a, $qRef, $qNorm);")
+      case None => super.doGenCode(ctx, ev)
+    }
+  }
+
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
@@ -97,9 +177,9 @@ case class CosineDistance(left: Expression, right: Expression)
 /** pgvector `<#>` equivalent is −dot; we expose plain dot product. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryVectorExpression {
-  override protected def mathFn: String = "dot"
-  override protected def compute(a: Array[Float], b: Array[Float]): Double =
-    VectorMath.dot(a, b)
+  override protected def mathFn: String = "dotData"
+  override protected def compute(a: ArrayData, b: ArrayData): Double =
+    VectorMath.dotData(a, b)
   override def prettyName: String = "dot_product"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -108,9 +188,9 @@ case class DotProduct(left: Expression, right: Expression)
 /** pgvector `<->` equivalent (Euclidean distance). */
 case class L2Distance(left: Expression, right: Expression)
     extends BinaryVectorExpression {
-  override protected def mathFn: String = "l2Distance"
-  override protected def compute(a: Array[Float], b: Array[Float]): Double =
-    VectorMath.l2Distance(a, b)
+  override protected def mathFn: String = "l2DistanceData"
+  override protected def compute(a: ArrayData, b: ArrayData): Double =
+    VectorMath.l2DistanceData(a, b)
   override def prettyName: String = "l2_distance"
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

@@ -1,0 +1,71 @@
+package graft.serve
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class HttpApiSpec extends AnyFunSuite {
+
+  private def fakeSearch(p: SearchParams): Iterator[Map[String, Any]] =
+    if (p.query == "none") Iterator.empty
+    else Iterator.tabulate(math.min(p.k, 2))(i =>
+      scala.collection.immutable.ListMap(
+        "id" -> s"h$i", "text" -> s"about ${p.query}", "score" -> (0.1 * (i + 1))))
+
+  private def withApi(f: (HttpClient, Int) => Unit): Unit = {
+    val api = new HttpApi(fakeSearch).start()
+    try f(HttpClient.newHttpClient(), api.boundPort)
+    finally api.shutdown()
+  }
+
+  private def get(c: HttpClient, port: Int, path: String): HttpResponse[String] =
+    c.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def post(c: HttpClient, port: Int, path: String, body: String): HttpResponse[String] =
+    c.send(HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body))
+      .header("Content-Type", "application/json").build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST /search returns a results envelope") {
+    withApi { (c, port) =>
+      val r = post(c, port, "/search", """{"q":"spark","k":2}""")
+      assert(r.statusCode() == 200)
+      assert(r.body().startsWith("""{"results":[{"id":"h0""""))
+      val empty = post(c, port, "/search", """{"q":"none"}""")
+      assert(empty.body() == """{"results":[]}""")
+    }
+  }
+
+  test("POST /search validation: missing q → 422; bad JSON → 422; GET → 405") {
+    withApi { (c, port) =>
+      assert(post(c, port, "/search", """{"k":3}""").statusCode() == 422)
+      assert(post(c, port, "/search", "{nope").statusCode() == 422)
+      assert(get(c, port, "/search").statusCode() == 405)
+    }
+  }
+
+  test("GET /mcp/stream delivers SSE events with terminal complete") {
+    withApi { (c, port) =>
+      val r = get(c, port, "/mcp/stream?q=spark&k=2&tags=a,b")
+      assert(r.statusCode() == 200)
+      assert(r.headers().firstValue("Content-Type").get() == "text/event-stream")
+      val events = r.body().split("\n\n").filter(_.nonEmpty)
+      assert(events.length == 3)
+      assert(events(0).startsWith("event: result\ndata: {\"id\":\"h0\""))
+      assert(events(2) == "event: complete\ndata: {\"total\":2}")
+      // missing q → 422
+      assert(get(c, port, "/mcp/stream?k=2").statusCode() == 422)
+    }
+  }
+
+  test("GET /health and /metrics expose JSON") {
+    withApi { (c, port) =>
+      assert(get(c, port, "/health").body() == """{"status":"ok"}""")
+      val m = get(c, port, "/metrics")
+      assert(m.statusCode() == 200 && m.body().startsWith("{"))
+    }
+  }
+}
