@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 
-import graft.serve.{Health, Json, SearchGateway, SearchParams}
+import graft.serve.{Health, HttpApi, Json, McpServer, SearchGateway, SearchParams}
 import graft.sources.{ExportClient, Page}
 import graft.sync.{HighlightStore, Sync}
 
@@ -98,8 +98,31 @@ object Cli {
           }
       }
 
+    case "serve" +: rest =>
+      val f = flags(rest)
+      val store = f.getOrElse("store", {
+        System.err.println("serve requires --store"); return 2 })
+      HighlightStore.read(spark, store) match {
+        case None =>
+          System.err.println(s"no highlight store at $store"); 1
+        case Some(df) =>
+          val cached = df.cache()
+          cached.count() // materialize before first request
+          val gw = new SearchGateway(cached)
+          val http = new HttpApi(gw.search, () => Health.check(spark),
+            port = f.get("http-port").map(_.toInt).getOrElse(8000)).start()
+          val mcp = new McpServer(gw.search,
+            port = f.get("mcp-port").map(_.toInt).getOrElse(8375)).start()
+          println(Json.write(Map(
+            "http_port" -> http.boundPort, "mcp_port" -> mcp.boundPort)))
+          sys.addShutdownHook { http.shutdown(); mcp.shutdown(1000) }
+          // block until killed (the reference's server entrypoints do the same)
+          Thread.currentThread().join()
+          0
+      }
+
     case _ =>
-      System.err.println("usage: graft.Cli sync|search|health ...")
+      System.err.println("usage: graft.Cli sync|search|serve|health ...")
       2
   }
 
