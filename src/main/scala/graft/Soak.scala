@@ -1,0 +1,50 @@
+package graft
+import org.apache.spark.sql.functions._
+import graft.streaming.Events
+import graft.dedup.Dedup
+import graft.functions.cosine_distance
+object Soak {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.1"
+    def timeIt(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val n = f
+      println(f"SOAK|$name|${(System.nanoTime()-t0)/1e9}%.2f s|rows=$n")
+    }
+    // lineitem x20 = 12M rows, keys shifted so joins stay realistic
+    val l0 = GraftSession.table(spark, dir, "lineitem")
+    val reps = (0 until 20).map(i => l0.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L)))
+    val l = reps.reduce(_ unionByName _).cache()
+    timeIt("materialize_12M")(l.count())
+    timeIt("agg_q01_12M") {
+      l.filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")), count(lit(1))).count()
+    }
+    timeIt("window_running_sum_12M") {
+      l.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))).filter(col("rn") <= 5).count()
+    }
+    val o0 = GraftSession.table(spark, dir, "orders")
+    val o = (0 until 20).map(i => o0.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))).reduce(_ unionByName _)
+    timeIt("join_agg_3M_x_12M") {
+      o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey")).agg(sum(col("l_extendedprice"))).count()
+    }
+    // events x20 = 2M rows sessionization
+    val e0 = GraftSession.table(spark, dir, "events")
+    val e = (0 until 20).map(i => e0.withColumn("user_id", col("user_id") + lit(i * 100000L))).reduce(_ unionByName _).cache()
+    timeIt("materialize_events_2M")(e.count())
+    timeIt("sessionize_2M")(Events.sessionize(e, 30).count())
+    // embeddings x50 = 100k vectors: brute topk + lsh pairs
+    val v0 = GraftSession.table(spark, dir, "embeddings")
+    val v = (0 until 50).map(i => v0.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))).reduce(_ unionByName _).cache()
+    timeIt("materialize_vecs_100k")(v.count())
+    val q = v0.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
+    timeIt("brute_topk_100k")(graft.similarity.Knn.topK(v, "embedding", q, 20, "vec_id").count())
+    timeIt("lsh_pairs_100k")(Dedup.embeddingLshPairs(v, "embedding", "vec_id", 0.5, 16).count())
+    spark.stop()
+  }
+}
