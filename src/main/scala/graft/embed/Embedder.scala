@@ -14,6 +14,12 @@ import graft.text.TextMath
 trait Embedder extends Serializable {
   def dim: Int
   def embed(text: String): Array[Float]
+
+  /** Batch hook: a real model overrides this to amortize per-call setup
+    * (tokenizer, device transfer) across a batch — the reference's OpenAI
+    * client is batch-shaped for the same reason (jobs/backfill.py:57-64).
+    * The deterministic default just maps. */
+  def embedAll(texts: Seq[String]): Seq[Array[Float]] = texts.map(embed)
 }
 
 /** Feature = whitespace tokens + char trigrams; each feature's poly-hash
@@ -54,4 +60,28 @@ object Embedder {
 
   def register(spark: SparkSession, embedder: Embedder = Default): Unit =
     spark.udf.register("embed_text", embedUdf(embedder))
+
+  /** Batched per-partition embedding: rows stream through
+    * [[Embedder.embedAll]] in `batchSize` chunks (narrow, no shuffle) —
+    * the plumbing a real model needs; identical output to the UDF form
+    * for the deterministic embedder. Null text → null vector. */
+  def embedBatched(df: org.apache.spark.sql.DataFrame, textCol: String,
+      outCol: String = "embedding", embedder: Embedder = Default,
+      batchSize: Int = 256): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val outSchema = df.schema.add(outCol, ArrayType(FloatType), nullable = true)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idx = df.schema.fieldIndex(textCol)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { chunk =>
+        val texts = chunk.map(r => Option(r.getString(idx)))
+        val present = texts.flatten
+        val vecs = embedder.embedAll(present).iterator
+        chunk.zip(texts).map { case (r, t) =>
+          Row.fromSeq(r.toSeq :+ t.map(_ => vecs.next()).orNull)
+        }
+      }
+    }(enc)
+  }
 }
