@@ -136,6 +136,17 @@ object Events {
       }
   }
 
+  /** Sliding-window counts, Structured-Streaming form: the built-in
+    * `window(ts, "1 hour", "30 minutes")` generator with a watermark —
+    * append mode emits each window once the watermark passes its end. */
+  def slidingHourBy30mStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"))
+
   /** Sliding-window counts (batch form): 1-hour windows sliding by 30
     * minutes. Each event lands in exactly 2 windows — generated with a
     * 2-element explode, then one aggregation shuffle. */

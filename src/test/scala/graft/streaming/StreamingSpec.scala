@@ -75,6 +75,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("slidingHourBy30mStream: each event lands in two windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = Events.slidingHourBy30mStream(events)
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 10:40:00"), 1L, "view", 1.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 15:00:00"), 2L, "view", 1.0)) // advance watermark
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 20:00:00"), 2L, "view", 1.0))
+      q.processAllAvailable()
+      val wins = spark.table("sliding").orderBy($"win_start")
+        .collect().map(r => (r.getString(0), r.getLong(2)))
+      // the 10:40 event belongs to the 10:00 and 10:30 sliding windows
+      assert(wins.take(2).toSeq ==
+        Seq(("2024-01-01 10:00:00", 1L), ("2024-01-01 10:30:00", 1L)))
+      // and matches the batch form on the same data
+      val batch = Events.slidingHourBy30m(
+        Seq((ts("2024-01-01 10:40:00"), 1L, "view", 1.0))
+          .toDF("ts", "user_id", "event_type", "value"))
+        .orderBy($"win_start").collect().map(r => (r.getString(0), r.getLong(2)))
+      assert(batch.toSeq == wins.take(2).toSeq)
+    } finally q.stop()
+  }
+
+  test("upsert tie-break: same version → the update beats the existing row") {
+    val base = Seq(("k1", "old", 5L)).toDF("id", "text", "version")
+    val upd = Seq(("k1", "new", 5L)).toDF("id", "text", "version")
+    val r = graft.ingest.Ingest.upsert(base, upd, "id", "version").collect()
+    assert(r.length == 1 && r(0).getString(1) == "new")
+  }
+
   test("streaming ingest: foreachBatch upsert keeps newest-wins store (ST1)") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-upsert").toString
