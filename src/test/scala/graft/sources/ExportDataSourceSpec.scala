@@ -116,3 +116,22 @@ class RetryAndMetricsSpec extends SparkTestBase {
     assert(snap("sync_duration_seconds_sum").asInstanceOf[Double] > 0.0)
   }
 }
+
+class ExportTransportsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("HTTP request shape: auth header, base URL, encoded cursor params") {
+    val req = ExportTransports.buildRequest(
+      "https://readwise.io", "tok-123", "/api/v2/export/",
+      Map("updatedAfter" -> "2024-01-01T00:00:00Z", "pageCursor" -> "c 1"))
+    assert(req.method() == "GET")
+    assert(req.headers().firstValue("Authorization").get() == "Token tok-123")
+    assert(req.uri().toString ==
+      "https://readwise.io/api/v2/export/?pageCursor=c+1&updatedAfter=2024-01-01T00%3A00%3A00Z")
+  }
+
+  test("nextPageCursor extraction: present, null, absent") {
+    assert(ExportTransports.nextCursor("""{"results":[],"nextPageCursor":"abc"}""")
+      .contains("abc"))
+    assert(ExportTransports.nextCursor("""{"results":[],"nextPageCursor":null}""").isEmpty)
+    assert(ExportTransports.nextCursor("""{"results":[]}""").isEmpty)
+  }
+}
