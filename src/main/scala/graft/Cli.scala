@@ -32,13 +32,18 @@ object Cli {
   /** Pages-from-directory transport: file N is page N; the "cursor" is the
     * next file index, mirroring nextPageCursor chaining. */
   private[graft] def dirClient(dir: String): ExportClient = {
-    val files = Files.list(Paths.get(dir)).iterator().asScala.toSeq
-      .filter(_.toString.endsWith(".json")).sortBy(_.getFileName.toString)
+    val files = scala.util.Using.resource(Files.list(Paths.get(dir))) {
+      _.iterator().asScala.toSeq
+        .filter(_.toString.endsWith(".json")).sortBy(_.getFileName.toString)
+    }
     new ExportClient(
       fetchPage = (_, params) => {
-        val idx = params.get("pageCursor").map(_.toInt).getOrElse(0)
-        val next = if (idx + 1 < files.length) Some((idx + 1).toString) else None
-        Page(Files.readString(files(idx)), next)
+        if (files.isEmpty) Page("""{"results":[]}""", None) // empty export
+        else {
+          val idx = params.get("pageCursor").map(_.toInt).getOrElse(0)
+          val next = if (idx + 1 < files.length) Some((idx + 1).toString) else None
+          Page(Files.readString(files(idx)), next)
+        }
       },
       sleep = _ => ()) // no politeness needed against the local filesystem
   }

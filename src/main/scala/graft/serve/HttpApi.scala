@@ -75,6 +75,11 @@ final class HttpApi(
           case Left(err) =>
             // FastAPI's 422 validation-error shape (routes.py contract)
             respondJson(ex, 422, Map("detail" -> err))
+          case Right(params) if params.k > SearchParams.MaxK =>
+            // HTTP bound k ∈ [1, 100] is a validation error, not a silent
+            // clamp (api/routes.py:100 `le=100`)
+            respondJson(ex, 422,
+              Map("detail" -> s"k must be <= ${SearchParams.MaxK}"))
           case Right(params) =>
             val results = searchFn(params).toSeq
             respondJson(ex, 200, ListMap("results" -> results))

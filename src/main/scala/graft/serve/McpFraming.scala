@@ -70,8 +70,13 @@ object McpFraming {
     * JSON-object shape, jsonrpc == "2.0". */
   def parseLine(line: String,
       maxLineLength: Int = DefaultMaxLineLength): McpMessage = {
-    if (line.length > maxLineLength)
-      throw new McpFramingException(s"Message too long: ${line.length} bytes")
+    // the cap is in BYTES: chars > max always means bytes > max (UTF-8 is
+    // ≥1 byte/char); otherwise count exactly only when 4×chars could exceed
+    val tooLong = line.length > maxLineLength ||
+      (line.length.toLong * 4 > maxLineLength &&
+        line.getBytes(java.nio.charset.StandardCharsets.UTF_8).length > maxLineLength)
+    if (tooLong)
+      throw new McpFramingException(s"Message too long: > $maxLineLength bytes")
     val trimmed = line.stripLineEnd
     if (trimmed.isEmpty)
       throw new McpFramingException("Empty message received")

@@ -95,8 +95,14 @@ final class McpServer(
               var sent = 0
               val rows = searchFn(params)
               while (rows.hasNext && !sock.isClosed) {
-                McpFraming.write(out,
-                  McpFraming.response(rows.next(), echoId))
+                // per-result wire payload is {id, text, score}
+                // (server.py:117-121), not the full row dict
+                val row = rows.next()
+                val payload = ListMap(
+                  "id" -> row.get("id").orNull,
+                  "text" -> row.get("text").orNull,
+                  "score" -> row.get("score").orNull)
+                McpFraming.write(out, McpFraming.response(payload, echoId))
                 sent += 1
               }
               if (sent == 0)

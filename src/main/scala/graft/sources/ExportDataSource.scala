@@ -55,9 +55,17 @@ object ExportDataSource {
   private[sources] def parseTimestampMicros(s: String): Any =
     try {
       if (s == null) null
-      else java.time.Instant.parse(
-        if (s.endsWith("Z") || s.contains("+")) s else s + "Z") match {
-        case i => i.getEpochSecond * 1000000L + i.getNano / 1000L
+      else {
+        // offset-aware first (handles Z and ±hh:mm, either sign); naive
+        // timestamps are interpreted as UTC — matching try_to_timestamp
+        // under the engine's UTC session timezone
+        val i =
+          try java.time.OffsetDateTime.parse(s).toInstant
+          catch {
+            case _: Exception =>
+              java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)
+          }
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
       }
     } catch { case _: Exception => null } // null-on-error (jobs/parser.py:7-16)
 }
@@ -86,11 +94,13 @@ final class ExportScan(path: String, required: StructType)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Files.list(Paths.get(path)).iterator().asScala.toSeq
-      .filter(_.toString.endsWith(".json"))
-      .sortBy(_.getFileName.toString)
-      .map(p => PageFilePartition(p.toString): InputPartition)
-      .toArray
+    scala.util.Using.resource(Files.list(Paths.get(path))) { stream =>
+      stream.iterator().asScala.toSeq
+        .filter(_.toString.endsWith(".json"))
+        .sortBy(_.getFileName.toString)
+        .map(p => PageFilePartition(p.toString): InputPartition)
+        .toArray
+    }
   override def createReaderFactory(): PartitionReaderFactory =
     new ExportReaderFactory(required)
 }
@@ -150,9 +160,12 @@ final class PageReader(file: String, required: StructType)
         case "tags" =>
           val v = h.get("tags")
           if (v == null || v.isNull) null
-          else new GenericArrayData(v.elements().asScala.toArray.flatMap { t =>
-            Option(t.get("name")).filterNot(_.isNull)
-              .map(n => UTF8String.fromString(n.asText()): Any)
+          // element-per-entry with null for a missing/null name — identical
+          // to the Ingest path's transform(tags, t -> t.getField("name"))
+          else new GenericArrayData(v.elements().asScala.toArray.map { t =>
+            val n = t.get("name")
+            if (n == null || n.isNull) null
+            else UTF8String.fromString(n.asText()): Any
           })
         case other => throw new IllegalArgumentException(s"unknown column $other")
       }

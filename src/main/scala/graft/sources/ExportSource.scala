@@ -9,6 +9,11 @@ import org.apache.spark.sql.types._
   * readwise_vector_db/core/readwise.py:16-38). */
 final case class Page(body: String, nextPageCursor: Option[String])
 
+/** A fetch failure that retrying cannot fix (4xx client errors: bad token,
+  * malformed request) — [[ExportClient]] surfaces it immediately instead
+  * of burning the backoff budget. */
+final class FatalFetchException(msg: String) extends RuntimeException(msg)
+
 /** Cursor-paginated export source (reference: ReadwiseClient,
   * core/readwise.py:16-76).
   *
@@ -35,6 +40,7 @@ final class ExportClient(
     while (result.isEmpty) {
       try result = Some(fetchPage(path, params))
       catch {
+        case e: FatalFetchException => throw e // 4xx: retry cannot help
         case scala.util.control.NonFatal(e) =>
           if (attempt >= retryAttempts) throw e
           sleep(delay)

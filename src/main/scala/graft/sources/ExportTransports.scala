@@ -35,18 +35,21 @@ object ExportTransports {
     if (node == null || node.isNull) None else Some(node.asText())
   }
 
-  /** HTTP fetch for a live deployment. Non-2xx raises, which
-    * [[ExportClient]]'s retry/backoff handles (the reference's
-    * `raise_for_status` + retry wrapper). */
+  /** HTTP fetch for a live deployment. 5xx/429 raise retryable errors for
+    * [[ExportClient]]'s backoff (the reference's `raise_for_status` +
+    * retry wrapper); other 4xx are fatal — a bad token can't be retried
+    * into working. */
   def http(baseUrl: String, token: String,
       client: HttpClient = HttpClient.newHttpClient())
       : (String, Map[String, String]) => Page =
     (path, params) => {
       val resp = client.send(buildRequest(baseUrl, token, path, params),
         HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() / 100 != 2)
-        throw new RuntimeException(
-          s"export API ${resp.statusCode()} for $path")
+      val code = resp.statusCode()
+      if (code / 100 == 4 && code != 429)
+        throw new FatalFetchException(s"export API $code for $path")
+      if (code / 100 != 2)
+        throw new RuntimeException(s"export API $code for $path")
       Page(resp.body(), nextCursor(resp.body()))
     }
 }

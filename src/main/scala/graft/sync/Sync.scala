@@ -11,18 +11,32 @@ import graft.ingest.{Ingest, SyncState}
 import graft.sources.{ExportClient, ExportSource}
 
 /** Parquet-backed highlight store with atomic replace (SURVEY.md §7.4:
-  * plain-parquet overwrite is not transactional → write to a temp dir and
-  * swap via rename; readers see old-or-new, never partial). */
+  * plain-parquet overwrite is not transactional). Versioned layout: data
+  * lands in immutable `v-<nanos>` directories and a `CURRENT` pointer file
+  * names the live one; the commit is ONE atomic file rename, so readers
+  * always resolve a complete version — there is no window with no store
+  * and a crash mid-commit leaves the previous version live (the
+  * single-file rendition of a Delta/Iceberg manifest pointer). */
 object HighlightStore {
 
-  def read(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val cur = Paths.get(dir, "current")
-    if (Files.exists(cur)) Some(spark.read.parquet(cur.toString)) else None
+  private def resolveCurrent(root: Path): Option[Path] = {
+    val ptr = root.resolve("CURRENT")
+    if (Files.exists(ptr)) {
+      val name = Files.readString(ptr).trim
+      Some(root.resolve(name)).filter(Files.exists(_))
+    } else {
+      // pre-pointer layout compatibility
+      Some(root.resolve("current")).filter(Files.exists(_))
+    }
   }
 
-  /** Write `df` as the new store state. The swap is a directory rename —
-    * atomic on one filesystem; on object stores use a versioned-manifest
-    * (Delta/Iceberg) instead.
+  def read(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) None
+    else resolveCurrent(root).map(p => spark.read.parquet(p.toString))
+  }
+
+  /** Write `df` as the new store state (single-rename pointer commit).
     *
     * `partitionBy` lays the store out hive-style (e.g. by `source_type`,
     * SURVEY.md §4 partitioning row) so filtered searches prune whole
@@ -31,21 +45,25 @@ object HighlightStore {
       partitionBy: Seq[String] = Nil): Unit = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
-    val tmp = root.resolve(s".staging-${System.nanoTime()}")
+    val versionName = s"v-${System.nanoTime()}"
+    val version = root.resolve(versionName)
     val writer = if (partitionBy.nonEmpty)
       df.write.partitionBy(partitionBy: _*) else df.write
-    writer.mode("overwrite").parquet(tmp.toString)
-    val cur = root.resolve("current")
-    val old = root.resolve(s".old-${System.nanoTime()}")
-    val hadOld = Files.exists(cur)
-    if (hadOld) Files.move(cur, old, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(tmp, cur, StandardCopyOption.ATOMIC_MOVE)
-    if (hadOld) deleteRecursively(old)
+    writer.mode("overwrite").parquet(version.toString)
+    val prev = resolveCurrent(root)
+    val ptrTmp = root.resolve(s".CURRENT.tmp-${System.nanoTime()}")
+    Files.writeString(ptrTmp, versionName)
+    Files.move(ptrTmp, root.resolve("CURRENT"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    // best-effort cleanup of the superseded version (readers that resolved
+    // it before the swap may still be scanning — delete failure is fine)
+    prev.filterNot(_.getFileName.toString == versionName)
+      .foreach(p => try deleteRecursively(p) catch { case _: Exception => () })
   }
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).forEach(deleteRecursively)
+      scala.util.Using.resource(Files.list(p))(_.forEach(deleteRecursively))
     Files.deleteIfExists(p)
   }
 }
@@ -81,16 +99,21 @@ object Sync {
       now: () => Instant = () => Instant.now()): Long =
     timed {
       val pages = client.export(None).toSeq
+      // cache: the embed pipeline runs once, shared by the store write and
+      // the row count
       val fresh = toEmbedded(spark, pages, embedder, version = now().toEpochMilli)
-      val merged = HighlightStore.read(spark, storeDir) match {
-        case Some(existing) => Ingest.upsert(existing, fresh, "id", "version")
-        case None => fresh
-      }
-      HighlightStore.writeAtomic(merged, storeDir)
-      SyncState.write(checkpointDir, ServiceName, now())
-      val n = fresh.count()
-      graft.serve.Metrics.counter("rows_synced_total").inc(n)
-      n
+        .cache()
+      try {
+        val merged = HighlightStore.read(spark, storeDir) match {
+          case Some(existing) => Ingest.upsert(existing, fresh, "id", "version")
+          case None => fresh
+        }
+        HighlightStore.writeAtomic(merged, storeDir)
+        SyncState.write(checkpointDir, ServiceName, now())
+        val n = fresh.count()
+        graft.serve.Metrics.counter("rows_synced_total").inc(n)
+        n
+      } finally fresh.unpersist()
     }
 
   /** Sync metrics (reference: rows_synced_total / error_rate counters +
@@ -115,16 +138,19 @@ object Sync {
       timed {
         val pages = client.export(Some(s.toString)).toSeq
         val fresh = toEmbedded(spark, pages, embedder, version = now().toEpochMilli)
-        val merged = HighlightStore.read(spark, storeDir) match {
-          case Some(existing) => Ingest.upsert(existing, fresh, "id", "version")
-          case None => fresh
-        }
-        HighlightStore.writeAtomic(merged, storeDir)
-        val n = fresh.count()
-        // advance once, at the end (at-least-once; incremental.py:78)
-        SyncState.write(checkpointDir, ServiceName, now())
-        graft.serve.Metrics.counter("rows_synced_total").inc(n)
-        n
+          .cache()
+        try {
+          val merged = HighlightStore.read(spark, storeDir) match {
+            case Some(existing) => Ingest.upsert(existing, fresh, "id", "version")
+            case None => fresh
+          }
+          HighlightStore.writeAtomic(merged, storeDir)
+          val n = fresh.count()
+          // advance once, at the end (at-least-once; incremental.py:78)
+          SyncState.write(checkpointDir, ServiceName, now())
+          graft.serve.Metrics.counter("rows_synced_total").inc(n)
+          n
+        } finally fresh.unpersist()
       }
     }
   }

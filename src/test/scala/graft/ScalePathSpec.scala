@@ -25,9 +25,10 @@ class ScalePathSpec extends SparkTestBase {
       scan.contains(s"source_type"), "filter did not reach PartitionFilters")
     // the pruned read returns exactly that partition's rows
     assert(read.count() == docs.filter($"source_type" === st).count())
-    // partition directories exist hive-style
-    val parts = Files.list(java.nio.file.Paths.get(dir, "current"))
-      .iterator()
+    // partition directories exist hive-style inside the pointed-to version
+    val version = Files.readString(
+      java.nio.file.Paths.get(dir, "CURRENT")).trim
+    val parts = Files.list(java.nio.file.Paths.get(dir, version)).iterator()
     val names = scala.jdk.CollectionConverters.IteratorHasAsScala(parts)
       .asScala.map(_.getFileName.toString).toSeq
     assert(names.exists(_.startsWith("source_type=")))

@@ -39,11 +39,14 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
-  test("POST /search validation: missing q → 422; bad JSON → 422; GET → 405") {
+  test("POST /search validation: missing q → 422; bad JSON → 422; GET → 405; k>100 → 422") {
     withApi { (c, port) =>
       assert(post(c, port, "/search", """{"k":3}""").statusCode() == 422)
       assert(post(c, port, "/search", "{nope").statusCode() == 422)
       assert(get(c, port, "/search").statusCode() == 405)
+      // HTTP bound k ∈ [1,100] is a validation error (routes.py:100)
+      assert(post(c, port, "/search", """{"q":"x","k":100000}""").statusCode() == 422)
+      assert(post(c, port, "/search", """{"q":"x","k":100}""").statusCode() == 200)
     }
   }
 

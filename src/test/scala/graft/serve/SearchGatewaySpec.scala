@@ -72,7 +72,8 @@ class SearchGatewaySpec extends SparkTestBase {
         assert(replies.length == 3)
         val m = McpFraming.parseLine(replies.head)
         val row = m.result.get.asInstanceOf[Map[String, Any]]
-        assert(row.contains("id") && row.contains("text") && row.contains("score"))
+        // per-result MCP payload is exactly {id, text, score} (server.py:117-121)
+        assert(row.keySet == Set("id", "text", "score"))
       } finally sock.close()
     } finally server.shutdown(1000)
   }

@@ -1,0 +1,73 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.{Cli, SparkTestBase}
+import graft.sync.HighlightStore
+
+/** Regressions from the round-2 self-review. */
+class RegressionSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("DSv2 timestamps: negative offsets, naive-as-UTC, garbage → null") {
+    assert(ExportDataSource.parseTimestampMicros("2024-01-15T10:00:00-05:00")
+      == (1705330800L * 1000000L)) // 15:00 UTC
+    assert(ExportDataSource.parseTimestampMicros("2024-01-15T10:00:00+02:00")
+      == (1705305600L * 1000000L)) // 08:00 UTC
+    assert(ExportDataSource.parseTimestampMicros("2024-01-15T10:00:00Z")
+      == (1705312800L * 1000000L))
+    assert(ExportDataSource.parseTimestampMicros("2024-01-15T10:00:00")
+      == (1705312800L * 1000000L)) // naive = UTC (session tz)
+    assert(ExportDataSource.parseTimestampMicros("not-a-date") == null)
+  }
+
+  test("store swap: CURRENT pointer always resolves; legacy layout readable") {
+    val dir = Files.createTempDirectory("swap").toString
+    val v1 = Seq((1L, "a")).toDF("id", "text")
+    HighlightStore.writeAtomic(v1, dir)
+    assert(Files.exists(Paths.get(dir, "CURRENT")))
+    HighlightStore.writeAtomic(Seq((1L, "b")).toDF("id", "text"), dir)
+    // after the second commit the pointer names the new version and only
+    // live data remains
+    assert(HighlightStore.read(spark, dir).get
+      .head().getString(1) == "b")
+    val versions = scala.util.Using.resource(Files.list(Paths.get(dir)))(
+      _.iterator()).asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    // legacy layout: plain `current` directory without a pointer
+    val legacy = Files.createTempDirectory("legacy").toString
+    Seq((7L, "legacy")).toDF("id", "text")
+      .write.parquet(s"$legacy/current")
+    assert(HighlightStore.read(spark, legacy).get.head().getString(1) == "legacy")
+  }
+
+  test("empty pages dir: CLI backfill syncs 0 rows instead of crashing") {
+    val dir = Files.createTempDirectory("emptysync").toString
+    Files.createDirectories(Paths.get(dir, "pages"))
+    val client = Cli.dirClient(s"$dir/pages")
+    val n = graft.sync.Sync.backfill(spark, client, s"$dir/store", s"$dir/ckpt")
+    assert(n == 0)
+  }
+
+  test("fatal fetch errors skip the retry budget") {
+    var calls = 0
+    val c = new ExportClient(
+      fetchPage = (_, _) => { calls += 1; throw new FatalFetchException("401") },
+      retryAttempts = 3, sleep = _ => fail("must not back off on fatal"))
+    intercept[FatalFetchException](c.export(None).toList)
+    assert(calls == 1)
+  }
+
+  test("MCP line guard is byte-accurate for multibyte text") {
+    import graft.serve.{McpFraming, McpFramingException}
+    // 400 chars of 3-byte CJK = 1200 bytes > a 1000-byte cap
+    val wide = "世" * 400
+    val line = s"""{"jsonrpc":"2.0","method":"search","params":{"q":"$wide"}}"""
+    intercept[McpFramingException](McpFraming.parseLine(line, maxLineLength = 1000))
+    // same char count in ASCII fits
+    val ascii = "x" * 400
+    val ok = s"""{"jsonrpc":"2.0","method":"search","params":{"q":"$ascii"}}"""
+    assert(McpFraming.parseLine(ok, maxLineLength = 1000).method.contains("search"))
+  }
+}
