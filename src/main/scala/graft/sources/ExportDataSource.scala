@@ -74,7 +74,8 @@ final class ExportTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"graft-export:$path"
   override def schema(): StructType = ExportDataSource.highlightSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ExportScanBuilder(path)
 }
@@ -94,13 +95,56 @@ final class ExportScan(path: String, required: StructType)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
+    ExportScan.listPages(path)
+      .map(p => PageFilePartition(p): InputPartition).toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ExportReaderFactory(required)
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ExportMicroBatchStream(path, required)
+}
+
+object ExportScan {
+  /** Page files in filename order (the transport writes them in cursor
+    * order, so filename order IS page order). */
+  def listPages(path: String): Seq[String] =
     scala.util.Using.resource(Files.list(Paths.get(path))) { stream =>
       stream.iterator().asScala.toSeq
         .filter(_.toString.endsWith(".json"))
         .sortBy(_.getFileName.toString)
-        .map(p => PageFilePartition(p.toString): InputPartition)
-        .toArray
+        .map(_.toString)
     }
+}
+
+/** Streaming form: tail the pages directory. The offset is simply "how
+  * many page files exist" — each micro-batch covers the files that arrived
+  * since the last committed offset, one input partition per new page.
+  * Files must be append-only and written atomically (temp + rename), the
+  * standard landing-zone contract. */
+final case class PageOffset(count: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"count":$count}"""
+}
+
+final class ExportMicroBatchStream(path: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def latestOffset(): Offset = PageOffset(ExportScan.listPages(path).size)
+  override def initialOffset(): Offset = PageOffset(0)
+  override def deserializeOffset(json: String): Offset = {
+    val node = new ObjectMapper().readTree(json)
+    PageOffset(node.get("count").asInt())
+  }
+  override def commit(end: Offset): Unit = () // files are immutable; no-op
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val from = start.asInstanceOf[PageOffset].count
+    val to = end.asInstanceOf[PageOffset].count
+    ExportScan.listPages(path).slice(from, to)
+      .map(p => PageFilePartition(p): InputPartition).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new ExportReaderFactory(required)
 }

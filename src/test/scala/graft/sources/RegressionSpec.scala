@@ -71,3 +71,31 @@ class RegressionSpec extends SparkTestBase {
     assert(McpFraming.parseLine(ok, maxLineLength = 1000).method.contains("search"))
   }
 }
+
+class ExportStreamingSpec extends SparkTestBase {
+  import org.apache.spark.sql.functions._
+
+  test("graft-export streaming: new page files arrive as micro-batches") {
+    val dir = java.nio.file.Files.createTempDirectory("dsv2stream").toString
+    def page(hid: String): String =
+      s"""{"results":[{"user_book_id":1,"title":"B","author":"A","category":"books",
+         |"source":"k","source_url":"u","highlights":[
+         |{"id":"$hid","text":"t $hid","note":null,"location":1,"url":null,"tags":[],
+         |"highlighted_at":"2024-02-01T08:00:00Z","updated_at":null}]}]}"""
+        .stripMargin.replace("\n", "")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "p0.json"), page("h1"))
+    val q = spark.readStream.format("graft-export").load(dir)
+      .writeStream.format("memory").queryName("export_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("export_stream").count() == 1)
+      // a new page lands -> next micro-batch picks up ONLY the new file
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "p1.json"), page("h2"))
+      q.processAllAvailable()
+      val ids = spark.table("export_stream")
+        .select(col("id")).collect().map(_.getString(0)).sorted.toSeq
+      assert(ids == Seq("h1", "h2"))
+    } finally q.stop()
+  }
+}
