@@ -460,6 +460,24 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // ---- pivot (wide aggregation): order counts per status × priority ----
+    "q41_pivot" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        // absent (status, priority) combos pivot to null; the oracle's
+        // COUNT FILTER yields 0 — normalize
+        .select(col("o_orderstatus"),
+          coalesce(col("1-URGENT"), lit(0L)).as("p1"),
+          coalesce(col("2-HIGH"), lit(0L)).as("p2"),
+          coalesce(col("3-MEDIUM"), lit(0L)).as("p3"),
+          coalesce(col("4-NOT SPECIFIED"), lit(0L)).as("p4"),
+          coalesce(col("5-LOW"), lit(0L)).as("p5"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // ---- corpus profiling: token counts + type/token ratios per lang ----
     "q40_token_profile" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -874,6 +892,15 @@ object SparkEntry {
          |SELECT key AS doc_id, ${sqlCosine("v", "qv")} AS score
          |FROM normed, q WHERE key >= 0
          |ORDER BY score, doc_id LIMIT 20""".stripMargin,
+
+    "q41_pivot" ->
+      """SELECT o_orderstatus,
+        |  COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS p1,
+        |  COUNT(*) FILTER (o_orderpriority = '2-HIGH') AS p2,
+        |  COUNT(*) FILTER (o_orderpriority = '3-MEDIUM') AS p3,
+        |  COUNT(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS p4,
+        |  COUNT(*) FILTER (o_orderpriority = '5-LOW') AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "q40_token_profile" ->
       """WITH toks AS (
