@@ -337,10 +337,9 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // ---- text analysis: language ID (marker heuristic) ----
+    // ---- text analysis: language ID (marker heuristic, staged tokenize) ----
     "q27_langid" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      TextAnalysis.withLangId(t(s, dir, "documents"), "text", "lang_pred")
         .groupBy(col("lang"), col("lang_pred"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("lang_pred"))
