@@ -14,7 +14,8 @@ object Soak {
     }
     // lineitem x20 = 12M rows, keys shifted so joins stay realistic
     val l0 = GraftSession.table(spark, dir, "lineitem")
-    val reps = (0 until 20).map(i => l0.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L)))
+    val REP = sys.env.getOrElse("SOAK_REPS", "20").toInt
+    val reps = (0 until REP).map(i => l0.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L)))
     val l = reps.reduce(_ unionByName _).cache()
     timeIt("materialize_12M")(l.count())
     timeIt("agg_q01_12M") {
@@ -28,14 +29,14 @@ object Soak {
           .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))).filter(col("rn") <= 5).count()
     }
     val o0 = GraftSession.table(spark, dir, "orders")
-    val o = (0 until 20).map(i => o0.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))).reduce(_ unionByName _)
+    val o = (0 until REP).map(i => o0.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))).reduce(_ unionByName _)
     timeIt("join_agg_3M_x_12M") {
       o.join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_custkey")).agg(sum(col("l_extendedprice"))).count()
     }
     // events x20 = 2M rows sessionization
     val e0 = GraftSession.table(spark, dir, "events")
-    val e = (0 until 20).map(i => e0.withColumn("user_id", col("user_id") + lit(i * 100000L))).reduce(_ unionByName _).cache()
+    val e = (0 until REP).map(i => e0.withColumn("user_id", col("user_id") + lit(i * 100000L))).reduce(_ unionByName _).cache()
     timeIt("materialize_events_2M")(e.count())
     timeIt("sessionize_2M")(Events.sessionize(e, 30).count())
     // embeddings x50 = 100k vectors: brute topk + lsh pairs
