@@ -17,35 +17,36 @@ object Soak {
     val REP = sys.env.getOrElse("SOAK_REPS", "20").toInt
     val reps = (0 until REP).map(i => l0.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L)))
     val l = reps.reduce(_ unionByName _).cache()
-    timeIt("materialize_12M")(l.count())
-    timeIt("agg_q01_12M") {
+    timeIt(s"materialize_lineitem_${REP * 600}k")(l.count())
+    timeIt(s"agg_q01_${REP * 600}k") {
       l.filter(col("l_shipdate") <= lit("1998-09-02"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("l_quantity")), count(lit(1))).count()
     }
-    timeIt("window_running_sum_12M") {
+    timeIt(s"window_running_sum_${REP * 600}k") {
       l.withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("l_suppkey"))
           .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber")))).filter(col("rn") <= 5).count()
     }
     val o0 = GraftSession.table(spark, dir, "orders")
     val o = (0 until REP).map(i => o0.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))).reduce(_ unionByName _)
-    timeIt("join_agg_3M_x_12M") {
+    timeIt(s"join_agg_${REP * 150}k_x_${REP * 600}k") {
       o.join(l, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("o_custkey")).agg(sum(col("l_extendedprice"))).count()
     }
     // events x20 = 2M rows sessionization
     val e0 = GraftSession.table(spark, dir, "events")
     val e = (0 until REP).map(i => e0.withColumn("user_id", col("user_id") + lit(i * 100000L))).reduce(_ unionByName _).cache()
-    timeIt("materialize_events_2M")(e.count())
-    timeIt("sessionize_2M")(Events.sessionize(e, 30).count())
+    timeIt(s"materialize_events_${REP * 100}k")(e.count())
+    timeIt(s"sessionize_${REP * 100}k")(Events.sessionize(e, 30).count())
     // embeddings x50 = 100k vectors: brute topk + lsh pairs
     val v0 = GraftSession.table(spark, dir, "embeddings")
-    val v = (0 until 50).map(i => v0.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))).reduce(_ unionByName _).cache()
-    timeIt("materialize_vecs_100k")(v.count())
+    val VREP = math.max(REP * 5 / 2, 1)
+    val v = (0 until VREP).map(i => v0.withColumn("vec_id", col("vec_id") + lit(i * 1000000L))).reduce(_ unionByName _).cache()
+    timeIt(s"materialize_vecs_${VREP * 2}k")(v.count())
     val q = v0.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
-    timeIt("brute_topk_100k")(graft.similarity.Knn.topK(v, "embedding", q, 20, "vec_id").count())
-    timeIt("lsh_pairs_100k")(Dedup.embeddingLshPairs(v, "embedding", "vec_id", 0.5, 16).count())
+    timeIt(s"brute_topk_${VREP * 2}k")(graft.similarity.Knn.topK(v, "embedding", q, 20, "vec_id").count())
+    timeIt(s"lsh_pairs_${VREP * 2}k")(Dedup.embeddingLshPairs(v, "embedding", "vec_id", 0.5, 16).count())
     spark.stop()
   }
 }

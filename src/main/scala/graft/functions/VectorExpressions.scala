@@ -163,7 +163,10 @@ case class CosineDistance(left: Expression, right: Expression)
     foldedRight match {
       case Some(q) =>
         val qRef = ctx.addReferenceObj("queryVec", q, "float[]")
-        val qNorm = VectorMath.norm(q)
+        // bit-pattern literal: valid Java for every double incl. NaN/Inf
+        // (a bare interpolated "NaN" would not compile)
+        val qNormBits = java.lang.Double.doubleToRawLongBits(VectorMath.norm(q))
+        val qNorm = s"java.lang.Double.longBitsToDouble(${qNormBits}L)"
         nullSafeCodeGen(ctx, ev, (a, _) =>
           s"${ev.value} = $vm.cosineDistancePre($a, $qRef, $qNorm);")
       case None => super.doGenCode(ctx, ev)

@@ -53,15 +53,23 @@ final class HttpApi(
       }
     }.toMap).getOrElse(Map.empty)
 
-  server.createContext("/health", (ex: HttpExchange) => {
+  /** JDK HttpServer contexts match by prefix — guard to exact-path
+    * semantics so /healthz or /searchanything 404 like a router would. */
+  private def exact(path: String)(handler: HttpExchange => Unit)
+      : com.sun.net.httpserver.HttpHandler = (ex: HttpExchange) =>
+    if (ex.getRequestURI.getPath != path)
+      respondJson(ex, 404, Map("detail" -> "Not Found"))
+    else handler(ex)
+
+  server.createContext("/health", exact("/health") { ex =>
     val h = healthFn()
     respondJson(ex, if (h.get("status").contains("ok")) 200 else 503, h)
   })
 
-  server.createContext("/metrics", (ex: HttpExchange) =>
-    respondJson(ex, 200, Metrics.snapshot))
+  server.createContext("/metrics", exact("/metrics") { ex =>
+    respondJson(ex, 200, Metrics.snapshot) })
 
-  server.createContext("/search", (ex: HttpExchange) => {
+  server.createContext("/search", exact("/search") { ex =>
     try {
       if (ex.getRequestMethod != "POST")
         respondJson(ex, 405, Map("detail" -> "Method Not Allowed"))
@@ -71,16 +79,24 @@ final class HttpApi(
         val parsed =
           try Right(Json.parseObject(body))
           catch { case NonFatal(e) => Left(e.getMessage) }
-        parsed.flatMap(SearchParams.fromMcp) match {
-          case Left(err) =>
+        // HTTP k contract: integral (floats with a fractional part are a
+        // type error, pydantic-style) and within [1, 100]; violations are
+        // 422, not silent clamps/defaults (api/routes.py:100)
+        val kError = parsed.toOption.flatMap(_.get("k")).flatMap {
+          case n: Long if n >= 1 && n <= SearchParams.MaxK => None
+          case _: Long => Some(s"k must be in [1, ${SearchParams.MaxK}]")
+          case d: Double if d.isWhole &&
+            d >= 1 && d <= SearchParams.MaxK => None
+          case _ => Some("k must be an integer in [1, " +
+            s"${SearchParams.MaxK}]")
+        }
+        (parsed.flatMap(SearchParams.fromMcp), kError) match {
+          case (Left(err), _) =>
             // FastAPI's 422 validation-error shape (routes.py contract)
             respondJson(ex, 422, Map("detail" -> err))
-          case Right(params) if params.k > SearchParams.MaxK =>
-            // HTTP bound k ∈ [1, 100] is a validation error, not a silent
-            // clamp (api/routes.py:100 `le=100`)
-            respondJson(ex, 422,
-              Map("detail" -> s"k must be <= ${SearchParams.MaxK}"))
-          case Right(params) =>
+          case (_, Some(err)) =>
+            respondJson(ex, 422, Map("detail" -> err))
+          case (Right(params), None) =>
             val results = searchFn(params).toSeq
             respondJson(ex, 200, ListMap("results" -> results))
         }
@@ -90,7 +106,7 @@ final class HttpApi(
     }
   })
 
-  server.createContext("/mcp/stream", (ex: HttpExchange) => {
+  server.createContext("/mcp/stream", exact("/mcp/stream") { ex =>
     val p = queryParams(ex)
     SearchParams.fromHttp(
       query = p.getOrElse("q", ""),
@@ -107,15 +123,27 @@ final class HttpApi(
         ex.sendResponseHeaders(200, 0) // chunked
         val os: OutputStream = ex.getResponseBody
         try {
-          val events =
-            try SseFraming.stream(searchFn(params))
-            catch { case NonFatal(e) => Iterator(SseFraming.errorEvent(e.getMessage)) }
-          events.foreach { e =>
-            os.write(e.getBytes(StandardCharsets.UTF_8))
-            os.flush() // per-event flush = streaming delivery
+          val events = SseFraming.stream(searchFn(params))
+          // the result iterator is lazy — a search failure can surface on
+          // any next(); emit the error event (routes.py:63-66) rather than
+          // letting it masquerade as a disconnect
+          var done = false
+          while (!done) {
+            val next =
+              try { if (events.hasNext) Some(events.next()) else { done = true; None } }
+              catch {
+                case e: java.io.IOException => throw e // transport: rethrow
+                case NonFatal(e) => done = true
+                  Some(SseFraming.errorEvent(
+                    Option(e.getMessage).getOrElse(e.getClass.getSimpleName)))
+              }
+            next.foreach { e =>
+              os.write(e.getBytes(StandardCharsets.UTF_8))
+              os.flush() // per-event flush = streaming delivery
+            }
           }
         } catch {
-          case NonFatal(_) => () // client went away mid-stream
+          case _: java.io.IOException => () // client went away mid-stream
         } finally os.close()
     }
   })

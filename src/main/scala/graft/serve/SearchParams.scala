@@ -46,6 +46,7 @@ object SearchParams {
         val k = params.get("k") match {
           case Some(n: Long) if n > 0 => n.toInt
           case Some(n: Int) if n > 0 => n
+          case Some(d: Double) if d.isWhole && d > 0 => d.toInt
           case _ => DefaultK
         }
         val range = params.get("highlighted_at_range") match {

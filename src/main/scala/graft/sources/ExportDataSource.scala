@@ -6,6 +6,7 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import graft.serve.Json
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -116,33 +117,43 @@ object ExportScan {
     }
 }
 
-/** Streaming form: tail the pages directory. The offset is simply "how
-  * many page files exist" — each micro-batch covers the files that arrived
-  * since the last committed offset, one input partition per new page.
-  * Files must be append-only and written atomically (temp + rename), the
-  * standard landing-zone contract. */
-final case class PageOffset(count: Int)
+/** Streaming form: tail the pages directory. The offset is the
+  * lexicographically-largest file name processed (a name watermark), and a
+  * micro-batch covers files in `(startName, endName]` — so a file is never
+  * read twice regardless of when listings race, and progress is exact
+  * under the landing-zone contract: files are written atomically
+  * (temp + rename) with MONOTONICALLY-SORTING names (zero-padded sequence
+  * or timestamp prefixes). A contract-violating file that sorts below the
+  * watermark is skipped, never duplicated — the same trade Spark's file
+  * source makes when its seen-map ages out. */
+final case class PageOffset(lastName: String)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"""{"count":$count}"""
+  override def json(): String = Json.write(Map("lastName" -> lastName))
 }
 
 final class ExportMicroBatchStream(path: String, required: StructType)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  override def latestOffset(): Offset = PageOffset(ExportScan.listPages(path).size)
-  override def initialOffset(): Offset = PageOffset(0)
+  private def nameOf(p: String): String = Paths.get(p).getFileName.toString
+
+  override def latestOffset(): Offset = {
+    val names = ExportScan.listPages(path).map(nameOf)
+    PageOffset(if (names.isEmpty) "" else names.max)
+  }
+  override def initialOffset(): Offset = PageOffset("")
   override def deserializeOffset(json: String): Offset = {
     val node = new ObjectMapper().readTree(json)
-    PageOffset(node.get("count").asInt())
+    PageOffset(node.get("lastName").asText())
   }
   override def commit(end: Offset): Unit = () // files are immutable; no-op
   override def stop(): Unit = ()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val from = start.asInstanceOf[PageOffset].count
-    val to = end.asInstanceOf[PageOffset].count
-    ExportScan.listPages(path).slice(from, to)
+    val from = start.asInstanceOf[PageOffset].lastName
+    val to = end.asInstanceOf[PageOffset].lastName
+    ExportScan.listPages(path)
+      .filter(p => nameOf(p) > from && nameOf(p) <= to)
       .map(p => PageFilePartition(p): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =

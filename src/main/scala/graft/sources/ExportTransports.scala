@@ -46,7 +46,10 @@ object ExportTransports {
       val resp = client.send(buildRequest(baseUrl, token, path, params),
         HttpResponse.BodyHandlers.ofString())
       val code = resp.statusCode()
-      if (code / 100 == 4 && code != 429)
+      // 408/425/429 are transient despite being 4xx; everything else in
+      // 4xx (401/403/404/422…) cannot be fixed by retrying
+      val transient = code == 408 || code == 425 || code == 429
+      if (code / 100 == 4 && !transient)
         throw new FatalFetchException(s"export API $code for $path")
       if (code / 100 != 2)
         throw new RuntimeException(s"export API $code for $path")

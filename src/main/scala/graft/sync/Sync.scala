@@ -3,6 +3,8 @@ package graft.sync
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.time.Instant
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -45,19 +47,26 @@ object HighlightStore {
       partitionBy: Seq[String] = Nil): Unit = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
-    val versionName = s"v-${System.nanoTime()}"
+    // zero-padded so lexicographic order == creation order for retention
+    val versionName = f"v-${System.nanoTime()}%019d"
     val version = root.resolve(versionName)
     val writer = if (partitionBy.nonEmpty)
       df.write.partitionBy(partitionBy: _*) else df.write
     writer.mode("overwrite").parquet(version.toString)
-    val prev = resolveCurrent(root)
     val ptrTmp = root.resolve(s".CURRENT.tmp-${System.nanoTime()}")
     Files.writeString(ptrTmp, versionName)
     Files.move(ptrTmp, root.resolve("CURRENT"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    // best-effort cleanup of the superseded version (readers that resolved
-    // it before the swap may still be scanning — delete failure is fine)
-    prev.filterNot(_.getFileName.toString == versionName)
+    // retention: keep the newest 2 versions — the just-superseded one stays
+    // on disk as a grace period for readers that resolved it before the
+    // swap and scan lazily (parquet actions run after read() returns);
+    // older generations are deleted best-effort
+    val versions = scala.util.Using.resource(Files.list(root)) {
+      _.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("v-"))
+        .sortBy(_.getFileName.toString)
+    }
+    versions.dropRight(2)
       .foreach(p => try deleteRecursively(p) catch { case _: Exception => () })
   }
 

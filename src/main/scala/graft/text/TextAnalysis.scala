@@ -107,17 +107,22 @@ object TextAnalysis {
     */
   def withLangId(df: org.apache.spark.sql.DataFrame, textCol: String,
       outCol: String): org.apache.spark.sql.DataFrame = {
-    val staged = df.withColumn("__w", words(col(textCol)))
+    // temp names must not clobber caller columns — suffix until unique
+    var prefix = "__langid"
+    while (df.columns.exists(_.startsWith(prefix))) prefix += "_"
+    val wCol = s"${prefix}_w"
+    def hCol(lang: String) = s"${prefix}_h_$lang"
+    val staged = df.withColumn(wCol, words(col(textCol)))
     val withHits = LangMarkers.foldLeft(staged) { case (acc, (lang, ms)) =>
-      acc.withColumn(s"__h_$lang",
-        size(filter(col("__w"), t => t.isin(ms.map(x => x: Any): _*))).cast("long"))
+      acc.withColumn(hCol(lang),
+        size(filter(col(wCol), t => t.isin(ms.map(x => x: Any): _*))).cast("long"))
     }
-    val best = LangMarkers.map(m => col(s"__h_${m._1}"))
+    val best = LangMarkers.map(m => col(hCol(m._1)))
       .reduce((a, b) => greatest(a, b))
     val pred = LangMarkers.foldRight(lit("und")) { case ((lang, _), acc) =>
-      when(col(s"__h_$lang") === best, lit(lang)).otherwise(acc)
+      when(col(hCol(lang)) === best, lit(lang)).otherwise(acc)
     }
     withHits.withColumn(outCol, pred)
-      .drop("__w" +: LangMarkers.map(m => s"__h_${m._1}"): _*)
+      .drop(wCol +: LangMarkers.map(m => hCol(m._1)): _*)
   }
 }

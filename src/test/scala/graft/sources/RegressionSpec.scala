@@ -29,12 +29,18 @@ class RegressionSpec extends SparkTestBase {
     HighlightStore.writeAtomic(v1, dir)
     assert(Files.exists(Paths.get(dir, "CURRENT")))
     HighlightStore.writeAtomic(Seq((1L, "b")).toDF("id", "text"), dir)
-    // after the second commit the pointer names the new version and only
-    // live data remains
-    assert(HighlightStore.read(spark, dir).get
-      .head().getString(1) == "b")
-    val versions = scala.util.Using.resource(Files.list(Paths.get(dir)))(
-      _.iterator()).asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    HighlightStore.writeAtomic(Seq((1L, "c")).toDF("id", "text"), dir)
+    // after three commits the pointer names the newest version; retention
+    // keeps exactly the 2 newest version dirs (grace period for lazy
+    // readers of the just-superseded one)
+    assert(HighlightStore.read(spark, dir).get.head().getString(1) == "c")
+    val versions = scala.util.Using.resource(Files.list(Paths.get(dir))) {
+      s => scala.jdk.CollectionConverters.IteratorHasAsScala(s.iterator())
+        .asScala.map(_.getFileName.toString).filter(_.startsWith("v-")).toSeq
+    }
+    assert(versions.length == 2, s"retention kept $versions")
+    assert(versions.sorted.last ==
+      Files.readString(Paths.get(dir, "CURRENT")).trim)
     // legacy layout: plain `current` directory without a pointer
     val legacy = Files.createTempDirectory("legacy").toString
     Seq((7L, "legacy")).toDF("id", "text")
