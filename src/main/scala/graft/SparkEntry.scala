@@ -459,6 +459,29 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // ---- as-of join (point-in-time): each click's most recent prior view
+    //      per user — union + one window pass, not a range join ----
+    "q42_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), unix_micros(col("ts")).as("us"))
+      // unique (key, time) per side: collapse exact-time duplicates
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id").as("cu"), col("us").as("click_us"))
+        .agg(max(col("event_id")).as("click_id"),
+          max(col("value")).as("click_value"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("vu"), col("us").as("view_us"))
+        .agg(max(col("event_id")).as("view_id"),
+          max(col("value")).as("view_value"))
+      graft.temporal.AsOfJoin.asofBackward(clicks, views,
+          leftKey = "cu", rightKey = "vu",
+          leftTime = "click_us", rightTime = "view_us")
+        .select(col("cu").as("user_id"), col("click_us"), col("click_id"),
+          col("view_us"), col("view_id"), col("view_value"))
+        .orderBy(col("user_id"), col("click_us"), col("click_id"))
+    }),
+
     // ---- pivot (wide aggregation): order counts per status × priority ----
     "q41_pivot" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -891,6 +914,21 @@ object SparkEntry {
          |SELECT key AS doc_id, ${sqlCosine("v", "qv")} AS score
          |FROM normed, q WHERE key >= 0
          |ORDER BY score, doc_id LIMIT 20""".stripMargin,
+
+    "q42_asof_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, value,
+        |  epoch_ns(ts)//1000 AS us FROM events),
+        |clicks AS (
+        |  SELECT user_id, us, MAX(event_id) AS click_id, MAX(value) AS click_value
+        |  FROM ev WHERE event_type = 'click' GROUP BY user_id, us),
+        |views AS (
+        |  SELECT user_id, us, MAX(event_id) AS view_id, MAX(value) AS view_value
+        |  FROM ev WHERE event_type = 'view' GROUP BY user_id, us)
+        |SELECT c.user_id, c.us AS click_us, c.click_id,
+        |  v.us AS view_us, v.view_id, v.view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND v.us <= c.us
+        |ORDER BY c.user_id, click_us, click_id""".stripMargin,
 
     "q41_pivot" ->
       """SELECT o_orderstatus,
