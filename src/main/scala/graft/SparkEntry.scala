@@ -459,6 +459,20 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // ---- correlated scalar subquery via the SQL front-end: orders more
+    //      than 2× their customer's average (Catalyst decorrelates the
+    //      subquery into an aggregate + join — no per-row re-execution) ----
+    "q43_correlated" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT o1.o_orderkey, o1.o_custkey, o1.o_totalprice
+          |FROM orders_v o1
+          |WHERE o1.o_totalprice > 2 * (
+          |  SELECT AVG(o2.o_totalprice) FROM orders_v o2
+          |  WHERE o2.o_custkey = o1.o_custkey)
+          |ORDER BY o1.o_orderkey""".stripMargin)
+    }),
+
     // ---- as-of join (point-in-time): each click's most recent prior view
     //      per user — union + one window pass, not a range join ----
     "q42_asof_join" -> ((s, dir) => {
@@ -914,6 +928,14 @@ object SparkEntry {
          |SELECT key AS doc_id, ${sqlCosine("v", "qv")} AS score
          |FROM normed, q WHERE key >= 0
          |ORDER BY score, doc_id LIMIT 20""".stripMargin,
+
+    "q43_correlated" ->
+      """SELECT o1.o_orderkey, o1.o_custkey, o1.o_totalprice
+        |FROM orders o1
+        |WHERE o1.o_totalprice > 2 * (
+        |  SELECT AVG(o2.o_totalprice) FROM orders o2
+        |  WHERE o2.o_custkey = o1.o_custkey)
+        |ORDER BY o1.o_orderkey""".stripMargin,
 
     "q42_asof_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, value,
