@@ -459,6 +459,27 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // ---- interval/range join (binned equi-join shape): clicks assigned
+    //      to their containing session, counted per session ----
+    "q44_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sessions = Events.sessionize(ev, gapMinutes = 30)
+        .select(col("user_id").as("su"), col("session_id"),
+          col("start_us"), col("end_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("cu"), unix_micros(col("ts")).as("cus"),
+          col("event_id"))
+      graft.temporal.RangeJoin.intervalJoin(clicks, sessions,
+          pointKey = "cu", intervalKey = "su", pointTime = "cus",
+          startCol = "start_us", endCol = "end_us",
+          binWidth = 30L * 60L * 1000000L)
+        .groupBy(col("su").as("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          min(col("cus")).as("first_click_us"),
+          max(col("cus")).as("last_click_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // ---- correlated scalar subquery via the SQL front-end: orders more
     //      than 2× their customer's average (Catalyst decorrelates the
     //      subquery into an aggregate + join — no per-row re-execution) ----
@@ -928,6 +949,22 @@ object SparkEntry {
          |SELECT key AS doc_id, ${sqlCosine("v", "qv")} AS score
          |FROM normed, q WHERE key >= 0
          |ORDER BY score, doc_id LIMIT 20""".stripMargin,
+
+    "q44_interval_join" ->
+      """WITH ev AS (SELECT event_id, user_id, event_type, value,
+        |  epoch_ns(ts)//1000 AS us FROM events),
+        |l AS (SELECT *, LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM ev),
+        |f AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000 THEN 1 ELSE 0 END AS newf FROM l),
+        |s AS (SELECT *, SUM(newf) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |  ROWS UNBOUNDED PRECEDING) AS session_id FROM f),
+        |sess AS (SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  MIN(us) AS start_us, MAX(us) AS end_us FROM s GROUP BY 1, 2),
+        |clicks AS (SELECT user_id, us, event_id FROM ev WHERE event_type = 'click')
+        |SELECT sess.user_id, sess.session_id, COUNT(*) AS n_clicks,
+        |  MIN(c.us) AS first_click_us, MAX(c.us) AS last_click_us
+        |FROM sess JOIN clicks c ON c.user_id = sess.user_id
+        |  AND c.us BETWEEN sess.start_us AND sess.end_us
+        |GROUP BY 1, 2 ORDER BY sess.user_id, sess.session_id""".stripMargin,
 
     "q43_correlated" ->
       """SELECT o1.o_orderkey, o1.o_custkey, o1.o_totalprice
