@@ -25,28 +25,36 @@ object AsOfJoin {
       leftTime: String, rightTime: String): DataFrame = {
     val lCols = left.columns.toSeq
     val rCols = right.columns.toSeq
+    // the union frame only carries our own five columns (the originals are
+    // packed inside structs), so temp names just need to avoid each other —
+    // but prefix-guard anyway so a pathological struct-field name can't
+    // alias them
+    var p = "__asof"
+    while ((lCols ++ rCols).exists(_.startsWith(p))) p += "_"
+    val (kC, tC, sideC, lC, rC, mC) =
+      (s"${p}_k", s"${p}_t", s"${p}_side", s"${p}_l", s"${p}_r", s"${p}_m")
     val l = left.select(
-      col(leftKey).cast("long").as("__k"),
-      col(leftTime).as("__t"),
-      lit(1).as("__side"),
-      struct(lCols.map(col): _*).as("__l"),
+      col(leftKey).cast("long").as(kC),
+      col(leftTime).as(tC),
+      lit(1).as(sideC),
+      struct(lCols.map(col): _*).as(lC),
       lit(null).cast(right.select(struct(rCols.map(col): _*)).schema.head.dataType)
-        .as("__r"))
+        .as(rC))
     val r = right.select(
-      col(rightKey).cast("long").as("__k"),
-      col(rightTime).as("__t"),
-      lit(0).as("__side"), // right sorts before left at equal time → inclusive
+      col(rightKey).cast("long").as(kC),
+      col(rightTime).as(tC),
+      lit(0).as(sideC), // right sorts before left at equal time → inclusive
       lit(null).cast(left.select(struct(lCols.map(col): _*)).schema.head.dataType)
-        .as("__l"),
-      struct(rCols.map(col): _*).as("__r"))
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__side").asc)
+        .as(lC),
+      struct(rCols.map(col): _*).as(rC))
+    val w = Window.partitionBy(col(kC))
+      .orderBy(col(tC).asc, col(sideC).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val picked = l.unionByName(r)
-      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
-      .filter(col("__side") === 1)
-    val lOut = lCols.map(c => col(s"__l.$c").as(c))
-    val rOut = rCols.map(c => col(s"__match.$c").as(c))
+      .withColumn(mC, last(col(rC), ignoreNulls = true).over(w))
+      .filter(col(sideC) === 1)
+    val lOut = lCols.map(c => col(s"$lC.$c").as(c))
+    val rOut = rCols.map(c => col(s"$mC.$c").as(c))
     picked.select(lOut ++ rOut: _*)
   }
 }

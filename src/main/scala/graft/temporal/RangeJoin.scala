@@ -20,16 +20,20 @@ object RangeJoin {
       pointTime: String, startCol: String, endCol: String,
       binWidth: Long): DataFrame = {
     require(binWidth > 0, "binWidth must be positive")
-    val binned = intervals.withColumn("__bin",
+    // temp bin column must not clobber caller columns
+    var bin = "__bin"
+    while (points.columns.contains(bin) || intervals.columns.contains(bin))
+      bin += "_"
+    val binned = intervals.withColumn(bin,
       explode(sequence(
         floor(col(startCol) / binWidth).cast("long"),
         floor(col(endCol) / binWidth).cast("long"))))
-    val p = points.withColumn("__bin",
+    val p = points.withColumn(bin,
       floor(col(pointTime) / binWidth).cast("long"))
     p.join(binned,
         p(pointKey) === binned(intervalKey) &&
-          p("__bin") === binned("__bin") &&
+          p(bin) === binned(bin) &&
           col(pointTime).between(col(startCol), col(endCol)))
-      .drop("__bin")
+      .drop(bin)
   }
 }
