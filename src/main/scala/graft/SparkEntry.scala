@@ -459,6 +459,17 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // ---- exact quantiles (sort-based aggregate with interpolation) ----
+    "q45_quantiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile(col("l_extendedprice"), lit(0.5)).as("median_price"),
+          percentile(col("l_extendedprice"), lit(0.95)).as("p95_price"),
+          percentile(col("l_quantity"), lit(0.25)).as("q1_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ---- interval/range join (binned equi-join shape): clicks assigned
     //      to their containing session, counted per session ----
     "q44_interval_join" -> ((s, dir) => {
@@ -949,6 +960,13 @@ object SparkEntry {
          |SELECT key AS doc_id, ${sqlCosine("v", "qv")} AS score
          |FROM normed, q WHERE key >= 0
          |ORDER BY score, doc_id LIMIT 20""".stripMargin,
+
+    "q45_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS median_price,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95_price,
+        |  quantile_cont(l_quantity, 0.25) AS q1_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q44_interval_join" ->
       """WITH ev AS (SELECT event_id, user_id, event_type, value,
