@@ -574,6 +574,35 @@ object SparkEntry {
       val cols = col("doc_id") +: (0 until graft.multimodal.FrameDecoder.Stripes)
         .map(i => element_at(col("features"), i + 1).as(s"f$i"))
       f.select(cols: _*).orderBy(col("doc_id"))
+    }),
+
+    // ---- IVF training (2 Lloyd iterations on a fixed slice): exercises
+    //      the collect-per-generation centroid loop end-to-end; means are
+    //      decimal-exact so the components are oracle-replicable ----
+    "q46_ivf_train" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 256)
+      Knn.trainCentroids(e, "embedding", "vec_id", k = 4, iters = 2)
+        .select(col("centroid_id"), posexplode(col("cvec")))
+        .select(col("centroid_id"), col("pos").cast("long").as("pos"),
+          col("col").cast("double").as("comp"))
+        .orderBy(col("centroid_id"), col("pos"))
+    }),
+
+    // ---- IVF search with nprobe=2 (the recall dial): the two cells
+    //      nearest the probe vector are scanned, everything else pruned ----
+    "q47_ivf_probes" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding").as("cvec"))
+      val assigned = Knn.ivfAssign(e, "embedding", "vec_id",
+        cents, "cvec", "centroid_id")
+      // one probe vector collected driver-side (the serving contract:
+      // queries arrive as literals, like the reference's query embedding)
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      Knn.ivfTopKProbes(assigned, cents, "cvec", "centroid_id",
+          q, k = 10, nprobe = 2)
+        .orderBy(col("score"), col("id"))
     })
   )
 
@@ -1066,6 +1095,52 @@ object SparkEntry {
          |  $fcols
          |FROM d LEFT JOIN a ON d.doc_id = a.doc_id
          |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
-    }
+    },
+
+    // exact decimal mean (order-independent) per (cell, pos), cast to REAL —
+    // bit-identical to the engine's sum(DECIMAL(25,6))/count → float means
+    "q46_ivf_train" -> {
+      def mean(src: String) =
+        s"""SELECT centroid_id, pos,
+           |  CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
+           |    / COUNT(*) AS REAL) AS m
+           |FROM $src GROUP BY 1, 2""".stripMargin
+      def assign(centSrc: String) =
+        s"""SELECT c.id, c.v, s.centroid_id,
+           |  row_number() OVER (PARTITION BY c.id
+           |    ORDER BY ${sqlCosine("c.v", "s.cvec")}, s.centroid_id) AS crank
+           |FROM corpus c, $centSrc s QUALIFY crank = 1""".stripMargin
+      s"""WITH corpus AS (
+         |  SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  WHERE vec_id < 256 AND embedding IS NOT NULL),
+         |seed AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS centroid_id,
+         |    v AS cvec
+         |  FROM corpus QUALIFY row_number() OVER (ORDER BY id) <= 4),
+         |a1 AS (${assign("seed")}),
+         |x1 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a1),
+         |m1 AS (${mean("x1")}),
+         |cent1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY 1),
+         |a2 AS (${assign("cent1")}),
+         |x2 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a2),
+         |m2 AS (${mean("x2")})
+         |SELECT centroid_id, CAST(pos AS BIGINT) AS pos, CAST(m AS DOUBLE) AS comp
+         |FROM m2 ORDER BY centroid_id, pos""".stripMargin
+    },
+
+    "q47_ivf_probes" ->
+      s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
+         |assigned AS (
+         |  SELECT vec_id AS id, embedding AS v, centroid_id,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY ${sqlCosine("embedding", "cvec")}, centroid_id) AS crank
+         |  FROM embeddings, cents QUALIFY crank = 1),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probed AS (
+         |  SELECT centroid_id FROM cents, q
+         |  ORDER BY ${sqlCosine("cvec", "qv")}, centroid_id LIMIT 2)
+         |SELECT id, centroid_id, ${sqlCosine("v", "qv")} AS score
+         |FROM assigned JOIN probed USING (centroid_id), q
+         |ORDER BY score, id LIMIT 10""".stripMargin
   )
 }

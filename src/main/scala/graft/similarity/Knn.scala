@@ -88,11 +88,19 @@ object Knn {
   }
 
   /** Lloyd-iteration centroid training for the IVF index, DataFrame-native:
-    * seed = the `k` lowest-key vectors; each iteration broadcast-assigns
-    * every corpus vector to its nearest centroid, then recomputes the
-    * element-wise mean per cell via posexplode + two partial-aggregated
-    * shuffles. Deterministic in structure (seeding/ordering fixed); mean
-    * values carry the usual floating-point aggregation-order jitter.
+    * seed = the `k` lowest-key vectors relabeled 0..k-1; each iteration
+    * broadcast-assigns every corpus vector to its nearest centroid, then
+    * recomputes the element-wise mean per cell via posexplode + two
+    * partial-aggregated shuffles.
+    *
+    * The k centroids are tiny, legitimate driver-side state (like a query
+    * vector): each generation is `collect()`ed and re-broadcast as a local
+    * frame, so iteration i's plan depth stays CONSTANT — without this the
+    * lineage accumulates every prior iteration's cross-join + window work
+    * and any action re-executes the whole chain (a driver-planning and
+    * recompute blowup at scale). Means accumulate in DECIMAL(25,6)
+    * (order-independent exact sums), so training is fully deterministic
+    * regardless of partitioning — and oracle-replicable.
     *
     * At 100 TB: train on a sample (`corpus.sample`), not the full corpus —
     * the assignment pass is the expensive full scan and runs once per
@@ -100,23 +108,28 @@ object Knn {
     */
   def trainCentroids(corpus: DataFrame, vecCol: String, keyCol: String,
       k: Int, iters: Int = 5): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val c = corpus.select(col(keyCol).as("id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull)
-    var cents = c.orderBy(col("id").asc).limit(k)
-      .select(col("id").as("centroid_id"), col("v").as("cvec"))
+    var cents: Seq[(Long, Seq[Float])] =
+      c.orderBy(col("id").asc).limit(k).select(col("v"))
+        .collect().toSeq.zipWithIndex
+        .map { case (r, i) => (i.toLong, r.getSeq[Float](0)) }
     for (_ <- 0 until iters) {
-      val assigned = ivfAssign(c, "v", "id",
-        cents, "cvec", "centroid_id")
+      val centsDf = cents.toDF("centroid_id", "cvec")
+      val assigned = ivfAssign(c, "v", "id", centsDf, "cvec", "centroid_id")
       val means = assigned
         .select(col("centroid_id"), posexplode(col("v")))
         .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("col")).as("m"))
+        .agg((sum(col("col").cast("double").cast("decimal(25,6)"))
+          .cast("double") / count(lit(1))).as("m"))
         .groupBy(col("centroid_id"))
         .agg(transform(
           array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m").cast("float")).as("cvec"))
-      cents = means
+      cents = means.as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
     }
-    cents
+    cents.toDF("centroid_id", "cvec")
   }
 }

@@ -33,15 +33,18 @@ object AsOfJoin {
     while ((lCols ++ rCols).exists(_.startsWith(p))) p += "_"
     val (kC, tC, sideC, lC, rC, mC) =
       (s"${p}_k", s"${p}_t", s"${p}_side", s"${p}_l", s"${p}_r", s"${p}_m")
+    // keys stay their native type: the window partitions on any orderable
+    // type, and a cast here would silently null out e.g. string keys
+    // (non-ANSI cast) and collapse every row into one null partition
     val l = left.select(
-      col(leftKey).cast("long").as(kC),
+      col(leftKey).as(kC),
       col(leftTime).as(tC),
       lit(1).as(sideC),
       struct(lCols.map(col): _*).as(lC),
       lit(null).cast(right.select(struct(rCols.map(col): _*)).schema.head.dataType)
         .as(rC))
     val r = right.select(
-      col(rightKey).cast("long").as(kC),
+      col(rightKey).as(kC),
       col(rightTime).as(tC),
       lit(0).as(sideC), // right sorts before left at equal time → inclusive
       lit(null).cast(left.select(struct(lCols.map(col): _*)).schema.head.dataType)
