@@ -39,5 +39,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e => Fp16Encode(e.head) }
     inject("fp16_decode", "fp16_decode(bin) - half-precision read codec") {
       e => Fp16Decode(e.head) }
+    inject("fp16_cosine_distance",
+      "fp16_cosine_distance(bin, q) - cosine over half-encoded storage") {
+      e => Fp16CosineDistance(e(0), e(1)) }
+    // decode+cosine fusion: score encoded embeddings without widening
+    ext.injectOptimizerRule(_ => FuseFp16Cosine)
   }
 }

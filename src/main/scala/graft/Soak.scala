@@ -47,6 +47,23 @@ object Soak {
     val q = v0.filter(col("vec_id") === 0).head().getSeq[Float](1).toArray
     timeIt(s"brute_topk_${VREP * 2}k")(graft.similarity.Knn.topK(v, "embedding", q, 20, "vec_id").count())
     timeIt(s"lsh_pairs_${VREP * 2}k")(Dedup.embeddingLshPairs(v, "embedding", "vec_id", 0.5, 16).count())
+    // 3072-dim fp16 path (reference HALFVEC(3072) parity): vectors stored
+    // encoded at 2 B/dim, widened to float + scored in the scan — the
+    // at-rest layout the reference's pgvector halfvec column uses
+    val NV = sys.env.getOrElse("SOAK_VECS3072", "200000").toLong
+    val gen3k = transform(sequence(lit(0L), lit(3071L)), i =>
+      ((((col("id") * 3072L + i) * 2654435761L) % 1000003L - 500001L)
+        .cast("double") / lit(500001.0)).cast("float"))
+    val store = spark.range(NV)
+      .select(col("id"), graft.functions.fp16_encode(gen3k).as("emb16")).cache()
+    timeIt(s"materialize_fp16_3072_${NV / 1000}k")(store.count())
+    val probe3k = Array.tabulate(3072)(i =>
+      (((i.toLong * 2654435761L) % 1000003L - 500001L).toDouble / 500001.0).toFloat)
+    timeIt(s"fp16_topk_3072_${NV / 1000}k") {
+      store.select(col("id"),
+          cosine_distance(graft.functions.fp16_decode(col("emb16")), typedLit(probe3k)).as("score"))
+        .orderBy(col("score"), col("id")).limit(20).count()
+    }
     spark.stop()
   }
 }

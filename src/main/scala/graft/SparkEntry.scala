@@ -603,6 +603,28 @@ object SparkEntry {
       Knn.ivfTopKProbes(assigned, cents, "cvec", "centroid_id",
           q, k = 10, nprobe = 2)
         .orderBy(col("score"), col("id"))
+    }),
+
+    // ---- reference-dimensionality vector search: 3072-dim embeddings
+    //      (HALFVEC(3072) parity — highlight.py:24-26) stored fp16-encoded
+    //      (2 bytes/dim BINARY), widened back to float in the scan, scored
+    //      against a full-precision probe, top-k. Vectors are generated
+    //      in-plan from a deterministic integer mix so the oracle can
+    //      reproduce every component (including the fp16 rounding) in SQL ----
+    "q48_fp16_search" -> ((s, dir) => {
+      import graft.functions.{fp16_decode, fp16_encode}
+      val gen = transform(sequence(lit(0L), lit(3071L)), i =>
+        ((((col("vec_id") * 3072L + i) * 2654435761L) % 1000003L - 500001L)
+          .cast("double") / lit(500001.0)).cast("float"))
+      val stored = t(s, dir, "embeddings")
+        .select(col("vec_id"), fp16_encode(gen).as("emb16"))
+      val probe: Array[Float] = Array.tabulate(3072)(i =>
+        (((i.toLong * 2654435761L) % 1000003L - 500001L)
+          .toDouble / 500001.0).toFloat)
+      stored.select(col("vec_id"),
+          cosine_distance(fp16_decode(col("emb16")), typedLit(probe)).as("score"))
+        .orderBy(col("score"), col("vec_id"))
+        .limit(20)
     })
   )
 
@@ -1141,6 +1163,32 @@ object SparkEntry {
          |  ORDER BY ${sqlCosine("cvec", "qv")}, centroid_id LIMIT 2)
          |SELECT id, centroid_id, ${sqlCosine("v", "qv")} AS score
          |FROM assigned JOIN probed USING (centroid_id), q
-         |ORDER BY score, id LIMIT 10""".stripMargin
+         |ORDER BY score, id LIMIT 10""".stripMargin,
+
+    // fp16 round-to-nearest-even replicated in SQL: normal halves quantize
+    // the mantissa at 2^(e-10) via round_even; |x| < 2^-14 hits the
+    // subnormal grid 2^-24. Values are exact in DOUBLE both sides.
+    "q48_fp16_search" -> {
+      val xd = "CAST(xf AS DOUBLE)"
+      val e = s"floor(log2(abs($xd)))"
+      val half =
+        s"""CASE WHEN xf = 0 THEN CAST(0 AS DOUBLE)
+           |  WHEN abs($xd) < power(2, -14)
+           |    THEN round_even($xd * 16777216.0, 0) / 16777216.0
+           |  ELSE round_even($xd * power(2, 10 - $e), 0) * power(2, $e - 10)
+           |END""".stripMargin
+      s"""WITH comps AS (
+         |  SELECT vec_id, i,
+         |    CAST(CAST((vec_id*3072 + i) * 2654435761 % 1000003 - 500001 AS DOUBLE)
+         |      / 500001.0 AS REAL) AS xf
+         |  FROM embeddings, (SELECT unnest(range(3072)) AS i)),
+         |h AS (SELECT vec_id, i, $half AS xh FROM comps),
+         |vecs AS (SELECT vec_id, list(xh ORDER BY i) AS v FROM h GROUP BY vec_id),
+         |q AS (SELECT list(CAST(xf AS DOUBLE) ORDER BY i) AS qv
+         |  FROM comps WHERE vec_id = 0)
+         |SELECT vec_id, ${sqlCosine("v", "qv")} AS score
+         |FROM vecs, q
+         |ORDER BY score, vec_id LIMIT 20""".stripMargin
+    }
   )
 }

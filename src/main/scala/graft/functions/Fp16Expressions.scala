@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -52,7 +52,14 @@ object Fp16 extends Serializable {
     }
   }
 
-  def halfToFloat(h: Short): Float = {
+  /** All 65536 half bit-patterns decoded once per JVM — the read hot path
+    * is a single array load instead of branchy bit surgery. */
+  private lazy val HalfLut: Array[Float] =
+    Array.tabulate(65536)(i => halfToFloatCompute(i.toShort))
+
+  def halfToFloat(h: Short): Float = HalfLut(h & 0xffff)
+
+  private def halfToFloatCompute(h: Short): Float = {
     val sign = (h & 0x8000) << 16
     val e = (h >>> 10) & 0x1f
     val m = h & 0x3ff
@@ -112,6 +119,63 @@ case class Fp16Encode(child: Expression) extends UnaryExpression {
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "fp16_encode"
+}
+
+/** `fp16_cosine_distance(BINARY, ARRAY<FLOAT>) -> DOUBLE` — cosine distance
+  * computed directly in the half-encoded domain: each element decodes via
+  * the [[Fp16]] LUT and widens to double, with no intermediate Array[Float]
+  * allocation per row. Bit-identical to
+  * `cosine_distance(fp16_decode(b), q)`; the [[FuseFp16Cosine]] rule
+  * rewrites that composition into this automatically. */
+case class Fp16CosineDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"fp16_cosine_distance requires (BINARY, ARRAY<FLOAT>), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+  override def nullSafeEval(b: Any, q: Any): Any =
+    VectorMath.cosineDistanceHalfData(
+      b.asInstanceOf[Array[Byte]], q.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vm = VectorMath.getClass.getName.stripSuffix("$")
+    val foldedQ: Option[Array[Float]] =
+      if (right.foldable)
+        Option(right.eval(null)).map(_.asInstanceOf[ArrayData].toFloatArray())
+      else None
+    foldedQ match {
+      case Some(q) =>
+        val qRef = ctx.addReferenceObj("queryVec", q, "float[]")
+        val qNormBits = java.lang.Double.doubleToRawLongBits(VectorMath.norm(q))
+        val qNorm = s"java.lang.Double.longBitsToDouble(${qNormBits}L)"
+        nullSafeCodeGen(ctx, ev, (b, _) =>
+          s"${ev.value} = $vm.cosineDistanceHalfPre($b, $qRef, $qNorm);")
+      case None =>
+        nullSafeCodeGen(ctx, ev, (b, q) =>
+          s"${ev.value} = $vm.cosineDistanceHalfData($b, $q);")
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "fp16_cosine_distance"
+}
+
+/** Optimizer rule: `cosine_distance(fp16_decode(b), q)` (either side) →
+  * [[Fp16CosineDistance]] — scoring encoded embeddings never materializes
+  * the widened float array. Cosine is symmetric and both forms accumulate
+  * in index order, so the rewrite is bit-exact. */
+object FuseFp16Cosine extends org.apache.spark.sql.catalyst.rules.Rule[
+    org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformAllExpressions {
+      case CosineDistance(Fp16Decode(b), q) => Fp16CosineDistance(b, q)
+      case CosineDistance(q, Fp16Decode(b)) => Fp16CosineDistance(b, q)
+    }
 }
 
 /** `fp16_decode(BINARY) -> ARRAY<FLOAT>` — read-side widening. */

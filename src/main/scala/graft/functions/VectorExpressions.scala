@@ -97,6 +97,60 @@ object VectorMath extends Serializable {
     else 1.0 - dotAQ / (na * qNorm)
   }
 
+  // ---- fp16-domain forms: corpus vectors stay as the 2-byte-per-dim blob
+  // (no intermediate Array[Float] allocation); each element decodes via the
+  // Fp16 LUT and widens to Double, so results are bit-identical to
+  // fp16_decode → cosineDistance.
+
+  @inline private def halfElem(b: Array[Byte], i: Int): Double =
+    Fp16.halfToFloat(
+      ((b(2 * i) & 0xff) | ((b(2 * i + 1) & 0xff) << 8)).toShort).toDouble
+
+  def cosineDistanceHalfData(b: Array[Byte], q: ArrayData): Double = {
+    val na0 = b.length / 2
+    val nq = q.numElements()
+    val n = math.min(na0, nq)
+    var dotAQ = 0.0
+    var dotAA = 0.0
+    var i = 0
+    while (i < n) {
+      val av = halfElem(b, i)
+      dotAQ += av * q.getFloat(i).toDouble
+      dotAA += av * av
+      i += 1
+    }
+    var j = n
+    while (j < na0) { val av = halfElem(b, j); dotAA += av * av; j += 1 }
+    var dotQQ = 0.0
+    var k = 0
+    while (k < nq) { val qv = q.getFloat(k).toDouble; dotQQ += qv * qv; k += 1 }
+    val na = math.sqrt(dotAA)
+    val nb = math.sqrt(dotQQ)
+    if (na == 0.0 || nb == 0.0) 1.0
+    else 1.0 - dotAQ / (na * nb)
+  }
+
+  /** fp16 corpus × pre-extracted literal query with folded norm — the
+    * 3072-dim top-k hot loop: one pass, no decode allocation. */
+  def cosineDistanceHalfPre(b: Array[Byte], q: Array[Float], qNorm: Double): Double = {
+    val na0 = b.length / 2
+    val n = math.min(na0, q.length)
+    var dotAQ = 0.0
+    var dotAA = 0.0
+    var i = 0
+    while (i < n) {
+      val av = halfElem(b, i)
+      dotAQ += av * q(i).toDouble
+      dotAA += av * av
+      i += 1
+    }
+    var j = n
+    while (j < na0) { val av = halfElem(b, j); dotAA += av * av; j += 1 }
+    val na = math.sqrt(dotAA)
+    if (na == 0.0 || qNorm == 0.0) 1.0
+    else 1.0 - dotAQ / (na * qNorm)
+  }
+
   def l2DistanceData(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0

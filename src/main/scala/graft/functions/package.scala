@@ -32,6 +32,9 @@ package object functions {
   def fp16_decode(c: Column): Column =
     shims.column(Fp16Decode(shims.expression(c)))
 
+  def fp16_cosine_distance(b: Column, q: Column): Column =
+    shims.column(Fp16CosineDistance(shims.expression(b), shims.expression(q)))
+
   /** Register graft functions in the session's FunctionRegistry so they are
     * callable from `spark.sql(...)` as `cosine_distance(a, b)` etc. */
   def registerAll(spark: SparkSession): Unit = {
@@ -52,5 +55,13 @@ package object functions {
       "fp16_encode", exprs => Fp16Encode(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "fp16_decode", exprs => Fp16Decode(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "fp16_cosine_distance",
+      exprs => Fp16CosineDistance(exprs(0), exprs(1)), "built-in")
+    // fuse decode+cosine on sessions not built through GraftExtensions
+    // (extraOptimizations appends a user batch after the main optimizer)
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(FuseFp16Cosine))
+      spark.experimental.extraOptimizations = extra :+ FuseFp16Cosine
   }
 }

@@ -37,6 +37,32 @@ class Fp16Spec extends SparkTestBase {
     assert(err < 1e-5, s"fp16 round-trip cosine distortion $err")
   }
 
+  test("FuseFp16Cosine: decode+cosine fuses in the plan, bit-exact result") {
+    val emb = table("embeddings").limit(100)
+    val coded = emb.select($"vec_id", $"embedding",
+      fp16_encode($"embedding").as("h")).cache()
+    val probe = emb.orderBy($"vec_id").select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val fused = coded.select($"vec_id",
+      cosine_distance(fp16_decode($"h"), typedLit(probe)).as("d"))
+    // the optimized plan carries the fused expression, no decode
+    val opt = fused.queryExecution.optimizedPlan.toString
+    assert(opt.contains("fp16_cosine_distance") && !opt.contains("fp16_decode"),
+      s"fusion did not fire:\n$opt")
+    // and values are bit-identical to an explicit driver-side decode fed
+    // through the reference scalar implementation
+    val decoded = coded.collect().map { r =>
+      val b = r.getAs[Array[Byte]](2)
+      r.getLong(0) -> graft.functions.VectorMath.cosineDistance(
+        Fp16.decode(b), probe)
+    }.toMap
+    fused.collect().foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(1)) ==
+        java.lang.Double.doubleToRawLongBits(decoded(r.getLong(0))))
+    }
+    coded.unpersist()
+  }
+
   test("GraftExtensions: SQL functions resolve on an extensions-built session") {
     val base = spark
     SparkSession.clearActiveSession()
