@@ -67,7 +67,15 @@ final class HttpApi(
   })
 
   server.createContext("/metrics", exact("/metrics") { ex =>
-    respondJson(ex, 200, Metrics.snapshot) })
+    // Prometheus text exposition by default (what a scraper expects —
+    // reference exposes prometheus_client format here); the pre-existing
+    // JSON snapshot stays available behind Accept: application/json
+    val wantsJson = Option(ex.getRequestHeaders.getFirst("Accept"))
+      .exists(_.contains("application/json"))
+    if (wantsJson) respondJson(ex, 200, Metrics.snapshot)
+    else respond(ex, 200, "text/plain; version=0.0.4; charset=utf-8",
+      Metrics.prometheusExposition.getBytes(StandardCharsets.UTF_8))
+  })
 
   server.createContext("/search", exact("/search") { ex =>
     try {

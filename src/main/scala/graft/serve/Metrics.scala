@@ -58,6 +58,35 @@ object Metrics {
     ListMap((c ++ t): _*)
   }
 
+  /** Prometheus text exposition (format 0.0.4) — what a scraper pointed at
+    * `GET /metrics` parses (reference: `prometheus_client` via
+    * Instrumentator, api/routes.py:224-247). Counters expose as `counter`;
+    * timers as `summary` (`_count`/`_sum`) plus a non-standard `_max`
+    * gauge. Names are code-controlled ASCII identifiers, so no label or
+    * help-text escaping is needed. */
+  def prometheusExposition: String = {
+    val sb = new StringBuilder
+    def num(d: Double): String =
+      if (d == d.toLong.toDouble && math.abs(d) < 1e15) d.toLong.toString
+      else d.toString
+    counters.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      sb.append("# HELP ").append(k).append(' ').append(k).append('\n')
+      sb.append("# TYPE ").append(k).append(" counter\n")
+      sb.append(k).append(' ').append(v.get).append('\n')
+    }
+    timers.toSeq.sortBy(_._1).foreach { case (k, t) =>
+      sb.append("# HELP ").append(k).append(' ').append(k).append('\n')
+      sb.append("# TYPE ").append(k).append(" summary\n")
+      sb.append(k).append("_count ").append(t.count.get()).append('\n')
+      sb.append(k).append("_sum ").append(num(t.sum.sum())).append('\n')
+      sb.append("# HELP ").append(k).append("_max ").append(k).append("_max\n")
+      sb.append("# TYPE ").append(k).append("_max gauge\n")
+      sb.append(k).append("_max ")
+        .append(num(java.lang.Double.longBitsToDouble(t.max.get()))).append('\n')
+    }
+    sb.toString
+  }
+
   /** Test hook. */
   private[graft] def reset(): Unit = { counters.clear(); timers.clear() }
 }

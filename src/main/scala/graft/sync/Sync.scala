@@ -70,7 +70,7 @@ object HighlightStore {
       .foreach(p => try deleteRecursively(p) catch { case _: Exception => () })
   }
 
-  private def deleteRecursively(p: Path): Unit = {
+  private[sync] def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
       scala.util.Using.resource(Files.list(p))(_.forEach(deleteRecursively))
     Files.deleteIfExists(p)
@@ -101,16 +101,37 @@ object Sync {
       .withColumn("version", lit(version))
   }
 
-  /** Full backfill (ST2): everything the export returns replaces/merges
-    * into the store; watermark initialized. */
+  /** Full backfill (ST2): the cursor walk spools each page to a landing
+    * directory as it arrives (one file per page, atomic temp+rename,
+    * zero-padded names so filename order == page order), then the
+    * `graft-export` DSv2 source parses pages on EXECUTORS — one input
+    * partition per page with a column-pruned JSON parse. Driver memory
+    * stays O(1 page) for an arbitrarily large export, instead of
+    * materializing every page body on the driver; the paced HTTP client
+    * remains driver-side because the cursor chain is inherently
+    * sequential. An auto-created spool is deleted after a successful run;
+    * pass `spoolDir` to keep the landing zone (it is the same layout the
+    * micro-batch streaming source tails). */
   def backfill(spark: SparkSession, client: ExportClient, storeDir: String,
       checkpointDir: String, embedder: Embedder = Embedder.Default,
-      now: () => Instant = () => Instant.now()): Long =
+      now: () => Instant = () => Instant.now(),
+      spoolDir: Option[String] = None): Long =
     timed {
-      val pages = client.export(None).toSeq
-      // cache: the embed pipeline runs once, shared by the store write and
-      // the row count
-      val fresh = toEmbedded(spark, pages, embedder, version = now().toEpochMilli)
+      val spool = Paths.get(spoolDir.getOrElse(
+        s"$checkpointDir/backfill-spool-${System.nanoTime()}"))
+      Files.createDirectories(spool)
+      var nPages = 0
+      client.export(None).foreach { body =>
+        val tmp = spool.resolve(f".page-$nPages%06d.tmp")
+        Files.writeString(tmp, body)
+        Files.move(tmp, spool.resolve(f"page-$nPages%06d.json"),
+          StandardCopyOption.ATOMIC_MOVE)
+        nPages += 1
+      }
+      val embedUdf = Embedder.embedUdf(embedder)
+      val fresh = spark.read.format("graft-export").load(spool.toString)
+        .withColumn("embedding", embedUdf(col("text")))
+        .withColumn("version", lit(now().toEpochMilli))
         .cache()
       try {
         val merged = HighlightStore.read(spark, storeDir) match {
@@ -122,7 +143,12 @@ object Sync {
         val n = fresh.count()
         graft.serve.Metrics.counter("rows_synced_total").inc(n)
         n
-      } finally fresh.unpersist()
+      } finally {
+        fresh.unpersist()
+        if (spoolDir.isEmpty)
+          try HighlightStore.deleteRecursively(spool)
+          catch { case _: Exception => () }
+      }
     }
 
   /** Sync metrics (reference: rows_synced_total / error_rate counters +

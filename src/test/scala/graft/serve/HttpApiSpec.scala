@@ -64,11 +64,34 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
-  test("GET /health and /metrics expose JSON") {
+  test("GET /health ok; /metrics is parseable Prometheus text exposition") {
     withApi { (c, port) =>
       assert(get(c, port, "/health").body() == """{"status":"ok"}""")
+      Metrics.counter("rows_synced_total").inc(5)
+      Metrics.timer("sync_duration_seconds").observe(0.25)
       val m = get(c, port, "/metrics")
-      assert(m.statusCode() == 200 && m.body().startsWith("{"))
+      assert(m.statusCode() == 200)
+      assert(m.headers().firstValue("Content-Type").get()
+        .startsWith("text/plain; version=0.0.4"))
+      val lines = m.body().split("\n").toSeq
+      // every non-comment line is `name value` with a numeric value, and
+      // every metric line is preceded by HELP/TYPE — i.e. a scraper parses it
+      val metricLines = lines.filterNot(_.startsWith("#"))
+      assert(metricLines.nonEmpty)
+      metricLines.foreach { l =>
+        val parts = l.split(" ")
+        assert(parts.length == 2 && parts(1).toDoubleOption.isDefined, l)
+      }
+      assert(lines.exists(_.startsWith("# TYPE rows_synced_total counter")))
+      assert(lines.exists(_.startsWith("# TYPE sync_duration_seconds summary")))
+      assert(metricLines.exists(_.startsWith("sync_duration_seconds_count ")))
+      assert(metricLines.exists(_.startsWith("sync_duration_seconds_sum ")))
+      // JSON snapshot remains available for the pre-existing consumers
+      val j = c.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/metrics"))
+        .header("Accept", "application/json").GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(j.statusCode() == 200 && j.body().startsWith("{"))
     }
   }
 }

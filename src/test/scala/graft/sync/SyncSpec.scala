@@ -118,6 +118,25 @@ class SyncSpec extends SparkTestBase {
     assert(HighlightStore.read(spark, store).get.count() == 3)
   }
 
+  test("backfill parses pages on executors: one DSv2 partition per page") {
+    val dir = Files.createTempDirectory("graft-sync3").toString
+    val spool = s"$dir/landing"
+    val pages = Seq(pageJson(1, "p1", "h1"), pageJson(2, "p2", "h2"),
+      pageJson(3, "p3", "h3"))
+    val n = Sync.backfill(spark, clientFor(pages), s"$dir/store", s"$dir/ckpt",
+      spoolDir = Some(spool))
+    assert(n == 3)
+    // the landing zone holds one file per page in cursor order...
+    val files = new java.io.File(spool).listFiles().map(_.getName).sorted
+    assert(files.toSeq == Seq("page-000000.json", "page-000001.json", "page-000002.json"))
+    // ...and the scan the backfill ran is the multi-partition DSv2 source
+    // (executor-side parse), not a driver-materialized page list
+    val scan = spark.read.format("graft-export").load(spool)
+    assert(scan.rdd.getNumPartitions == 3)
+    assert(scan.queryExecution.executedPlan.toString.contains("BatchScan"))
+    assert(HighlightStore.read(spark, s"$dir/store").get.count() == 3)
+  }
+
   test("incremental without watermark or since → None (backfill required)") {
     val dir = Files.createTempDirectory("graft-sync2").toString
     val r = Sync.incremental(spark, clientFor(Seq(pageJson(1, "x", "h1"))),
