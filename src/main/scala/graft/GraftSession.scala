@@ -26,6 +26,11 @@ object GraftSession {
       // testdata `events` carries TIMESTAMP(NANOS), which the vectorized
       // reader rejects; read the raw int64 and convert in table().
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // local[32] split sizing: GB-scale local inputs need ≥32 splits to
+      // keep every core busy (default 128m yields ~10 for a 1.2 GB scan).
+      // Session-level posture, not operator logic — a real cluster keeps
+      // the 128m default and lets AQE coalesce.
+      .config("spark.sql.files.maxPartitionBytes", "32m")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

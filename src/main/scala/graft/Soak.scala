@@ -51,14 +51,15 @@ object Soak {
     // encoded at 2 B/dim, widened to float + scored in the scan — the
     // at-rest layout the reference's pgvector halfvec column uses
     val NV = sys.env.getOrElse("SOAK_VECS3072", "200000").toLong
-    val gen3k = transform(sequence(lit(0L), lit(3071L)), i =>
-      ((((col("id") * 3072L + i) * 2654435761L) % 1000003L - 500001L)
-        .cast("double") / lit(500001.0)).cast("float"))
-    val store = spark.range(NV)
-      .select(col("id"), graft.functions.fp16_encode(gen3k).as("emb16")).cache()
+    val store = {
+      import spark.implicits._
+      spark.range(NV)
+        .mapPartitions(_.map(vid =>
+          (vid, graft.functions.Fp16.encode(graft.fixtures.Fp16Corpus.vector(vid)))))
+        .toDF("id", "emb16").cache()
+    }
     timeIt(s"materialize_fp16_3072_${NV / 1000}k")(store.count())
-    val probe3k = Array.tabulate(3072)(i =>
-      (((i.toLong * 2654435761L) % 1000003L - 500001L).toDouble / 500001.0).toFloat)
+    val probe3k = graft.fixtures.Fp16Corpus.probe
     timeIt(s"fp16_topk_3072_${NV / 1000}k") {
       store.select(col("id"),
           cosine_distance(graft.functions.fp16_decode(col("emb16")), typedLit(probe3k)).as("score"))

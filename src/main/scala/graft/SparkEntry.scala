@@ -607,22 +607,20 @@ object SparkEntry {
 
     // ---- reference-dimensionality vector search: 3072-dim embeddings
     //      (HALFVEC(3072) parity — highlight.py:24-26) stored fp16-encoded
-    //      (2 bytes/dim BINARY), widened back to float in the scan, scored
-    //      against a full-precision probe, top-k. Vectors are generated
-    //      in-plan from a deterministic integer mix so the oracle can
-    //      reproduce every component (including the fp16 rounding) in SQL ----
+    //      (2 bytes/dim BINARY) in a MATERIALIZED parquet corpus, so the
+    //      measured work is scan → fused decode+cosine → top-k — the shape
+    //      a real encoded store serves — not in-plan fixture synthesis.
+    //      Corpus size scales with the SF (count²/20: 12.5k vectors at
+    //      sf0.01 where the DuckDB oracle must replicate every fp16
+    //      rounding; 200k at sf0.1 where only the bench runs) ----
     "q48_fp16_search" -> ((s, dir) => {
-      import graft.functions.{fp16_decode, fp16_encode}
-      val gen = transform(sequence(lit(0L), lit(3071L)), i =>
-        ((((col("vec_id") * 3072L + i) * 2654435761L) % 1000003L - 500001L)
-          .cast("double") / lit(500001.0)).cast("float"))
-      val stored = t(s, dir, "embeddings")
-        .select(col("vec_id"), fp16_encode(gen).as("emb16"))
-      val probe: Array[Float] = Array.tabulate(3072)(i =>
-        (((i.toLong * 2654435761L) % 1000003L - 500001L)
-          .toDouble / 500001.0).toFloat)
-      stored.select(col("vec_id"),
-          cosine_distance(fp16_decode(col("emb16")), typedLit(probe)).as("score"))
+      import graft.functions.fp16_decode
+      import graft.fixtures.Fp16Corpus
+      val cnt = t(s, dir, "embeddings").count()
+      val corpus = Fp16Corpus.prepared(s, dir, cnt * cnt / 20)
+      corpus.select(col("vec_id"),
+          cosine_distance(fp16_decode(col("emb16")),
+            typedLit(Fp16Corpus.probe)).as("score"))
         .orderBy(col("score"), col("vec_id"))
         .limit(20)
     })
@@ -1167,7 +1165,11 @@ object SparkEntry {
 
     // fp16 round-to-nearest-even replicated in SQL: normal halves quantize
     // the mantissa at 2^(e-10) via round_even; |x| < 2^-14 hits the
-    // subnormal grid 2^-24. Values are exact in DOUBLE both sides.
+    // subnormal grid 2^-24. Values are exact in DOUBLE both sides. The
+    // component mix reduces mod 1000003 BEFORE the Knuth multiply —
+    // identical values ((a*b) mod m = ((a mod m)*b) mod m) but no BIGINT
+    // overflow at any vec_id. Corpus = range(count(embeddings)²/20),
+    // mirroring graft.fixtures.Fp16Corpus.
     "q48_fp16_search" -> {
       val xd = "CAST(xf AS DOUBLE)"
       val e = s"floor(log2(abs($xd)))"
@@ -1177,11 +1179,13 @@ object SparkEntry {
            |    THEN round_even($xd * 16777216.0, 0) / 16777216.0
            |  ELSE round_even($xd * power(2, 10 - $e), 0) * power(2, $e - 10)
            |END""".stripMargin
-      s"""WITH comps AS (
+      s"""WITH ids AS (
+         |  SELECT unnest(range((SELECT count(*)*count(*)//20 FROM embeddings))) AS vec_id),
+         |comps AS (
          |  SELECT vec_id, i,
-         |    CAST(CAST((vec_id*3072 + i) * 2654435761 % 1000003 - 500001 AS DOUBLE)
+         |    CAST(CAST(((vec_id*3072 + i) % 1000003) * 2654435761 % 1000003 - 500001 AS DOUBLE)
          |      / 500001.0 AS REAL) AS xf
-         |  FROM embeddings, (SELECT unnest(range(3072)) AS i)),
+         |  FROM ids, (SELECT unnest(range(3072)) AS i)),
          |h AS (SELECT vec_id, i, $half AS xh FROM comps),
          |vecs AS (SELECT vec_id, list(xh ORDER BY i) AS v FROM h GROUP BY vec_id),
          |q AS (SELECT list(CAST(xf AS DOUBLE) ORDER BY i) AS qv
