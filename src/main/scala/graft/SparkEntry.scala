@@ -623,6 +623,26 @@ object SparkEntry {
             typedLit(Fp16Corpus.probe)).as("score"))
         .orderBy(col("score"), col("vec_id"))
         .limit(20)
+    }),
+
+    // ---- the serving store end-to-end in fp16 mode: embeddings written
+    //      through HighlightStore.writeAtomic(fp16=true) (2 B/dim BINARY
+    //      at rest, versioned pointer commit), read back through the
+    //      transparent decode, searched via SemanticSearch — the
+    //      reference's HALFVEC store lifecycle, with FuseFp16Cosine
+    //      keeping the scored path allocation-free ----
+    "q49_fp16_store_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val storeDir = graft.fixtures.Fp16Corpus.workRoot +
+        s"/fp16store-${new java.io.File(dir).getName}"
+      if (!new java.io.File(storeDir, "CURRENT").isFile)
+        graft.sync.HighlightStore.writeAtomic(e, storeDir, fp16 = true)
+      val store = graft.sync.HighlightStore.read(s, storeDir).get
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.search.SemanticSearch.search(store,
+          graft.search.SearchRequest(q, k = 20), keyCol = "vec_id")
+        .select(col("vec_id"), col("score"))
     })
   )
 
@@ -676,6 +696,20 @@ object SparkEntry {
     s"CASE WHEN len($w) >= 3 THEN list_distinct(list_transform(" +
       s"range(1, len($w)-1), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])) " +
       s"ELSE CAST([] AS VARCHAR[]) END"
+
+  /** fp16 round-to-nearest-even of a REAL column named `xf`, as DOUBLE:
+    * normal halves quantize the mantissa at 2^(e-10) via round_even;
+    * |x| < 2^-14 hits the subnormal grid 2^-24. Exact in DOUBLE both
+    * sides, so engine and oracle agree bit-for-bit. */
+  private def sqlFp16Round: String = {
+    val xd = "CAST(xf AS DOUBLE)"
+    val e = s"floor(log2(abs($xd)))"
+    s"""CASE WHEN xf = 0 THEN CAST(0 AS DOUBLE)
+       |  WHEN abs($xd) < power(2, -14)
+       |    THEN round_even($xd * 16777216.0, 0) / 16777216.0
+       |  ELSE round_even($xd * power(2, 10 - $e), 0) * power(2, $e - 10)
+       |END""".stripMargin
+  }
 
   private def sqlCosine(a: String, b: String): String =
     s"(1 - list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) / " +
@@ -1171,14 +1205,7 @@ object SparkEntry {
     // overflow at any vec_id. Corpus = range(count(embeddings)²/20),
     // mirroring graft.fixtures.Fp16Corpus.
     "q48_fp16_search" -> {
-      val xd = "CAST(xf AS DOUBLE)"
-      val e = s"floor(log2(abs($xd)))"
-      val half =
-        s"""CASE WHEN xf = 0 THEN CAST(0 AS DOUBLE)
-           |  WHEN abs($xd) < power(2, -14)
-           |    THEN round_even($xd * 16777216.0, 0) / 16777216.0
-           |  ELSE round_even($xd * power(2, 10 - $e), 0) * power(2, $e - 10)
-           |END""".stripMargin
+      val half = sqlFp16Round
       s"""WITH ids AS (
          |  SELECT unnest(range((SELECT count(*)*count(*)//20 FROM embeddings))) AS vec_id),
          |comps AS (
@@ -1190,6 +1217,24 @@ object SparkEntry {
          |vecs AS (SELECT vec_id, list(xh ORDER BY i) AS v FROM h GROUP BY vec_id),
          |q AS (SELECT list(CAST(xf AS DOUBLE) ORDER BY i) AS qv
          |  FROM comps WHERE vec_id = 0)
+         |SELECT vec_id, ${sqlCosine("v", "qv")} AS score
+         |FROM vecs, q
+         |ORDER BY score, vec_id LIMIT 20""".stripMargin
+    },
+
+    // the store round-trips embeddings through fp16 (HALFVEC layout); the
+    // oracle rounds each REAL component to its half-precision value and
+    // scores against the full-precision probe, mirroring
+    // HighlightStore.writeAtomic(fp16)+read -> SemanticSearch
+    "q49_fp16_store_search" -> {
+      val half = sqlFp16Round
+      s"""WITH comps AS (
+         |  SELECT vec_id, unnest(range(len(embedding))) AS i,
+         |    unnest(embedding) AS xf
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |h AS (SELECT vec_id, i, $half AS xh FROM comps),
+         |vecs AS (SELECT vec_id, list(xh ORDER BY i) AS v FROM h GROUP BY vec_id),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, ${sqlCosine("v", "qv")} AS score
          |FROM vecs, q
          |ORDER BY score, vec_id LIMIT 20""".stripMargin

@@ -167,14 +167,23 @@ case class Fp16CosineDistance(left: Expression, right: Expression)
 /** Optimizer rule: `cosine_distance(fp16_decode(b), q)` (either side) →
   * [[Fp16CosineDistance]] — scoring encoded embeddings never materializes
   * the widened float array. Cosine is symmetric and both forms accumulate
-  * in index order, so the rewrite is bit-exact. */
+  * in index order, so the rewrite is bit-exact.
+  *
+  * Also strips the decode out of null checks: `fp16_decode` is
+  * null-intolerant and returns non-null for every non-null input, so
+  * `isnotnull(fp16_decode(b))` ≡ `isnotnull(b)` — without this, the
+  * constraint-inferred null filter above an fp16 store would decode every
+  * blob a second time just to test for null, and the plain `isnotnull(b)`
+  * form is parquet-pushable. */
 object FuseFp16Cosine extends org.apache.spark.sql.catalyst.rules.Rule[
     org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.IsNotNull
   override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     plan.transformAllExpressions {
       case CosineDistance(Fp16Decode(b), q) => Fp16CosineDistance(b, q)
       case CosineDistance(q, Fp16Decode(b)) => Fp16CosineDistance(b, q)
+      case IsNotNull(Fp16Decode(b)) => IsNotNull(b)
     }
 }
 

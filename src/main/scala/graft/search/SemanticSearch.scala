@@ -49,6 +49,11 @@ object SemanticSearch {
     ).flatten.foldLeft(base)(_ filter _)
     filtered
       .withColumn("score", cosine_distance(col(EmbeddingCol), typedLit(req.queryVec)))
+      // the vector never leaves the store (the reference's SELECT list has
+      // no embedding column, db/supabase_ops.py:211-272) — and with it out
+      // of the projection, an fp16 store's decode appears exactly once, so
+      // FuseFp16Cosine collapses scan → fused kernel with no widening
+      .drop(EmbeddingCol)
       .orderBy(col("score").asc, col(keyCol).asc)
       .limit(SearchRequest.clampK(req.k))
   }

@@ -32,26 +32,67 @@ object HighlightStore {
     }
   }
 
+  /** Read the live store version. A store written with `fp16 = true` is
+    * decoded transparently: the at-rest `emb16` BINARY column surfaces as
+    * `embedding ARRAY<FLOAT>` with `fp16_decode` in the plan, so
+    * [[graft.functions.FuseFp16Cosine]] rewrites a downstream
+    * `cosine_distance` into the one-pass `fp16_cosine_distance` kernel —
+    * callers (search, upsert-merge) are storage-layout agnostic. */
   def read(spark: SparkSession, dir: String): Option[DataFrame] = {
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) None
-    else resolveCurrent(root).map(p => spark.read.parquet(p.toString))
+    else resolveCurrent(root).map { p =>
+      val df = spark.read.parquet(p.toString)
+      if (df.columns.contains(Emb16Col) && !df.columns.contains("embedding"))
+        df.withColumn("embedding",
+          graft.functions.fp16_decode(col(Emb16Col))).drop(Emb16Col)
+      else df
+    }
+  }
+
+  /** At-rest name of the half-precision-encoded embedding column. */
+  val Emb16Col = "emb16"
+
+  /** Pin the live version's AT-REST relation in the session cache and
+    * return it. Serving plans built via [[read]] hit this as a subplan
+    * (CacheManager matches the scan under the decode), so an fp16 store
+    * is scored by the fused kernel straight from the cached 2 B/dim
+    * bytes — half the resident footprint of caching decoded fp32, and no
+    * per-request parquet decode. */
+  def warm(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) None
+    else resolveCurrent(root).map { p =>
+      val df = spark.read.parquet(p.toString).cache()
+      df.count()
+      df
+    }
   }
 
   /** Write `df` as the new store state (single-rename pointer commit).
     *
     * `partitionBy` lays the store out hive-style (e.g. by `source_type`,
     * SURVEY.md §4 partitioning row) so filtered searches prune whole
-    * partitions at plan time instead of scanning them. */
+    * partitions at plan time instead of scanning them.
+    *
+    * `fp16 = true` stores `embedding` half-precision (2 B/dim BINARY
+    * `emb16` column) — the reference's at-rest layout (HALFVEC(3072),
+    * models/highlight.py:24-26) at half the fp32 parquet bytes; [[read]]
+    * widens it back, so the mode is invisible above the store boundary. */
   def writeAtomic(df: DataFrame, dir: String,
-      partitionBy: Seq[String] = Nil): Unit = {
+      partitionBy: Seq[String] = Nil, fp16: Boolean = false): Unit = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
+    val encoded =
+      if (fp16 && df.columns.contains("embedding"))
+        df.withColumn(Emb16Col, graft.functions.fp16_encode(col("embedding")))
+          .drop("embedding")
+      else df
     // zero-padded so lexicographic order == creation order for retention
     val versionName = f"v-${System.nanoTime()}%019d"
     val version = root.resolve(versionName)
     val writer = if (partitionBy.nonEmpty)
-      df.write.partitionBy(partitionBy: _*) else df.write
+      encoded.write.partitionBy(partitionBy: _*) else encoded.write
     writer.mode("overwrite").parquet(version.toString)
     val ptrTmp = root.resolve(s".CURRENT.tmp-${System.nanoTime()}")
     Files.writeString(ptrTmp, versionName)

@@ -63,6 +63,48 @@ class Fp16Spec extends SparkTestBase {
     coded.unpersist()
   }
 
+  test("fp16 store mode: emb16 at rest, fused kernel in the serving plan") {
+    import graft.search.{SearchRequest, SemanticSearch}
+    import graft.sync.HighlightStore
+    val dir = java.nio.file.Files.createTempDirectory("fp16store").toString
+    try {
+      val emb = table("embeddings").limit(100)
+      HighlightStore.writeAtomic(emb, dir, fp16 = true)
+      // at rest: BINARY emb16, no fp32 embedding column
+      val current = java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dir, "CURRENT")).trim
+      val raw = spark.read.parquet(s"$dir/$current")
+      assert(raw.schema(HighlightStore.Emb16Col).dataType ==
+        org.apache.spark.sql.types.BinaryType)
+      assert(!raw.columns.contains("embedding"))
+      // read() surfaces embedding transparently; search over it fuses
+      val store = HighlightStore.read(spark, dir).get
+      val probe = emb.orderBy($"vec_id").select($"embedding")
+        .head().getSeq[Float](0).toArray
+      val res = SemanticSearch.search(store, SearchRequest(probe, k = 10),
+        keyCol = "vec_id")
+      val opt = res.queryExecution.optimizedPlan.toString
+      assert(opt.contains("fp16_cosine_distance") && !opt.contains("fp16_decode"),
+        s"serving plan not fused:\n$opt")
+      // scores are bit-exact vs the scalar codec round-trip
+      val expect = emb.select($"vec_id", $"embedding").collect().map { r =>
+        r.getLong(0) -> graft.functions.VectorMath.cosineDistance(
+          Fp16.decode(Fp16.encode(r.getSeq[Float](1).toArray)), probe)
+      }.toMap
+      val got = res.collect()
+      assert(got.length == 10)
+      got.foreach { r =>
+        assert(java.lang.Double.doubleToRawLongBits(
+          r.getAs[Double]("score")) ==
+          java.lang.Double.doubleToRawLongBits(expect(r.getAs[Long]("vec_id"))))
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("GraftExtensions: SQL functions resolve on an extensions-built session") {
     val base = spark
     SparkSession.clearActiveSession()
