@@ -54,12 +54,26 @@ final class HttpApi(
     }.toMap).getOrElse(Map.empty)
 
   /** JDK HttpServer contexts match by prefix — guard to exact-path
-    * semantics so /healthz or /searchanything 404 like a router would. */
+    * semantics so /healthz or /searchanything 404 like a router would.
+    * Every request is instrumented (reference: Instrumentator's
+    * `http_requests_total{handler,method,status}` counter and per-handler
+    * duration summary, api/routes.py:224-247) — the series a scraper
+    * watches to enforce the reference's own P95 < 500 ms search gate. */
   private def exact(path: String)(handler: HttpExchange => Unit)
-      : com.sun.net.httpserver.HttpHandler = (ex: HttpExchange) =>
-    if (ex.getRequestURI.getPath != path)
-      respondJson(ex, 404, Map("detail" -> "Not Found"))
-    else handler(ex)
+      : com.sun.net.httpserver.HttpHandler = (ex: HttpExchange) => {
+    val t0 = System.nanoTime()
+    try {
+      if (ex.getRequestURI.getPath != path)
+        respondJson(ex, 404, Map("detail" -> "Not Found"))
+      else handler(ex)
+    } finally {
+      Metrics.timer("http_request_duration_seconds", "handler" -> path)
+        .observe((System.nanoTime() - t0) / 1e9)
+      Metrics.counter("http_requests_total", "handler" -> path,
+        "method" -> ex.getRequestMethod,
+        "status" -> ex.getResponseCode.toString).inc()
+    }
+  }
 
   server.createContext("/health", exact("/health") { ex =>
     val h = healthFn()

@@ -66,7 +66,15 @@ final class McpServer(
     } finally stopped.countDown()
   }
 
-  private[serve] def handleClient(sock: Socket): Unit = {
+  // reference surface exports request series for the HTTP plane
+  // (api/routes.py:224-247); the MCP TCP plane gets the analogous pair
+  private[serve] def handleClient(sock: Socket): Unit =
+    Metrics.timer("mcp_request_duration_seconds").time {
+      Metrics.counter("mcp_requests_total").inc()
+      handleClientInner(sock)
+    }
+
+  private def handleClientInner(sock: Socket): Unit = {
     val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
     val out = new BufferedWriter(

@@ -64,6 +64,29 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("request metrics: /search moves the labeled HTTP series") {
+    withApi { (c, port) =>
+      def scrape(): Seq[String] = get(c, port, "/metrics").body().split("\n").toSeq
+      def seriesVal(lines: Seq[String], prefix: String): Long =
+        lines.find(_.startsWith(prefix)).map(_.split(" ").last.toDouble.toLong)
+          .getOrElse(0L)
+      val reqSeries = """http_requests_total{handler="/search",method="POST",status="200"}"""
+      val durSeries = """http_request_duration_seconds_count{handler="/search"}"""
+      val before = scrape()
+      assert(post(c, port, "/search", """{"q":"spark","k":1}""").statusCode() == 200)
+      assert(post(c, port, "/search", """{"k":3}""").statusCode() == 422)
+      val after = scrape()
+      // the per-route counter and duration summary both advanced
+      assert(seriesVal(after, reqSeries) == seriesVal(before, reqSeries) + 1)
+      assert(seriesVal(after, durSeries) >= seriesVal(before, durSeries) + 2)
+      // the 422 lands under its own status label
+      val rej = """http_requests_total{handler="/search",method="POST",status="422"}"""
+      assert(seriesVal(after, rej) >= 1)
+      // one TYPE header per metric name even with many label sets
+      assert(after.count(_.startsWith("# TYPE http_requests_total ")) == 1)
+    }
+  }
+
   test("GET /health ok; /metrics is parseable Prometheus text exposition") {
     withApi { (c, port) =>
       assert(get(c, port, "/health").body() == """{"status":"ok"}""")
