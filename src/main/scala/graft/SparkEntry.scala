@@ -643,6 +643,29 @@ object SparkEntry {
       graft.search.SemanticSearch.search(store,
           graft.search.SearchRequest(q, k = 20), keyCol = "vec_id")
         .select(col("vec_id"), col("score"))
+    }),
+
+    // ---- IVF end-to-end: train on a deterministic 20% sample (id%5=0 —
+    //      the oracle-replicable stand-in for .sample() at scale), write
+    //      the assigned corpus partitioned by centroid_id, probe nprobe=2
+    //      cells via PLAN-TIME partition pruning, and flag each hit's
+    //      membership in the exact brute-force top-k (recall@k evidence) ----
+    "q50_ivf_e2e" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val indexDir = graft.fixtures.Fp16Corpus.workRoot +
+        s"/ivfindex-${new java.io.File(dir).getName}"
+      if (!new java.io.File(s"$indexDir/centroids/_SUCCESS").isFile)
+        Knn.ivfBuildIndex(e, "embedding", "vec_id", indexDir, k = 4,
+          iters = 2, trainFilter = col("vec_id") % 5 === 0)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val probe = Knn.ivfSearchIndex(s, indexDir, qv, k = 10, nprobe = 2)
+      val exact = Knn.topK(e, "embedding", qv, 10, "vec_id")
+        .select(col("vec_id").as("id"), lit(true).as("in_exact"))
+      probe.join(exact, Seq("id"), "left")
+        .na.fill(value = false, Seq("in_exact"))
+        .select(col("id"), col("centroid_id"), col("score"), col("in_exact"))
+        .orderBy(col("score"), col("id"))
     })
   )
 
@@ -696,6 +719,22 @@ object SparkEntry {
     s"CASE WHEN len($w) >= 3 THEN list_distinct(list_transform(" +
       s"range(1, len($w)-1), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])) " +
       s"ELSE CAST([] AS VARCHAR[]) END"
+
+  /** One Lloyd assignment pass: nearest centroid (cosine, centroid_id
+    * tiebreak) per `corpusSrc` row — mirrors [[graft.similarity.Knn.ivfAssign]]. */
+  private def sqlIvfAssign(corpusSrc: String, centSrc: String): String =
+    s"""SELECT c.id, c.v, s.centroid_id,
+       |  row_number() OVER (PARTITION BY c.id
+       |    ORDER BY ${sqlCosine("c.v", "s.cvec")}, s.centroid_id) AS crank
+       |FROM $corpusSrc c, $centSrc s QUALIFY crank = 1""".stripMargin
+
+  /** Exact decimal per-(cell, pos) mean cast to REAL — bit-identical to the
+    * engine's sum(DECIMAL(25,6))/count → float centroid means. */
+  private def sqlIvfMean(src: String): String =
+    s"""SELECT centroid_id, pos,
+       |  CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
+       |    / COUNT(*) AS REAL) AS m
+       |FROM $src GROUP BY 1, 2""".stripMargin
 
   /** fp16 round-to-nearest-even of a REAL column named `xf`, as DOUBLE:
     * normal halves quantize the mantissa at 2^(e-10) via round_even;
@@ -1153,17 +1192,7 @@ object SparkEntry {
 
     // exact decimal mean (order-independent) per (cell, pos), cast to REAL —
     // bit-identical to the engine's sum(DECIMAL(25,6))/count → float means
-    "q46_ivf_train" -> {
-      def mean(src: String) =
-        s"""SELECT centroid_id, pos,
-           |  CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,6))) AS DOUBLE)
-           |    / COUNT(*) AS REAL) AS m
-           |FROM $src GROUP BY 1, 2""".stripMargin
-      def assign(centSrc: String) =
-        s"""SELECT c.id, c.v, s.centroid_id,
-           |  row_number() OVER (PARTITION BY c.id
-           |    ORDER BY ${sqlCosine("c.v", "s.cvec")}, s.centroid_id) AS crank
-           |FROM corpus c, $centSrc s QUALIFY crank = 1""".stripMargin
+    "q46_ivf_train" ->
       s"""WITH corpus AS (
          |  SELECT vec_id AS id, embedding AS v FROM embeddings
          |  WHERE vec_id < 256 AND embedding IS NOT NULL),
@@ -1171,16 +1200,15 @@ object SparkEntry {
          |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS centroid_id,
          |    v AS cvec
          |  FROM corpus QUALIFY row_number() OVER (ORDER BY id) <= 4),
-         |a1 AS (${assign("seed")}),
+         |a1 AS (${sqlIvfAssign("corpus", "seed")}),
          |x1 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a1),
-         |m1 AS (${mean("x1")}),
+         |m1 AS (${sqlIvfMean("x1")}),
          |cent1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY 1),
-         |a2 AS (${assign("cent1")}),
+         |a2 AS (${sqlIvfAssign("corpus", "cent1")}),
          |x2 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a2),
-         |m2 AS (${mean("x2")})
+         |m2 AS (${sqlIvfMean("x2")})
          |SELECT centroid_id, CAST(pos AS BIGINT) AS pos, CAST(m AS DOUBLE) AS comp
-         |FROM m2 ORDER BY centroid_id, pos""".stripMargin
-    },
+         |FROM m2 ORDER BY centroid_id, pos""".stripMargin,
 
     "q47_ivf_probes" ->
       s"""WITH cents AS (SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings WHERE vec_id < 8),
@@ -1238,6 +1266,42 @@ object SparkEntry {
          |SELECT vec_id, ${sqlCosine("v", "qv")} AS score
          |FROM vecs, q
          |ORDER BY score, vec_id LIMIT 20""".stripMargin
-    }
+    },
+
+    // IVF end-to-end: Lloyd training on the deterministic id%5=0 sample
+    // (2 iterations, 4 cells), full-corpus assignment to the trained
+    // centroids, nprobe=2 probe, in-cell top-10, and exact-top-10
+    // membership per hit (the recall@k evidence)
+    "q50_ivf_e2e" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |sample AS (SELECT * FROM corpus WHERE id % 5 = 0),
+         |seed AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS centroid_id,
+         |    v AS cvec
+         |  FROM sample QUALIFY row_number() OVER (ORDER BY id) <= 4),
+         |a1 AS (${sqlIvfAssign("sample", "seed")}),
+         |x1 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a1),
+         |m1 AS (${sqlIvfMean("x1")}),
+         |cent1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY 1),
+         |a2 AS (${sqlIvfAssign("sample", "cent1")}),
+         |x2 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a2),
+         |m2 AS (${sqlIvfMean("x2")}),
+         |cent2 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m2 GROUP BY 1),
+         |af AS (${sqlIvfAssign("corpus", "cent2")}),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probed AS (
+         |  SELECT centroid_id FROM cent2, q
+         |  ORDER BY ${sqlCosine("cvec", "qv")}, centroid_id LIMIT 2),
+         |hits AS (
+         |  SELECT af.id, af.centroid_id, ${sqlCosine("af.v", "qv")} AS score
+         |  FROM af JOIN probed USING (centroid_id), q
+         |  ORDER BY score, af.id LIMIT 10),
+         |exact AS (SELECT id FROM corpus, q
+         |  ORDER BY ${sqlCosine("v", "qv")}, id LIMIT 10)
+         |SELECT h.id, h.centroid_id, h.score,
+         |  (h.id IN (SELECT id FROM exact)) AS in_exact
+         |FROM hits h ORDER BY score, id""".stripMargin
   )
 }

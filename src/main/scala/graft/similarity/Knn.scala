@@ -87,6 +87,49 @@ object Knn {
       .select(col("id"), col("centroid_id"), col("score"))
   }
 
+  /** Build a persistent IVF index: train centroids on `trainFilter`'s
+    * subset (at 100 TB this is a sample — the full corpus is only scanned
+    * for the single assignment pass), assign every corpus vector to its
+    * nearest cell, and write the assigned corpus as parquet PARTITIONED BY
+    * `centroid_id` with a tiny centroids sidecar. Cell directories are the
+    * index: a probe prunes them at PLAN time (partition pruning), so an
+    * un-probed cell's files are never listed, opened, or scanned — the
+    * pgvector `ivfflat` lists/probes layout re-expressed as a parquet
+    * layout decision instead of a custom index structure. */
+  def ivfBuildIndex(corpus: DataFrame, vecCol: String, keyCol: String,
+      indexDir: String, k: Int, iters: Int,
+      trainFilter: Column): Unit = {
+    val cents = trainCentroids(corpus.filter(trainFilter), vecCol, keyCol, k, iters)
+    val assigned = ivfAssign(corpus, vecCol, keyCol, cents, "cvec", "centroid_id")
+    assigned.write.partitionBy("centroid_id")
+      .mode("overwrite").parquet(s"$indexDir/cells")
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Probe a persistent IVF index: the query picks its `nprobe` nearest
+    * cells from the k-row centroid sidecar (driver-side, like the query
+    * vector itself — k centroids are literals, not data), and the cell
+    * scan carries `centroid_id IN (probed…)` as a PartitionFilter: only
+    * the probed directories are read. Returns in-cell exact top-k. */
+  def ivfSearchIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queryVec: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val probed = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("centroid_id"),
+        cosine_distance(col("cvec"), typedLit(queryVec)).as("cdist"))
+      .orderBy(col("cdist").asc, col("centroid_id").asc)
+      .limit(nprobe)
+      .collect().map(_.getLong(0)).toSeq
+    // filter on the raw (partition-inferred INT) column so the IN lands in
+    // PartitionFilters; surface the canonical LONG type afterwards
+    spark.read.parquet(s"$indexDir/cells")
+      .filter(col("centroid_id").isin(probed.map(_.toInt): _*))
+      .withColumn("score", cosine_distance(col("v"), typedLit(queryVec)))
+      .orderBy(col("score").asc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("centroid_id").cast("long").as("centroid_id"),
+        col("score"))
+  }
+
   /** Lloyd-iteration centroid training for the IVF index, DataFrame-native:
     * seed = the `k` lowest-key vectors relabeled 0..k-1; each iteration
     * broadcast-assigns every corpus vector to its nearest centroid, then

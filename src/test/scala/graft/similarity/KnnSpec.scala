@@ -11,6 +11,40 @@ class KnnSpec extends SparkTestBase {
 
   private lazy val emb = table("embeddings").cache()
 
+  test("ivfBuildIndex + ivfSearchIndex: probe scan reads only probed partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    try {
+      Knn.ivfBuildIndex(emb, "embedding", "vec_id", dir, k = 4, iters = 2,
+        trainFilter = $"vec_id" % 5 === 0)
+      // cell layout on disk: one directory per centroid
+      val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+        .filter(_.getName.startsWith("centroid_id=")).map(_.getName).sorted
+      assert(cellDirs.length >= 2 && cellDirs.length <= 4)
+      val qv = emb.orderBy($"vec_id").select($"embedding")
+        .head().getSeq[Float](0).toArray
+      val nprobe = 2
+      val res = Knn.ivfSearchIndex(spark, dir, qv, k = 10, nprobe = nprobe)
+      // the cells scan prunes at PLAN time: PartitionFilters carries the
+      // IN-list and only nprobe of the cell directories are selected
+      val scans = res.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      val cellScan = scans.find(_.metadata("Location").contains("cells")).get
+      assert(cellScan.metadata("PartitionFilters").contains("centroid_id"),
+        s"no partition filter: ${cellScan.metadata("PartitionFilters")}")
+      assert(cellScan.selectedPartitions.partitionCount == nprobe,
+        s"read ${cellScan.selectedPartitions.partitionCount} partitions, want $nprobe")
+      // and the result only contains probed cells, correctly scored
+      val rows = res.collect()
+      assert(rows.nonEmpty && rows.map(_.getLong(1)).distinct.length <= nprobe)
+      // self-query: vec_id 0 must be its own nearest neighbor
+      assert(rows.head.getLong(0) == 0L && rows.head.getDouble(2) < 1e-12)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("trainCentroids: k cells, right dimensionality, assignment improves") {
     val k = 4
     val cents = Knn.trainCentroids(emb, "embedding", "vec_id", k, iters = 3)
