@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.nio.file.{Files, Paths}
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
@@ -57,14 +56,27 @@ object ExportDataSource {
     try {
       if (s == null) null
       else {
+        // the reference parses with datetime.fromisoformat
+        // (jobs/parser.py:7-16), which accepts a space separator and
+        // date-only strings — normalize those forms so this parser agrees
+        // with both the reference and the Ingest path's try_to_timestamp
+        val t =
+          if (s.length > 10 && s.charAt(10) == ' ')
+            s.substring(0, 10) + "T" + s.substring(11)
+          else s
         // offset-aware first (handles Z and ±hh:mm, either sign); naive
         // timestamps are interpreted as UTC — matching try_to_timestamp
         // under the engine's UTC session timezone
         val i =
-          try java.time.OffsetDateTime.parse(s).toInstant
+          try java.time.OffsetDateTime.parse(t).toInstant
           catch {
             case _: Exception =>
-              java.time.LocalDateTime.parse(s).toInstant(java.time.ZoneOffset.UTC)
+              try java.time.LocalDateTime.parse(t)
+                .toInstant(java.time.ZoneOffset.UTC)
+              catch {
+                case _: Exception => java.time.LocalDate.parse(t)
+                  .atStartOfDay().toInstant(java.time.ZoneOffset.UTC)
+              }
           }
         i.getEpochSecond * 1000000L + i.getNano / 1000L
       }
@@ -107,14 +119,20 @@ final class ExportScan(path: String, required: StructType)
 
 object ExportScan {
   /** Page files in filename order (the transport writes them in cursor
-    * order, so filename order IS page order). */
-  def listPages(path: String): Seq[String] =
-    scala.util.Using.resource(Files.list(Paths.get(path))) { stream =>
-      stream.iterator().asScala.toSeq
-        .filter(_.toString.endsWith(".json"))
-        .sortBy(_.getFileName.toString)
-        .map(_.toString)
-    }
+    * order, so filename order IS page order). Listed through the Hadoop
+    * FileSystem API so the landing zone can be any cluster URI
+    * (`hdfs://…`, `s3a://…`) — plain local paths resolve against the
+    * default FS. Runs on the driver at planning time. */
+  def listPages(path: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    val fs = dir.getFileSystem(org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration)
+    fs.listStatus(dir).toSeq
+      .map(_.getPath)
+      .filter(_.getName.endsWith(".json"))
+      .sortBy(_.getName)
+      .map(_.toString)
+  }
 }
 
 /** Streaming form: tail the pages directory. The offset is the
@@ -135,7 +153,8 @@ final class ExportMicroBatchStream(path: String, required: StructType)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
-  private def nameOf(p: String): String = Paths.get(p).getFileName.toString
+  private def nameOf(p: String): String =
+    new org.apache.hadoop.fs.Path(p).getName
 
   override def latestOffset(): Offset = {
     val names = ExportScan.listPages(path).map(nameOf)
@@ -167,13 +186,21 @@ final class ExportReaderFactory(required: StructType)
 }
 
 /** Parses one page file: iterate results[*].highlights[*], project only the
-  * required columns into InternalRows. */
+  * required columns into InternalRows. Runs on an EXECUTOR: the page is
+  * opened through the Hadoop FileSystem API (default `Configuration` —
+  * cluster nodes resolve `hdfs://`/`s3a://` from their classpath config,
+  * local mode resolves plain paths against the local FS). */
 final class PageReader(file: String, required: StructType)
     extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val rows: Iterator[InternalRow] = {
-    val page = mapper.readTree(Files.readString(Paths.get(file)))
+    val p = new org.apache.hadoop.fs.Path(file)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val body = scala.util.Using.resource(fs.open(p)) { in =>
+      new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val page = mapper.readTree(body)
     val books = Option(page.get("results"))
       .map(_.elements().asScala.toSeq).getOrElse(Seq.empty)
     books.iterator.flatMap { book =>

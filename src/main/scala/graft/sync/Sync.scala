@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.Embedder
 import graft.ingest.{Ingest, SyncState}
-import graft.sources.{ExportClient, ExportSource}
+import graft.sources.ExportClient
 
 /** Parquet-backed highlight store with atomic replace (SURVEY.md §7.4:
   * plain-parquet overwrite is not transactional). Versioned layout: data
@@ -132,64 +132,81 @@ object HighlightStore {
 object Sync {
   val ServiceName = "readwise"
 
-  /** Parse + embed pages into canonical highlight rows. `version` stamps
-    * arrival order for last-wins tie-breaks inside one sync run. */
-  private def toEmbedded(spark: SparkSession, pages: Seq[String],
-      embedder: Embedder, version: Long): DataFrame = {
+  /** Write export pages into `spoolDir` through the Hadoop FileSystem API
+    * — the spool can live on any cluster filesystem (`hdfs://…`,
+    * `s3a://…`, plain local paths resolve against the default FS), which
+    * is what makes the landing zone readable by executors on a real
+    * cluster. One file per page, atomic temp+rename, zero-padded names so
+    * filename order == page order (the contract the micro-batch source's
+    * name-watermark offsets rely on). Returns the page count. */
+  private def spoolPages(spark: SparkSession, pages: Iterator[String],
+      spoolDir: String): Int = {
+    val dir = new org.apache.hadoop.fs.Path(spoolDir)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    var n = 0
+    pages.foreach { body =>
+      val tmp = new org.apache.hadoop.fs.Path(dir, f".page-$n%06d.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, f"page-$n%06d.json")))
+        throw new java.io.IOException(s"spool rename failed for page $n")
+      n += 1
+    }
+    n
+  }
+
+  private def deleteSpool(spark: SparkSession, spoolDir: String): Unit =
+    try {
+      val dir = new org.apache.hadoop.fs.Path(spoolDir)
+      dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(dir, true)
+      ()
+    } catch { case _: Exception => () }
+
+  /** Spool the page walk, then parse on EXECUTORS via the `graft-export`
+    * DSv2 source (one input partition per page, column-pruned JSON parse)
+    * and embed. Driver memory stays O(1 page) for an arbitrarily large
+    * export; the paced HTTP client remains driver-side because the cursor
+    * chain is inherently sequential. Used by BOTH backfill and
+    * incremental, so the two ingest paths parse identically. */
+  private def spooledHighlights(spark: SparkSession, pages: Iterator[String],
+      spool: String, embedder: Embedder, version: Long): DataFrame = {
+    spoolPages(spark, pages, spool)
     val embedUdf = Embedder.embedUdf(embedder)
-    ExportSource.pagesToHighlights(spark, pages)
+    spark.read.format("graft-export").load(spool)
       .withColumn("embedding", embedUdf(col("text")))
       .withColumn("version", lit(version))
   }
 
-  /** Full backfill (ST2): the cursor walk spools each page to a landing
-    * directory as it arrives (one file per page, atomic temp+rename,
-    * zero-padded names so filename order == page order), then the
-    * `graft-export` DSv2 source parses pages on EXECUTORS — one input
-    * partition per page with a column-pruned JSON parse. Driver memory
-    * stays O(1 page) for an arbitrarily large export, instead of
-    * materializing every page body on the driver; the paced HTTP client
-    * remains driver-side because the cursor chain is inherently
-    * sequential. An auto-created spool is deleted after a successful run;
-    * pass `spoolDir` to keep the landing zone (it is the same layout the
-    * micro-batch streaming source tails). */
+  /** Full backfill (ST2): cursor walk → spool → executor-side parse →
+    * keyed upsert → watermark. An auto-created spool is deleted whether
+    * the run succeeds or fails (a failed export walk must not leak
+    * landing directories); pass `spoolDir` to keep the landing zone (it
+    * is the same layout the micro-batch streaming source tails). */
   def backfill(spark: SparkSession, client: ExportClient, storeDir: String,
       checkpointDir: String, embedder: Embedder = Embedder.Default,
       now: () => Instant = () => Instant.now(),
       spoolDir: Option[String] = None): Long =
     timed {
-      val spool = Paths.get(spoolDir.getOrElse(
-        s"$checkpointDir/backfill-spool-${System.nanoTime()}"))
-      Files.createDirectories(spool)
-      var nPages = 0
-      client.export(None).foreach { body =>
-        val tmp = spool.resolve(f".page-$nPages%06d.tmp")
-        Files.writeString(tmp, body)
-        Files.move(tmp, spool.resolve(f"page-$nPages%06d.json"),
-          StandardCopyOption.ATOMIC_MOVE)
-        nPages += 1
-      }
-      val embedUdf = Embedder.embedUdf(embedder)
-      val fresh = spark.read.format("graft-export").load(spool.toString)
-        .withColumn("embedding", embedUdf(col("text")))
-        .withColumn("version", lit(now().toEpochMilli))
-        .cache()
+      val spool = spoolDir.getOrElse(
+        s"$checkpointDir/backfill-spool-${System.nanoTime()}")
       try {
-        val merged = HighlightStore.read(spark, storeDir) match {
-          case Some(existing) => Ingest.upsert(existing, fresh, "id", "version")
-          case None => fresh
-        }
-        HighlightStore.writeAtomic(merged, storeDir)
-        SyncState.write(checkpointDir, ServiceName, now())
-        val n = fresh.count()
-        graft.serve.Metrics.counter("rows_synced_total").inc(n)
-        n
-      } finally {
-        fresh.unpersist()
-        if (spoolDir.isEmpty)
-          try HighlightStore.deleteRecursively(spool)
-          catch { case _: Exception => () }
-      }
+        val fresh = spooledHighlights(spark, client.export(None), spool,
+          embedder, version = now().toEpochMilli).cache()
+        try {
+          val merged = HighlightStore.read(spark, storeDir) match {
+            case Some(existing) => Ingest.upsert(existing, fresh, "id", "version")
+            case None => fresh
+          }
+          HighlightStore.writeAtomic(merged, storeDir)
+          SyncState.write(checkpointDir, ServiceName, now())
+          val n = fresh.count()
+          graft.serve.Metrics.counter("rows_synced_total").inc(n)
+          n
+        } finally fresh.unpersist()
+      } finally if (spoolDir.isEmpty) deleteSpool(spark, spool)
     }
 
   /** Sync metrics (reference: rows_synced_total / error_rate counters +
@@ -204,29 +221,38 @@ object Sync {
 
   /** Incremental sync (ST1): `since` defaults to the stored watermark;
     * no watermark and no explicit since → nothing to do (reference returns
-    * with a "run a backfill first" message, incremental.py:42-47). */
+    * with a "run a backfill first" message, incremental.py:42-47).
+    *
+    * Routes through the same spool + DSv2 path as [[backfill]]: deltas
+    * are usually small, but a long-idle watermark makes an increment as
+    * large as a backfill, and the shared path keeps driver memory
+    * O(1 page) and the two parsers identical. */
   def incremental(spark: SparkSession, client: ExportClient, storeDir: String,
       checkpointDir: String, since: Option[Instant] = None,
       embedder: Embedder = Embedder.Default,
-      now: () => Instant = () => Instant.now()): Option[Long] = {
+      now: () => Instant = () => Instant.now(),
+      spoolDir: Option[String] = None): Option[Long] = {
     val effectiveSince = since.orElse(SyncState.read(checkpointDir, ServiceName))
     effectiveSince.map { s =>
       timed {
-        val pages = client.export(Some(s.toString)).toSeq
-        val fresh = toEmbedded(spark, pages, embedder, version = now().toEpochMilli)
-          .cache()
+        val spool = spoolDir.getOrElse(
+          s"$checkpointDir/incremental-spool-${System.nanoTime()}")
         try {
-          val merged = HighlightStore.read(spark, storeDir) match {
-            case Some(existing) => Ingest.upsert(existing, fresh, "id", "version")
-            case None => fresh
-          }
-          HighlightStore.writeAtomic(merged, storeDir)
-          val n = fresh.count()
-          // advance once, at the end (at-least-once; incremental.py:78)
-          SyncState.write(checkpointDir, ServiceName, now())
-          graft.serve.Metrics.counter("rows_synced_total").inc(n)
-          n
-        } finally fresh.unpersist()
+          val fresh = spooledHighlights(spark, client.export(Some(s.toString)),
+            spool, embedder, version = now().toEpochMilli).cache()
+          try {
+            val merged = HighlightStore.read(spark, storeDir) match {
+              case Some(existing) => Ingest.upsert(existing, fresh, "id", "version")
+              case None => fresh
+            }
+            HighlightStore.writeAtomic(merged, storeDir)
+            val n = fresh.count()
+            // advance once, at the end (at-least-once; incremental.py:78)
+            SyncState.write(checkpointDir, ServiceName, now())
+            graft.serve.Metrics.counter("rows_synced_total").inc(n)
+            n
+          } finally fresh.unpersist()
+        } finally if (spoolDir.isEmpty) deleteSpool(spark, spool)
       }
     }
   }

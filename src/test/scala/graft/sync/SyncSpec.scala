@@ -127,7 +127,8 @@ class SyncSpec extends SparkTestBase {
       spoolDir = Some(spool))
     assert(n == 3)
     // the landing zone holds one file per page in cursor order...
-    val files = new java.io.File(spool).listFiles().map(_.getName).sorted
+    val files = new java.io.File(spool).listFiles().map(_.getName)
+      .filter(_.endsWith(".json")).filterNot(_.startsWith(".")).sorted
     assert(files.toSeq == Seq("page-000000.json", "page-000001.json", "page-000002.json"))
     // ...and the scan the backfill ran is the multi-partition DSv2 source
     // (executor-side parse), not a driver-materialized page list
@@ -135,6 +136,56 @@ class SyncSpec extends SparkTestBase {
     assert(scan.rdd.getNumPartitions == 3)
     assert(scan.queryExecution.executedPlan.toString.contains("BatchScan"))
     assert(HighlightStore.read(spark, s"$dir/store").get.count() == 3)
+  }
+
+  test("incremental routes through the spool: multi-partition DSv2 scan, " +
+      "lenient timestamps parsed like the batch path") {
+    val dir = Files.createTempDirectory("graft-sync4").toString
+    val spool = s"$dir/landing-inc"
+    // a page whose timestamps use the space-separated and date-only forms
+    // datetime.fromisoformat (and try_to_timestamp) accept
+    val lenient =
+      s"""{"results":[{"user_book_id":9,"title":"B9","author":"A","category":"books",
+         |"source":"kindle","source_url":"https://b/9","highlights":[
+         |{"id":"h9","text":"lenient","note":null,"location":1,"url":null,"tags":[],
+         |"highlighted_at":"2024-02-01 08:30:00","updated_at":"2024-02-03"}]}]}"""
+        .stripMargin.replace("\n", "")
+    val pages = Seq(pageJson(1, "p1", "h1"), pageJson(2, "p2", "h2"), lenient)
+    val n = Sync.incremental(spark, clientFor(pages), s"$dir/store",
+      s"$dir/ckpt", since = Some(Instant.parse("2024-01-01T00:00:00Z")),
+      spoolDir = Some(spool))
+    assert(n.contains(3L))
+    // the increment's input is the landing zone parsed by the DSv2 source:
+    // one partition per page (executor-side parse), same as backfill
+    val files = new java.io.File(spool).listFiles().map(_.getName)
+      .filter(_.endsWith(".json")).filterNot(_.startsWith(".")).sorted
+    assert(files.toSeq == Seq("page-000000.json", "page-000001.json", "page-000002.json"))
+    val scan = spark.read.format("graft-export").load(spool)
+    assert(scan.rdd.getNumPartitions == 3)
+    assert(scan.queryExecution.executedPlan.toString.contains("BatchScan"))
+    val store = HighlightStore.read(spark, s"$dir/store").get
+    val h9 = store.filter(col("id") === "h9").head()
+    assert(h9.getAs[java.sql.Timestamp]("highlighted_at").toInstant ==
+      Instant.parse("2024-02-01T08:30:00Z"))
+    assert(h9.getAs[java.sql.Timestamp]("updated_at").toInstant ==
+      Instant.parse("2024-02-03T00:00:00Z"))
+  }
+
+  test("failed export walk does not leak an auto-created spool") {
+    val dir = Files.createTempDirectory("graft-sync5").toString
+    val ckpt = s"$dir/ckpt"
+    val boom = new ExportClient(
+      fetchPage = (_, params) => params.get("pageCursor") match {
+        case None => Page(pageJson(1, "ok", "h1"), Some("c1"))
+        case _ => throw new RuntimeException("transport died mid-walk")
+      },
+      sleep = _ => ())
+    intercept[RuntimeException] {
+      Sync.backfill(spark, boom, s"$dir/store", ckpt)
+    }
+    val leftovers = Option(new java.io.File(ckpt).listFiles()).toSeq.flatten
+      .map(_.getName).filter(_.contains("spool"))
+    assert(leftovers.isEmpty, s"leaked spool dirs: $leftovers")
   }
 
   test("incremental without watermark or since → None (backfill required)") {
