@@ -666,6 +666,23 @@ object SparkEntry {
         .na.fill(value = false, Seq("in_exact"))
         .select(col("id"), col("centroid_id"), col("score"), col("in_exact"))
         .orderBy(col("score"), col("id"))
+    }),
+
+    // ---- Jaccard dedup under the hot-shingle stoplist: 40 synthetic docs
+    //      all share one shingle (df=40 ≫ cap=10) that contributes 780
+    //      candidate pairs and zero discrimination — the df-stoplist drops
+    //      it from candidate generation, leaving only genuinely similar
+    //      pairs; real docs (max df 5) pass through untouched ----
+    "q51_jaccard_stoplist" -> ((s, dir) => {
+      val real = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val k = (col("id") / 2).cast("long").cast("string")
+      val syn = s.range(40).select((col("id") + 1000L).as("doc_id"),
+        concat(lit("spike spike spike pair"), k, lit(" pair"), k,
+          lit(" tail"), col("id").cast("string")).as("text"))
+      Dedup.jaccardPairs(real.unionByName(syn), "text", "doc_id",
+          threshold = 0.02, maxShingleDf = Some(10))
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -1302,6 +1319,35 @@ object SparkEntry {
          |  ORDER BY ${sqlCosine("v", "qv")}, id LIMIT 10)
          |SELECT h.id, h.centroid_id, h.score,
          |  (h.id IN (SELECT id FROM exact)) AS in_exact
-         |FROM hits h ORDER BY score, id""".stripMargin
+         |FROM hits h ORDER BY score, id""".stripMargin,
+
+    // the df-stoplist replicated: shingle document frequency over the
+    // union fixture, shingles with df > 10 dropped before the pair join;
+    // |A| and |B| stay the ORIGINAL shingle-set sizes (the engine's
+    // lower-bound Jaccard semantics under the stoplist)
+    "q51_jaccard_stoplist" ->
+      s"""WITH real AS (
+         |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 200),
+         |ids AS (SELECT unnest(range(40)) AS i),
+         |syn AS (SELECT i + 1000 AS id,
+         |  'spike spike spike pair' || CAST(i // 2 AS VARCHAR) ||
+         |  ' pair' || CAST(i // 2 AS VARCHAR) ||
+         |  ' tail' || CAST(i AS VARCHAR) AS text FROM ids),
+         |src AS (SELECT * FROM real UNION ALL SELECT * FROM syn),
+         |sh AS (SELECT id, ${sqlShingles("string_split(text, ' ')")} AS sh FROM src),
+         |nz AS (SELECT * FROM sh WHERE len(sh) > 0),
+         |toks AS (SELECT id, len(sh) AS n, unnest(sh) AS s FROM nz),
+         |rare AS (SELECT s FROM toks GROUP BY s HAVING count(*) <= 10),
+         |ft AS (SELECT t.id, t.n, t.s FROM toks t JOIN rare USING (s)),
+         |common AS (
+         |  SELECT a.id AS id_a, b.id AS id_b, count(*) AS c,
+         |    any_value(a.n) AS na, any_value(b.n) AS nb
+         |  FROM ft a JOIN ft b ON a.s = b.s AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) AS jaccard
+         |FROM common
+         |WHERE CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) >= 0.02
+         |ORDER BY id_a, id_b""".stripMargin
   )
 }
