@@ -23,14 +23,23 @@ trait Embedder extends Serializable {
 }
 
 /** Feature = whitespace tokens + char trigrams; each feature's poly-hash
-  * picks a bucket and a sign; L2-normalized. maxChars mirrors the
-  * reference's 8191-token truncation (core/embedding.py:49-54) as a
-  * deterministic char cap. */
-final case class HashNgramEmbedder(dim: Int = 64, maxChars: Int = 32768)
+  * picks a bucket and a sign; L2-normalized. Over-long input is truncated
+  * at a TOKEN boundary first — the reference's 8191-token cap
+  * (core/embedding.py:47-54), via [[graft.text.BpeTokenizer]] — with
+  * `maxChars` kept as a belt-and-braces guard (vacuous after token
+  * truncation: 8191 single-merge tokens stay far below 32768 chars). */
+final case class HashNgramEmbedder(dim: Int = 64, maxChars: Int = 32768,
+    maxTokens: Int = graft.text.BpeTokenizer.MaxTokens)
     extends Embedder {
 
   def embed(text: String): Array[Float] = {
-    val t = if (text.length > maxChars) text.substring(0, maxChars) else text
+    // tokens never outnumber UTF-8 bytes (merging only shrinks), and
+    // bytes ≤ 3×chars — texts provably within budget skip the tokenizer
+    val tokCapped =
+      if (text.length.toLong * 3 <= maxTokens) text
+      else graft.text.BpeTokenizer.truncateToTokens(text, maxTokens)
+    val t = if (tokCapped.length > maxChars) tokCapped.substring(0, maxChars)
+      else tokCapped
     val v = new Array[Float](dim)
     def add(feature: String): Unit = {
       val h = TextMath.polyHash(
