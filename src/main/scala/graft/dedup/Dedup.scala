@@ -57,11 +57,19 @@ object Dedup {
     val toks = maxShingleDf match {
       case None => allToks
       case Some(cap) =>
-        val rare = allToks.groupBy(col("s"))
+        // the stoplist is the HOT side: shingles with df > cap are few by
+        // definition (that's what makes them worth dropping), so aggregate
+        // document frequency (map-side partial → the shuffle carries one
+        // row per distinct shingle) and broadcast-ANTI-join the hot set —
+        // hot rows die map-side before the candidate self-join ever
+        // shuffles, so the skew the stoplist targets never reaches an
+        // exchange. (A rare-side inner join would shuffle every exploded
+        // token a second time and park all hot-key rows in one partition.)
+        val hot = allToks.groupBy(col("s"))
           .agg(count(lit(1)).as("__df"))
-          .filter(col("__df") <= cap)
+          .filter(col("__df") > cap)
           .select(col("s"))
-        allToks.join(rare, "s")
+        allToks.join(broadcast(hot), Seq("s"), "left_anti")
     }
     val common = toks.as("a")
       .join(toks.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
