@@ -65,24 +65,42 @@ object Ingest {
 /** Incremental-sync watermark checkpoint (reference `syncstate` table:
   * models/sync_state.py:7-11, jobs/incremental.py:36-47,78). At-least-once:
   * the cursor only advances after a successful batch; the keyed upsert makes
-  * reprocessing idempotent. */
+  * reprocessing idempotent.
+  *
+  * Stored through the Hadoop FileSystem API so the checkpoint can live on
+  * shared cluster storage next to the store it guards; the commit is a
+  * `FileContext.rename(OVERWRITE)` — atomic on HDFS, unlike a
+  * delete+rename pair. */
 object SyncState {
-  import java.nio.file.{Files, Paths, StandardCopyOption}
+  import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
+
+  private def conf() =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
 
   def read(path: String, service: String): Option[java.time.Instant] = {
-    val p = Paths.get(path, s"$service.watermark")
-    if (Files.exists(p))
-      Some(java.time.Instant.parse(Files.readString(p).trim))
-    else None
+    val p = new HPath(path, s"$service.watermark")
+    val fs = p.getFileSystem(conf())
+    if (!fs.exists(p)) None
+    else Some(java.time.Instant.parse(
+      scala.util.Using.resource(fs.open(p)) { in =>
+        new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+      }))
   }
 
   /** Atomic write-to-temp + rename (plain-FS upsert atomicity,
     * SURVEY.md §7.4). */
   def write(path: String, service: String, at: java.time.Instant): Unit = {
-    Files.createDirectories(Paths.get(path))
-    val tmp = Paths.get(path, s".$service.watermark.tmp")
-    Files.writeString(tmp, at.toString)
-    Files.move(tmp, Paths.get(path, s"$service.watermark"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    val dir = new HPath(path)
+    val fs = dir.getFileSystem(conf())
+    fs.mkdirs(dir)
+    val tmp = new HPath(dir, s".$service.watermark.tmp")
+    scala.util.Using.resource(fs.create(tmp, true))(
+      _.write(at.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    FileContext.getFileContext(dir.toUri, conf())
+      .rename(tmp, new HPath(dir, s"$service.watermark"),
+        Options.Rename.OVERWRITE)
   }
 }

@@ -1,9 +1,6 @@
 package graft.sync
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.time.Instant
-
-import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -18,17 +15,32 @@ import graft.sources.ExportClient
   * names the live one; the commit is ONE atomic file rename, so readers
   * always resolve a complete version — there is no window with no store
   * and a crash mid-commit leaves the previous version live (the
-  * single-file rendition of a Delta/Iceberg manifest pointer). */
+  * single-file rendition of a Delta/Iceberg manifest pointer).
+  *
+  * All pointer/listing IO goes through the Hadoop FileSystem API, so the
+  * store root can be any cluster URI (`hdfs://…`, `s3a://…`); the commit
+  * rename uses `FileContext.rename(OVERWRITE)`, which is atomic on HDFS
+  * (a bare FileSystem.rename cannot replace an existing pointer without
+  * a delete+rename window). */
 object HighlightStore {
+  import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
 
-  private def resolveCurrent(root: Path): Option[Path] = {
-    val ptr = root.resolve("CURRENT")
-    if (Files.exists(ptr)) {
-      val name = Files.readString(ptr).trim
-      Some(root.resolve(name)).filter(Files.exists(_))
+  private def fsFor(spark: SparkSession, p: HPath): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def readString(fs: FileSystem, p: HPath): String =
+    scala.util.Using.resource(fs.open(p)) { in =>
+      new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    }
+
+  private def resolveCurrent(fs: FileSystem, root: HPath): Option[HPath] = {
+    val ptr = new HPath(root, "CURRENT")
+    if (fs.exists(ptr)) {
+      val name = readString(fs, ptr).trim
+      Some(new HPath(root, name)).filter(fs.exists)
     } else {
       // pre-pointer layout compatibility
-      Some(root.resolve("current")).filter(Files.exists(_))
+      Some(new HPath(root, "current")).filter(fs.exists)
     }
   }
 
@@ -39,9 +51,10 @@ object HighlightStore {
     * `cosine_distance` into the one-pass `fp16_cosine_distance` kernel —
     * callers (search, upsert-merge) are storage-layout agnostic. */
   def read(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val root = Paths.get(dir)
-    if (!Files.isDirectory(root)) None
-    else resolveCurrent(root).map { p =>
+    val root = new HPath(dir)
+    val fs = fsFor(spark, root)
+    if (!fs.exists(root)) None
+    else resolveCurrent(fs, root).map { p =>
       val df = spark.read.parquet(p.toString)
       if (df.columns.contains(Emb16Col) && !df.columns.contains("embedding"))
         df.withColumn("embedding",
@@ -60,9 +73,10 @@ object HighlightStore {
     * bytes — half the resident footprint of caching decoded fp32, and no
     * per-request parquet decode. */
   def warm(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val root = Paths.get(dir)
-    if (!Files.isDirectory(root)) None
-    else resolveCurrent(root).map { p =>
+    val root = new HPath(dir)
+    val fs = fsFor(spark, root)
+    if (!fs.exists(root)) None
+    else resolveCurrent(fs, root).map { p =>
       val df = spark.read.parquet(p.toString).cache()
       df.count()
       df
@@ -81,8 +95,10 @@ object HighlightStore {
     * widens it back, so the mode is invisible above the store boundary. */
   def writeAtomic(df: DataFrame, dir: String,
       partitionBy: Seq[String] = Nil, fp16: Boolean = false): Unit = {
-    val root = Paths.get(dir)
-    Files.createDirectories(root)
+    val spark = df.sparkSession
+    val root = new HPath(dir)
+    val fs = fsFor(spark, root)
+    fs.mkdirs(root)
     val encoded =
       if (fp16 && df.columns.contains("embedding"))
         df.withColumn(Emb16Col, graft.functions.fp16_encode(col("embedding")))
@@ -90,31 +106,27 @@ object HighlightStore {
       else df
     // zero-padded so lexicographic order == creation order for retention
     val versionName = f"v-${System.nanoTime()}%019d"
-    val version = root.resolve(versionName)
     val writer = if (partitionBy.nonEmpty)
       encoded.write.partitionBy(partitionBy: _*) else encoded.write
-    writer.mode("overwrite").parquet(version.toString)
-    val ptrTmp = root.resolve(s".CURRENT.tmp-${System.nanoTime()}")
-    Files.writeString(ptrTmp, versionName)
-    Files.move(ptrTmp, root.resolve("CURRENT"),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    writer.mode("overwrite").parquet(new HPath(root, versionName).toString)
+    val ptrTmp = new HPath(root, s".CURRENT.tmp-${System.nanoTime()}")
+    scala.util.Using.resource(fs.create(ptrTmp, true))(
+      _.write(versionName.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    // atomic replace of the pointer, cluster-FS flavor: FileContext.rename
+    // with OVERWRITE (FileSystem.rename cannot replace an existing file)
+    FileContext.getFileContext(root.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(ptrTmp, new HPath(root, "CURRENT"), Options.Rename.OVERWRITE)
     // retention: keep the newest 2 versions — the just-superseded one stays
     // on disk as a grace period for readers that resolved it before the
     // swap and scan lazily (parquet actions run after read() returns);
     // older generations are deleted best-effort
-    val versions = scala.util.Using.resource(Files.list(root)) {
-      _.iterator().asScala.toSeq
-        .filter(_.getFileName.toString.startsWith("v-"))
-        .sortBy(_.getFileName.toString)
-    }
-    versions.dropRight(2)
-      .foreach(p => try deleteRecursively(p) catch { case _: Exception => () })
-  }
-
-  private[sync] def deleteRecursively(p: Path): Unit = {
-    if (Files.isDirectory(p))
-      scala.util.Using.resource(Files.list(p))(_.forEach(deleteRecursively))
-    Files.deleteIfExists(p)
+    fs.listStatus(root).toSeq
+      .map(_.getPath)
+      .filter(_.getName.startsWith("v-"))
+      .sortBy(_.getName)
+      .dropRight(2)
+      .foreach(p => try { fs.delete(p, true); () } catch { case _: Exception => () })
   }
 }
 
