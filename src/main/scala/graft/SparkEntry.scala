@@ -683,6 +683,17 @@ object SparkEntry {
       Dedup.jaccardPairs(real.unionByName(syn), "text", "doc_id",
           threshold = 0.02, maxShingleDf = Some(10))
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // ---- dedup groups: near-dup pairs → connected components (the step
+    //      that picks one keeper per duplicate cluster). comp = min doc_id
+    //      reachable through the Jaccard pair graph ----
+    "q52_dedup_components" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(
+        t(s, dir, "documents").filter(col("doc_id") < 200),
+        "text", "doc_id", threshold = 0.02)
+      Dedup.connectedComponents(pairs, "id_a", "id_b")
+        .orderBy(col("id"))
     })
   )
 
@@ -1348,6 +1359,27 @@ object SparkEntry {
          |  CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) AS jaccard
          |FROM common
          |WHERE CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) >= 0.02
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // q21's pair graph closed transitively (recursive CTE); comp = min
+    // reachable doc_id — the oracle form of min-label propagation
+    "q52_dedup_components" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id AS id, ${sqlShingles("string_split(text, ' ')")} AS sh
+         |  FROM documents WHERE doc_id < 200),
+         |nz AS (SELECT * FROM sh WHERE len(sh) > 0),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM nz a JOIN nz b ON a.id < b.id
+         |  WHERE CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.02),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, x) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.x)
+         |SELECT id, min(x) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin
   )
 }

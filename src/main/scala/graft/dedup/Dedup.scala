@@ -83,6 +83,53 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected near-dup pair list — the
+    * step that turns pairwise matches (Jaccard/LSH/embedding) into dedup
+    * GROUPS: every node ends up labeled with the minimum key reachable
+    * from it, so the label doubles as the group's keeper.
+    *
+    * Iterative min-label propagation: each round every node adopts the
+    * minimum label among itself and its neighbors; converges in
+    * O(component diameter) rounds (near-dup components are shallow — a
+    * hub document links its variants). Each round is one equi-join +
+    * partial-aggregated min — no driver-side graph. Labels are
+    * `localCheckpoint`ed every round: the round's result materializes and
+    * the plan truncates to a `LogicalRDD`, so plan depth — and therefore
+    * per-round analysis cost — stays CONSTANT across iterations (a
+    * cache() alone leaves the logical plan growing linearly, which turns
+    * into quadratic planning time; same lineage discipline as
+    * `Knn.trainCentroids`, applied to per-node state too large to
+    * collect). On a production cluster prefer `checkpoint()` to reliable
+    * storage for fault tolerance; the algorithm is unchanged. */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIter: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var converged = labels.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("nbr"))
+      val updated = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = updated
+        .join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") =!= col("prev")).count()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
   /** (key, mh0..mh15) MinHash signature table from word-k-gram shingles. */
   def minHashSignatures(df: DataFrame, textCol: String, keyCol: String,
       k: Int = 3): DataFrame = {

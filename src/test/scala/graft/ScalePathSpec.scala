@@ -12,6 +12,20 @@ import graft.sync.HighlightStore
 class ScalePathSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("connectedComponents: chains, triangles, and singleton pairs label to min id") {
+    // components: chain 1-2-3-4 (diameter 3), triangle 10-11-12 + spur 13,
+    // isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (12L, 13L), (20L, 21L)).toDF("id_a", "id_b")
+    val got = graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+    // empty pair set → empty labeling, no iteration
+    assert(graft.dedup.Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b").isEmpty)
+  }
+
   test("partitioned store: source_type filter prunes partitions at plan time") {
     val dir = Files.createTempDirectory("graft-part").toString
     val docs = table("documents").select(
