@@ -633,8 +633,10 @@ object SparkEntry {
     //      keeping the scored path allocation-free ----
     "q49_fp16_store_search" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
+      // dir keyed by row count so regenerated testdata invalidates the
+      // prepared store instead of being silently reused
       val storeDir = graft.fixtures.Fp16Corpus.workRoot +
-        s"/fp16store-${new java.io.File(dir).getName}"
+        s"/fp16store-${new java.io.File(dir).getName}-c${e.count()}"
       if (!new java.io.File(storeDir, "CURRENT").isFile)
         graft.sync.HighlightStore.writeAtomic(e, storeDir, fp16 = true)
       val store = graft.sync.HighlightStore.read(s, storeDir).get
@@ -653,7 +655,7 @@ object SparkEntry {
     "q50_ivf_e2e" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val indexDir = graft.fixtures.Fp16Corpus.workRoot +
-        s"/ivfindex-${new java.io.File(dir).getName}"
+        s"/ivfindex-${new java.io.File(dir).getName}-c${e.count()}"
       if (!new java.io.File(s"$indexDir/centroids/_SUCCESS").isFile)
         Knn.ivfBuildIndex(e, "embedding", "vec_id", indexDir, k = 4,
           iters = 2, trainFilter = col("vec_id") % 5 === 0)

@@ -57,19 +57,22 @@ object Dedup {
     val toks = maxShingleDf match {
       case None => allToks
       case Some(cap) =>
-        // the stoplist is the HOT side: shingles with df > cap are few by
-        // definition (that's what makes them worth dropping), so aggregate
-        // document frequency (map-side partial → the shuffle carries one
-        // row per distinct shingle) and broadcast-ANTI-join the hot set —
-        // hot rows die map-side before the candidate self-join ever
-        // shuffles, so the skew the stoplist targets never reaches an
-        // exchange. (A rare-side inner join would shuffle every exploded
-        // token a second time and park all hot-key rows in one partition.)
+        // the stoplist is the HOT side: aggregate document frequency
+        // (map-side partial → the shuffle carries one row per distinct
+        // shingle) and ANTI-join the hot set. For a well-chosen cap the
+        // hot set is small and AQE turns this into a broadcast anti-join
+        // at runtime — hot rows then die map-side before the candidate
+        // self-join ever shuffles, so the skew the stoplist targets never
+        // reaches an exchange. No broadcast() hint: if a caller picks a
+        // cap so low that "hot" spans the whole vocabulary, the join
+        // degrades to a shuffled anti-join instead of OOMing the driver.
+        // (A rare-side inner join would shuffle every exploded token a
+        // second time and park all hot-key rows in one partition.)
         val hot = allToks.groupBy(col("s"))
           .agg(count(lit(1)).as("__df"))
           .filter(col("__df") > cap)
           .select(col("s"))
-        allToks.join(broadcast(hot), Seq("s"), "left_anti")
+        allToks.join(hot, Seq("s"), "left_anti")
     }
     val common = toks.as("a")
       .join(toks.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -127,6 +130,11 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
+    // an unconverged labeling is indistinguishable from a converged one to
+    // the caller and silently splits duplicate groups — fail instead
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds " +
+        "(component diameter exceeds maxIter); raise maxIter")
     labels
   }
 

@@ -33,10 +33,24 @@ final case class HashNgramEmbedder(dim: Int = 64, maxChars: Int = 32768,
     extends Embedder {
 
   def embed(text: String): Array[Float] = {
-    // tokens never outnumber UTF-8 bytes (merging only shrinks), and
-    // bytes ≤ 3×chars — texts provably within budget skip the tokenizer
+    // tokens never outnumber UTF-8 bytes (merging only shrinks): texts
+    // provably within budget skip the tokenizer entirely. The cheap char
+    // bound (bytes ≤ 3×chars) short-circuits without touching the bytes;
+    // the exact byte count (one O(n) scan, no allocation) covers the
+    // common ASCII case up to maxTokens chars before the merge loop runs
+    def utf8Len(s: String): Long = {
+      var i = 0; var n = 0L
+      while (i < s.length) {
+        val c = s.charAt(i)
+        n += (if (c < 0x80) 1 else if (c < 0x800) 2
+          else if (Character.isHighSurrogate(c)) { i += 1; 4 } else 3)
+        i += 1
+      }
+      n
+    }
     val tokCapped =
-      if (text.length.toLong * 3 <= maxTokens) text
+      if (text.length.toLong * 3 <= maxTokens || utf8Len(text) <= maxTokens)
+        text
       else graft.text.BpeTokenizer.truncateToTokens(text, maxTokens)
     val t = if (tokCapped.length > maxChars) tokCapped.substring(0, maxChars)
       else tokCapped

@@ -52,7 +52,9 @@ object Fp16Corpus {
     * embedding probing its own stored copy). */
   def probe: Array[Float] = vector(0L)
 
-  /** Root for prepared fixture data; override with SPARK_GRAFT_WORK. */
+  /** Root for prepared fixture data; override with SPARK_GRAFT_WORK.
+    * LOCAL-filesystem only (existence checks use java.io) — this is bench/
+    * verify fixture plumbing, not a production surface. */
   def workRoot: String = sys.env.getOrElse("SPARK_GRAFT_WORK", "/tmp/graft-prep")
 
   /** Prepared corpus `(vec_id BIGINT, emb16 BINARY)` of `n` rows, written

@@ -68,11 +68,11 @@ object Ingest {
   * reprocessing idempotent.
   *
   * Stored through the Hadoop FileSystem API so the checkpoint can live on
-  * shared cluster storage next to the store it guards; the commit is a
-  * `FileContext.rename(OVERWRITE)` — atomic on HDFS, unlike a
-  * delete+rename pair. */
+  * shared cluster storage next to the store it guards; the commit goes
+  * through [[graft.sync.FsUtil.atomicReplace]] (java.nio ATOMIC_MOVE on
+  * local filesystems, FileContext OVERWRITE rename on HDFS). */
 object SyncState {
-  import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
+  import org.apache.hadoop.fs.{Path => HPath}
 
   private def conf() =
     org.apache.spark.sql.SparkSession.getActiveSession
@@ -99,8 +99,7 @@ object SyncState {
     val tmp = new HPath(dir, s".$service.watermark.tmp")
     scala.util.Using.resource(fs.create(tmp, true))(
       _.write(at.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    FileContext.getFileContext(dir.toUri, conf())
-      .rename(tmp, new HPath(dir, s"$service.watermark"),
-        Options.Rename.OVERWRITE)
+    graft.sync.FsUtil.atomicReplace(fs, conf(), tmp,
+      new HPath(dir, s"$service.watermark"))
   }
 }

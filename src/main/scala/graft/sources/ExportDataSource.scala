@@ -103,6 +103,24 @@ final class ExportScanBuilder(path: String)
 
 final case class PageFilePartition(file: String) extends InputPartition
 
+/** Hadoop `Configuration` is not `Serializable`; this carries the DRIVER's
+  * configuration (including `spark.hadoop.*` overrides like object-store
+  * credentials) to executor-side [[PageReader]]s via Hadoop's own
+  * Writable serialization — a bare `new Configuration()` on the executor
+  * would only see whatever site files happen to be on its classpath. */
+final class SerializableHadoopConf(@transient var value:
+    org.apache.hadoop.conf.Configuration) extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new org.apache.hadoop.conf.Configuration(false)
+    value.readFields(in)
+  }
+}
+
 final class ExportScan(path: String, required: StructType)
     extends Scan with Batch {
   override def readSchema(): StructType = required
@@ -111,7 +129,8 @@ final class ExportScan(path: String, required: StructType)
     ExportScan.listPages(path)
       .map(p => PageFilePartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    new ExportReaderFactory(required)
+    new ExportReaderFactory(required, new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new ExportMicroBatchStream(path, required)
@@ -176,13 +195,16 @@ final class ExportMicroBatchStream(path: String, required: StructType)
       .map(p => PageFilePartition(p): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new ExportReaderFactory(required)
+    new ExportReaderFactory(required, new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration))
 }
 
-final class ExportReaderFactory(required: StructType)
+final class ExportReaderFactory(required: StructType,
+    conf: SerializableHadoopConf)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new PageReader(partition.asInstanceOf[PageFilePartition].file, required)
+    new PageReader(partition.asInstanceOf[PageFilePartition].file, required,
+      conf)
 }
 
 /** Parses one page file: iterate results[*].highlights[*], project only the
@@ -190,13 +212,13 @@ final class ExportReaderFactory(required: StructType)
   * opened through the Hadoop FileSystem API (default `Configuration` —
   * cluster nodes resolve `hdfs://`/`s3a://` from their classpath config,
   * local mode resolves plain paths against the local FS). */
-final class PageReader(file: String, required: StructType)
-    extends PartitionReader[InternalRow] {
+final class PageReader(file: String, required: StructType,
+    conf: SerializableHadoopConf) extends PartitionReader[InternalRow] {
 
   private val mapper = new ObjectMapper()
   private val rows: Iterator[InternalRow] = {
     val p = new org.apache.hadoop.fs.Path(file)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf.value)
     val body = scala.util.Using.resource(fs.open(p)) { in =>
       new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
     }

@@ -19,11 +19,11 @@ import graft.sources.ExportClient
   *
   * All pointer/listing IO goes through the Hadoop FileSystem API, so the
   * store root can be any cluster URI (`hdfs://…`, `s3a://…`); the commit
-  * rename uses `FileContext.rename(OVERWRITE)`, which is atomic on HDFS
-  * (a bare FileSystem.rename cannot replace an existing pointer without
-  * a delete+rename window). */
+  * rename goes through [[FsUtil.atomicReplace]] — java.nio ATOMIC_MOVE on
+  * local filesystems (where Hadoop's own overwrite-rename degrades to
+  * delete+rename), FileContext OVERWRITE rename on HDFS. */
 object HighlightStore {
-  import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path => HPath}
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 
   private def fsFor(spark: SparkSession, p: HPath): FileSystem =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -112,11 +112,8 @@ object HighlightStore {
     val ptrTmp = new HPath(root, s".CURRENT.tmp-${System.nanoTime()}")
     scala.util.Using.resource(fs.create(ptrTmp, true))(
       _.write(versionName.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    // atomic replace of the pointer, cluster-FS flavor: FileContext.rename
-    // with OVERWRITE (FileSystem.rename cannot replace an existing file)
-    FileContext.getFileContext(root.toUri,
-        spark.sparkContext.hadoopConfiguration)
-      .rename(ptrTmp, new HPath(root, "CURRENT"), Options.Rename.OVERWRITE)
+    FsUtil.atomicReplace(fs, spark.sparkContext.hadoopConfiguration,
+      ptrTmp, new HPath(root, "CURRENT"))
     // retention: keep the newest 2 versions — the just-superseded one stays
     // on disk as a grace period for readers that resolved it before the
     // swap and scan lazily (parquet actions run after read() returns);
@@ -150,20 +147,29 @@ object Sync {
     * is what makes the landing zone readable by executors on a real
     * cluster. One file per page, atomic temp+rename, zero-padded names so
     * filename order == page order (the contract the micro-batch source's
-    * name-watermark offsets rely on). Returns the page count. */
+    * name-watermark offsets rely on). Numbering CONTINUES past any pages
+    * already in the directory — a reused `spoolDir` (the documented way
+    * to keep a landing zone the streaming source tails) must append with
+    * names that sort ABOVE the stream's watermark, never overwrite.
+    * Returns the page count of this run. */
   private def spoolPages(spark: SparkSession, pages: Iterator[String],
       spoolDir: String): Int = {
     val dir = new org.apache.hadoop.fs.Path(spoolDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
+    val PageName = raw"page-(\d{6})\.json".r
+    var next = fs.listStatus(dir).iterator.map(_.getPath.getName).collect {
+      case PageName(idx) => idx.toInt + 1
+    }.maxOption.getOrElse(0)
     var n = 0
     pages.foreach { body =>
-      val tmp = new org.apache.hadoop.fs.Path(dir, f".page-$n%06d.tmp")
+      val tmp = new org.apache.hadoop.fs.Path(dir, f".page-$next%06d.tmp")
       val out = fs.create(tmp, true)
       try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, f"page-$n%06d.json")))
-        throw new java.io.IOException(s"spool rename failed for page $n")
+      if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, f"page-$next%06d.json")))
+        throw new java.io.IOException(s"spool rename failed for page $next")
+      next += 1
       n += 1
     }
     n

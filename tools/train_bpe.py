@@ -26,13 +26,15 @@ import duckdb
 N_MERGES = int(sys.argv[1]) if len(sys.argv) > 1 else 800
 
 # the cl100k_base pretokenizer pattern (public, from the tiktoken repo),
-# with stdlib-re spellings: \p{L} -> [^\W\d_], \p{N} -> \d. MUST match
-# graft.text.BpeTokenizer.Pretoken (java.util.regex supports \p{L}
-# natively; the classes agree on ASCII + common Unicode letters).
+# with stdlib-re spellings matching graft.text.BpeTokenizer.Pretoken:
+# \p{L} -> [^\W\d_]; the "not letter/digit" prefix and punctuation-run
+# classes must ADMIT '_' (underscore is \w in stdlib re but neither \p{L}
+# nor \p{N} in java.util.regex), hence the explicit |_ alternatives.
+# \d vs \p{N} differ only on non-decimal numerals (rare in the corpus).
 L = r"[^\W\d_]"
 PAT = re.compile(
-    rf"""'(?i:[sdmt]|ll|ve|re)|[^\w\r\n]?{L}+|\d{{1,3}}"""
-    rf"""| ?[^\s\w]+[\r\n]*|\s*[\r\n]|\s+(?!\S)|\s+""",
+    rf"""'(?i:[sdmt]|ll|ve|re)|(?:[^\w\r\n]|_)?{L}+|\d{{1,3}}"""
+    rf"""| ?(?:[^\s\w]|_)+[\r\n]*|\s*[\r\n]|\s+(?!\S)|\s+""",
 )
 
 texts = [r[0] for r in duckdb.sql(
