@@ -62,13 +62,18 @@ object Cli {
             System.err.println("sync requires --pages-dir, --store, --ckpt")
             return 2
         }
+      // --fp16: persist embeddings half-precision (the reference's HALFVEC
+      // at-rest layout); reads widen transparently, searches stay fused
+      val fp16 = rest.contains("--fp16")
       if (rest.contains("--backfill")) {
-        val n = Sync.backfill(spark, dirClient(pagesDir), store, ckpt)
+        val n = Sync.backfill(spark, dirClient(pagesDir), store, ckpt,
+          fp16 = fp16)
         println(Json.write(Map("synced" -> n, "mode" -> "backfill")))
         0
       } else {
         val since = f.get("since").map(java.time.Instant.parse)
-        Sync.incremental(spark, dirClient(pagesDir), store, ckpt, since) match {
+        Sync.incremental(spark, dirClient(pagesDir), store, ckpt, since,
+            fp16 = fp16) match {
           case Some(n) =>
             println(Json.write(Map("synced" -> n, "mode" -> "incremental")))
             0
@@ -111,9 +116,11 @@ object Cli {
         case None =>
           System.err.println(s"no highlight store at $store"); 1
         case Some(df) =>
-          val cached = df.cache()
-          cached.count() // materialize before first request
-          val gw = new SearchGateway(cached)
+          // pin the AT-REST relation (encoded bytes for an fp16 store):
+          // request plans hit the cache as a subplan and score through the
+          // fused kernel, at half the resident footprint of decoded fp32
+          HighlightStore.warm(spark, store)
+          val gw = new SearchGateway(df)
           val http = new HttpApi(gw.search, () => Health.check(spark),
             port = f.get("http-port").map(_.toInt).getOrElse(8000)).start()
           val mcp = new McpServer(gw.search,

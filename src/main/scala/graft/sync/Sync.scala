@@ -206,7 +206,7 @@ object Sync {
   def backfill(spark: SparkSession, client: ExportClient, storeDir: String,
       checkpointDir: String, embedder: Embedder = Embedder.Default,
       now: () => Instant = () => Instant.now(),
-      spoolDir: Option[String] = None): Long =
+      spoolDir: Option[String] = None, fp16: Boolean = false): Long =
     timed {
       val spool = spoolDir.getOrElse(
         s"$checkpointDir/backfill-spool-${System.nanoTime()}")
@@ -218,7 +218,7 @@ object Sync {
             case Some(existing) => Ingest.upsert(existing, fresh, "id", "version")
             case None => fresh
           }
-          HighlightStore.writeAtomic(merged, storeDir)
+          HighlightStore.writeAtomic(merged, storeDir, fp16 = fp16)
           SyncState.write(checkpointDir, ServiceName, now())
           val n = fresh.count()
           graft.serve.Metrics.counter("rows_synced_total").inc(n)
@@ -249,7 +249,7 @@ object Sync {
       checkpointDir: String, since: Option[Instant] = None,
       embedder: Embedder = Embedder.Default,
       now: () => Instant = () => Instant.now(),
-      spoolDir: Option[String] = None): Option[Long] = {
+      spoolDir: Option[String] = None, fp16: Boolean = false): Option[Long] = {
     val effectiveSince = since.orElse(SyncState.read(checkpointDir, ServiceName))
     effectiveSince.map { s =>
       timed {
@@ -263,7 +263,7 @@ object Sync {
               case Some(existing) => Ingest.upsert(existing, fresh, "id", "version")
               case None => fresh
             }
-            HighlightStore.writeAtomic(merged, storeDir)
+            HighlightStore.writeAtomic(merged, storeDir, fp16 = fp16)
             val n = fresh.count()
             // advance once, at the end (at-least-once; incremental.py:78)
             SyncState.write(checkpointDir, ServiceName, now())

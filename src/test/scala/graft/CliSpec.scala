@@ -51,4 +51,25 @@ class CliSpec extends SparkTestBase {
     assert(capture(Cli.run(Array("search", "q"), spark))._1 == 2)
     assert(capture(Cli.run(Array("frobnicate"), spark))._1 == 2)
   }
+
+  test("sync --fp16 stores emb16 at rest; search serves it through the fused path") {
+    val dir = Files.createTempDirectory("graft-cli16").toString
+    val pages = s"$dir/pages"
+    Files.createDirectories(java.nio.file.Paths.get(pages))
+    Files.writeString(java.nio.file.Paths.get(pages, "page0.json"),
+      pageJson("h1", "vector search with half precision storage"))
+
+    val (c1, _) = capture(Cli.run(Array("sync", "--backfill", "--fp16",
+      "--pages-dir", pages, "--store", s"$dir/store", "--ckpt", s"$dir/ckpt"), spark))
+    assert(c1 == 0)
+    // at rest: emb16 BINARY, no fp32 embedding column
+    val current = Files.readString(
+      java.nio.file.Paths.get(s"$dir/store", "CURRENT")).trim
+    val raw = spark.read.parquet(s"$dir/store/$current")
+    assert(raw.columns.contains("emb16") && !raw.columns.contains("embedding"))
+    // search round-trips through the transparent decode
+    val (c2, out2) = capture(Cli.run(Array("search", "half precision",
+      "--k", "1", "--store", s"$dir/store"), spark))
+    assert(c2 == 0 && out2.contains("\"id\":\"h1\""))
+  }
 }
