@@ -22,19 +22,27 @@ private[graft] object FsUtil {
   def atomicReplace(fs: FileSystem, conf: Configuration,
       src: HPath, dst: HPath): Unit = fs match {
     case _: LocalFileSystem | _: RawLocalFileSystem =>
-      java.nio.file.Files.move(
-        java.nio.file.Paths.get(fs.makeQualified(src).toUri.getPath),
-        java.nio.file.Paths.get(fs.makeQualified(dst).toUri.getPath),
+      def local(p: HPath) =
+        java.nio.file.Paths.get(fs.makeQualified(p).toUri.getPath)
+      def crcOf(p: HPath) = new HPath(p.getParent, s".${p.getName}.crc")
+      // ChecksumFileSystem keeps `.name.crc` sidecars that java.nio moves
+      // bypass; a stale destination sidecar would fail every later read
+      // with ChecksumException. Ordering keeps dst readable at every
+      // crash point: (1) drop dst's old sidecar (dst data still old, now
+      // unverified but valid), (2) atomically swap the data, (3) carry
+      // src's matching sidecar over (best-effort — absence just means
+      // unverified reads).
+      try { fs.delete(crcOf(dst), false); () } catch { case _: Exception => () }
+      java.nio.file.Files.move(local(src), local(dst),
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      // drop the checksum sidecar the ChecksumFileSystem wrote for the
-      // temp name — the moved file's data is already on disk
-      fs match {
-        case _: LocalFileSystem =>
-          val crc = new HPath(src.getParent, s".${src.getName}.crc")
-          try { fs.delete(crc, false); () } catch { case _: Exception => () }
-        case _ => ()
-      }
+      try {
+        val srcCrc = local(crcOf(src))
+        if (java.nio.file.Files.exists(srcCrc))
+          java.nio.file.Files.move(srcCrc, local(crcOf(dst)),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case _: Exception => () }
     case _ =>
       FileContext.getFileContext(dst.toUri, conf)
         .rename(src, dst, Options.Rename.OVERWRITE)

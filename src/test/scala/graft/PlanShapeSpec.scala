@@ -46,6 +46,13 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected a single hash exchange on user_id, saw $shuffles")
   }
 
+  test("q51: df-stoplist plans as a LEFT ANTI equi join, no cartesian") {
+    val p = plan("q51_jaccard_stoplist")
+    assert(p.contains("LeftAnti"), s"stoplist not an anti join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      "stoplist or candidate join degenerated to a non-equi join")
+  }
+
   test("q23: LSH bands join is an equi hash join, not nested-loop") {
     val p = plan("q23_lsh_pairs")
     assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))

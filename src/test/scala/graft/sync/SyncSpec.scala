@@ -188,6 +188,31 @@ class SyncSpec extends SparkTestBase {
     assert(leftovers.isEmpty, s"leaked spool dirs: $leftovers")
   }
 
+  test("FsUtil.atomicReplace swaps an existing destination on local FS") {
+    val dir = Files.createTempDirectory("graft-fsutil")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir.toString)
+    val fs = root.getFileSystem(conf)
+    def put(name: String, body: String): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(root, name)
+      scala.util.Using.resource(fs.create(p, true))(_.write(body.getBytes("UTF-8")))
+      p
+    }
+    val dst = put("CURRENT", "v-old")
+    val tmp = put(".CURRENT.tmp", "v-new")
+    FsUtil.atomicReplace(fs, conf, tmp, dst)
+    val got = scala.util.Using.resource(fs.open(dst))(in =>
+      new String(in.readAllBytes(), "UTF-8"))
+    assert(got == "v-new")
+    assert(!fs.exists(tmp))
+    // a second replace over the now-existing dst also succeeds (the case
+    // Hadoop's local rename cannot do without a delete+rename window)
+    val tmp2 = put(".CURRENT.tmp2", "v-newer")
+    FsUtil.atomicReplace(fs, conf, tmp2, dst)
+    assert(scala.util.Using.resource(fs.open(dst))(in =>
+      new String(in.readAllBytes(), "UTF-8")) == "v-newer")
+  }
+
   test("incremental without watermark or since → None (backfill required)") {
     val dir = Files.createTempDirectory("graft-sync2").toString
     val r = Sync.incremental(spark, clientFor(Seq(pageJson(1, "x", "h1"))),
