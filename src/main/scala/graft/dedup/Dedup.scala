@@ -91,19 +91,23 @@ object Dedup {
     * GROUPS: every node ends up labeled with the minimum key reachable
     * from it, so the label doubles as the group's keeper.
     *
-    * Iterative min-label propagation: each round every node adopts the
-    * minimum label among itself and its neighbors; converges in
-    * O(component diameter) rounds (near-dup components are shallow — a
-    * hub document links its variants). Each round is one equi-join +
-    * partial-aggregated min — no driver-side graph. Labels are
-    * `localCheckpoint`ed every round: the round's result materializes and
-    * the plan truncates to a `LogicalRDD`, so plan depth — and therefore
-    * per-round analysis cost — stays CONSTANT across iterations (a
-    * cache() alone leaves the logical plan growing linearly, which turns
-    * into quadratic planning time; same lineage discipline as
-    * `Knn.trainCentroids`, applied to per-node state too large to
-    * collect). On a production cluster prefer `checkpoint()` to reliable
-    * storage for fault tolerance; the algorithm is unchanged. */
+    * Iterative min-label propagation WITH pointer jumping: each round
+    * every node adopts the minimum label among itself and its neighbors,
+    * then follows its label one extra hop (`comp ← comp(comp)` — labels
+    * only decrease, so the jump is always sound). Propagation alone needs
+    * O(component diameter) rounds; the jump halves remaining distances
+    * each round, so convergence is O(log diameter) — a 1000-hop revision
+    * chain converges in ~10 rounds instead of 1000 full-corpus passes.
+    * Each round is two equi-joins + a partial-aggregated min — no
+    * driver-side graph. Labels are `localCheckpoint`ed every round: the
+    * round's result materializes and the plan truncates to a
+    * `LogicalRDD`, so plan depth — and therefore per-round analysis
+    * cost — stays CONSTANT across iterations (a cache() alone leaves the
+    * logical plan growing linearly, which turns into quadratic planning
+    * time; same lineage discipline as `Knn.trainCentroids`, applied to
+    * per-node state too large to collect). On a production cluster
+    * prefer `checkpoint()` to reliable storage for fault tolerance; the
+    * algorithm is unchanged. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
     val edges = pairs
@@ -119,9 +123,17 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("comp")).as("nbr"))
-      val updated = labels.join(nbrMin, Seq("id"), "left")
+      val propagated = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
+        .localCheckpoint() // feeds both sides of the jump join below
+      // pointer jump: comp ← comp(comp); comp ≤ id throughout, so the
+      // looked-up label can only be smaller
+      val updated = propagated.as("x")
+        .join(propagated.select(col("id").as("comp"),
+          col("comp").as("jump")).as("y"), Seq("comp"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"))
         .localCheckpoint()
       val changed = updated
         .join(labels.withColumnRenamed("comp", "prev"), "id")

@@ -26,6 +26,16 @@ class ScalePathSpec extends SparkTestBase {
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"), "id_a", "id_b").isEmpty)
   }
 
+  test("connectedComponents: pointer jumping converges a deep chain in O(log d) rounds") {
+    // a 60-hop revision chain: plain propagation needs 60 rounds — far
+    // past maxIter — pointer jumping needs ~log2(60) ≈ 6
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = graft.dedup.Dedup.connectedComponents(chain, "id_a", "id_b",
+      maxIter = 12).collect()
+    assert(got.length == 61)
+    assert(got.forall(_.getLong(1) == 0L))
+  }
+
   test("partitioned store: source_type filter prunes partitions at plan time") {
     val dir = Files.createTempDirectory("graft-part").toString
     val docs = table("documents").select(
