@@ -696,6 +696,26 @@ object SparkEntry {
         "text", "doc_id", threshold = 0.02)
       Dedup.connectedComponents(pairs, "id_a", "id_b")
         .orderBy(col("id"))
+    }),
+
+    // ---- bucketed co-located fact-fact join: both sides pre-bucketed on
+    //      the orderkey (8 buckets, sorted), so the join runs with NO
+    //      Exchange on either side — shuffle paid once at layout time,
+    //      not per query. Revenue per customer over the bucketed join ----
+    "q53_bucketed_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("graft_bucketed_lineitem_src")
+      o.createOrReplaceTempView("graft_bucketed_orders_src")
+      val (ob, lb) = graft.fixtures.Bucketed.ordersLineitem(s, dir, o.count())
+      // MERGE hint: at 100 TB neither fact side broadcasts; local SFs are
+      // small enough that Spark would broadcast orders and ignore the
+      // bucket layout this query exists to exercise
+      ob.hint("merge").join(lb, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("o_custkey"))
     })
   )
 
@@ -1382,6 +1402,16 @@ object SparkEntry {
          |  SELECT DISTINCT src, src FROM edges
          |  UNION
          |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.x)
-         |SELECT id, min(x) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin
+         |SELECT id, min(x) AS comp FROM reach GROUP BY id ORDER BY id""".stripMargin,
+
+    // bucketing is a storage-layout decision, invisible to semantics:
+    // the oracle is the plain join
+    "q53_bucketed_join" ->
+      s"""SELECT o_custkey,
+         |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+         |    AS DECIMAL(25,6))) AS DOUBLE) AS DOUBLE) AS revenue,
+         |  CAST(COUNT(*) AS BIGINT) AS n_items
+         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
   )
 }

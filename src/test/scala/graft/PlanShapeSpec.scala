@@ -46,6 +46,18 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected a single hash exchange on user_id, saw $shuffles")
   }
 
+  test("q53: bucketed join reads bucket files with no Exchange below the join") {
+    val p = plan("q53_bucketed_join")
+    // both scans carry the bucket spec...
+    assert(p.split("SelectedBucketsCount: 8", -1).length - 1 == 2,
+      s"expected two bucketed scans:\n$p")
+    assert(p.contains("SortMergeJoin"), s"not a sort-merge join:\n$p")
+    // ...and the ONLY shuffle in the whole plan is the post-join groupBy —
+    // the join itself is co-located by layout
+    assert(p.split("Exchange hashpartitioning", -1).length - 1 == 1,
+      s"bucketed join still shuffles:\n$p")
+  }
+
   test("q51: df-stoplist plans as a LEFT ANTI equi join, no cartesian") {
     val p = plan("q51_jaccard_stoplist")
     assert(p.contains("LeftAnti"), s"stoplist not an anti join:\n$p")
