@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the bench JVM holds ~2 GB of cached serving-store
+  // relations (fp16 corpus + encoded store) across 3 timed passes of 53
+  // queries; at 8g the later iterative queries ran under GC/execution-
+  // memory pressure (q46-q50 measurably slower late in the run)
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

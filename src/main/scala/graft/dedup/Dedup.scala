@@ -123,17 +123,18 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("comp")).as("nbr"))
-      val propagated = labels.join(nbrMin, Seq("id"), "left")
+      // one fused update per round: comp ← min(comp, neighbor comps,
+      // comp(comp)) — the pointer jump reads the PREVIOUS round's labels
+      // (simultaneous update), which keeps a single materialization per
+      // round while still halving remaining distances each round
+      val updated = labels
+        .join(nbrMin, Seq("id"), "left")
+        .join(labels.select(col("id").as("__jid"),
+          col("comp").as("jumped")), col("comp") === col("__jid"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("nbr"), col("comp"))).as("comp"))
-        .localCheckpoint() // feeds both sides of the jump join below
-      // pointer jump: comp ← comp(comp); comp ≤ id throughout, so the
-      // looked-up label can only be smaller
-      val updated = propagated.as("x")
-        .join(propagated.select(col("id").as("comp"),
-          col("comp").as("jump")).as("y"), Seq("comp"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"))
+          least(col("comp"),
+            least(coalesce(col("nbr"), col("comp")),
+              coalesce(col("jumped"), col("comp")))).as("comp"))
         .localCheckpoint()
       val changed = updated
         .join(labels.withColumnRenamed("comp", "prev"), "id")
