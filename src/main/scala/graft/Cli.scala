@@ -115,12 +115,12 @@ object Cli {
       HighlightStore.read(spark, store) match {
         case None =>
           System.err.println(s"no highlight store at $store"); 1
-        case Some(df) =>
-          // pin the AT-REST relation (encoded bytes for an fp16 store):
-          // request plans hit the cache as a subplan and score through the
-          // fused kernel, at half the resident footprint of decoded fp32
-          HighlightStore.warm(spark, store)
-          val gw = new SearchGateway(df)
+        case Some(_) =>
+          // readWarm pins the AT-REST relation (encoded bytes for an fp16
+          // store) and builds the serving frame over the SAME resolved
+          // version — request plans hit the cache as a subplan and score
+          // through the fused kernel at half the fp32 resident footprint
+          val gw = new SearchGateway(HighlightStore.readWarm(spark, store).get)
           val http = new HttpApi(gw.search, () => Health.check(spark),
             port = f.get("http-port").map(_.toInt).getOrElse(8000)).start()
           val mcp = new McpServer(gw.search,

@@ -29,8 +29,7 @@ object LatencyProbe {
         graft.functions.fp16_decode(col("emb16")).as("embedding"))
       graft.sync.HighlightStore.writeAtomic(fp32, storeDir, fp16 = true)
     }
-    graft.sync.HighlightStore.warm(spark, storeDir)
-    val store = graft.sync.HighlightStore.read(spark, storeDir).get
+    val store = graft.sync.HighlightStore.readWarm(spark, storeDir).get
     val gw = new graft.serve.SearchGateway(
       store, graft.embed.HashNgramEmbedder(dim = 3072))
     val reqs = sys.env.getOrElse("LATENCY_REQS", "100").toInt

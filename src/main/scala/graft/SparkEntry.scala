@@ -703,10 +703,8 @@ object SparkEntry {
     //      Exchange on either side — shuffle paid once at layout time,
     //      not per query. Revenue per customer over the bucketed join ----
     "q53_bucketed_join" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      t(s, dir, "lineitem").createOrReplaceTempView("graft_bucketed_lineitem_src")
-      o.createOrReplaceTempView("graft_bucketed_orders_src")
-      val (ob, lb) = graft.fixtures.Bucketed.ordersLineitem(s, dir, o.count())
+      val (ob, lb) = graft.fixtures.Bucketed.ordersLineitem(s, dir,
+        t(s, dir, "orders"), t(s, dir, "lineitem"))
       // MERGE hint: at 100 TB neither fact side broadcasts; local SFs are
       // small enough that Spark would broadcast orders and ignore the
       // bucket layout this query exists to exercise
@@ -1408,8 +1406,8 @@ object SparkEntry {
     // the oracle is the plain join
     "q53_bucketed_join" ->
       s"""SELECT o_custkey,
-         |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-         |    AS DECIMAL(25,6))) AS DOUBLE) AS DOUBLE) AS revenue,
+         |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+         |    AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
          |  CAST(COUNT(*) AS BIGINT) AS n_items
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
          |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin

@@ -13,39 +13,55 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * organization once at write time, skip the shuffle on every read.
   *
   * Catalog entries are per-session (in-memory catalog); the DATA persists
-  * under [[Fp16Corpus.workRoot]] keyed by (sf, row count), and a new
-  * session re-registers an external bucketed table over the existing
-  * files instead of rewriting them.
+  * under [[Fp16Corpus.workRoot]] keyed by (sf, both row counts), and a
+  * new session re-registers an external bucketed table over the existing
+  * files instead of rewriting them. A partial write (no `_SUCCESS`, e.g.
+  * a killed JVM mid-CTAS) is deleted and rewritten — CTAS refuses
+  * non-empty locations, so a leftover dir would otherwise wedge the
+  * fixture permanently.
   */
 object Bucketed {
 
+  private def deleteDir(d: File): Unit = {
+    Option(d.listFiles()).toSeq.flatten.foreach(deleteDir)
+    d.delete(); ()
+  }
+
   private def ensureTable(s: SparkSession, table: String, location: String,
-      schema: String, bucketCol: String, select: String): DataFrame = {
+      schema: String, bucketCol: String, src: DataFrame): DataFrame = {
     if (!s.catalog.tableExists(table)) {
       val spec = s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO 8 BUCKETS"
-      if (new File(location, "_SUCCESS").isFile)
+      val loc = new File(location)
+      if (new File(loc, "_SUCCESS").isFile)
         s.sql(s"""CREATE TABLE $table ($schema) USING parquet $spec
                  |LOCATION '$location'""".stripMargin)
-      else
+      else {
+        if (loc.exists()) deleteDir(loc) // partial write from a killed JVM
+        val view = s"${table}_src"
+        src.createOrReplaceTempView(view)
         s.sql(s"""CREATE TABLE $table USING parquet $spec
-                 |LOCATION '$location' AS $select""".stripMargin)
+                 |LOCATION '$location' AS SELECT * FROM $view""".stripMargin)
+      }
     }
     s.table(table)
   }
 
-  /** (orders, lineitem) bucketed on the orderkey. `ordersView` /
-    * `lineitemView` must be registered temp views over the sf tables. */
-  def ordersLineitem(s: SparkSession, sfDir: String, cnt: Long)
-      : (DataFrame, DataFrame) = {
+  /** (orders, lineitem) bucketed on the orderkey, built from the given
+    * source frames (column set fixed to the join's needs). */
+  def ordersLineitem(s: SparkSession, sfDir: String,
+      orders: DataFrame, lineitem: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    val oSrc = orders.select(col("o_orderkey"), col("o_custkey"))
+    val lSrc = lineitem.select(col("l_orderkey"), col("l_extendedprice"),
+      col("l_discount"))
     val tag = new File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
-    val root = s"${Fp16Corpus.workRoot}/bucketed-$tag-c$cnt"
-    val o = ensureTable(s, s"orders_bkt_${tag}_c$cnt", s"$root/orders",
-      "o_orderkey BIGINT, o_custkey BIGINT", "o_orderkey",
-      "SELECT o_orderkey, o_custkey FROM graft_bucketed_orders_src")
-    val l = ensureTable(s, s"lineitem_bkt_${tag}_c$cnt", s"$root/lineitem",
+    val key = s"${tag}_c${oSrc.count()}_${lSrc.count()}"
+    val root = s"${Fp16Corpus.workRoot}/bucketed-$key"
+    val o = ensureTable(s, s"orders_bkt_$key", s"$root/orders",
+      "o_orderkey BIGINT, o_custkey BIGINT", "o_orderkey", oSrc)
+    val l = ensureTable(s, s"lineitem_bkt_$key", s"$root/lineitem",
       "l_orderkey BIGINT, l_extendedprice DOUBLE, l_discount DOUBLE",
-      "l_orderkey",
-      "SELECT l_orderkey, l_extendedprice, l_discount FROM graft_bucketed_lineitem_src")
+      "l_orderkey", lSrc)
     (o, l)
   }
 }

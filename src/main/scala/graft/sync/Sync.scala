@@ -54,17 +54,35 @@ object HighlightStore {
     val root = new HPath(dir)
     val fs = fsFor(spark, root)
     if (!fs.exists(root)) None
-    else resolveCurrent(fs, root).map { p =>
-      val df = spark.read.parquet(p.toString)
-      if (df.columns.contains(Emb16Col) && !df.columns.contains("embedding"))
-        df.withColumn("embedding",
-          graft.functions.fp16_decode(col(Emb16Col))).drop(Emb16Col)
-      else df
-    }
+    else resolveCurrent(fs, root).map(p => widen(spark.read.parquet(p.toString)))
   }
 
   /** At-rest name of the half-precision-encoded embedding column. */
   val Emb16Col = "emb16"
+
+  /** Whether the live store version is half-precision at rest. */
+  def isFp16(spark: SparkSession, dir: String): Boolean = {
+    val root = new HPath(dir)
+    val fs = fsFor(spark, root)
+    fs.exists(root) && resolveCurrent(fs, root).exists(p =>
+      spark.read.parquet(p.toString).columns.contains(Emb16Col))
+  }
+
+  /** [[warm]] + decode over the SAME resolved version — a serving process
+    * must not resolve the pointer twice (a sync commit between the two
+    * resolutions would pin one version in cache while the gateway plans
+    * over another, and retention eventually deletes the unpinned one
+    * under the long-lived reader). */
+  def readWarm(spark: SparkSession, dir: String): Option[DataFrame] =
+    warm(spark, dir).map(widen)
+
+  /** Surface an fp16 store's at-rest `emb16` as `embedding` (no-op for
+    * fp32 stores). */
+  private def widen(df: DataFrame): DataFrame =
+    if (df.columns.contains(Emb16Col) && !df.columns.contains("embedding"))
+      df.withColumn("embedding",
+        graft.functions.fp16_decode(col(Emb16Col))).drop(Emb16Col)
+    else df
 
   /** Pin the live version's AT-REST relation in the session cache and
     * return it. Serving plans built via [[read]] hit this as a subplan
@@ -218,7 +236,10 @@ object Sync {
             case Some(existing) => Ingest.upsert(existing, fresh, "id", "version")
             case None => fresh
           }
-          HighlightStore.writeAtomic(merged, storeDir, fp16 = fp16)
+          // the at-rest mode is a property of the STORE, not of one run:
+          // an fp16 store stays fp16 even when a later sync omits the flag
+          HighlightStore.writeAtomic(merged, storeDir,
+            fp16 = fp16 || HighlightStore.isFp16(spark, storeDir))
           SyncState.write(checkpointDir, ServiceName, now())
           val n = fresh.count()
           graft.serve.Metrics.counter("rows_synced_total").inc(n)
@@ -263,7 +284,9 @@ object Sync {
               case Some(existing) => Ingest.upsert(existing, fresh, "id", "version")
               case None => fresh
             }
-            HighlightStore.writeAtomic(merged, storeDir, fp16 = fp16)
+            // sticky at-rest mode (see backfill)
+            HighlightStore.writeAtomic(merged, storeDir,
+              fp16 = fp16 || HighlightStore.isFp16(spark, storeDir))
             val n = fresh.count()
             // advance once, at the end (at-least-once; incremental.py:78)
             SyncState.write(checkpointDir, ServiceName, now())

@@ -71,5 +71,17 @@ class CliSpec extends SparkTestBase {
     val (c2, out2) = capture(Cli.run(Array("search", "half precision",
       "--k", "1", "--store", s"$dir/store"), spark))
     assert(c2 == 0 && out2.contains("\"id\":\"h1\""))
+    // at-rest mode is sticky: a later sync WITHOUT --fp16 must not
+    // silently rewrite the store as fp32
+    Files.writeString(java.nio.file.Paths.get(pages, "page1.json"),
+      pageJson("h2", "second highlight arrives later"))
+    val (c3, _) = capture(Cli.run(Array("sync",
+      "--pages-dir", pages, "--store", s"$dir/store", "--ckpt", s"$dir/ckpt"), spark))
+    assert(c3 == 0)
+    val current2 = Files.readString(
+      java.nio.file.Paths.get(s"$dir/store", "CURRENT")).trim
+    val raw2 = spark.read.parquet(s"$dir/store/$current2")
+    assert(raw2.columns.contains("emb16") && !raw2.columns.contains("embedding"))
+    assert(raw2.count() == 2)
   }
 }
