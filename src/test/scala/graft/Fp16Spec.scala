@@ -105,6 +105,34 @@ class Fp16Spec extends SparkTestBase {
     }
   }
 
+  test("readWarm: serving plan scores the fused kernel over the cached encoded relation") {
+    import graft.search.{SearchRequest, SemanticSearch}
+    import graft.sync.HighlightStore
+    val dir = java.nio.file.Files.createTempDirectory("fp16warm").toString
+    try {
+      val emb = table("embeddings").limit(50)
+      HighlightStore.writeAtomic(emb, dir, fp16 = true)
+      val store = HighlightStore.readWarm(spark, dir).get
+      val probe = emb.orderBy($"vec_id").select($"embedding")
+        .head().getSeq[Float](0).toArray
+      val res = SemanticSearch.search(store, SearchRequest(probe, k = 5),
+        keyCol = "vec_id")
+      val p = res.queryExecution.executedPlan.toString
+      // the scan under the score is the pinned in-memory AT-REST relation
+      // (emb16 bytes), not a parquet re-read — and the score is the fused
+      // kernel over it
+      assert(p.contains("InMemoryTableScan"), s"not serving from cache:\n$p")
+      assert(p.contains("fp16_cosine_distance") && !p.contains("fp16_decode"),
+        s"not fused over the cache:\n$p")
+      assert(res.collect().length == 5)
+    } finally {
+      spark.sharedState.cacheManager.clearCache()
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("GraftExtensions: SQL functions resolve on an extensions-built session") {
     val base = spark
     SparkSession.clearActiveSession()
