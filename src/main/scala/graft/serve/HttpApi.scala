@@ -65,7 +65,19 @@ final class HttpApi(
     try {
       if (ex.getRequestURI.getPath != path)
         respondJson(ex, 404, Map("detail" -> "Not Found"))
-      else handler(ex)
+      else
+        try handler(ex)
+        catch {
+          // a handler that throws before responding would otherwise leave
+          // the connection unanswered and the status label "-1" — answer
+          // 500 here (no-op if headers were already sent: sendResponseHeaders
+          // throws and the real status stands for the metric below)
+          case NonFatal(e) =>
+            try respondJson(ex, 500,
+              Map("detail" -> Option(e.getMessage).getOrElse(
+                e.getClass.getSimpleName)))
+            catch { case NonFatal(_) => () }
+        }
     } finally {
       Metrics.timer("http_request_duration_seconds", "handler" -> path)
         .observe((System.nanoTime() - t0) / 1e9)

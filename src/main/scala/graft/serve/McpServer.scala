@@ -66,15 +66,7 @@ final class McpServer(
     } finally stopped.countDown()
   }
 
-  // reference surface exports request series for the HTTP plane
-  // (api/routes.py:224-247); the MCP TCP plane gets the analogous pair
-  private[serve] def handleClient(sock: Socket): Unit =
-    Metrics.timer("mcp_request_duration_seconds").time {
-      Metrics.counter("mcp_requests_total").inc()
-      handleClientInner(sock)
-    }
-
-  private def handleClientInner(sock: Socket): Unit = {
+  private[serve] def handleClient(sock: Socket): Unit = {
     val in = new BufferedReader(
       new InputStreamReader(sock.getInputStream, StandardCharsets.UTF_8))
     val out = new BufferedWriter(
@@ -82,9 +74,36 @@ final class McpServer(
     var requestId: Option[Any] = None
     try {
       McpFraming.read(in, maxLineLength) match {
-        case None => // connection closed before a request arrived
+        case None => // connection closed before a request arrived: no
+                     // JSON-RPC request was serviced, so no request metric
         case Some(request) =>
           requestId = request.id
+          // reference surface exports request series for the HTTP plane
+          // (api/routes.py:224-247); the MCP TCP plane gets the analogous
+          // pair — counted/timed per JSON-RPC request serviced, not per
+          // TCP connection (a connection that closes before sending a
+          // request is not a request, and duration covers request
+          // servicing, not connection lifetime)
+          Metrics.timer("mcp_request_duration_seconds").time {
+            Metrics.counter("mcp_requests_total").inc()
+            handleRequest(sock, out, request)
+          }
+      }
+    } catch {
+      case e: McpFramingException =>
+        tryWrite(out, McpFraming.errorResponse(
+          JsonRpcErrorCodes.ParseError, e.getMessage))
+      case e: McpProtocolException =>
+        tryWrite(out, McpFraming.errorResponse(
+          JsonRpcErrorCodes.InvalidRequest, e.getMessage))
+      case NonFatal(_) =>
+        tryWrite(out, McpFraming.errorResponse(
+          JsonRpcErrorCodes.InternalError, "Internal server error", requestId))
+    }
+  }
+
+  private def handleRequest(sock: Socket, out: BufferedWriter,
+      request: McpMessage): Unit = {
           if (!request.method.contains("search")) {
             McpFraming.write(out, McpFraming.errorResponse(
               JsonRpcErrorCodes.MethodNotFound,
@@ -116,18 +135,6 @@ final class McpServer(
               if (sent == 0)
                 McpFraming.write(out, McpFraming.response(Seq.empty, echoId))
           }
-      }
-    } catch {
-      case e: McpFramingException =>
-        tryWrite(out, McpFraming.errorResponse(
-          JsonRpcErrorCodes.ParseError, e.getMessage))
-      case e: McpProtocolException =>
-        tryWrite(out, McpFraming.errorResponse(
-          JsonRpcErrorCodes.InvalidRequest, e.getMessage))
-      case NonFatal(_) =>
-        tryWrite(out, McpFraming.errorResponse(
-          JsonRpcErrorCodes.InternalError, "Internal server error", requestId))
-    }
   }
 
   private def tryWrite(out: BufferedWriter, msg: McpMessage): Unit =

@@ -119,10 +119,22 @@ object Knn {
       .orderBy(col("cdist").asc, col("centroid_id").asc)
       .limit(nprobe)
       .collect().map(_.getLong(0)).toSeq
-    // filter on the raw (partition-inferred INT) column so the IN lands in
-    // PartitionFilters; surface the canonical LONG type afterwards
-    spark.read.parquet(s"$indexDir/cells")
-      .filter(col("centroid_id").isin(probed.map(_.toInt): _*))
+    require(probed.nonEmpty,
+      s"IVF index at $indexDir has an empty centroids sidecar")
+    // filter on the raw partition column with IN-list literals of its
+    // INFERRED type so the predicate lands in PartitionFilters — the type
+    // depends on session config (INT normally; STRING when partition-column
+    // type inference is off, and mistyped literals would silently match
+    // nothing); surface the canonical LONG type afterwards
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    val inList: Seq[Any] =
+      cells.schema("centroid_id").dataType match {
+        case org.apache.spark.sql.types.IntegerType => probed.map(_.toInt)
+        case org.apache.spark.sql.types.LongType => probed
+        case _ => probed.map(_.toString)
+      }
+    cells
+      .filter(col("centroid_id").isin(inList: _*))
       .withColumn("score", cosine_distance(col("v"), typedLit(queryVec)))
       .orderBy(col("score").asc, col("id").asc)
       .limit(k)

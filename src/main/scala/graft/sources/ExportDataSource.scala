@@ -36,6 +36,17 @@ class ExportDataSource extends TableProvider with DataSourceRegister {
     new ExportTable(properties.get("path"))
 }
 
+object ExportOptions {
+  /** Read option: only page files whose NAME sorts strictly above this
+    * value are scanned — the batch-read form of the micro-batch stream's
+    * name watermark. A sync run appending to a REUSED spool directory
+    * passes the pre-existing high name here so it parses only its own
+    * pages (pages from prior runs were already upserted under their own
+    * version; re-reading them under a fresh version would let stale
+    * content tie with — or beat — the store's newer copy). */
+  val StartAfter = "startafter"
+}
+
 object ExportDataSource {
   /** Canonical highlight schema (SURVEY.md §1.4 drift resolution). */
   val highlightSchema: StructType = StructType(Seq(
@@ -90,15 +101,16 @@ final class ExportTable(path: String) extends Table with SupportsRead {
     java.util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ExportScanBuilder(path)
+    new ExportScanBuilder(path,
+      Option(options.get(ExportOptions.StartAfter)).filter(_.nonEmpty))
 }
 
-final class ExportScanBuilder(path: String)
+final class ExportScanBuilder(path: String, startAfter: Option[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = ExportDataSource.highlightSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new ExportScan(path, required)
+  override def build(): Scan = new ExportScan(path, required, startAfter)
 }
 
 final case class PageFilePartition(file: String) extends InputPartition
@@ -121,12 +133,13 @@ final class SerializableHadoopConf(@transient var value:
   }
 }
 
-final class ExportScan(path: String, required: StructType)
+final class ExportScan(path: String, required: StructType,
+    startAfter: Option[String] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    ExportScan.listPages(path)
+    ExportScan.listPages(path, startAfter)
       .map(p => PageFilePartition(p): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new ExportReaderFactory(required, new SerializableHadoopConf(
@@ -142,13 +155,14 @@ object ExportScan {
     * FileSystem API so the landing zone can be any cluster URI
     * (`hdfs://…`, `s3a://…`) — plain local paths resolve against the
     * default FS. Runs on the driver at planning time. */
-  def listPages(path: String): Seq[String] = {
+  def listPages(path: String, startAfter: Option[String] = None): Seq[String] = {
     val dir = new org.apache.hadoop.fs.Path(path)
     val fs = dir.getFileSystem(org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration)
     fs.listStatus(dir).toSeq
       .map(_.getPath)
       .filter(_.getName.endsWith(".json"))
+      .filter(p => startAfter.forall(p.getName > _))
       .sortBy(_.getName)
       .map(_.toString)
   }

@@ -169,18 +169,29 @@ object Sync {
     * already in the directory — a reused `spoolDir` (the documented way
     * to keep a landing zone the streaming source tails) must append with
     * names that sort ABOVE the stream's watermark, never overwrite.
-    * Returns the page count of this run. */
+    * Returns the name watermark BEFORE this run's pages (the highest
+    * pre-existing `.json` name, None for a fresh directory) — callers pass
+    * it as the DSv2 `startafter` option so the parse covers exactly this
+    * run's pages. */
   private def spoolPages(spark: SparkSession, pages: Iterator[String],
-      spoolDir: String): Int = {
+      spoolDir: String): Option[String] = {
     val dir = new org.apache.hadoop.fs.Path(spoolDir)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
+    val existing = fs.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(_.endsWith(".json")).toSeq
     val PageName = raw"page-(\d{6})\.json".r
-    var next = fs.listStatus(dir).iterator.map(_.getPath.getName).collect {
-      case PageName(idx) => idx.toInt + 1
-    }.maxOption.getOrElse(0)
-    var n = 0
+    var next = existing.collect { case PageName(idx) => idx.toInt + 1 }
+      .maxOption.getOrElse(0)
     pages.foreach { body =>
+      // %06d is a fixed-width namespace: page 1,000,000 would emit 7 digits,
+      // breaking both lexicographic-order == page-order and the PageName
+      // numbering scan above (which would restart at 0 and overwrite) —
+      // refuse rather than corrupt the landing zone's ordering contract
+      if (next > 999999)
+        throw new IllegalStateException(
+          s"spool page namespace exhausted at page-999999 in $spoolDir; " +
+            "start a fresh spool directory")
       val tmp = new org.apache.hadoop.fs.Path(dir, f".page-$next%06d.tmp")
       val out = fs.create(tmp, true)
       try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -188,9 +199,8 @@ object Sync {
       if (!fs.rename(tmp, new org.apache.hadoop.fs.Path(dir, f"page-$next%06d.json")))
         throw new java.io.IOException(s"spool rename failed for page $next")
       next += 1
-      n += 1
     }
-    n
+    existing.maxOption
   }
 
   private def deleteSpool(spark: SparkSession, spoolDir: String): Unit =
@@ -206,12 +216,21 @@ object Sync {
     * and embed. Driver memory stays O(1 page) for an arbitrarily large
     * export; the paced HTTP client remains driver-side because the cursor
     * chain is inherently sequential. Used by BOTH backfill and
-    * incremental, so the two ingest paths parse identically. */
+    * incremental, so the two ingest paths parse identically.
+    *
+    * On a REUSED `spoolDir` only THIS run's pages are read (`startafter`
+    * the pre-existing high name): prior runs' pages were already upserted
+    * under their own version, and restamping them with this run's version
+    * would let a stale copy of an id tie with — or beat — the newer copy
+    * already in the store. */
   private def spooledHighlights(spark: SparkSession, pages: Iterator[String],
       spool: String, embedder: Embedder, version: Long): DataFrame = {
-    spoolPages(spark, pages, spool)
+    val beforeRun = spoolPages(spark, pages, spool)
     val embedUdf = Embedder.embedUdf(embedder)
-    spark.read.format("graft-export").load(spool)
+    val reader = spark.read.format("graft-export")
+    beforeRun.fold(reader)(n =>
+        reader.option(graft.sources.ExportOptions.StartAfter, n))
+      .load(spool)
       .withColumn("embedding", embedUdf(col("text")))
       .withColumn("version", lit(version))
   }

@@ -171,6 +171,37 @@ class SyncSpec extends SparkTestBase {
       Instant.parse("2024-02-03T00:00:00Z"))
   }
 
+  test("reused spoolDir: a run ingests only its own pages, so a stale " +
+      "page from an earlier run cannot tie with the store's newer copy") {
+    val dir = Files.createTempDirectory("graft-sync6").toString
+    val spool = s"$dir/landing-reuse"
+    var clock = Instant.parse("2024-03-01T00:00:00Z")
+    val n1 = Sync.backfill(spark,
+      clientFor(Seq(pageJson(1, "v1 text", "h1"))),
+      s"$dir/store", s"$dir/ckpt", now = () => clock, spoolDir = Some(spool))
+    assert(n1 == 1)
+    // second run into the SAME landing zone carries an updated h1; the old
+    // page-000000.json (stale h1) must NOT be restamped with this run's
+    // version — that tie would make the winner nondeterministic
+    clock = Instant.parse("2024-03-02T00:00:00Z")
+    val n2 = Sync.incremental(spark,
+      clientFor(Seq(pageJson(1, "v2 text", "h1"))),
+      s"$dir/store", s"$dir/ckpt", now = () => clock, spoolDir = Some(spool))
+    assert(n2.contains(1L), "second run ingests only its own single page")
+    val h1 = HighlightStore.read(spark, s"$dir/store").get
+      .filter(col("id") === "h1").head()
+    assert(h1.getAs[String]("text") == "v2 text")
+    // both runs' pages are on disk (the landing zone the stream tails)...
+    val files = new java.io.File(spool).listFiles().map(_.getName)
+      .filter(_.endsWith(".json")).filterNot(_.startsWith(".")).sorted
+    assert(files.toSeq == Seq("page-000000.json", "page-000001.json"))
+    // ...and the startafter option is what scopes a batch read to the tail
+    val tail = spark.read.format("graft-export")
+      .option("startafter", "page-000000.json").load(spool)
+    assert(tail.count() == 1)
+    assert(tail.head().getAs[String]("text") == "v2 text")
+  }
+
   test("failed export walk does not leak an auto-created spool") {
     val dir = Files.createTempDirectory("graft-sync5").toString
     val ckpt = s"$dir/ckpt"
