@@ -126,20 +126,22 @@ object Dedup {
       // one fused update per round: comp ← min(comp, neighbor comps,
       // comp(comp)) — the pointer jump reads the PREVIOUS round's labels
       // (simultaneous update), which keeps a single materialization per
-      // round while still halving remaining distances each round
+      // round while still halving remaining distances each round. The
+      // previous label rides along in the materialization so the
+      // convergence check is a filter+count over the checkpointed rows,
+      // not another join of two label generations (one fewer shuffle and
+      // one fewer job per round).
       val updated = labels
         .join(nbrMin, Seq("id"), "left")
         .join(labels.select(col("id").as("__jid"),
           col("comp").as("jumped")), col("comp") === col("__jid"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("__prev"),
           least(col("comp"),
             least(coalesce(col("nbr"), col("comp")),
               coalesce(col("jumped"), col("comp")))).as("comp"))
         .localCheckpoint()
-      val changed = updated
-        .join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") =!= col("prev")).count()
-      labels = updated
+      val changed = updated.filter(col("comp") =!= col("__prev")).count()
+      labels = updated.select(col("id"), col("comp"))
       converged = changed == 0
       i += 1
     }
