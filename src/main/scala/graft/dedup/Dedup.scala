@@ -31,20 +31,29 @@ object Dedup {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** Word-k-gram Jaccard similarity ≥ threshold, inverted-index shape:
-    * explode shingles → equi-join docs on shared shingle → count common per
-    * pair → |A∪B| = |A|+|B|−|A∩B|. Pairs sharing no shingle never
-    * materialize, so the pair space is output-sensitive instead of O(n²) —
-    * the shape that survives 100 TB (hot-shingle skew is handled by AQE
-    * skew-join splitting). Requires threshold > 0 (zero-overlap pairs are
-    * definitionally absent).
+  /** Word-k-gram Jaccard similarity ≥ threshold, posting-list shape:
+    * explode shingles → ONE exchange grouping documents per shingle
+    * (`collect_list` posting list) → generate candidate pairs inside each
+    * posting by a double explode → count shared shingles per pair →
+    * |A∪B| = |A|+|B|−|A∩B|. Pairs sharing no shingle never materialize, so
+    * the pair space is output-sensitive instead of O(n²). Compared with the
+    * textbook token-self-equi-join this computes the shingle explosion ONCE
+    * and shuffles it ONCE (the self-join shuffles both sides and, with a
+    * stoplist, re-derives the token stream per side); pair generation is a
+    * narrow codegen'd Generate, no join operator at all. Requires
+    * threshold > 0 (zero-overlap pairs are definitionally absent).
     *
-    * `maxShingleDf`: optional hot-key guard for the skewed tail — shingles
-    * appearing in more than this many documents are dropped from *candidate
+    * `maxShingleDf`: hot-key guard for the skewed tail — shingles appearing
+    * in more than this many documents are dropped from *candidate
     * generation* (a document-frequency stoplist, the standard dedup-at-scale
     * mitigation: a shingle in 10⁶ docs contributes 10¹² candidate pairs and
-    * ~zero discrimination). Approximate when set: intersection counts
-    * shrink, so reported Jaccard is a lower bound. */
+    * ~zero discrimination). In this shape the stoplist is FREE: a size
+    * filter on the already-built posting list, not a second aggregation +
+    * anti-join. Approximate when set: intersection counts shrink, so
+    * reported Jaccard is a lower bound. Uncapped, a df-D shingle
+    * materializes a D-entry posting list in one task and D² candidate rows
+    * (the self-join shape streams the same D² rows through one partition) —
+    * at scale always set the cap; it bounds both the list and the blowup. */
   def jaccardPairs(df: DataFrame, textCol: String, keyCol: String,
       threshold: Double, k: Int = 3,
       maxShingleDf: Option[Long] = None): DataFrame = {
@@ -52,30 +61,19 @@ object Dedup {
     val sh = df.select(col(keyCol).as("id"),
         TextAnalysis.shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
-    val allToks = sh.select(col("id"), size(col("sh")).as("n"),
+    val toks = sh.select(col("id"), size(col("sh")).as("n"),
       explode(col("sh")).as("s"))
-    val toks = maxShingleDf match {
-      case None => allToks
-      case Some(cap) =>
-        // the stoplist is the HOT side: aggregate document frequency
-        // (map-side partial → the shuffle carries one row per distinct
-        // shingle) and ANTI-join the hot set. For a well-chosen cap the
-        // hot set is small and AQE turns this into a broadcast anti-join
-        // at runtime — hot rows then die map-side before the candidate
-        // self-join ever shuffles, so the skew the stoplist targets never
-        // reaches an exchange. No broadcast() hint: if a caller picks a
-        // cap so low that "hot" spans the whole vocabulary, the join
-        // degrades to a shuffled anti-join instead of OOMing the driver.
-        // (A rare-side inner join would shuffle every exploded token a
-        // second time and park all hot-key rows in one partition.)
-        val hot = allToks.groupBy(col("s"))
-          .agg(count(lit(1)).as("__df"))
-          .filter(col("__df") > cap)
-          .select(col("s"))
-        allToks.join(hot, Seq("s"), "left_anti")
+    val postings = toks.groupBy(col("s"))
+      .agg(collect_list(struct(col("id"), col("n"))).as("docs"))
+    val kept = maxShingleDf match {
+      case None      => postings
+      case Some(cap) => postings.filter(size(col("docs")) <= cap)
     }
-    val common = toks.as("a")
-      .join(toks.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+    val pairs = kept.filter(size(col("docs")) >= 2)
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+    val common = pairs
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("c"),
         first(col("a.n")).as("na"), first(col("b.n")).as("nb"))

@@ -58,11 +58,15 @@ class PlanShapeSpec extends SparkTestBase {
       s"bucketed join still shuffles:\n$p")
   }
 
-  test("q51: df-stoplist plans as a LEFT ANTI equi join, no cartesian") {
+  test("q51: stoplist is a posting-list size filter — no join, 2 hash exchanges") {
     val p = plan("q51_jaccard_stoplist")
-    assert(p.contains("LeftAnti"), s"stoplist not an anti join:\n$p")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
-      "stoplist or candidate join degenerated to a non-equi join")
+    // posting-list shape: candidate generation is Generate over the grouped
+    // shingle postings; the df-stoplist is a size filter on that list. No
+    // join operator anywhere, and the only hash exchanges are the postings
+    // groupBy and the per-pair intersection count.
+    assert(!p.contains("Join"), s"candidate generation regressed to a join:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 2, s"expected 2 hash exchanges, saw $shuffles:\n$p")
   }
 
   test("q23: LSH bands join is an equi hash join, not nested-loop") {
