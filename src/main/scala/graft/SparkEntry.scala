@@ -714,6 +714,45 @@ object SparkEntry {
           .as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("o_custkey"))
+    }),
+
+    // ---- dedup pipeline end-to-end: candidate pairs → connected
+    //      components → one survivor per duplicate group, with the group
+    //      size riding along (the output a training-data dedup run ships) ----
+    "q54_dedup_pipeline" -> ((s, dir) => {
+      Dedup.deduplicate(
+          t(s, dir, "documents").filter(col("doc_id") < 200),
+          "text", "doc_id", threshold = 0.02)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- heavy-hitter n-grams over the FULL corpus: the boilerplate /
+    //      contamination scan — map-side partial agg, TakeOrdered top-20 ----
+    "q55_ngram_topk" -> ((s, dir) =>
+      TextAnalysis.heavyHitterShingles(
+        t(s, dir, "documents"), "text", k = 3, topN = 20)),
+
+    // ---- TF-IDF keyword extraction: top-3 terms per document (ratio idf
+    //      — bit-exact across engines; see TextAnalysis.tfIdfTopTerms) ----
+    "q56_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopTerms(
+          t(s, dir, "documents").filter(col("doc_id") < 50),
+          "text", "doc_id", topN = 3)
+        .orderBy(col("doc_id"), col("term"))),
+
+    // ---- at-least-once event dedup (batch form of the streaming
+    //      dropDuplicatesWithinWatermark adapter): every 100th event is
+    //      re-delivered; output is one deterministic row per event_id ----
+    "q57_event_dedup" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+      val redelivered = ev.filter(col("event_id") % 100 === 0)
+      Events.dedupEvents(ev.unionByName(redelivered))
+        .select(col("event_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -1410,6 +1449,74 @@ object SparkEntry {
          |    AS DECIMAL(25,6))) AS DOUBLE) AS revenue,
          |  CAST(COUNT(*) AS BIGINT) AS n_items
          |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+         |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+
+    // q52's recursive-CTE component labeling, carried through to the
+    // pipeline's actual deliverable: one survivor per group + group size
+    "q54_dedup_pipeline" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id AS id, ${sqlShingles("string_split(text, ' ')")} AS sh
+         |  FROM documents WHERE doc_id < 200),
+         |nz AS (SELECT * FROM sh WHERE len(sh) > 0),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM nz a JOIN nz b ON a.id < b.id
+         |  WHERE CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.02),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, x) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.x),
+         |comp AS (SELECT id, min(x) AS comp FROM reach GROUP BY id),
+         |labeled AS (
+         |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+         |  LEFT JOIN comp c ON d.doc_id = c.id),
+         |grp AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS group_size
+         |  FROM labeled GROUP BY comp)
+         |SELECT l.doc_id, g.group_size FROM labeled l JOIN grp g USING (comp)
+         |WHERE l.doc_id = l.comp ORDER BY l.doc_id""".stripMargin,
+
+    "q55_ngram_topk" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS shingle FROM w)
+         |SELECT shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq
+         |FROM sh GROUP BY shingle
+         |ORDER BY doc_freq DESC, shingle LIMIT 20""".stripMargin,
+
+    "q56_tfidf" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 50),
+        |n AS (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n FROM docs),
+        |toks AS (SELECT id, unnest(string_split(text, ' ')) AS term FROM docs),
+        |tfc AS (SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY id, term),
+        |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq
+        |  FROM tfc GROUP BY term),
+        |scored AS (
+        |  SELECT id, term, tf,
+        |    CAST(tf AS DOUBLE) * CAST(n AS DOUBLE) / CAST(doc_freq AS DOUBLE)
+        |      AS score
+        |  FROM tfc JOIN dfreq USING (term) CROSS JOIN n),
+        |rk AS (SELECT *, row_number() OVER (
+        |    PARTITION BY id ORDER BY score DESC, term) AS rk
+        |  FROM scored)
+        |SELECT id AS doc_id, term, tf, score FROM rk WHERE rk <= 3
+        |ORDER BY doc_id, term""".stripMargin,
+
+    "q57_event_dedup" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, ts, user_id, event_type, value FROM ($sqlEvents)),
+         |all_ev AS (
+         |  SELECT * FROM ev
+         |  UNION ALL SELECT * FROM ev WHERE event_id % 100 = 0),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY event_id
+         |    ORDER BY ts, event_type, value, user_id) AS rn FROM all_ev)
+         |SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+         |  user_id, event_type, value
+         |FROM rk WHERE rn = 1 ORDER BY event_id""".stripMargin
   )
 }

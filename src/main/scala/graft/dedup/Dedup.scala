@@ -151,6 +151,34 @@ object Dedup {
     labels
   }
 
+  /** End-to-end near-dup deduplication — the pipeline a training-data run
+    * actually executes: candidate pairs ([[jaccardPairs]], df-stoplisted) →
+    * duplicate groups ([[connectedComponents]]) → keep ONE document per
+    * group (the minimum key, which IS the component label) and report the
+    * group size alongside each survivor. Documents in no pair survive with
+    * `group_size = 1`.
+    *
+    * Returns (keyCol, group_size), one row per surviving document. The
+    * corpus joins the (node, comp) labeling on its key — a LEFT join, so
+    * the full corpus is touched exactly once more after pair finding; the
+    * group-size aggregation runs over the (small) labeled node set, not
+    * the corpus. */
+  def deduplicate(df: DataFrame, textCol: String, keyCol: String,
+      threshold: Double, k: Int = 3,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val comp = connectedComponents(
+      jaccardPairs(df, textCol, keyCol, threshold, k, maxShingleDf),
+      "id_a", "id_b")
+    val labeled = df.select(col(keyCol))
+      .join(comp.withColumnRenamed("id", keyCol), Seq(keyCol), "left")
+      .select(col(keyCol), coalesce(col("comp"), col(keyCol)).as("comp"))
+    val sizes = labeled.groupBy(col("comp"))
+      .agg(count(lit(1)).as("group_size"))
+    labeled.filter(col(keyCol) === col("comp"))
+      .join(sizes, Seq("comp"))
+      .select(col(keyCol), col("group_size"))
+  }
+
   /** (key, mh0..mh15) MinHash signature table from word-k-gram shingles. */
   def minHashSignatures(df: DataFrame, textCol: String, keyCol: String,
       k: Int = 3): DataFrame = {
@@ -165,13 +193,18 @@ object Dedup {
   }
 
   /** LSH candidate pairs: 4 bands × 4 rows over the 16-slot signature.
-    * Docs sharing any full band collide; the pair space becomes an
-    * equi-join on (band_idx, band signature). */
+    * Docs sharing any full band collide. Posting-list shape (same design
+    * as [[jaccardPairs]]): ONE exchange groups doc ids per (band, band
+    * signature) bucket, candidate pairs are generated inside each bucket
+    * by a double explode — the signature pipeline runs once total (the
+    * self-equi-join form re-derived it per join side), and no join
+    * operator appears in the plan. A pathologically hot bucket
+    * materializes its posting list in one task; buckets ARE the LSH
+    * design's skew bound (band signatures spread near-dups), the same
+    * way `maxShingleDf` bounds [[jaccardPairs]]. */
   def minHashLshPairs(df: DataFrame, textCol: String, keyCol: String,
       k: Int = 3): DataFrame = {
     val sigs = minHashSignatures(df, textCol, keyCol, k)
-    // one row per (doc, band) via a single explode — the signature pipeline
-    // runs once per join side, not once per band
     val bandStructs = (0 until 4).map { bidx =>
       struct(lit(bidx).as("band"),
         concat_ws("-", (0 until 4).map(r => col(s"mh${bidx * 4 + r}")): _*).as("bsig"))
@@ -179,10 +212,13 @@ object Dedup {
     val bands = sigs
       .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bsig").as("bsig"))
-    bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bsig") === col("y.bsig") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("id_a"), col("y.id").as("id_b"))
+    val buckets = bands.groupBy(col("band"), col("bsig"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    buckets.select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
   }
 

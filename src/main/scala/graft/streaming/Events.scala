@@ -39,6 +39,31 @@ object Events {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** At-least-once delivery dedup, batch form: one row per event_id with a
+    * deterministic winner (earliest ts, then event_type/value/user_id —
+    * re-deliveries are byte-identical in practice, but the total order
+    * keeps the result hash-stable either way). One hash shuffle on the id. */
+  def dedupEvents(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("ts").asc, col("event_type").asc, col("value").asc,
+        col("user_id").asc)
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** At-least-once delivery dedup, Structured Streaming form:
+    * `dropDuplicatesWithinWatermark` keys state on event_id and evicts it
+    * once the watermark passes the id's first-seen event time, so state is
+    * O(ids inside the horizon) — not O(all ids ever) as with plain
+    * `dropDuplicates` — while still collapsing every re-delivery that
+    * lands within the delay. This is the exactly-once input adapter the
+    * rest of the streaming surface (windows, sessions, ingest upsert)
+    * composes with. */
+  def dedupEventsStream(events: DataFrame,
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Gap-based sessionization (batch form): a new session starts when the
     * user's inter-event gap exceeds `gapMinutes`. Two window passes over
     * the same (user_id, ts) partitioning — one shuffle total.

@@ -125,4 +125,54 @@ object TextAnalysis {
     withHits.withColumn(outCol, pred)
       .drop(wCol +: LangMarkers.map(m => hCol(m._1)): _*)
   }
+
+  /** Top-N word-k-gram shingles by document frequency — the heavy-hitter
+    * scan a training-data pipeline runs to find boilerplate, template
+    * text, and benchmark contamination before dedup thresholds are tuned.
+    * Shingles are distinct per document ([[shingles]]), so the count IS
+    * document frequency. Scale shape: explode → hash aggregate with
+    * map-side partial combine (the shuffle carries one row per distinct
+    * shingle per task, never the corpus) → `TakeOrdered` top-N per
+    * partition, N rows to the driver. Deterministic tie-break on the
+    * shingle text. Returns (shingle, doc_freq). */
+  def heavyHitterShingles(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int = 3, topN: Int = 20): org.apache.spark.sql.DataFrame =
+    df.select(explode(shingles(col(textCol), k)).as("shingle"))
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("shingle"))
+      .limit(topN)
+
+  /** Top-N terms per document by TF-IDF. IDF here is the RAW RATIO
+    * `N / doc_freq` (no logarithm): the ranking this produces is the
+    * standard one for per-document keyword extraction, and an integer
+    * ratio evaluated with one IEEE double division is bit-identical
+    * across engines — `ln` is not guaranteed to be, and the correctness
+    * gate is hash-exact. Term frequency counts repeated occurrences
+    * (whitespace tokens, NOT deduplicated). Two aggregations — (doc,
+    * term) tf, then term doc_freq derived from it — one broadcast-able
+    * join of the (small) per-term df table, and a per-doc window rank
+    * with a deterministic term tie-break. Returns (keyCol, term, tf,
+    * score). */
+  def tfIdfTopTerms(df: org.apache.spark.sql.DataFrame, textCol: String,
+      keyCol: String, topN: Int = 3): org.apache.spark.sql.DataFrame = {
+    val docs = df.select(col(keyCol).as("id"), col(textCol).as("text"))
+    val nDocs = docs.select(countDistinct(col("id")).as("n"))
+    val tf = docs
+      .select(col("id"), explode(words(col("text"))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("doc_freq"))
+    val scored = tf.join(dfreq, Seq("term")).crossJoin(nDocs)
+      .select(col("id"), col("term"), col("tf"),
+        (col("tf").cast("double") * col("n").cast("double") /
+          col("doc_freq").cast("double")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= topN)
+      .select(col("id").as(keyCol), col("term"), col("tf"), col("score"))
+  }
 }

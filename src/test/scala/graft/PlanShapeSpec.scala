@@ -69,9 +69,9 @@ class PlanShapeSpec extends SparkTestBase {
     assert(shuffles == 2, s"expected 2 hash exchanges, saw $shuffles:\n$p")
   }
 
-  test("q23: LSH bands join is an equi hash join, not nested-loop") {
+  test("q23: LSH candidates come from grouped band buckets, not a join") {
     val p = plan("q23_lsh_pairs")
-    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"))
+    assert(!p.contains("Join"), s"band bucketing regressed to a join:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
 }

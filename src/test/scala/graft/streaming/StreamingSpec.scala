@@ -75,6 +75,39 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("dedupEventsStream: re-deliveries inside the watermark collapse to one row") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = input.toDF()
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = Events.dedupEventsStream(events, watermarkDelay = "1 hour")
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+        (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0), // same-batch dup
+        (2L, ts("2024-01-01 10:05:00"), 2L, "click", 2.0))
+      q.processAllAvailable()
+      // a later batch re-delivers id 1 within the 1h horizon → still dropped
+      input.addData((1L, ts("2024-01-01 10:10:00"), 1L, "view", 1.0))
+      q.processAllAvailable()
+      val ids = spark.table("deduped").select("event_id")
+        .as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L),
+        s"expected one row per id, got ${ids.toSeq}")
+      // batch form agrees: same input as a batch → same surviving ids
+      val batchIds = Events.dedupEvents(Seq(
+          (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+          (1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+          (2L, ts("2024-01-01 10:05:00"), 2L, "click", 2.0),
+          (1L, ts("2024-01-01 10:10:00"), 1L, "view", 1.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value"))
+        .select("event_id").as[Long].collect().sorted
+      assert(batchIds.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
   test("slidingHourBy30mStream: each event lands in two windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
