@@ -753,6 +753,46 @@ object SparkEntry {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
           col("user_id"), col("event_type"), col("value"))
         .orderBy(col("event_id"))
+    }),
+
+    // ---- deterministic content-hash sampling: reproducible ~20% subset
+    //      keyed on the TEXT (stable under id reassignment), narrow filter ----
+    "q58_sample_hash" -> ((s, dir) =>
+      graft.text.CorpusPrep.sampleByContentHash(
+          t(s, dir, "documents"), "text", buckets = 10, keep = 2)
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))),
+
+    // ---- decontamination: training docs (id<200) near-dup against a
+    //      held-out set = 10 mutated copies of docs 50..59 (suffix keeps
+    //      Jaccard high) + 5 unrelated probes (must match nothing) ----
+    "q59_decontaminate" -> ((s, dir) => {
+      val train = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val mutated = t(s, dir, "documents")
+        .filter(col("doc_id") >= 50 && col("doc_id") < 60)
+        .select((col("doc_id") + 5000).as("doc_id"),
+          concat(col("text"), lit(" heldout marker")).as("text"))
+      val probes = s.range(5).select((col("id") + 9000).as("doc_id"),
+        concat(lit("benchmark probe question number "),
+          col("id").cast("string")).as("text"))
+      Dedup.crossCorpusPairs(train, mutated.unionByName(probes),
+          "text", "doc_id", threshold = 0.5)
+        .orderBy(col("corpus_id"), col("bench_id"))
+    }),
+
+    // ---- PII scrubbing: injected email/SSN/phone are all masked; the
+    //      scrub chain is one codegen'd expression per row ----
+    "q60_pii_scrub" -> ((s, dir) => {
+      val injected = t(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id"),
+          concat(lit("contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com call 555-123-4567 ssn 123-45-6789 "),
+            col("text")).as("text"))
+      injected.select(col("doc_id"),
+          substring(graft.text.CorpusPrep.scrubPii(col("text")), 1, 160)
+            .as("scrubbed"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1517,6 +1557,49 @@ object SparkEntry {
          |    ORDER BY ts, event_type, value, user_id) AS rn FROM all_ev)
          |SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
          |  user_id, event_type, value
-         |FROM rk WHERE rn = 1 ORDER BY event_id""".stripMargin
+         |FROM rk WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "q58_sample_hash" ->
+      s"""SELECT doc_id, n_chars FROM documents
+         |WHERE ${sqlPolyHash("text")} % 10 < 2
+         |ORDER BY doc_id""".stripMargin,
+
+    "q59_decontaminate" ->
+      s"""WITH train AS (
+         |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 200),
+         |bench AS (
+         |  SELECT doc_id + 5000 AS id, text || ' heldout marker' AS text
+         |  FROM documents WHERE doc_id >= 50 AND doc_id < 60
+         |  UNION ALL
+         |  SELECT 9000 + i AS id,
+         |    'benchmark probe question number ' || CAST(i AS VARCHAR) AS text
+         |  FROM (SELECT unnest(range(5)) AS i)),
+         |tsh AS (SELECT id, ${sqlShingles("string_split(text, ' ')")} AS sh
+         |  FROM train),
+         |bsh AS (SELECT id, ${sqlShingles("string_split(text, ' ')")} AS sh
+         |  FROM bench),
+         |tnz AS (SELECT * FROM tsh WHERE len(sh) > 0),
+         |bnz AS (SELECT * FROM bsh WHERE len(sh) > 0)
+         |SELECT t.id AS corpus_id, b.id AS bench_id,
+         |  CAST(len(list_distinct(list_intersect(t.sh, b.sh))) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(t.sh, b.sh))) AS DOUBLE) AS jaccard
+         |FROM tnz t JOIN bnz b ON TRUE
+         |WHERE CAST(len(list_distinct(list_intersect(t.sh, b.sh))) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(t.sh, b.sh))) AS DOUBLE) >= 0.5
+         |ORDER BY corpus_id, bench_id""".stripMargin,
+
+    "q60_pii_scrub" ->
+      """WITH inj AS (
+        |  SELECT doc_id,
+        |    'contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail.example.com call 555-123-4567 ssn 123-45-6789 ' || text
+        |      AS text
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, substr(regexp_replace(regexp_replace(regexp_replace(
+        |  text,
+        |  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |  '\d{3}-\d{2}-\d{4}', '<ID>', 'g'),
+        |  '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'), 1, 160) AS scrubbed
+        |FROM inj ORDER BY doc_id""".stripMargin
   )
 }

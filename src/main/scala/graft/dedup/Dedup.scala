@@ -179,6 +179,49 @@ object Dedup {
       .select(col(keyCol), col("group_size"))
   }
 
+  /** Cross-corpus near-duplicate pairs — the DECONTAMINATION pass: find
+    * training documents whose shingle Jaccard against any held-out /
+    * benchmark document reaches `threshold`, so they can be dropped
+    * before training. Same posting-list shape as [[jaccardPairs]], with
+    * both corpora side-tagged into one token stream: one exchange builds
+    * the per-shingle posting across BOTH corpora, and in-posting pair
+    * generation keeps only (corpus, bench) combinations — corpus-internal
+    * and bench-internal pairs are never counted. `maxShingleDf` counts
+    * document frequency across the union of the two corpora.
+    * Returns (corpus_id, bench_id, jaccard). */
+  def crossCorpusPairs(corpus: DataFrame, bench: DataFrame, textCol: String,
+      keyCol: String, threshold: Double, k: Int = 3,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    require(threshold > 0.0, "crossCorpusPairs: threshold must be > 0")
+    def toks(df: DataFrame, side: Int) = {
+      val sh = df.select(col(keyCol).as("id"),
+          TextAnalysis.shingles(col(textCol), k).as("sh"))
+        .filter(size(col("sh")) > 0)
+      sh.select(lit(side).as("side"), col("id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("s"))
+    }
+    val all = toks(corpus, 0).unionByName(toks(bench, 1))
+    val postings = all.groupBy(col("s"))
+      .agg(collect_list(struct(col("side"), col("id"), col("n"))).as("docs"))
+    val kept = maxShingleDf match {
+      case None      => postings
+      case Some(cap) => postings.filter(size(col("docs")) <= cap)
+    }
+    val pairs = kept.filter(size(col("docs")) >= 2)
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.side") === 0 && col("b.side") === 1)
+    val common = pairs
+      .groupBy(col("a.id").as("corpus_id"), col("b.id").as("bench_id"))
+      .agg(count(lit(1)).as("c"),
+        first(col("a.n")).as("na"), first(col("b.n")).as("nb"))
+    common
+      .select(col("corpus_id"), col("bench_id"),
+        (col("c").cast("double") /
+          (col("na") + col("nb") - col("c")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** (key, mh0..mh15) MinHash signature table from word-k-gram shingles. */
   def minHashSignatures(df: DataFrame, textCol: String, keyCol: String,
       k: Int = 3): DataFrame = {

@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.dedup.Dedup
+
+class CorpusPrepSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("scrubPii masks email, SSN-shaped id, and phone independently") {
+    val rows = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "id 123-45-6789 phone 555-123-4567",
+      "no pii here at all",
+      "almost 12-345-6789 and 1234-56-7890x")
+      .toDF("text")
+      .select(CorpusPrep.scrubPii($"text").as("out"))
+      .as[String].collect()
+    assert(rows(0) == "mail <EMAIL> now")
+    assert(rows(1) == "id <ID> phone <PHONE>")
+    assert(rows(2) == "no pii here at all")
+    // 12-345-6789 is neither shape; 234-56-7890 inside the last token IS
+    // id-shaped (digit boundaries are not asserted — scrubbing is
+    // deliberately aggressive)
+    assert(rows(3) == "almost 12-345-6789 and 1<ID>x")
+  }
+
+  test("sampleByContentHash: deterministic, content-keyed, ~keep/buckets") {
+    val docs = (0 until 400).map(i => (i.toLong, s"document body number $i"))
+      .toDF("doc_id", "text")
+    val s1 = CorpusPrep.sampleByContentHash(docs, "text", 10, 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val s2 = CorpusPrep.sampleByContentHash(docs, "text", 10, 2)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s1 == s2, "same corpus must select the same subset")
+    assert(s1.size > 40 && s1.size < 120, s"~20% of 400 expected, got ${s1.size}")
+    // content-keyed: reassigning ids selects the SAME documents
+    val renumbered = docs.select(($"doc_id" + 1000).as("doc_id"), $"text")
+    val s3 = CorpusPrep.sampleByContentHash(renumbered, "text", 10, 2)
+      .select("doc_id").as[Long].collect().map(_ - 1000).sorted.toSeq
+    assert(s3 == s1, "sampling must follow content, not ids")
+    // keep=0 empty, keep=buckets everything
+    assert(CorpusPrep.sampleByContentHash(docs, "text", 10, 0).isEmpty)
+    assert(CorpusPrep.sampleByContentHash(docs, "text", 10, 10).count() == 400)
+  }
+
+  test("crossCorpusPairs: only cross-side pairs, never corpus- or bench-internal") {
+    // two identical docs INSIDE the corpus (internal dup must not appear),
+    // one of them duplicated into the bench side
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "completely different text body here")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon"),
+      (101L, "unrelated benchmark probe text")).toDF("doc_id", "text")
+    val got = Dedup.crossCorpusPairs(corpus, bench, "text", "doc_id", 0.5)
+      .select("corpus_id", "bench_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 100L), (2L, 100L)),
+      s"expected exactly the cross-side matches, got $got")
+  }
+}
