@@ -50,6 +50,37 @@ object Soak {
     // 3072-dim fp16 path (reference HALFVEC(3072) parity): vectors stored
     // encoded at 2 B/dim, widened to float + scored in the scan — the
     // at-rest layout the reference's pgvector halfvec column uses
+    // documents x20 = 100k docs, each original carried as 20 near-dup
+    // copies (one-token mutation) — the realistic shape a dedup run sees
+    val d0 = GraftSession.table(spark, dir, "documents")
+    val d = (0 until REP).map(i => d0.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" rep$i")).as("text")))
+      .reduce(_ unionByName _).cache()
+    timeIt(s"materialize_docs_${REP * 5}k")(d.count())
+    timeIt(s"heavy_hitters_${REP * 5}k")(
+      graft.text.TextAnalysis.heavyHitterShingles(d, "text", 3, 20).count())
+    // exact posting-list Jaccard verifies every pair sharing a shingle —
+    // Θ(shingles·D²) candidates on D-copy cliques; soaked at 5× as the
+    // reference point for what the LSH path avoids
+    val d5 = (0 until 5).map(i => d0.select(
+        (col("doc_id") + lit(i * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" rep$i")).as("text")))
+      .reduce(_ unionByName _)
+    timeIt("jaccard_pairs_exact_25k")(
+      Dedup.jaccardPairs(d5, "text", "doc_id", 0.5,
+        maxShingleDf = Some(1000)).count())
+    // the 100-TB path: banded candidates + exact per-pair verification
+    timeIt(s"lsh_verified_pairs_${REP * 5}k")(
+      Dedup.lshVerifiedPairs(d, "text", "doc_id", 0.5).count())
+    timeIt(s"dedup_pipeline_lsh_${REP * 5}k")(
+      Dedup.deduplicate(d, "text", "doc_id", 0.5, viaLsh = true).count())
+    timeIt(s"decontaminate_${REP * 5}k_x_100") {
+      val bench = d0.filter(col("doc_id") < 100)
+        .select(col("doc_id"), concat(col("text"), lit(" bench")).as("text"))
+      Dedup.crossCorpusPairs(d, bench, "text", "doc_id", 0.5,
+        maxShingleDf = Some(1000)).count()
+    }
     val NV = sys.env.getOrElse("SOAK_VECS3072", "200000").toLong
     val store = {
       import spark.implicits._

@@ -781,6 +781,16 @@ object SparkEntry {
         .orderBy(col("corpus_id"), col("bench_id"))
     }),
 
+    // ---- LSH candidates + exact Jaccard verify — the composed dedup
+    //      shape for 100 TB (candidates output-sensitive in near-dups,
+    //      verification once per PAIR via array_intersect, not once per
+    //      shared shingle) ----
+    "q61_lsh_verified" -> ((s, dir) =>
+      Dedup.lshVerifiedPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 200),
+          "text", "doc_id", threshold = 0.02)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ---- PII scrubbing: injected email/SSN/phone are all masked; the
     //      scrub chain is one codegen'd expression per row ----
     "q60_pii_scrub" -> ((s, dir) => {
@@ -1587,6 +1597,35 @@ object SparkEntry {
          |WHERE CAST(len(list_distinct(list_intersect(t.sh, b.sh))) AS DOUBLE) /
          |      CAST(len(list_distinct(list_concat(t.sh, b.sh))) AS DOUBLE) >= 0.5
          |ORDER BY corpus_id, bench_id""".stripMargin,
+
+    "q61_lsh_verified" -> {
+      val bandSelects = (0 until 4).map { b =>
+        val cols = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
+        s"SELECT id, $b AS band, concat_ws('-', $cols) AS bsig FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents WHERE doc_id < 200),
+         |shl AS (SELECT doc_id AS id, ${sqlShingles("w")} AS sh FROM w),
+         |nz AS (SELECT * FROM shl WHERE len(sh) > 0),
+         |sh AS (SELECT id, unnest(sh) AS s FROM nz),
+         |h AS (SELECT id AS doc_id, ${sqlPolyHash("s")} AS h FROM sh),
+         |sig AS (SELECT doc_id AS id, ${sqlMinHashCols("h")} FROM h
+         |  GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(len(list_distinct(list_intersect(x.sh, y.sh))) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
+         |    AS jaccard
+         |FROM cand c JOIN nz x ON x.id = c.id_a JOIN nz y ON y.id = c.id_b
+         |WHERE CAST(len(list_distinct(list_intersect(x.sh, y.sh))) AS DOUBLE) /
+         |      CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
+         |        >= 0.02
+         |ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q60_pii_scrub" ->
       """WITH inj AS (

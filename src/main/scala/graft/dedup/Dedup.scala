@@ -165,10 +165,15 @@ object Dedup {
     * the corpus. */
   def deduplicate(df: DataFrame, textCol: String, keyCol: String,
       threshold: Double, k: Int = 3,
-      maxShingleDf: Option[Long] = None): DataFrame = {
-    val comp = connectedComponents(
-      jaccardPairs(df, textCol, keyCol, threshold, k, maxShingleDf),
-      "id_a", "id_b")
+      maxShingleDf: Option[Long] = None,
+      viaLsh: Boolean = false): DataFrame = {
+    // viaLsh = the 100-TB path: banded candidates + exact verification
+    // (see [[lshVerifiedPairs]]) instead of verifying every pair that
+    // shares a shingle. Recall below ~J=0.5 is the banding scheme's.
+    val pairsDf =
+      if (viaLsh) lshVerifiedPairs(df, textCol, keyCol, threshold, k)
+      else jaccardPairs(df, textCol, keyCol, threshold, k, maxShingleDf)
+    val comp = connectedComponents(pairsDf, "id_a", "id_b")
     val labeled = df.select(col(keyCol))
       .join(comp.withColumnRenamed("id", keyCol), Seq(keyCol), "left")
       .select(col(keyCol), coalesce(col("comp"), col(keyCol)).as("comp"))
@@ -186,7 +191,13 @@ object Dedup {
     * both corpora side-tagged into one token stream: one exchange builds
     * the per-shingle posting across BOTH corpora, and in-posting pair
     * generation keeps only (corpus, bench) combinations — corpus-internal
-    * and bench-internal pairs are never counted. `maxShingleDf` counts
+    * and bench-internal pairs are never counted, and the posting is SPLIT
+    * BY SIDE at aggregation time (`collect_list` skips the nulls of the
+    * conditional struct), so a shingle appearing in only one corpus —
+    * the overwhelmingly common case in decontamination — is discarded
+    * before a single candidate row is generated, and the double explode
+    * produces exactly |corpus posting| × |bench posting| rows rather
+    * than (|A|+|B|)² filtered after the fact. `maxShingleDf` counts
     * document frequency across the union of the two corpora.
     * Returns (corpus_id, bench_id, jaccard). */
   def crossCorpusPairs(corpus: DataFrame, bench: DataFrame, textCol: String,
@@ -202,15 +213,18 @@ object Dedup {
     }
     val all = toks(corpus, 0).unionByName(toks(bench, 1))
     val postings = all.groupBy(col("s"))
-      .agg(collect_list(struct(col("side"), col("id"), col("n"))).as("docs"))
+      .agg(
+        collect_list(when(col("side") === 0, struct(col("id"), col("n"))))
+          .as("ca"),
+        collect_list(when(col("side") === 1, struct(col("id"), col("n"))))
+          .as("cb"))
     val kept = maxShingleDf match {
       case None      => postings
-      case Some(cap) => postings.filter(size(col("docs")) <= cap)
+      case Some(cap) => postings.filter(size(col("ca")) + size(col("cb")) <= cap)
     }
-    val pairs = kept.filter(size(col("docs")) >= 2)
-      .select(explode(col("docs")).as("a"), col("docs"))
-      .select(col("a"), explode(col("docs")).as("b"))
-      .filter(col("a.side") === 0 && col("b.side") === 1)
+    val pairs = kept.filter(size(col("ca")) > 0 && size(col("cb")) > 0)
+      .select(explode(col("ca")).as("a"), col("cb"))
+      .select(col("a"), explode(col("cb")).as("b"))
     val common = pairs
       .groupBy(col("a.id").as("corpus_id"), col("b.id").as("bench_id"))
       .agg(count(lit(1)).as("c"),
@@ -219,6 +233,38 @@ object Dedup {
       .select(col("corpus_id"), col("bench_id"),
         (col("c").cast("double") /
           (col("na") + col("nb") - col("c")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** LSH-candidate generation + EXACT Jaccard verification — the dedup
+    * shape that survives 100 TB end-to-end. [[jaccardPairs]] verifies
+    * every pair sharing ANY shingle: on a corpus where each document has
+    * ~D near-copies that is Θ(shingles·D²) candidate rows (measured in
+    * `graft.Soak`: 100 k docs in 20-copy cliques → ~140 M candidates,
+    * ~1 M true pairs). Banding first collapses each clique to its
+    * signature-collision pairs — output-sensitive in the number of NEAR
+    * DUPLICATES, not shared shingles — and the exact Jaccard then runs
+    * once per candidate PAIR via codegen'd `array_intersect`/
+    * `array_union` over the two shingle sets, not once per shared
+    * shingle. Recall is the LSH design's (4 bands × 4 rows: ≥ ~97 % at
+    * J ≥ 0.7); every reported score is exact, so `threshold` semantics
+    * match [[jaccardPairs]] on the pairs it surfaces. Two narrow
+    * equi-joins rehydrate the shingle sets onto candidates (shuffles
+    * carry candidate ids + one shingle array per side). */
+  def lshVerifiedPairs(df: DataFrame, textCol: String, keyCol: String,
+      threshold: Double, k: Int = 3): DataFrame = {
+    require(threshold > 0.0, "lshVerifiedPairs: threshold must be > 0")
+    val sh = df.select(col(keyCol).as("id"),
+        TextAnalysis.shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val cands = minHashLshPairs(df, textCol, keyCol, k)
+    cands
+      .join(sh.select(col("id").as("id_a"), col("sh").as("__sha")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("__shb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("__sha"), col("__shb"))).cast("double") /
+          size(array_union(col("__sha"), col("__shb"))).cast("double"))
+          .as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -69,6 +69,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(shuffles == 2, s"expected 2 hash exchanges, saw $shuffles:\n$p")
   }
 
+  test("q55: heavy hitters = partial agg + TakeOrdered, nothing else to the driver") {
+    val p = plan("q55_ngram_topk")
+    assert(p.contains("TakeOrderedAndProject"), s"no top-N operator:\n$p")
+    assert("partial_count".r.findAllIn(p).nonEmpty,
+      s"aggregate not map-side partial:\n$p")
+    assert(!p.contains("Join"))
+  }
+
+  test("q59: decontamination generates candidates without a join") {
+    val p = plan("q59_decontaminate")
+    assert(!p.contains("Join"), s"cross-corpus pairs regressed to a join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q23: LSH candidates come from grouped band buckets, not a join") {
     val p = plan("q23_lsh_pairs")
     assert(!p.contains("Join"), s"band bucketing regressed to a join:\n$p")
