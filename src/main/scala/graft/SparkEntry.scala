@@ -1564,7 +1564,7 @@ object SparkEntry {
          |  SELECT * FROM ev
          |  UNION ALL SELECT * FROM ev WHERE event_id % 100 = 0),
          |rk AS (SELECT *, row_number() OVER (PARTITION BY event_id
-         |    ORDER BY ts, event_type, value, user_id) AS rn FROM all_ev)
+         |    ORDER BY ts, event_type, user_id, value) AS rn FROM all_ev)
          |SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
          |  user_id, event_type, value
          |FROM rk WHERE rn = 1 ORDER BY event_id""".stripMargin,
@@ -1627,18 +1627,22 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin
     },
 
+    // patterns interpolated from CorpusPrep so engine and oracle can
+    // never drift (the interpolated values are inserted verbatim — no
+    // escape processing — so the \d classes survive the s-string)
     "q60_pii_scrub" ->
-      """WITH inj AS (
-        |  SELECT doc_id,
-        |    'contact user' || CAST(doc_id AS VARCHAR) ||
-        |    '@mail.example.com call 555-123-4567 ssn 123-45-6789 ' || text
-        |      AS text
-        |  FROM documents WHERE doc_id < 100)
-        |SELECT doc_id, substr(regexp_replace(regexp_replace(regexp_replace(
-        |  text,
-        |  '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-        |  '\d{3}-\d{2}-\d{4}', '<ID>', 'g'),
-        |  '\d{3}-\d{3}-\d{4}', '<PHONE>', 'g'), 1, 160) AS scrubbed
-        |FROM inj ORDER BY doc_id""".stripMargin
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |    'contact user' || CAST(doc_id AS VARCHAR) ||
+         |    '@mail.example.com call 555-123-4567 ssn 123-45-6789 ' || text
+         |      AS text
+         |  FROM documents WHERE doc_id < 100)
+         |SELECT doc_id, substr(regexp_replace(regexp_replace(regexp_replace(
+         |  text,
+         |  '${graft.text.CorpusPrep.EmailPattern}', '<EMAIL>', 'g'),
+         |  '${graft.text.CorpusPrep.IdPattern}', '<ID>', 'g'),
+         |  '${graft.text.CorpusPrep.PhonePattern}', '<PHONE>', 'g'),
+         |  1, 160) AS scrubbed
+         |FROM inj ORDER BY doc_id""".stripMargin
   )
 }

@@ -170,6 +170,12 @@ object Dedup {
     // viaLsh = the 100-TB path: banded candidates + exact verification
     // (see [[lshVerifiedPairs]]) instead of verifying every pair that
     // shares a shingle. Recall below ~J=0.5 is the banding scheme's.
+    // The df-stoplist applies only to the exact path (banding already
+    // bounds hot-shingle blowup) — reject the combination instead of
+    // silently ignoring the cap the caller asked for.
+    require(!viaLsh || maxShingleDf.isEmpty,
+      "deduplicate: maxShingleDf applies to the exact path only; " +
+        "drop it when viaLsh = true")
     val pairsDf =
       if (viaLsh) lshVerifiedPairs(df, textCol, keyCol, threshold, k)
       else jaccardPairs(df, textCol, keyCol, threshold, k, maxShingleDf)
@@ -250,7 +256,13 @@ object Dedup {
     * J ≥ 0.7); every reported score is exact, so `threshold` semantics
     * match [[jaccardPairs]] on the pairs it surfaces. Two narrow
     * equi-joins rehydrate the shingle sets onto candidates (shuffles
-    * carry candidate ids + one shingle array per side). */
+    * carry candidate ids + one shingle array per side). The shingle
+    * pipeline evaluates once for the signature path and once per
+    * rehydration side: Spark materializes no common subtrees, and a
+    * library operator should not cache behind the caller's back — the
+    * evaluations are narrow, scan-parallel, and fully pipelined, but if
+    * tokenization dominates end-to-end cost, materialize a shingled
+    * frame upstream. */
   def lshVerifiedPairs(df: DataFrame, textCol: String, keyCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
     require(threshold > 0.0, "lshVerifiedPairs: threshold must be > 0")

@@ -40,13 +40,26 @@ object Events {
         col("event_type"), col("n_events"), col("sum_value"))
 
   /** At-least-once delivery dedup, batch form: one row per event_id with a
-    * deterministic winner (earliest ts, then event_type/value/user_id —
-    * re-deliveries are byte-identical in practice, but the total order
-    * keeps the result hash-stable either way). One hash shuffle on the id. */
+    * deterministic winner — earliest ts, then EVERY remaining orderable
+    * column in name order, so the order is total over whatever schema the
+    * caller passes (re-deliveries are byte-identical in practice, but two
+    * same-id rows differing only in a column outside a fixed sort list
+    * would otherwise pick an arbitrary winner). Non-orderable columns
+    * (maps) ride along unsorted-on and cannot be tie-broken — callers
+    * with such columns and non-identical re-deliveries should project
+    * first. One hash shuffle on the id. */
   def dedupEvents(events: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("ts").asc, col("event_type").asc, col("value").asc,
-        col("user_id").asc)
+    val orderable = events.schema.fields
+      .filter(f => f.name != "event_id" &&
+        org.apache.spark.sql.catalyst.expressions.RowOrdering
+          .isOrderable(f.dataType))
+      .map(_.name)
+    val rest = orderable.filter(_ != "ts").sorted.map(col(_).asc)
+    val ord0 = if (orderable.contains("ts")) col("ts").asc +: rest else rest
+    // row_number requires an ordering; with nothing orderable beyond the
+    // id the rows are indistinguishable anyway — order by the id itself
+    val ord = if (ord0.isEmpty) Seq(col("event_id").asc) else ord0.toSeq
+    val w = Window.partitionBy(col("event_id")).orderBy(ord: _*)
     events.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

@@ -28,8 +28,11 @@ object CorpusPrep {
 
   /** Scrub patterns. Kept RE2-compatible (no backtracking constructs) so
     * the same pattern text runs identically under Java regex (Spark) and
-    * RE2 (DuckDB oracle) — and would under any RE2-based scan pushdown. */
-  val EmailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    * RE2 (DuckDB oracle) — and would under any RE2-based scan pushdown.
+    * The email pattern is case-insensitive via the RE2-portable `(?i)`
+    * flag (real corpora mix case; a lowercase-only class would ship
+    * `John.Doe@Example.COM` through unmasked). */
+  val EmailPattern = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val IdPattern    = "\\d{3}-\\d{2}-\\d{4}"   // SSN-shaped 3-2-4
   val PhonePattern = "\\d{3}-\\d{3}-\\d{4}"   // 3-3-4
 

@@ -13,13 +13,15 @@ class CorpusPrepSpec extends SparkTestBase {
       "mail bob.smith+x@corp.example.org now",
       "id 123-45-6789 phone 555-123-4567",
       "no pii here at all",
-      "almost 12-345-6789 and 1234-56-7890x")
+      "almost 12-345-6789 and 1234-56-7890x",
+      "Mixed John.Doe@Example.COM case")
       .toDF("text")
       .select(CorpusPrep.scrubPii($"text").as("out"))
       .as[String].collect()
     assert(rows(0) == "mail <EMAIL> now")
     assert(rows(1) == "id <ID> phone <PHONE>")
     assert(rows(2) == "no pii here at all")
+    assert(rows(4) == "Mixed <EMAIL> case")
     // 12-345-6789 is neither shape; 234-56-7890 inside the last token IS
     // id-shaped (digit boundaries are not asserted — scrubbing is
     // deliberately aggressive)
