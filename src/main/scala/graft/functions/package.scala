@@ -20,6 +20,9 @@ package object functions {
   def poly_hash(c: Column): Column =
     shims.column(graft.text.PolyHash(shims.expression(c)))
 
+  def word_shingles(c: Column, k: Int): Column =
+    shims.column(graft.text.WordShingles(shims.expression(c), k))
+
   def minhash_sig(c: Column): Column =
     shims.column(graft.text.MinHashSig(shims.expression(c)))
 
@@ -47,6 +50,9 @@ package object functions {
       "l2_distance", exprs => L2Distance(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "poly_hash", exprs => graft.text.PolyHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_shingles", exprs => graft.text.WordShingles(exprs(0),
+        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_sig", exprs => graft.text.MinHashSig(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(

@@ -26,14 +26,13 @@ object TextAnalysis {
 
   def charCount(text: Column): Column = length(text).cast("long")
 
-  /** Word k-gram shingles (distinct), empty array when fewer than k words. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val w = words(text)
-    when(size(w) >= k,
-      array_distinct(transform(sequence(lit(0), size(w) - k),
-        i => concat_ws(" ", slice(w, i + 1, lit(k))))))
-      .otherwise(array().cast("array<string>"))
-  }
+  /** Word k-gram shingles (distinct), empty array when fewer than k words.
+    * Codegen'd [[WordShingles]] expression — the equivalent
+    * `transform(sequence(...))` formula is an interpreted higher-order
+    * function and dominated full-corpus scans (ShingleSpec pins the
+    * byte-for-byte equivalence). */
+  def shingles(text: Column, k: Int = 3): Column =
+    shims.column(WordShingles(shims.expression(text), k))
 
   def polyHash(c: Column): Column = shims.column(PolyHash(shims.expression(c)))
 

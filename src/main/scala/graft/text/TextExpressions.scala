@@ -63,6 +63,40 @@ object TextMath extends Serializable {
     sig
   }
 
+  /** Distinct word-k-gram shingles of a single-space tokenization —
+    * the tight-loop replica of the Column formula it replaces
+    * (`transform(sequence(0, n-k), i -> concat_ws(" ", slice(w, i+1, k)))`
+    * + `array_distinct`), byte-for-byte:
+    *  - tokens = split on the literal single space, EMPTY TOKENS KEPT
+    *    (Spark's regex split with -1 limit);
+    *  - fewer than k tokens → empty result;
+    *  - shingle i = tokens[i..i+k-1] joined by one space (empty tokens
+    *    contribute their empty string, as concat_ws does);
+    *  - first-occurrence distinct. */
+  def shingles(text: UTF8String, k: Int): Array[UTF8String] = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < k) return new Array[UTF8String](0)
+    val seen = new java.util.LinkedHashSet[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= words.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[UTF8String](seen.size)
+    val it = seen.iterator
+    var n = 0
+    while (it.hasNext) { out(n) = UTF8String.fromString(it.next()); n += 1 }
+    out
+  }
+
   /** 16-bit SimHash over pre-hashed tokens: bit b set iff
     * Σ_tokens (2*((h>>b)&1) − 1) > 0. */
   def simHash16(hashes: Array[Long]): Long = {
@@ -110,6 +144,40 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "poly_hash"
+}
+
+/** Distinct word-k-gram shingles as ONE codegen'd expression. The Column
+  * formula this replaces (`transform(sequence(...), ...)`) is a
+  * higher-order function Spark evaluates interpreted, per element, with a
+  * lambda invocation and boxing on every shingle — measurably dominant on
+  * full-corpus scans (the same interpreted-HOF trap round 3 found in
+  * q48's fixture). Semantics are byte-identical ([[TextMath.shingles]];
+  * ShingleSpec asserts equivalence against the old formula). */
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"word_shingles: k must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_shingles requires STRING, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      TextMath.shingles(v.asInstanceOf[UTF8String], k)
+        .asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tm = TextMath.getClass.getName.stripSuffix("$")
+    val gad = classOf[GenericArrayData].getName
+    defineCodeGen(ctx, ev,
+      c => s"new $gad((Object[]) $tm.shingles($c, $k))")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "word_shingles"
 }
 
 abstract class HashArrayExpression extends UnaryExpression {
