@@ -23,6 +23,9 @@ package object functions {
   def word_shingles(c: Column, k: Int): Column =
     shims.column(graft.text.WordShingles(shims.expression(c), k))
 
+  def array_poly_hash(c: Column): Column =
+    shims.column(graft.text.ArrayPolyHash(shims.expression(c)))
+
   def minhash_sig(c: Column): Column =
     shims.column(graft.text.MinHashSig(shims.expression(c)))
 
@@ -53,6 +56,8 @@ package object functions {
     reg.createOrReplaceTempFunction(
       "word_shingles", exprs => graft.text.WordShingles(exprs(0),
         exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+    reg.createOrReplaceTempFunction(
+      "array_poly_hash", exprs => graft.text.ArrayPolyHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_sig", exprs => graft.text.MinHashSig(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(

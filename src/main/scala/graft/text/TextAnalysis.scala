@@ -36,8 +36,11 @@ object TextAnalysis {
 
   def polyHash(c: Column): Column = shims.column(PolyHash(shims.expression(c)))
 
-  /** Hash each element of a string array. */
-  def hashTokens(arr: Column): Column = transform(arr, t => polyHash(t))
+  /** Hash each element of a string array. Codegen'd [[ArrayPolyHash]] —
+    * the `transform(arr, t => polyHash(t))` form ran the lambda
+    * interpreted per element under every MinHash/SimHash signature. */
+  def hashTokens(arr: Column): Column =
+    shims.column(ArrayPolyHash(shims.expression(arr)))
 
   def minHashSig(tokenHashes: Column): Column =
     shims.column(MinHashSig(shims.expression(tokenHashes)))

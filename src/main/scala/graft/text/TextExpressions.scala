@@ -97,6 +97,16 @@ object TextMath extends Serializable {
     out
   }
 
+  /** [[polyHash]] over every element of a string array (tight loop —
+    * replaces an interpreted per-element `transform`). */
+  def polyHashAll(arr: ArrayData): Array[Long] = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = polyHash(arr.getUTF8String(i)); i += 1 }
+    out
+  }
+
   /** 16-bit SimHash over pre-hashed tokens: bit b set iff
     * Σ_tokens (2*((h>>b)&1) − 1) > 0. */
   def simHash16(hashes: Array[Long]): Long = {
@@ -178,6 +188,36 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "word_shingles"
+}
+
+/** Element-wise [[PolyHash]] of an ARRAY<STRING> as one codegen'd
+  * expression — `transform(arr, t -> poly_hash(t))` runs the lambda
+  * interpreted per element; this is the tight-loop form feeding
+  * MinHash/SimHash signatures. */
+case class ArrayPolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  // containsNull is accepted either way (split() advertises nullable
+  // elements it never produces); actually-null elements are a caller bug
+  // and fail fast, exactly as the downstream signature exprs always did
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"array_poly_hash requires ARRAY<STRING>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(TextMath.polyHashAll(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tm = TextMath.getClass.getName.stripSuffix("$")
+    val gad = classOf[GenericArrayData].getName
+    defineCodeGen(ctx, ev, c => s"new $gad($tm.polyHashAll($c))")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "array_poly_hash"
 }
 
 abstract class HashArrayExpression extends UnaryExpression {
