@@ -112,8 +112,15 @@ object Dedup {
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionByName(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+    // round 0 fused into initialization: comp₀ = min(id, min neighbor) —
+    // one aggregation over the edge list instead of a full loop round
+    // (for clique-shaped duplicate groups, the common near-dup case,
+    // every member sees the keeper as a direct neighbor and the loop
+    // then terminates in its single confirmation round)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__nbr"))
+      .select(col("id"), least(col("id"), col("__nbr")).as("comp"))
+      .localCheckpoint()
     var converged = labels.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
