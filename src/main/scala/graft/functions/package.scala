@@ -54,8 +54,18 @@ package object functions {
     reg.createOrReplaceTempFunction(
       "poly_hash", exprs => graft.text.PolyHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
-      "word_shingles", exprs => graft.text.WordShingles(exprs(0),
-        exprs(1).eval().asInstanceOf[Number].intValue()), "built-in")
+      "word_shingles", exprs => {
+        // k must be a literal: validate with a named error instead of
+        // letting eval() on an arbitrary expression throw internals
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          "word_shingles(text, k) requires exactly 2 arguments")
+        val kv = if (exprs(1).foldable) exprs(1).eval() else null
+        kv match {
+          case n: Number => graft.text.WordShingles(exprs(0), n.intValue())
+          case _ => throw new IllegalArgumentException(
+            "word_shingles: k must be a literal integer")
+        }
+      }, "built-in")
     reg.createOrReplaceTempFunction(
       "array_poly_hash", exprs => graft.text.ArrayPolyHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(

@@ -26,13 +26,17 @@ object TextAnalysis {
 
   def charCount(text: Column): Column = length(text).cast("long")
 
-  /** Word k-gram shingles (distinct), empty array when fewer than k words.
-    * Codegen'd [[WordShingles]] expression — the equivalent
-    * `transform(sequence(...))` formula is an interpreted higher-order
-    * function and dominated full-corpus scans (ShingleSpec pins the
-    * byte-for-byte equivalence). */
+  /** Word k-gram shingles (distinct), empty array when fewer than k words
+    * OR when the text is null (the `when(...).otherwise(array())` formula
+    * this replaced — and the oracle's CASE — both yield [] on null, so
+    * the null-intolerant expression is coalesced back to empty here).
+    * Codegen'd [[WordShingles]] — the equivalent `transform(sequence(...))`
+    * formula is an interpreted higher-order function and dominated
+    * full-corpus scans (ShingleSpec pins the byte-for-byte equivalence,
+    * null text included). */
   def shingles(text: Column, k: Int = 3): Column =
-    shims.column(WordShingles(shims.expression(text), k))
+    coalesce(shims.column(WordShingles(shims.expression(text), k)),
+      array().cast("array<string>"))
 
   def polyHash(c: Column): Column = shims.column(PolyHash(shims.expression(c)))
 

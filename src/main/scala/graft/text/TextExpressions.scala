@@ -98,12 +98,27 @@ object TextMath extends Serializable {
   }
 
   /** [[polyHash]] over every element of a string array (tight loop —
-    * replaces an interpreted per-element `transform`). */
+    * replaces an interpreted per-element `transform`). Fast no-null path. */
   def polyHashAll(arr: ArrayData): Array[Long] = {
     val n = arr.numElements()
     val out = new Array[Long](n)
     var i = 0
     while (i < n) { out(i) = polyHash(arr.getUTF8String(i)); i += 1 }
+    out
+  }
+
+  /** [[polyHashAll]] for arrays whose type admits null elements: a null
+    * element hashes to a null element, exactly as the per-element
+    * `transform` with a null-intolerant hash did (boxed — only used when
+    * the input type declares containsNull). */
+  def polyHashAllNullable(arr: ArrayData): Array[Any] = {
+    val n = arr.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      out(i) = if (arr.isNullAt(i)) null else polyHash(arr.getUTF8String(i))
+      i += 1
+    }
     out
   }
 
@@ -195,25 +210,35 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
   * interpreted per element; this is the tight-loop form feeding
   * MinHash/SimHash signatures. */
 case class ArrayPolyHash(child: Expression) extends UnaryExpression {
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _               => false
+  }
+
+  // null elements propagate as null hashes (what transform + a
+  // null-intolerant per-element hash produced); the unboxed fast path
+  // runs whenever the input type rules nulls out
+  override def dataType: DataType =
+    ArrayType(LongType, containsNull = elemNullable)
   override def nullIntolerant: Boolean = true
 
-  // containsNull is accepted either way (split() advertises nullable
-  // elements it never produces); actually-null elements are a caller bug
-  // and fail fast, exactly as the downstream signature exprs always did
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
       s"array_poly_hash requires ARRAY<STRING>, got ${other.simpleString}")
   }
 
-  override def nullSafeEval(v: Any): Any =
-    new GenericArrayData(TextMath.polyHashAll(v.asInstanceOf[ArrayData]))
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (elemNullable) new GenericArrayData(TextMath.polyHashAllNullable(arr))
+    else new GenericArrayData(TextMath.polyHashAll(arr))
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val tm = TextMath.getClass.getName.stripSuffix("$")
     val gad = classOf[GenericArrayData].getName
-    defineCodeGen(ctx, ev, c => s"new $gad($tm.polyHashAll($c))")
+    val fn = if (elemNullable) "polyHashAllNullable" else "polyHashAll"
+    defineCodeGen(ctx, ev, c => s"new $gad($tm.$fn($c))")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -23,24 +23,34 @@ class ShingleSpec extends SparkTestBase {
 
   test("WordShingles equals the HOF formula on edge cases and the corpus") {
     val edge = Seq(
-      "",                        // one empty token
-      "a", "a b",                // fewer than k words
-      "a b c",                   // exactly k
+      "",                         // one empty token
+      "a", "a b",                 // fewer than k words
+      "a b c",                    // exactly k
       "a b c d e",
-      "a  b c d",                // double space -> empty token kept
-      " a b c",                  // leading space
-      "a b c ",                  // trailing space
-      "x x x x x x",             // repeated shingles -> distinct
-      "héllo wörld ünicode test" // non-ASCII
+      "a  b c d",                 // double space -> empty token kept
+      " a b c",                   // leading space
+      "a b c ",                   // trailing space
+      "x x x x x x",              // repeated shingles -> distinct
+      "héllo wörld ünicode test", // non-ASCII
+      null                        // null text -> [] in BOTH forms
     ).toDF("text")
     val corpus = table("documents").select($"text").limit(200)
     for (df <- Seq(edge, corpus); k <- Seq(2, 3, 5)) {
-      val diff = df.select(
+      val bad = df.select(
           TextAnalysis.shingles($"text", k).as("fast"),
           hofShingles($"text", k).as("ref"))
         .filter(not($"fast" <=> $"ref"))
-      assert(diff.isEmpty, s"k=$k mismatch: ${diff.head(3).mkString("; ")}")
+        .head(3)
+      assert(bad.isEmpty, s"k=$k mismatch: ${bad.mkString("; ")}")
     }
+  }
+
+  test("hashTokens propagates null elements like the transform it replaced") {
+    val r = Seq(1).toDF("i")
+      .select(TextAnalysis.hashTokens(
+        array(lit("a"), lit(null).cast("string"), lit("b"))).as("h"))
+      .head().getSeq[Any](0)
+    assert(r.length == 3 && r(1) == null && r(0) != null && r(2) != null)
   }
 
   test("word_shingles is SQL-callable and k must be a literal") {
