@@ -791,6 +791,30 @@ object SparkEntry {
           "text", "doc_id", threshold = 0.02)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- CUBE aggregation (closes the §2.4 grouping-sets family next
+    //      to q12's ROLLUP): all four grouping combinations in one pass
+    //      over lineitem via Spark's Expand, partial-aggregated ----
+    "q62_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(dsum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy(col("rf"), col("ls"))),
+
+    // ---- offset pagination (§2.5): page 6 of 20 under a deterministic
+    //      total order — LIMIT/OFFSET the serving tier's way ----
+    "q63_pagination" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice"))
+        .offset(100).limit(20)),
+
     // ---- PII scrubbing: injected email/SSN/phone are all masked; the
     //      scrub chain is one codegen'd expression per row ----
     "q60_pii_scrub" -> ((s, dir) => {
@@ -1626,6 +1650,21 @@ object SparkEntry {
          |        >= 0.02
          |ORDER BY id_a, id_b""".stripMargin
     },
+
+    "q62_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem WHERE l_shipdate <= '1998-09-02'
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q63_pagination" ->
+      """SELECT o_orderkey, o_custkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice
+        |FROM orders ORDER BY o_orderdate, o_orderkey
+        |LIMIT 20 OFFSET 100""".stripMargin,
 
     // patterns interpolated from CorpusPrep so engine and oracle can
     // never drift (the interpolated values are inserted verbatim — no
