@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions._
-import graft.text.{MinHashSig, PolyHash, SimHash16}
+import graft.text.{ArrayPolyHash, MinHashSig, PolyHash, SimHash16, WordShingles}
 
 /** Session-extension entry point: makes every graft expression available in
   * plain SQL on any session built with
@@ -31,6 +31,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e => L2Distance(e(0), e(1)) }
     inject("poly_hash", "poly_hash(s) - rolling hash fingerprint") {
       e => PolyHash(e.head) }
+    inject("array_poly_hash",
+      "array_poly_hash(arr) - poly_hash of every ARRAY<STRING> element") {
+      e => ArrayPolyHash(e.head) }
+    inject("word_shingles",
+      "word_shingles(text, k) - distinct word k-gram shingles (k literal)") { e =>
+      if (e.length != 2) throw new IllegalArgumentException(
+        "word_shingles(text, k) requires exactly 2 arguments")
+      val kv = if (e(1).foldable) e(1).eval() else null
+      kv match {
+        case n: Number => WordShingles(e(0), n.intValue())
+        case _ => throw new IllegalArgumentException(
+          "word_shingles: k must be a literal integer")
+      }
+    }
     inject("minhash_sig", "minhash_sig(hashes) - 16-slot MinHash signature") {
       e => MinHashSig(e.head) }
     inject("simhash16", "simhash16(hashes) - 16-bit SimHash") {

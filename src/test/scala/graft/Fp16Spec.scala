@@ -150,10 +150,14 @@ class Fp16Spec extends SparkTestBase {
         "SELECT cosine_distance(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
           "array(CAST(0 AS FLOAT), CAST(1 AS FLOAT))) AS d, " +
           "poly_hash('ab') AS h, " +
-          "octet_length(fp16_encode(array(CAST(1.5 AS FLOAT)))) AS n").head()
+          "octet_length(fp16_encode(array(CAST(1.5 AS FLOAT)))) AS n, " +
+          "word_shingles('a b c d', 3) AS sh, " +
+          "array_poly_hash(array('ab')) AS ah").head()
       assert(got.getDouble(0) == 1.0)
       assert(got.getLong(1) == 'a'.toLong * 31 + 'b'.toLong)
       assert(got.getInt(2) == 2)
+      assert(got.getSeq[String](3) == Seq("a b c", "b c d"))
+      assert(got.getSeq[Long](4) == Seq('a'.toLong * 31 + 'b'.toLong))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
