@@ -35,17 +35,34 @@ object Bench {
       }
     // median of 3 timed passes per query — single-run local[32] numbers
     // carry ±0.1s scheduler noise that reads as fake regressions when
-    // rounds are compared; the median is stable run-over-run
+    // rounds are compared; the median is stable run-over-run.
+    //
+    // Session state is SWEPT before each query (persistent RDDs — cached
+    // relations and localCheckpoint generations — plus the SQL cache):
+    // without the sweep, the alphabetic tail of the run inherits every
+    // prior query's pinned blocks and measures accumulated session
+    // memory pressure instead of the operator (round-5 verdict: q52/q54/
+    // q59 benched 2-5x their standalone times). The 3 passes of one
+    // query then run back-to-back: pass 1 re-populates the caches the
+    // query deliberately uses (Fp16Corpus, the encoded store — their
+    // DATA persists on disk and is re-read, not rebuilt), and the median
+    // reports the warm steady state, same as a standalone session.
     val Runs = 3
-    val samples = (1 to Runs).map { _ =>
-      names.map { name =>
+    def sweep(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
+    val results = names.map { name =>
+      sweep()
+      val times = (1 to Runs).map { _ =>
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
-      }.toMap
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.sorted.apply(Runs / 2)
     }
-    val results = names.map(n => n -> samples.map(_(n)).sorted.apply(Runs / 2))
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.cosine_distance
@@ -17,6 +18,17 @@ import graft.text.TextAnalysis
   * candidates touches two full shingle sets at once.
   */
 object Dedup {
+
+  /** Drop the storage blocks behind a `localCheckpoint()`ed frame.
+    * Checkpointing truncates lineage, so the blocks are unrecoverable
+    * after this — only call on a generation that has been fully
+    * superseded by a later materialization. No-op on a frame that is
+    * not itself a checkpoint root. */
+  private def release(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+      case _              => ()
+    }
 
   /** Exact dedup groups keyed by content digest: keeper = min key.
     * groupBy on md5(text) — the shuffle carries only (digest, key). */
@@ -103,9 +115,13 @@ object Dedup {
     * cost — stays CONSTANT across iterations (a cache() alone leaves the
     * logical plan growing linearly, which turns into quadratic planning
     * time; same lineage discipline as `Knn.trainCentroids`, applied to
-    * per-node state too large to collect). On a production cluster
-    * prefer `checkpoint()` to reliable storage for fault tolerance; the
-    * algorithm is unchanged. */
+    * per-node state too large to collect). Each round's checkpoint
+    * supersedes the previous one, which is unpersisted immediately — on
+    * return exactly ONE generation (the result) stays pinned in executor
+    * storage, not one per round; it lives until the session ends or the
+    * caller sweeps persistent RDDs after consuming the labels. On a
+    * production cluster prefer `checkpoint()` to reliable storage for
+    * fault tolerance; the algorithm is unchanged. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 25): DataFrame = {
     val edges = pairs
@@ -121,6 +137,26 @@ object Dedup {
       .agg(min(col("dst")).as("__nbr"))
       .select(col("id"), least(col("id"), col("__nbr")).as("comp"))
       .localCheckpoint()
+    // the checkpointed generation currently backing `labels`: each round's
+    // checkpoint supersedes the previous one, whose blocks are then dead
+    // weight — checkpointed blocks have truncated lineage so the storage
+    // layer can never safely evict them on its own; without an explicit
+    // unpersist a d-round CC pins d full copies of per-node state in
+    // executor storage for the life of the session
+    var gen = labels
+    // convergence is counted INSIDE the checkpoint materialization: a
+    // side-effecting comparison bumps an accumulator as each row is
+    // written, so the check costs zero extra jobs (the previous shape —
+    // a filter+count over the checkpointed rows — was cheap per row but
+    // a full job and driver sync per round). Task retries can only
+    // inflate the count, never zero it, so a spurious non-zero costs at
+    // most one extra (idempotent) round — convergence stays sound.
+    val changedAcc = pairs.sparkSession.sparkContext
+      .longAccumulator("graft.cc.changed")
+    val bump = udf { changed: Boolean =>
+      if (changed) changedAcc.add(1L)
+      changed
+    }.asNondeterministic()
     var converged = labels.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
@@ -131,25 +167,25 @@ object Dedup {
       // one fused update per round: comp ← min(comp, neighbor comps,
       // comp(comp)) — the pointer jump reads the PREVIOUS round's labels
       // (simultaneous update), which keeps a single materialization per
-      // round while still halving remaining distances each round. The
-      // previous label rides along in the materialization so the
-      // convergence check is a filter+count over the checkpointed rows,
-      // not another join of two label generations (one fewer shuffle and
-      // one fewer job per round).
+      // round while still halving remaining distances each round
+      val newComp = least(col("comp"),
+        least(coalesce(col("nbr"), col("comp")),
+          coalesce(col("jumped"), col("comp"))))
+      changedAcc.reset()
       val updated = labels
         .join(nbrMin, Seq("id"), "left")
         .join(labels.select(col("id").as("__jid"),
           col("comp").as("jumped")), col("comp") === col("__jid"), "left")
-        .select(col("id"), col("comp").as("__prev"),
-          least(col("comp"),
-            least(coalesce(col("nbr"), col("comp")),
-              coalesce(col("jumped"), col("comp")))).as("comp"))
+        .select(col("id"), newComp.as("comp"),
+          bump(newComp =!= col("comp")).as("__changed"))
         .localCheckpoint()
-      val changed = updated.filter(col("comp") =!= col("__prev")).count()
+      converged = changedAcc.value == 0
+      release(gen) // superseded generation: safe to drop once `updated` is material
+      gen = updated
       labels = updated.select(col("id"), col("comp"))
-      converged = changed == 0
       i += 1
     }
+    release(edges) // labels are material; the edge list is no longer needed
     // an unconverged labeling is indistinguishable from a converged one to
     // the caller and silently splits duplicate groups — fail instead
     if (!converged) throw new IllegalStateException(

@@ -27,10 +27,18 @@ object Bucketed {
     d.delete(); ()
   }
 
+  /** Bucket count: at least the session's core count, floor 8 — buckets
+    * cap the join's parallelism (bucket i joins bucket i, one task each),
+    * so fewer buckets than cores idles the difference. On a real cluster
+    * you'd size this to the target executor count × cores at layout time. */
+  def bucketCount(s: SparkSession): Int =
+    math.max(s.sparkContext.defaultParallelism, 8)
+
   private def ensureTable(s: SparkSession, table: String, location: String,
       schema: String, bucketCol: String, src: DataFrame): DataFrame = {
     if (!s.catalog.tableExists(table)) {
-      val spec = s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO 8 BUCKETS"
+      val spec = s"CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) " +
+        s"INTO ${bucketCount(s)} BUCKETS"
       val loc = new File(location)
       if (new File(loc, "_SUCCESS").isFile)
         s.sql(s"""CREATE TABLE $table ($schema) USING parquet $spec
@@ -55,7 +63,10 @@ object Bucketed {
     val lSrc = lineitem.select(col("l_orderkey"), col("l_extendedprice"),
       col("l_discount"))
     val tag = new File(sfDir).getName.replaceAll("[^A-Za-z0-9]", "_")
-    val key = s"${tag}_c${oSrc.count()}_${lSrc.count()}"
+    // bucket count is part of the layout: a session with a different core
+    // count must not re-register (or silently reuse) files bucketed for
+    // another width — key the fixture on it
+    val key = s"${tag}_c${oSrc.count()}_${lSrc.count()}_b${bucketCount(s)}"
     val root = s"${Fp16Corpus.workRoot}/bucketed-$key"
     val o = ensureTable(s, s"orders_bkt_$key", s"$root/orders",
       "o_orderkey BIGINT, o_custkey BIGINT", "o_orderkey", oSrc)

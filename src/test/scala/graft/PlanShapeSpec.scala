@@ -48,9 +48,11 @@ class PlanShapeSpec extends SparkTestBase {
 
   test("q53: bucketed join reads bucket files with no Exchange below the join") {
     val p = plan("q53_bucketed_join")
-    // both scans carry the bucket spec...
-    assert(p.split("SelectedBucketsCount: 8", -1).length - 1 == 2,
-      s"expected two bucketed scans:\n$p")
+    // both scans carry the bucket spec (count = max(cores, 8), so the
+    // join's per-bucket tasks saturate the session's parallelism)...
+    val b = graft.fixtures.Bucketed.bucketCount(spark)
+    assert(p.split(s"SelectedBucketsCount: $b", -1).length - 1 == 2,
+      s"expected two $b-bucket scans:\n$p")
     assert(p.contains("SortMergeJoin"), s"not a sort-merge join:\n$p")
     // ...and the ONLY shuffle in the whole plan is the post-join groupBy —
     // the join itself is co-located by layout

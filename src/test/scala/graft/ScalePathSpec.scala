@@ -36,6 +36,29 @@ class ScalePathSpec extends SparkTestBase {
     assert(got.forall(_.getLong(1) == 0L))
   }
 
+  test("connectedComponents: pinned storage does not grow with iteration count") {
+    // a 60-hop chain (~6 pointer-jump rounds) and a single pair (1 round)
+    // must each leave exactly ONE generation pinned — the result — plus
+    // nothing: superseded label checkpoints and the edge list are released.
+    // Compare id SETS, not sizes: the ContextCleaner may concurrently drop
+    // unrelated orphaned RDDs from earlier suites, which would skew a
+    // size-based diff downward.
+    def ids = spark.sparkContext.getPersistentRDDs.keySet
+    val before = ids
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val deep = Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 12)
+    deep.count()
+    val pinnedDeep = ids -- before
+    assert(pinnedDeep.size == 1,
+      s"deep chain pinned ${pinnedDeep.size} RDDs (want 1)")
+    val small = Dedup.connectedComponents(
+      Seq((100L, 101L)).toDF("id_a", "id_b"), "id_a", "id_b")
+    small.count()
+    val pinnedSmall = ids -- before -- pinnedDeep
+    assert(pinnedSmall.size == 1,
+      s"single-pair CC pinned ${pinnedSmall.size} RDDs (want 1)")
+  }
+
   test("partitioned store: source_type filter prunes partitions at plan time") {
     val dir = Files.createTempDirectory("graft-part").toString
     val docs = table("documents").select(
