@@ -827,6 +827,38 @@ object SparkEntry {
           substring(graft.text.CorpusPrep.scrubPii(col("text")), 1, 160)
             .as("scrubbed"))
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- the dedup pipeline through its 100-TB candidate path: LSH
+    //      banded candidates + exact-Jaccard verify (q61's shape) feeding
+    //      the same components → survivor tail as q54. Recall differences
+    //      vs the exact path are the banding scheme's, so this is gated as
+    //      its own fixture rather than expected to match q54 ----
+    "q64_dedup_pipeline_lsh" -> ((s, dir) =>
+      Dedup.deduplicate(
+          t(s, dir, "documents").filter(col("doc_id") < 200),
+          "text", "doc_id", threshold = 0.02, viaLsh = true)
+        .orderBy(col("doc_id"))),
+
+    // ---- decontamination under the hot-shingle cap: every doc on BOTH
+    //      sides carries a shared boilerplate header, whose shingles span
+    //      the corpora with df ≈ 215 ≫ cap — the cap drops them from
+    //      candidate generation (df counted across the UNION), so reported
+    //      Jaccard is the lower bound over rare shingles only ----
+    "q65_decontaminate_capped" -> ((s, dir) => {
+      val boiler = "shared corpus header boilerplate line "
+      val train = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), concat(lit(boiler), col("text")).as("text"))
+      val mutated = t(s, dir, "documents")
+        .filter(col("doc_id") >= 50 && col("doc_id") < 60)
+        .select((col("doc_id") + 5000).as("doc_id"),
+          concat(lit(boiler), col("text"), lit(" heldout marker")).as("text"))
+      val probes = s.range(5).select((col("id") + 9000).as("doc_id"),
+        concat(lit(boiler), lit("benchmark probe question number "),
+          col("id").cast("string")).as("text"))
+      Dedup.crossCorpusPairs(train, mutated.unionByName(probes),
+          "text", "doc_id", threshold = 0.5, maxShingleDf = Some(50))
+        .orderBy(col("corpus_id"), col("bench_id"))
     })
   )
 
@@ -1682,6 +1714,89 @@ object SparkEntry {
          |  '${graft.text.CorpusPrep.IdPattern}', '<ID>', 'g'),
          |  '${graft.text.CorpusPrep.PhonePattern}', '<PHONE>', 'g'),
          |  1, 160) AS scrubbed
-         |FROM inj ORDER BY doc_id""".stripMargin
+         |FROM inj ORDER BY doc_id""".stripMargin,
+
+    // q61's LSH candidate + exact-verify chain feeding q54's recursive-CTE
+    // component labeling and survivor output
+    "q64_dedup_pipeline_lsh" -> {
+      val bandSelects = (0 until 4).map { b =>
+        val cols = (0 until 4).map(r => s"mh${b * 4 + r}").mkString(", ")
+        s"SELECT id, $b AS band, concat_ws('-', $cols) AS bsig FROM sig"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents WHERE doc_id < 200),
+         |shl AS (SELECT doc_id AS id, ${sqlShingles("w")} AS sh FROM w),
+         |nz AS (SELECT * FROM shl WHERE len(sh) > 0),
+         |sh AS (SELECT id, unnest(sh) AS s FROM nz),
+         |h AS (SELECT id AS doc_id, ${sqlPolyHash("s")} AS h FROM sh),
+         |sig AS (SELECT doc_id AS id, ${sqlMinHashCols("h")} FROM h
+         |  GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.bsig = b.bsig AND a.id < b.id),
+         |pairs AS (SELECT c.id_a, c.id_b
+         |  FROM cand c JOIN nz x ON x.id = c.id_a JOIN nz y ON y.id = c.id_b
+         |  WHERE CAST(len(list_distinct(list_intersect(x.sh, y.sh))) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(x.sh, y.sh))) AS DOUBLE)
+         |          >= 0.02),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, x) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.x),
+         |comp AS (SELECT id, min(x) AS comp FROM reach GROUP BY id),
+         |labeled AS (
+         |  SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS comp
+         |  FROM (SELECT doc_id FROM documents WHERE doc_id < 200) d
+         |  LEFT JOIN comp c ON d.doc_id = c.id),
+         |grp AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS group_size
+         |  FROM labeled GROUP BY comp)
+         |SELECT l.doc_id, g.group_size FROM labeled l JOIN grp g USING (comp)
+         |WHERE l.doc_id = l.comp ORDER BY l.doc_id""".stripMargin
+    },
+
+    // the union-df stoplist replicated: shingle document frequency counted
+    // across BOTH corpora, shingles with df > 50 dropped before the pair
+    // join; na/nb stay the ORIGINAL shingle-set sizes (lower-bound Jaccard)
+    "q65_decontaminate_capped" ->
+      s"""WITH train AS (
+         |  SELECT doc_id AS id,
+         |    'shared corpus header boilerplate line ' || text AS text
+         |  FROM documents WHERE doc_id < 200),
+         |bench AS (
+         |  SELECT doc_id + 5000 AS id,
+         |    'shared corpus header boilerplate line ' || text ||
+         |      ' heldout marker' AS text
+         |  FROM documents WHERE doc_id >= 50 AND doc_id < 60
+         |  UNION ALL
+         |  SELECT 9000 + i AS id,
+         |    'shared corpus header boilerplate line ' ||
+         |    'benchmark probe question number ' || CAST(i AS VARCHAR) AS text
+         |  FROM (SELECT unnest(range(5)) AS i)),
+         |tsh AS (SELECT id, ${sqlShingles("string_split(text, ' ')")} AS sh
+         |  FROM train),
+         |bsh AS (SELECT id, ${sqlShingles("string_split(text, ' ')")} AS sh
+         |  FROM bench),
+         |ttok AS (SELECT 0 AS side, id, len(sh) AS n, unnest(sh) AS s
+         |  FROM tsh WHERE len(sh) > 0),
+         |btok AS (SELECT 1 AS side, id, len(sh) AS n, unnest(sh) AS s
+         |  FROM bsh WHERE len(sh) > 0),
+         |tok AS (SELECT * FROM ttok UNION ALL SELECT * FROM btok),
+         |rare AS (SELECT s FROM tok GROUP BY s HAVING count(*) <= 50),
+         |ft AS (SELECT t.side, t.id, t.n, t.s FROM tok t JOIN rare USING (s)),
+         |common AS (
+         |  SELECT a.id AS corpus_id, b.id AS bench_id, count(*) AS c,
+         |    any_value(a.n) AS na, any_value(b.n) AS nb
+         |  FROM ft a JOIN ft b ON a.s = b.s AND a.side = 0 AND b.side = 1
+         |  GROUP BY 1, 2)
+         |SELECT corpus_id, bench_id,
+         |  CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) AS jaccard
+         |FROM common
+         |WHERE CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) >= 0.5
+         |ORDER BY corpus_id, bench_id""".stripMargin
   )
 }
