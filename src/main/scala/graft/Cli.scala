@@ -55,33 +55,42 @@ object Cli {
 
     case "sync" +: rest =>
       val f = flags(rest)
-      val (pagesDir, store, ckpt) =
-        (f.get("pages-dir"), f.get("store"), f.get("ckpt")) match {
-          case (Some(p), Some(s), Some(c)) => (p, s, c)
-          case _ =>
-            System.err.println("sync requires --pages-dir, --store, --ckpt")
-            return 2
-        }
       // --fp16: persist embeddings half-precision (the reference's HALFVEC
-      // at-rest layout); reads widen transparently, searches stay fused
-      val fp16 = rest.contains("--fp16")
-      if (rest.contains("--backfill")) {
-        val n = Sync.backfill(spark, dirClient(pagesDir), store, ckpt,
-          fp16 = fp16)
-        println(Json.write(Map("synced" -> n, "mode" -> "backfill")))
-        0
-      } else {
-        val since = f.get("since").map(java.time.Instant.parse)
-        Sync.incremental(spark, dirClient(pagesDir), store, ckpt, since,
-            fp16 = fp16) match {
-          case Some(n) =>
-            println(Json.write(Map("synced" -> n, "mode" -> "incremental")))
+      // at-rest layout); reads widen transparently, searches stay fused.
+      // All knobs validate through GraftConfig before any Spark work.
+      val result = GraftConfig.validated(GraftConfig(
+          storeDir = f.getOrElse("store", ""),
+          fp16 = rest.contains("--fp16"),
+          pagesDir = f.get("pages-dir"),
+          checkpointDir = f.get("ckpt")))
+        .flatMap(c => if (c.pagesDir.isEmpty)
+          Left(List("PAGES_DIR is required for sync (--pages-dir)"))
+        else Right(c))
+      result match {
+        case Left(errs) =>
+          errs.foreach(System.err.println)
+          2
+        case Right(cfg) =>
+          if (rest.contains("--backfill")) {
+            val n = Sync.backfill(spark, dirClient(cfg.pagesDir.get),
+              cfg.storeDir, cfg.checkpointDir.get, embedder = cfg.embedder,
+              fp16 = cfg.fp16)
+            println(Json.write(Map("synced" -> n, "mode" -> "backfill")))
             0
-          case None =>
-            System.err.println(
-              "no sync watermark found; run --backfill first or pass --since")
-            1
-        }
+          } else {
+            val since = f.get("since").map(java.time.Instant.parse)
+            Sync.incremental(spark, dirClient(cfg.pagesDir.get), cfg.storeDir,
+                cfg.checkpointDir.get, since, embedder = cfg.embedder,
+                fp16 = cfg.fp16) match {
+              case Some(n) =>
+                println(Json.write(Map("synced" -> n, "mode" -> "incremental")))
+                0
+              case None =>
+                System.err.println(
+                  "no sync watermark found; run --backfill first or pass --since")
+                1
+            }
+          }
       }
 
     case "search" +: query +: rest =>
@@ -110,21 +119,38 @@ object Cli {
 
     case "serve" +: rest =>
       val f = flags(rest)
-      val store = f.getOrElse("store", {
-        System.err.println("serve requires --store"); return 2 })
-      HighlightStore.read(spark, store) match {
+      val parseErrs = List.newBuilder[String]
+      def port(flag: String, default: Int): Int = f.get(flag) match {
+        case None => default
+        case Some(v) => v.toIntOption.getOrElse {
+          parseErrs += s"--$flag must be an integer, got '$v'"; default
+        }
+      }
+      val httpPort = port("http-port", GraftConfig.DefaultHttpPort)
+      val mcpPort = port("mcp-port", GraftConfig.DefaultMcpPort)
+      val result = parseErrs.result() match {
+        case Nil => GraftConfig.validated(GraftConfig(
+          storeDir = f.getOrElse("store", ""),
+          httpPort = httpPort, mcpPort = mcpPort))
+        case es => Left(es)
+      }
+      val cfg = result match {
+        case Left(errs) => errs.foreach(System.err.println); return 2
+        case Right(c)   => c
+      }
+      HighlightStore.read(spark, cfg.storeDir) match {
         case None =>
-          System.err.println(s"no highlight store at $store"); 1
+          System.err.println(s"no highlight store at ${cfg.storeDir}"); 1
         case Some(_) =>
           // readWarm pins the AT-REST relation (encoded bytes for an fp16
           // store) and builds the serving frame over the SAME resolved
           // version — request plans hit the cache as a subplan and score
           // through the fused kernel at half the fp32 resident footprint
-          val gw = new SearchGateway(HighlightStore.readWarm(spark, store).get)
+          val gw = new SearchGateway(
+            HighlightStore.readWarm(spark, cfg.storeDir).get)
           val http = new HttpApi(gw.search, () => Health.check(spark),
-            port = f.get("http-port").map(_.toInt).getOrElse(8000)).start()
-          val mcp = new McpServer(gw.search,
-            port = f.get("mcp-port").map(_.toInt).getOrElse(8375)).start()
+            port = cfg.httpPort).start()
+          val mcp = new McpServer(gw.search, port = cfg.mcpPort).start()
           println(Json.write(Map(
             "http_port" -> http.boundPort, "mcp_port" -> mcp.boundPort)))
           sys.addShutdownHook { http.shutdown(); mcp.shutdown(1000) }

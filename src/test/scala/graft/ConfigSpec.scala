@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fail-fast config validation — the analog of the reference's settings
+  * matrix tests (tests/test_config.py: defaults, backend-requires-url,
+  * case-insensitive env keys, specific messages). Pure (no Spark). */
+class ConfigSpec extends AnyFunSuite {
+
+  test("defaults validate clean") {
+    val c = GraftConfig.orThrow(GraftConfig.validated(GraftConfig("/tmp/store")))
+    assert(!c.fp16)
+    assert(c.embedderDim == 64)
+    assert(c.httpPort == 8000 && c.mcpPort == 8375)
+    assert(c.pagesDir.isEmpty && c.checkpointDir.isEmpty)
+  }
+
+  test("every violation is reported, each with a specific message") {
+    val bad = GraftConfig(storeDir = " ", embedderDim = 0,
+      httpPort = 70000, mcpPort = -1, pagesDir = Some("/p"),
+      checkpointDir = None)
+    val Left(errs) = GraftConfig.validated(bad): @unchecked
+    assert(errs.size == 5, errs.mkString("; "))
+    assert(errs.exists(_.contains("STORE_DIR is required")))
+    assert(errs.exists(_.contains("EMBEDDER_DIM must be a positive integer, got 0")))
+    assert(errs.exists(e => e.contains("HTTP_PORT") && e.contains("70000")))
+    assert(errs.exists(e => e.contains("MCP_PORT") && e.contains("-1")))
+    assert(errs.exists(_.contains("CHECKPOINT_DIR is required when PAGES_DIR is set")))
+  }
+
+  test("serving ports must differ when fixed; both-ephemeral is allowed") {
+    val Left(errs) = GraftConfig.validated(
+      GraftConfig("/s", httpPort = 9000, mcpPort = 9000)): @unchecked
+    assert(errs.exists(_.contains("must differ when fixed, both are 9000")))
+    assert(GraftConfig.validated(
+      GraftConfig("/s", httpPort = 0, mcpPort = 0)).isRight)
+  }
+
+  test("sync matrix: PAGES_DIR without CHECKPOINT_DIR refuses; with it, validates") {
+    val Left(errs) = GraftConfig.validated(
+      GraftConfig("/s", pagesDir = Some("/p"))): @unchecked
+    assert(errs == List("CHECKPOINT_DIR is required when PAGES_DIR is set " +
+      "(sync mode cannot track its watermark without a checkpoint location)"))
+    assert(GraftConfig.validated(GraftConfig("/s", pagesDir = Some("/p"),
+      checkpointDir = Some("/c"))).isRight)
+  }
+
+  test("env loading: GRAFT_ prefix, case-insensitive keys, typed parses") {
+    val Right(c) = GraftConfig.fromEnv(Map(
+      "graft_store_dir" -> "/env/store", // lowercase key accepted
+      "GRAFT_FP16" -> "true",
+      "GRAFT_EMBEDDER_DIM" -> "128",
+      "GRAFT_HTTP_PORT" -> "8080")): @unchecked
+    assert(c.storeDir == "/env/store" && c.fp16 && c.embedderDim == 128)
+    assert(c.httpPort == 8080 && c.mcpPort == GraftConfig.DefaultMcpPort)
+    assert(c.embedder.dim == 128)
+  }
+
+  test("env loading: unparseable values get their own messages plus matrix errors") {
+    val Left(errs) = GraftConfig.fromEnv(Map(
+      "GRAFT_FP16" -> "maybe",
+      "GRAFT_MCP_PORT" -> "not-a-port")): @unchecked
+    assert(errs.exists(_.contains("GRAFT_FP16 must be true/false, got 'maybe'")))
+    assert(errs.exists(_.contains("GRAFT_MCP_PORT must be an integer, got 'not-a-port'")))
+    assert(errs.exists(_.contains("STORE_DIR is required"))) // matrix error rides along
+  }
+
+  test("orThrow joins all messages into one fail-fast exception") {
+    val e = intercept[IllegalArgumentException] {
+      GraftConfig.orThrow(GraftConfig.validated(
+        GraftConfig("", embedderDim = -3)))
+    }
+    assert(e.getMessage.contains("invalid configuration:"))
+    assert(e.getMessage.contains("STORE_DIR"))
+    assert(e.getMessage.contains("EMBEDDER_DIM"))
+  }
+
+  test("Cli sync constructs through the config: missing ckpt fails fast with exit 2") {
+    // no Spark touched: validation fails before any session use (null is
+    // safe here precisely because the path must not reach Spark)
+    val code = Cli.run(Array("sync", "--pages-dir", "/tmp/nope",
+      "--store", "/tmp/store"), null)
+    assert(code == 2)
+  }
+}

@@ -18,6 +18,28 @@ class BpeSpec extends SparkTestBase {
     assert(BpeTokenizer.countTokens(s) < s.getBytes("UTF-8").length)
   }
 
+  test("frozen merge table: token counts are pinned on fixed samples") {
+    // the merge table is a CHECKED-IN resource (graft/bpe_merges.txt, 127
+    // merges trained once by tools/train_bpe.py) — counts must be stable
+    // across corpora and across rounds. If this test fails, the table was
+    // regenerated: that changes every stored token count downstream, so it
+    // must be a deliberate, documented act — not a side effect of a build.
+    // (The counts themselves still diverge from tiktoken's cl100k — that
+    // vocabulary is not shippable zero-egress; truncation SEMANTICS match.)
+    val pinned = Seq(
+      "the winter snow fell on the old stone wall" -> 28L,
+      "numbers 123 4567 and punct!? end" -> 29L,
+      "Harbor lights flickered over the cold water." -> 32L,
+      "unseen-corpus words: zyzzyva qwertyuiop xylophone" -> 46L,
+      "tab\tand\nnewline mixed   spaces" -> 24L)
+    for ((text, want) <- pinned)
+      assert(BpeTokenizer.countTokens(text) == want,
+        s"count drifted for: $text")
+    val merges = scala.io.Source.fromInputStream(
+      getClass.getResourceAsStream("/graft/bpe_merges.txt")).getLines().size
+    assert(merges == 127, s"merge table size drifted: $merges")
+  }
+
   test("truncation cuts at a token boundary and respects the budget") {
     val text = (1 to 500).map(i => s"word$i snow winter").mkString(" ")
     val full = BpeTokenizer.countTokens(text)
