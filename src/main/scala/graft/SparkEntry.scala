@@ -859,6 +859,24 @@ object SparkEntry {
       Dedup.crossCorpusPairs(train, mutated.unionByName(probes),
           "text", "doc_id", threshold = 0.5, maxShingleDf = Some(50))
         .orderBy(col("corpus_id"), col("bench_id"))
+    }),
+
+    // ---- repetition-based quality filtering (the Gopher duplicate-n-gram
+    //      family): per-doc duplicate word/2-gram/3-gram fractions as pure
+    //      codegen column math, plus the keep verdict. Three synthetic
+    //      spam docs (a phrase repeated 8x) must be the only drops ----
+    "q66_repetition_quality" -> ((s, dir) => {
+      val real = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val spam = s.range(3).select((col("id") + 7000).as("doc_id"),
+        concat(lit("spam spam wow " * 8), col("id").cast("string")).as("text"))
+      real.unionByName(spam)
+        .select(col("doc_id"),
+          TextAnalysis.dupKgramFraction(col("text"), 1).as("dup_word_frac"),
+          TextAnalysis.dupKgramFraction(col("text"), 2).as("dup_2gram_frac"),
+          TextAnalysis.dupKgramFraction(col("text"), 3).as("dup_3gram_frac"))
+        .withColumn("keep",
+          col("dup_2gram_frac") <= 0.2 && col("dup_3gram_frac") <= 0.18)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1797,6 +1815,35 @@ object SparkEntry {
          |  CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) AS jaccard
          |FROM common
          |WHERE CAST(c AS DOUBLE) / CAST(na + nb - c AS DOUBLE) >= 0.5
-         |ORDER BY corpus_id, bench_id""".stripMargin
+         |ORDER BY corpus_id, bench_id""".stripMargin,
+
+    // duplicate-k-gram fractions: distinct over total, totals derived from
+    // the word count; 2-gram distinct via explicit transform (sqlShingles
+    // is the k=3 form)
+    "q66_repetition_quality" ->
+      s"""WITH real AS (SELECT doc_id, text FROM documents),
+         |ids AS (SELECT unnest(range(3)) AS i),
+         |spam AS (SELECT 7000 + i AS doc_id,
+         |  '${"spam spam wow " * 8}' || CAST(i AS VARCHAR) AS text FROM ids),
+         |src AS (SELECT * FROM real UNION ALL SELECT * FROM spam),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM src),
+         |m AS (SELECT doc_id,
+         |  CAST(len(w) AS DOUBLE) AS n1,
+         |  CAST(len(list_distinct(w)) AS DOUBLE) AS d1,
+         |  CAST(len(w) - 1 AS DOUBLE) AS n2,
+         |  CAST(CASE WHEN len(w) >= 2 THEN len(list_distinct(list_transform(
+         |    range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) ELSE 0 END
+         |    AS DOUBLE) AS d2,
+         |  CAST(len(w) - 2 AS DOUBLE) AS n3,
+         |  CAST(len(${sqlShingles("w")}) AS DOUBLE) AS d3
+         |  FROM w),
+         |f AS (SELECT doc_id,
+         |  CASE WHEN n1 > 0 THEN 1.0 - d1 / n1 ELSE 0.0 END AS dup_word_frac,
+         |  CASE WHEN n2 > 0 THEN 1.0 - d2 / n2 ELSE 0.0 END AS dup_2gram_frac,
+         |  CASE WHEN n3 > 0 THEN 1.0 - d3 / n3 ELSE 0.0 END AS dup_3gram_frac
+         |  FROM m)
+         |SELECT doc_id, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+         |  (dup_2gram_frac <= 0.2 AND dup_3gram_frac <= 0.18) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
   )
 }

@@ -72,6 +72,21 @@ object TextAnalysis {
     (length(text) - (size(w) - 1)).cast("double") / size(w).cast("double")
   }
 
+  /** Duplicate word-k-gram fraction — the Gopher-family repetition
+    * signal (Rae et al. 2021, §A1.1: "fraction of duplicate n-grams"),
+    * count-based: 1 − distinct k-grams / total k-grams, 0 for texts
+    * with fewer than k words. Boilerplate, keyboard mash, and SEO spam
+    * score high; natural prose scores near 0 for k ≥ 2. Pure per-row
+    * codegen column math: the distinct count comes from the codegen'd
+    * [[WordShingles]] and the total from the word count alone, so a
+    * full-corpus repetition scan is a narrow projection — no explode,
+    * no shuffle, nothing leaves the row. */
+  def dupKgramFraction(text: Column, k: Int): Column = {
+    val total = (size(words(text)) - (k - 1)).cast("double")
+    val distinct = size(shingles(text, k)).cast("double")
+    when(total > 0, lit(1.0) - distinct / total).otherwise(lit(0.0))
+  }
+
   /** Deterministic composite quality score in [0,1]: length signal,
     * punctuation sanity, stopword plausibility. */
   def qualityScore(text: Column): Column =
