@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions._
-import graft.text.{ArrayPolyHash, MinHashSig, PolyHash, SimHash16, WordShingles}
+import graft.text.{ArrayPolyHash, MinHashSig, PolyHash, SimHash16, WordNgrams, WordShingles}
 
 /** Session-extension entry point: makes every graft expression available in
   * plain SQL on any session built with
@@ -43,6 +43,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case n: Number => WordShingles(e(0), n.intValue())
         case _ => throw new IllegalArgumentException(
           "word_shingles: k must be a literal integer")
+      }
+    }
+    inject("word_ngrams",
+      "word_ngrams(text, k) - ALL word k-grams, duplicates kept (k literal)") { e =>
+      if (e.length != 2) throw new IllegalArgumentException(
+        "word_ngrams(text, k) requires exactly 2 arguments")
+      val kv = if (e(1).foldable) e(1).eval() else null
+      kv match {
+        case n: Number => WordNgrams(e(0), n.intValue())
+        case _ => throw new IllegalArgumentException(
+          "word_ngrams: k must be a literal integer")
       }
     }
     inject("minhash_sig", "minhash_sig(hashes) - 16-slot MinHash signature") {

@@ -877,6 +877,20 @@ object SparkEntry {
         .withColumn("keep",
           col("dup_2gram_frac") <= 0.2 && col("dup_3gram_frac") <= 0.18)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- model-based quality scoring, deterministically: average corpus
+    //      occurrence count of each doc's bigrams (the perplexity-filter
+    //      analog — gibberish bigrams occur nowhere else and score the
+    //      floor). Integer sums → one division keeps it hash-exact ----
+    "q67_bigram_familiarity" -> ((s, dir) => {
+      val real = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val gibberish = s.range(3).select((col("id") + 8000).as("doc_id"),
+        concat(lit("zxqv jkwp mbrt ylgf dhzn"), col("id").cast("string"))
+          .as("text"))
+      TextAnalysis.bigramFamiliarity(
+          real.unionByName(gibberish), "text", "doc_id")
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -1844,6 +1858,25 @@ object SparkEntry {
          |  FROM m)
          |SELECT doc_id, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
          |  (dup_2gram_frac <= 0.2 AND dup_3gram_frac <= 0.18) AS keep
-         |FROM f ORDER BY doc_id""".stripMargin
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    // bigram corpus counts via a window over every occurrence (the
+    // engine's shape), integer sums, one terminal division
+    "q67_bigram_familiarity" ->
+      s"""WITH real AS (SELECT doc_id, text FROM documents),
+         |ids AS (SELECT unnest(range(3)) AS i),
+         |gib AS (SELECT 8000 + i AS doc_id,
+         |  'zxqv jkwp mbrt ylgf dhzn' || CAST(i AS VARCHAR) AS text FROM ids),
+         |src AS (SELECT * FROM real UNION ALL SELECT * FROM gib),
+         |w AS (SELECT doc_id, string_split(text, ' ') AS w FROM src),
+         |bi AS (SELECT doc_id, unnest(CASE WHEN len(w) >= 2 THEN
+         |  list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+         |  ELSE CAST([] AS VARCHAR[]) END) AS bg FROM w),
+         |c AS (SELECT doc_id, count(*) OVER (PARTITION BY bg) AS bg_count
+         |  FROM bi)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(SUM(bg_count) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS familiarity
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -23,6 +23,9 @@ package object functions {
   def word_shingles(c: Column, k: Int): Column =
     shims.column(graft.text.WordShingles(shims.expression(c), k))
 
+  def word_ngrams(c: Column, k: Int): Column =
+    shims.column(graft.text.WordNgrams(shims.expression(c), k))
+
   def array_poly_hash(c: Column): Column =
     shims.column(graft.text.ArrayPolyHash(shims.expression(c)))
 
@@ -64,6 +67,17 @@ package object functions {
           case n: Number => graft.text.WordShingles(exprs(0), n.intValue())
           case _ => throw new IllegalArgumentException(
             "word_shingles: k must be a literal integer")
+        }
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "word_ngrams", exprs => {
+        if (exprs.length != 2) throw new IllegalArgumentException(
+          "word_ngrams(text, k) requires exactly 2 arguments")
+        val kv = if (exprs(1).foldable) exprs(1).eval() else null
+        kv match {
+          case n: Number => graft.text.WordNgrams(exprs(0), n.intValue())
+          case _ => throw new IllegalArgumentException(
+            "word_ngrams: k must be a literal integer")
         }
       }, "built-in")
     reg.createOrReplaceTempFunction(

@@ -38,6 +38,13 @@ object TextAnalysis {
     coalesce(shims.column(WordShingles(shims.expression(text), k)),
       array().cast("array<string>"))
 
+  /** ALL word k-grams, duplicates kept in document order — the
+    * multiplicity-preserving sibling of [[shingles]] for
+    * frequency-weighted statistics. Codegen'd [[WordNgrams]]. */
+  def ngramsAll(text: Column, k: Int): Column =
+    coalesce(shims.column(WordNgrams(shims.expression(text), k)),
+      array().cast("array<string>"))
+
   def polyHash(c: Column): Column = shims.column(PolyHash(shims.expression(c)))
 
   /** Hash each element of a string array. Codegen'd [[ArrayPolyHash]] —
@@ -195,5 +202,36 @@ object TextAnalysis {
     scored.withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= topN)
       .select(col("id").as(keyCol), col("term"), col("tf"), col("score"))
+  }
+
+  /** Corpus-frequency bigram familiarity — the deterministic analog of
+    * perplexity-based quality filtering (score each document by how
+    * "familiar" its word sequences are to an n-gram model trained on the
+    * corpus itself; gibberish and mangled extractions score near 1, the
+    * floor, because their bigrams occur nowhere else). The score is the
+    * AVERAGE CORPUS OCCURRENCE COUNT of the document's bigrams:
+    * integer-count sums divided once at the end — bit-exact across
+    * engines, where a log-probability average is not (same reasoning as
+    * [[tfIdfTopTerms]]'s ratio idf; float sum order is unspecified in a
+    * distributed agg, integer sums are associative).
+    *
+    * Scale shape: one explode of [[ngramsAll]] (multiplicity preserved —
+    * a repeated bigram must count every occurrence), ONE hash exchange on
+    * the bigram for a window count (no separate count table and no join:
+    * the count attaches to each occurrence in the same pass), then a
+    * per-doc re-aggregation. Documents with fewer than 2 words are
+    * dropped (no bigrams → no sequence evidence). Returns (keyCol,
+    * n_bigrams, familiarity). */
+  def bigramFamiliarity(df: org.apache.spark.sql.DataFrame, textCol: String,
+      keyCol: String): org.apache.spark.sql.DataFrame = {
+    val bi = df.select(col(keyCol).as("id"),
+        explode(ngramsAll(col(textCol), 2)).as("bg"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bg"))
+    bi.withColumn("bg_count", count(lit(1)).over(w))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("bg_count")).cast("double") /
+          count(lit(1)).cast("double")).as("familiarity"))
+      .select(col("id").as(keyCol), col("n_bigrams"), col("familiarity"))
   }
 }

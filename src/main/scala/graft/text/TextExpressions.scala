@@ -97,6 +97,29 @@ object TextMath extends Serializable {
     out
   }
 
+  /** ALL word k-grams in order, duplicates kept — [[shingles]] without
+    * the distinct pass; the form frequency-weighted statistics need
+    * (a duplicated n-gram must count once per occurrence). */
+  def ngrams(text: UTF8String, k: Int): Array[UTF8String] = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < k) return new Array[UTF8String](0)
+    val out = new Array[UTF8String](words.length - k + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= words.length - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    out
+  }
+
   /** [[polyHash]] over every element of a string array (tight loop —
     * replaces an interpreted per-element `transform`). Fast no-null path. */
   def polyHashAll(arr: ArrayData): Array[Long] = {
@@ -203,6 +226,36 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "word_shingles"
+}
+
+/** ALL word k-grams (duplicates kept, document order) as one codegen'd
+  * expression — the multiplicity-preserving sibling of [[WordShingles]]
+  * for frequency-weighted statistics (repetition counting, n-gram LM
+  * scoring), where a duplicated n-gram must count once per occurrence. */
+case class WordNgrams(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, s"word_ngrams: k must be >= 1, got $k")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams requires STRING, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      TextMath.ngrams(v.asInstanceOf[UTF8String], k).asInstanceOf[Array[Any]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tm = TextMath.getClass.getName.stripSuffix("$")
+    val gad = classOf[GenericArrayData].getName
+    defineCodeGen(ctx, ev,
+      c => s"new $gad((Object[]) $tm.ngrams($c, $k))")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "word_ngrams"
 }
 
 /** Element-wise [[PolyHash]] of an ARRAY<STRING> as one codegen'd

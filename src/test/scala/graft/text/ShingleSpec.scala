@@ -45,6 +45,35 @@ class ShingleSpec extends SparkTestBase {
     }
   }
 
+  test("WordNgrams equals the HOF formula (duplicates kept, order preserved)") {
+    // reference formula: transform over every start index, NO distinct
+    def hofNgrams(text: Column, k: Int): Column = {
+      val w = split(text, " ")
+      when(size(w) >= k,
+        transform(sequence(lit(0), size(w) - k),
+          i => concat_ws(" ", slice(w, i + 1, lit(k)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val edge = Seq("", "a", "a b", "a b c", "x x x x x x",
+      "a  b c d", " a b c", "a b c ", "héllo wörld ünicode test",
+      null).toDF("text")
+    val corpus = table("documents").select($"text").limit(200)
+    for (df <- Seq(edge, corpus); k <- Seq(1, 2, 3)) {
+      val bad = df.select(
+          TextAnalysis.ngramsAll($"text", k).as("fast"),
+          hofNgrams($"text", k).as("ref"))
+        .filter(not($"fast" <=> $"ref"))
+        .head(3)
+      assert(bad.isEmpty, s"k=$k mismatch: ${bad.mkString("; ")}")
+    }
+    // the distinct/multiplicity contrast that motivates the sibling
+    val r = Seq("x y x y z").toDF("text").select(
+      TextAnalysis.ngramsAll($"text", 2).as("all"),
+      TextAnalysis.shingles($"text", 2).as("dist")).head()
+    assert(r.getSeq[String](0) == Seq("x y", "y x", "x y", "y z"))
+    assert(r.getSeq[String](1) == Seq("x y", "y x", "y z"))
+  }
+
   test("hashTokens propagates null elements like the transform it replaced") {
     val r = Seq(1).toDF("i")
       .select(TextAnalysis.hashTokens(
