@@ -891,6 +891,29 @@ object SparkEntry {
       TextAnalysis.bigramFamiliarity(
           real.unionByName(gibberish), "text", "doc_id")
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- offset window family (lead/lag/ntile — the §2.4 window forms
+    //      q10/q11 don't cover): per-customer order timeline with the
+    //      previous/next order gap and a spend quartile ----
+    "q68_window_offsets" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"),
+          col("o_totalprice"),
+          date_format(lag(col("o_orderdate"), 1).over(w), "yyyy-MM-dd")
+            .as("prev_date"),
+          date_format(lead(col("o_orderdate"), 1).over(w), "yyyy-MM-dd")
+            .as("next_date"),
+          ntile(4).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("o_custkey")).orderBy(
+                col("o_totalprice"), col("o_orderkey"))).as("spend_quartile"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
     })
   )
 
@@ -1877,6 +1900,17 @@ object SparkEntry {
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
          |  CAST(SUM(bg_count) AS DOUBLE) / CAST(count(*) AS DOUBLE)
          |    AS familiarity
-         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q68_window_offsets" ->
+      """SELECT o_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS order_date, o_totalprice,
+        |  strftime(lag(o_orderdate, 1) OVER w, '%Y-%m-%d') AS prev_date,
+        |  strftime(lead(o_orderdate, 1) OVER w, '%Y-%m-%d') AS next_date,
+        |  CAST(ntile(4) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice, o_orderkey) AS INT) AS spend_quartile
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin
   )
 }

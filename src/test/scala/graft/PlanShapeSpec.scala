@@ -90,4 +90,20 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Join"), s"band bucketing regressed to a join:\n$p")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q66: repetition scan is a narrow projection — no explode, no hash shuffle") {
+    val p = plan("q66_repetition_quality")
+    assert(!p.contains("Generate"), s"repetition stats regressed to explode:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"repetition stats shuffle:\n$p")
+    assert(!p.contains("Join"))
+  }
+
+  test("q67: familiarity counts attach via the window — no count-table join") {
+    val p = plan("q67_bigram_familiarity")
+    assert(!p.contains("Join"), s"bigram counts regressed to a join:\n$p")
+    // one hash exchange for the per-bigram window, one for the per-doc agg
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 2, s"expected 2 hash exchanges, saw $shuffles:\n$p")
+  }
 }
