@@ -914,6 +914,24 @@ object SparkEntry {
               .partitionBy(col("o_custkey")).orderBy(
                 col("o_totalprice"), col("o_orderkey"))).as("spend_quartile"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // ---- deterministic train/val/test split, keyed on CONTENT (stable
+    //      under id reassignment and re-ingest, same rationale as q58's
+    //      sampling): 80/10/10 by rolling-hash bucket, reported as a
+    //      per-(source, split) stratification table. The split decision
+    //      is a narrow codegen expression; only the report aggregates ----
+    "q69_corpus_split" -> ((s, dir) => {
+      val bucket = TextAnalysis.polyHash(col("text")) % 10
+      t(s, dir, "documents")
+        .select(col("source"),
+          when(bucket <= 7, lit("train"))
+            .when(bucket === 8, lit("val"))
+            .otherwise(lit("test")).as("split"),
+          col("n_chars"))
+        .groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"), col("split"))
     })
   )
 
@@ -1911,6 +1929,17 @@ object SparkEntry {
         |    ORDER BY o_totalprice, o_orderkey) AS INT) AS spend_quartile
         |FROM orders WHERE o_custkey < 100
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_custkey, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q69_corpus_split" ->
+      s"""WITH b AS (SELECT source, n_chars,
+         |  ${sqlPolyHash("text")} % 10 AS bucket FROM documents),
+         |s AS (SELECT source,
+         |  CASE WHEN bucket <= 7 THEN 'train'
+         |       WHEN bucket = 8 THEN 'val' ELSE 'test' END AS split,
+         |  n_chars FROM b)
+         |SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin
   )
 }
