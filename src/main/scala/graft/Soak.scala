@@ -81,6 +81,22 @@ object Soak {
       Dedup.crossCorpusPairs(d, bench, "text", "doc_id", 0.5,
         maxShingleDf = Some(1000)).count()
     }
+    // r6 quality filters over the same 100k near-dup corpus: the
+    // repetition scan is a narrow no-shuffle projection; familiarity is
+    // one explode + one bigram exchange + per-doc agg
+    timeIt(s"repetition_scan_${REP * 5}k") {
+      d.select(col("doc_id"),
+          graft.text.TextAnalysis.dupKgramFraction(col("text"), 2).as("f2"),
+          graft.text.TextAnalysis.dupKgramFraction(col("text"), 3).as("f3"))
+        .filter(col("f2") <= 0.2 && col("f3") <= 0.18).count()
+    }
+    timeIt(s"bigram_familiarity_${REP * 5}k")(
+      graft.text.TextAnalysis.bigramFamiliarity(d, "text", "doc_id").count())
+    // storage discipline: the LSH dedup pipeline above ran a full CC; at
+    // most the FINAL label generation may outlive it (until the driver
+    // drops the reference and the ContextCleaner collects it) — measured
+    // 4 = exactly the deliberate l/e/v/d caches, zero leaked generations
+    println("SOAK|pinned_rdds|" + spark.sparkContext.getPersistentRDDs.size)
     val NV = sys.env.getOrElse("SOAK_VECS3072", "200000").toLong
     val store = {
       import spark.implicits._
