@@ -932,6 +932,19 @@ object SparkEntry {
         .groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("source"), col("split"))
+    }),
+
+    // ---- action→response correlation (attribution): every click within
+    //      10 minutes of the same user's view, with the lag — batch form
+    //      of the watermarked stream-stream join (correlateStream) ----
+    "q70_event_correlate" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"))
+      Events.correlate(
+          ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click"), windowMinutes = 10)
+        .select(col("user_id"), col("left_id"), col("right_id"), col("lag_us"))
+        .orderBy(col("user_id"), col("left_id"), col("right_id"))
     })
   )
 
@@ -1940,6 +1953,18 @@ object SparkEntry {
          |  n_chars FROM b)
          |SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
-         |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin
+         |FROM s GROUP BY source, split ORDER BY source, split""".stripMargin,
+
+    "q70_event_correlate" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, ts, user_id, event_type FROM ($sqlEvents)),
+         |v AS (SELECT * FROM ev WHERE event_type = 'view'),
+         |c AS (SELECT * FROM ev WHERE event_type = 'click')
+         |SELECT v.user_id AS user_id, v.event_id AS left_id,
+         |  c.event_id AS right_id,
+         |  epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
+         |FROM v JOIN c ON v.user_id = c.user_id
+         |  AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 10 MINUTE
+         |ORDER BY v.user_id, left_id, right_id""".stripMargin
   )
 }

@@ -77,6 +77,58 @@ object Events {
     events.withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Per-user action→response correlation (batch form): every `right`
+    * event of the same user whose timestamp lands in
+    * `[left.ts, left.ts + windowMinutes)` pairs with the `left` event —
+    * attribution / funnel analysis (view→click, impression→conversion).
+    * An equi-join on user_id with a residual time predicate: ONE shuffle
+    * per side, no range explosion. Expects (event_id, ts, user_id,
+    * event_type) on both inputs. */
+  def correlate(left: DataFrame, right: DataFrame,
+      windowMinutes: Int): DataFrame = {
+    val bound = expr(s"INTERVAL $windowMinutes MINUTES")
+    val l = left.select(col("user_id"), col("event_id").as("left_id"),
+      col("event_type").as("left_type"), col("ts").as("left_ts"))
+    val r = right.select(col("user_id").as("__ru"),
+      col("event_id").as("right_id"), col("event_type").as("right_type"),
+      col("ts").as("right_ts"))
+    l.join(r, col("user_id") === col("__ru") &&
+        col("right_ts") >= col("left_ts") &&
+        col("right_ts") < col("left_ts") + bound)
+      .select(col("user_id"), col("left_id"), col("left_type"),
+        col("right_id"), col("right_type"),
+        (unix_micros(col("right_ts")) - unix_micros(col("left_ts")))
+          .as("lag_us"))
+  }
+
+  /** [[correlate]], Structured Streaming form — a WATERMARKED
+    * stream-stream join: both sides declare event-time watermarks and the
+    * join carries the time-bound condition, so Spark buffers each side's
+    * state only until the other side's watermark proves no further match
+    * can arrive (state is O(events inside the horizon), evicted as event
+    * time advances — an unbounded stream-stream join without the bound
+    * would require infinite state and is rejected in append mode).
+    * Results are identical to the batch form over the same data once the
+    * watermark closes (StreamingSpec asserts agreement). */
+  def correlateStream(left: DataFrame, right: DataFrame,
+      windowMinutes: Int, watermarkDelay: String = "1 hour"): DataFrame = {
+    val bound = expr(s"INTERVAL $windowMinutes MINUTES")
+    val l = left.select(col("user_id"), col("event_id").as("left_id"),
+        col("event_type").as("left_type"), col("ts").as("left_ts"))
+      .withWatermark("left_ts", watermarkDelay)
+    val r = right.select(col("user_id").as("__ru"),
+        col("event_id").as("right_id"), col("event_type").as("right_type"),
+        col("ts").as("right_ts"))
+      .withWatermark("right_ts", watermarkDelay)
+    l.join(r, col("user_id") === col("__ru") &&
+        col("right_ts") >= col("left_ts") &&
+        col("right_ts") < col("left_ts") + bound)
+      .select(col("user_id"), col("left_id"), col("left_type"),
+        col("right_id"), col("right_type"),
+        (unix_micros(col("right_ts")) - unix_micros(col("left_ts")))
+          .as("lag_us"))
+  }
+
   /** Gap-based sessionization (batch form): a new session starts when the
     * user's inter-event gap exceeds `gapMinutes`. Two window passes over
     * the same (user_id, ts) partitioning — one shuffle total.

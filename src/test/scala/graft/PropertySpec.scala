@@ -39,6 +39,29 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ngrams/shingles: counts, bounds, and distinct-subset invariants") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val textGen: Gen[String] = Gen.listOf(
+      Gen.oneOf("a", "b", "ab", "ccc", "")).map(_.mkString(" "))
+    for (s <- samples(textGen); k <- Seq(1, 2, 3)) {
+      val t = UTF8String.fromString(s)
+      val n = s.split(" ", -1).length
+      val all = TextMath.ngrams(t, k)
+      val dist = TextMath.shingles(t, k)
+      // multiplicity-preserving count is exact; distinct is a subset of it
+      assert(all.length == math.max(0, n - k + 1))
+      assert(dist.length <= all.length)
+      assert(dist.toSet == all.toSet)
+      // distinct preserves first-occurrence order
+      assert(dist.toSeq == all.toSeq.distinct)
+      // duplicate fraction implied by the pair is always in [0, 1)
+      if (all.nonEmpty) {
+        val frac = 1.0 - dist.length.toDouble / all.length.toDouble
+        assert(frac >= 0.0 && frac < 1.0)
+      }
+    }
+  }
+
   test("l2 distance: symmetry, self-zero, triangle inequality") {
     for (Seq(a, b, c) <- samples(Gen.listOfN(3, vecGen))) {
       val n = Seq(a.length, b.length, c.length).min

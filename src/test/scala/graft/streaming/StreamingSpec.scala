@@ -108,6 +108,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("correlateStream: watermarked stream-stream join matches the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Timestamp, Long, String)]
+    val clicks = MemoryStream[(Long, Timestamp, Long, String)]
+    val cols = Seq("event_id", "ts", "user_id", "event_type")
+    val q = Events.correlateStream(
+        views.toDF().toDF(cols: _*), clicks.toDF().toDF(cols: _*),
+        windowMinutes = 10, watermarkDelay = "20 minutes")
+      .writeStream.format("memory").queryName("correlated")
+      .outputMode("append").start()
+    try {
+      val viewRows = Seq(
+        (10L, ts("2024-01-01 10:00:00"), 1L, "view"),
+        (11L, ts("2024-01-01 10:30:00"), 1L, "view"),
+        (12L, ts("2024-01-01 10:00:00"), 2L, "view"))
+      val clickRows = Seq(
+        (20L, ts("2024-01-01 10:04:00"), 1L, "click"), // in window of 10
+        (21L, ts("2024-01-01 10:31:00"), 1L, "click"), // in window of 11
+        (22L, ts("2024-01-01 10:15:00"), 2L, "click"), // outside 10-min bound
+        (23L, ts("2024-01-01 09:59:00"), 1L, "click")) // before the view
+      views.addData(viewRows: _*)
+      clicks.addData(clickRows: _*)
+      q.processAllAvailable()
+      // push both watermarks far past every bound so all matches emit
+      views.addData((99L, ts("2024-01-01 12:00:00"), 9L, "view"))
+      clicks.addData((98L, ts("2024-01-01 12:00:00"), 9L, "click"))
+      q.processAllAvailable()
+      val streamed = spark.table("correlated")
+        .select("left_id", "right_id", "lag_us")
+        .as[(Long, Long, Long)].collect().sorted
+      val batch = Events.correlate(
+          (viewRows :+ ((99L, ts("2024-01-01 12:00:00"), 9L, "view"))).toDF(cols: _*),
+          (clickRows :+ ((98L, ts("2024-01-01 12:00:00"), 9L, "click"))).toDF(cols: _*),
+          windowMinutes = 10)
+        .select("left_id", "right_id", "lag_us")
+        .as[(Long, Long, Long)].collect().sorted
+      assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+        s"stream $streamed vs batch $batch")
+      // and the expected attribution pairs, explicitly
+      assert(streamed.map(r => (r._1, r._2)).toSeq ==
+        Seq((10L, 20L), (11L, 21L), (99L, 98L)))
+    } finally q.stop()
+  }
+
   test("slidingHourBy30mStream: each event lands in two windows") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String, Double)]
