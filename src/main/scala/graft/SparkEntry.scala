@@ -934,6 +934,28 @@ object SparkEntry {
         .orderBy(col("source"), col("split"))
     }),
 
+    // ---- embedding-modality dedup GROUPS: sign-LSH bucketed near-dup
+    //      pairs (q39's scale path) closed into components and reduced to
+    //      one survivor per group — the same pairs → groups → survivors
+    //      tail as the text pipeline, proving CC is modality-agnostic ----
+    "q71_embedding_dedup_groups" -> ((s, dir) => {
+      val pairs = Dedup.embeddingLshPairs(
+        t(s, dir, "embeddings"), "embedding", "vec_id",
+        maxDistance = 0.8, nBits = 8)
+      val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      val all = t(s, dir, "embeddings").select(col("vec_id"))
+      val labeled = all
+        .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("comp"), col("vec_id")).as("comp"))
+      val sizes = labeled.groupBy(col("comp"))
+        .agg(count(lit(1)).as("group_size"))
+      labeled.filter(col("vec_id") === col("comp"))
+        .join(sizes, Seq("comp"))
+        .select(col("vec_id"), col("group_size"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- action→response correlation (attribution): every click within
     //      10 minutes of the same user's view, with the lag — batch form
     //      of the watermarked stream-stream join (correlateStream) ----
@@ -1965,6 +1987,37 @@ object SparkEntry {
          |  epoch_us(c.ts) - epoch_us(v.ts) AS lag_us
          |FROM v JOIN c ON v.user_id = c.user_id
          |  AND c.ts >= v.ts AND c.ts < v.ts + INTERVAL 10 MINUTE
-         |ORDER BY v.user_id, left_id, right_id""".stripMargin
+         |ORDER BY v.user_id, left_id, right_id""".stripMargin,
+
+    // q39's sign-LSH pair graph closed transitively (recursive CTE), then
+    // one survivor per component with the group size — q54's tail over the
+    // embedding modality
+    "q71_embedding_dedup_groups" ->
+      s"""WITH RECURSIVE v AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |b AS (SELECT id, v, list_sum(list_transform(range(8),
+         |  j -> CASE WHEN v[j+1] > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END))
+         |    AS bucket
+         |  FROM v),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b2.id AS id_b
+         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.id < b2.id
+         |  WHERE ${sqlCosine("a.v", "b2.v")} < 0.8),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, x) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.x),
+         |comp AS (SELECT id, min(x) AS comp FROM reach GROUP BY id),
+         |labeled AS (
+         |  SELECT e.vec_id, COALESCE(c.comp, e.vec_id) AS comp
+         |  FROM (SELECT vec_id FROM embeddings) e
+         |  LEFT JOIN comp c ON e.vec_id = c.id),
+         |grp AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS group_size
+         |  FROM labeled GROUP BY comp)
+         |SELECT l.vec_id, g.group_size FROM labeled l JOIN grp g USING (comp)
+         |WHERE l.vec_id = l.comp ORDER BY l.vec_id""".stripMargin
   )
 }
