@@ -956,6 +956,17 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- context-window chunking: overlapping 50-word windows (step 40)
+    //      per document — the raw-docs → training/RAG-windows op; digests
+    //      keep the gated output compact while pinning every chunk byte ----
+    "q72_chunk_windows" -> ((s, dir) =>
+      graft.text.CorpusPrep.chunkWords(
+          t(s, dir, "documents").filter(col("doc_id") < 100),
+          "text", "doc_id", chunkWords = 50, overlap = 10)
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk_text")).as("chunk_digest"), col("n_words"))
+        .orderBy(col("doc_id"), col("chunk_idx"))),
+
     // ---- action→response correlation (attribution): every click within
     //      10 minutes of the same user's view, with the lag — batch form
     //      of the watermarked stream-stream join (correlateStream) ----
@@ -2018,6 +2029,21 @@ object SparkEntry {
          |grp AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS group_size
          |  FROM labeled GROUP BY comp)
          |SELECT l.vec_id, g.group_size FROM labeled l JOIN grp g USING (comp)
-         |WHERE l.vec_id = l.comp ORDER BY l.vec_id""".stripMargin
+         |WHERE l.vec_id = l.comp ORDER BY l.vec_id""".stripMargin,
+
+    // chunk i = words [i*40+1, i*40+50] (1-based inclusive list_slice ↔
+    // Spark slice(start, length)); ceil((n-overlap)/step) chunks, floor 1
+    "q72_chunk_windows" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id < 100),
+        |n AS (SELECT doc_id, w, greatest(1, CAST(ceil(
+        |    CAST(len(w) - 10 AS DOUBLE) / 40.0) AS INT)) AS nc FROM d),
+        |c AS (SELECT doc_id, w, unnest(range(nc)) AS idx FROM n),
+        |ch AS (SELECT doc_id, CAST(idx AS INT) AS chunk_idx,
+        |  list_slice(w, idx * 40 + 1, idx * 40 + 50) AS chunk FROM c)
+        |SELECT doc_id, chunk_idx,
+        |  md5(array_to_string(chunk, ' ')) AS chunk_digest,
+        |  CAST(len(chunk) AS BIGINT) AS n_words
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
   )
 }

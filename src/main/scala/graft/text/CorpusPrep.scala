@@ -47,4 +47,32 @@ object CorpusPrep {
         regexp_replace(text, EmailPattern, "<EMAIL>"),
         IdPattern, "<ID>"),
       PhonePattern, "<PHONE>")
+
+  /** Context-window chunking: split each document into overlapping
+    * fixed-word-budget chunks — the op that turns raw documents into
+    * training/RAG windows. Chunk i covers words
+    * `[i·(chunkWords−overlap), i·(chunkWords−overlap) + chunkWords)`;
+    * every document yields at least one chunk, and the last chunk is
+    * allowed to run short rather than duplicating its predecessor's tail.
+    * Per-row narrow math (the chunk count derives from the word count)
+    * feeding one `posexplode` — rows multiply by ~n/step but nothing
+    * shuffles; at scale the output is written partitioned, not collected.
+    * Returns the input row's key plus (chunk_idx, chunk_text, n_words). */
+  def chunkWords(df: DataFrame, textCol: String, keyCol: String,
+      chunkWords: Int, overlap: Int): DataFrame = {
+    require(chunkWords > 0 && overlap >= 0 && overlap < chunkWords,
+      s"chunkWords: need 0 <= overlap < chunkWords, got $overlap/$chunkWords")
+    val step = chunkWords - overlap
+    val w = TextAnalysis.words(col(textCol))
+    // ceil((n - overlap) / step) chunks cover all n words; floor 1
+    val nChunks = greatest(lit(1),
+      ceil((size(w) - overlap).cast("double") / step).cast("int"))
+    df.select(col(keyCol), w.as("__w"), nChunks.as("__n"))
+      .select(col(keyCol),
+        posexplode(transform(sequence(lit(0), col("__n") - 1),
+          i => slice(col("__w"), i * step + 1, lit(chunkWords)))))
+      .select(col(keyCol), col("pos").cast("int").as("chunk_idx"),
+        array_join(col("col"), " ").as("chunk_text"),
+        size(col("col")).cast("long").as("n_words"))
+  }
 }

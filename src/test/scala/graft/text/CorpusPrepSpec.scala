@@ -47,6 +47,26 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(CorpusPrep.sampleByContentHash(docs, "text", 10, 10).count() == 400)
   }
 
+  test("chunkWords: chunks tile the document; de-overlapped concat reconstructs it") {
+    val text95 = (1 to 95).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text95), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
+    val out = CorpusPrep.chunkWords(df, "text", "doc_id",
+        chunkWords = 50, overlap = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    // 95 words, step 40 → 3 chunks: [1..50], [41..90], [81..95]
+    val doc1 = out.filter(_._1 == 1L)
+    assert(doc1.map(_._4).toSeq == Seq(50L, 50L, 15L))
+    assert(doc1(1)._3.startsWith("w41 ") && doc1(2)._3.endsWith(" w95"))
+    // de-overlapped concatenation reconstructs the document exactly
+    val rebuilt = doc1.head._3.split(" ") ++
+      doc1.tail.flatMap(_._3.split(" ").drop(10))
+    assert(rebuilt.mkString(" ") == text95)
+    // short and empty docs yield exactly one (possibly short) chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0, "a b", 2L)))
+    assert(out.filter(_._1 == 3L).map(t => (t._2, t._4)).toSeq == Seq((0, 1L)))
+  }
+
   test("crossCorpusPairs: only cross-side pairs, never corpus- or bench-internal") {
     // two identical docs INSIDE the corpus (internal dup must not appear),
     // one of them duplicated into the bench side
