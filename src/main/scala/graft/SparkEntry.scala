@@ -956,6 +956,44 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- source-weighted mixture sampling: per-source keep rates over
+    //      content-hash buckets (training-data composition control);
+    //      kept sets nest as rates rise, so reweighting never churns ----
+    "q74_mixture_sample" -> ((s, dir) => {
+      val kept = graft.text.CorpusPrep.mixtureSample(
+        t(s, dir, "documents"), "text", "source",
+        rates = Map("src0" -> 10, "src1" -> 5, "src2" -> 2),
+        defaultKeep = 3, buckets = 10)
+      kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // ---- funnel conversion: users with a view, then a click strictly
+    //      after their FIRST view, then a purchase strictly after that
+    //      first qualifying click. Every aggregation and join keys on
+    //      user_id — one partitioning reused across all three stages ----
+    "q73_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id")).filter(col("ts") > col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id")).filter(col("ts") > col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("users")).select(lit(name).as("stage"),
+          col("users"))
+      stage("1_view", v)
+        .unionByName(stage("2_click_after_view", c))
+        .unionByName(stage("3_purchase_after_click", p))
+        .orderBy(col("stage"))
+    }),
+
     // ---- context-window chunking: overlapping 50-word windows (step 40)
     //      per document — the raw-docs → training/RAG-windows op; digests
     //      keep the gated output compact while pinning every chunk byte ----
@@ -2044,6 +2082,34 @@ object SparkEntry {
         |SELECT doc_id, chunk_idx,
         |  md5(array_to_string(chunk, ' ')) AS chunk_digest,
         |  CAST(len(chunk) AS BIGINT) AS n_words
-        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q73_funnel" ->
+      s"""WITH ev AS (SELECT user_id, event_type, ts FROM ($sqlEvents)),
+         |v AS (SELECT user_id, min(ts) AS v_ts FROM ev
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |c AS (SELECT e.user_id, min(e.ts) AS c_ts
+         |  FROM ev e JOIN v USING (user_id)
+         |  WHERE e.event_type = 'click' AND e.ts > v.v_ts GROUP BY e.user_id),
+         |p AS (SELECT e.user_id, min(e.ts) AS p_ts
+         |  FROM ev e JOIN c USING (user_id)
+         |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY e.user_id)
+         |SELECT stage, users FROM (
+         |  SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS users FROM v
+         |  UNION ALL
+         |  SELECT '2_click_after_view', CAST(count(*) AS BIGINT) FROM c
+         |  UNION ALL
+         |  SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p)
+         |ORDER BY stage""".stripMargin,
+
+    "q74_mixture_sample" ->
+      s"""WITH kept AS (
+         |  SELECT source, n_chars FROM documents
+         |  WHERE ${sqlPolyHash("text")} % 10 <
+         |    CASE source WHEN 'src0' THEN 10 WHEN 'src1' THEN 5
+         |      WHEN 'src2' THEN 2 ELSE 3 END)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin
   )
 }

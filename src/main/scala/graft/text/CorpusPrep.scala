@@ -48,6 +48,29 @@ object CorpusPrep {
         IdPattern, "<ID>"),
       PhonePattern, "<PHONE>")
 
+  /** Source-weighted mixture sampling — training-data composition
+    * control: each source keeps `rates(source)/buckets` of its documents
+    * (`defaultKeep/buckets` for unlisted sources), decided by the same
+    * content-hash rule as [[sampleByContentHash]] so the mixture is
+    * reproducible across runs and id reassignment, and a document kept
+    * at rate r stays kept at every rate ≥ r (nested subsets — raising a
+    * source's weight only ADDS documents, never churns the ones already
+    * selected). Narrow codegen filter; the rate lookup folds into a
+    * CASE chain on the source column. */
+  def mixtureSample(df: DataFrame, textCol: String, sourceCol: String,
+      rates: Map[String, Int], defaultKeep: Int, buckets: Int): DataFrame = {
+    require(buckets > 0 && (rates.values ++ Seq(defaultKeep)).forall(r =>
+      r >= 0 && r <= buckets),
+      s"mixtureSample: every rate must be in [0, $buckets]")
+    // sorted fold → deterministic CASE order (Map iteration is not)
+    val rateCol = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultKeep)) { case (acc, (s, r)) =>
+        when(col(sourceCol) === s, lit(r)).otherwise(acc)
+      }
+    df.filter(pmod(TextAnalysis.polyHash(col(textCol)), lit(buckets.toLong))
+      < rateCol.cast("long"))
+  }
+
   /** Context-window chunking: split each document into overlapping
     * fixed-word-budget chunks — the op that turns raw documents into
     * training/RAG windows. Chunk i covers words

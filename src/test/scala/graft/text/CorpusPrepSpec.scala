@@ -47,6 +47,22 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(CorpusPrep.sampleByContentHash(docs, "text", 10, 10).count() == 400)
   }
 
+  test("mixtureSample: per-source rates apply; kept sets nest as rates rise") {
+    val docs = table("documents").select($"doc_id", $"text", $"source")
+    def ids(rate: Int) = CorpusPrep.mixtureSample(docs, "text", "source",
+        rates = Map("src0" -> rate), defaultKeep = 3, buckets = 10)
+      .filter($"source" === "src0").select("doc_id").as[Long].collect().toSet
+    val (low, high) = (ids(2), ids(6))
+    assert(low.subsetOf(high), "raising a source's rate churned its kept set")
+    assert(ids(0).isEmpty && ids(10).size ==
+      docs.filter($"source" === "src0").count())
+    // unlisted sources follow the default rate independent of src0's rate
+    def others(rate: Int) = CorpusPrep.mixtureSample(docs, "text", "source",
+        rates = Map("src0" -> rate), defaultKeep = 3, buckets = 10)
+      .filter($"source" =!= "src0").count()
+    assert(others(0) == others(10))
+  }
+
   test("chunkWords: chunks tile the document; de-overlapped concat reconstructs it") {
     val text95 = (1 to 95).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, text95), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
