@@ -80,6 +80,11 @@ object CorpusPrep {
     * Per-row narrow math (the chunk count derives from the word count)
     * feeding one `posexplode` — rows multiply by ~n/step but nothing
     * shuffles; at scale the output is written partitioned, not collected.
+    * The `transform` lambda here is interpreted (the HOF caveat from
+    * SCALE.md) but runs once per CHUNK, not per token — ~n/step
+    * invocations per document, each a bulk `slice` copy that the chunk
+    * output requires anyway, so there is no per-element lambda tax to
+    * move into a codegen expression.
     * Returns the input row's key plus (chunk_idx, chunk_text, n_words). */
   def chunkWords(df: DataFrame, textCol: String, keyCol: String,
       chunkWords: Int, overlap: Int): DataFrame = {
