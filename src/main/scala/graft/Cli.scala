@@ -57,12 +57,10 @@ object Cli {
       val f = flags(rest)
       // --fp16: persist embeddings half-precision (the reference's HALFVEC
       // at-rest layout); reads widen transparently, searches stay fused.
-      // All knobs validate through GraftConfig before any Spark work.
-      val result = GraftConfig.validated(GraftConfig(
-          storeDir = f.getOrElse("store", ""),
-          fp16 = rest.contains("--fp16"),
-          pagesDir = f.get("pages-dir"),
-          checkpointDir = f.get("ckpt")))
+      // All knobs validate through GraftConfig before any Spark work;
+      // flags layer over GRAFT_* env vars (flag wins), reference-style.
+      val result = GraftConfig
+        .resolve(f, sys.env, fp16Flag = rest.contains("--fp16"))
         .flatMap(c => if (c.pagesDir.isEmpty)
           Left(List("PAGES_DIR is required for sync (--pages-dir)"))
         else Right(c))
@@ -95,8 +93,10 @@ object Cli {
 
     case "search" +: query +: rest =>
       val f = flags(rest)
-      val store = f.getOrElse("store", {
-        System.err.println("search requires --store"); return 2 })
+      val store = GraftConfig.resolve(f, sys.env) match {
+        case Left(errs) => errs.foreach(System.err.println); return 2
+        case Right(c)   => c.storeDir
+      }
       HighlightStore.read(spark, store) match {
         case None =>
           System.err.println(s"no highlight store at $store"); 1
@@ -119,22 +119,7 @@ object Cli {
 
     case "serve" +: rest =>
       val f = flags(rest)
-      val parseErrs = List.newBuilder[String]
-      def port(flag: String, default: Int): Int = f.get(flag) match {
-        case None => default
-        case Some(v) => v.toIntOption.getOrElse {
-          parseErrs += s"--$flag must be an integer, got '$v'"; default
-        }
-      }
-      val httpPort = port("http-port", GraftConfig.DefaultHttpPort)
-      val mcpPort = port("mcp-port", GraftConfig.DefaultMcpPort)
-      val result = parseErrs.result() match {
-        case Nil => GraftConfig.validated(GraftConfig(
-          storeDir = f.getOrElse("store", ""),
-          httpPort = httpPort, mcpPort = mcpPort))
-        case es => Left(es)
-      }
-      val cfg = result match {
+      val cfg = GraftConfig.resolve(f, sys.env) match {
         case Left(errs) => errs.foreach(System.err.println); return 2
         case Right(c)   => c
       }

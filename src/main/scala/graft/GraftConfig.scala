@@ -59,42 +59,58 @@ object GraftConfig {
     }
   }
 
-  /** Build from `GRAFT_`-prefixed environment entries (keys matched
-    * case-insensitively — the reference accepts `deploy_target` and
-    * `DEPLOY_TARGET` alike), then validate. Unparseable values are
-    * reported through the same error channel as matrix violations. */
-  def fromEnv(env: Map[String, String]): Either[List[String], GraftConfig] = {
+  /** Resolve a configuration from CLI flags layered over `GRAFT_`-prefixed
+    * environment entries (keys matched case-insensitively — the reference
+    * accepts `deploy_target` and `DEPLOY_TARGET` alike), then validate.
+    * Precedence per knob: explicit flag → env var → default, the same
+    * layering the reference's settings object gives CLI args over its env
+    * file. Unparseable values are reported through the same error channel
+    * as matrix violations.
+    *
+    * `flags` keys are the CLI spellings (`store`, `http-port`, `mcp-port`,
+    * `embed-dim`, `pages-dir`, `ckpt`); `fp16Flag` is the presence of the
+    * boolean `--fp16` switch (true forces fp16 regardless of env). */
+  def resolve(flags: Map[String, String], env: Map[String, String],
+      fp16Flag: Boolean = false): Either[List[String], GraftConfig] = {
     val norm = env.map { case (k, v) => k.toUpperCase -> v }
-    def get(key: String): Option[String] = norm.get(s"GRAFT_$key")
+    def e(key: String): Option[String] = norm.get(s"GRAFT_$key")
     val errs = List.newBuilder[String]
-    def parseInt(key: String, default: Int): Int = get(key) match {
-      case None => default
-      case Some(v) => v.toIntOption.getOrElse {
-        errs += s"GRAFT_$key must be an integer, got '$v'"; default
+    def str(flag: String, key: String): Option[String] =
+      flags.get(flag).orElse(e(key))
+    def int(flag: String, key: String, default: Int): Int =
+      str(flag, key) match {
+        case None => default
+        case Some(v) => v.toIntOption.getOrElse {
+          errs += s"$key (--$flag / GRAFT_$key) must be an integer, got '$v'"
+          default
+        }
       }
-    }
-    def parseBool(key: String, default: Boolean): Boolean = get(key) match {
-      case None => default
+    val fp16 = fp16Flag || (e("FP16") match {
+      case None => false
       case Some(v) => v.toLowerCase match {
         case "true" | "1"  => true
         case "false" | "0" => false
         case other =>
-          errs += s"GRAFT_$key must be true/false, got '$other'"; default
+          errs += s"GRAFT_FP16 must be true/false, got '$other'"; false
       }
-    }
+    })
     val candidate = GraftConfig(
-      storeDir = get("STORE_DIR").getOrElse(""),
-      fp16 = parseBool("FP16", default = false),
-      embedderDim = parseInt("EMBEDDER_DIM", DefaultEmbedderDim),
-      httpPort = parseInt("HTTP_PORT", DefaultHttpPort),
-      mcpPort = parseInt("MCP_PORT", DefaultMcpPort),
-      pagesDir = get("PAGES_DIR"),
-      checkpointDir = get("CHECKPOINT_DIR"))
+      storeDir = str("store", "STORE_DIR").getOrElse(""),
+      fp16 = fp16,
+      embedderDim = int("embed-dim", "EMBEDDER_DIM", DefaultEmbedderDim),
+      httpPort = int("http-port", "HTTP_PORT", DefaultHttpPort),
+      mcpPort = int("mcp-port", "MCP_PORT", DefaultMcpPort),
+      pagesDir = str("pages-dir", "PAGES_DIR"),
+      checkpointDir = str("ckpt", "CHECKPOINT_DIR"))
     errs.result() match {
       case Nil => validated(candidate)
       case es  => Left(es ++ validated(candidate).left.getOrElse(Nil))
     }
   }
+
+  /** [[resolve]] with no flag layer — pure environment loading. */
+  def fromEnv(env: Map[String, String]): Either[List[String], GraftConfig] =
+    resolve(Map.empty, env)
 
   /** Fail-fast form: throw with all messages joined — the startup path. */
   def orThrow(result: Either[List[String], GraftConfig]): GraftConfig =

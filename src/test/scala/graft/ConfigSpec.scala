@@ -61,8 +61,23 @@ class ConfigSpec extends AnyFunSuite {
       "GRAFT_FP16" -> "maybe",
       "GRAFT_MCP_PORT" -> "not-a-port")): @unchecked
     assert(errs.exists(_.contains("GRAFT_FP16 must be true/false, got 'maybe'")))
-    assert(errs.exists(_.contains("GRAFT_MCP_PORT must be an integer, got 'not-a-port'")))
+    assert(errs.exists(e => e.contains("GRAFT_MCP_PORT") &&
+      e.contains("must be an integer, got 'not-a-port'")))
     assert(errs.exists(_.contains("STORE_DIR is required"))) // matrix error rides along
+  }
+
+  test("resolve: flags layer over env vars, flag wins per knob") {
+    val env = Map("GRAFT_STORE_DIR" -> "/env/store",
+      "GRAFT_HTTP_PORT" -> "9100", "GRAFT_MCP_PORT" -> "9200")
+    // flag overrides env for http-port; env fills store and mcp-port
+    val Right(c) = GraftConfig.resolve(
+      Map("http-port" -> "7000"), env): @unchecked
+    assert(c.storeDir == "/env/store")
+    assert(c.httpPort == 7000 && c.mcpPort == 9200)
+    // --fp16 switch forces fp16 even when env says false
+    val Right(c2) = GraftConfig.resolve(Map("store" -> "/s"),
+      Map("GRAFT_FP16" -> "false"), fp16Flag = true): @unchecked
+    assert(c2.fp16 && c2.storeDir == "/s")
   }
 
   test("orThrow joins all messages into one fail-fast exception") {
