@@ -48,9 +48,12 @@ object Bench {
     // DATA persists on disk and is re-read, not rebuilt), and the median
     // reports the warm steady state, same as a standalone session.
     val Runs = 3
+    // blocking = true: async removal would race block cleanup into the
+    // next query's pass 1 — the sweep exists to make isolation
+    // deterministic, so pay the removal cost HERE, outside any timing
     def sweep(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
     }
     val results = names.map { name =>

@@ -48,7 +48,8 @@ object Cli {
       sleep = _ => ()) // no politeness needed against the local filesystem
   }
 
-  def run(args: Array[String], spark: SparkSession): Int = args.toSeq match {
+  def run(args: Array[String], spark: SparkSession,
+      env: Map[String, String] = sys.env): Int = args.toSeq match {
     case Seq("health", _*) =>
       println(Json.write(Health.check(spark)))
       0
@@ -59,51 +60,75 @@ object Cli {
       // at-rest layout); reads widen transparently, searches stay fused.
       // All knobs validate through GraftConfig before any Spark work;
       // flags layer over GRAFT_* env vars (flag wins), reference-style.
-      val result = GraftConfig
-        .resolve(f, sys.env, fp16Flag = rest.contains("--fp16"))
-        .flatMap(c => if (c.pagesDir.isEmpty)
-          Left(List("PAGES_DIR is required for sync (--pages-dir)"))
-        else Right(c))
-      result match {
-        case Left(errs) =>
-          errs.foreach(System.err.println)
-          2
-        case Right(cfg) =>
-          if (rest.contains("--backfill")) {
-            val n = Sync.backfill(spark, dirClient(cfg.pagesDir.get),
-              cfg.storeDir, cfg.checkpointDir.get, embedder = cfg.embedder,
-              fp16 = cfg.fp16)
-            println(Json.write(Map("synced" -> n, "mode" -> "backfill")))
-            0
-          } else {
-            val since = f.get("since").map(java.time.Instant.parse)
-            Sync.incremental(spark, dirClient(cfg.pagesDir.get), cfg.storeDir,
-                cfg.checkpointDir.get, since, embedder = cfg.embedder,
-                fp16 = cfg.fp16) match {
-              case Some(n) =>
-                println(Json.write(Map("synced" -> n, "mode" -> "incremental")))
-                0
-              case None =>
-                System.err.println(
-                  "no sync watermark found; run --backfill first or pass --since")
-                1
+      // The sync-specific pages-dir requirement and the --since parse are
+      // merged into the SAME error report — all violations at once.
+      val resolved = GraftConfig
+        .resolve(f, env, fp16Flag = rest.contains("--fp16"))
+      val pagesMissing = resolved match {
+        case Right(c) => c.pagesDir.isEmpty
+        case Left(_)  => f.get("pages-dir").isEmpty &&
+          !env.keys.exists(_.equalsIgnoreCase("GRAFT_PAGES_DIR"))
+      }
+      val sinceParsed: Either[String, Option[java.time.Instant]] =
+        f.get("since") match {
+          case None => Right(None)
+          case Some(v) =>
+            try Right(Some(java.time.Instant.parse(v)))
+            catch { case _: java.time.format.DateTimeParseException =>
+              Left(s"--since must be an ISO-8601 instant " +
+                s"(e.g. 2024-01-01T00:00:00Z), got '$v'")
             }
+        }
+      val errs = resolved.left.getOrElse(Nil) ++
+        (if (pagesMissing) List("PAGES_DIR is required for sync (--pages-dir)")
+         else Nil) ++ sinceParsed.left.toSeq
+      if (errs.nonEmpty) {
+        errs.foreach(System.err.println)
+        2
+      } else {
+        val cfg = resolved.toOption.get
+        if (rest.contains("--backfill")) {
+          val n = Sync.backfill(spark, dirClient(cfg.pagesDir.get),
+            cfg.storeDir, cfg.checkpointDir.get, embedder = cfg.embedder,
+            fp16 = cfg.fp16)
+          println(Json.write(Map("synced" -> n, "mode" -> "backfill")))
+          0
+        } else {
+          Sync.incremental(spark, dirClient(cfg.pagesDir.get), cfg.storeDir,
+              cfg.checkpointDir.get, sinceParsed.toOption.get,
+              embedder = cfg.embedder, fp16 = cfg.fp16) match {
+            case Some(n) =>
+              println(Json.write(Map("synced" -> n, "mode" -> "incremental")))
+              0
+            case None =>
+              System.err.println(
+                "no sync watermark found; run --backfill first or pass --since")
+              1
           }
+        }
       }
 
     case "search" +: query +: rest =>
       val f = flags(rest)
-      val store = GraftConfig.resolve(f, sys.env) match {
+      // syncKnobs = false: a read-only command must not trip the sync
+      // matrix rule because GRAFT_PAGES_DIR is ambient in the shell
+      val cfg = GraftConfig.resolve(f, env, syncKnobs = false) match {
         case Left(errs) => errs.foreach(System.err.println); return 2
-        case Right(c)   => c.storeDir
+        case Right(c)   => c
       }
-      HighlightStore.read(spark, store) match {
+      val k = f.get("k") match {
+        case None => SearchParams.DefaultK
+        case Some(v) => v.toIntOption.getOrElse {
+          System.err.println(s"--k must be an integer, got '$v'"); return 2
+        }
+      }
+      HighlightStore.read(spark, cfg.storeDir) match {
         case None =>
-          System.err.println(s"no highlight store at $store"); 1
+          System.err.println(s"no highlight store at ${cfg.storeDir}"); 1
         case Some(df) =>
           SearchParams.fromHttp(
             query = query,
-            k = f.get("k").map(_.toInt).getOrElse(SearchParams.DefaultK),
+            k = k,
             sourceType = f.get("source-type"),
             author = f.get("author"),
             tagsCsv = f.get("tags"),
@@ -111,7 +136,9 @@ object Cli {
             toDate = f.get("to")) match {
             case Left(err) => System.err.println(err); 2
             case Right(params) =>
-              new SearchGateway(df).search(params)
+              // the gateway must embed queries at the dimensionality the
+              // store was synced with — cfg.embedder, not the default
+              new SearchGateway(df, cfg.embedder).search(params)
                 .foreach(row => println(Json.write(row)))
               0
           }
@@ -119,7 +146,7 @@ object Cli {
 
     case "serve" +: rest =>
       val f = flags(rest)
-      val cfg = GraftConfig.resolve(f, sys.env) match {
+      val cfg = GraftConfig.resolve(f, env, syncKnobs = false) match {
         case Left(errs) => errs.foreach(System.err.println); return 2
         case Right(c)   => c
       }
@@ -132,7 +159,7 @@ object Cli {
           // version — request plans hit the cache as a subplan and score
           // through the fused kernel at half the fp32 resident footprint
           val gw = new SearchGateway(
-            HighlightStore.readWarm(spark, cfg.storeDir).get)
+            HighlightStore.readWarm(spark, cfg.storeDir).get, cfg.embedder)
           val http = new HttpApi(gw.search, () => Health.check(spark),
             port = cfg.httpPort).start()
           val mcp = new McpServer(gw.search, port = cfg.mcpPort).start()

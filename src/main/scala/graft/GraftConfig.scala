@@ -69,9 +69,13 @@ object GraftConfig {
     *
     * `flags` keys are the CLI spellings (`store`, `http-port`, `mcp-port`,
     * `embed-dim`, `pages-dir`, `ckpt`); `fp16Flag` is the presence of the
-    * boolean `--fp16` switch (true forces fp16 regardless of env). */
+    * boolean `--fp16` switch (true forces fp16 regardless of env).
+    * `syncKnobs = false` ignores pages-dir/ckpt entirely — read-only
+    * commands (search, serve) must not refuse to run because ambient
+    * GRAFT_PAGES_DIR from a sync workflow trips the sync matrix rule. */
   def resolve(flags: Map[String, String], env: Map[String, String],
-      fp16Flag: Boolean = false): Either[List[String], GraftConfig] = {
+      fp16Flag: Boolean = false,
+      syncKnobs: Boolean = true): Either[List[String], GraftConfig] = {
     val norm = env.map { case (k, v) => k.toUpperCase -> v }
     def e(key: String): Option[String] = norm.get(s"GRAFT_$key")
     val errs = List.newBuilder[String]
@@ -100,8 +104,8 @@ object GraftConfig {
       embedderDim = int("embed-dim", "EMBEDDER_DIM", DefaultEmbedderDim),
       httpPort = int("http-port", "HTTP_PORT", DefaultHttpPort),
       mcpPort = int("mcp-port", "MCP_PORT", DefaultMcpPort),
-      pagesDir = str("pages-dir", "PAGES_DIR"),
-      checkpointDir = str("ckpt", "CHECKPOINT_DIR"))
+      pagesDir = if (syncKnobs) str("pages-dir", "PAGES_DIR") else None,
+      checkpointDir = if (syncKnobs) str("ckpt", "CHECKPOINT_DIR") else None)
     errs.result() match {
       case Nil => validated(candidate)
       case es  => Left(es ++ validated(candidate).left.getOrElse(Nil))

@@ -35,27 +35,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "array_poly_hash(arr) - poly_hash of every ARRAY<STRING> element") {
       e => ArrayPolyHash(e.head) }
     inject("word_shingles",
-      "word_shingles(text, k) - distinct word k-gram shingles (k literal)") { e =>
-      if (e.length != 2) throw new IllegalArgumentException(
-        "word_shingles(text, k) requires exactly 2 arguments")
-      val kv = if (e(1).foldable) e(1).eval() else null
-      kv match {
-        case n: Number => WordShingles(e(0), n.intValue())
-        case _ => throw new IllegalArgumentException(
-          "word_shingles: k must be a literal integer")
-      }
-    }
+      "word_shingles(text, k) - distinct word k-gram shingles (k literal)")(
+      functions.literalKBuilder("word_shingles")(WordShingles(_, _)))
     inject("word_ngrams",
-      "word_ngrams(text, k) - ALL word k-grams, duplicates kept (k literal)") { e =>
-      if (e.length != 2) throw new IllegalArgumentException(
-        "word_ngrams(text, k) requires exactly 2 arguments")
-      val kv = if (e(1).foldable) e(1).eval() else null
-      kv match {
-        case n: Number => WordNgrams(e(0), n.intValue())
-        case _ => throw new IllegalArgumentException(
-          "word_ngrams: k must be a literal integer")
-      }
-    }
+      "word_ngrams(text, k) - ALL word k-grams, duplicates kept (k literal)")(
+      functions.literalKBuilder("word_ngrams")(WordNgrams(_, _)))
     inject("minhash_sig", "minhash_sig(hashes) - 16-slot MinHash signature") {
       e => MinHashSig(e.head) }
     inject("simhash16", "simhash16(hashes) - 16-bit SimHash") {

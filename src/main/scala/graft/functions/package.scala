@@ -1,12 +1,30 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.graft.shims
 
 /** Column-API facade over graft's custom Catalyst expressions, mirroring
   * `org.apache.spark.sql.functions`. Also registers them for SQL use.
   */
 package object functions {
+
+  /** SQL builder for `name(text, k)` expressions whose `k` must be a
+    * literal integer (it parameterizes generated code) — shared by the
+    * per-session registry and [[graft.GraftExtensions]] so the arity and
+    * literal checks can't drift between the two registration paths. */
+  private[graft] def literalKBuilder(name: String)(
+      make: (Expression, Int) => Expression): Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != 2) throw new IllegalArgumentException(
+        s"$name(text, k) requires exactly 2 arguments")
+      val kv = if (exprs(1).foldable) exprs(1).eval() else null
+      kv match {
+        case n: Number => make(exprs(0), n.intValue())
+        case _ => throw new IllegalArgumentException(
+          s"$name: k must be a literal integer")
+      }
+    }
 
   def cosine_distance(a: Column, b: Column): Column =
     shims.column(CosineDistance(shims.expression(a), shims.expression(b)))
@@ -56,30 +74,10 @@ package object functions {
       "l2_distance", exprs => L2Distance(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "poly_hash", exprs => graft.text.PolyHash(exprs.head), "built-in")
-    reg.createOrReplaceTempFunction(
-      "word_shingles", exprs => {
-        // k must be a literal: validate with a named error instead of
-        // letting eval() on an arbitrary expression throw internals
-        if (exprs.length != 2) throw new IllegalArgumentException(
-          "word_shingles(text, k) requires exactly 2 arguments")
-        val kv = if (exprs(1).foldable) exprs(1).eval() else null
-        kv match {
-          case n: Number => graft.text.WordShingles(exprs(0), n.intValue())
-          case _ => throw new IllegalArgumentException(
-            "word_shingles: k must be a literal integer")
-        }
-      }, "built-in")
-    reg.createOrReplaceTempFunction(
-      "word_ngrams", exprs => {
-        if (exprs.length != 2) throw new IllegalArgumentException(
-          "word_ngrams(text, k) requires exactly 2 arguments")
-        val kv = if (exprs(1).foldable) exprs(1).eval() else null
-        kv match {
-          case n: Number => graft.text.WordNgrams(exprs(0), n.intValue())
-          case _ => throw new IllegalArgumentException(
-            "word_ngrams: k must be a literal integer")
-        }
-      }, "built-in")
+    reg.createOrReplaceTempFunction("word_shingles",
+      literalKBuilder("word_shingles")(graft.text.WordShingles(_, _)), "built-in")
+    reg.createOrReplaceTempFunction("word_ngrams",
+      literalKBuilder("word_ngrams")(graft.text.WordNgrams(_, _)), "built-in")
     reg.createOrReplaceTempFunction(
       "array_poly_hash", exprs => graft.text.ArrayPolyHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(

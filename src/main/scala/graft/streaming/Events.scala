@@ -85,13 +85,23 @@ object Events {
     * per side, no range explosion. Expects (event_id, ts, user_id,
     * event_type) on both inputs. */
   def correlate(left: DataFrame, right: DataFrame,
+      windowMinutes: Int): DataFrame =
+    correlateJoin(correlateLeft(left), correlateRight(right), windowMinutes)
+
+  private def correlateLeft(df: DataFrame): DataFrame =
+    df.select(col("user_id"), col("event_id").as("left_id"),
+      col("event_type").as("left_type"), col("ts").as("left_ts"))
+
+  private def correlateRight(df: DataFrame): DataFrame =
+    df.select(col("user_id").as("__ru"), col("event_id").as("right_id"),
+      col("event_type").as("right_type"), col("ts").as("right_ts"))
+
+  /** Shared join+projection body of [[correlate]]/[[correlateStream]] —
+    * the batch/stream parity StreamingSpec asserts holds BECAUSE both
+    * variants run this exact plan (they differ only in watermarks). */
+  private def correlateJoin(l: DataFrame, r: DataFrame,
       windowMinutes: Int): DataFrame = {
     val bound = expr(s"INTERVAL $windowMinutes MINUTES")
-    val l = left.select(col("user_id"), col("event_id").as("left_id"),
-      col("event_type").as("left_type"), col("ts").as("left_ts"))
-    val r = right.select(col("user_id").as("__ru"),
-      col("event_id").as("right_id"), col("event_type").as("right_type"),
-      col("ts").as("right_ts"))
     l.join(r, col("user_id") === col("__ru") &&
         col("right_ts") >= col("left_ts") &&
         col("right_ts") < col("left_ts") + bound)
@@ -111,23 +121,11 @@ object Events {
     * Results are identical to the batch form over the same data once the
     * watermark closes (StreamingSpec asserts agreement). */
   def correlateStream(left: DataFrame, right: DataFrame,
-      windowMinutes: Int, watermarkDelay: String = "1 hour"): DataFrame = {
-    val bound = expr(s"INTERVAL $windowMinutes MINUTES")
-    val l = left.select(col("user_id"), col("event_id").as("left_id"),
-        col("event_type").as("left_type"), col("ts").as("left_ts"))
-      .withWatermark("left_ts", watermarkDelay)
-    val r = right.select(col("user_id").as("__ru"),
-        col("event_id").as("right_id"), col("event_type").as("right_type"),
-        col("ts").as("right_ts"))
-      .withWatermark("right_ts", watermarkDelay)
-    l.join(r, col("user_id") === col("__ru") &&
-        col("right_ts") >= col("left_ts") &&
-        col("right_ts") < col("left_ts") + bound)
-      .select(col("user_id"), col("left_id"), col("left_type"),
-        col("right_id"), col("right_type"),
-        (unix_micros(col("right_ts")) - unix_micros(col("left_ts")))
-          .as("lag_us"))
-  }
+      windowMinutes: Int, watermarkDelay: String = "1 hour"): DataFrame =
+    correlateJoin(
+      correlateLeft(left).withWatermark("left_ts", watermarkDelay),
+      correlateRight(right).withWatermark("right_ts", watermarkDelay),
+      windowMinutes)
 
   /** Gap-based sessionization (batch form): a new session starts when the
     * user's inter-event gap exceeds `gapMinutes`. Two window passes over

@@ -92,9 +92,23 @@ class ConfigSpec extends AnyFunSuite {
 
   test("Cli sync constructs through the config: missing ckpt fails fast with exit 2") {
     // no Spark touched: validation fails before any session use (null is
-    // safe here precisely because the path must not reach Spark)
+    // safe here precisely because the path must not reach Spark). env is
+    // injected empty so ambient GRAFT_* vars on the host can't satisfy
+    // the matrix and push the run past validation.
     val code = Cli.run(Array("sync", "--pages-dir", "/tmp/nope",
-      "--store", "/tmp/store"), null)
+      "--store", "/tmp/store"), null, env = Map.empty)
     assert(code == 2)
+  }
+
+  test("Cli search ignores ambient sync-only env; bad --k fails with exit 2") {
+    // GRAFT_PAGES_DIR in the environment must not make a read-only
+    // command refuse to run; it fails later (exit 1) on the missing
+    // store, not on config validation (exit 2)
+    val c1 = Cli.run(Array("search", "q", "--store", "/nonexistent-store"),
+      SparkTestBase.spark, env = Map("GRAFT_PAGES_DIR" -> "/p"))
+    assert(c1 == 1)
+    val c2 = Cli.run(Array("search", "q", "--store", "/s", "--k", "abc"),
+      null, env = Map.empty)
+    assert(c2 == 2)
   }
 }
