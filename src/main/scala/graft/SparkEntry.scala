@@ -956,6 +956,22 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- distribution-based length trimming (the C4-style outlier
+    //      filter): drop docs outside the corpus's own [p05, p95] length
+    //      band. The cutoffs are ONE tiny exact-percentile aggregate,
+    //      broadcast back over the corpus for a narrow filter ----
+    "q75_length_trim" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("source"), col("n_chars"))
+      val cuts = docs.agg(
+        percentile(col("n_chars"), lit(0.05)).as("lo"),
+        percentile(col("n_chars"), lit(0.95)).as("hi"))
+      docs.crossJoin(broadcast(cuts))
+        .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
+        .orderBy(col("source"))
+    }),
+
     // ---- source-weighted mixture sampling: per-source keep rates over
     //      content-hash buckets (training-data composition control);
     //      kept sets nest as rates rise, so reweighting never churns ----
@@ -2101,6 +2117,15 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p)
          |ORDER BY stage""".stripMargin,
+
+    "q75_length_trim" ->
+      """WITH cuts AS (SELECT quantile_cont(n_chars, 0.05) AS lo,
+        |  quantile_cont(n_chars, 0.95) AS hi FROM documents)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
+        |FROM documents, cuts
+        |WHERE n_chars >= lo AND n_chars <= hi
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q74_mixture_sample" ->
       s"""WITH kept AS (
