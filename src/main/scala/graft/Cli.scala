@@ -48,6 +48,19 @@ object Cli {
       sleep = _ => ()) // no politeness needed against the local filesystem
   }
 
+  /** Fail fast when the store's vector width disagrees with the
+    * configured embedder: the dot product TRUNCATES to the shorter
+    * operand, so a mismatch produces silently meaningless rankings, not
+    * an error. One first-row probe at startup; empty stores pass. */
+  private def dimMismatch(df: org.apache.spark.sql.DataFrame,
+      dim: Int): Option[String] =
+    df.select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding")).as("d"))
+      .limit(1).collect().headOption.map(_.getInt(0))
+      .filter(_ != dim)
+      .map(d => s"store embeddings are $d-dim but the configured embedder " +
+        s"is $dim-dim; pass --embed-dim $d (or GRAFT_EMBEDDER_DIM=$d)")
+
   def run(args: Array[String], spark: SparkSession,
       env: Map[String, String] = sys.env): Int = args.toSeq match {
     case Seq("health", _*) =>
@@ -60,18 +73,19 @@ object Cli {
       // at-rest layout); reads widen transparently, searches stay fused.
       // All knobs validate through GraftConfig before any Spark work;
       // flags layer over GRAFT_* env vars (flag wins), reference-style.
-      // The sync-specific pages-dir requirement and the --since parse are
-      // merged into the SAME error report — all violations at once.
-      val resolved = GraftConfig
-        .resolve(f, env, fp16Flag = rest.contains("--fp16"))
-      val pagesMissing = resolved match {
-        case Right(c) => c.pagesDir.isEmpty
-        case Left(_)  => f.get("pages-dir").isEmpty &&
-          !env.keys.exists(_.equalsIgnoreCase("GRAFT_PAGES_DIR"))
-      }
+      // The mode-dependent --since checks merge into the SAME error
+      // report — all violations at once.
+      val backfill = rest.contains("--backfill")
+      val resolved = GraftConfig.resolve(f, env, GraftConfig.Command.Sync,
+        fp16Flag = rest.contains("--fp16"))
+      // --since belongs to incremental mode only: with --backfill it was
+      // previously ignored silently — reject the conflict instead
       val sinceParsed: Either[String, Option[java.time.Instant]] =
         f.get("since") match {
           case None => Right(None)
+          case Some(_) if backfill =>
+            Left("--since conflicts with --backfill (backfill always " +
+              "replays everything); drop one of them")
           case Some(v) =>
             try Right(Some(java.time.Instant.parse(v)))
             catch { case _: java.time.format.DateTimeParseException =>
@@ -79,15 +93,13 @@ object Cli {
                 s"(e.g. 2024-01-01T00:00:00Z), got '$v'")
             }
         }
-      val errs = resolved.left.getOrElse(Nil) ++
-        (if (pagesMissing) List("PAGES_DIR is required for sync (--pages-dir)")
-         else Nil) ++ sinceParsed.left.toSeq
+      val errs = resolved.left.getOrElse(Nil) ++ sinceParsed.left.toSeq
       if (errs.nonEmpty) {
         errs.foreach(System.err.println)
         2
       } else {
         val cfg = resolved.toOption.get
-        if (rest.contains("--backfill")) {
+        if (backfill) {
           val n = Sync.backfill(spark, dirClient(cfg.pagesDir.get),
             cfg.storeDir, cfg.checkpointDir.get, embedder = cfg.embedder,
             fp16 = cfg.fp16)
@@ -110,9 +122,10 @@ object Cli {
 
     case "search" +: query +: rest =>
       val f = flags(rest)
-      // syncKnobs = false: a read-only command must not trip the sync
-      // matrix rule because GRAFT_PAGES_DIR is ambient in the shell
-      val cfg = GraftConfig.resolve(f, env, syncKnobs = false) match {
+      // Command.Search scoping: ambient sync/serve env (GRAFT_PAGES_DIR,
+      // GRAFT_HTTP_PORT junk) can't stop a read-only command, while an
+      // explicit out-of-scope flag is rejected with a message
+      val cfg = GraftConfig.resolve(f, env, GraftConfig.Command.Search) match {
         case Left(errs) => errs.foreach(System.err.println); return 2
         case Right(c)   => c
       }
@@ -126,6 +139,9 @@ object Cli {
         case None =>
           System.err.println(s"no highlight store at ${cfg.storeDir}"); 1
         case Some(df) =>
+          dimMismatch(df, cfg.embedder.dim).foreach { msg =>
+            System.err.println(msg); return 2
+          }
           SearchParams.fromHttp(
             query = query,
             k = k,
@@ -146,14 +162,17 @@ object Cli {
 
     case "serve" +: rest =>
       val f = flags(rest)
-      val cfg = GraftConfig.resolve(f, env, syncKnobs = false) match {
+      val cfg = GraftConfig.resolve(f, env, GraftConfig.Command.Serve) match {
         case Left(errs) => errs.foreach(System.err.println); return 2
         case Right(c)   => c
       }
       HighlightStore.read(spark, cfg.storeDir) match {
         case None =>
           System.err.println(s"no highlight store at ${cfg.storeDir}"); 1
-        case Some(_) =>
+        case Some(df) =>
+          dimMismatch(df, cfg.embedder.dim).foreach { msg =>
+            System.err.println(msg); return 2
+          }
           // readWarm pins the AT-REST relation (encoded bytes for an fp16
           // store) and builds the serving frame over the SAME resolved
           // version — request plans hit the cache as a subplan and score

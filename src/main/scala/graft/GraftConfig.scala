@@ -59,23 +59,38 @@ object GraftConfig {
     }
   }
 
+  /** The CLI command a configuration is being resolved FOR. Each command
+    * reads only the knobs it uses: `Search` never opens ports or writes,
+    * so ambient `GRAFT_HTTP_PORT` garbage or a sync-workflow
+    * `GRAFT_PAGES_DIR` must not make it refuse to run — while a flag the
+    * command cannot honor is an ERROR (silently dropping explicit user
+    * input is worse than rejecting it). */
+  sealed trait Command { private[GraftConfig] def name: String }
+  object Command {
+    case object Sync extends Command { private[GraftConfig] val name = "sync" }
+    case object Search extends Command { private[GraftConfig] val name = "search" }
+    case object Serve extends Command { private[GraftConfig] val name = "serve" }
+    /** Every knob in scope — ambient/full configuration loading. */
+    case object All extends Command { private[GraftConfig] val name = "all" }
+  }
+
   /** Resolve a configuration from CLI flags layered over `GRAFT_`-prefixed
     * environment entries (keys matched case-insensitively — the reference
     * accepts `deploy_target` and `DEPLOY_TARGET` alike), then validate.
     * Precedence per knob: explicit flag → env var → default, the same
     * layering the reference's settings object gives CLI args over its env
     * file. Unparseable values are reported through the same error channel
-    * as matrix violations.
+    * as matrix violations, and ALL violations come back together.
     *
-    * `flags` keys are the CLI spellings (`store`, `http-port`, `mcp-port`,
-    * `embed-dim`, `pages-dir`, `ckpt`); `fp16Flag` is the presence of the
-    * boolean `--fp16` switch (true forces fp16 regardless of env).
-    * `syncKnobs = false` ignores pages-dir/ckpt entirely — read-only
-    * commands (search, serve) must not refuse to run because ambient
-    * GRAFT_PAGES_DIR from a sync workflow trips the sync matrix rule. */
+    * Knob scoping by `command`: ports are read only by Serve, fp16 and
+    * pages-dir/ckpt only by Sync (which also REQUIRES pages-dir — the
+    * rule lives here so presence is computed in one place); store and
+    * embed-dim by everything. Out-of-scope ENV vars are ignored;
+    * out-of-scope FLAGS are rejected with a message. */
   def resolve(flags: Map[String, String], env: Map[String, String],
-      fp16Flag: Boolean = false,
-      syncKnobs: Boolean = true): Either[List[String], GraftConfig] = {
+      command: Command,
+      fp16Flag: Boolean = false): Either[List[String], GraftConfig] = {
+    import Command._
     val norm = env.map { case (k, v) => k.toUpperCase -> v }
     def e(key: String): Option[String] = norm.get(s"GRAFT_$key")
     val errs = List.newBuilder[String]
@@ -89,7 +104,14 @@ object GraftConfig {
           default
         }
       }
-    val fp16 = fp16Flag || (e("FP16") match {
+    val portsInScope = command == Serve || command == All
+    val syncInScope = command == Sync || command == All
+    for ((flag, ok) <- Seq("pages-dir" -> syncInScope, "ckpt" -> syncInScope,
+        "http-port" -> portsInScope, "mcp-port" -> portsInScope))
+      if (!ok && flags.contains(flag))
+        errs += s"--$flag is not a ${command.name} option"
+    val fp16 = fp16Flag || (if (!syncInScope) false
+    else e("FP16") match {
       case None => false
       case Some(v) => v.toLowerCase match {
         case "true" | "1"  => true
@@ -98,23 +120,30 @@ object GraftConfig {
           errs += s"GRAFT_FP16 must be true/false, got '$other'"; false
       }
     })
+    val pagesDir = if (syncInScope) str("pages-dir", "PAGES_DIR") else None
+    if (command == Sync && pagesDir.isEmpty)
+      errs += "PAGES_DIR is required for sync (--pages-dir)"
     val candidate = GraftConfig(
       storeDir = str("store", "STORE_DIR").getOrElse(""),
       fp16 = fp16,
       embedderDim = int("embed-dim", "EMBEDDER_DIM", DefaultEmbedderDim),
-      httpPort = int("http-port", "HTTP_PORT", DefaultHttpPort),
-      mcpPort = int("mcp-port", "MCP_PORT", DefaultMcpPort),
-      pagesDir = if (syncKnobs) str("pages-dir", "PAGES_DIR") else None,
-      checkpointDir = if (syncKnobs) str("ckpt", "CHECKPOINT_DIR") else None)
-    errs.result() match {
-      case Nil => validated(candidate)
-      case es  => Left(es ++ validated(candidate).left.getOrElse(Nil))
+      httpPort = if (portsInScope) int("http-port", "HTTP_PORT", DefaultHttpPort)
+        else DefaultHttpPort,
+      mcpPort = if (portsInScope) int("mcp-port", "MCP_PORT", DefaultMcpPort)
+        else DefaultMcpPort,
+      pagesDir = pagesDir,
+      checkpointDir = if (syncInScope) str("ckpt", "CHECKPOINT_DIR") else None)
+    (errs.result(), validated(candidate)) match {
+      case (Nil, v)         => v
+      case (es, Left(more)) => Left(es ++ more)
+      case (es, Right(_))   => Left(es)
     }
   }
 
-  /** [[resolve]] with no flag layer — pure environment loading. */
+  /** [[resolve]] with no flag layer and every knob in scope — pure
+    * environment loading. */
   def fromEnv(env: Map[String, String]): Either[List[String], GraftConfig] =
-    resolve(Map.empty, env)
+    resolve(Map.empty, env, Command.All)
 
   /** Fail-fast form: throw with all messages joined — the startup path. */
   def orThrow(result: Either[List[String], GraftConfig]): GraftConfig =

@@ -52,6 +52,28 @@ class CliSpec extends SparkTestBase {
     assert(capture(Cli.run(Array("frobnicate"), spark))._1 == 2)
   }
 
+  test("search fails fast on store-vs-embedder dim mismatch; works with --embed-dim") {
+    val dir = Files.createTempDirectory("graft-cli-dim").toString
+    val pages = s"$dir/pages"
+    Files.createDirectories(java.nio.file.Paths.get(pages))
+    Files.writeString(java.nio.file.Paths.get(pages, "page0.json"),
+      pageJson("h1", "dimension mismatch probe text"))
+    // store synced at a non-default 32-dim embedder
+    assert(capture(Cli.run(Array("sync", "--backfill", "--embed-dim", "32",
+      "--pages-dir", pages, "--store", s"$dir/store", "--ckpt", s"$dir/ckpt"),
+      spark, env = Map.empty))._1 == 0)
+    // searching with the 64-dim default must refuse loudly (the dot
+    // product would silently truncate), not return wrong rankings
+    assert(capture(Cli.run(Array("search", "probe",
+      "--store", s"$dir/store"), spark, env = Map.empty))._1 == 2)
+    // the matching dim — via flag or env — searches fine
+    val (c, out) = capture(Cli.run(Array("search", "probe", "--k", "1",
+      "--store", s"$dir/store", "--embed-dim", "32"), spark, env = Map.empty))
+    assert(c == 0 && out.contains("\"id\":\"h1\""))
+    assert(capture(Cli.run(Array("search", "probe", "--store", s"$dir/store"),
+      spark, env = Map("GRAFT_EMBEDDER_DIM" -> "32")))._1 == 0)
+  }
+
   test("sync --fp16 stores emb16 at rest; search serves it through the fused path") {
     val dir = Files.createTempDirectory("graft-cli16").toString
     val pages = s"$dir/pages"

@@ -71,13 +71,35 @@ class ConfigSpec extends AnyFunSuite {
       "GRAFT_HTTP_PORT" -> "9100", "GRAFT_MCP_PORT" -> "9200")
     // flag overrides env for http-port; env fills store and mcp-port
     val Right(c) = GraftConfig.resolve(
-      Map("http-port" -> "7000"), env): @unchecked
+      Map("http-port" -> "7000"), env, GraftConfig.Command.Serve): @unchecked
     assert(c.storeDir == "/env/store")
     assert(c.httpPort == 7000 && c.mcpPort == 9200)
     // --fp16 switch forces fp16 even when env says false
-    val Right(c2) = GraftConfig.resolve(Map("store" -> "/s"),
-      Map("GRAFT_FP16" -> "false"), fp16Flag = true): @unchecked
+    val Right(c2) = GraftConfig.resolve(
+      Map("store" -> "/s", "pages-dir" -> "/p", "ckpt" -> "/c"),
+      Map("GRAFT_FP16" -> "false"), GraftConfig.Command.Sync,
+      fp16Flag = true): @unchecked
     assert(c2.fp16 && c2.storeDir == "/s")
+  }
+
+  test("command scoping: out-of-scope env is ignored, out-of-scope flags are rejected") {
+    // ambient sync/serve junk can't stop a read-only search...
+    val Right(c) = GraftConfig.resolve(Map("store" -> "/s"),
+      Map("GRAFT_PAGES_DIR" -> "/p", "GRAFT_HTTP_PORT" -> "junk",
+        "GRAFT_FP16" -> "maybe"), GraftConfig.Command.Search): @unchecked
+    assert(c.storeDir == "/s" && c.pagesDir.isEmpty && !c.fp16)
+    // ...but an explicit flag the command can't honor is an error, not
+    // a silent drop
+    val Left(errs) = GraftConfig.resolve(
+      Map("store" -> "/s", "pages-dir" -> "/p"),
+      Map.empty, GraftConfig.Command.Search): @unchecked
+    assert(errs == List("--pages-dir is not a search option"))
+    // sync's pages-dir requirement is computed inside resolve, together
+    // with every other violation
+    val Left(errs2) = GraftConfig.resolve(Map.empty, Map.empty,
+      GraftConfig.Command.Sync): @unchecked
+    assert(errs2.exists(_.contains("PAGES_DIR is required for sync")))
+    assert(errs2.exists(_.contains("STORE_DIR is required")))
   }
 
   test("orThrow joins all messages into one fail-fast exception") {
@@ -100,15 +122,27 @@ class ConfigSpec extends AnyFunSuite {
     assert(code == 2)
   }
 
-  test("Cli search ignores ambient sync-only env; bad --k fails with exit 2") {
-    // GRAFT_PAGES_DIR in the environment must not make a read-only
-    // command refuse to run; it fails later (exit 1) on the missing
-    // store, not on config validation (exit 2)
+  test("Cli search ignores ambient sync/serve env; bad --k fails with exit 2") {
+    // ambient GRAFT_* junk from other workflows must not make a
+    // read-only command refuse to run; it fails later (exit 1) on the
+    // missing store, not on config validation (exit 2)
     val c1 = Cli.run(Array("search", "q", "--store", "/nonexistent-store"),
-      SparkTestBase.spark, env = Map("GRAFT_PAGES_DIR" -> "/p"))
+      SparkTestBase.spark, env = Map("GRAFT_PAGES_DIR" -> "/p",
+        "GRAFT_HTTP_PORT" -> "junk"))
     assert(c1 == 1)
     val c2 = Cli.run(Array("search", "q", "--store", "/s", "--k", "abc"),
       null, env = Map.empty)
     assert(c2 == 2)
+  }
+
+  test("Cli sync: --since conflicts with --backfill; malformed --since exits 2") {
+    val conflict = Cli.run(Array("sync", "--backfill",
+      "--since", "2024-01-01T00:00:00Z", "--pages-dir", "/p",
+      "--store", "/s", "--ckpt", "/c"), null, env = Map.empty)
+    assert(conflict == 2)
+    val malformed = Cli.run(Array("sync", "--since", "not-a-date",
+      "--pages-dir", "/p", "--store", "/s", "--ckpt", "/c"),
+      null, env = Map.empty)
+    assert(malformed == 2)
   }
 }
