@@ -956,6 +956,27 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- incremental dedup — the steady-state shape: a new batch is
+    //      deduplicated AGAINST the existing corpus (drifted copies of
+    //      corpus docs dropped), then internally (two 3-doc cliques
+    //      collapse to 2 survivors); genuinely new docs survive alone ----
+    "q76_incremental_dedup" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") < 150)
+      val drifted = docs.filter(col("doc_id") >= 140 && col("doc_id") < 145)
+        .select((col("doc_id") + 8000).as("doc_id"),
+          concat(col("text"), lit(" minor drift")).as("text"))
+      val newDocs = docs.filter(col("doc_id") >= 150 && col("doc_id") < 200)
+      val grp = (col("id") / 3).cast("long").cast("string")
+      val clique = s.range(6).select((col("id") + 9000).as("doc_id"),
+        concat(lit("brand new boilerplate block variant "), grp,
+          lit(" tail"), col("id").cast("string")).as("text"))
+      Dedup.incrementalDeduplicate(corpus,
+          drifted.unionByName(newDocs).unionByName(clique),
+          "text", "doc_id", threshold = 0.5)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- distribution-based length trimming (the C4-style outlier
     //      filter): drop docs outside the corpus's own [p05, p95] length
     //      band. The cutoffs are ONE tiny exact-percentile aggregate,
@@ -2117,6 +2138,55 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p)
          |ORDER BY stage""".stripMargin,
+
+    // cross-contamination (q59's distinct-shingle jaccard) drops drifted
+    // copies; the q54 recursive-CTE closes internal pairs over the rest
+    "q76_incremental_dedup" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 150),
+         |drift AS (SELECT doc_id + 8000 AS id, text || ' minor drift' AS text
+         |  FROM documents WHERE doc_id >= 140 AND doc_id < 145),
+         |newd AS (SELECT doc_id AS id, text FROM documents
+         |  WHERE doc_id >= 150 AND doc_id < 200),
+         |ids AS (SELECT unnest(range(6)) AS i),
+         |clique AS (SELECT 9000 + i AS id,
+         |  'brand new boilerplate block variant ' || CAST(i // 3 AS VARCHAR)
+         |    || ' tail' || CAST(i AS VARCHAR) AS text FROM ids),
+         |batch AS (SELECT * FROM drift UNION ALL SELECT * FROM newd
+         |  UNION ALL SELECT * FROM clique),
+         |bsh AS (SELECT id, ${sqlShingles("string_split(text, ' ')")} AS sh
+         |  FROM batch),
+         |csh AS (SELECT id, ${sqlShingles("string_split(text, ' ')")} AS sh
+         |  FROM corpus),
+         |bnz AS (SELECT * FROM bsh WHERE len(sh) > 0),
+         |cnz AS (SELECT * FROM csh WHERE len(sh) > 0),
+         |cont AS (SELECT DISTINCT b.id FROM bnz b JOIN cnz c ON
+         |  CAST(len(list_distinct(list_intersect(b.sh, c.sh))) AS DOUBLE) /
+         |  CAST(len(list_distinct(list_concat(b.sh, c.sh))) AS DOUBLE) >= 0.5),
+         |fresh AS (SELECT * FROM bnz WHERE id NOT IN (SELECT id FROM cont)),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM fresh a JOIN fresh b ON a.id < b.id
+         |  WHERE CAST(len(list_distinct(list_intersect(a.sh, b.sh))) AS DOUBLE) /
+         |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)
+         |          >= 0.5),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, x) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.x),
+         |comp AS (SELECT id, min(x) AS comp FROM reach GROUP BY id),
+         |freshids AS (SELECT b.id FROM batch b
+         |  WHERE b.id NOT IN (SELECT id FROM cont)),
+         |labeled AS (
+         |  SELECT f.id AS doc_id, COALESCE(c.comp, f.id) AS comp
+         |  FROM freshids f LEFT JOIN comp c ON f.id = c.id),
+         |grp AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS group_size
+         |  FROM labeled GROUP BY comp)
+         |SELECT l.doc_id, g.group_size FROM labeled l JOIN grp g USING (comp)
+         |WHERE l.doc_id = l.comp ORDER BY l.doc_id""".stripMargin,
 
     "q75_length_trim" ->
       """WITH cuts AS (SELECT quantile_cont(n_chars, 0.05) AS lo,

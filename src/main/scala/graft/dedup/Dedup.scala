@@ -233,6 +233,32 @@ object Dedup {
       .select(col(keyCol), col("group_size"))
   }
 
+  /** Incremental deduplication — the STEADY-STATE production shape: a
+    * new batch arrives daily and must be deduplicated against the
+    * existing (already-deduplicated) corpus WITHOUT re-deduplicating the
+    * world. Two stages, both reusing the posting-list machinery:
+    *
+    *  1. batch docs near-duplicating ANY corpus doc are dropped
+    *     ([[crossCorpusPairs]] — the side-split postings discard
+    *     corpus-only shingles before a single candidate generates, so
+    *     the cost scales with the BATCH, not the corpus);
+    *  2. the remaining batch deduplicates internally
+    *     ([[deduplicate]]: pairs → components → one survivor/group).
+    *
+    * Returns (keyCol, group_size) over the surviving batch documents —
+    * group sizes count FRESH docs only (corpus-matched docs are dropped,
+    * not grouped). The corpus is never mutated and never shuffled beyond
+    * its shingle stream. */
+  def incrementalDeduplicate(corpus: DataFrame, batch: DataFrame,
+      textCol: String, keyCol: String, threshold: Double, k: Int = 3,
+      maxShingleDf: Option[Long] = None): DataFrame = {
+    val vsCorpus = crossCorpusPairs(batch, corpus, textCol, keyCol,
+      threshold, k, maxShingleDf)
+    val dupOfCorpus = vsCorpus.select(col("corpus_id").as(keyCol)).distinct()
+    val fresh = batch.join(dupOfCorpus, Seq(keyCol), "left_anti")
+    deduplicate(fresh, textCol, keyCol, threshold, k, maxShingleDf)
+  }
+
   /** Cross-corpus near-duplicate pairs — the DECONTAMINATION pass: find
     * training documents whose shingle Jaccard against any held-out /
     * benchmark document reaches `threshold`, so they can be dropped
