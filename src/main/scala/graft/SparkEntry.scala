@@ -956,6 +956,15 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- SimHash near-dup pairs: nibble-banded candidates (pigeonhole-
+    //      complete for hamming <= 3) + codegen bit_count(xor) verify —
+    //      closes the SimHash family from table (q24) to pairs ----
+    "q77_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs(
+          t(s, dir, "documents").filter(col("doc_id") < 300),
+          "text", "doc_id", maxHamming = 2)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ---- incremental dedup — the steady-state shape: a new batch is
     //      deduplicated AGAINST the existing corpus (drifted copies of
     //      corpus docs dropped), then internally (two 3-doc cliques
@@ -2138,6 +2147,27 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p)
          |ORDER BY stage""".stripMargin,
+
+    // q24's simhash formula, closed into pairs: the oracle brute-forces
+    // all pairs (banding is pigeonhole-complete, so semantics match)
+    "q77_simhash_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |  FROM documents WHERE doc_id < 300),
+         |th AS (SELECT doc_id, ${sqlPolyHash("t")} AS h FROM tok),
+         |bits AS (
+         |  SELECT doc_id, b, SUM(((h >> b) & 1) * 2 - 1) AS s
+         |  FROM th CROSS JOIN (SELECT unnest(range(16)) AS b) bs
+         |  GROUP BY doc_id, b),
+         |sh AS (SELECT doc_id AS id,
+         |  CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+         |    AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.id < b.id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // cross-contamination (q59's distinct-shingle jaccard) drops drifted
     // copies; the q54 recursive-CTE closes internal pairs over the rest

@@ -398,6 +398,45 @@ object Dedup {
       TextAnalysis.simHash16(
         TextAnalysis.hashTokens(TextAnalysis.words(col(textCol)))).as("simhash"))
 
+  /** SimHash near-duplicate PAIRS: documents whose 16-bit signatures are
+    * within `maxHamming` bits. Banding by pigeonhole: the signature
+    * splits into 4 nibbles, and ≤ `maxHamming` ≤ 3 differing bits can
+    * corrupt at most 3 nibbles — every qualifying pair shares at least
+    * one nibble AT THE SAME POSITION, so (band, nibble) posting lists
+    * generate a complete candidate set (same one-exchange, no-join shape
+    * as [[minHashLshPairs]]; signatures ride inside the postings so
+    * verification — codegen `bit_count(xor)` — needs no rehydration
+    * join). Exact w.r.t. the signature for maxHamming ≤ 3; the usual
+    * SimHash approximation is only in the signature itself. */
+  def simHashPairs(df: DataFrame, textCol: String, keyCol: String,
+      maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simHashPairs: 4-nibble banding is complete only for " +
+        s"maxHamming <= 3, got $maxHamming")
+    val t = simHashTable(df, textCol, keyCol)
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("nib"))
+    }
+    val bands = t
+      .select(col("id"), col("simhash"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("simhash"),
+        col("bb.band").as("band"), col("bb.nib").as("nib"))
+    val buckets = bands.groupBy(col("band"), col("nib"))
+      .agg(collect_list(struct(col("id"), col("simhash"))).as("docs"))
+      .filter(size(col("docs")) >= 2)
+    buckets
+      .select(explode(col("docs")).as("a"), col("docs"))
+      .select(col("a"), explode(col("docs")).as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Embedding-cosine near-duplicate pairs below a distance threshold.
     * O(n²) form — bound the input or LSH-bucket first at scale
     * (see [[embeddingLshPairs]]). */
