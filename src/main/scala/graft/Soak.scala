@@ -81,6 +81,14 @@ object Soak {
       Dedup.crossCorpusPairs(d, bench, "text", "doc_id", 0.5,
         maxShingleDf = Some(1000)).count()
     }
+    // r6 steady-state shape: a 5k mutated batch against the 100k corpus —
+    // stage 1 (cross-corpus postings) must scale with the BATCH; every
+    // batch doc matches the corpus, so internal dedup sees ~nothing
+    timeIt(s"incremental_dedup_5k_vs_${REP * 5}k") {
+      val batch = d0.select((col("doc_id") + 9000000L).as("doc_id"),
+        concat(col("text"), lit(" newrev")).as("text"))
+      Dedup.incrementalDeduplicate(d, batch, "text", "doc_id", 0.5).count()
+    }
     // r6 quality filters over the same 100k near-dup corpus: the
     // repetition scan is a narrow no-shuffle projection; familiarity is
     // one explode + one bigram exchange + per-doc agg
@@ -92,10 +100,12 @@ object Soak {
     }
     timeIt(s"bigram_familiarity_${REP * 5}k")(
       graft.text.TextAnalysis.bigramFamiliarity(d, "text", "doc_id").count())
-    // storage discipline: the LSH dedup pipeline above ran a full CC; at
-    // most the FINAL label generation may outlive it (until the driver
+    // storage discipline: the dedup pipelines above ran full CCs; at most
+    // each run's FINAL label generation may outlive it (until the driver
     // drops the reference and the ContextCleaner collects it) — measured
-    // 4 = exactly the deliberate l/e/v/d caches, zero leaked generations
+    // 4-5 = the deliberate l/e/v/d caches plus at most one lingering
+    // final generation; superseded generations (one per CC ROUND) never
+    // appear, which is the leak round 5 flagged
     println("SOAK|pinned_rdds|" + spark.sparkContext.getPersistentRDDs.size)
     val NV = sys.env.getOrElse("SOAK_VECS3072", "200000").toLong
     val store = {

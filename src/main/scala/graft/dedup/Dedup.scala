@@ -407,7 +407,14 @@ object Dedup {
     * as [[minHashLshPairs]]; signatures ride inside the postings so
     * verification — codegen `bit_count(xor)` — needs no rehydration
     * join). Exact w.r.t. the signature for maxHamming ≤ 3; the usual
-    * SimHash approximation is only in the signature itself. */
+    * SimHash approximation is only in the signature itself.
+    *
+    * Scale dial: nibble bands give 16 buckets per band, so posting-list
+    * size grows as corpus/16 — fine at fixture scale, a hot-bucket
+    * blowup at 100 TB. The production shape is identical with a WIDER
+    * signature (64-bit SimHash, 16-bit bands → 65 536 buckets/band and
+    * hamming ≤ 3 coverage by the same pigeonhole); widen the signature,
+    * not the algorithm. */
   def simHashPairs(df: DataFrame, textCol: String, keyCol: String,
       maxHamming: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
