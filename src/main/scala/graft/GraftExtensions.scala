@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions._
-import graft.text.{ArrayPolyHash, MinHashSig, PolyHash, SimHash16, WordNgrams, WordShingles}
+import graft.text.{ArrayPolyHash, MinHashSig, PolyHash, SimHash16, SimHash64, WordNgrams, WordShingles}
 
 /** Session-extension entry point: makes every graft expression available in
   * plain SQL on any session built with
@@ -44,6 +44,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e => MinHashSig(e.head) }
     inject("simhash16", "simhash16(hashes) - 16-bit SimHash") {
       e => SimHash16(e.head) }
+    inject("simhash64",
+      "simhash64(tokens) - 64-bit SimHash over ARRAY<STRING> tokens") {
+      e => SimHash64(e.head) }
     inject("fp16_encode", "fp16_encode(vec) - half-precision storage codec") {
       e => Fp16Encode(e.head) }
     inject("fp16_decode", "fp16_decode(bin) - half-precision read codec") {

@@ -965,6 +965,15 @@ object SparkEntry {
           "text", "doc_id", maxHamming = 2)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- SimHash pairs at production width: 64-bit signatures (four
+    //      salted 16-bit blocks), 16-bit bands — the shape that holds at
+    //      corpus scale where q77's nibble bands saturate ----
+    "q78_simhash64_pairs" -> ((s, dir) =>
+      Dedup.simHashPairs64(
+          t(s, dir, "documents").filter(col("doc_id") < 300),
+          "text", "doc_id", maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))),
+
     // ---- incremental dedup — the steady-state shape: a new batch is
     //      deduplicated AGAINST the existing corpus (drifted copies of
     //      corpus docs dropped), then internally (two 3-doc cliques
@@ -2147,6 +2156,35 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT '3_purchase_after_click', CAST(count(*) AS BIGINT) FROM p)
          |ORDER BY stage""".stripMargin,
+
+    // the 64-bit simhash: block j = bits 0..15 of poly_hash('shj:' || t);
+    // bit 63 can't be built with << (DuckDB errors on shift overflow), so
+    // it is added as the min-long literal; SUM goes through HUGEINT and
+    // casts back — the mathematical value always fits int64. The oracle
+    // brute-forces all pairs (banding is pigeonhole-complete).
+    "q78_simhash64_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |  FROM documents WHERE doc_id < 300),
+         |th AS (SELECT doc_id, list_value(
+         |    ${sqlPolyHash("'sh0:' || t")}, ${sqlPolyHash("'sh1:' || t")},
+         |    ${sqlPolyHash("'sh2:' || t")}, ${sqlPolyHash("'sh3:' || t")})
+         |  AS hs FROM tok),
+         |bits AS (
+         |  SELECT doc_id, j, b, SUM(((hs[j + 1] >> b) & 1) * 2 - 1) AS s
+         |  FROM th CROSS JOIN (SELECT unnest(range(4)) AS j) js
+         |       CROSS JOIN (SELECT unnest(range(16)) AS b) bs
+         |  GROUP BY doc_id, j, b),
+         |sh AS (SELECT doc_id AS id,
+         |  CAST(SUM(CASE WHEN s <= 0 THEN CAST(0 AS BIGINT)
+         |    WHEN j = 3 AND b = 15 THEN CAST(-9223372036854775808 AS BIGINT)
+         |    ELSE CAST(1 AS BIGINT) << (j * 16 + b) END) AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id)
+         |SELECT a.id AS id_a, b.id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.id < b.id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // q24's simhash formula, closed into pairs: the oracle brute-forces
     // all pairs (banding is pigeonhole-complete, so semantics match)

@@ -411,19 +411,49 @@ object Dedup {
     *
     * Scale dial: nibble bands give 16 buckets per band, so posting-list
     * size grows as corpus/16 — fine at fixture scale, a hot-bucket
-    * blowup at 100 TB. The production shape is identical with a WIDER
-    * signature (64-bit SimHash, 16-bit bands → 65 536 buckets/band and
-    * hamming ≤ 3 coverage by the same pigeonhole); widen the signature,
-    * not the algorithm. */
+    * blowup at 100 TB. Use [[simHashPairs64]] there: the identical
+    * algorithm over a 64-bit signature with 16-bit bands
+    * (65 536 buckets/band, same pigeonhole coverage). */
   def simHashPairs(df: DataFrame, textCol: String, keyCol: String,
       maxHamming: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
-      s"simHashPairs: 4-nibble banding is complete only for " +
+      s"simHashPairs: 4-band pigeonhole is complete only for " +
         s"maxHamming <= 3, got $maxHamming")
-    val t = simHashTable(df, textCol, keyCol)
+    bandedHammingPairs(simHashTable(df, textCol, keyCol),
+      bandBits = 4, maxHamming = maxHamming)
+  }
+
+  /** (key, simhash64) table — the production-width signature: four
+    * salted 16-bit blocks over raw whitespace tokens
+    * ([[graft.text.TextMath.simHash64]]). */
+  def simHash64Table(df: DataFrame, textCol: String, keyCol: String): DataFrame =
+    df.select(col(keyCol).as("id"),
+      TextAnalysis.simHash64(TextAnalysis.words(col(textCol))).as("simhash"))
+
+  /** [[simHashPairs]] at production width: 64-bit signatures, 16-bit
+    * bands → 65 536 buckets per band, so posting lists stay small at
+    * corpus scale where nibble bands saturate. Same pigeonhole: ≤ 3
+    * differing bits corrupt at most 3 of 4 bands. */
+  def simHashPairs64(df: DataFrame, textCol: String, keyCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"simHashPairs64: 4-band pigeonhole is complete only for " +
+        s"maxHamming <= 3, got $maxHamming")
+    bandedHammingPairs(simHash64Table(df, textCol, keyCol),
+      bandBits = 16, maxHamming = maxHamming)
+  }
+
+  /** Shared body of the SimHash pair finders: 4 bands of `bandBits` over
+    * a (id, simhash) table, posting-list candidate generation (one
+    * exchange, no join — signatures ride inside the postings), codegen
+    * `bit_count(xor)` verification. */
+  private def bandedHammingPairs(t: DataFrame, bandBits: Int,
+      maxHamming: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
     val bandStructs = (0 until 4).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 4).bitwiseAND(lit(15L)).as("nib"))
+        shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(mask))
+          .as("nib"))
     }
     val bands = t
       .select(col("id"), col("simhash"),

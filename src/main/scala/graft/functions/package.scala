@@ -53,6 +53,9 @@ package object functions {
   def simhash16(c: Column): Column =
     shims.column(graft.text.SimHash16(shims.expression(c)))
 
+  def simhash64(c: Column): Column =
+    shims.column(graft.text.SimHash64(shims.expression(c)))
+
   def fp16_encode(c: Column): Column =
     shims.column(Fp16Encode(shims.expression(c)))
 
@@ -84,6 +87,8 @@ package object functions {
       "minhash_sig", exprs => graft.text.MinHashSig(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash16", exprs => graft.text.SimHash16(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64", exprs => graft.text.SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "fp16_encode", exprs => Fp16Encode(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(

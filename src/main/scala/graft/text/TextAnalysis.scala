@@ -59,6 +59,10 @@ object TextAnalysis {
   def simHash16(tokenHashes: Column): Column =
     shims.column(SimHash16(shims.expression(tokenHashes)))
 
+  /** 64-bit SimHash over a raw token array (salted 16-bit blocks). */
+  def simHash64(tokens: Column): Column =
+    shims.column(SimHash64(shims.expression(tokens)))
+
   /** Rolling-hash fingerprint of the full text. */
   def fingerprint(text: Column): Column = polyHash(text)
 

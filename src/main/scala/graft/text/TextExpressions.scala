@@ -145,6 +145,62 @@ object TextMath extends Serializable {
     out
   }
 
+  /** [[polyHash]] continued from a seed: equals `polyHash(prefix || s)`
+    * when `seed = polyHash(prefix)` — salting without allocating the
+    * concatenation. */
+  def polyHashFrom(seed: Long, s: UTF8String): Long = {
+    val str = s.toString
+    var h = seed
+    var i = 0
+    while (i < str.length) {
+      h = (h * Mult + str.charAt(i).toLong) % Mod
+      i += 1
+    }
+    h
+  }
+
+  /** Salt prefixes for the four 16-bit blocks of [[simHash64]]; the
+    * DuckDB oracle replicates block j as `poly_hash('shj:' || token)`. */
+  val SimHash64Salts: Array[String] = Array("sh0:", "sh1:", "sh2:", "sh3:")
+  private val simHash64Seeds: Array[Long] =
+    SimHash64Salts.map(s => polyHash(UTF8String.fromString(s)))
+
+  /** 64-bit SimHash over raw TOKENS — the production-width signature
+    * (16-bit banding gives 65 536 buckets/band; see
+    * `Dedup.simHashPairs64`). [[polyHash]] carries only ~30 bits of
+    * entropy, so the four 16-bit blocks come from four SALTED hashes of
+    * each token (seeded fold — no concatenation allocated), block j
+    * using bits 0..15 of `polyHash(salt_j || token)`. Null tokens are
+    * skipped. */
+  def simHash64(tokens: ArrayData): Long = {
+    val counts = new Array[Long](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      if (t != null) {
+        var j = 0
+        while (j < 4) {
+          val h = polyHashFrom(simHash64Seeds(j), t)
+          var b = 0
+          while (b < 16) {
+            counts(j * 16 + b) += 2L * ((h >> b) & 1L) - 1L
+            b += 1
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counts(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
   /** 16-bit SimHash over pre-hashed tokens: bit b set iff
     * Σ_tokens (2*((h>>b)&1) − 1) > 0. */
   def simHash16(hashes: Array[Long]): Long = {
@@ -321,6 +377,30 @@ case class MinHashSig(child: Expression) extends HashArrayExpression {
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "minhash_sig"
+}
+
+/** 64-bit SimHash directly over an ARRAY<STRING> token column (four
+  * salted 16-bit blocks — see [[TextMath.simHash64]]). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires ARRAY<STRING>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextMath.simHash64(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tm = TextMath.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$tm.simHash64($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "simhash64"
 }
 
 /** 16-bit SimHash over an array of token hashes. */
