@@ -91,6 +91,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q77/q78: simhash candidates come from banded postings, not a join") {
+    for (q <- Seq("q77_simhash_pairs", "q78_simhash64_pairs")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q regressed to a join:\n$p")
+      assert(!p.contains("CartesianProduct"))
+    }
+  }
+
   test("q66: repetition scan is a narrow projection — no explode, no hash shuffle") {
     val p = plan("q66_repetition_quality")
     assert(!p.contains("Generate"), s"repetition stats regressed to explode:\n$p")
