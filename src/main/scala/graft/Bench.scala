@@ -69,7 +69,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Runs}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Runs}"""
+    println(line)
+    // also persist the artifact: stdout goes through sbt's log-tail
+    // capture, which has truncated long lines — the file is always whole
+    java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench_last.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -54,7 +54,11 @@ object Cli {
     * an error. One first-row probe at startup; empty stores pass. */
   private def dimMismatch(df: org.apache.spark.sql.DataFrame,
       dim: Int): Option[String] =
-    df.select(org.apache.spark.sql.functions.size(
+    // probe a non-null vector: size(NULL) is NULL (sizeOfNull=false), and
+    // a store whose first row carries a null embedding must probe past
+    // it, not NPE on getInt
+    df.filter(org.apache.spark.sql.functions.col("embedding").isNotNull)
+      .select(org.apache.spark.sql.functions.size(
         org.apache.spark.sql.functions.col("embedding")).as("d"))
       .limit(1).collect().headOption.map(_.getInt(0))
       .filter(_ != dim)

@@ -40,19 +40,27 @@ object GraftConfig {
     * a message specific enough to fix the config without reading code. */
   def validated(config: GraftConfig): Either[List[String], GraftConfig] = {
     val errs = List.newBuilder[String]
+    // matrix messages name BOTH spellings of each knob — a CLI user who
+    // omitted --store must not get a message that only names the env var
     if (config.storeDir == null || config.storeDir.trim.isEmpty)
-      errs += "STORE_DIR is required (non-empty path to the highlight store)"
+      errs += "STORE_DIR (--store / GRAFT_STORE_DIR) is required " +
+        "(non-empty path to the highlight store)"
     if (config.embedderDim <= 0)
-      errs += s"EMBEDDER_DIM must be a positive integer, got ${config.embedderDim}"
-    for ((name, p) <- Seq("HTTP_PORT" -> config.httpPort,
-        "MCP_PORT" -> config.mcpPort))
+      errs += "EMBEDDER_DIM (--embed-dim / GRAFT_EMBEDDER_DIM) must be a " +
+        s"positive integer, got ${config.embedderDim}"
+    for ((name, flag, p) <- Seq(
+        ("HTTP_PORT", "http-port", config.httpPort),
+        ("MCP_PORT", "mcp-port", config.mcpPort)))
       if (p < 0 || p > 65535)
-        errs += s"$name must be in [0, 65535] (0 = ephemeral), got $p"
+        errs += s"$name (--$flag / GRAFT_$name) must be in [0, 65535] " +
+          s"(0 = ephemeral), got $p"
     if (config.httpPort != 0 && config.httpPort == config.mcpPort)
-      errs += s"HTTP_PORT and MCP_PORT must differ when fixed, both are ${config.httpPort}"
+      errs += "HTTP_PORT (--http-port) and MCP_PORT (--mcp-port) must " +
+        s"differ when fixed, both are ${config.httpPort}"
     if (config.pagesDir.isDefined && config.checkpointDir.isEmpty)
-      errs += "CHECKPOINT_DIR is required when PAGES_DIR is set (sync mode " +
-        "cannot track its watermark without a checkpoint location)"
+      errs += "CHECKPOINT_DIR (--ckpt / GRAFT_CHECKPOINT_DIR) is required " +
+        "when PAGES_DIR is set (sync mode cannot track its watermark " +
+        "without a checkpoint location)"
     errs.result() match {
       case Nil => Right(config)
       case es  => Left(es)

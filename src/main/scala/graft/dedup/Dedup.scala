@@ -150,48 +150,62 @@ object Dedup {
     // a filter+count over the checkpointed rows — was cheap per row but
     // a full job and driver sync per round). Task retries can only
     // inflate the count, never zero it, so a spurious non-zero costs at
-    // most one extra (idempotent) round — convergence stays sound.
-    val changedAcc = pairs.sparkSession.sparkContext
-      .longAccumulator("graft.cc.changed")
-    val bump = udf { changed: Boolean =>
-      if (changed) changedAcc.add(1L)
-      changed
-    }.asNondeterministic()
+    // most one extra (idempotent) round — convergence stays sound. Each
+    // round allocates a FRESH accumulator rather than reset()-ing a
+    // shared one: zombie/speculative tasks of a previous round's job can
+    // report arbitrarily late, and a stale add() landing after reset()
+    // would bleed into the NEXT round's read — repeated bleed could
+    // spuriously exhaust maxIter on an already-converged graph.
+    val sc = pairs.sparkSession.sparkContext
     var converged = labels.isEmpty
     var i = 0
-    while (!converged && i < maxIter) {
-      val nbrMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min(col("comp")).as("nbr"))
-      // one fused update per round: comp ← min(comp, neighbor comps,
-      // comp(comp)) — the pointer jump reads the PREVIOUS round's labels
-      // (simultaneous update), which keeps a single materialization per
-      // round while still halving remaining distances each round
-      val newComp = least(col("comp"),
-        least(coalesce(col("nbr"), col("comp")),
-          coalesce(col("jumped"), col("comp"))))
-      changedAcc.reset()
-      val updated = labels
-        .join(nbrMin, Seq("id"), "left")
-        .join(labels.select(col("id").as("__jid"),
-          col("comp").as("jumped")), col("comp") === col("__jid"), "left")
-        .select(col("id"), newComp.as("comp"),
-          bump(newComp =!= col("comp")).as("__changed"))
-        .localCheckpoint()
-      converged = changedAcc.value == 0
-      release(gen) // superseded generation: safe to drop once `updated` is material
-      gen = updated
-      labels = updated.select(col("id"), col("comp"))
-      i += 1
+    var done = false // happy-path flag: decides whether `gen` stays pinned
+    try {
+      while (!converged && i < maxIter) {
+        val changedAcc = sc.longAccumulator(s"graft.cc.changed.$i")
+        val bump = udf { changed: Boolean =>
+          if (changed) changedAcc.add(1L)
+          changed
+        }.asNondeterministic()
+        val nbrMin = edges
+          .join(labels.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min(col("comp")).as("nbr"))
+        // one fused update per round: comp ← min(comp, neighbor comps,
+        // comp(comp)) — the pointer jump reads the PREVIOUS round's labels
+        // (simultaneous update), which keeps a single materialization per
+        // round while still halving remaining distances each round
+        val newComp = least(col("comp"),
+          least(coalesce(col("nbr"), col("comp")),
+            coalesce(col("jumped"), col("comp"))))
+        val updated = labels
+          .join(nbrMin, Seq("id"), "left")
+          .join(labels.select(col("id").as("__jid"),
+            col("comp").as("jumped")), col("comp") === col("__jid"), "left")
+          .select(col("id"), newComp.as("comp"),
+            bump(newComp =!= col("comp")).as("__changed"))
+          .localCheckpoint()
+        converged = changedAcc.value == 0
+        release(gen) // superseded generation: safe to drop once `updated` is material
+        gen = updated
+        labels = updated.select(col("id"), col("comp"))
+        i += 1
+      }
+      // an unconverged labeling is indistinguishable from a converged one
+      // to the caller and silently splits duplicate groups — fail instead
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          "(component diameter exceeds maxIter); raise maxIter")
+      done = true
+      labels
+    } finally {
+      // runs on BOTH exits: a round's job failing mid-loop must not leave
+      // the edge list (and a never-to-be-consumed label generation) pinned
+      // in executor storage for the life of the session — the exact leak
+      // the per-round release exists to prevent
+      release(edges)
+      if (!done) release(gen)
     }
-    release(edges) // labels are material; the edge list is no longer needed
-    // an unconverged labeling is indistinguishable from a converged one to
-    // the caller and silently splits duplicate groups — fail instead
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge in $maxIter rounds " +
-        "(component diameter exceeds maxIter); raise maxIter")
-    labels
   }
 
   /** End-to-end near-dup deduplication — the pipeline a training-data run
@@ -248,7 +262,16 @@ object Dedup {
     * Returns (keyCol, group_size) over the surviving batch documents —
     * group sizes count FRESH docs only (corpus-matched docs are dropped,
     * not grouped). The corpus is never mutated and never shuffled beyond
-    * its shingle stream. */
+    * its shingle stream.
+    *
+    * `maxShingleDf` asymmetry: the one cap is forwarded to both stages,
+    * but its df-count BASE differs — stage 1 counts a shingle's document
+    * frequency across batch ∪ corpus (so a large corpus alone can trip
+    * the cap and drop cross-corpus candidates), stage 2 counts over the
+    * surviving batch only. A cap tuned for batch-internal dedup is
+    * therefore STRICTER against the corpus union; size it against the
+    * corpus (or pass None and rely on the LSH path) when the corpus
+    * dwarfs the batch. */
   def incrementalDeduplicate(corpus: DataFrame, batch: DataFrame,
       textCol: String, keyCol: String, threshold: Double, k: Int = 3,
       maxShingleDf: Option[Long] = None): DataFrame = {

@@ -21,11 +21,12 @@ class ConfigSpec extends AnyFunSuite {
       checkpointDir = None)
     val Left(errs) = GraftConfig.validated(bad): @unchecked
     assert(errs.size == 5, errs.mkString("; "))
-    assert(errs.exists(_.contains("STORE_DIR is required")))
-    assert(errs.exists(_.contains("EMBEDDER_DIM must be a positive integer, got 0")))
+    assert(errs.exists(_.contains("STORE_DIR (--store / GRAFT_STORE_DIR) is required")))
+    assert(errs.exists(_.contains(
+      "EMBEDDER_DIM (--embed-dim / GRAFT_EMBEDDER_DIM) must be a positive integer, got 0")))
     assert(errs.exists(e => e.contains("HTTP_PORT") && e.contains("70000")))
     assert(errs.exists(e => e.contains("MCP_PORT") && e.contains("-1")))
-    assert(errs.exists(_.contains("CHECKPOINT_DIR is required when PAGES_DIR is set")))
+    assert(errs.exists(_.contains("CHECKPOINT_DIR (--ckpt / GRAFT_CHECKPOINT_DIR) is required when PAGES_DIR is set")))
   }
 
   test("serving ports must differ when fixed; both-ephemeral is allowed") {
@@ -39,7 +40,7 @@ class ConfigSpec extends AnyFunSuite {
   test("sync matrix: PAGES_DIR without CHECKPOINT_DIR refuses; with it, validates") {
     val Left(errs) = GraftConfig.validated(
       GraftConfig("/s", pagesDir = Some("/p"))): @unchecked
-    assert(errs == List("CHECKPOINT_DIR is required when PAGES_DIR is set " +
+    assert(errs == List("CHECKPOINT_DIR (--ckpt / GRAFT_CHECKPOINT_DIR) is required when PAGES_DIR is set " +
       "(sync mode cannot track its watermark without a checkpoint location)"))
     assert(GraftConfig.validated(GraftConfig("/s", pagesDir = Some("/p"),
       checkpointDir = Some("/c"))).isRight)
@@ -63,7 +64,7 @@ class ConfigSpec extends AnyFunSuite {
     assert(errs.exists(_.contains("GRAFT_FP16 must be true/false, got 'maybe'")))
     assert(errs.exists(e => e.contains("GRAFT_MCP_PORT") &&
       e.contains("must be an integer, got 'not-a-port'")))
-    assert(errs.exists(_.contains("STORE_DIR is required"))) // matrix error rides along
+    assert(errs.exists(_.contains("STORE_DIR (--store / GRAFT_STORE_DIR) is required"))) // matrix error rides along
   }
 
   test("resolve: flags layer over env vars, flag wins per knob") {
@@ -99,7 +100,7 @@ class ConfigSpec extends AnyFunSuite {
     val Left(errs2) = GraftConfig.resolve(Map.empty, Map.empty,
       GraftConfig.Command.Sync): @unchecked
     assert(errs2.exists(_.contains("PAGES_DIR is required for sync")))
-    assert(errs2.exists(_.contains("STORE_DIR is required")))
+    assert(errs2.exists(_.contains("STORE_DIR (--store / GRAFT_STORE_DIR) is required")))
   }
 
   test("orThrow joins all messages into one fail-fast exception") {
