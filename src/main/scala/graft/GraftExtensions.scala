@@ -47,6 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("simhash64",
       "simhash64(tokens) - 64-bit SimHash over ARRAY<STRING> tokens") {
       e => SimHash64(e.head) }
+    inject("hyperplane_bands",
+      "hyperplane_bands(vec, bands, rowsPerBand, seed) - multi-band " +
+        "random-hyperplane LSH signatures (parameters literal)")(
+      functions.hyperplaneBandsBuilder)
     inject("fp16_encode", "fp16_encode(vec) - half-precision storage codec") {
       e => Fp16Encode(e.head) }
     inject("fp16_decode", "fp16_decode(bin) - half-precision read codec") {

@@ -974,6 +974,25 @@ object SparkEntry {
           "text", "doc_id", maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))),
 
+    // ---- multi-band random-hyperplane LSH with MEASURED recall: one row
+    //      per EXACT near-dup pair (the ground truth q25 computes), with
+    //      in_lsh = did the banded candidate+verify path recover it. The
+    //      oracle replicates the seeded-Rademacher banding end-to-end, so
+    //      the flag — not just the pair list — is hash-gated. 16 bands ×
+    //      3 rows recovers ≈99 % here; single-band sign buckets get 3 % ----
+    "q79_banded_lsh_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val exact = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id",
+        maxDistance = 0.7)
+      val banded = Dedup.embeddingBandedLshPairs(emb, "embedding", "vec_id",
+          maxDistance = 0.7, bands = 16, rowsPerBand = 3, seed = 12345L)
+        .select(col("id_a"), col("id_b"), lit(true).as("in_lsh"))
+      exact.join(banded, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("distance"),
+          coalesce(col("in_lsh"), lit(false)).as("in_lsh"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- incremental dedup — the steady-state shape: a new batch is
     //      deduplicated AGAINST the existing corpus (drifted copies of
     //      corpus docs dropped), then internally (two 3-doc cliques
@@ -1153,6 +1172,19 @@ object SparkEntry {
        |    THEN round_even($xd * 16777216.0, 0) / 16777216.0
        |  ELSE round_even($xd * power(2, 10 - $e), 0) * power(2, $e - 10)
        |END""".stripMargin
+  }
+
+  /** Sign bit of hyperplane `plane`, dimension `j` — mirrors
+    * [[graft.functions.HyperplaneMath.sign]] (two LCG rounds mod 2³¹
+    * with an xorshift between; every intermediate < 2⁶³ so DuckDB's
+    * overflow-checked BIGINT arithmetic never trips). 0 → +1, 1 → −1. */
+  private def sqlHyperSignBit(plane: String, j: String, seed: Long): String = {
+    val m = "2147483648"
+    val x1 = s"((1103515245 * ((($plane) * 65536 + ($j) + $seed) % $m) + 12345) % $m)"
+    val y1 = s"xor($x1, ($x1 >> 15))"
+    val x2 = s"((1103515245 * $y1 + 12345) % $m)"
+    val y2 = s"xor($x2, ($x2 >> 13))"
+    s"((($y2) >> 16) & 1)"
   }
 
   private def sqlCosine(a: String, b: String): String =
@@ -2185,6 +2217,44 @@ object SparkEntry {
          |FROM sh a JOIN sh b ON a.id < b.id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // seeded-Rademacher banding replicated END-TO-END: plane signs from
+    // the same integer mix, sequential-double dots (list_reduce, matching
+    // the expression's accumulation order), band signatures, candidate
+    // union over bands, exact-cosine verify — then joined onto the
+    // brute-force exact pair set to gate the per-pair recall flag
+    "q79_banded_lsh_recall" -> {
+      val bit = sqlHyperSignBit("p.plane", "j", 12345L)
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 300 AND embedding IS NOT NULL),
+         |dots AS (
+         |  SELECT id, p.plane,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(len(v)), j ->
+         |        CASE WHEN $bit = 0 THEN v[j+1] ELSE -v[j+1] END)),
+         |      (acc, x) -> acc + x) AS dot
+         |  FROM v CROSS JOIN (SELECT unnest(range(48)) AS plane) p),
+         |sigs AS (
+         |  SELECT id, plane // 3 AS band,
+         |    CAST(SUM(CASE WHEN dot > 0
+         |      THEN (CAST(1 AS BIGINT) << CAST(plane % 3 AS INT))
+         |      ELSE 0 END) AS BIGINT) AS sig
+         |  FROM dots GROUP BY 1, 2),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM sigs a JOIN sigs b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+         |lsh AS (SELECT c.id_a, c.id_b
+         |  FROM cand c JOIN v a ON a.id = c.id_a JOIN v b ON b.id = c.id_b
+         |  WHERE ${sqlCosine("a.v", "b.v")} < 0.7),
+         |exact AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    ${sqlCosine("a.v", "b.v")} AS distance
+         |  FROM v a JOIN v b ON a.id < b.id
+         |  WHERE ${sqlCosine("a.v", "b.v")} < 0.7)
+         |SELECT e.id_a, e.id_b, e.distance, (l.id_a IS NOT NULL) AS in_lsh
+         |FROM exact e LEFT JOIN lsh l
+         |  ON e.id_a = l.id_a AND e.id_b = l.id_b
+         |ORDER BY 1, 2""".stripMargin
+    },
 
     // q24's simhash formula, closed into pairs: the oracle brute-forces
     // all pairs (banding is pigeonhole-complete, so semantics match)

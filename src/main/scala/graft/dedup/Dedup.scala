@@ -510,14 +510,18 @@ object Dedup {
       .filter(col("distance") < maxDistance)
   }
 
-  /** LSH-bucketed embedding near-dup — the scale path: hyperplane LSH with
-    * axis-aligned planes (the sign bit of the first `nBits` dimensions)
-    * folds each vector into a bucket id; candidate pairs are an *equi-join*
-    * on the bucket (shuffled hash join, output-sensitive), then verified
-    * with the exact cosine distance. Approximate by construction: only
-    * same-bucket pairs are considered — the recall/throughput dial is
-    * `nBits` (fewer bits → bigger buckets → higher recall, more compute).
-    */
+  /** LSH-bucketed embedding near-dup — single-band form: hyperplane LSH
+    * with axis-aligned planes (the sign bit of the first `nBits`
+    * dimensions) folds each vector into a bucket id; candidate pairs are
+    * an *equi-join* on the bucket (shuffled hash join, output-sensitive),
+    * then verified with the exact cosine distance. Approximate by
+    * construction, and with ONE band there is no second chance: a
+    * near-dup pair disagreeing on any one of the `nBits` early-sign
+    * dimensions is lost (measured on the bench corpus at distance 0.7:
+    * recall 0.03 at nBits = 8). Use [[embeddingBandedLshPairs]] — any-of-b
+    * bands of seeded random hyperplanes — wherever recall matters; this
+    * form survives as the cheapest bucketing for grouping work (q71's CC
+    * input) where downstream transitive closure tolerates missed edges. */
   def embeddingLshPairs(df: DataFrame, vecCol: String, keyCol: String,
       maxDistance: Double, nBits: Int = 16): DataFrame = {
     val v = df.select(col(keyCol).as("id"), col(vecCol).as("v"))
@@ -530,6 +534,52 @@ object Dedup {
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosine_distance(col("a.v"), col("b.v")).as("distance"))
+      .filter(col("distance") < maxDistance)
+  }
+
+  /** Multi-band random-hyperplane LSH near-dup pairs — the embedding-
+    * modality sibling of [[minHashLshPairs]]/[[simHashPairs64]], and the
+    * recall-bearing replacement for the single-band
+    * [[embeddingLshPairs]]: `bands × rowsPerBand` seeded Rademacher
+    * hyperplanes ([[graft.functions.HyperplaneMath]], a codegen
+    * expression), a pair is a candidate when ANY band's `rowsPerBand`
+    * sign bits all agree, and every candidate is verified with the exact
+    * cosine distance — so reported distances carry no approximation; only
+    * recall does. Recall ≈ 1 − (1 − p^r)^b with p = 1 − θ/π per plane:
+    * `rowsPerBand` is the precision dial (longer bands → fewer, tighter
+    * buckets), `bands` buys recall at ~linear signature cost. Measured on
+    * the bench corpus (64-dim, distance < 0.7, i.e. p ≈ 0.6 — a far
+    * harsher regime than production near-dup at sim ≥ 0.9): bands = 16 ×
+    * r = 3 → recall 0.99 where single-band nBits = 8 finds 3 %.
+    *
+    * Shape: signatures are computed in one narrow pass (no shuffle), a
+    * posting list per (band, signature) generates candidates with no join
+    * operator, and two narrow equi-joins rehydrate ONLY candidate ids
+    * with their vectors for verification — the full-width vectors never
+    * ride the banding shuffle (at 3072 dims, shipping vectors inside the
+    * postings would multiply the exchange by `bands`). */
+  def embeddingBandedLshPairs(df: DataFrame, vecCol: String, keyCol: String,
+      maxDistance: Double, bands: Int = 16, rowsPerBand: Int = 3,
+      seed: Long = 12345L): DataFrame = {
+    val v = df.select(col(keyCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+    val sigs = v.select(col("id"),
+        posexplode(graft.functions.hyperplane_bands(
+          col("v"), bands, rowsPerBand, seed)))
+      .select(col("id"), col("pos").as("band"), col("col").as("sig"))
+    val cands = sigs.groupBy(col("band"), col("sig"))
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(col("ids")).as("id_a"), col("ids"))
+      .select(col("id_a"), explode(col("ids")).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cands
+      .join(v.select(col("id").as("id_a"), col("v").as("__va")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("v").as("__vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine_distance(col("__va"), col("__vb")).as("distance"))
       .filter(col("distance") < maxDistance)
   }
 }

@@ -26,6 +26,23 @@ package object functions {
       }
     }
 
+  /** SQL builder for `hyperplane_bands(vec, bands, rowsPerBand, seed)` —
+    * the three parameters configure generated code, so they must be
+    * literals; shared by both registration paths. */
+  private[graft] val hyperplaneBandsBuilder: Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != 4) throw new IllegalArgumentException(
+        "hyperplane_bands(vec, bands, rowsPerBand, seed) requires exactly 4 arguments")
+      def lit(e: Expression, what: String): Long =
+        (if (e.foldable) e.eval() else null) match {
+          case n: Number => n.longValue()
+          case _ => throw new IllegalArgumentException(
+            s"hyperplane_bands: $what must be a literal integer")
+        }
+      HyperplaneBands(exprs.head, lit(exprs(1), "bands").toInt,
+        lit(exprs(2), "rowsPerBand").toInt, lit(exprs(3), "seed"))
+    }
+
   def cosine_distance(a: Column, b: Column): Column =
     shims.column(CosineDistance(shims.expression(a), shims.expression(b)))
 
@@ -55,6 +72,10 @@ package object functions {
 
   def simhash64(c: Column): Column =
     shims.column(graft.text.SimHash64(shims.expression(c)))
+
+  def hyperplane_bands(c: Column, bands: Int, rowsPerBand: Int,
+      seed: Long): Column =
+    shims.column(HyperplaneBands(shims.expression(c), bands, rowsPerBand, seed))
 
   def fp16_encode(c: Column): Column =
     shims.column(Fp16Encode(shims.expression(c)))
@@ -89,6 +110,8 @@ package object functions {
       "simhash16", exprs => graft.text.SimHash16(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => graft.text.SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("hyperplane_bands",
+      hyperplaneBandsBuilder, "built-in")
     reg.createOrReplaceTempFunction(
       "fp16_encode", exprs => Fp16Encode(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
