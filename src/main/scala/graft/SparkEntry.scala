@@ -1044,6 +1044,21 @@ object SparkEntry {
         .orderBy(col("source"))
     }),
 
+    // ---- mixture RESAMPLING (upsampling): rates above the bucket count
+    //      emit full per-epoch copies plus a hash-selected fractional
+    //      remainder on the last epoch, under a repetition cap — the
+    //      epochs>1 half of training-mixture composition. Gated on the
+    //      per-(source, epoch) census ----
+    "q80_mixture_resample" -> ((s, dir) => {
+      val out = graft.text.CorpusPrep.mixtureResample(
+        t(s, dir, "documents"), "text", "source",
+        rates = Map("src0" -> 25, "src1" -> 10, "src2" -> 4),
+        defaultRate = 7, buckets = 10, maxEpochs = 3)
+      out.groupBy(col("source"), col("epoch"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"), col("epoch"))
+    }),
+
     // ---- funnel conversion: users with a view, then a click strictly
     //      after their FIRST view, then a purchase strictly after that
     //      first qualifying click. Every aggregation and join keys on
@@ -2334,6 +2349,26 @@ object SparkEntry {
         |FROM documents, cuts
         |WHERE n_chars >= lo AND n_chars <= hi
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // q74's polyHash bucket rule extended to copies: rate//buckets full
+    // epochs + one extra copy when the content hash falls in the
+    // fractional band; epoch = copy index (remainder rides the last)
+    "q80_mixture_resample" ->
+      s"""WITH k AS (
+         |  SELECT source, n_chars,
+         |    CASE source WHEN 'src0' THEN 25 WHEN 'src1' THEN 10
+         |      WHEN 'src2' THEN 4 ELSE 7 END AS rate,
+         |    ${sqlPolyHash("text")} % 10 AS h
+         |  FROM documents),
+         |c AS (SELECT source, n_chars,
+         |  (rate // 10) + CASE WHEN h < (rate % 10) THEN 1 ELSE 0 END AS copies
+         |  FROM k),
+         |e AS (SELECT source, n_chars, unnest(range(copies)) AS epoch
+         |  FROM c WHERE copies > 0)
+         |SELECT source, CAST(epoch AS INT) AS epoch,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q74_mixture_sample" ->
       s"""WITH kept AS (

@@ -57,18 +57,69 @@ object CorpusPrep {
     * source's weight only ADDS documents, never churns the ones already
     * selected). Narrow codegen filter; the rate lookup folds into a
     * CASE chain on the source column. */
+  /** Per-source keep/copy rate as a CASE chain on the source column —
+    * sorted fold → deterministic CASE order (Map iteration is not). */
+  private def rateColumn(rates: Map[String, Int], defaultRate: Int,
+      sourceCol: String): Column =
+    rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(defaultRate)) { case (acc, (s, r)) =>
+        when(col(sourceCol) === s, lit(r)).otherwise(acc)
+      }
+
   def mixtureSample(df: DataFrame, textCol: String, sourceCol: String,
       rates: Map[String, Int], defaultKeep: Int, buckets: Int): DataFrame = {
     require(buckets > 0 && (rates.values ++ Seq(defaultKeep)).forall(r =>
       r >= 0 && r <= buckets),
-      s"mixtureSample: every rate must be in [0, $buckets]")
-    // sorted fold → deterministic CASE order (Map iteration is not)
-    val rateCol = rates.toSeq.sortBy(_._1)
-      .foldLeft(lit(defaultKeep)) { case (acc, (s, r)) =>
-        when(col(sourceCol) === s, lit(r)).otherwise(acc)
-      }
+      s"mixtureSample: every rate must be in [0, $buckets]; for rates " +
+        "above buckets (upsampling) use mixtureResample")
     df.filter(pmod(TextAnalysis.polyHash(col(textCol)), lit(buckets.toLong))
-      < rateCol.cast("long"))
+      < rateColumn(rates, defaultKeep, sourceCol).cast("long"))
+  }
+
+  /** Mixture RESAMPLING — [[mixtureSample]] extended to rates above
+    * `buckets`, the other half of training-mixture composition: a
+    * high-value source is not only kept, it is repeated (epochs > 1). A
+    * source at rate r emits `r / buckets` full copies of every document
+    * plus one hash-selected extra copy for documents with
+    * `polyHash(text) % buckets < r % buckets` — the same content-hash
+    * rule as downsampling, so the fractional part keeps the nesting
+    * guarantee (raising a rate only ADDS copies, never churns which
+    * documents carry them) and rates ≤ buckets degenerate to exactly
+    * [[mixtureSample]]'s selection. Each copy carries an `epoch` column
+    * (0-based; the hash-selected remainder rides the LAST epoch) so a
+    * downstream shuffle/interleave can keep repeated documents apart.
+    *
+    * `maxEpochs` is the repetition cap: every rate must satisfy
+    * `rate ≤ maxEpochs · buckets` — the guard against a mixture config
+    * silently repeating a small source dozens of times (memorization
+    * risk outruns data value; the cap is refused loudly, not clamped).
+    *
+    * Shape: one narrow projection computes the copy count, then a single
+    * generator (`explode(sequence(...))`) emits the copies — no shuffle,
+    * no join; output rows scale with Σ rates/buckets, exactly the bytes
+    * a downstream writer must produce anyway. */
+  def mixtureResample(df: DataFrame, textCol: String, sourceCol: String,
+      rates: Map[String, Int], defaultRate: Int, buckets: Int,
+      maxEpochs: Int = 4): DataFrame = {
+    require(buckets > 0 && maxEpochs >= 1,
+      s"mixtureResample: need buckets > 0 and maxEpochs >= 1")
+    require((rates.values ++ Seq(defaultRate)).forall(r =>
+      r >= 0 && r <= maxEpochs * buckets),
+      s"mixtureResample: every rate must be in [0, maxEpochs*buckets = " +
+        s"${maxEpochs * buckets}] (repetition cap)")
+    val r = rateColumn(rates, defaultRate, sourceCol).cast("long")
+    val inFraction = pmod(TextAnalysis.polyHash(col(textCol)),
+      lit(buckets.toLong)) < r % buckets
+    // Column `/` is DOUBLE division — floor() it back to whole epochs
+    val copies = floor(r / buckets).cast("long") +
+      when(inFraction, 1L).otherwise(0L)
+    // sequence(0, -1) would DESCEND, not return empty — drop zero-copy
+    // rows before the generator
+    df.withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("epoch",
+        explode(sequence(lit(0), (col("__copies") - 1).cast("int"))))
+      .drop("__copies")
   }
 
   /** Context-window chunking: split each document into overlapping

@@ -63,6 +63,55 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(others(0) == others(10))
   }
 
+  test("mixtureResample: epochs stack full copies + nested fractional remainder") {
+    val docs = table("documents").select($"doc_id", $"text", $"source")
+    val src0 = docs.filter($"source" === "src0")
+    val n0 = src0.count()
+    def copies(rate: Int): Map[Long, Long] =
+      CorpusPrep.mixtureResample(docs, "text", "source",
+          rates = Map("src0" -> rate), defaultRate = 3, buckets = 10,
+          maxEpochs = 4)
+        .filter($"source" === "src0")
+        .groupBy($"doc_id").count()
+        .as[(Long, Long)].collect().toMap
+    // rate = k*buckets → exactly k copies of every document, epochs 0..k-1
+    assert(copies(20).values.toSet == Set(2L))
+    // per-document copy count is monotone in the rate (nesting extends
+    // from kept-sets to copy-counts across the epoch boundary)
+    val at12 = copies(12).withDefaultValue(0L)
+    val at17 = copies(17).withDefaultValue(0L)
+    assert(src0.select("doc_id").as[Long].collect()
+      .forall(id => at12(id) <= at17(id)))
+    // the fractional part selects the same documents mixtureSample keeps:
+    // rate 12 = 1 full epoch + the rate-2 downsample riding epoch 1
+    val frac12 = at12.filter(_._2 == 2L).keySet
+    val kept2 = CorpusPrep.mixtureSample(docs, "text", "source",
+        rates = Map("src0" -> 2), defaultKeep = 3, buckets = 10)
+      .filter($"source" === "src0").select("doc_id").as[Long].collect().toSet
+    assert(frac12 == kept2)
+    // remainder rides the LAST epoch: epoch ids for a 2-copy doc are {0, 1}
+    val epochs = CorpusPrep.mixtureResample(docs, "text", "source",
+        rates = Map("src0" -> 12), defaultRate = 3, buckets = 10,
+        maxEpochs = 4)
+      .filter($"source" === "src0")
+      .groupBy($"doc_id").agg(collect_set($"epoch").as("es"))
+      .as[(Long, Seq[Int])].collect()
+    assert(epochs.forall { case (_, es) => es.sorted == (0 until es.size) })
+    // repetition cap refuses, loudly, instead of clamping
+    assertThrows[IllegalArgumentException] {
+      CorpusPrep.mixtureResample(docs, "text", "source",
+        rates = Map("src0" -> 41), defaultRate = 3, buckets = 10,
+        maxEpochs = 4)
+    }
+    // rates <= buckets degenerate to mixtureSample exactly
+    val down = CorpusPrep.mixtureResample(docs, "text", "source",
+        rates = Map("src0" -> 2), defaultRate = 0, buckets = 10,
+        maxEpochs = 4)
+      .filter($"source" === "src0").select("doc_id").as[Long].collect().toSet
+    assert(down == kept2)
+    assert(n0 > 0)
+  }
+
   test("chunkWords: chunks tile the document; de-overlapped concat reconstructs it") {
     val text95 = (1 to 95).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, text95), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
