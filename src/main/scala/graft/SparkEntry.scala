@@ -35,6 +35,12 @@ object SparkEntry {
   }
 
   /** Exact (order-independent) double sum: decimal accumulate → double. */
+  /** Exactly 30 words, SQL-quote-safe — the planted boilerplate block for
+    * the window-dedup fixture (q81): one full 30-word window, so the
+    * plant aligns with the chunk grid on both engine and oracle. */
+  private val Boiler30: String =
+    (0 until 30).map(i => f"boiler$i%02d").mkString(" ")
+
   private def dsum(c: Column): Column =
     sum(c.cast("decimal(25,6)")).cast("double")
 
@@ -1042,6 +1048,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_kept"),
           sum(col("n_chars")).as("kept_chars"))
         .orderBy(col("source"))
+    }),
+
+    // ---- substring-level exact dedup (window dedup): a 30-word
+    //      boilerplate block planted at the head of 50 re-keyed docs —
+    //      plus every aligned full window those copies share with their
+    //      originals — surfaces as exact duplicated spans to cut ----
+    "q81_window_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val planted = base.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 8000).as("doc_id"),
+          concat(lit(Boiler30 + " "), col("text")).as("text"))
+      Dedup.duplicatedSpans(base.unionByName(planted), "text", "doc_id",
+          windowWords = 30, minDocs = 2)
+        .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
     // ---- mixture RESAMPLING (upsampling): rates above the bucket count
@@ -2349,6 +2370,30 @@ object SparkEntry {
         |FROM documents, cuts
         |WHERE n_chars >= lo AND n_chars <= hi
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // q72's chunk arithmetic (30-word stride, window-strided alignment),
+    // digests grouped corpus-wide: spans in >= 2 distinct docs
+    "q81_window_dedup" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+         |corpus AS (SELECT doc_id, text FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 8000, '$Boiler30' || ' ' || text
+         |  FROM base WHERE doc_id < 50),
+         |d AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+         |n AS (SELECT doc_id, w, greatest(1, CAST(ceil(
+         |    CAST(len(w) AS DOUBLE) / 30.0) AS INT)) AS nc FROM d),
+         |c AS (SELECT doc_id, w, unnest(range(nc)) AS idx FROM n),
+         |ch AS (SELECT doc_id, CAST(idx AS INT) AS chunk_idx,
+         |  list_slice(w, idx * 30 + 1, idx * 30 + 30) AS chunk FROM c),
+         |f AS (SELECT doc_id, chunk_idx,
+         |    md5(array_to_string(chunk, ' ')) AS span_digest
+         |  FROM ch WHERE len(chunk) = 30),
+         |g AS (SELECT span_digest,
+         |    CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |  FROM f GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2)
+         |SELECT f.doc_id, f.chunk_idx, f.span_digest, g.n_docs
+         |FROM f JOIN g USING (span_digest)
+         |ORDER BY 1, 2""".stripMargin,
 
     // q74's polyHash bucket rule extended to copies: rate//buckets full
     // epochs + one extra copy when the content hash falls in the

@@ -497,6 +497,73 @@ object Dedup {
       .distinct()
   }
 
+  /** Substring-level exact dedup — the window-dedup family (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * doc-LEVEL Jaccard/SimHash cannot remove a boilerplate block embedded
+    * in otherwise-distinct documents, so documents are tiled into
+    * fixed-width word windows ([[graft.text.CorpusPrep.chunkWords]],
+    * overlap 0) and a window whose exact content appears in ≥ `minDocs`
+    * distinct documents is reported as a span to cut. Partial tail
+    * windows (< `windowWords` words) never participate — short fragments
+    * collide too easily to be dedup signal.
+    *
+    * Returns (keyCol, chunk_idx, span_digest, n_docs): every occurrence
+    * of every duplicated window, with the count of distinct documents
+    * sharing it. Scale shape: the digest is computed BEFORE the
+    * exchange, so the duplicate-count shuffle carries (digest, key) and
+    * never text; the report joins back on the digest — an equi-join on
+    * the same key the aggregation used. The window width is the
+    * precision dial (Lee et al. use ~50 tokens; narrower catches more,
+    * with more collisions). Alignment is window-strided, not sliding —
+    * the O(n·w) sliding form buys boundary-shifted matches at w× the
+    * candidate volume; strided tiling is the standard scale compromise. */
+  def duplicatedSpans(df: DataFrame, textCol: String, keyCol: String,
+      windowWords: Int, minDocs: Int = 2): DataFrame = {
+    require(windowWords > 0, s"duplicatedSpans: windowWords must be > 0")
+    require(minDocs >= 2, s"duplicatedSpans: minDocs must be >= 2, got $minDocs")
+    val chunks = graft.text.CorpusPrep
+      .chunkWords(df, textCol, keyCol, windowWords, overlap = 0)
+      .filter(col("n_words") === windowWords)
+      .select(col(keyCol), col("chunk_idx"),
+        md5(col("chunk_text")).as("span_digest"))
+    val dups = chunks.groupBy(col("span_digest"))
+      .agg(countDistinct(col(keyCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    chunks.join(dups, Seq("span_digest"))
+      .select(col(keyCol), col("chunk_idx"), col("span_digest"), col("n_docs"))
+  }
+
+  /** [[duplicatedSpans]] applied: rewrite each document with every
+    * duplicated window REMOVED except in its keeper document (minimum
+    * key among the sharers — each span keeps exactly one copy corpus-
+    * wide). Partial tail windows are always kept. Returns (keyCol,
+    * textCol) with the surviving windows re-joined in order; a document
+    * losing every window survives with empty text rather than vanishing.
+    * Two key-partitioned shuffles (digest count, per-doc reassembly) —
+    * both on aggregation keys, text rides only the reassembly. */
+  def cutDuplicatedSpans(df: DataFrame, textCol: String, keyCol: String,
+      windowWords: Int, minDocs: Int = 2): DataFrame = {
+    val chunks = graft.text.CorpusPrep
+      .chunkWords(df, textCol, keyCol, windowWords, overlap = 0)
+    val tagged = chunks.withColumn("__digest",
+      when(col("n_words") === windowWords, md5(col("chunk_text"))))
+    val keepers = tagged.filter(col("__digest").isNotNull)
+      .groupBy(col("__digest"))
+      .agg(countDistinct(col(keyCol)).as("__n"), min(col(keyCol)).as("__keeper"))
+      .filter(col("__n") >= minDocs)
+      .select(col("__digest"), col("__keeper"))
+    val kept = tagged.join(keepers, Seq("__digest"), "left")
+      .filter(col("__keeper").isNull || col(keyCol) === col("__keeper"))
+    val rebuilt = kept.groupBy(col(keyCol))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("chunk_idx"), col("chunk_text")))),
+          s => s.getField("chunk_text")), " ").as(textCol))
+    df.select(col(keyCol))
+      .join(rebuilt, Seq(keyCol), "left")
+      .select(col(keyCol), coalesce(col(textCol), lit("")).as(textCol))
+  }
+
   /** Embedding-cosine near-duplicate pairs below a distance threshold.
     * O(n²) form — bound the input or LSH-bucket first at scale
     * (see [[embeddingLshPairs]]). */
