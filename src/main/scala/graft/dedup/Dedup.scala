@@ -282,6 +282,61 @@ object Dedup {
     deduplicate(fresh, textCol, keyCol, threshold, k, maxShingleDf)
   }
 
+  /** One batch of the STREAMING dedup shape: deduplicate `batch` against
+    * the parquet corpus at `corpusDir` (then internally), and append the
+    * survivors' (keyCol, textCol) to that same directory. First call may
+    * target a not-yet-existing directory — the batch then only
+    * deduplicates internally and seeds the corpus.
+    *
+    * Self-healing under replay: if a batch's survivors were committed and
+    * the batch re-runs (foreachBatch is at-least-once; the parquet job
+    * commit itself is atomic), stage 1 now finds every replayed document
+    * in the corpus at Jaccard 1 and drops it — the append converges to a
+    * no-op instead of duplicating. That property is exactly the dedup
+    * semantics, so this sink needs no transactional table format for
+    * correctness, only for read isolation during the append. */
+  def appendDeduplicated(batch: DataFrame, corpusDir: String,
+      textCol: String, keyCol: String, threshold: Double, k: Int = 3,
+      maxShingleDf: Option[Long] = None): Unit = {
+    if (batch.isEmpty) return
+    val spark = batch.sparkSession
+    val path = new org.apache.hadoop.fs.Path(corpusDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val batchKT = batch.select(col(keyCol), col(textCol))
+    val survivors =
+      if (fs.exists(path)) {
+        val corpus = spark.read.parquet(corpusDir)
+          .select(col(keyCol), col(textCol))
+        incrementalDeduplicate(corpus, batchKT, textCol, keyCol,
+          threshold, k, maxShingleDf)
+      } else {
+        deduplicate(batchKT, textCol, keyCol, threshold, k, maxShingleDf)
+      }
+    batchKT.join(survivors.select(col(keyCol)), Seq(keyCol))
+      .write.mode("append").parquet(corpusDir)
+  }
+
+  /** [[incrementalDeduplicate]], Structured Streaming form — the
+    * steady-state production loop as a stream: each micro-batch runs
+    * stage 1 (vs the corpus as appended so far) + stage 2 (in-batch) via
+    * [[appendDeduplicated]] and appends its survivors, so the corpus
+    * directory is always the full deduplicated output. `foreachBatch` is
+    * the right tool, not a stateful operator: the corpus state is far
+    * too large for the state store, lives naturally as the sink itself,
+    * and the per-batch work is the REUSED batch pipeline — batch/stream
+    * agreement holds by construction (IncrementalDedupStreamSpec asserts
+    * it over a real MemoryStream run). Caller supplies
+    * `.option("checkpointLocation", ...)` and `.start()`. */
+  def incrementalDeduplicateStream(batches: DataFrame, corpusDir: String,
+      textCol: String, keyCol: String, threshold: Double, k: Int = 3,
+      maxShingleDf: Option[Long] = None)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    batches.writeStream.foreachBatch {
+      (batch: DataFrame, _: Long) =>
+        appendDeduplicated(batch, corpusDir, textCol, keyCol, threshold,
+          k, maxShingleDf)
+    }
+
   /** Cross-corpus near-duplicate pairs — the DECONTAMINATION pass: find
     * training documents whose shingle Jaccard against any held-out /
     * benchmark document reaches `threshold`, so they can be dropped
