@@ -676,6 +676,28 @@ object SparkEntry {
         .orderBy(col("score"), col("id"))
     }),
 
+    // ---- q50 with HALF-PRECISION cells: the index stores 2 bytes/dim
+    //      (at 100 TB the cells ARE the index footprint), assignment and
+    //      probe selection stay fp32, and the probe scores through the
+    //      fused decode+cosine kernel without widening the blob ----
+    "q82_ivf_fp16" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val indexDir = graft.fixtures.Fp16Corpus.workRoot +
+        s"/ivfindex16-${new java.io.File(dir).getName}-c${e.count()}"
+      if (!new java.io.File(s"$indexDir/centroids/_SUCCESS").isFile)
+        Knn.ivfBuildIndex(e, "embedding", "vec_id", indexDir, k = 4,
+          iters = 2, trainFilter = col("vec_id") % 5 === 0, fp16 = true)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val probe = Knn.ivfSearchIndex(s, indexDir, qv, k = 10, nprobe = 2)
+      val exact = Knn.topK(e, "embedding", qv, 10, "vec_id")
+        .select(col("vec_id").as("id"), lit(true).as("in_exact"))
+      probe.join(exact, Seq("id"), "left")
+        .na.fill(value = false, Seq("in_exact"))
+        .select(col("id"), col("centroid_id"), col("score"), col("in_exact"))
+        .orderBy(col("score"), col("id"))
+    }),
+
     // ---- Jaccard dedup under the hot-shingle stoplist: 40 synthetic docs
     //      all share one shingle (df=40 ≫ cap=10) that contributes 780
     //      candidate pairs and zero discrimination — the df-stoplist drops
@@ -1776,6 +1798,47 @@ object SparkEntry {
          |SELECT h.id, h.centroid_id, h.score,
          |  (h.id IN (SELECT id FROM exact)) AS in_exact
          |FROM hits h ORDER BY score, id""".stripMargin,
+
+    // q50's training/assignment/probe arithmetic verbatim (fp32), with
+    // the SCORED vector first rounded component-wise to half precision —
+    // exactly what the fused kernel reads back from the 2-byte cells
+    "q82_ivf_fp16" -> {
+      val half = sqlFp16Round
+      s"""WITH corpus AS (
+         |  SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |sample AS (SELECT * FROM corpus WHERE id % 5 = 0),
+         |seed AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS centroid_id,
+         |    v AS cvec
+         |  FROM sample QUALIFY row_number() OVER (ORDER BY id) <= 4),
+         |a1 AS (${sqlIvfAssign("sample", "seed")}),
+         |x1 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a1),
+         |m1 AS (${sqlIvfMean("x1")}),
+         |cent1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY 1),
+         |a2 AS (${sqlIvfAssign("sample", "cent1")}),
+         |x2 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a2),
+         |m2 AS (${sqlIvfMean("x2")}),
+         |cent2 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m2 GROUP BY 1),
+         |af AS (${sqlIvfAssign("corpus", "cent2")}),
+         |ch AS (SELECT id, unnest(range(len(v))) AS i, unnest(v) AS xf
+         |  FROM corpus),
+         |hh AS (SELECT id, i, $half AS xh FROM ch),
+         |vh AS (SELECT id, list(xh ORDER BY i) AS v16 FROM hh GROUP BY id),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probed AS (
+         |  SELECT centroid_id FROM cent2, q
+         |  ORDER BY ${sqlCosine("cvec", "qv")}, centroid_id LIMIT 2),
+         |hits AS (
+         |  SELECT af.id, af.centroid_id, ${sqlCosine("vh.v16", "qv")} AS score
+         |  FROM af JOIN probed USING (centroid_id) JOIN vh USING (id), q
+         |  ORDER BY score, af.id LIMIT 10),
+         |exact AS (SELECT id FROM corpus, q
+         |  ORDER BY ${sqlCosine("v", "qv")}, id LIMIT 10)
+         |SELECT h.id, h.centroid_id, h.score,
+         |  (h.id IN (SELECT id FROM exact)) AS in_exact
+         |FROM hits h ORDER BY score, id""".stripMargin
+    },
 
     // the df-stoplist replicated: shingle document frequency over the
     // union fixture, shingles with df > 10 dropped before the pair join;

@@ -98,10 +98,19 @@ object Knn {
     * layout decision instead of a custom index structure. */
   def ivfBuildIndex(corpus: DataFrame, vecCol: String, keyCol: String,
       indexDir: String, k: Int, iters: Int,
-      trainFilter: Column): Unit = {
+      trainFilter: Column, fp16: Boolean = false): Unit = {
     val cents = trainCentroids(corpus.filter(trainFilter), vecCol, keyCol, k, iters)
     val assigned = ivfAssign(corpus, vecCol, keyCol, cents, "cvec", "centroid_id")
-    assigned.write.partitionBy("centroid_id")
+    // fp16 cells: assignment ran at full precision (centroid choice is a
+    // build-time decision — no reason to degrade it), but what the index
+    // STORES is 2 bytes/dim — at 100 TB the cells are the index's entire
+    // footprint, and the probe path has a fused decode+cosine kernel, so
+    // fp32 cells would double storage and scan I/O for nothing
+    val cells =
+      if (fp16) assigned.select(col("id"),
+        graft.functions.fp16_encode(col("v")).as("emb16"), col("centroid_id"))
+      else assigned
+    cells.write.partitionBy("centroid_id")
       .mode("overwrite").parquet(s"$indexDir/cells")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
@@ -133,9 +142,16 @@ object Knn {
         case org.apache.spark.sql.types.LongType => probed
         case _ => probed.map(_.toString)
       }
+    // fp16 cells score through the fused one-pass decode+cosine kernel —
+    // the blob never widens to ARRAY<FLOAT> (schema-sniffed, so one probe
+    // path serves both layouts)
+    val score =
+      if (cells.columns.contains("emb16"))
+        graft.functions.fp16_cosine_distance(col("emb16"), typedLit(queryVec))
+      else cosine_distance(col("v"), typedLit(queryVec))
     cells
       .filter(col("centroid_id").isin(inList: _*))
-      .withColumn("score", cosine_distance(col("v"), typedLit(queryVec)))
+      .withColumn("score", score)
       .orderBy(col("score").asc, col("id").asc)
       .limit(k)
       .select(col("id"), col("centroid_id").cast("long").as("centroid_id"),

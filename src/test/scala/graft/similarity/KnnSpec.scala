@@ -45,6 +45,49 @@ class KnnSpec extends SparkTestBase {
     }
   }
 
+  test("fp16 cells: probe scores through the fused kernel, rank-identical to fp32") {
+    val dir32 = java.nio.file.Files.createTempDirectory("ivfidx32").toString
+    val dir16 = java.nio.file.Files.createTempDirectory("ivfidx16").toString
+    def rmrf(dir: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    try {
+      Knn.ivfBuildIndex(emb, "embedding", "vec_id", dir32, k = 4, iters = 2,
+        trainFilter = $"vec_id" % 5 === 0)
+      Knn.ivfBuildIndex(emb, "embedding", "vec_id", dir16, k = 4, iters = 2,
+        trainFilter = $"vec_id" % 5 === 0, fp16 = true)
+      // the cells really are half-width: BINARY blob of 2 bytes/dim, no
+      // ARRAY<FLOAT> column at rest
+      val cells = spark.read.parquet(s"$dir16/cells")
+      assert(cells.columns.contains("emb16") && !cells.columns.contains("v"))
+      assert(cells.select(octet_length($"emb16")).head().getInt(0) == 2 * 64)
+      val qv = emb.orderBy($"vec_id").select($"embedding")
+        .head().getSeq[Float](0).toArray
+      val r16 = Knn.ivfSearchIndex(spark, dir16, qv, k = 10, nprobe = 2)
+      // fused one-pass kernel in the probe plan: the blob is scored
+      // directly, never widened through fp16_decode
+      val plan = r16.queryExecution.executedPlan.toString
+      assert(plan.contains("fp16_cosine_distance"), plan.linesIterator.take(5).mkString("\n"))
+      assert(!plan.contains("fp16_decode"))
+      // partition pruning is unchanged by the cell layout
+      val scans = r16.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      val cellScan = scans.find(_.metadata("Location").contains("cells")).get
+      assert(cellScan.selectedPartitions.partitionCount == 2)
+      // half-precision perturbs scores inside the established tolerance
+      // but not the ranking
+      val r32 = Knn.ivfSearchIndex(spark, dir32, qv, k = 10, nprobe = 2)
+      val ids16 = r16.select($"id").as[Long].collect().toSeq
+      val ids32 = r32.select($"id").as[Long].collect().toSeq
+      assert(ids16 == ids32)
+      val s16 = r16.select($"score").as[Double].collect()
+      val s32 = r32.select($"score").as[Double].collect()
+      s16.zip(s32).foreach { case (a, b) => assert(math.abs(a - b) < 1e-3) }
+    } finally { rmrf(dir32); rmrf(dir16) }
+  }
+
   test("trainCentroids: k cells, right dimensionality, assignment improves") {
     val k = 4
     val cents = Knn.trainCentroids(emb, "embedding", "vec_id", k, iters = 3)
