@@ -466,6 +466,10 @@ object SparkEntry {
     }),
 
     // ---- exact quantiles (sort-based aggregate with interpolation) ----
+    // exact per-group percentiles for the gate; at corpus scale swap in
+    // percentile_approx (bounded mergeable sketch, rank error
+    // <= 1/accuracy) — divergence pinned in CorpusPrepSpec's trimByLength
+    // test, which exercises the same pair of aggregates
     "q45_quantiles" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -1048,11 +1052,9 @@ object SparkEntry {
     //      broadcast back over the corpus for a narrow filter ----
     "q75_length_trim" -> ((s, dir) => {
       val docs = t(s, dir, "documents").select(col("source"), col("n_chars"))
-      val cuts = docs.agg(
-        percentile(col("n_chars"), lit(0.05)).as("lo"),
-        percentile(col("n_chars"), lit(0.95)).as("hi"))
-      docs.crossJoin(broadcast(cuts))
-        .filter(col("n_chars") >= col("lo") && col("n_chars") <= col("hi"))
+      // exact cutoffs for the gate (portable SQL); approx = true is the
+      // corpus-scale sibling, divergence-pinned in CorpusPrepSpec
+      graft.text.CorpusPrep.trimByLength(docs, "n_chars", 0.05, 0.95)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("kept_chars"))
         .orderBy(col("source"))

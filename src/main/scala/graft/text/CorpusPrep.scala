@@ -122,6 +122,40 @@ object CorpusPrep {
       .drop("__copies")
   }
 
+  /** Distribution-based length trimming (the C4-style outlier filter):
+    * drop rows whose `lenCol` falls outside the corpus's own
+    * [pLo, pHi] percentile band. The cutoffs are ONE tiny two-value
+    * aggregate broadcast back over the corpus for a narrow filter.
+    *
+    * `approx = false` (default) uses the exact `percentile` aggregate —
+    * deterministic and oracle-replicable, but it buffers every value per
+    * group in the aggregation buffer. Over a single global cutoff pair
+    * that is one buffer of corpus-cardinality values: fine for document
+    * LENGTHS at any realistic scale factor, but the 100-TB-polite form
+    * is `approx = true` — `percentile_approx` keeps a bounded sketch of
+    * at most `accuracy` retained values (error ≤ 1/accuracy of the rank,
+    * so accuracy = 10⁴ bounds the cutoff's rank error to 0.01 %), and
+    * the sketch is mergeable, so partial aggregation stays map-side.
+    * CorpusPrepSpec pins the divergence; the q75 gate keeps the exact
+    * form (a sketch cutoff is implementation-defined, not portable SQL). */
+  def trimByLength(df: DataFrame, lenCol: String, pLo: Double, pHi: Double,
+      approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo <= pHi,
+      s"trimByLength: need 0 <= pLo <= pHi <= 1, got [$pLo, $pHi]")
+    val cuts =
+      if (approx)
+        df.agg(
+          percentile_approx(col(lenCol), lit(pLo), lit(accuracy)).as("__lo"),
+          percentile_approx(col(lenCol), lit(pHi), lit(accuracy)).as("__hi"))
+      else
+        df.agg(
+          percentile(col(lenCol), lit(pLo)).as("__lo"),
+          percentile(col(lenCol), lit(pHi)).as("__hi"))
+    df.crossJoin(broadcast(cuts))
+      .filter(col(lenCol) >= col("__lo") && col(lenCol) <= col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
   /** Context-window chunking: split each document into overlapping
     * fixed-word-budget chunks — the op that turns raw documents into
     * training/RAG windows. Chunk i covers words

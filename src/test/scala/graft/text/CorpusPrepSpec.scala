@@ -112,6 +112,45 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(n0 > 0)
   }
 
+  test("trimByLength: approx sibling matches exact within the sketch bound; no full buffer") {
+    val docs = table("documents").select($"source", $"n_chars")
+    val exact = CorpusPrep.trimByLength(docs, "n_chars", 0.05, 0.95)
+    val approx = CorpusPrep.trimByLength(docs, "n_chars", 0.05, 0.95,
+      approx = true)
+    // at accuracy 10^4 over a fixture-sized corpus the sketch retains
+    // every value — cutoffs (and therefore the kept set) coincide
+    assert(approx.count() == exact.count())
+    // a deliberately coarse sketch still lands within its rank-error
+    // bound: kept-count divergence ≤ 2 * n / accuracy (lo and hi each
+    // off by at most n/accuracy ranks)
+    val n = docs.count()
+    val coarse = CorpusPrep.trimByLength(docs, "n_chars", 0.05, 0.95,
+      approx = true, accuracy = 100).count()
+    assert(math.abs(coarse - exact.count()) <= 2 * n / 100 + 1)
+    // the plan aggregates through the bounded sketch, not the
+    // buffer-everything exact percentile
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(plan.contains("percentile_approx"), "approx form missing sketch aggregate")
+    assert(!plan.contains("percentile(") || plan.contains("percentile_approx"),
+      "approx form fell back to exact percentile")
+    assert(exact.queryExecution.executedPlan.toString.contains("percentile"))
+    // the per-GROUP shape (q45's) behaves the same: sketch == exact at
+    // fixture cardinality per group
+    val exactMed = docs.groupBy($"source")
+      .agg(percentile($"n_chars", lit(0.5)).as("m"))
+      .orderBy($"source").as[(String, Double)].collect().toSeq
+    val approxMed = docs.groupBy($"source")
+      .agg(percentile_approx($"n_chars", lit(0.5), lit(10000))
+        .cast("double").as("m"))
+      .orderBy($"source").as[(String, Double)].collect().toSeq
+    exactMed.zip(approxMed).foreach { case ((s1, m1), (s2, m2)) =>
+      assert(s1 == s2)
+      // percentile interpolates between ranks, the sketch returns a
+      // retained VALUE — agreement is within one inter-value gap
+      assert(math.abs(m1 - m2) <= math.max(1.0, m1 * 0.05), s"$s1: $m1 vs $m2")
+    }
+  }
+
   test("chunkWords: chunks tile the document; de-overlapped concat reconstructs it") {
     val text95 = (1 to 95).map(i => s"w$i").mkString(" ")
     val df = Seq((1L, text95), (2L, "a b"), (3L, "")).toDF("doc_id", "text")
