@@ -188,4 +188,118 @@ object CorpusPrep {
         array_join(col("col"), " ").as("chunk_text"),
         size(col("col")).cast("long").as("n_words"))
   }
+
+  /** Token-stream sharding (the GPT-style concat-and-chunk packer): the
+    * corpus is conceptually concatenated in `idCol` order and cut into
+    * training windows of exactly `windowTokens` whitespace tokens; each
+    * document reports which window its first token lands in
+    * (`shard_start`), which its last lands in (`shard_end`), and its
+    * token offset inside the first (`offset_in_shard`) — a
+    * `shard_start != shard_end` row is one the loader must split across
+    * windows. This is the layout decision a training pipeline makes once
+    * per mixture epoch; everything downstream (loader shuffling, window
+    * boundaries) is a pure function of these three integers.
+    *
+    * The global running token count is a two-level prefix sum, NOT one
+    * giant window: documents bucket by `id div bucketWidth`, the
+    * in-bucket prefix sum is a window over that bucket, and each
+    * bucket's base offset comes from a window over the TINY per-bucket
+    * subtotal table (one row per bucket), broadcast back. A single
+    * `Window.orderBy(id)` over the corpus would drag every row through
+    * one task — this shape keeps the big exchange hash-partitioned by
+    * bucket with per-bucket sorts, and only bucket COUNT rows ever pass
+    * through a single-partition window. Deterministic (bucket boundaries
+    * are id arithmetic, not sampled range splits), so the assignment is
+    * reproducible across runs and partitionings, and oracle-replicable.
+    *
+    * Returns (id, n_tokens, tokens_before, shard_start, shard_end,
+    * offset_in_shard). */
+  def packTokenStream(df: DataFrame, textCol: String, idCol: String,
+      windowTokens: Int, bucketWidth: Long = 1 << 20): DataFrame = {
+    require(windowTokens > 0 && bucketWidth > 0,
+      s"packTokenStream: need windowTokens > 0 and bucketWidth > 0, " +
+        s"got $windowTokens/$bucketWidth")
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = df.select(col(idCol).as("id"),
+      size(split(col(textCol), " ")).cast("long").as("n_tokens"),
+      floor(col(idCol) / bucketWidth).cast("long").as("__bucket"))
+    val inBucket = w.partitionBy(col("__bucket")).orderBy(col("id"))
+      .rowsBetween(w.unboundedPreceding, -1)
+    // one row per bucket — a single-partition window over this table
+    // touches bucket-count rows, never the corpus
+    val bases = docs.groupBy(col("__bucket"))
+      .agg(sum(col("n_tokens")).as("__subtotal"))
+      .select(col("__bucket"),
+        coalesce(sum(col("__subtotal")).over(
+          w.orderBy(col("__bucket")).rowsBetween(w.unboundedPreceding, -1)),
+          lit(0L)).as("__base"))
+    val win = lit(windowTokens.toLong)
+    docs
+      .withColumn("__local", coalesce(sum(col("n_tokens")).over(inBucket), lit(0L)))
+      .join(broadcast(bases), Seq("__bucket"))
+      .select(col("id"), col("n_tokens"),
+        (col("__base") + col("__local")).as("tokens_before"))
+      .select(col("id"), col("n_tokens"), col("tokens_before"),
+        floor(col("tokens_before") / win).cast("long").as("shard_start"),
+        floor((col("tokens_before") + col("n_tokens") - 1) / win)
+          .cast("long").as("shard_end"),
+        pmod(col("tokens_before"), win).as("offset_in_shard"))
+  }
+
+  /** Temperature-scaled mixture rates (the UniMax / multilingual-LM
+    * sampling rule): given per-source document counts `c_s`, source s is
+    * sampled with probability proportional to `c_s^alpha` — alpha = 1
+    * reproduces natural proportions, alpha → 0 approaches uniform, the
+    * usual dial is 0.3–0.7 to keep big web crawls from drowning small
+    * high-value sources. The emitted integer `rate_ppm` (parts per
+    * `buckets`) feeds the same content-hash keep rule as
+    * [[mixtureSample]], so the selection inherits its reproducibility
+    * and nesting guarantees.
+    *
+    * Rates derive from corpus statistics entirely IN-PLAN: the per-source
+    * count aggregate is tiny (one row per source) and broadcast back —
+    * no driver round-trip, no collected rates. Cross-source normalization
+    * sums `c_s^alpha` in DECIMAL(25,6) — an order-independent exact sum,
+    * so the rate is deterministic under any partitioning (a double sum's
+    * partial-aggregation order is not). Expected kept volume is
+    * `targetFrac` of the corpus when no source clips at rate 1.0 (a
+    * source clips when temperature would UPsample it above keeping
+    * everything; use [[mixtureResample]] with these rates to realize
+    * epochs > 1 instead of clipping).
+    *
+    * Returns the input rows (kept subset) plus `rate_ppm`. Use
+    * `ratesBySource` for the per-source rate table itself. */
+  def temperatureMixture(df: DataFrame, textCol: String, sourceCol: String,
+      alpha: Double, targetFrac: Double, buckets: Int = 1000000): DataFrame = {
+    val rates = ratesBySource(df, sourceCol, alpha, targetFrac, buckets)
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(pmod(TextAnalysis.polyHash(col(textCol)), lit(buckets.toLong))
+        < col("rate_ppm"))
+  }
+
+  /** The rate table behind [[temperatureMixture]]: one row per source —
+    * (source, n_docs, rate_ppm). rate_ppm = floor(buckets · min(1,
+    * targetFrac · N · q_s / c_s)) where q_s = c_s^alpha / Σ c_t^alpha. */
+  def ratesBySource(df: DataFrame, sourceCol: String, alpha: Double,
+      targetFrac: Double, buckets: Int = 1000000): DataFrame = {
+    require(alpha > 0 && targetFrac > 0 && targetFrac <= 1 && buckets > 0,
+      s"ratesBySource: need alpha > 0, 0 < targetFrac <= 1, buckets > 0; " +
+        s"got $alpha/$targetFrac/$buckets")
+    val counts = df.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"))
+      // c^alpha quantized to DECIMAL(25,6): deterministic per value, and
+      // the cross-source sum is exact in any order
+      .withColumn("__w",
+        pow(col("n_docs").cast("double"), lit(alpha)).cast("decimal(25,6)"))
+    val totals = counts.agg(sum(col("__w")).as("__tw"),
+      sum(col("n_docs")).as("__n"))
+    counts.crossJoin(broadcast(totals))
+      .select(col(sourceCol), col("n_docs"),
+        floor(lit(buckets.toDouble) *
+          least(lit(1.0),
+            (lit(targetFrac) * col("__n").cast("double") *
+              (col("__w").cast("double") / col("__tw").cast("double"))) /
+              col("n_docs").cast("double")))
+          .cast("long").as("rate_ppm"))
+  }
 }

@@ -1,0 +1,100 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval and hybrid rank fusion — the "sparse" half of the
+  * hybrid search a retrieval stack runs next to the engine's dense
+  * vector top-k (the reference serves dense-only search;
+  * readwise_vector_db/core/search.py:44-122 ranks purely by pgvector
+  * cosine). BM25 is the standard lexical scorer; reciprocal-rank fusion
+  * is the standard way to combine it with a dense list without score
+  * calibration. (100-TB extension surface.)
+  */
+object TextRank {
+
+  /** BM25 top-k retrieval for a fixed bag of query terms.
+    *
+    * IDF is the RAW RATIO `(N - df + 0.5) / (df + 0.5)` — the same
+    * no-logarithm policy as [[TextAnalysis.tfIdfTopTerms]]: an integer
+    * ratio evaluated in one IEEE double expression is bit-identical
+    * across engines (`ln` is not guaranteed to be), and the correctness
+    * gate is hash-exact. Per-term idf ordering is unchanged; multi-term
+    * totals weight rare terms more sharply than the log form, which is
+    * the documented semantic of this variant.
+    *
+    * Scale shape: the per-document length `dl` is computed BEFORE the
+    * explode and travels with each token row, so the score needs no
+    * corpus-sized join back to the document table; the explode is
+    * filtered to the query terms at the generator, so the one exchange
+    * (tf groupBy) carries only query-term hits — at 100 TB that is
+    * O(matching postings), never the corpus. The df table is |terms|
+    * rows (broadcast), corpus stats are one row (broadcast), and the
+    * final top-k is `TakeOrderedAndProject`. Per-document totals are
+    * assembled by conditional aggregation in FIXED term order — never a
+    * float `sum()` whose partial-aggregation order could differ between
+    * engines.
+    *
+    * Returns (id, score), score descending, ties broken on id. */
+  def bm25TopK(df: DataFrame, textCol: String, keyCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: queryTerms must be non-empty")
+    require(queryTerms.distinct == queryTerms,
+      "bm25TopK: queryTerms must be distinct (a repeated term would double-count)")
+    val docs = df
+      .select(col(keyCol).as("id"), split(col(textCol), " ").as("w"))
+      .select(col("id"), col("w"), size(col("w")).cast("long").as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
+    val toks = docs
+      .select(col("id"), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isin(queryTerms.map(x => x: Any): _*))
+    val tf = toks.groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    // every float op below is a single fixed-shape expression — the
+    // DuckDB oracle mirrors it token for token
+    val lenNorm = col("tf").cast("double") +
+      lit(k1) * (lit(1.0 - b) + lit(b) *
+        ((col("dl").cast("double") * col("n").cast("double")) /
+          col("total_dl").cast("double")))
+    val idf = (col("n").cast("double") - col("doc_freq").cast("double") + lit(0.5)) /
+      (col("doc_freq").cast("double") + lit(0.5))
+    val contrib = tf.join(broadcast(dfreq), Seq("term")).crossJoin(stats)
+      .select(col("id"), col("term"),
+        (idf * ((col("tf").cast("double") * lit(k1 + 1.0)) / lenNorm))
+          .as("contrib"))
+    val perTerm = queryTerms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("contrib"))).as(s"s$i") }
+    contrib.groupBy(col("id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col("id"),
+        queryTerms.indices.map(i => coalesce(col(s"s$i"), lit(0.0)))
+          .reduceLeft(_ + _).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion of two ranked lists keyed by `id` (each with
+    * an integer `rank` column, 1-based): `rrf = 1/(kRrf + rank_a) +
+    * 1/(kRrf + rank_b)`, absent-from-a-list contributing 0. Rank is the
+    * only thing that crosses the lists, so the dense and sparse scorers
+    * need no score calibration — the standard hybrid-search combiner
+    * (Cormack et al.'s RRF, kRrf = 60 by convention).
+    *
+    * Scale shape: both inputs are top-N lists (N rows total, not
+    * corpora) — the full-outer join broadcasts; the division is exact
+    * IEEE from integer ranks, and the two contributions add in fixed
+    * order, so fused scores are engine-portable. Returns
+    * (id, rank_a, rank_b, rrf), rrf descending, ties on id. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, kRrf: Int = 60): DataFrame = {
+    val fa = a.select(col("id"), col("rank").as("rank_a"))
+    val fb = b.select(col("id"), col("rank").as("rank_b"))
+    fa.join(fb, Seq("id"), "full_outer")
+      .select(col("id"), col("rank_a"), col("rank_b"),
+        (coalesce(lit(1.0) / (lit(kRrf) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rank_b")), lit(0.0))).as("rrf"))
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(k)
+  }
+}

@@ -88,6 +88,41 @@ class KnnSpec extends SparkTestBase {
     } finally { rmrf(dir32); rmrf(dir16) }
   }
 
+  test("IvfIndex serving handle agrees with ivfSearchIndex, keeps pruning + fused kernel") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfserve").toString
+    try {
+      Knn.ivfBuildIndex(emb, "embedding", "vec_id", dir, k = 4, iters = 2,
+        trainFilter = $"vec_id" % 5 === 0, fp16 = true)
+      val index = Knn.IvfIndex.load(spark, dir)
+      val qv = emb.filter($"vec_id" === 7).select($"embedding")
+        .head().getSeq[Float](0).toArray
+      val viaHandle = index.search(qv, k = 10, nprobe = 2)
+      val oneShot = Knn.ivfSearchIndex(spark, dir, qv, k = 10, nprobe = 2)
+      // driver-side probe selection picks the SAME cells as the one-shot
+      // path's Spark-job selection, so results are row-identical
+      assert(viaHandle.collect().toSeq == oneShot.collect().toSeq)
+      // the handle's plan still prunes partitions and scores fused — the
+      // serving shortcut changes where probe selection runs, not the scan
+      val scans = viaHandle.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      val cellScan = scans.find(_.metadata("Location").contains("cells")).get
+      assert(cellScan.selectedPartitions.partitionCount == 2)
+      assert(viaHandle.queryExecution.executedPlan.toString
+        .contains("fp16_cosine_distance"))
+      // and the handle issues NO job for probe selection: only the cell
+      // scan's single stage runs when a search executes
+      val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      index.search(qv, k = 10, nprobe = 2).collect()
+      val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+      assert(after - before <= 2,
+        s"IvfIndex.search ran ${after - before} jobs; centroid selection must be local")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("trainCentroids: k cells, right dimensionality, assignment improves") {
     val k = 4
     val cents = Knn.trainCentroids(emb, "embedding", "vec_id", k, iters = 3)
