@@ -1104,6 +1104,65 @@ object SparkEntry {
         .orderBy(col("source"), col("epoch"))
     }),
 
+    // ---- BM25 lexical retrieval (ratio idf — engine-portable doubles):
+    //      dl travels with the exploded rows (no corpus join-back), the
+    //      explode is filtered to the query terms at the generator, and
+    //      per-doc totals assemble by conditional agg in FIXED term order ----
+    "q83_bm25_topk" -> ((s, dir) =>
+      graft.text.TextRank.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
+        queryTerms = Seq("join", "filter", "merge"), k = 15)),
+
+    // ---- hybrid search: dense cosine top-30 + BM25 top-30 fused by
+    //      reciprocal rank (Cormack RRF, k=60) — no score calibration
+    //      crosses the lists, only integer ranks ----
+    "q84_hybrid_rrf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val d = t(s, dir, "documents")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      // rank windows run over the ALREADY-LIMITED 30-row lists — a
+      // single-partition sort of 30 rows, not a corpus-wide window
+      val dense = e.crossJoin(broadcast(q))
+        .select(col("vec_id").as("id"),
+          cosine_distance(col("embedding"), col("qv")).as("dist"))
+        .orderBy(col("dist"), col("id")).limit(30)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("dist"), col("id"))))
+      val lex = graft.text.TextRank.bm25TopK(d, "text", "doc_id",
+          queryTerms = Seq("join", "filter", "merge"), k = 30)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("id"))))
+      graft.text.TextRank.rrfFuse(dense.select(col("id"), col("rank")),
+        lex.select(col("id"), col("rank")), k = 20)
+    }),
+
+    // ---- token-stream sharding (concat-and-chunk packing): global
+    //      running token count via the two-level prefix sum — the big
+    //      exchange is hash-partitioned by bucket, only bucket-count rows
+    //      cross a single-partition window ----
+    "q85_pack_shards" -> ((s, dir) =>
+      graft.text.CorpusPrep.packTokenStream(
+          t(s, dir, "documents"), "text", "doc_id",
+          windowTokens = 2048, bucketWidth = 64)
+        .orderBy(col("id"))),
+
+    // ---- temperature-scaled mixture (UniMax-style alpha sampling): rates
+    //      derived from corpus stats entirely in-plan, normalization sums
+    //      c^alpha in DECIMAL (order-independent), keep rule = the same
+    //      content hash as q74 so the selection nests and reproduces ----
+    "q86_temperature_mix" -> ((s, dir) => {
+      val d = t(s, dir, "documents").withColumn("meta_source",
+        when(col("source").isin("src14", "src15", "src16", "src17", "src18"),
+          "books")
+          .when(col("source") === "src19", "code")
+          .otherwise("web"))
+      graft.text.CorpusPrep.temperatureMixture(d, "text", "meta_source",
+          alpha = 0.5, targetFrac = 0.5)
+        .groupBy(col("meta_source"))
+        .agg(count(lit(1)).as("kept_docs"), sum(col("n_chars")).as("kept_chars"),
+          max(col("rate_ppm")).as("rate_ppm"))
+        .orderBy(col("meta_source"))
+    }),
+
     // ---- funnel conversion: users with a view, then a click strictly
     //      after their FIRST view, then a purchase strictly after that
     //      first qualifying click. Every aggregation and join keys on
@@ -1245,6 +1304,40 @@ object SparkEntry {
     val x2 = s"((1103515245 * $y1 + 12345) % $m)"
     val y2 = s"xor($x2, ($x2 >> 13))"
     s"((($y2) >> 16) & 1)"
+  }
+
+  /** BM25 CTE chain over `documents`, mirroring
+    * [[graft.text.TextRank.bm25TopK]] expression-for-expression (ratio
+    * idf; the float constants are interpolated from the SAME Scala
+    * doubles the engine uses, and Scala's shortest-round-trip Double
+    * printing means DuckDB parses back identical values). Yields a
+    * relation `bm25(id, score)`, unlimited and unordered. */
+  private def sqlBm25Ctes(terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): String = {
+    val termList = terms.map(t => s"'$t'").mkString(", ")
+    val cases = terms.zipWithIndex.map { case (t, i) =>
+      s"MAX(CASE WHEN term = '$t' THEN contrib END) AS s$i" }.mkString(", ")
+    val total = terms.indices.map(i => s"COALESCE(s$i, CAST(0.0 AS DOUBLE))")
+      .mkString(" + ")
+    s"""bmdocs AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
+       |bmd2 AS (SELECT id, w, CAST(len(w) AS BIGINT) AS dl FROM bmdocs),
+       |bmstats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(dl) AS BIGINT) AS total_dl FROM bmd2),
+       |bmtoks AS (SELECT id, dl, unnest(w) AS term FROM bmd2),
+       |bmtf AS (SELECT id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM bmtoks WHERE term IN ($termList) GROUP BY 1, 2, 3),
+       |bmdf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS doc_freq
+       |  FROM bmtf GROUP BY 1),
+       |bmcontrib AS (SELECT id, term,
+       |  ((CAST(n AS DOUBLE) - CAST(doc_freq AS DOUBLE) + 0.5) /
+       |    (CAST(doc_freq AS DOUBLE) + 0.5)) *
+       |  ((CAST(tf AS DOUBLE) * ${k1 + 1.0}) /
+       |    (CAST(tf AS DOUBLE) + $k1 * (${1.0 - b} + $b *
+       |      ((CAST(dl AS DOUBLE) * CAST(n AS DOUBLE)) /
+       |        CAST(total_dl AS DOUBLE))))) AS contrib
+       |  FROM bmtf JOIN bmdf USING (term) CROSS JOIN bmstats),
+       |bmagg AS (SELECT id, $cases FROM bmcontrib GROUP BY id),
+       |bm25 AS (SELECT id, ($total) AS score FROM bmagg)""".stripMargin
   }
 
   private def sqlCosine(a: String, b: String): String =
@@ -2488,6 +2581,65 @@ object SparkEntry {
          |      WHEN 'src2' THEN 2 ELSE 3 END)
          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
          |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars
-         |FROM kept GROUP BY source ORDER BY source""".stripMargin
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+
+    "q83_bm25_topk" ->
+      s"""WITH ${sqlBm25Ctes(Seq("join", "filter", "merge"))}
+         |SELECT id, score FROM bm25 ORDER BY score DESC, id LIMIT 15""".stripMargin,
+
+    "q84_hybrid_rrf" ->
+      s"""WITH ${sqlBm25Ctes(Seq("join", "filter", "merge"))},
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |dense AS (SELECT vec_id AS id, ${sqlCosine("embedding", "qv")} AS dist
+         |  FROM embeddings, q ORDER BY dist, id LIMIT 30),
+         |dr AS (SELECT id, CAST(row_number() OVER (ORDER BY dist, id) AS INT)
+         |  AS rank_a FROM dense),
+         |lex AS (SELECT id, score FROM bm25 ORDER BY score DESC, id LIMIT 30),
+         |lr AS (SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS INT)
+         |  AS rank_b FROM lex),
+         |f AS (SELECT COALESCE(dr.id, lr.id) AS id, rank_a, rank_b,
+         |  (COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_a), CAST(0.0 AS DOUBLE)) +
+         |   COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_b), CAST(0.0 AS DOUBLE)))
+         |    AS rrf
+         |  FROM dr FULL OUTER JOIN lr ON dr.id = lr.id)
+         |SELECT id, rank_a, rank_b, rrf FROM f ORDER BY rrf DESC, id LIMIT 20""".stripMargin,
+
+    "q85_pack_shards" ->
+      """WITH d AS (SELECT doc_id AS id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |p AS (SELECT id, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS tokens_before
+        |  FROM d)
+        |SELECT id, n_tokens, tokens_before,
+        |  tokens_before // 2048 AS shard_start,
+        |  (tokens_before + n_tokens - 1) // 2048 AS shard_end,
+        |  tokens_before % 2048 AS offset_in_shard
+        |FROM p ORDER BY id""".stripMargin,
+
+    "q86_temperature_mix" ->
+      s"""WITH d AS (SELECT doc_id, text, n_chars,
+         |  CASE WHEN source IN ('src14', 'src15', 'src16', 'src17', 'src18')
+         |    THEN 'books' WHEN source = 'src19' THEN 'code'
+         |    ELSE 'web' END AS meta_source
+         |  FROM documents),
+         |counts AS (SELECT meta_source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(pow(CAST(COUNT(*) AS DOUBLE), 0.5) AS DECIMAL(25,6)) AS w
+         |  FROM d GROUP BY 1),
+         |totals AS (SELECT SUM(w) AS tw, CAST(SUM(n_docs) AS BIGINT) AS n
+         |  FROM counts),
+         |rates AS (SELECT meta_source, n_docs,
+         |  CAST(FLOOR(1000000.0 * LEAST(CAST(1.0 AS DOUBLE),
+         |    (0.5 * CAST(n AS DOUBLE) * (CAST(w AS DOUBLE) / CAST(tw AS DOUBLE)))
+         |      / CAST(n_docs AS DOUBLE))) AS BIGINT) AS rate_ppm
+         |  FROM counts CROSS JOIN totals),
+         |kept AS (SELECT d.meta_source, d.n_chars, r.rate_ppm
+         |  FROM d JOIN rates r USING (meta_source)
+         |  WHERE ${sqlPolyHash("d.text")} % 1000000 < r.rate_ppm)
+         |SELECT meta_source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+         |  MAX(rate_ppm) AS rate_ppm
+         |FROM kept GROUP BY meta_source ORDER BY meta_source""".stripMargin
   )
 }

@@ -171,6 +171,59 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(out.filter(_._1 == 3L).map(t => (t._2, t._4)).toSeq == Seq((0, 1L)))
   }
 
+  test("packTokenStream: two-level prefix sum equals the naive global cumsum") {
+    val docs = (0 until 300).map { i =>
+      (i.toLong, (0 until (i % 17) + 1).map(j => s"t$j").mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = CorpusPrep.packTokenStream(docs, "text", "doc_id",
+        windowTokens = 64, bucketWidth = 32)
+      .orderBy($"id")
+      .select($"id", $"n_tokens", $"tokens_before", $"shard_start",
+        $"shard_end", $"offset_in_shard")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // naive single-threaded reference: running sum in id order
+    var running = 0L
+    out.foreach { case (id, n, before, ss, se, off) =>
+      assert(before == running, s"doc $id: tokens_before $before != $running")
+      assert(ss == before / 64 && se == (before + n - 1) / 64 && off == before % 64)
+      running += n
+    }
+    // bucket width is a layout dial, not a semantic one
+    val wide = CorpusPrep.packTokenStream(docs, "text", "doc_id",
+        windowTokens = 64, bucketWidth = 1 << 20)
+      .orderBy($"id").collect()
+    assert(wide.toSeq == CorpusPrep.packTokenStream(docs, "text", "doc_id",
+      windowTokens = 64, bucketWidth = 32).orderBy($"id").collect().toSeq)
+  }
+
+  test("temperatureMixture: alpha=1 is proportional; alpha<1 boosts small sources; kept sets nest") {
+    val docs = (0 until 800).map { i =>
+      val src = if (i % 8 == 0) "small" else "big" // 100 vs 700 docs
+      // texts must differ in MORE than a trailing digit: a radix-31
+      // polynomial hash maps near-identical suffixes to adjacent values
+      // mod ppm buckets, which would cluster the keep rule (real corpora
+      // differ broadly; 800 docs differing in 3 chars do not)
+      (i.toLong, src, s"body ${(i * 2654435761L) % 999983} tail $i")
+    }.toDF("doc_id", "source", "text")
+    // alpha=1: temperature off — every source keeps ~targetFrac
+    val r1 = CorpusPrep.ratesBySource(docs, "source", alpha = 1.0,
+      targetFrac = 0.5).collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(r1("small") == 500000 && r1("big") == 500000, r1.toString)
+    // alpha=0.5: the small source's rate strictly exceeds the big one's
+    val rHalf = CorpusPrep.ratesBySource(docs, "source", alpha = 0.5,
+      targetFrac = 0.5).collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(rHalf("small") > rHalf("big"), rHalf.toString)
+    // kept sets nest as targetFrac rises (same content-hash rule)
+    val keptLo = CorpusPrep.temperatureMixture(docs, "text", "source",
+      alpha = 0.5, targetFrac = 0.3).select($"doc_id").as[Long].collect().toSet
+    val keptHi = CorpusPrep.temperatureMixture(docs, "text", "source",
+      alpha = 0.5, targetFrac = 0.6).select($"doc_id").as[Long].collect().toSet
+    assert(keptLo.subsetOf(keptHi),
+      s"${(keptLo -- keptHi).size} docs churned between targetFrac 0.3 and 0.6")
+    // expected volume: within a few percent of targetFrac when nothing clips
+    assert(math.abs(keptHi.size - 480) < 60, s"kept ${keptHi.size}, want ~480")
+  }
+
   test("crossCorpusPairs: only cross-side pairs, never corpus- or bench-internal") {
     // two identical docs INSIDE the corpus (internal dup must not appear),
     // one of them duplicated into the bench side

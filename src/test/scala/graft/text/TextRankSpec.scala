@@ -1,0 +1,55 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class TextRankSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "join join join filler filler filler"), // tf=3, short
+    (2L, "join filler filler filler filler filler"), // tf=1, same length
+    (3L, "join " + Seq.fill(60)("pad").mkString(" ")), // tf=1, long doc
+    (4L, "merge merge filler filler"),
+    (5L, "filler filler filler filler"), // no query terms
+    (6L, "join merge filler filler")
+  ).toDF("doc_id", "text")
+
+  test("bm25TopK: tf raises score, length norm lowers it, absent docs excluded") {
+    val scores = TextRank.bm25TopK(docs, "text", "doc_id",
+        Seq("join", "merge"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // doc 5 has neither term — it must not appear at all
+    assert(!scores.contains(5L), scores.toString)
+    // higher tf at equal length wins
+    assert(scores(1L) > scores(2L))
+    // same tf, longer doc scores lower (the b length penalty)
+    assert(scores(2L) > scores(3L))
+    // two distinct terms beat one of either at comparable length
+    assert(scores(6L) > scores(2L) && scores(6L) > scores(4L))
+  }
+
+  test("bm25TopK plan: df side broadcasts, no corpus-sized shuffle join") {
+    val plan = TextRank.bm25TopK(docs, "text", "doc_id",
+      Seq("join", "merge"), k = 10).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoop"),
+      plan.linesIterator.take(8).mkString("\n"))
+    assert(!plan.contains("SortMergeJoin"), "corpus-sized join in the BM25 plan")
+  }
+
+  test("rrfFuse: both-list members outrank single-list members at equal rank") {
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
+    val b = Seq((20L, 1), (11L, 2), (21L, 3)).toDF("id", "rank")
+    val out = TextRank.rrfFuse(a, b, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    // 11 appears in both lists at rank 2 → 2/(62) beats any single 1/(61)
+    assert(out.head._1 == 11L)
+    assert(math.abs(out.head._2 - 2.0 / 62) < 1e-15)
+    // absent-side contribution is exactly zero, not null-poisoned
+    val single = out.find(_._1 == 10L).get
+    assert(math.abs(single._2 - 1.0 / 61) < 1e-15)
+    // all five distinct ids survive the full-outer fuse
+    assert(out.map(_._1).toSet == Set(10L, 11L, 12L, 20L, 21L))
+  }
+}
