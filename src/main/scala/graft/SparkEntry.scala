@@ -1104,6 +1104,27 @@ object SparkEntry {
         .orderBy(col("source"), col("epoch"))
     }),
 
+    // ---- Bloom-filter pre-filtered decontamination: the bench side is
+    //      summarized into 256×62 bits and BROADCAST; corpus shingles
+    //      test locally and only candidates (true overlaps + a bounded
+    //      false-positive tail) reach the exact semi-join. Same held-out
+    //      construction as q59; the n_bloom_hits − n_true_matches gap IS
+    //      the measured FP cost ----
+    "q87_bloom_decontaminate" -> ((s, dir) => {
+      val train = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), col("text"))
+      val bench = t(s, dir, "documents")
+        .filter(col("doc_id") >= 50 && col("doc_id") < 60)
+        .select((col("doc_id") + 5000).as("doc_id"),
+          concat(col("text"), lit(" heldout marker")).as("text"))
+        .unionByName(s.range(5).select((col("id") + 9000).as("doc_id"),
+          concat(lit("benchmark probe question number "),
+            col("id").cast("string")).as("text")))
+      Dedup.bloomDecontaminate(train, bench, "text", "doc_id",
+          k = 3, nHash = 3, words = 256)
+        .orderBy(col("id"))
+    }),
+
     // ---- BM25 lexical retrieval (ratio idf — engine-portable doubles):
     //      dl travels with the exploded rows (no corpus join-back), the
     //      explode is filtered to the query terms at the generator, and
@@ -1305,6 +1326,18 @@ object SparkEntry {
     val y2 = s"xor($x2, ($x2 >> 13))"
     s"((($y2) >> 16) & 1)"
   }
+
+  /** UNION ALL of `nHash` bloom bit positions for a relation `src` that
+    * carries a shingle polyHash column `h` (plus `cols` passthrough) —
+    * mirrors [[graft.dedup.Dedup.bloomBitStruct]]'s affine family. */
+  private def sqlBloomBits(src: String, cols: String, nHash: Int,
+      bits: Long): String =
+    (0 until nHash).map { j =>
+      val a = graft.text.TextMath.MinHashA(j)
+      val b = graft.text.TextMath.MinHashB(j)
+      val c = if (cols.isEmpty) "" else s"$cols, "
+      s"SELECT $c(($a * h + $b) % ${graft.text.TextMath.Mod}) % $bits AS b FROM $src"
+    }.mkString("\n  UNION ALL ")
 
   /** BM25 CTE chain over `documents`, mirroring
     * [[graft.text.TextRank.bm25TopK]] expression-for-expression (ratio
@@ -2586,6 +2619,44 @@ object SparkEntry {
     "q83_bm25_topk" ->
       s"""WITH ${sqlBm25Ctes(Seq("join", "filter", "merge"))}
          |SELECT id, score FROM bm25 ORDER BY score DESC, id LIMIT 15""".stripMargin,
+
+    "q87_bloom_decontaminate" ->
+      s"""WITH train AS (SELECT doc_id AS id, text FROM documents
+         |  WHERE doc_id < 200),
+         |bench AS (
+         |  SELECT doc_id + 5000 AS id, text || ' heldout marker' AS text
+         |  FROM documents WHERE doc_id >= 50 AND doc_id < 60
+         |  UNION ALL
+         |  SELECT 9000 + i AS id,
+         |    'benchmark probe question number ' || CAST(i AS VARCHAR) AS text
+         |  FROM (SELECT unnest(range(5)) AS i)),
+         |bsh AS (SELECT unnest(${sqlShingles("string_split(text, ' ')")}) AS s
+         |  FROM bench),
+         |bh AS (SELECT s, ${sqlPolyHash("s")} AS h FROM bsh),
+         |bbits AS (${sqlBloomBits("bh", "", nHash = 3, bits = 256L * 62)}),
+         |bloom AS (SELECT b // 62 AS word_idx,
+         |  bit_or(CAST(1 AS BIGINT) << CAST(b % 62 AS INT)) AS word
+         |  FROM bbits GROUP BY 1),
+         |csh AS (SELECT id, unnest(${sqlShingles("string_split(text, ' ')")}) AS s
+         |  FROM train),
+         |ch AS (SELECT id, s, ${sqlPolyHash("s")} AS h FROM csh),
+         |cbits AS (${sqlBloomBits("ch", "id, s", nHash = 3, bits = 256L * 62)}),
+         |probe AS (SELECT id, s,
+         |  COALESCE((word & (CAST(1 AS BIGINT) << CAST(b % 62 AS INT))) =
+         |    (CAST(1 AS BIGINT) << CAST(b % 62 AS INT)), FALSE) AS hit
+         |  FROM cbits LEFT JOIN bloom ON (b // 62) = word_idx),
+         |cand AS (SELECT id, s, bool_and(hit) AS candidate
+         |  FROM probe GROUP BY 1, 2),
+         |perdoc AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |  CAST(COUNT(CASE WHEN candidate THEN 1 END) AS BIGINT) AS n_bloom_hits
+         |  FROM cand GROUP BY id
+         |  HAVING COUNT(CASE WHEN candidate THEN 1 END) > 0),
+         |tm AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS n_true_matches
+         |  FROM cand WHERE candidate AND s IN (SELECT DISTINCT s FROM bsh)
+         |  GROUP BY id)
+         |SELECT p.id, n_shingles, n_bloom_hits,
+         |  COALESCE(n_true_matches, CAST(0 AS BIGINT)) AS n_true_matches
+         |FROM perdoc p LEFT JOIN tm USING (id) ORDER BY p.id""".stripMargin,
 
     "q84_hybrid_rrf" ->
       s"""WITH ${sqlBm25Ctes(Seq("join", "filter", "merge"))},

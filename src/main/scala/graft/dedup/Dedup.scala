@@ -389,6 +389,92 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Build a Bloom filter over a held-out set's shingles, as a ≤`words`-row
+    * relation `(word_idx, word)` — `words` × 62 usable bits (the top two
+    * bits stay clear so the mask arithmetic never touches the sign bit in
+    * any engine). Bit positions come from the MinHash affine family over
+    * the shingle's polyHash, so the construction is deterministic and
+    * engine-replicable. `bit_or` is idempotent — no distinct needed
+    * before the aggregate. */
+  def bloomBuild(bench: DataFrame, textCol: String, k: Int = 3,
+      nHash: Int = 3, words: Int = 64): DataFrame = {
+    require(nHash >= 1 && nHash <= 16 && words >= 1,
+      s"bloomBuild: need 1 <= nHash <= 16 and words >= 1, got $nHash/$words")
+    bench
+      .select(explode(TextAnalysis.shingles(col(textCol), k)).as("s"))
+      .select(TextAnalysis.polyHash(col("s")).as("h"))
+      .select(explode(array((0 until nHash).map(j =>
+        bloomBitStruct(j, words)): _*)).as("bm"))
+      .groupBy(col("bm.w").as("word_idx"))
+      .agg(bit_or(col("bm.m")).as("word"))
+  }
+
+  /** (word_idx, mask) of hash function `j` for the shingle hash in
+    * column `h`. */
+  private def bloomBitStruct(j: Int, words: Int): Column = {
+    val bits = words.toLong * 62L
+    // MinHashA(j)*h < 1e9 * 1e9 — no Long overflow, same bound as MinHash
+    val b = (lit(graft.text.TextMath.MinHashA(j)) * col("h") +
+      lit(graft.text.TextMath.MinHashB(j))) % lit(graft.text.TextMath.Mod) %
+      lit(bits)
+    struct(floor(b / 62).cast("long").as("w"),
+      call_function("shiftleft", lit(1L), (b % 62).cast("int")).as("m"))
+  }
+
+  /** Bloom-filter pre-filtered decontamination — the broadcast-summary
+    * form of [[crossCorpusPairs]] for the production asymmetry: the
+    * held-out/benchmark side is TINY (thousands of documents) and the
+    * training corpus is the 100 TB side. Instead of shuffling corpus
+    * shingles into a posting-list join, the bench side is summarized
+    * once into `words`×62 bits ([[bloomBuild]]) and BROADCAST — a few
+    * hundred bytes to a few KB reaching every executor — and each corpus
+    * document tests its shingles locally: a shingle is a *candidate*
+    * when all `nHash` bit probes hit. Only candidate shingles (a
+    * false-positive-bounded superset of true overlaps) continue to the
+    * exact semi-join against the real bench shingle set; clean documents
+    * — the overwhelming majority at scale — never shuffle at all.
+    *
+    * Returns one row per corpus document that has at least one candidate
+    * shingle: (id, n_shingles, n_bloom_hits, n_true_matches). The gap
+    * `n_bloom_hits - n_true_matches` is the Bloom false-positive cost —
+    * wasted verification, never a wrong answer (the semi-join is exact).
+    * Size `words` for the bench shingle count: FP rate per probe ≈
+    * (1 - e^(-nHash·n/(62·words)))^nHash. */
+  def bloomDecontaminate(corpus: DataFrame, bench: DataFrame, textCol: String,
+      keyCol: String, k: Int = 3, nHash: Int = 3, words: Int = 64): DataFrame = {
+    val bloom = bloomBuild(bench, textCol, k, nHash, words)
+    val probeBits = corpus
+      .select(col(keyCol).as("id"),
+        explode(TextAnalysis.shingles(col(textCol), k)).as("s"))
+      .select(col("id"), col("s"), TextAnalysis.polyHash(col("s")).as("h"))
+      .select(col("id"), col("s"),
+        explode(array((0 until nHash).map(j =>
+          bloomBitStruct(j, words)): _*)).as("bm"))
+      .select(col("id"), col("s"), col("bm.w").as("w"), col("bm.m").as("m"))
+    val probed = probeBits
+      .join(broadcast(bloom), probeBits("w") === bloom("word_idx"), "left")
+      .select(col("id"), col("s"),
+        coalesce(col("word").bitwiseAND(col("m")) === col("m"),
+          lit(false)).as("hit"))
+      .groupBy(col("id"), col("s"))
+      .agg(min(col("hit")).as("candidate")) // AND over the nHash probes
+    val perDoc = probed.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        count(when(col("candidate"), 1)).as("n_bloom_hits"))
+      .filter(col("n_bloom_hits") > 0)
+    // exact verification: ONLY candidate shingles reach the semi-join
+    val benchShingles = bench
+      .select(explode(TextAnalysis.shingles(col(textCol), k)).as("s"))
+      .distinct()
+    val trueMatches = probed.filter(col("candidate"))
+      .join(benchShingles, Seq("s"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_true_matches"))
+    perDoc.join(trueMatches, Seq("id"), "left")
+      .na.fill(0L, Seq("n_true_matches"))
+      .select(col("id"), col("n_shingles"), col("n_bloom_hits"),
+        col("n_true_matches"))
+  }
+
   /** LSH-candidate generation + EXACT Jaccard verification — the dedup
     * shape that survives 100 TB end-to-end. [[jaccardPairs]] verifies
     * every pair sharing ANY shingle: on a corpus where each document has

@@ -100,6 +100,33 @@ class ScalePathSpec extends SparkTestBase {
     assert(capped.contains((1L, 2L))) // rare-shingle pair survives
   }
 
+  test("bloomDecontaminate: no false negatives, exact matches verified, bloom broadcast") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"), // true overlap
+      (2L, "totally unrelated words here apart banana"),
+      (3L, "alpha beta gamma completely different tail text")) // partial overlap
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val out = Dedup.bloomDecontaminate(corpus, bench, "text", "doc_id",
+      k = 3, nHash = 3, words = 64)
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // every true shingle overlap is reported (Bloom has NO false negatives):
+    // doc 1 shares all 4 of its 3-shingles, doc 3 shares exactly "alpha
+    // beta gamma"
+    assert(rows(1L)._2 == 4L, rows.toString)
+    assert(rows(3L)._2 == 1L, rows.toString)
+    // candidates always dominate true matches (FPs only add, never hide)
+    rows.values.foreach { case (cand, exact) => assert(cand >= exact) }
+    // doc 2, if flagged at all, is pure false positive — zero true matches
+    rows.get(2L).foreach { case (_, exact) => assert(exact == 0L) }
+    // the bloom side reaches the probe as a BROADCAST, never a shuffle of
+    // the corpus against bench postings
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.linesIterator.take(6).mkString("\n"))
+  }
+
   test("approx_count_distinct tracks exact distinct within 5% (profiling path)") {
     val toks = table("documents")
       .select(explode(graft.text.TextAnalysis.words($"text")).as("tok"))
