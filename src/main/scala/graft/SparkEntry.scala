@@ -1125,6 +1125,19 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ---- count–min sketch document-frequency profiling: the bounded-
+    //      cardinality sibling of q55 — sketch build is ONE aggregation
+    //      of ≤ depth·width rows regardless of vocabulary size; the
+    //      exact top-20's estimates are overestimates only ----
+    "q88_cms_heavy_hitters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cms = TextAnalysis.cmsShingleCounts(docs, "text", k = 3,
+        depth = 4, width = 512)
+      val top = TextAnalysis.heavyHitterShingles(docs, "text", k = 3, topN = 20)
+      TextAnalysis.cmsEstimate(cms, top, depth = 4, width = 512)
+        .orderBy(col("doc_freq").desc, col("shingle"))
+    }),
+
     // ---- BM25 lexical retrieval (ratio idf — engine-portable doubles):
     //      dl travels with the exploded rows (no corpus join-back), the
     //      explode is filtered to the query terms at the generator, and
@@ -1337,6 +1350,20 @@ object SparkEntry {
       val b = graft.text.TextMath.MinHashB(j)
       val c = if (cols.isEmpty) "" else s"$cols, "
       s"SELECT $c(($a * h + $b) % ${graft.text.TextMath.Mod}) % $bits AS b FROM $src"
+    }.mkString("\n  UNION ALL ")
+
+  /** UNION ALL of `depth` count–min counter addresses for a relation
+    * `src` carrying a shingle polyHash column `h` (plus `cols`
+    * passthrough) — mirrors [[graft.text.TextAnalysis.cmsCounterIdx]]. */
+  private def sqlCmsBits(src: String, cols: String, depth: Int,
+      width: Int): String =
+    (0 until depth).map { j =>
+      val a = graft.text.TextMath.MinHashA(j)
+      val b = graft.text.TextMath.MinHashB(j)
+      val c = if (cols.isEmpty) "" else s"$cols, "
+      s"SELECT $c$j AS row_idx, " +
+        s"(($a * h + $b) % ${graft.text.TextMath.Mod}) % $width AS counter_idx " +
+        s"FROM $src"
     }.mkString("\n  UNION ALL ")
 
   /** BM25 CTE chain over `documents`, mirroring
@@ -2619,6 +2646,24 @@ object SparkEntry {
     "q83_bm25_topk" ->
       s"""WITH ${sqlBm25Ctes(Seq("join", "filter", "merge"))}
          |SELECT id, score FROM bm25 ORDER BY score DESC, id LIMIT 15""".stripMargin,
+
+    "q88_cms_heavy_hitters" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT doc_id, unnest(${sqlShingles("w")}) AS s FROM w),
+         |top AS (SELECT s AS shingle, CAST(COUNT(*) AS BIGINT) AS doc_freq
+         |  FROM sh GROUP BY s ORDER BY doc_freq DESC, shingle LIMIT 20),
+         |hh AS (SELECT ${sqlPolyHash("s")} AS h FROM sh),
+         |cbits AS (${sqlCmsBits("hh", "", depth = 4, width = 512)}),
+         |cms AS (SELECT row_idx, counter_idx, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM cbits GROUP BY 1, 2),
+         |qt AS (SELECT shingle, doc_freq, ${sqlPolyHash("shingle")} AS h
+         |  FROM top),
+         |qbits AS (${sqlCmsBits("qt", "shingle, doc_freq", depth = 4, width = 512)})
+         |SELECT shingle, doc_freq,
+         |  MIN(COALESCE(cnt, CAST(0 AS BIGINT))) AS cms_estimate
+         |FROM qbits LEFT JOIN cms USING (row_idx, counter_idx)
+         |GROUP BY shingle, doc_freq
+         |ORDER BY doc_freq DESC, shingle""".stripMargin,
 
     "q87_bloom_decontaminate" ->
       s"""WITH train AS (SELECT doc_id AS id, text FROM documents

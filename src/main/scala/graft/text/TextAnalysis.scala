@@ -175,6 +175,59 @@ object TextAnalysis {
       .orderBy(col("doc_freq").desc, col("shingle"))
       .limit(topN)
 
+  /** Count–min sketch of shingle document frequency: `depth` hash rows ×
+    * `width` counters, built in ONE aggregation whose output cardinality
+    * is bounded by depth·width — independent of vocabulary size. This is
+    * the scale sibling of [[heavyHitterShingles]]: the exact form's
+    * shuffle carries one row per distinct shingle (fine until the
+    * vocabulary itself is shuffle-sized; a 100 TB web corpus has
+    * billions of distinct shingles), the sketch's carries at most
+    * depth·width rows per task after map-side combine, and sketches from
+    * corpus shards MERGE by cell-wise addition. Counter indexes come
+    * from the MinHash affine family over the shingle polyHash —
+    * deterministic, engine-replicable. Returns (row_idx, counter_idx,
+    * cnt); estimates are overestimates only (collisions add, never
+    * subtract), within εN with the standard (depth, width) guarantees.
+    */
+  def cmsShingleCounts(df: org.apache.spark.sql.DataFrame, textCol: String,
+      k: Int = 3, depth: Int = 4, width: Int = 512): org.apache.spark.sql.DataFrame = {
+    require(depth >= 1 && depth <= 16 && width >= 1,
+      s"cmsShingleCounts: need 1 <= depth <= 16 and width >= 1, got $depth/$width")
+    df.select(explode(shingles(col(textCol), k)).as("s"))
+      .select(polyHash(col("s")).as("h"))
+      .select(posexplode(array((0 until depth).map(j =>
+        cmsCounterIdx(j, width)): _*)))
+      .groupBy(col("pos").as("row_idx"), col("col").as("counter_idx"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Counter index of hash row `j` for the shingle polyHash column `h`. */
+  private def cmsCounterIdx(j: Int, width: Int): Column =
+    (lit(TextMath.MinHashA(j)) * col("h") + lit(TextMath.MinHashB(j))) %
+      lit(TextMath.Mod) % lit(width.toLong)
+
+  /** Point estimates from a count–min sketch for the shingles in
+    * `queries` (a frame with a string column `shingle`): the minimum
+    * over the sketch's depth rows of the addressed counters. The sketch
+    * is depth·width rows — always broadcast; query shingles never
+    * shuffle. Returns the input plus `cms_estimate`. */
+  def cmsEstimate(cms: org.apache.spark.sql.DataFrame,
+      queries: org.apache.spark.sql.DataFrame,
+      depth: Int = 4, width: Int = 512): org.apache.spark.sql.DataFrame = {
+    val exploded = queries
+      .withColumn("__h", polyHash(col("shingle")))
+      .select(col("*"), posexplode(array((0 until depth).map { j =>
+        (lit(TextMath.MinHashA(j)) * col("__h") + lit(TextMath.MinHashB(j))) %
+          lit(TextMath.Mod) % lit(width.toLong)
+      }: _*)))
+    exploded
+      .join(broadcast(cms),
+        exploded("pos") === cms("row_idx") &&
+          exploded("col") === cms("counter_idx"), "left")
+      .groupBy(queries.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
+  }
+
   /** Top-N terms per document by TF-IDF. IDF here is the RAW RATIO
     * `N / doc_freq` (no logarithm): the ranking this produces is the
     * standard one for per-document keyword extraction, and an integer

@@ -44,6 +44,37 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(one[Long](TextAnalysis.fingerprint($"text"), "acb") != got)
   }
 
+  test("count-min sketch: overestimates only, bounded cardinality, shards merge") {
+    val docs = (0 until 120).map { i =>
+      // three planted heavy shingles + per-doc noise
+      val heavy = if (i % 2 == 0) "alpha beta gamma " else "delta eps zeta "
+      (i.toLong, heavy + s"noise${i} tail${i * 7} end${i * 13}")
+    }.toDF("doc_id", "text")
+    val cms = TextAnalysis.cmsShingleCounts(docs, "text", k = 3,
+      depth = 4, width = 64).cache()
+    // cardinality bound: the sketch NEVER exceeds depth*width rows, no
+    // matter the vocabulary
+    assert(cms.count() <= 4L * 64)
+    // every estimate dominates the exact document frequency
+    val exact = docs.select(explode(TextAnalysis.shingles($"text", 3)).as("shingle"))
+      .groupBy($"shingle").agg(count(lit(1)).as("doc_freq"))
+    val est = TextAnalysis.cmsEstimate(cms, exact, depth = 4, width = 64)
+    val bad = est.filter($"cms_estimate" < $"doc_freq").count()
+    assert(bad == 0L, s"$bad shingles under-estimated — CMS must only overestimate")
+    // mergeability: shard sketches added cell-wise equal the whole-corpus
+    // sketch (the property that lets 100 TB shards sketch independently)
+    val a = TextAnalysis.cmsShingleCounts(docs.filter($"doc_id" < 60),
+      "text", k = 3, depth = 4, width = 64)
+    val b = TextAnalysis.cmsShingleCounts(docs.filter($"doc_id" >= 60),
+      "text", k = 3, depth = 4, width = 64)
+    val merged = a.unionByName(b)
+      .groupBy($"row_idx", $"counter_idx").agg(sum($"cnt").as("cnt"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = cms.collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole)
+  }
+
   test("withLangId leaves caller columns named like temps untouched") {
     val df = Seq(("the a fast text", "keepme")).toDF("text", "__langid_w")
     val out = TextAnalysis.withLangId(df, "text", "pred")
