@@ -1146,6 +1146,22 @@ object SparkEntry {
       graft.text.TextRank.bm25TopK(t(s, dir, "documents"), "text", "doc_id",
         queryTerms = Seq("join", "filter", "merge"), k = 15)),
 
+    // ---- BM25 served from the persistent lexical index (the sparse
+    //      mirror of q50/q82's IVF layout): postings partitioned by
+    //      term-hash bucket, the query prunes to its terms' buckets at
+    //      plan time, df computed from probed partitions alone. Same
+    //      oracle as q83 — the index changes WHERE the data is read,
+    //      not a single scored bit ----
+    "q89_lexical_index" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val indexDir = graft.fixtures.Fp16Corpus.workRoot +
+        s"/lexindex-${new java.io.File(dir).getName}-c${d.count()}"
+      if (!new java.io.File(s"$indexDir/postings/_SUCCESS").isFile)
+        graft.text.TextRank.buildLexicalIndex(d, "text", "doc_id", indexDir)
+      graft.text.TextRank.searchLexicalIndex(s, indexDir,
+        Seq("join", "filter", "merge"), k = 15)
+    }),
+
     // ---- hybrid search: dense cosine top-30 + BM25 top-30 fused by
     //      reciprocal rank (Cormack RRF, k=60) — no score calibration
     //      crosses the lists, only integer ranks ----
@@ -2644,6 +2660,11 @@ object SparkEntry {
          |FROM kept GROUP BY source ORDER BY source""".stripMargin,
 
     "q83_bm25_topk" ->
+      s"""WITH ${sqlBm25Ctes(Seq("join", "filter", "merge"))}
+         |SELECT id, score FROM bm25 ORDER BY score DESC, id LIMIT 15""".stripMargin,
+
+    // the index changes the read path, not the math: same oracle as q83
+    "q89_lexical_index" ->
       s"""WITH ${sqlBm25Ctes(Seq("join", "filter", "merge"))}
          |SELECT id, score FROM bm25 ORDER BY score DESC, id LIMIT 15""".stripMargin,
 

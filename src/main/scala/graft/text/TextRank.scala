@@ -75,6 +75,82 @@ object TextRank {
       .limit(k)
   }
 
+  /** Build a persistent lexical index — the sparse mirror of the IVF
+    * layout decision ([[graft.similarity.Knn.ivfBuildIndex]]): postings
+    * `(term, id, tf, dl)` are written PARTITIONED BY `term_bucket =
+    * polyHash(term) % buckets`, so a query's scan carries
+    * `term_bucket IN (…)` as a PartitionFilter and un-probed buckets are
+    * never listed, opened, or read. A term's entire posting list lives in
+    * exactly one bucket, so document frequency is computable from the
+    * probed partitions alone; corpus-level stats (N, total_dl) go to a
+    * one-row sidecar. At 100 TB the index is the corpus re-sorted once at
+    * write time; each query then touches terms/buckets of it. */
+  def buildLexicalIndex(df: DataFrame, textCol: String, keyCol: String,
+      indexDir: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"buildLexicalIndex: buckets must be >= 1")
+    val docs = df
+      .select(col(keyCol).as("id"), split(col(textCol), " ").as("w"))
+      .select(col("id"), col("w"), size(col("w")).cast("long").as("dl"))
+    docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+    docs.select(col("id"), col("dl"), explode(col("w")).as("term"))
+      .groupBy(col("id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("term_bucket",
+        pmod(TextAnalysis.polyHash(col("term")), lit(buckets.toLong)))
+      .write.partitionBy("term_bucket")
+      .mode("overwrite").parquet(s"$indexDir/postings")
+  }
+
+  /** BM25 top-k served from a [[buildLexicalIndex]] layout. The probed
+    * buckets are computed on the driver from the query terms (the same
+    * polyHash the writer used — query-plan state, like a query vector),
+    * and the postings scan prunes to them at plan time; df comes from
+    * the probed postings themselves, so no global term dictionary is
+    * read. Identical results to [[bm25TopK]] over the same corpus —
+    * same ratio idf, same fixed-order totals. */
+  def searchLexicalIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queryTerms: Seq[String], k: Int,
+      buckets: Int = 64, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+      "searchLexicalIndex: queryTerms must be non-empty and distinct")
+    import org.apache.spark.unsafe.types.UTF8String
+    val probedBuckets = queryTerms
+      .map(t => TextMath.polyHash(UTF8String.fromString(t)) % buckets)
+      .distinct
+    val postings = spark.read.parquet(s"$indexDir/postings")
+    val inList: Seq[Any] = postings.schema("term_bucket").dataType match {
+      case org.apache.spark.sql.types.IntegerType => probedBuckets.map(_.toInt)
+      case org.apache.spark.sql.types.LongType => probedBuckets
+      case _ => probedBuckets.map(_.toString)
+    }
+    val stats = spark.read.parquet(s"$indexDir/stats")
+    val tf = postings
+      .filter(col("term_bucket").isin(inList: _*))
+      .filter(col("term").isin(queryTerms.map(x => x: Any): _*))
+      .select(col("id"), col("dl"), col("term"), col("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val lenNorm = col("tf").cast("double") +
+      lit(k1) * (lit(1.0 - b) + lit(b) *
+        ((col("dl").cast("double") * col("n").cast("double")) /
+          col("total_dl").cast("double")))
+    val idf = (col("n").cast("double") - col("doc_freq").cast("double") + lit(0.5)) /
+      (col("doc_freq").cast("double") + lit(0.5))
+    val contrib = tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(stats))
+      .select(col("id"), col("term"),
+        (idf * ((col("tf").cast("double") * lit(k1 + 1.0)) / lenNorm))
+          .as("contrib"))
+    val perTerm = queryTerms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("contrib"))).as(s"s$i") }
+    contrib.groupBy(col("id"))
+      .agg(perTerm.head, perTerm.tail: _*)
+      .select(col("id"),
+        queryTerms.indices.map(i => coalesce(col(s"s$i"), lit(0.0)))
+          .reduceLeft(_ + _).as("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Reciprocal-rank fusion of two ranked lists keyed by `id` (each with
     * an integer `rank` column, 1-based): `rrf = 1/(kRrf + rank_a) +
     * 1/(kRrf + rank_b)`, absent-from-a-list contributing 0. Rank is the

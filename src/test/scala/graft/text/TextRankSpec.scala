@@ -38,6 +38,45 @@ class TextRankSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), "corpus-sized join in the BM25 plan")
   }
 
+  test("lexical index: served BM25 equals in-memory BM25; scan prunes to term buckets") {
+    val corpus = (0 until 200).map { i =>
+      val terms = Seq("join", "merge", "scan", "filter", "sort")
+        .filter(t => (i + t.length) % 3 == 0)
+      (i.toLong, (terms ++ Seq.fill(i % 7 + 1)(s"pad$i")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lexidx").toString
+    try {
+      TextRank.buildLexicalIndex(corpus, "text", "doc_id", dir, buckets = 64)
+      val terms = Seq("join", "merge")
+      val served = TextRank.searchLexicalIndex(spark, dir, terms, k = 10,
+        buckets = 64)
+      val memory = TextRank.bm25TopK(corpus, "text", "doc_id", terms, k = 10)
+      assert(served.collect().toSeq == memory.collect().toSeq)
+      // plan prunes: only the query terms' buckets are read. AQE wraps
+      // exchange-bearing plans in stages that hide scan nodes from
+      // collect(); pruning is a plan-time property, so assert with AQE
+      // off for this inspection
+      import org.apache.spark.unsafe.types.UTF8String
+      val want = terms.map(t =>
+        TextMath.polyHash(UTF8String.fromString(t)) % 64).distinct.size
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val scans =
+        try TextRank.searchLexicalIndex(spark, dir, terms, k = 10, buckets = 64)
+          .queryExecution.executedPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      val postScan = scans.find(_.metadata("Location").contains("postings")).get
+      assert(postScan.metadata("PartitionFilters").contains("term_bucket"),
+        postScan.metadata("PartitionFilters"))
+      assert(postScan.selectedPartitions.partitionCount == want,
+        s"read ${postScan.selectedPartitions.partitionCount} buckets, want $want")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("rrfFuse: both-list members outrank single-list members at equal rank") {
     val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
     val b = Seq((20L, 1), (11L, 2), (21L, 3)).toDF("id", "rank")
