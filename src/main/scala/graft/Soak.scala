@@ -100,6 +100,36 @@ object Soak {
     }
     timeIt(s"bigram_familiarity_${REP * 5}k")(
       graft.text.TextAnalysis.bigramFamiliarity(d, "text", "doc_id").count())
+    // r7 retrieval + corpus-prep families over the same 100k corpus
+    timeIt(s"bm25_topk_${REP * 5}k")(
+      graft.text.TextRank.bm25TopK(d, "text", "doc_id",
+        Seq("join", "filter", "merge"), k = 20).count())
+    val lexDir = graft.fixtures.Fp16Corpus.workRoot + s"/soak-lexindex-${REP * 5}k"
+    timeIt(s"lexical_index_build_${REP * 5}k") {
+      graft.text.TextRank.buildLexicalIndex(d, "text", "doc_id", lexDir); 1L
+    }
+    timeIt(s"lexical_index_search_${REP * 5}k")(
+      graft.text.TextRank.searchLexicalIndex(spark, lexDir,
+        Seq("join", "filter", "merge"), k = 20).count())
+    timeIt(s"pack_token_stream_${REP * 5}k")(
+      graft.text.CorpusPrep.packTokenStream(d, "text", "doc_id",
+        windowTokens = 2048, bucketWidth = 1 << 16).count())
+    // words sized for the bench (~10k distinct shingles → 8192×62 bits
+    // keeps per-shingle FP ≈ 2e-4; an undersized filter saturates and
+    // flags everything — the dial is documented on the operator)
+    timeIt(s"bloom_decontaminate_${REP * 5}k_x_100") {
+      val bench = d0.filter(col("doc_id") < 100)
+        .select(col("doc_id"), concat(col("text"), lit(" bench")).as("text"))
+      Dedup.bloomDecontaminate(d, bench, "text", "doc_id", words = 8192).count()
+    }
+    timeIt(s"cms_sketch_${REP * 5}k")(
+      graft.text.TextAnalysis.cmsShingleCounts(d, "text").count())
+    timeIt(s"temperature_mixture_${REP * 5}k") {
+      val src = d.withColumn("source",
+        concat(lit("s"), (col("doc_id") % 20).cast("string")))
+      graft.text.CorpusPrep.temperatureMixture(src, "text", "source",
+        alpha = 0.5, targetFrac = 0.5).count()
+    }
     // storage discipline: the dedup pipelines above ran full CCs; at most
     // each run's FINAL label generation may outlive it (until the driver
     // drops the reference and the ContextCleaner collects it) — measured
