@@ -1138,6 +1138,25 @@ object SparkEntry {
         .orderBy(col("doc_freq").desc, col("shingle"))
     }),
 
+    // ---- HyperLogLog distinct-shingle cardinality per source: the
+    //      CARDINALITY member of the sketch family (CMS=frequency q88,
+    //      Bloom=membership q87). Exact COUNT(DISTINCT)'s shuffle carries
+    //      every distinct shingle; the register form's carries <= 64 rows
+    //      per source per task after map-side partial MAX, and shard
+    //      registers merge by cell-wise max. Exact count rides along so
+    //      the sketch's error is an output column ----
+    "q90_hll_cardinality" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val regs = TextAnalysis.hllRegisters(docs, "text", "source", k = 3, p = 6)
+      val est = TextAnalysis.hllEstimate(regs, "source", p = 6)
+      val exact = docs
+        .select(col("source"),
+          explode(TextAnalysis.shingles(col("text"), 3)).as("s"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("s")).as("n_exact"))
+      exact.join(est, "source").orderBy(col("source"))
+    }),
+
     // ---- BM25 lexical retrieval (ratio idf — engine-portable doubles):
     //      dl travels with the exploded rows (no corpus join-back), the
     //      explode is filtered to the query terms at the generator, and
@@ -2685,6 +2704,35 @@ object SparkEntry {
          |FROM qbits LEFT JOIN cms USING (row_idx, counter_idx)
          |GROUP BY shingle, doc_freq
          |ORDER BY doc_freq DESC, shingle""".stripMargin,
+
+    // HLL: bucket = h mod 64, rho = trailing zeros of (h >> 6) plus one
+    // (capped when the suffix is zero); register sum exact in BIGINT via
+    // 2^(50-reg) terms; the single float step is one double division of
+    // the Scala-interpolated numerator.
+    "q90_hll_cardinality" ->
+      s"""WITH hdocs AS (SELECT source, string_split(text, ' ') AS w
+         |  FROM documents),
+         |hsh AS (SELECT source, unnest(${sqlShingles("w")}) AS s FROM hdocs),
+         |hh AS (SELECT source, ${sqlPolyHash("s")} AS h FROM hsh),
+         |hr AS (SELECT source, h % 64 AS bucket,
+         |  CASE WHEN h // 64 = 0 THEN ${graft.text.TextAnalysis.HllMaxRho}
+         |    ELSE CAST(bit_count(((h // 64) & (-(h // 64))) - 1) AS INT) + 1
+         |  END AS rho FROM hh),
+         |hreg AS (SELECT source, bucket, MAX(rho) AS reg
+         |  FROM hr GROUP BY 1, 2),
+         |hagg AS (SELECT source, COUNT(*) AS nb,
+         |  CAST(SUM(CAST(1 AS BIGINT) << CAST(50 - reg AS INT)) AS BIGINT)
+         |    AS sp
+         |  FROM hreg GROUP BY 1),
+         |hex AS (SELECT source, CAST(COUNT(DISTINCT s) AS BIGINT) AS n_exact
+         |  FROM hsh GROUP BY 1)
+         |SELECT e.source, e.n_exact,
+         |  CAST(64 - a.nb AS BIGINT) AS hll_zero_regs,
+         |  CAST(${graft.text.TextAnalysis.hllNumer(6)} AS DOUBLE) /
+         |    CAST(a.sp + (64 - a.nb) * (CAST(1 AS BIGINT) << 50) AS DOUBLE)
+         |    AS hll_estimate
+         |FROM hex e JOIN hagg a USING (source)
+         |ORDER BY source""".stripMargin,
 
     "q87_bloom_decontaminate" ->
       s"""WITH train AS (SELECT doc_id AS id, text FROM documents

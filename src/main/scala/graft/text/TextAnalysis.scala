@@ -228,6 +228,93 @@ object TextAnalysis {
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_estimate"))
   }
 
+  /** HyperLogLog registers for per-group distinct-shingle cardinality —
+    * the CARDINALITY member of the sketch family (count–min = frequency,
+    * Bloom = membership): `m = 2^p` registers per group, each the max of
+    * a geometric observable over the items that hash into it (Flajolet
+    * et al. 2007). This is the scale form of `COUNT(DISTINCT ...)`
+    * per group: the exact form's shuffle carries one row per distinct
+    * item per group (billions of distinct shingles in a 100 TB web
+    * corpus), the register form's carries at most `m` rows per group
+    * per task after map-side partial MAX, and registers from corpus
+    * shards MERGE by cell-wise max — the same one-aggregation shape as
+    * [[cmsShingleCounts]]. Spark's own `approx_count_distinct` is
+    * HLL++ with opaque binary registers; this one's registers are plain
+    * (group, bucket, reg) rows, engine-replicable and hash-exact under
+    * the oracle.
+    *
+    * Observable: with `h = polyHash(shingle)`, bucket = `h mod m` and
+    * rho = (trailing zeros of `h >> p`) + 1, capped at [[HllMaxRho]]
+    * when the suffix is 0 — trailing zeros of a uniform integer are
+    * geometric(1/2) exactly like the leading-zero form, and
+    * `bit_count((w & -w) - 1)` computes them portably in both engines.
+    * Returns (groupCol, bucket, reg); absent buckets are empty registers
+    * (reg = 0), handled by [[hllEstimate]]. */
+  def hllRegisters(df: org.apache.spark.sql.DataFrame, textCol: String,
+      groupCol: String, k: Int = 3, p: Int = 6): org.apache.spark.sql.DataFrame = {
+    require(p >= 4 && p <= 12, s"hllRegisters: need 4 <= p <= 12, got $p")
+    val m = 1L << p
+    val w = shiftright(col("h"), p)
+    val rho = when(w === 0L, lit(HllMaxRho))
+      .otherwise(bit_count(w.bitwiseAND(lit(0L) - w) - lit(1L)) + lit(1))
+    df.select(col(groupCol), explode(shingles(col(textCol), k)).as("s"))
+      .select(col(groupCol), polyHash(col("s")).as("h"))
+      .select(col(groupCol), (col("h") % lit(m)).as("bucket"),
+        rho.cast("int").as("rho"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("rho")).as("reg"))
+  }
+
+  /** Max observable rank: polyHash < 2^30, so after dropping p <= 12
+    * bucket bits the suffix has < 30 set-able bits — 25 caps the
+    * suffix-is-zero case above any reachable trailing-zero count
+    * (and keeps every register shift below 2^50). */
+  val HllMaxRho = 25
+
+  /** Bias-correction constant alpha_m (Flajolet et al. 2007, table-exact
+    * for the small register counts, asymptotic formula above). */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** Raw HLL estimate from [[hllRegisters]] output: `alpha_m * m^2 /
+    * sum_j 2^(-reg_j)`. The register sum is computed EXACTLY as the
+    * integer `sum_j 2^(50 - reg_j)` (every term a power of two <= 2^50,
+    * group total < m * 2^50 < 2^63 — order-independent under any
+    * partitioning), so the only floating-point step is one final double
+    * division of engine-identical operands. Absent rows are empty
+    * registers: they contribute `2^50` each via the zero-register count
+    * rather than a generated row. The standard small/large-range
+    * corrections need `ln`, which is not correctly-rounded across
+    * engines — instead of silently folding a non-portable correction in,
+    * the zero-register count (linear counting's input) is emitted as a
+    * column so callers can correct driver-side. Returns (groupCol,
+    * hll_zero_regs, hll_estimate). */
+  /** The estimate's numerator `alpha_m * m^2 * 2^50` as ONE Scala double
+    * — public so the oracle SQL interpolates the bit-identical value. */
+  def hllNumer(p: Int): Double = {
+    val m = 1L << p
+    hllAlpha(m.toInt) * m * m * math.pow(2.0, 50)
+  }
+
+  def hllEstimate(registers: org.apache.spark.sql.DataFrame,
+      groupCol: String, p: Int = 6): org.apache.spark.sql.DataFrame = {
+    val m = 1L << p
+    val numer = hllNumer(p)
+    registers.groupBy(col(groupCol))
+      .agg(
+        sum(expr("shiftleft(1L, cast(50 - reg as int))")).as("sp"),
+        count(lit(1)).as("nb"))
+      .select(col(groupCol),
+        (lit(m) - col("nb")).as("hll_zero_regs"),
+        (lit(numer) / (col("sp") +
+          (lit(m) - col("nb")) * lit(1L << 50)).cast("double"))
+          .as("hll_estimate"))
+  }
+
   /** Top-N terms per document by TF-IDF. IDF here is the RAW RATIO
     * `N / doc_freq` (no logarithm): the ranking this produces is the
     * standard one for per-document keyword extraction, and an integer

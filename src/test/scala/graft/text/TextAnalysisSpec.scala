@@ -75,6 +75,43 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(merged == whole)
   }
 
+  test("hyperloglog: bounded registers, dup-insensitive, shards max-merge, sane estimate") {
+    val docs = (0 until 400).map { i =>
+      // broad text variation (radix-31 polyHash clusters on shared prefixes)
+      val src = if (i % 2 == 0) "a" else "b"
+      (i.toLong, src, s"body ${(i * 2654435761L) % 999983} mid ${i * 37} tail $i")
+    }.toDF("doc_id", "source", "text")
+    val regs = TextAnalysis.hllRegisters(docs, "text", "source", k = 3, p = 6)
+      .cache()
+    // cardinality bound: at most m rows per group, whatever the vocabulary
+    assert(regs.count() <= 2L * 64)
+    // distinct-count semantics: repeating the corpus changes nothing
+    val doubled = TextAnalysis.hllRegisters(docs.unionByName(docs),
+      "text", "source", k = 3, p = 6)
+    assert(doubled.exceptAll(regs).isEmpty && regs.exceptAll(doubled).isEmpty)
+    // mergeability: shard registers merged by cell-wise MAX equal the
+    // whole-corpus registers (shards sketch independently at 100 TB)
+    val a = TextAnalysis.hllRegisters(docs.filter($"doc_id" < 200),
+      "text", "source", k = 3, p = 6)
+    val b = TextAnalysis.hllRegisters(docs.filter($"doc_id" >= 200),
+      "text", "source", k = 3, p = 6)
+    val merged = a.unionByName(b)
+      .groupBy($"source", $"bucket").agg(max($"reg").as("reg"))
+    assert(merged.exceptAll(regs).isEmpty && regs.exceptAll(merged).isEmpty)
+    // estimate lands within the expected error band (sigma ~ 1.04/sqrt(64)
+    // ~ 13% relative; 3-sigma margin keeps the test deterministic-robust)
+    val est = TextAnalysis.hllEstimate(regs, "source", p = 6)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val exact = docs
+      .select($"source", explode(TextAnalysis.shingles($"text", 3)).as("s"))
+      .groupBy($"source").agg(countDistinct($"s").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (src, n) =>
+      val rel = math.abs(est(src) - n) / n
+      assert(rel < 0.4, s"$src: exact $n, hll ${est(src)} — rel err $rel")
+    }
+  }
+
   test("withLangId leaves caller columns named like temps untouched") {
     val df = Seq(("the a fast text", "keepme")).toDF("text", "__langid_w")
     val out = TextAnalysis.withLangId(df, "text", "pred")
