@@ -1157,6 +1157,18 @@ object SparkEntry {
       exact.join(est, "source").orderBy(col("source"))
     }),
 
+    // ---- SemDeDup: k-means cells (deterministic Lloyd, the q46 trainer)
+    //      + within-cell cosine near-dup + CC survivor tail — the
+    //      embedding-space dedup for paraphrase/re-render duplicates.
+    //      Pair search is an EQUI-join on centroid_id: O(n²) distances
+    //      become ~n²/k, data-adaptive where hyperplane LSH is fixed ----
+    "q91_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Dedup.semDeDup(e, "embedding", "vec_id",
+          maxDistance = 0.6, k = 8, iters = 2)
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- BM25 lexical retrieval (ratio idf — engine-portable doubles):
     //      dl travels with the exploded rows (no corpus join-back), the
     //      explode is filtered to the query terms at the generator, and
@@ -2733,6 +2745,54 @@ object SparkEntry {
          |    AS hll_estimate
          |FROM hex e JOIN hagg a USING (source)
          |ORDER BY source""".stripMargin,
+
+    // SemDeDup: the q46 Lloyd-training chain (k=8, 2 iterations) feeds a
+    // final assignment; pairs verify within cells only; the q71
+    // recursive-CTE CC + survivor tail closes groups.
+    "q91_semdedup" ->
+      s"""WITH RECURSIVE corpus AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |seed AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT)
+         |      AS centroid_id,
+         |    v AS cvec
+         |  FROM corpus QUALIFY row_number() OVER (ORDER BY id) <= 8),
+         |a1 AS (${sqlIvfAssign("corpus", "seed")}),
+         |x1 AS (SELECT centroid_id, unnest(range(len(v))) AS pos,
+         |  unnest(v) AS x FROM a1),
+         |m1 AS (${sqlIvfMean("x1")}),
+         |cent1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec
+         |  FROM m1 GROUP BY 1),
+         |a2 AS (${sqlIvfAssign("corpus", "cent1")}),
+         |x2 AS (SELECT centroid_id, unnest(range(len(v))) AS pos,
+         |  unnest(v) AS x FROM a2),
+         |m2 AS (${sqlIvfMean("x2")}),
+         |cent2 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec
+         |  FROM m2 GROUP BY 1),
+         |a3 AS (${sqlIvfAssign("corpus", "cent2")}),
+         |pairs AS (
+         |  SELECT a.id AS id_a, b2.id AS id_b
+         |  FROM a3 a JOIN a3 b2
+         |    ON a.centroid_id = b2.centroid_id AND a.id < b2.id
+         |  WHERE ${sqlCosine("a.v", "b2.v")} < 0.6),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, x) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT r.id, e.dst FROM reach r JOIN edges e ON e.src = r.x),
+         |comp AS (SELECT id, min(x) AS comp FROM reach GROUP BY id),
+         |labeled AS (
+         |  SELECT e.vec_id, COALESCE(c.comp, e.vec_id) AS comp
+         |  FROM (SELECT vec_id FROM embeddings) e
+         |  LEFT JOIN comp c ON e.vec_id = c.id),
+         |grp AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS group_size
+         |  FROM labeled GROUP BY comp)
+         |SELECT l.vec_id, a3.centroid_id, g.group_size
+         |FROM labeled l JOIN grp g USING (comp)
+         |LEFT JOIN a3 ON a3.id = l.vec_id
+         |WHERE l.vec_id = l.comp ORDER BY l.vec_id""".stripMargin,
 
     "q87_bloom_decontaminate" ->
       s"""WITH train AS (SELECT doc_id AS id, text FROM documents

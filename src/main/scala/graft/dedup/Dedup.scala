@@ -718,6 +718,58 @@ object Dedup {
       .filter(col("distance") < maxDistance)
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by k-means clustering + within-cluster cosine
+    * near-dup pruning — the embedding-space dedup that production
+    * training pipelines run where hash families can't reach (paraphrases,
+    * re-renders, translations of the same content). Clusters are trained
+    * with the deterministic Lloyd iteration of
+    * [[graft.similarity.Knn.trainCentroids]] (oracle-replicated), every
+    * vector is assigned to its nearest centroid, near-dup pairs are
+    * verified ONLY within a cell, and the standard pairs → connected
+    * components → one-survivor-per-group tail ([[deduplicate]]) keeps
+    * the minimum id of each semantic group.
+    *
+    * Scale shape: the brute-force O(n²) distance work
+    * ([[embeddingNearDupPairs]]) becomes Σ_c n_c² ≈ n²/k for balanced
+    * cells — with k grown proportionally to the corpus (the paper runs
+    * ~50k clusters on LAION-scale data) per-cell work is bounded and
+    * embarrassingly parallel. The pair search is an EQUI-join on
+    * `centroid_id` (one hash exchange per side, AQE splits skewed
+    * cells); centroids broadcast to both assignment and training;
+    * cross-cell near-dups are the accepted recall loss of the method
+    * (mitigated in production by nprobe-style multi-assignment, not
+    * replicated here). Unlike the LSH families the cells are
+    * DATA-ADAPTIVE: dense regions get finer partitions than any fixed
+    * hyperplane scheme gives.
+    *
+    * Rows with a null vector survive as singletons with a null
+    * `centroid_id`. Returns (keyCol, centroid_id, group_size), one row
+    * per surviving document. */
+  def semDeDup(df: DataFrame, vecCol: String, keyCol: String,
+      maxDistance: Double, k: Int, iters: Int = 2): DataFrame = {
+    val cents = graft.similarity.Knn.trainCentroids(df, vecCol, keyCol, k, iters)
+    val assigned = graft.similarity.Knn.ivfAssign(df, vecCol, keyCol,
+      cents, "cvec", "centroid_id")
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine_distance(col("a.v"), col("b.v")).as("distance"))
+      .filter(col("distance") < maxDistance)
+    val comp = connectedComponents(pairs, "id_a", "id_b")
+    val labeled = df.select(col(keyCol))
+      .join(comp.withColumnRenamed("id", keyCol), Seq(keyCol), "left")
+      .select(col(keyCol), coalesce(col("comp"), col(keyCol)).as("comp"))
+    val sizes = labeled.groupBy(col("comp"))
+      .agg(count(lit(1)).as("group_size"))
+    labeled.filter(col(keyCol) === col("comp"))
+      .join(sizes, Seq("comp"))
+      .join(assigned.select(col("id").as(keyCol), col("centroid_id")),
+        Seq(keyCol), "left")
+      .select(col(keyCol), col("centroid_id"), col("group_size"))
+  }
+
   /** LSH-bucketed embedding near-dup — single-band form: hyperplane LSH
     * with axis-aligned planes (the sign bit of the first `nBits`
     * dimensions) folds each vector into a bucket id; candidate pairs are
