@@ -1169,6 +1169,23 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- skew-salted join: events' 150-user key space is the
+    //      low-cardinality/hot-key join shape — unsalted, one partition
+    //      absorbs a hot user's whole row population; salted, the join
+    //      key becomes (user_id, salt) and every key spreads 8 ways.
+    //      Same result set as the plain join (the oracle IS the plain
+    //      join); SkewJoinSpec pins the plan + spread ----
+    "q92_salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      val dim = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("user_events"))
+      graft.operators.SkewJoin.saltedJoin(ev, dim, Seq("user_id"), nSalts = 8)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("user_events"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- BM25 lexical retrieval (ratio idf — engine-portable doubles):
     //      dl travels with the exploded rows (no corpus join-back), the
     //      explode is filtered to the query terms at the generator, and
@@ -2745,6 +2762,15 @@ object SparkEntry {
          |    AS hll_estimate
          |FROM hex e JOIN hagg a USING (source)
          |ORDER BY source""".stripMargin,
+
+    // salting never changes the result set — the oracle is the PLAIN join
+    "q92_salted_join" ->
+      s"""WITH ev AS ($sqlEvents),
+         |dim AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS user_events
+         |  FROM ev GROUP BY 1)
+         |SELECT e.event_id, e.user_id, e.event_type, d.user_events
+         |FROM ev e JOIN dim d USING (user_id)
+         |ORDER BY e.event_id""".stripMargin,
 
     // SemDeDup: the q46 Lloyd-training chain (k=8, 2 iterations) feeds a
     // final assignment; pairs verify within cells only; the q71
