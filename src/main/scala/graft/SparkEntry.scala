@@ -9,7 +9,7 @@ import graft.dedup.Dedup
 import graft.ingest.Ingest
 import graft.similarity.Knn
 import graft.streaming.Events
-import graft.text.TextAnalysis
+import graft.text.{CorpusPrep, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1184,6 +1184,55 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("event_type"),
           col("user_events"))
         .orderBy(col("event_id"))
+    }),
+
+    // ---- snapshot diff (the CDC primitive for re-ingests): old vs new
+    //      corpus snapshot → added/removed/changed delta. Each side
+    //      reduces to (key, md5) narrow; the full-outer join never
+    //      carries document bodies; "unchanged" (the 100 TB bulk) is
+    //      filtered before anything materializes ----
+    "q93_snapshot_diff" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val newSnap = d.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionByName(d.filter(col("doc_id") < 25)
+          .select((col("doc_id") + 10000).as("doc_id"),
+            concat(lit("new doc "), col("doc_id").cast("string")).as("text")))
+      CorpusPrep.snapshotDiff(d, newSnap, "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- exactly-n-per-stratum deterministic sample (eval-set quota
+    //      construction): content-hash rank within stratum, first 5 kept.
+    //      One exchange on the stratum; content-keyed so re-ingest with
+    //      new surrogate keys selects the same documents ----
+    "q94_stratified_take" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      CorpusPrep.takeNPerStratum(d, "text", "source", "doc_id", n = 5)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- PageRank over a deterministic content-derived link graph
+    //      (3 out-edges/doc via the MinHash affine family on the text
+    //      hash): per iteration one edge⋈rank equi-join + one partial-agg
+    //      sum; contributions quantize to DECIMAL(25,6) pre-sum so the
+    //      aggregation is exact integer math under any partitioning ----
+    "q95_pagerank" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val n = d.count()
+      val h = TextAnalysis.polyHash(col("text"))
+      val dsts = (0 until 3).map { j =>
+        (lit(graft.text.TextMath.MinHashA(j)) * h +
+          lit(graft.text.TextMath.MinHashB(j))) %
+          lit(graft.text.TextMath.Mod) % lit(n)
+      }
+      val edges = d.select(col("doc_id").as("src"),
+        explode(array(dsts: _*)).as("dst"))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy(col("id"))
     }),
 
     // ---- BM25 lexical retrieval (ratio idf — engine-portable doubles):
@@ -2771,6 +2820,77 @@ object SparkEntry {
          |SELECT e.event_id, e.user_id, e.event_type, d.user_events
          |FROM ev e JOIN dim d USING (user_id)
          |ORDER BY e.event_id""".stripMargin,
+
+    "q93_snapshot_diff" ->
+      """WITH newsnap AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN text || ' v2'
+        |    ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id,
+        |    'new doc ' || CAST(doc_id AS VARCHAR) AS text
+        |  FROM documents WHERE doc_id < 25),
+        |o AS (SELECT doc_id AS id, md5(text) AS odig FROM documents),
+        |nw AS (SELECT doc_id AS id, md5(text) AS ndig FROM newsnap),
+        |j AS (SELECT COALESCE(o.id, nw.id) AS doc_id, odig, ndig
+        |  FROM o FULL OUTER JOIN nw ON o.id = nw.id),
+        |st AS (SELECT doc_id,
+        |  CASE WHEN odig IS NULL THEN 'added'
+        |       WHEN ndig IS NULL THEN 'removed'
+        |       WHEN odig <> ndig THEN 'changed'
+        |       ELSE 'unchanged' END AS status FROM j)
+        |SELECT doc_id, status FROM st WHERE status <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin,
+
+    "q94_stratified_take" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |  row_number() OVER (PARTITION BY source
+         |    ORDER BY ${sqlPolyHash("text")}, doc_id) AS rk
+         |  FROM documents)
+         |SELECT doc_id, source FROM r WHERE rk <= 5
+         |ORDER BY doc_id""".stripMargin,
+
+    // PageRank unrolled 3 iterations: per-edge contributions quantize to
+    // DECIMAL(25,6) pre-sum (exact, order-free); the affine update keeps
+    // Spark's expression tree — base + (damping * sum), every constant
+    // Scala-interpolated or cast to DOUBLE explicitly (bare 0.85 parses
+    // as DECIMAL in DuckDB).
+    "q95_pagerank" -> {
+      val P2 = graft.text.TextMath.Mod
+      def edge(j: Int): String = {
+        val a = graft.text.TextMath.MinHashA(j)
+        val b = graft.text.TextMath.MinHashB(j)
+        s"SELECT doc_id AS src, ($a * h + $b) % $P2 % (SELECT n FROM nn) AS dst FROM docs"
+      }
+      def contribThenRank(i: Int): String =
+        s"""c$i AS (SELECT e.dst,
+           |  CAST(SUM(CAST(p.pr / p.deg AS DECIMAL(25,6))) AS DOUBLE) AS s
+           |  FROM edges e JOIN pr${i - 1} p ON e.src = p.id GROUP BY e.dst),
+           |pr$i AS (SELECT nd.id, nd.deg,
+           |  CAST(${1.0 - 0.85} AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE)
+           |    + CAST(0.85 AS DOUBLE) * COALESCE(c$i.s, CAST(0.0 AS DOUBLE)) AS pr
+           |  FROM nd LEFT JOIN c$i ON nd.id = c$i.dst)""".stripMargin
+      s"""WITH docs AS (SELECT doc_id, ${sqlPolyHash("text")} AS h FROM documents),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |edges AS (
+         |  ${edge(0)}
+         |  UNION ALL
+         |  ${edge(1)}
+         |  UNION ALL
+         |  ${edge(2)}),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM edges GROUP BY 1),
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |nd AS (SELECT id, COALESCE(deg, CAST(0 AS BIGINT)) AS deg
+         |  FROM nodes LEFT JOIN deg ON id = src),
+         |pr0 AS (SELECT id, deg,
+         |  CAST(1.0 AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE) AS pr
+         |  FROM nd),
+         |${contribThenRank(1)},
+         |${contribThenRank(2)},
+         |${contribThenRank(3)}
+         |SELECT id, pr FROM pr3 ORDER BY id""".stripMargin
+    },
 
     // SemDeDup: the q46 Lloyd-training chain (k=8, 2 iterations) feeds a
     // final assignment; pairs verify within cells only; the q71

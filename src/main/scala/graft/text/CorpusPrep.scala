@@ -26,6 +26,59 @@ object CorpusPrep {
       < keep.toLong)
   }
 
+  /** Snapshot diff — the CDC primitive for corpus re-ingests: given an
+    * old and a new snapshot of the same keyed corpus, emit one row per
+    * key whose content changed, appeared, or disappeared. Training
+    * pipelines re-crawl and re-ingest continuously; downstream stages
+    * (re-embedding, re-dedup, index refresh) want the DELTA, never the
+    * 100 TB "unchanged" set — so unchanged keys are filtered out before
+    * anything materializes.
+    *
+    * Scale shape: each side reduces to (key, md5(text)) in a narrow
+    * projection — the full-outer join carries 16-byte digests, never
+    * document bodies — and the status derivation is a codegen'd CASE
+    * over digest nullness/equality. One shuffle per side on the key.
+    * Returns (keyCol, status) with status in added | removed | changed,
+    * ordered by nothing (callers sort). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, textCol: String,
+      keyCol: String): DataFrame = {
+    val o = oldDf.select(col(keyCol).as("id"), md5(col(textCol)).as("odig"))
+    val n = newDf.select(col(keyCol).as("id"), md5(col(textCol)).as("ndig"))
+    o.join(n, Seq("id"), "full_outer")
+      .select(col("id").as(keyCol),
+        when(col("odig").isNull, lit("added"))
+          .when(col("ndig").isNull, lit("removed"))
+          .when(col("odig") =!= col("ndig"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .filter(col("status") =!= "unchanged")
+  }
+
+  /** Exactly-n-per-stratum deterministic sample — eval-set and
+    * human-review quota construction: rank every document inside its
+    * stratum by (content hash, key) and keep the first `n`. Content-
+    * keyed like [[sampleByContentHash]], so re-ingesting with different
+    * surrogate keys selects the same documents; the key only breaks
+    * exact-duplicate-text ties deterministically. Strata smaller than
+    * `n` keep everything.
+    *
+    * Scale shape: one hash exchange on the stratum + a per-stratum sort
+    * rank. The window truncates at `n`, but the SORT under it is over
+    * each full stratum — for strata that are themselves shuffle-sized,
+    * pre-filter with [[sampleByContentHash]] at a keep-rate a few ×
+    * n/|stratum| first (content-keyed, so the pre-filter commutes with
+    * the ranking), then rank the survivors. Returns the input rows that
+    * made their stratum's quota. */
+  def takeNPerStratum(df: DataFrame, textCol: String, strataCol: String,
+      keyCol: String, n: Int): DataFrame = {
+    require(n >= 0, s"takeNPerStratum: need n >= 0, got $n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(TextAnalysis.polyHash(col(textCol)).asc, col(keyCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= n)
+      .drop("__rk")
+  }
+
   /** Scrub patterns. Kept RE2-compatible (no backtracking constructs) so
     * the same pattern text runs identically under Java regex (Spark) and
     * RE2 (DuckDB oracle) — and would under any RE2-based scan pushdown.

@@ -239,4 +239,34 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(got == Set((1L, 100L), (2L, 100L)),
       s"expected exactly the cross-side matches, got $got")
   }
+
+  test("snapshotDiff: added/removed/changed only — unchanged bulk never surfaces") {
+    val old = Seq(
+      (1L, "kept as is"), (2L, "will change"), (3L, "will be removed"))
+      .toDF("doc_id", "text")
+    val neu = Seq(
+      (1L, "kept as is"), (2L, "has changed"), (4L, "brand new"))
+      .toDF("doc_id", "text")
+    val got = CorpusPrep.snapshotDiff(old, neu, "text", "doc_id")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((2L, "changed"), (3L, "removed"), (4L, "added")))
+  }
+
+  test("takeNPerStratum: quota honored, small strata keep all, content-keyed") {
+    val docs = (0 until 90).map { i =>
+      val s = s"s${i % 3}"
+      (i.toLong, s, s"body ${(i * 2654435761L) % 999983} tail $i")
+    } :+ ((90L, "tiny", "lone doc"))
+    val df = docs.toDF("doc_id", "source", "text")
+    val out = CorpusPrep.takeNPerStratum(df, "text", "source", "doc_id", n = 10)
+    val bySrc = out.groupBy($"source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc == Map("s0" -> 10L, "s1" -> 10L, "s2" -> 10L, "tiny" -> 1L))
+    // content-keyed: reassigning surrogate keys selects the same TEXTS
+    val rekeyed = df.withColumn("doc_id", col("doc_id") + 1000)
+    val a = out.select($"text").as[String].collect().toSet
+    val b = CorpusPrep.takeNPerStratum(rekeyed, "text", "source", "doc_id", 10)
+      .select($"text").as[String].collect().toSet
+    assert(a == b)
+  }
 }
