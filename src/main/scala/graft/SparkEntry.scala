@@ -1235,6 +1235,23 @@ object SparkEntry {
         .orderBy(col("id"))
     }),
 
+    // ---- bloom semi-join reduction (runtime-filter shape): a 2%-price
+    //      predicate makes orders selective; a KB Bloom of surviving
+    //      orderkeys inlines as a literal codegen'd filter on lineitem —
+    //      fact rows drop in the scan stage, BEFORE the join shuffle.
+    //      No false negatives, so the oracle is the PLAIN join ----
+    "q96_bloom_join" -> ((s, dir) => {
+      val hot = t(s, dir, "orders").filter(col("o_totalprice") > 489000.0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.operators.SemiReduce.reducedJoin(
+          t(s, dir, "lineitem"), hot, "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(25,6)")).cast("double")
+            .as("total_qty"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---- BM25 lexical retrieval (ratio idf — engine-portable doubles):
     //      dl travels with the exploded rows (no corpus join-back), the
     //      explode is filtered to the query terms at the generator, and
@@ -2820,6 +2837,16 @@ object SparkEntry {
          |SELECT e.event_id, e.user_id, e.event_type, d.user_events
          |FROM ev e JOIN dim d USING (user_id)
          |ORDER BY e.event_id""".stripMargin,
+
+    // the bloom is pure reduction — no false negatives — so the oracle
+    // is the plain selective join
+    "q96_bloom_join" ->
+      """WITH hot AS (SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_totalprice > 489000.0)
+        |SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS total_qty
+        |FROM lineitem JOIN hot ON l_orderkey = o_orderkey
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin,
 
     "q93_snapshot_diff" ->
       """WITH newsnap AS (
