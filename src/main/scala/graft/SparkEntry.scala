@@ -1252,6 +1252,27 @@ object SparkEntry {
         .orderBy(col("o_orderkey"))
     }),
 
+    // ---- edit-distance fuzzy self-join (entity resolution): 24-char
+    //      name prefixes + planted char-deletion (%7) and substitution
+    //      (%11) variants; PassJoin segment-pigeonhole blocking → one
+    //      equi-join on (length, slot, segment) → Levenshtein verify.
+    //      Blocking is COMPLETE, so the oracle is the brute-force scan ----
+    "q97_fuzzy_join" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("t"))
+      val dirty = d
+        .unionByName(d.filter(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 5000).as("doc_id"),
+            expr("substring(t, 2)").as("t")))
+        .unionByName(d.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 6000).as("doc_id"),
+            concat(substring(col("t"), 1, 2), lit("#"),
+              expr("substring(t, 4)")).as("t")))
+      graft.operators.FuzzyJoin.editDistancePairs(dirty, "t", "doc_id",
+          maxEdits = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- BM25 lexical retrieval (ratio idf — engine-portable doubles):
     //      dl travels with the exploded rows (no corpus join-back), the
     //      explode is filtered to the query terms at the generator, and
@@ -2837,6 +2858,24 @@ object SparkEntry {
          |SELECT e.event_id, e.user_id, e.event_type, d.user_events
          |FROM ev e JOIN dim d USING (user_id)
          |ORDER BY e.event_id""".stripMargin,
+
+    // segment blocking is complete for ed <= k, so the oracle is the
+    // brute-force quadratic scan
+    "q97_fuzzy_join" ->
+      """WITH base AS (SELECT doc_id, substr(text, 1, 24) AS t
+        |  FROM documents WHERE doc_id < 300),
+        |dirty AS (SELECT doc_id, t FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 5000, substr(t, 2) FROM base WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 6000, substr(t, 1, 2) || '#' || substr(t, 4)
+        |  FROM base WHERE doc_id % 11 = 0),
+        |s AS (SELECT doc_id AS id, t FROM dirty WHERE length(t) >= 3),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.t, b.t) AS INT) AS dist
+        |  FROM s a JOIN s b ON a.id < b.id)
+        |SELECT id_a, id_b, dist FROM p WHERE dist <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // the bloom is pure reduction — no false negatives — so the oracle
     // is the plain selective join
