@@ -130,6 +130,60 @@ object Soak {
       graft.text.CorpusPrep.temperatureMixture(src, "text", "source",
         alpha = 0.5, targetFrac = 0.5).count()
     }
+    // r7 second-wave families over the soaked frames
+    timeIt(s"hll_registers_${REP * 5}k") {
+      val src = d.withColumn("source",
+        concat(lit("s"), (col("doc_id") % 20).cast("string")))
+      graft.text.TextAnalysis.hllRegisters(src, "text", "source").count()
+    }
+    // SemDeDup over 100k vectors (50-copy cliques): k grown with the
+    // corpus (256 cells) so per-cell pair work stays ~ (n/k)^2 * k
+    timeIt(s"semdedup_${VREP * 2}k_k256")(
+      Dedup.semDeDup(v, "embedding", "vec_id",
+        maxDistance = 0.1, k = 256, iters = 1).count())
+    // salted join: planted 30%-hot key over the 2M-event fact side
+    timeIt(s"salted_join_${REP * 100}k") {
+      val skewed = e.withColumn("user_id",
+        when(col("event_id") % 10 < 3, lit(7L)).otherwise(col("user_id")))
+      val dim = skewed.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      graft.operators.SkewJoin.saltedJoin(skewed, dim,
+        Seq("user_id"), nSalts = 32).count()
+    }
+    // bloom semi-join reduction over the soaked 12M-row lineitem
+    timeIt(s"bloom_reduced_join_${REP * 600}k") {
+      val hot = o.filter(col("o_totalprice") > 489000.0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      graft.operators.SemiReduce.reducedJoin(l, hot,
+        "l_orderkey", "o_orderkey", words = 4096).count()
+    }
+    // fuzzy join over 100k 24-char name prefixes (20-copy identical
+    // cliques from the rep mutation — candidates are output-sensitive)
+    timeIt(s"fuzzy_join_${REP * 5}k") {
+      val names = d.select(col("doc_id"), substring(col("text"), 1, 24).as("t"))
+      graft.operators.FuzzyJoin.editDistancePairs(names, "t", "doc_id",
+        maxEdits = 1).count()
+    }
+    // PageRank over a 300k-edge content-derived graph, 3 iterations
+    timeIt(s"pagerank_${REP * 5}k_docs_3x") {
+      val n = REP * 5000L
+      val h = graft.text.TextAnalysis.polyHash(col("text"))
+      val dsts = (0 until 3).map { j =>
+        (lit(graft.text.TextMath.MinHashA(j)) * h +
+          lit(graft.text.TextMath.MinHashB(j))) %
+          lit(graft.text.TextMath.Mod) % lit(n)
+      }
+      val edges = d.select(pmod(col("doc_id"), lit(n)).as("src"),
+        explode(array(dsts: _*)).as("dst"))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3).count()
+    }
+    // snapshot diff: 100k-doc re-ingest with 1/17 removals, 1/13 edits
+    timeIt(s"snapshot_diff_${REP * 5}k") {
+      val newSnap = d.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      graft.text.CorpusPrep.snapshotDiff(d, newSnap, "text", "doc_id").count()
+    }
     // storage discipline: the dedup pipelines above ran full CCs; at most
     // each run's FINAL label generation may outlive it (until the driver
     // drops the reference and the ContextCleaner collects it) — measured
