@@ -241,7 +241,11 @@ object TextAnalysis {
     * [[cmsShingleCounts]]. Spark's own `approx_count_distinct` is
     * HLL++ with opaque binary registers; this one's registers are plain
     * (group, bucket, reg) rows, engine-replicable and hash-exact under
-    * the oracle.
+    * the oracle. Because the aggregation is a monotone MAX it also runs
+    * UNCHANGED on a stream — complete-mode state is bounded at
+    * groups × m rows with no watermark, and the streamed registers equal
+    * the batch sketch of the union (StreamingSpec) — live distinct-user/
+    * distinct-vocabulary monitoring over the ingest stream for free.
     *
     * Observable: with `h = polyHash(shingle)`, bucket = `h mod m` and
     * rho = (trailing zeros of `h >> p`) + 1, capped at [[HllMaxRho]]

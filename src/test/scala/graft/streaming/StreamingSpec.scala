@@ -214,4 +214,35 @@ class StreamingSpec extends SparkTestBase {
       assert(store.filter($"id" === "h1").head().getAs[String]("text") == "one-v2")
     } finally q.stop()
   }
+
+  test("hllRegisters over a stream: complete-mode registers equal the batch sketch") {
+    // the HLL register aggregation is a monotone MAX — it runs unchanged
+    // on a stream with state bounded at groups × m rows, no watermark,
+    // and the streamed result must equal the batch sketch of the union
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val q = graft.text.TextAnalysis
+      .hllRegisters(input.toDF().toDF("source", "text"), "text", "source",
+        k = 3, p = 6)
+      .writeStream.format("memory").queryName("hllregs")
+      .outputMode("complete").start()
+    val rows = (0 until 300).map { i =>
+      (s"s${i % 2}", s"body ${(i * 2654435761L) % 999983} mid ${i * 37} tail $i")
+    }
+    try {
+      input.addData(rows.take(100): _*)
+      q.processAllAvailable()
+      input.addData(rows.slice(100, 200): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(200): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hllregs")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      val batch = graft.text.TextAnalysis
+        .hllRegisters(rows.toDF("source", "text"), "text", "source", 3, 6)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.size <= 2 * 64)
+    } finally q.stop()
+  }
 }
