@@ -1273,6 +1273,20 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- z-order (Morton) key math over events: user × hour
+    //      interleave — the layout key behind writeZOrdered/readZRect's
+    //      plan-time cell pruning (LayoutSpec gates the pruning; this
+    //      gates the bit math the layout stands on) ----
+    "q98_zorder_key" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("u", unix_timestamp(col("ts")))
+      val x = pmod(col("user_id"), lit(64L))
+      val y = pmod(expr("u div 3600"), lit(64L))
+      ev.select(col("event_id"), x.as("zx"), y.as("zy"),
+          graft.operators.Layout.zValue(x, y, bits = 6).as("zval"))
+        .orderBy(col("event_id"))
+    }),
+
     // ---- BM25 lexical retrieval (ratio idf — engine-portable doubles):
     //      dl travels with the exploded rows (no corpus join-back), the
     //      explode is filtered to the query terms at the generator, and
@@ -2858,6 +2872,20 @@ object SparkEntry {
          |SELECT e.event_id, e.user_id, e.event_type, d.user_events
          |FROM ev e JOIN dim d USING (user_id)
          |ORDER BY e.event_id""".stripMargin,
+
+    // Morton interleave mirrored bit-for-bit: BIGINT shifts both sides,
+    // 6 bits per axis → z < 4096, never near the sign bit
+    "q98_zorder_key" -> {
+      val terms = (0 until 6).map { i =>
+        s"(((zx >> $i) & 1) << ${2 * i}) + (((zy >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" + ")
+      s"""WITH ev AS (SELECT event_id,
+         |  epoch_ns(ts) // 1000000000 AS u, user_id FROM events),
+         |xy AS (SELECT event_id,
+         |  user_id % 64 AS zx, (u // 3600) % 64 AS zy FROM ev)
+         |SELECT event_id, zx, zy, CAST($terms AS BIGINT) AS zval
+         |FROM xy ORDER BY event_id""".stripMargin
+    },
 
     // segment blocking is complete for ed <= k, so the oracle is the
     // brute-force quadratic scan
