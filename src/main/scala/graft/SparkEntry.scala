@@ -1287,6 +1287,22 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // ---- cross-catalog record linkage: catalog B is catalog A re-keyed
+    //      with planted first-char deletions (%5) and suffix insertions
+    //      (%3); editDistanceJoin links A→B through the same complete
+    //      segment blocking — the oracle is the brute cross scan ----
+    "q99_record_linkage" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("t"))
+      val catB = base.select((col("doc_id") + 100000).as("doc_id"),
+        when(col("doc_id") % 5 === 0, expr("substring(t, 2)"))
+          .when(col("doc_id") % 3 === 0, concat(col("t"), lit("!")))
+          .otherwise(col("t")).as("t"))
+      graft.operators.FuzzyJoin.editDistanceJoin(base, catB, "t", "doc_id",
+          maxEdits = 2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- BM25 lexical retrieval (ratio idf — engine-portable doubles):
     //      dl travels with the exploded rows (no corpus join-back), the
     //      explode is filtered to the query terms at the generator, and
@@ -2886,6 +2902,20 @@ object SparkEntry {
          |SELECT event_id, zx, zy, CAST($terms AS BIGINT) AS zval
          |FROM xy ORDER BY event_id""".stripMargin
     },
+
+    "q99_record_linkage" ->
+      """WITH base AS (SELECT doc_id, substr(text, 1, 24) AS t
+        |  FROM documents WHERE doc_id < 200),
+        |catb AS (SELECT doc_id + 100000 AS doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN substr(t, 2)
+        |       WHEN doc_id % 3 = 0 THEN t || '!'
+        |       ELSE t END AS t FROM base),
+        |l AS (SELECT doc_id AS id, t FROM base WHERE length(t) >= 3),
+        |r AS (SELECT doc_id AS id, t FROM catb WHERE length(t) >= 3),
+        |p AS (SELECT l.id AS id_a, r.id AS id_b,
+        |  CAST(levenshtein(l.t, r.t) AS INT) AS dist FROM l, r)
+        |SELECT id_a, id_b, dist FROM p WHERE dist <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // segment blocking is complete for ed <= k, so the oracle is the
     // brute-force quadratic scan

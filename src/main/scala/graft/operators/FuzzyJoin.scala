@@ -45,14 +45,48 @@ object FuzzyJoin {
   private def segPos(len: Column, j: Int, k: Int): Column =
     lit(1) + lit(j) * segBase(len, k) + least(lit(j), pmod(len, lit(k + 1)))
 
+  /** Self-join form: unordered (id_a, id_b, dist) with id_a < id_b. */
   def editDistancePairs(df: DataFrame, textCol: String, keyCol: String,
       maxEdits: Int): DataFrame = {
     val k = maxEdits
     require(k >= 1 && k <= 4, s"editDistancePairs: need 1 <= maxEdits <= 4, got $k")
-    val s = df.select(col(keyCol).as("id"), col(textCol).as("t"))
+    val s = clean(df, textCol, keyCol, k)
+    val cand = candidates(s, s, k)
+      .filter(col("id_p") =!= col("id_i"))
+      .select(least(col("id_p"), col("id_i")).as("id_a"),
+        greatest(col("id_p"), col("id_i")).as("id_b"))
+      .distinct()
+    verify(cand, s, s, k)
+  }
+
+  /** Cross-table record linkage: ordered (id_a, id_b, dist) pairs with
+    * id_a from `left` and id_b from `right` — merging two noisy catalogs
+    * (titles, author strings, product names) where neither side's keys
+    * align. Same complete blocking, same per-candidate verification;
+    * only `right` is segment-indexed, `left` probes it. Key spaces may
+    * overlap — pairs are cross-table by construction. */
+  def editDistanceJoin(left: DataFrame, right: DataFrame, textCol: String,
+      keyCol: String, maxEdits: Int): DataFrame = {
+    val k = maxEdits
+    require(k >= 1 && k <= 4, s"editDistanceJoin: need 1 <= maxEdits <= 4, got $k")
+    val l = clean(left, textCol, keyCol, k)
+    val r = clean(right, textCol, keyCol, k)
+    val cand = candidates(l, r, k)
+      .select(col("id_p").as("id_a"), col("id_i").as("id_b"))
+      .distinct()
+    verify(cand, l, r, k)
+  }
+
+  private def clean(df: DataFrame, textCol: String, keyCol: String,
+      k: Int): DataFrame =
+    df.select(col(keyCol).as("id"), col(textCol).as("t"))
       .filter(col("t").isNotNull && length(col("t")) >= k + 1)
+
+  /** Complete candidate set: probe side `p` against segment-indexed `ix`
+    * — (id_p, id_i) rows, duplicates possible (dedup at the caller). */
+  private def candidates(p: DataFrame, ix: DataFrame, k: Int): DataFrame = {
     val tl = length(col("t"))
-    val index = s.select(col("id"),
+    val index = ix.select(col("id"),
         explode(array((0 to k).map { j =>
           struct(tl.as("lc"), lit(j).as("j"),
             col("t").substr(segPos(tl, j, k), segLen(tl, j, k)).as("seg"))
@@ -65,7 +99,7 @@ object FuzzyJoin {
     // re-derives every subexpression per struct and its codegen cost
     // dominated the whole join on small inputs (measured 5 s/run at 75
     // structs; ~0.5 s in this shape)
-    val withLc = s.select(col("id"), col("t"),
+    val withLc = p.select(col("id"), col("t"),
         explode(array((-k to k).map(dl => tl + lit(dl)): _*)).as("lc"))
       .filter(col("lc") >= k + 1)
       .withColumn("__base", segBase(col("lc"), k))
@@ -74,27 +108,29 @@ object FuzzyJoin {
     val probes = withLc.select(col("id"), col("lc"),
         explode(array(slots.map { case (j, w) =>
           val l = col("__base") + when(lit(j) < col("__rem"), 1).otherwise(0)
-          val p = lit(1) + lit(j) * col("__base") +
+          val pp = lit(1) + lit(j) * col("__base") +
             least(lit(j), col("__rem")) + lit(w)
-          val valid = p >= lit(1) && p + l - 1 <= length(col("t"))
+          val valid = pp >= lit(1) && pp + l - 1 <= length(col("t"))
           // invalid probes null out and drop below (struct arity must be
           // uniform inside the generator array)
           struct(lit(j).as("j"),
-            when(valid, col("t").substr(p, l)).as("seg"))
+            when(valid, col("t").substr(pp, l)).as("seg"))
         }: _*)).as("e"))
       .select(col("id").as("id_p"), col("lc"),
         col("e.j").as("j"), col("e.seg").as("seg"))
       .filter(col("seg").isNotNull)
-    val cand = probes.join(index, Seq("lc", "j", "seg"))
-      .filter(col("id_p") =!= col("id_i"))
-      .select(least(col("id_p"), col("id_i")).as("id_a"),
-        greatest(col("id_p"), col("id_i")).as("id_b"))
-      .distinct()
+    probes.join(index, Seq("lc", "j", "seg"))
+      .select(col("id_p"), col("id_i"))
+  }
+
+  /** Rehydrate candidate (id_a, id_b) rows with their strings (id_a from
+    * `a`, id_b from `b`) and keep Levenshtein <= k. */
+  private def verify(cand: DataFrame, a: DataFrame, b: DataFrame,
+      k: Int): DataFrame =
     cand
-      .join(s.select(col("id").as("id_a"), col("t").as("__ta")), Seq("id_a"))
-      .join(s.select(col("id").as("id_b"), col("t").as("__tb")), Seq("id_b"))
+      .join(a.select(col("id").as("id_a"), col("t").as("__ta")), Seq("id_a"))
+      .join(b.select(col("id").as("id_b"), col("t").as("__tb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         levenshtein(col("__ta"), col("__tb")).as("dist"))
       .filter(col("dist") <= k)
-  }
 }

@@ -57,6 +57,31 @@ class FuzzyJoinSpec extends SparkTestBase {
     assert(got == Set((1L, 2L, 2)), got.toString)
   }
 
+  test("cross-table linkage equals the brute cross scan; key overlap is safe") {
+    val a = (0 until 50).map(i =>
+      (i.toLong, s"item ${(i * 2654435761L) % 999983} code $i")).toDF("doc_id", "t")
+    // catalog B reuses SOME of A's key values (overlap must not suppress
+    // pairs — cross form never compares ids), with planted edits
+    val b = (0 until 50).map { i =>
+      val base = s"item ${(i * 2654435761L) % 999983} code $i"
+      val mutated =
+        if (i % 3 == 0) base.drop(1) else if (i % 4 == 0) base + "?" else base
+      (i.toLong / 2, mutated)
+    }.toDF("doc_id", "t")
+    (1 to 2).foreach { k =>
+      val got = FuzzyJoin.editDistanceJoin(a, b, "t", "doc_id", k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      val brute = a.select(col("doc_id").as("ia"), col("t").as("ta"))
+        .crossJoin(b.select(col("doc_id").as("ib"), col("t").as("tb")))
+        .select(col("ia"), col("ib"), levenshtein(col("ta"), col("tb")).as("d"))
+        .filter(col("d") <= k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == brute, s"mismatch at k = $k") // multiset: dup B keys kept
+    }
+  }
+
   test("strings shorter than k+1 are excluded, not crashed on") {
     val df = Seq((1L, "ab"), (2L, "ab"), (3L, "abcd"), (4L, "abcd"))
       .toDF("doc_id", "t")
