@@ -1303,6 +1303,16 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- exact kNN graph (top-5 neighbors per vector): the backbone of
+    //      graph clustering / agglomerative dedup / HNSW construction.
+    //      This exact form IS the oracle; cellKnnGraph (KnnSpec-gated
+    //      recall) is the n²/cells scale path ----
+    "q100_knn_graph" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      Knn.knnGraph(e, "embedding", "vec_id", topK = 5)
+        .orderBy(col("id_a"), col("rank"))
+    }),
+
     // ---- BM25 lexical retrieval (ratio idf — engine-portable doubles):
     //      dl travels with the exploded rows (no corpus join-back), the
     //      explode is filtered to the query terms at the generator, and
@@ -2902,6 +2912,18 @@ object SparkEntry {
          |SELECT event_id, zx, zy, CAST($terms AS BIGINT) AS zval
          |FROM xy ORDER BY event_id""".stripMargin
     },
+
+    "q100_knn_graph" ->
+      s"""WITH v AS (SELECT vec_id AS id, embedding AS emb FROM embeddings
+         |  WHERE vec_id < 300 AND embedding IS NOT NULL),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |  ${sqlCosine("a.emb", "b.emb")} AS dist
+         |  FROM v a JOIN v b ON a.id <> b.id),
+         |r AS (SELECT id_a, id_b, dist,
+         |  CAST(row_number() OVER (PARTITION BY id_a
+         |    ORDER BY dist, id_b) AS INT) AS rank FROM p)
+         |SELECT id_a, id_b, dist, rank FROM r WHERE rank <= 5
+         |ORDER BY id_a, rank""".stripMargin,
 
     "q99_record_linkage" ->
       """WITH base AS (SELECT doc_id, substr(text, 1, 24) AS t

@@ -40,6 +40,67 @@ object Knn {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Exact k-nearest-neighbor GRAPH: every vector's `topK` closest
+    * neighbors — the backbone structure for graph-based clustering,
+    * agglomerative dedup, label propagation, and HNSW-style index
+    * construction. O(n²) distances + a per-node rank: this is the
+    * ORACLE/reference form — the shuffle under the window carries every
+    * pair, so bound the input; at corpus scale use [[cellKnnGraph]].
+    * Deterministic tie-break on (distance, neighbor id). Returns
+    * (id_a, id_b, dist, rank). */
+  def knnGraph(df: DataFrame, vecCol: String, keyCol: String,
+      topK: Int): DataFrame = {
+    val v = df.select(col(keyCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("dist").asc, col("id_b").asc)
+    v.as("a").join(v.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine_distance(col("a.v"), col("b.v")).as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
+  /** The 100 TB form of [[knnGraph]]: neighbors searched within k-means
+    * cells only ([[trainCentroids]] + [[ivfAssign]] — the SemDeDup
+    * partitioning applied to graph construction). Distance work drops
+    * from O(n²) to ~nprobe · n²/cells, the pair search is an equi-join
+    * on `centroid_id`, and every reported edge carries its EXACT
+    * distance — only recall is approximate: each node PROBES its
+    * `nprobe` nearest cells while being INDEXED in its primary cell, so
+    * a neighbor is missed only when it lives outside all probed cells
+    * (KnnSpec measures recall vs the exact graph: 0.42 at nprobe=1 →
+    * 0.69 at nprobe=2 → 0.87 at nprobe=3 on quasi-uniform test embeddings; clustered real
+    * corpora sit far higher). `nprobe` is the linear-cost recall dial.
+    * Nodes alone in every probed cell emit no edges. */
+  def cellKnnGraph(df: DataFrame, vecCol: String, keyCol: String,
+      topK: Int, cells: Int, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cells,
+      s"cellKnnGraph: need 1 <= nprobe <= cells, got $nprobe/$cells")
+    val cents = trainCentroids(df, vecCol, keyCol, cells, iters)
+    val c = df.select(col(keyCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+    val centsDf = cents.select(col("centroid_id"), col("cvec"))
+    val w0 = Window.partitionBy(col("id"))
+      .orderBy(col("cdist").asc, col("centroid_id").asc)
+    val ranked = c.crossJoin(broadcast(centsDf))
+      .withColumn("cdist", cosine_distance(col("v"), col("cvec")))
+      .withColumn("crank", row_number().over(w0))
+    val probe = ranked.filter(col("crank") <= nprobe)
+      .select(col("id"), col("v"), col("centroid_id"))
+    val index = ranked.filter(col("crank") === 1)
+      .select(col("id"), col("v"), col("centroid_id"))
+    val w = Window.partitionBy(col("id_a"))
+      .orderBy(col("dist").asc, col("id_b").asc)
+    probe.as("a").join(index.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        cosine_distance(col("a.v"), col("b.v")).as("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+
   /** IVF-style ANN: assign every corpus vector to its nearest centroid
     * (broadcast centroids), then answer queries by scanning only the cell
     * the query lands in. Exactness is traded for pruning; recall grows with

@@ -175,4 +175,34 @@ class KnnSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"))
   }
+
+  test("cellKnnGraph: bounded degree, exact edge distances, measured recall vs exact graph") {
+    val e = table("embeddings").filter(col("vec_id") < 300)
+    def edges(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("id_a"), col("id_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Knn.knnGraph(e, "embedding", "vec_id", topK = 5)
+    val cell = Knn.cellKnnGraph(e, "embedding", "vec_id", topK = 5,
+      cells = 4, nprobe = 2)
+    val exactE = edges(exact)
+    val cellRows = cell.collect()
+    // degree bound holds per node
+    val deg = cellRows.groupBy(_.getLong(0)).values.map(_.length)
+    assert(deg.forall(_ <= 5))
+    // every cell edge carries the TRUE cosine distance (exact verify is
+    // part of the contract): cross-check against the exact graph rows
+    // they share
+    val exactDist = exact.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    cellRows.foreach { r =>
+      exactDist.get((r.getLong(0), r.getLong(1))).foreach { d =>
+        assert(r.getDouble(2) == d)
+      }
+    }
+    // recall: a neighbor is missed only when outside all probed cells —
+    // nprobe=1 measured 0.42 on these quasi-uniform vectors, nprobe=2
+    // measured 0.69 (0.87 at 3); pin just below the deterministic value
+    val recall = exactE.intersect(edges(cell)).size.toDouble / exactE.size
+    assert(recall >= 0.65, s"cell-graph recall $recall vs exact")
+  }
 }
