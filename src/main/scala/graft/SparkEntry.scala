@@ -1313,6 +1313,24 @@ object SparkEntry {
         .orderBy(col("id_a"), col("rank"))
     }),
 
+    // ---- retention cohorts (the analytics triangle): cohort = first
+    //      active day per user, then distinct users at each day offset.
+    //      Two aggregations + one join, all hash-partitioned on user —
+    //      the cohort table is per-user (small side), broadcast back ----
+    "q101_retention" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d"))
+      val cohorts = ev.groupBy(col("user_id"))
+        .agg(min(col("d")).as("cohort_day"))
+      ev.join(broadcast(cohorts), Seq("user_id"))
+        .select(col("cohort_day"),
+          datediff(col("d"), col("cohort_day")).as("day_offset"),
+          col("user_id"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
     // ---- BM25 lexical retrieval (ratio idf — engine-portable doubles):
     //      dl travels with the exploded rows (no corpus join-back), the
     //      explode is filtered to the query terms at the generator, and
@@ -2912,6 +2930,18 @@ object SparkEntry {
          |SELECT event_id, zx, zy, CAST($terms AS BIGINT) AS zval
          |FROM xy ORDER BY event_id""".stripMargin
     },
+
+    "q101_retention" ->
+      s"""WITH ev AS (SELECT user_id,
+         |  CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS d
+         |  FROM events),
+         |cohorts AS (SELECT user_id, MIN(d) AS cohort_day
+         |  FROM ev GROUP BY 1)
+         |SELECT c.cohort_day,
+         |  CAST(date_diff('day', c.cohort_day, e.d) AS INT) AS day_offset,
+         |  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+         |FROM ev e JOIN cohorts c USING (user_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q100_knn_graph" ->
       s"""WITH v AS (SELECT vec_id AS id, embedding AS emb FROM embeddings
