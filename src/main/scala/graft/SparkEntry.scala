@@ -1331,6 +1331,22 @@ object SparkEntry {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // ---- multimodal near-dup (aHash/pHash lineage over media payloads):
+    //      decode → stripe features → integer mean-threshold signature →
+    //      signature equi-join → exact L1 verify. Planted single-byte
+    //      mutations land within maxL1 of their originals ----
+    "q102_blob_phash" -> ((s, dir) => {
+      val base = t(s, dir, "documents").filter(col("doc_id") < 400)
+        .select(col("doc_id"), col("text"))
+      val mutated = base.select((col("doc_id") + 5000).as("doc_id"),
+        concat(lit("x"), expr("substring(text, 2)")).as("text"))
+      val docs = graft.multimodal.Multimodal
+        .attachBlob(base.unionByName(mutated))
+      graft.multimodal.Multimodal
+        .perceptualDedupPairs(docs, "doc_id", "blob", maxL1 = 200L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- BM25 lexical retrieval (ratio idf — engine-portable doubles):
     //      dl travels with the exploded rows (no corpus join-back), the
     //      explode is filtered to the query terms at the generator, and
@@ -2929,6 +2945,40 @@ object SparkEntry {
          |  user_id % 64 AS zx, (u // 3600) % 64 AS zy FROM ev)
          |SELECT event_id, zx, zy, CAST($terms AS BIGINT) AS zval
          |FROM xy ORDER BY event_id""".stripMargin
+    },
+
+    // stripe features per q38's chain; integer mean threshold (f_i*8 >
+    // Σf, no division); sig and l1 BIGINT both sides
+    "q102_blob_phash" -> {
+      val fcols = (0 until 8).map(i =>
+        s"CAST(COALESCE(MAX(CASE WHEN stripe = $i THEN sv END), 0) AS BIGINT) AS f$i")
+        .mkString(",\n  ")
+      val tot = (0 until 8).map(i => s"f$i").mkString(" + ")
+      val sig = (0 until 8).map(i =>
+        s"(CASE WHEN f$i * 8 > $tot THEN CAST(${1L << i} AS BIGINT) " +
+          s"ELSE CAST(0 AS BIGINT) END)").mkString(" + ")
+      val l1 = (0 until 8).map(i => s"abs(a.f$i - b.f$i)").mkString(" + ")
+      s"""WITH pbase AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+         |un AS (SELECT doc_id, text FROM pbase
+         |  UNION ALL
+         |  SELECT doc_id + 5000, 'x' || substr(text, 2) FROM pbase),
+         |d AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM un),
+         |bb AS (SELECT doc_id, n, unnest(range(n)) AS i, text FROM d),
+         |ss AS (SELECT doc_id,
+         |  least(i // greatest((n + 7) // 8, 1), 7) AS stripe,
+         |  CAST(ascii(text[i+1:i+1]) AS BIGINT) AS v FROM bb),
+         |ag AS (SELECT doc_id, stripe, SUM(v) AS sv FROM ss GROUP BY 1, 2),
+         |fx AS (SELECT d.doc_id,
+         |  $fcols
+         |  FROM d LEFT JOIN ag ON d.doc_id = ag.doc_id
+         |  GROUP BY d.doc_id),
+         |sg AS (SELECT doc_id, CAST($sig AS BIGINT) AS sig,
+         |  f0, f1, f2, f3, f4, f5, f6, f7 FROM fx),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig,
+         |  CAST($l1 AS BIGINT) AS l1
+         |  FROM sg a JOIN sg b ON a.sig = b.sig AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, sig, l1 FROM p WHERE l1 <= 200
+         |ORDER BY id_a, id_b""".stripMargin
     },
 
     "q101_retention" ->

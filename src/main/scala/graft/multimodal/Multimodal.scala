@@ -49,6 +49,45 @@ object Multimodal {
       filter(frameOffsets(blob, frameBytes),
         (off, i) => i % every === 0),
       off => substring(blob, (off + 1).cast("int"), lit(frameBytes)))
+
+  /** Perceptual-hash near-duplicate pairs over MEDIA payloads — the
+    * multimodal member of the dedup family (aHash/pHash lineage: decode,
+    * reduce to coarse features, threshold against the per-item mean into
+    * a compact signature, bucket on the signature, verify candidates
+    * with a real distance). Features come from the batched decoder
+    * ([[FrameDecoder.extractFeatures]] — stripe sums under the stub; a
+    * real codec swaps in without touching this operator), the signature
+    * sets bit i when `f_i · stripes > Σf` (integer-exact mean threshold,
+    * no division), candidates are an EQUI-join on the signature — the
+    * same one-exchange, output-sensitive shape as every hash-dedup
+    * family here — and each candidate pair is verified by exact L1
+    * distance over the feature vectors, kept when `<= maxL1`.
+    *
+    * Every step is integer arithmetic, so the whole pipeline —
+    * signature, bucketing, verification — is engine-replicable and
+    * oracle-gated end-to-end (q102). Returns (id_a, id_b, sig, l1)
+    * with id_a < id_b. */
+  def perceptualDedupPairs(df: DataFrame, keyCol: String,
+      blobCol: String = "blob", maxL1: Long = 200L): DataFrame = {
+    val stripes = FrameDecoder.Stripes
+    val feats = FrameDecoder.extractFeatures(df, keyCol, blobCol)
+      .withColumn("__tot",
+        aggregate(col("features"), lit(0L), (a, x) => a + x))
+      .withColumn("sig", (0 until stripes).map { i =>
+        when(element_at(col("features"), i + 1) * stripes > col("__tot"),
+          lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _))
+    val a = feats.select(col(keyCol).as("id_a"), col("features").as("fa"),
+      col("sig"))
+    val b = feats.select(col(keyCol).as("id_b"), col("features").as("fb"),
+      col("sig"))
+    a.join(b, Seq("sig")).filter(col("id_a") < col("id_b"))
+      .withColumn("l1", aggregate(
+        zip_with(col("fa"), col("fb"), (x, y) => abs(x - y)),
+        lit(0L), (acc, d) => acc + d))
+      .filter(col("l1") <= maxL1)
+      .select(col("id_a"), col("id_b"), col("sig"), col("l1"))
+  }
 }
 
 /** Batched per-partition "decoder" plumbing. Mirrors a batched-UDF media

@@ -60,4 +60,29 @@ class MultimodalSpec extends SparkTestBase {
       .orderBy($"doc_id").collect().map(_.getSeq[Long](1))
     assert(a.zip(b).forall { case (x, y) => x == y })
   }
+
+  test("perceptualDedupPairs: exact copies at l1=0, one-byte edits within budget, misses distant blobs") {
+    val texts = (0 until 40).map { i =>
+      (i.toLong, s"media payload ${(i * 2654435761L) % 999983} frame $i data")
+    }
+    val planted = texts.map { case (id, t) =>
+      (id + 1000, "x" + t.drop(1)) // same length, one byte differs
+    }
+    val exactCopy = Seq((2000L, texts.head._2))
+    val docs = Multimodal.attachBlob(
+      (texts ++ planted ++ exactCopy).toDF("doc_id", "text"))
+    val pairs = Multimodal.perceptualDedupPairs(docs, "doc_id", "blob",
+        maxL1 = 200L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    // the exact copy pairs with its original at l1 = 0
+    assert(byPair.get((0L, 2000L)).contains(0L), byPair.get((0L, 2000L)))
+    // every one-byte mutation is found against its original, within budget
+    texts.foreach { case (id, _) =>
+      val l1 = byPair.get((id, id + 1000))
+      assert(l1.exists(v => v > 0 && v <= 200), s"pair ($id, ${id + 1000}): $l1")
+    }
+    // verification is real: no reported pair exceeds the budget
+    assert(pairs.forall(_._3 <= 200L))
+  }
 }
