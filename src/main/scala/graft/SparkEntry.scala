@@ -1347,6 +1347,25 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // ---- grouped top-k via the bounded-heap NATIVE AGGREGATE (the
+    //      per-label k-nearest / hard-negative-mining shape): map-side
+    //      partial heaps bound the exchange at k rows per group per
+    //      task — the window form sorts every group's full row set.
+    //      Same result as the window, which is the oracle ----
+    "q103_grouped_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      e.filter(col("embedding").isNotNull)
+        .withColumn("dist", cosine_distance(col("embedding"), typedLit(q)))
+        .groupBy(col("label"))
+        .agg(graft.functions.topk_pairs(col("dist"), col("vec_id"), 3).as("top"))
+        .select(col("label"), posexplode(col("top")))
+        .select(col("label"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.id").as("vec_id"), col("col.ord").as("dist"))
+        .orderBy(col("label"), col("rank"))
+    }),
+
     // ---- BM25 lexical retrieval (ratio idf — engine-portable doubles):
     //      dl travels with the exploded rows (no corpus join-back), the
     //      explode is filtered to the query terms at the generator, and
@@ -2946,6 +2965,19 @@ object SparkEntry {
          |SELECT event_id, zx, zy, CAST($terms AS BIGINT) AS zval
          |FROM xy ORDER BY event_id""".stripMargin
     },
+
+    // the aggregate's kept set equals the window top-k by construction —
+    // the window form IS the oracle
+    "q103_grouped_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |scored AS (SELECT label, vec_id,
+         |  ${sqlCosine("embedding", "(SELECT qv FROM q)")} AS dist
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |r AS (SELECT label, vec_id, dist,
+         |  CAST(row_number() OVER (PARTITION BY label
+         |    ORDER BY dist, vec_id) AS INT) AS rank FROM scored)
+         |SELECT label, rank, vec_id, dist FROM r WHERE rank <= 3
+         |ORDER BY label, rank""".stripMargin,
 
     // stripe features per q38's chain; integer mean threshold (f_i*8 >
     // Σf, no division); sig and l1 BIGINT both sides

@@ -86,6 +86,12 @@ package object functions {
   def fp16_cosine_distance(b: Column, q: Column): Column =
     shims.column(Fp16CosineDistance(shims.expression(b), shims.expression(q)))
 
+  /** Grouped top-k aggregate: the k smallest (ord, id) pairs per group
+    * as ARRAY<STRUCT<ord, id>> — see [[TopKPairs]]. */
+  def topk_pairs(ord: Column, id: Column, k: Int): Column =
+    shims.column(TopKPairs(shims.expression(ord), shims.expression(id), k)
+      .toAggregateExpression())
+
   /** Register graft functions in the session's FunctionRegistry so they are
     * callable from `spark.sql(...)` as `cosine_distance(a, b)` etc. */
   def registerAll(spark: SparkSession): Unit = {
@@ -112,6 +118,17 @@ package object functions {
       "simhash64", exprs => graft.text.SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("hyperplane_bands",
       hyperplaneBandsBuilder, "built-in")
+    reg.createOrReplaceTempFunction("topk_pairs", exprs => {
+      if (exprs.length != 3) throw new IllegalArgumentException(
+        "topk_pairs(ord, id, k) requires exactly 3 arguments")
+      val kv = if (exprs(2).foldable) exprs(2).eval() else null
+      kv match {
+        case n: Number =>
+          TopKPairs(exprs(0), exprs(1), n.intValue()).toAggregateExpression()
+        case _ => throw new IllegalArgumentException(
+          "topk_pairs: k must be a literal integer")
+      }
+    }, "built-in")
     reg.createOrReplaceTempFunction(
       "fp16_encode", exprs => Fp16Encode(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(
