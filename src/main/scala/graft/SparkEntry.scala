@@ -1315,14 +1315,17 @@ object SparkEntry {
 
     // ---- retention cohorts (the analytics triangle): cohort = first
     //      active day per user, then distinct users at each day offset.
-    //      Two aggregations + one join, all hash-partitioned on user —
-    //      the cohort table is per-user (small side), broadcast back ----
+    //      cohort_day is a window-min over user_id, NOT a broadcast join
+    //      of a per-user table (one row per user = unbounded cardinality
+    //      at corpus scale → driver OOM). The window and the final
+    //      distinct-users agg share ONE user_id hash exchange; nothing
+    //      user-cardinality-sized is ever broadcast. Plan pinned by
+    //      PlanShapeSpec ----
     "q101_retention" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("user_id"), to_date(col("ts")).as("d"))
-      val cohorts = ev.groupBy(col("user_id"))
-        .agg(min(col("d")).as("cohort_day"))
-      ev.join(broadcast(cohorts), Seq("user_id"))
+      ev.withColumn("cohort_day",
+          min(col("d")).over(Window.partitionBy(col("user_id"))))
         .select(col("cohort_day"),
           datediff(col("d"), col("cohort_day")).as("day_offset"),
           col("user_id"))
@@ -1382,8 +1385,12 @@ object SparkEntry {
     //      not a single scored bit ----
     "q89_lexical_index" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val indexDir = graft.fixtures.Fp16Corpus.workRoot +
-        s"/lexindex-${new java.io.File(dir).getName}-c${d.count()}"
+      // cache key = order-free CONTENT fingerprint (xor of xxhash64(id, md5)),
+      // not dir basename + row count: regenerated fixtures at the same path
+      // with the same cardinality must MISS, never serve a stale index
+      val fp = d.agg(sum(xxhash64(col("doc_id"), md5(col("text"))))
+        .cast("string")).head().getString(0)
+      val indexDir = graft.fixtures.Fp16Corpus.workRoot + s"/lexindex-$fp"
       if (!new java.io.File(s"$indexDir/postings/_SUCCESS").isFile)
         graft.text.TextRank.buildLexicalIndex(d, "text", "doc_id", indexDir)
       graft.text.TextRank.searchLexicalIndex(s, indexDir,
@@ -1399,7 +1406,7 @@ object SparkEntry {
       val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       // rank windows run over the ALREADY-LIMITED 30-row lists — a
       // single-partition sort of 30 rows, not a corpus-wide window
-      val dense = e.crossJoin(broadcast(q))
+      val dense = e.filter(col("embedding").isNotNull).crossJoin(broadcast(q))
         .select(col("vec_id").as("id"),
           cosine_distance(col("embedding"), col("qv")).as("dist"))
         .orderBy(col("dist"), col("id")).limit(30)
@@ -3120,12 +3127,17 @@ object SparkEntry {
         val b = graft.text.TextMath.MinHashB(j)
         s"SELECT doc_id AS src, ($a * h + $b) % $P2 % (SELECT n FROM nn) AS dst FROM docs"
       }
+      // nn (row count of documents) defines the dst hash range — the edge
+      // GRAPH, mirroring the Spark side's `d.count()`. nc (node count of
+      // src ∪ dst) feeds the PageRank base/init, mirroring Graph.pageRank's
+      // distinct-node N. They coincide on contiguous doc_ids but must be
+      // computed separately so a fixture with key gaps stays oracle-exact.
       def contribThenRank(i: Int): String =
         s"""c$i AS (SELECT e.dst,
            |  CAST(SUM(CAST(p.pr / p.deg AS DECIMAL(25,6))) AS DOUBLE) AS s
            |  FROM edges e JOIN pr${i - 1} p ON e.src = p.id GROUP BY e.dst),
            |pr$i AS (SELECT nd.id, nd.deg,
-           |  CAST(${1.0 - 0.85} AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE)
+           |  CAST(${1.0 - 0.85} AS DOUBLE) / CAST((SELECT n FROM nc) AS DOUBLE)
            |    + CAST(0.85 AS DOUBLE) * COALESCE(c$i.s, CAST(0.0 AS DOUBLE)) AS pr
            |  FROM nd LEFT JOIN c$i ON nd.id = c$i.dst)""".stripMargin
       s"""WITH docs AS (SELECT doc_id, ${sqlPolyHash("text")} AS h FROM documents),
@@ -3141,8 +3153,9 @@ object SparkEntry {
          |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
          |nd AS (SELECT id, COALESCE(deg, CAST(0 AS BIGINT)) AS deg
          |  FROM nodes LEFT JOIN deg ON id = src),
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nd),
          |pr0 AS (SELECT id, deg,
-         |  CAST(1.0 AS DOUBLE) / CAST((SELECT n FROM nn) AS DOUBLE) AS pr
+         |  CAST(1.0 AS DOUBLE) / CAST((SELECT n FROM nc) AS DOUBLE) AS pr
          |  FROM nd),
          |${contribThenRank(1)},
          |${contribThenRank(2)},
@@ -3240,7 +3253,8 @@ object SparkEntry {
       s"""WITH ${sqlBm25Ctes(Seq("join", "filter", "merge"))},
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
          |dense AS (SELECT vec_id AS id, ${sqlCosine("embedding", "qv")} AS dist
-         |  FROM embeddings, q ORDER BY dist, id LIMIT 30),
+         |  FROM embeddings, q WHERE embedding IS NOT NULL
+         |  ORDER BY dist, id LIMIT 30),
          |dr AS (SELECT id, CAST(row_number() OVER (ORDER BY dist, id) AS INT)
          |  AS rank_a FROM dense),
          |lex AS (SELECT id, score FROM bm25 ORDER BY score DESC, id LIMIT 30),

@@ -5,6 +5,7 @@ import java.nio.ByteBuffer
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -40,6 +41,18 @@ case class TopKPairs(
   extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
 
   require(k >= 1 && k <= (1 << 20), s"topk_pairs: need 1 <= k <= 2^20, got $k")
+
+  // update() casts eval results to Double/Long — enforce the exact types
+  // at ANALYSIS time so FLOAT/INT/DECIMAL inputs fail with a message (the
+  // construction helpers wrap arguments in Cast, so user-facing surfaces
+  // coerce; only a direct mistyped construction reaches this failure)
+  // instead of ClassCastException-ing inside the executor
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (ordExpr.dataType == DoubleType && idExpr.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "topk_pairs requires (DOUBLE ord, BIGINT id), got (" +
+        s"${ordExpr.dataType.simpleString}, ${idExpr.dataType.simpleString})")
 
   // max-heap: head = worst (largest) kept pair, the eviction candidate
   private val worstFirst: Ordering[(Double, Long)] =

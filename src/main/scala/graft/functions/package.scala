@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
 import org.apache.spark.sql.graft.shims
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Column-API facade over graft's custom Catalyst expressions, mirroring
   * `org.apache.spark.sql.functions`. Also registers them for SQL use.
@@ -87,10 +88,12 @@ package object functions {
     shims.column(Fp16CosineDistance(shims.expression(b), shims.expression(q)))
 
   /** Grouped top-k aggregate: the k smallest (ord, id) pairs per group
-    * as ARRAY<STRUCT<ord, id>> — see [[TopKPairs]]. */
+    * as ARRAY<STRUCT<ord, id>> — see [[TopKPairs]]. Arguments coerce to
+    * (DOUBLE, BIGINT) via Cast, so FLOAT distances and INT ids work. */
   def topk_pairs(ord: Column, id: Column, k: Int): Column =
-    shims.column(TopKPairs(shims.expression(ord), shims.expression(id), k)
-      .toAggregateExpression())
+    shims.column(TopKPairs(
+      Cast(shims.expression(ord), DoubleType),
+      Cast(shims.expression(id), LongType), k).toAggregateExpression())
 
   /** Register graft functions in the session's FunctionRegistry so they are
     * callable from `spark.sql(...)` as `cosine_distance(a, b)` etc. */
@@ -124,7 +127,11 @@ package object functions {
       val kv = if (exprs(2).foldable) exprs(2).eval() else null
       kv match {
         case n: Number =>
-          TopKPairs(exprs(0), exprs(1), n.intValue()).toAggregateExpression()
+          val kl = n.longValue()
+          if (kl < 1 || kl > (1L << 20)) throw new IllegalArgumentException(
+            s"topk_pairs: need 1 <= k <= 2^20, got $kl")
+          TopKPairs(Cast(exprs(0), DoubleType), Cast(exprs(1), LongType),
+            kl.toInt).toAggregateExpression()
         case _ => throw new IllegalArgumentException(
           "topk_pairs: k must be a literal integer")
       }

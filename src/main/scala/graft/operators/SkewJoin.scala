@@ -34,13 +34,19 @@ object SkewJoin {
   /** Inner/left-outer equi-join of a skewed `facts` table against
     * `other` on `keys`, spread `nSalts` ways per key.
     *
-    * The salt is derived from a hash of the full fact row — deterministic
-    * for a given row (re-runs and task retries salt identically) while
-    * spreading a hot key's rows uniformly. `other` is replicated
-    * `nSalts`× via one generator (no shuffle before the join); the join
-    * itself is hinted shuffle-hash so the demonstrated plan is the one
-    * salting exists for — with a broadcastable right side Spark would
-    * otherwise elide the exchange this operator is spreading.
+    * The salt mixes a hash of the full fact row with a per-row
+    * disambiguator (`monotonically_increasing_id`): the row hash alone
+    * would funnel EXACT-DUPLICATE rows of a hot key — the pathological
+    * skew case (a null-ish default row repeated millions of times) —
+    * back into one partition, because identical rows hash identically.
+    * The disambiguator is partition-deterministic (task retries recompute
+    * the same ids from the same partition contents), and which salt a row
+    * lands on never affects the result set — only the spread.
+    * `other` is replicated `nSalts`× via one generator (no shuffle before
+    * the join); the join itself is hinted shuffle-hash so the
+    * demonstrated plan is the one salting exists for — with a
+    * broadcastable right side Spark would otherwise elide the exchange
+    * this operator is spreading.
     *
     * `joinType` must be "inner" or "left_outer": for these, replicating
     * the non-fact side per salt provably preserves the unsalted result
@@ -53,11 +59,34 @@ object SkewJoin {
     require(joinType == "inner" || joinType == "left_outer",
       s"saltedJoin: only inner/left_outer preserve unsalted semantics " +
         s"under replication, got $joinType")
-    val salted = facts.withColumn("__salt",
-      pmod(xxhash64(struct(facts.columns.map(col): _*)), lit(nSalts)))
-    val replicated = other.withColumn("__salt",
+    // collision-safe internal name: extend until absent from BOTH inputs
+    // (a user column named __salt, or a Map-typed column breaking the
+    // struct hash, must not corrupt the join)
+    var saltCol = "__graft_salt"
+    while (facts.columns.contains(saltCol) || other.columns.contains(saltCol))
+      saltCol += "_"
+    // hash only hashable (non-Map) columns; the mid disambiguator alone
+    // already guarantees the spread, the row hash just decorrelates it
+    // from the physical row order
+    val hashable = facts.schema.fields
+      .filter(f => !hasMapType(f.dataType)).map(f => col(f.name))
+    val rowHash =
+      if (hashable.isEmpty) monotonically_increasing_id()
+      else xxhash64((hashable :+ monotonically_increasing_id()): _*)
+    val salted = facts.withColumn(saltCol, pmod(rowHash, lit(nSalts)))
+    val replicated = other.withColumn(saltCol,
       explode(array((0 until nSalts).map(s => lit(s)): _*)))
-    salted.join(replicated.hint("shuffle_hash"), keys :+ "__salt", joinType)
-      .drop("__salt")
+    salted.join(replicated.hint("shuffle_hash"), keys :+ saltCol, joinType)
+      .drop(saltCol)
+  }
+
+  private def hasMapType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case _: MapType => true
+      case s: StructType => s.fields.exists(f => hasMapType(f.dataType))
+      case a: ArrayType => hasMapType(a.elementType)
+      case _ => false
+    }
   }
 }

@@ -74,6 +74,38 @@ class CliSpec extends SparkTestBase {
       spark, env = Map("GRAFT_EMBEDDER_DIM" -> "32")))._1 == 0)
   }
 
+  test("search dim probe skips null embeddings (no NPE on a null first row)") {
+    val dir = Files.createTempDirectory("graft-cli-null").toString
+    val pages = s"$dir/pages"
+    Files.createDirectories(java.nio.file.Paths.get(pages))
+    Files.writeString(java.nio.file.Paths.get(pages, "page0.json"),
+      pageJson("h1", "null embedding probe resilience text"))
+    assert(capture(Cli.run(Array("sync", "--backfill", "--embed-dim", "32",
+      "--pages-dir", pages, "--store", s"$dir/store", "--ckpt", s"$dir/ckpt"),
+      spark, env = Map.empty))._1 == 0)
+    // rewrite the store with a null-embedding row FIRST in the single
+    // parquet file — the layout that NPE'd the un-guarded dim probe
+    // (size(null) → null → getInt throws)
+    import org.apache.spark.sql.functions._
+    val current = Files.readString(
+      java.nio.file.Paths.get(s"$dir/store", "CURRENT")).trim
+    val synced = spark.read.parquet(s"$dir/store/$current")
+    val nullRow = synced.limit(1)
+      .withColumn("embedding", lit(null).cast("array<float>"))
+      .withColumn("id", lit("h0"))
+    graft.sync.HighlightStore.writeAtomic(
+      nullRow.unionByName(synced).coalesce(1)
+        .sortWithinPartitions(col("id")), s"$dir/store")
+    // matching dim: probe must skip past the null row and search fine
+    val (c, out) = capture(Cli.run(Array("search", "probe", "--k", "1",
+      "--store", s"$dir/store", "--embed-dim", "32"), spark, env = Map.empty))
+    assert(c == 0 && out.contains("\"id\":\"h1\""), s"exit $c: $out")
+    // mismatched dim: the probe still FINDS the non-null row and refuses —
+    // skipping nulls must not degrade into skipping the check
+    assert(capture(Cli.run(Array("search", "probe",
+      "--store", s"$dir/store"), spark, env = Map.empty))._1 == 2)
+  }
+
   test("sync --fp16 stores emb16 at rest; search serves it through the fused path") {
     val dir = Files.createTempDirectory("graft-cli16").toString
     val pages = s"$dir/pages"

@@ -107,6 +107,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Join"))
   }
 
+  test("q101: cohort assignment is a window over user_id — no broadcast, one user exchange") {
+    val p = plan("q101_retention")
+    // the per-user cohort table has one row PER USER — broadcasting it is
+    // a driver OOM at corpus scale. cohort_day must come from a window
+    // min that shares the final agg's user_id hash exchange.
+    assert(!p.contains("BroadcastExchange"),
+      s"q101 broadcasts a user-cardinality table:\n$p")
+    assert(!p.contains("Join"), s"q101 regressed to a cohort join:\n$p")
+    val userShuffles = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(userShuffles == 1,
+      s"expected exactly 1 user_id hash exchange, saw $userShuffles:\n$p")
+  }
+
   test("q67: familiarity counts attach via the window — no count-table join") {
     val p = plan("q67_bigram_familiarity")
     assert(!p.contains("Join"), s"bigram counts regressed to a join:\n$p")

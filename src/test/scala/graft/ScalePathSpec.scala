@@ -59,6 +59,23 @@ class ScalePathSpec extends SparkTestBase {
       s"single-pair CC pinned ${pinnedSmall.size} RDDs (want 1)")
   }
 
+  test("connectedComponents: a failed run releases every generation (nothing stays pinned)") {
+    // inject a failure mid-function: a 60-hop chain needs ~6 pointer-jump
+    // rounds, so maxIter = 2 exhausts and throws AFTER two rounds of
+    // checkpointed generations exist. The failure path must release the
+    // edge list AND the in-flight label generation — a leak here pins
+    // per-node state for the life of the session on every failed dedup
+    def ids = spark.sparkContext.getPersistentRDDs.keySet
+    val before = ids
+    val chain = (0L until 60L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 2)
+    }
+    assert(ex.getMessage.contains("converge"))
+    val leaked = ids -- before
+    assert(leaked.isEmpty, s"failed CC left ${leaked.size} RDDs pinned")
+  }
+
   test("partitioned store: source_type filter prunes partitions at plan time") {
     val dir = Files.createTempDirectory("graft-part").toString
     val docs = table("documents").select(

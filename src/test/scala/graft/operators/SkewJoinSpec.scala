@@ -55,7 +55,34 @@ class SkewJoinSpec extends SparkTestBase {
         .queryExecution.executedPlan.toString
       assert(plan.contains("ShuffledHashJoin"), plan.take(500))
       assert(!plan.contains("BroadcastHashJoin"), plan.take(500))
-      assert(plan.contains("__salt"), plan.take(500))
+      assert(plan.contains("__graft_salt"), plan.take(500))
+    }
+  }
+
+  test("exact-duplicate hot-key rows still spread; user __graft_salt column survives") {
+    withoutAqe {
+      // the pathological case a row-hash-only salt cannot spread: ONE row
+      // value repeated — identical rows hash identically, so without the
+      // per-row disambiguator all 2000 land in a single partition
+      val dupFacts = (0 until 2000).map(_ => (7L, "same payload"))
+        .toDF("k", "payload")
+      val salted = SkewJoin.saltedJoin(dupFacts, dim, Seq("k"), nSalts = 8)
+      val counts = salted.groupBy(spark_partition_id()).count()
+        .collect().map(_.getLong(1))
+      assert(counts.max.toDouble / counts.sum < 0.5,
+        s"duplicate rows funneled: ${counts.mkString(",")}")
+      assert(salted.count() == 2000)
+      // a pre-existing column named __graft_salt must pass through intact,
+      // not collide with the internal salt
+      val clash = facts.withColumn("__graft_salt", lit("user-data"))
+      val out = SkewJoin.saltedJoin(clash, dim, Seq("k"), nSalts = 4)
+      assert(out.columns.contains("__graft_salt"))
+      assert(out.select("__graft_salt").distinct().collect()
+        .map(_.getString(0)).toSeq == Seq("user-data"))
+      // a Map-typed fact column (unhashable by xxhash64) must not crash
+      val mapped = facts.withColumn("m", map(lit("a"), lit(1)))
+      assert(SkewJoin.saltedJoin(mapped, dim, Seq("k"), nSalts = 4)
+        .count() == facts.join(dim, Seq("k")).count())
     }
   }
 
