@@ -1169,6 +1169,35 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // ---- SemDeDup multi-assignment recall (the paper's cross-cell
+    //      mitigation, MEASURED): one row per EXACT near-dup pair, with
+    //      in_cell1 / in_cell2 = did the within-cell search at nprobe=1
+    //      (primary cells only) / nprobe=2 (each vector also probes its
+    //      second-nearest cell) recover it. One Lloyd run shared across
+    //      both probe settings; the oracle replicates training,
+    //      probe-ranked assignment, and both pair searches end-to-end,
+    //      so the recall columns — not just the pair list — are
+    //      hash-gated ----
+    "q105_semdedup_probes" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val exact = Dedup.embeddingNearDupPairs(emb, "embedding", "vec_id",
+        maxDistance = 0.6)
+      val cents = graft.similarity.Knn.trainCentroids(
+        emb, "embedding", "vec_id", k = 8, iters = 2)
+      val p1 = Dedup.semDeDupPairs(emb, "embedding", "vec_id",
+          maxDistance = 0.6, k = 8, nprobe = 1, centroids = Some(cents))
+        .select(col("id_a"), col("id_b"), lit(true).as("in_cell1"))
+      val p2 = Dedup.semDeDupPairs(emb, "embedding", "vec_id",
+          maxDistance = 0.6, k = 8, nprobe = 2, centroids = Some(cents))
+        .select(col("id_a"), col("id_b"), lit(true).as("in_cell2"))
+      exact.join(p1, Seq("id_a", "id_b"), "left")
+        .join(p2, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"), col("distance"),
+          coalesce(col("in_cell1"), lit(false)).as("in_cell1"),
+          coalesce(col("in_cell2"), lit(false)).as("in_cell2"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // ---- skew-salted join: events' 150-user key space is the
     //      low-cardinality/hot-key join shape — unsalted, one partition
     //      absorbs a hot user's whole row population; salted, the join
@@ -1232,6 +1261,28 @@ object SparkEntry {
       val edges = d.select(col("doc_id").as("src"),
         explode(array(dsts: _*)).as("dst"))
       graft.operators.Graph.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy(col("id"))
+    }),
+
+    // ---- PageRank with DANGLING nodes (the real crawl-graph shape:
+    //      pages you link to but never crawled): only even doc_ids emit
+    //      edges, so odd ids reached as targets have out-degree 0. Their
+    //      mass redistributes uniformly each round — a single-row
+    //      DECIMAL-exact agg broadcast into the update, keeping total
+    //      rank at exactly 1 instead of leaking it. Oracle = the same
+    //      unrolled-CTE chain with a dangling-mass CTE per round ----
+    "q104_pagerank_dangling" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val n = d.count()
+      val h = TextAnalysis.polyHash(col("text"))
+      val dsts = (0 until 3).map { j =>
+        (lit(graft.text.TextMath.MinHashA(j)) * h +
+          lit(graft.text.TextMath.MinHashB(j))) %
+          lit(graft.text.TextMath.Mod) % lit(n)
+      }
+      val edges = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("src"), explode(array(dsts: _*)).as("dst"))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iters = 4)
         .orderBy(col("id"))
     }),
 
@@ -3163,6 +3214,57 @@ object SparkEntry {
          |SELECT id, pr FROM pr3 ORDER BY id""".stripMargin
     },
 
+    // q104: q95's chain with (a) only even doc_ids emitting edges — odd
+    // targets become dangling — and (b) a dangling-mass CTE per round:
+    // dm = DECIMAL-quantized sum of rank over deg-0 nodes, redistributed
+    // uniformly inside the affine update. Expression tree mirrors
+    // Graph.pageRank exactly: base + d * (COALESCE(s, 0.0) + dm / N).
+    "q104_pagerank_dangling" -> {
+      val P2 = graft.text.TextMath.Mod
+      def edge(j: Int): String = {
+        val a = graft.text.TextMath.MinHashA(j)
+        val b = graft.text.TextMath.MinHashB(j)
+        s"SELECT doc_id AS src, ($a * h + $b) % $P2 % (SELECT n FROM nn) AS dst " +
+          "FROM docs WHERE doc_id % 2 = 0"
+      }
+      def round(i: Int): String =
+        s"""dg$i AS (SELECT COALESCE(
+           |    CAST(SUM(CAST(pr AS DECIMAL(25,6))) AS DOUBLE),
+           |    CAST(0.0 AS DOUBLE)) AS dm
+           |  FROM pr${i - 1} WHERE deg = 0),
+           |c$i AS (SELECT e.dst,
+           |  CAST(SUM(CAST(p.pr / p.deg AS DECIMAL(25,6))) AS DOUBLE) AS s
+           |  FROM edges e JOIN pr${i - 1} p ON e.src = p.id GROUP BY e.dst),
+           |pr$i AS (SELECT nd.id, nd.deg,
+           |  CAST(${1.0 - 0.85} AS DOUBLE) / CAST((SELECT n FROM nc) AS DOUBLE)
+           |    + CAST(0.85 AS DOUBLE) * (COALESCE(c$i.s, CAST(0.0 AS DOUBLE))
+           |      + (SELECT dm FROM dg$i) / CAST((SELECT n FROM nc) AS DOUBLE))
+           |    AS pr
+           |  FROM nd LEFT JOIN c$i ON nd.id = c$i.dst)""".stripMargin
+      s"""WITH docs AS (SELECT doc_id, ${sqlPolyHash("text")} AS h FROM documents),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |edges AS (
+         |  ${edge(0)}
+         |  UNION ALL
+         |  ${edge(1)}
+         |  UNION ALL
+         |  ${edge(2)}),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM edges GROUP BY 1),
+         |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+         |nd AS (SELECT id, COALESCE(deg, CAST(0 AS BIGINT)) AS deg
+         |  FROM nodes LEFT JOIN deg ON id = src),
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nd),
+         |pr0 AS (SELECT id, deg,
+         |  CAST(1.0 AS DOUBLE) / CAST((SELECT n FROM nc) AS DOUBLE) AS pr
+         |  FROM nd),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)}
+         |SELECT id, pr FROM pr4 ORDER BY id""".stripMargin
+    },
+
     // SemDeDup: the q46 Lloyd-training chain (k=8, 2 iterations) feeds a
     // final assignment; pairs verify within cells only; the q71
     // recursive-CTE CC + survivor tail closes groups.
@@ -3210,6 +3312,57 @@ object SparkEntry {
          |FROM labeled l JOIN grp g USING (comp)
          |LEFT JOIN a3 ON a3.id = l.vec_id
          |WHERE l.vec_id = l.comp ORDER BY l.vec_id""".stripMargin,
+
+    // q105: q91's Lloyd chain on the vec_id<300 slice, then BOTH pair
+    // searches — primary-cells-only (p1) and probe-2 (p2: rank <= 2
+    // probe side vs rank = 1 index side, LEAST/GREATEST-canonicalized,
+    // DISTINCT) — flagged against the exact all-pairs ground truth.
+    "q105_semdedup_probes" ->
+      s"""WITH corpus AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL AND vec_id < 300),
+         |seed AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT)
+         |      AS centroid_id,
+         |    v AS cvec
+         |  FROM corpus QUALIFY row_number() OVER (ORDER BY id) <= 8),
+         |a1 AS (${sqlIvfAssign("corpus", "seed")}),
+         |x1 AS (SELECT centroid_id, unnest(range(len(v))) AS pos,
+         |  unnest(v) AS x FROM a1),
+         |m1 AS (${sqlIvfMean("x1")}),
+         |cent1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec
+         |  FROM m1 GROUP BY 1),
+         |a2 AS (${sqlIvfAssign("corpus", "cent1")}),
+         |x2 AS (SELECT centroid_id, unnest(range(len(v))) AS pos,
+         |  unnest(v) AS x FROM a2),
+         |m2 AS (${sqlIvfMean("x2")}),
+         |cent2 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec
+         |  FROM m2 GROUP BY 1),
+         |ranked AS (SELECT c.id, c.v, s.centroid_id,
+         |  row_number() OVER (PARTITION BY c.id
+         |    ORDER BY ${sqlCosine("c.v", "s.cvec")}, s.centroid_id) AS crank
+         |  FROM corpus c, cent2 s),
+         |idx AS (SELECT id, v, centroid_id FROM ranked WHERE crank = 1),
+         |prb AS (SELECT id, v, centroid_id FROM ranked WHERE crank <= 2),
+         |p1 AS (SELECT a.id AS id_a, b2.id AS id_b
+         |  FROM idx a JOIN idx b2
+         |    ON a.centroid_id = b2.centroid_id AND a.id < b2.id
+         |  WHERE ${sqlCosine("a.v", "b2.v")} < 0.6),
+         |p2 AS (SELECT DISTINCT LEAST(a.id, b2.id) AS id_a,
+         |    GREATEST(a.id, b2.id) AS id_b
+         |  FROM prb a JOIN idx b2
+         |    ON a.centroid_id = b2.centroid_id AND a.id <> b2.id
+         |  WHERE ${sqlCosine("a.v", "b2.v")} < 0.6),
+         |ex AS (SELECT a.id AS id_a, b2.id AS id_b,
+         |    ${sqlCosine("a.v", "b2.v")} AS distance
+         |  FROM corpus a JOIN corpus b2 ON a.id < b2.id
+         |  WHERE ${sqlCosine("a.v", "b2.v")} < 0.6)
+         |SELECT e.id_a, e.id_b, e.distance,
+         |  (p1.id_a IS NOT NULL) AS in_cell1,
+         |  (p2.id_a IS NOT NULL) AS in_cell2
+         |FROM ex e
+         |LEFT JOIN p1 ON e.id_a = p1.id_a AND e.id_b = p1.id_b
+         |LEFT JOIN p2 ON e.id_a = p2.id_a AND e.id_b = p2.id_b
+         |ORDER BY e.id_a, e.id_b""".stripMargin,
 
     "q87_bloom_decontaminate" ->
       s"""WITH train AS (SELECT doc_id AS id, text FROM documents

@@ -737,26 +737,29 @@ object Dedup {
     * embarrassingly parallel. The pair search is an EQUI-join on
     * `centroid_id` (one hash exchange per side, AQE splits skewed
     * cells); centroids broadcast to both assignment and training;
-    * cross-cell near-dups are the accepted recall loss of the method
-    * (mitigated in production by nprobe-style multi-assignment, not
-    * replicated here). Unlike the LSH families the cells are
-    * DATA-ADAPTIVE: dense regions get finer partitions than any fixed
-    * hyperplane scheme gives.
+    * cross-cell near-dups are the method's recall loss — `nprobe > 1`
+    * is the paper's mitigation (multi-assignment), implemented in
+    * [[semDeDupPairs]]: each vector PROBES its nprobe nearest cells
+    * while being INDEXED only in its primary cell, so a cross-cell pair
+    * is recovered whenever either member's probe set covers the other's
+    * primary cell, at nprobe× assignment cost and ZERO index growth
+    * (the same probe/index split as
+    * [[graft.similarity.Knn.cellKnnGraph]]; q105 measures the recall
+    * lift against the exact pair set). Unlike the LSH families the
+    * cells are DATA-ADAPTIVE: dense regions get finer partitions than
+    * any fixed hyperplane scheme gives.
     *
     * Rows with a null vector survive as singletons with a null
     * `centroid_id`. Returns (keyCol, centroid_id, group_size), one row
     * per surviving document. */
   def semDeDup(df: DataFrame, vecCol: String, keyCol: String,
-      maxDistance: Double, k: Int, iters: Int = 2): DataFrame = {
+      maxDistance: Double, k: Int, iters: Int = 2,
+      nprobe: Int = 1): DataFrame = {
     val cents = graft.similarity.Knn.trainCentroids(df, vecCol, keyCol, k, iters)
     val assigned = graft.similarity.Knn.ivfAssign(df, vecCol, keyCol,
       cents, "cvec", "centroid_id")
-    val pairs = assigned.as("a").join(assigned.as("b"),
-        col("a.centroid_id") === col("b.centroid_id") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        cosine_distance(col("a.v"), col("b.v")).as("distance"))
-      .filter(col("distance") < maxDistance)
+    val pairs = semDeDupPairs(df, vecCol, keyCol, maxDistance, k, iters,
+      nprobe, centroids = Some(cents))
     val comp = connectedComponents(pairs, "id_a", "id_b")
     val labeled = df.select(col(keyCol))
       .join(comp.withColumnRenamed("id", keyCol), Seq(keyCol), "left")
@@ -768,6 +771,58 @@ object Dedup {
       .join(assigned.select(col("id").as(keyCol), col("centroid_id")),
         Seq(keyCol), "left")
       .select(col(keyCol), col("centroid_id"), col("group_size"))
+  }
+
+  /** SemDeDup's within-cell near-dup pair search, factored out with the
+    * nprobe multi-assignment dial. `nprobe = 1` is the classic form: both
+    * sides of the equi-join are the primary assignment, pairs ordered by
+    * `id_a < id_b`. `nprobe > 1` splits probe from index: the probe side
+    * carries each vector in its `nprobe` nearest cells, the index side
+    * stays primary-cell-only, and pairs canonicalize through
+    * least/greatest + distinct (a pair can surface from either member's
+    * probe — the exact cosine verify is bit-identical in both
+    * orientations, so the distinct is safe on the distance too).
+    * Index size never grows with nprobe; only probe-side fan-out does.
+    * Pass pre-trained `centroids` to share one Lloyd run across
+    * several probe settings. */
+  def semDeDupPairs(df: DataFrame, vecCol: String, keyCol: String,
+      maxDistance: Double, k: Int, iters: Int = 2, nprobe: Int = 1,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    require(nprobe >= 1 && nprobe <= k,
+      s"semDeDupPairs: need 1 <= nprobe <= k, got $nprobe/$k")
+    val cents = centroids.getOrElse(
+      graft.similarity.Knn.trainCentroids(df, vecCol, keyCol, k, iters))
+    if (nprobe == 1) {
+      val assigned = graft.similarity.Knn.ivfAssign(df, vecCol, keyCol,
+        cents, "cvec", "centroid_id")
+      assigned.as("a").join(assigned.as("b"),
+          col("a.centroid_id") === col("b.centroid_id") &&
+            col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+          cosine_distance(col("a.v"), col("b.v")).as("distance"))
+        .filter(col("distance") < maxDistance)
+    } else {
+      val c = df.select(col(keyCol).as("id"), col(vecCol).as("v"))
+        .filter(col("v").isNotNull)
+      val centsDf = cents.select(col("centroid_id"), col("cvec"))
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("cdist").asc, col("centroid_id").asc)
+      val ranked = c.crossJoin(broadcast(centsDf))
+        .withColumn("cdist", cosine_distance(col("v"), col("cvec")))
+        .withColumn("crank", row_number().over(w))
+      val index = ranked.filter(col("crank") === 1)
+        .select(col("id"), col("v"), col("centroid_id"))
+      val probe = ranked.filter(col("crank") <= nprobe)
+        .select(col("id"), col("v"), col("centroid_id"))
+      probe.as("a").join(index.as("b"),
+          col("a.centroid_id") === col("b.centroid_id") &&
+            col("a.id") =!= col("b.id"))
+        .select(least(col("a.id"), col("b.id")).as("id_a"),
+          greatest(col("a.id"), col("b.id")).as("id_b"),
+          cosine_distance(col("a.v"), col("b.v")).as("distance"))
+        .filter(col("distance") < maxDistance)
+        .distinct()
+    }
   }
 
   /** LSH-bucketed embedding near-dup — single-band form: hyperplane LSH
