@@ -68,7 +68,7 @@ object ConcurrencyProbe {
       val nprobe = sys.env.getOrElse("CONC_NPROBE", "4").toInt
       val indexDir = graft.fixtures.Fp16Corpus.workRoot +
         s"/ivfserve3072-n$n-c$cellsK"
-      if (!new java.io.File(s"$indexDir/centroids/_SUCCESS").isFile) {
+      if (!graft.similarity.Knn.ivfIndexReady(indexDir)) {
         val fp32 = corpus.select(col("vec_id").as("id"),
           graft.functions.fp16_decode(col("emb16")).as("embedding"))
         // train on ~500 sampled vectors: the assignment pass is the full

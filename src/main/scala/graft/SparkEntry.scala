@@ -666,7 +666,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val indexDir = graft.fixtures.Fp16Corpus.workRoot +
         s"/ivfindex-${new java.io.File(dir).getName}-c${e.count()}"
-      if (!new java.io.File(s"$indexDir/centroids/_SUCCESS").isFile)
+      if (!Knn.ivfIndexReady(indexDir))
         Knn.ivfBuildIndex(e, "embedding", "vec_id", indexDir, k = 4,
           iters = 2, trainFilter = col("vec_id") % 5 === 0)
       val qv = e.filter(col("vec_id") === 0)
@@ -688,7 +688,7 @@ object SparkEntry {
       val e = t(s, dir, "embeddings")
       val indexDir = graft.fixtures.Fp16Corpus.workRoot +
         s"/ivfindex16-${new java.io.File(dir).getName}-c${e.count()}"
-      if (!new java.io.File(s"$indexDir/centroids/_SUCCESS").isFile)
+      if (!Knn.ivfIndexReady(indexDir))
         Knn.ivfBuildIndex(e, "embedding", "vec_id", indexDir, k = 4,
           iters = 2, trainFilter = col("vec_id") % 5 === 0, fp16 = true)
       val qv = e.filter(col("vec_id") === 0)
@@ -1442,7 +1442,7 @@ object SparkEntry {
       val fp = d.agg(sum(xxhash64(col("doc_id"), md5(col("text"))))
         .cast("string")).head().getString(0)
       val indexDir = graft.fixtures.Fp16Corpus.workRoot + s"/lexindex-$fp"
-      if (!new java.io.File(s"$indexDir/postings/_SUCCESS").isFile)
+      if (!new java.io.File(s"$indexDir/CURRENT").isFile)
         graft.text.TextRank.buildLexicalIndex(d, "text", "doc_id", indexDir)
       graft.text.TextRank.searchLexicalIndex(s, indexDir,
         Seq("join", "filter", "merge"), k = 15)

@@ -148,20 +148,8 @@ object Knn {
       .select(col("id"), col("centroid_id"), col("score"))
   }
 
-  /** Build a persistent IVF index: train centroids on `trainFilter`'s
-    * subset (at 100 TB this is a sample — the full corpus is only scanned
-    * for the single assignment pass), assign every corpus vector to its
-    * nearest cell, and write the assigned corpus as parquet PARTITIONED BY
-    * `centroid_id` with a tiny centroids sidecar. Cell directories are the
-    * index: a probe prunes them at PLAN time (partition pruning), so an
-    * un-probed cell's files are never listed, opened, or scanned — the
-    * pgvector `ivfflat` lists/probes layout re-expressed as a parquet
-    * layout decision instead of a custom index structure. */
-  def ivfBuildIndex(corpus: DataFrame, vecCol: String, keyCol: String,
-      indexDir: String, k: Int, iters: Int,
-      trainFilter: Column, fp16: Boolean = false): Unit = {
-    val cents = trainCentroids(corpus.filter(trainFilter), vecCol, keyCol, k, iters)
-    val assigned = ivfAssign(corpus, vecCol, keyCol, cents, "cvec", "centroid_id")
+  private def writeCellSegment(assigned: DataFrame, segDir: String,
+      fp16: Boolean): Unit = {
     // fp16 cells: assignment ran at full precision (centroid choice is a
     // build-time decision — no reason to degrade it), but what the index
     // STORES is 2 bytes/dim — at 100 TB the cells are the index's entire
@@ -172,8 +160,60 @@ object Knn {
         graft.functions.fp16_encode(col("v")).as("emb16"), col("centroid_id"))
       else assigned
     cells.write.partitionBy("centroid_id")
-      .mode("overwrite").parquet(s"$indexDir/cells")
+      .mode("overwrite").parquet(s"$segDir/cells")
+  }
+
+  /** Build a persistent IVF index: train centroids on `trainFilter`'s
+    * subset (at 100 TB this is a sample — the full corpus is only scanned
+    * for the single assignment pass), assign every corpus vector to its
+    * nearest cell, and write the assigned corpus as parquet PARTITIONED BY
+    * `centroid_id` with a tiny centroids sidecar. Cell directories are the
+    * index: a probe prunes them at PLAN time (partition pruning), so an
+    * un-probed cell's files are never listed, opened, or scanned — the
+    * pgvector `ivfflat` lists/probes layout re-expressed as a parquet
+    * layout decision instead of a custom index structure.
+    *
+    * Layout: the centroid sidecar at the root (immutable — appends assign
+    * against it) + one initial cell segment under a `CURRENT` segment
+    * list ([[graft.sync.SegmentedIndex]]); production batches extend via
+    * [[ivfAppendIndex]] at O(batch) cost. */
+  def ivfBuildIndex(corpus: DataFrame, vecCol: String, keyCol: String,
+      indexDir: String, k: Int, iters: Int,
+      trainFilter: Column, fp16: Boolean = false): Unit = {
+    val cents = trainCentroids(corpus.filter(trainFilter), vecCol, keyCol, k, iters)
+    val assigned = ivfAssign(corpus, vecCol, keyCol, cents, "cvec", "centroid_id")
+    val seg = graft.sync.SegmentedIndex.newSegmentName()
+    writeCellSegment(assigned, s"$indexDir/$seg", fp16)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    graft.sync.SegmentedIndex.commit(corpus.sparkSession, indexDir, Seq(seg))
+  }
+
+  /** Append a batch to an existing IVF index: assign the batch to the
+    * EXISTING centroids (one broadcast-assign pass over the batch — the
+    * index's cell geometry is fixed at build time, the ivfflat
+    * steady-state contract), write one new segment partitioned by the
+    * same `centroid_id`, and commit the extended segment list with one
+    * atomic replace. Probes prune every segment identically (the
+    * PartitionFilter applies per segment); the at-rest precision is
+    * sniffed from the live segments so an fp16 index stays fp16. As
+    * cells drift from the trained geometry (data distribution shift),
+    * recall decays — re-train wholesale with [[ivfBuildIndex]] when the
+    * drift matters; that rebuild is the same pointer swap. Batch ids
+    * must be new to the index (dedup upstream). foreachBatch-ready. */
+  def ivfAppendIndex(batch: DataFrame, vecCol: String, keyCol: String,
+      indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    val existing = graft.sync.SegmentedIndex.resolve(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(
+        s"ivfAppendIndex: no segmented IVF index at $indexDir (build first)"))
+    val fp16 = spark.read
+      .parquet(s"$indexDir/${existing.head}/cells")
+      .columns.contains("emb16")
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+    val assigned = ivfAssign(batch, vecCol, keyCol, cents, "cvec", "centroid_id")
+    val seg = graft.sync.SegmentedIndex.newSegmentName()
+    writeCellSegment(assigned, s"$indexDir/$seg", fp16)
+    graft.sync.SegmentedIndex.commit(spark, indexDir, existing :+ seg)
   }
 
   /** Probe a persistent IVF index: the query picks its `nprobe` nearest
@@ -196,7 +236,7 @@ object Knn {
     // depends on session config (INT normally; STRING when partition-column
     // type inference is off, and mistyped literals would silently match
     // nothing); surface the canonical LONG type afterwards
-    val cells = spark.read.parquet(s"$indexDir/cells")
+    val cells = readCells(spark, indexDir)
     val inList: Seq[Any] =
       cells.schema("centroid_id").dataType match {
         case org.apache.spark.sql.types.IntegerType => probed.map(_.toInt)
@@ -268,12 +308,39 @@ object Knn {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       require(cents.nonEmpty,
         s"IVF index at $indexDir has an empty centroids sidecar")
-      val cells = spark.read.parquet(s"$indexDir/cells")
+      // the segment list resolves ONCE at load (like the centroids):
+      // appends committed later serve through a re-load, never half-seen
+      val cells = readCells(spark, indexDir)
       new IvfIndex(spark, cents, cells,
         cells.schema("centroid_id").dataType,
         cells.columns.contains("emb16"))
     }
   }
+
+  /** The live cell data: segmented layout when a `CURRENT` pointer
+    * exists (each segment read as its own parquet root and unioned —
+    * one multi-path read would reject the "conflicting" per-segment
+    * partition trees; probe filters push through the Union, so every
+    * segment's scan prunes to the probed cells), else the pre-segment
+    * flat `cells/` dir. */
+  private def readCells(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    graft.sync.SegmentedIndex.resolve(spark, indexDir) match {
+      case Some(segs) => segs.map(s => spark.read.parquet(s"$indexDir/$s/cells"))
+        .reduce(_ unionByName _)
+      case None       => spark.read.parquet(s"$indexDir/cells")
+    }
+
+  /** Is a COMPLETE persistent index on local disk at `indexDir`?  Both
+    * sides must exist — the centroid sidecar AND the cell data (the
+    * segment pointer, or the pre-segment flat layout's `cells` commit
+    * marker) — so a build that crashed between the two writes reads as
+    * absent and gets rebuilt, not half-loaded. Local-path form for the
+    * fixture-cache checks; cluster URIs should probe via FileSystem. */
+  def ivfIndexReady(indexDir: String): Boolean =
+    new java.io.File(s"$indexDir/centroids/_SUCCESS").isFile &&
+      (new java.io.File(s"$indexDir/CURRENT").isFile ||
+        new java.io.File(s"$indexDir/cells/_SUCCESS").isFile)
 
   /** Lloyd-iteration centroid training for the IVF index, DataFrame-native:
     * seed = the `k` lowest-key vectors relabeled 0..k-1; each iteration

@@ -75,40 +75,142 @@ object TextRank {
       .limit(k)
   }
 
-  /** Build a persistent lexical index — the sparse mirror of the IVF
-    * layout decision ([[graft.similarity.Knn.ivfBuildIndex]]): postings
-    * `(term, id, tf, dl)` are written PARTITIONED BY `term_bucket =
-    * polyHash(term) % buckets`, so a query's scan carries
-    * `term_bucket IN (…)` as a PartitionFilter and un-probed buckets are
-    * never listed, opened, or read. A term's entire posting list lives in
-    * exactly one bucket, so document frequency is computable from the
-    * probed partitions alone; corpus-level stats (N, total_dl) go to a
-    * one-row sidecar. At 100 TB the index is the corpus re-sorted once at
-    * write time; each query then touches terms/buckets of it. */
-  def buildLexicalIndex(df: DataFrame, textCol: String, keyCol: String,
-      indexDir: String, buckets: Int = 64): Unit = {
-    require(buckets >= 1, s"buildLexicalIndex: buckets must be >= 1")
+  /** Segments are separate parquet ROOTS (each hive-partitioned by
+    * term_bucket), so they read individually and union — one multi-path
+    * read would reject the "conflicting" per-segment partition trees.
+    * Filter pushdown crosses Union, so each segment's scan still prunes
+    * to the probed buckets. */
+  private def readUnion(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String]): DataFrame =
+    dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
+
+  /** One complete, immutable lexical segment: bucketed postings + a
+    * one-row stats sidecar. Shared by build and append — a segment is
+    * self-describing, so the search path needs no global dictionary. */
+  private def writeLexicalSegment(df: DataFrame, textCol: String,
+      keyCol: String, segDir: String, buckets: Int): Unit = {
     val docs = df
       .select(col(keyCol).as("id"), split(col(textCol), " ").as("w"))
       .select(col("id"), col("w"), size(col("w")).cast("long").as("dl"))
     docs.agg(count(lit(1)).as("n"), sum(col("dl")).as("total_dl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/stats")
+      .coalesce(1).write.mode("overwrite").parquet(s"$segDir/stats")
     docs.select(col("id"), col("dl"), explode(col("w")).as("term"))
       .groupBy(col("id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
       .withColumn("term_bucket",
         pmod(TextAnalysis.polyHash(col("term")), lit(buckets.toLong)))
       .write.partitionBy("term_bucket")
-      .mode("overwrite").parquet(s"$indexDir/postings")
+      .mode("overwrite").parquet(s"$segDir/postings")
   }
 
-  /** BM25 top-k served from a [[buildLexicalIndex]] layout. The probed
-    * buckets are computed on the driver from the query terms (the same
-    * polyHash the writer used — query-plan state, like a query vector),
-    * and the postings scan prunes to them at plan time; df comes from
-    * the probed postings themselves, so no global term dictionary is
-    * read. Identical results to [[bm25TopK]] over the same corpus —
-    * same ratio idf, same fixed-order totals. */
+  /** Build a persistent lexical index — the sparse mirror of the IVF
+    * layout decision ([[graft.similarity.Knn.ivfBuildIndex]]): postings
+    * `(term, id, tf, dl)` are written PARTITIONED BY `term_bucket =
+    * polyHash(term) % buckets`, so a query's scan carries
+    * `term_bucket IN (…)` as a PartitionFilter and un-probed buckets are
+    * never listed, opened, or read. A term's entire posting list lives in
+    * exactly one bucket (within each segment), so document frequency is
+    * computable from the probed partitions alone; corpus-level stats
+    * (N, total_dl) go to a one-row sidecar per segment. At 100 TB the
+    * index is the corpus re-sorted once at write time; each query then
+    * touches terms/buckets of it.
+    *
+    * Layout: one initial segment + a `CURRENT` segment-list pointer
+    * ([[graft.sync.SegmentedIndex]]), so production batches extend the
+    * index via [[appendLexicalIndex]] at O(batch) cost instead of
+    * rebuilding the world. */
+  def buildLexicalIndex(df: DataFrame, textCol: String, keyCol: String,
+      indexDir: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"buildLexicalIndex: buckets must be >= 1")
+    val seg = graft.sync.SegmentedIndex.newSegmentName()
+    writeLexicalSegment(df, textCol, keyCol, s"$indexDir/$seg", buckets)
+    graft.sync.SegmentedIndex.commit(df.sparkSession, indexDir, Seq(seg))
+  }
+
+  /** Append a batch to an existing lexical index: ONE new segment
+    * (bucketed exactly like the base — the probe's PartitionFilter
+    * applies per segment) + one atomic pointer commit. Cost scales with
+    * the batch; existing segments are never touched, so a reader that
+    * resolved the pointer pre-commit still scans a complete, consistent
+    * index. `buckets` must match the build (same polyHash modulus, or a
+    * term's postings would split across bucket ids and df would
+    * double-count); batch doc ids must be new to the index — run the
+    * dedup/decontamination pass first, the same contract as the IVF
+    * append. foreachBatch-ready: call per micro-batch. */
+  def appendLexicalIndex(batch: DataFrame, textCol: String, keyCol: String,
+      indexDir: String, buckets: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val existing = graft.sync.SegmentedIndex.resolve(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(
+        s"appendLexicalIndex: no segmented index at $indexDir (build first)"))
+    val seg = graft.sync.SegmentedIndex.newSegmentName()
+    writeLexicalSegment(batch, textCol, keyCol, s"$indexDir/$seg", buckets)
+    graft.sync.SegmentedIndex.commit(spark, indexDir, existing :+ seg)
+  }
+
+  /** [[appendLexicalIndex]] as a Structured Streaming sink — the
+    * steady-state "documents keep arriving, the search index keeps
+    * serving" loop: each micro-batch becomes one immutable segment + one
+    * pointer commit (`foreachBatch`, same rationale as
+    * [[graft.dedup.Dedup.incrementalDeduplicateStream]]: the index is
+    * far too large for the state store and lives naturally as the sink).
+    * The first micro-batch builds the index if none exists. Caller
+    * supplies `.option("checkpointLocation", ...)` and `.start()`.
+    * At-least-once caveat: a replayed batch appends its postings twice —
+    * run the dedup pass upstream (its replay IS self-healing) or compact
+    * with the duplicate-merging [[compactLexicalIndex]] after recovery. */
+  def appendLexicalIndexStream(batches: DataFrame, textCol: String,
+      keyCol: String, indexDir: String, buckets: Int = 64)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    batches.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        if (graft.sync.SegmentedIndex.resolve(spark, indexDir).isEmpty)
+          buildLexicalIndex(batch, textCol, keyCol, indexDir, buckets)
+        else appendLexicalIndex(batch, textCol, keyCol, indexDir, buckets)
+      }
+    }
+
+  /** Merge all live segments into one (read the postings union — never
+    * the original text — re-group, write, swap the pointer): the LSM
+    * compaction that bounds per-query segment fan-out after many
+    * appends. Per-(id, term) tf rows merge by SUM and dl by MAX (ids
+    * are expected unique across segments, making both a plain carry;
+    * the merge rule keeps compaction total even if that contract was
+    * violated upstream). */
+  def compactLexicalIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, buckets: Int = 64): Unit = {
+    val existing = graft.sync.SegmentedIndex.resolve(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(
+        s"compactLexicalIndex: no segmented index at $indexDir"))
+    if (existing.size <= 1) return
+    val seg = graft.sync.SegmentedIndex.newSegmentName()
+    val segDir = s"$indexDir/$seg"
+    val postings = readUnion(spark,
+      existing.map(s => s"$indexDir/$s/postings"))
+    readUnion(spark, existing.map(s => s"$indexDir/$s/stats"))
+      .agg(sum(col("n")).as("n"), sum(col("total_dl")).as("total_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$segDir/stats")
+    postings.groupBy(col("id"), col("term"), col("term_bucket"))
+      .agg(max(col("dl")).as("dl"), sum(col("tf")).as("tf"))
+      .select(col("id"), col("dl"), col("term"), col("tf"), col("term_bucket"))
+      .write.partitionBy("term_bucket")
+      .mode("overwrite").parquet(s"$segDir/postings")
+    graft.sync.SegmentedIndex.commit(spark, indexDir, Seq(seg))
+  }
+
+  /** BM25 top-k served from a [[buildLexicalIndex]] layout (segmented —
+    * the postings scan unions all live segments, pruning each to the
+    * probed buckets — with fallback to the pre-segment flat layout).
+    * The probed buckets are computed on the driver from the query terms
+    * (the same polyHash the writer used — query-plan state, like a query
+    * vector), and the postings scan prunes to them at plan time; df
+    * comes from the probed postings themselves, so no global term
+    * dictionary is read; corpus stats are the integer SUM of the
+    * segment sidecars (exact — order-free). Identical results to
+    * [[bm25TopK]] over the same corpus — same ratio idf, same
+    * fixed-order totals, whether the corpus arrived in one build or
+    * build + appends. */
   def searchLexicalIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, queryTerms: Seq[String], k: Int,
       buckets: Int = 64, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -118,13 +220,23 @@ object TextRank {
     val probedBuckets = queryTerms
       .map(t => TextMath.polyHash(UTF8String.fromString(t)) % buckets)
       .distinct
-    val postings = spark.read.parquet(s"$indexDir/postings")
+    val segs = graft.sync.SegmentedIndex.resolve(spark, indexDir)
+    val postingDirs = segs match {
+      case Some(list) => list.map(s => s"$indexDir/$s/postings")
+      case None       => Seq(s"$indexDir/postings") // pre-segment layout
+    }
+    val statDirs = segs match {
+      case Some(list) => list.map(s => s"$indexDir/$s/stats")
+      case None       => Seq(s"$indexDir/stats")
+    }
+    val postings = readUnion(spark, postingDirs)
     val inList: Seq[Any] = postings.schema("term_bucket").dataType match {
       case org.apache.spark.sql.types.IntegerType => probedBuckets.map(_.toInt)
       case org.apache.spark.sql.types.LongType => probedBuckets
       case _ => probedBuckets.map(_.toString)
     }
-    val stats = spark.read.parquet(s"$indexDir/stats")
+    val stats = readUnion(spark, statDirs)
+      .agg(sum(col("n")).as("n"), sum(col("total_dl")).as("total_dl"))
     val tf = postings
       .filter(col("term_bucket").isin(inList: _*))
       .filter(col("term").isin(queryTerms.map(x => x: Any): _*))

@@ -16,8 +16,10 @@ class KnnSpec extends SparkTestBase {
     try {
       Knn.ivfBuildIndex(emb, "embedding", "vec_id", dir, k = 4, iters = 2,
         trainFilter = $"vec_id" % 5 === 0)
-      // cell layout on disk: one directory per centroid
-      val cellDirs = new java.io.File(s"$dir/cells").listFiles()
+      // cell layout on disk: one directory per centroid, inside the
+      // committed segment
+      val seg = graft.sync.SegmentedIndex.resolve(spark, dir).get.head
+      val cellDirs = new java.io.File(s"$dir/$seg/cells").listFiles()
         .filter(_.getName.startsWith("centroid_id=")).map(_.getName).sorted
       assert(cellDirs.length >= 2 && cellDirs.length <= 4)
       val qv = emb.orderBy($"vec_id").select($"embedding")
@@ -60,7 +62,8 @@ class KnnSpec extends SparkTestBase {
         trainFilter = $"vec_id" % 5 === 0, fp16 = true)
       // the cells really are half-width: BINARY blob of 2 bytes/dim, no
       // ARRAY<FLOAT> column at rest
-      val cells = spark.read.parquet(s"$dir16/cells")
+      val seg16 = graft.sync.SegmentedIndex.resolve(spark, dir16).get.head
+      val cells = spark.read.parquet(s"$dir16/$seg16/cells")
       assert(cells.columns.contains("emb16") && !cells.columns.contains("v"))
       assert(cells.select(octet_length($"emb16")).head().getInt(0) == 2 * 64)
       val qv = emb.orderBy($"vec_id").select($"embedding")
@@ -121,6 +124,59 @@ class KnnSpec extends SparkTestBase {
       java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
         .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
+  }
+
+  test("ivfAppendIndex: build+append == build-from-scratch; fp16 sticky; old handle unaffected") {
+    val dirInc = java.nio.file.Files.createTempDirectory("ivfinc").toString
+    val dirAll = java.nio.file.Files.createTempDirectory("ivfall").toString
+    def rmrf(dir: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    try {
+      val base = emb.filter($"vec_id" < 300)
+      val batch = emb.filter($"vec_id" >= 300 && $"vec_id" < 400)
+      val train = $"vec_id" < 300 && $"vec_id" % 5 === 0
+      // incremental: build on base (training on the sample), append batch
+      Knn.ivfBuildIndex(base, "embedding", "vec_id", dirInc, k = 4,
+        iters = 2, trainFilter = $"vec_id" % 5 === 0, fp16 = true)
+      // a handle loaded NOW resolves the segment list once: the append
+      // below must not change what it serves
+      val oldHandle = Knn.IvfIndex.load(spark, dirInc)
+      val qv = emb.filter($"vec_id" === 7).select($"embedding")
+        .head().getSeq[Float](0).toArray
+      val preAppend = oldHandle.search(qv, k = 10, nprobe = 4).collect().toSeq
+      Knn.ivfAppendIndex(batch, "embedding", "vec_id", dirInc)
+      assert(oldHandle.search(qv, k = 10, nprobe = 4).collect().toSeq
+        == preAppend, "append mutated an already-loaded handle's view")
+      // wholesale: same corpus, same training subset → identical centroids
+      // → identical cells → row-identical searches
+      Knn.ivfBuildIndex(emb.filter($"vec_id" < 400), "embedding", "vec_id",
+        dirAll, k = 4, iters = 2, trainFilter = train, fp16 = true)
+      val inc = Knn.ivfSearchIndex(spark, dirInc, qv, k = 10, nprobe = 3)
+      val all = Knn.ivfSearchIndex(spark, dirAll, qv, k = 10, nprobe = 3)
+      assert(inc.collect().toSeq == all.collect().toSeq)
+      // a fresh load serves the appended corpus, fp16 stayed sticky
+      // (sniffed from the live segments), and the probe still prunes
+      // across BOTH segments
+      val newHandle = Knn.IvfIndex.load(spark, dirInc)
+      val res = newHandle.search(qv, k = 10, nprobe = 2)
+      assert(res.queryExecution.executedPlan.toString
+        .contains("fp16_cosine_distance"))
+      // one scan per segment (separate parquet roots under a Union) —
+      // EVERY segment's scan must carry the probe's PartitionFilter
+      val cellScans = res.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata("Location").contains("cells") => f }
+      assert(cellScans.length == 2, s"expected 2 segment scans, got ${cellScans.length}")
+      cellScans.foreach(sc =>
+        assert(sc.metadata("PartitionFilters").contains("centroid_id"),
+          sc.metadata("PartitionFilters")))
+      // ≤ 2 segments × 2 probed cells (a segment may lack a probed cell)
+      val parts = cellScans.map(_.selectedPartitions.partitionCount).sum
+      assert(parts >= 2 && parts <= 4, s"scanned $parts partition dirs")
+    } finally { rmrf(dirInc); rmrf(dirAll) }
   }
 
   test("trainCentroids: k cells, right dimensionality, assignment improves") {

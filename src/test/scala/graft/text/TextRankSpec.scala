@@ -77,6 +77,103 @@ class TextRankSpec extends SparkTestBase {
     }
   }
 
+  test("segmented append: build+append == build-from-scratch; old readers see the old index") {
+    val corpus = (0 until 200).map { i =>
+      val terms = Seq("join", "merge", "scan", "filter", "sort")
+        .filter(t => (i + t.length) % 3 == 0)
+      (i.toLong, (terms ++ Seq.fill(i % 7 + 1)(s"pad$i")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val base = corpus.filter($"doc_id" < 120)
+    val batch = corpus.filter($"doc_id" >= 120)
+    val dirInc = java.nio.file.Files.createTempDirectory("lexinc").toString
+    val dirAll = java.nio.file.Files.createTempDirectory("lexall").toString
+    val terms = Seq("join", "merge")
+    try {
+      TextRank.buildLexicalIndex(base, "text", "doc_id", dirInc)
+      // an old reader resolves the segment list NOW: the append below must
+      // not change what it serves (segments are immutable; the commit
+      // only swaps the pointer)
+      val oldReader = TextRank.searchLexicalIndex(spark, dirInc, terms, k = 10)
+      val preAppend = TextRank.bm25TopK(base, "text", "doc_id", terms, k = 10)
+        .collect().toSeq
+      TextRank.appendLexicalIndex(batch, "text", "doc_id", dirInc)
+      assert(oldReader.collect().toSeq == preAppend,
+        "append mutated an already-resolved reader's view")
+      // build-then-append == one wholesale build — BIT-identical (postings
+      // are the same rows, stats sum exactly, the score expression is one
+      // fixed tree)
+      TextRank.buildLexicalIndex(corpus, "text", "doc_id", dirAll)
+      val inc = TextRank.searchLexicalIndex(spark, dirInc, terms, k = 10)
+      val all = TextRank.searchLexicalIndex(spark, dirAll, terms, k = 10)
+      assert(inc.collect().toSeq == all.collect().toSeq)
+      // the appended index still prunes: every probed dir is a wanted
+      // bucket, across BOTH segments
+      import org.apache.spark.unsafe.types.UTF8String
+      val want = terms.map(t =>
+        TextMath.polyHash(UTF8String.fromString(t)) % 64).distinct.toSet
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val scans =
+        try TextRank.searchLexicalIndex(spark, dirInc, terms, k = 10)
+          .queryExecution.executedPlan.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // separate parquet roots under a Union: the plan scans each segment
+      // (twice — the tf and df legs); EVERY scan must prune to exactly
+      // the probed buckets, and both segments must appear
+      val postScans = scans.filter(_.metadata("Location").contains("postings"))
+      assert(postScans.map(_.metadata("Location")).distinct.length == 2,
+        s"expected scans over 2 segments:\n${postScans.map(_.metadata("Location"))}")
+      postScans.foreach { sc =>
+        assert(sc.metadata("PartitionFilters").contains("term_bucket"),
+          sc.metadata("PartitionFilters"))
+        assert(sc.selectedPartitions.partitionCount == want.size,
+          s"scan read ${sc.selectedPartitions.partitionCount} buckets, want ${want.size}")
+      }
+      // compaction: one merged segment, same answers
+      TextRank.compactLexicalIndex(spark, dirInc)
+      assert(graft.sync.SegmentedIndex.resolve(spark, dirInc).get.size == 1)
+      assert(TextRank.searchLexicalIndex(spark, dirInc, terms, k = 10)
+        .collect().toSeq == all.collect().toSeq)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(dirInc, dirAll).foreach { d =>
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
+  test("appendLexicalIndexStream: a MemoryStream run equals one wholesale build") {
+    val root = java.nio.file.Files.createTempDirectory("lexstream").toString
+    val streamDir = s"$root/index"
+    val allDir = s"$root/index-all"
+    val corpus = (0 until 60).map { i =>
+      val terms = Seq("join", "merge", "scan").filter(t => (i + t.length) % 2 == 0)
+      (i.toLong, (terms ++ Seq(s"pad$i")).mkString(" "))
+    }
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = TextRank.appendLexicalIndexStream(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id", streamDir)
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try {
+      input.addData(corpus.take(25): _*) // first batch BUILDS
+      q.processAllAvailable()
+      input.addData(corpus.drop(25): _*) // second batch APPENDS
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(graft.sync.SegmentedIndex.resolve(spark, streamDir).get.size == 2)
+    TextRank.buildLexicalIndex(corpus.toDF("doc_id", "text"), "text",
+      "doc_id", allDir)
+    val terms = Seq("join", "merge")
+    assert(TextRank.searchLexicalIndex(spark, streamDir, terms, k = 10)
+      .collect().toSeq ==
+      TextRank.searchLexicalIndex(spark, allDir, terms, k = 10)
+        .collect().toSeq)
+  }
+
   test("rrfFuse: both-list members outrank single-list members at equal rank") {
     val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
     val b = Seq((20L, 1), (11L, 2), (21L, 3)).toDF("id", "rank")
