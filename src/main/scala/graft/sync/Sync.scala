@@ -143,6 +143,51 @@ object HighlightStore {
       .dropRight(2)
       .foreach(p => try { fs.delete(p, true); () } catch { case _: Exception => () })
   }
+
+  /** Schema-evolution migration — the alembic add-column/backfill story
+    * (reference: alembic/versions/6e900a582819_create_initial_tables.py
+    * and successors), versioned-store form: read the LIVE version's
+    * AT-REST relation verbatim (an fp16 store's `emb16` blob stays
+    * encoded — storage layout is not the migration's concern), apply
+    * `evolve`, and commit the result as a brand-new version through the
+    * same single-rename pointer swap as [[writeAtomic]].
+    *
+    * Nothing is rewritten in place: readers that resolved the pointer
+    * BEFORE the swap keep scanning the old version directory (it
+    * survives retention's two-version grace window), and a crash
+    * mid-migration leaves the old pointer live. Re-layout
+    * (`partitionBy`) composes with the schema change — one migration can
+    * both add the column and repartition by it.
+    *
+    * Returns false when no store exists at `dir` (nothing to migrate). */
+  def migrate(spark: SparkSession, dir: String,
+      evolve: DataFrame => DataFrame,
+      partitionBy: Seq[String] = Nil): Boolean = {
+    val root = new HPath(dir)
+    val fs = fsFor(spark, root)
+    if (!fs.exists(root)) false
+    else resolveCurrent(fs, root) match {
+      case None => false
+      case Some(live) =>
+        writeAtomic(evolve(spark.read.parquet(live.toString)), dir,
+          partitionBy)
+        true
+    }
+  }
+
+  /** Add-column convenience over [[migrate]]: every existing row
+    * backfills with `default` (a literal or any expression over the
+    * existing columns). Fails fast if the column already exists — a
+    * silent re-run would mask a naming collision; idempotent re-runs
+    * belong to the caller's migration ledger, not this primitive. */
+  def addColumn(spark: SparkSession, dir: String, name: String,
+      default: org.apache.spark.sql.Column,
+      partitionBy: Seq[String] = Nil): Boolean =
+    migrate(spark, dir, { df =>
+      require(!df.columns.contains(name),
+        s"addColumn: column '$name' already exists in the store at $dir")
+      df.withColumn(name, default)
+    }, partitionBy)
 }
 
 /** Backfill + incremental sync jobs (reference: jobs/backfill.py:17-66,

@@ -1,0 +1,99 @@
+package graft.sync
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** [[HighlightStore.migrate]]/[[HighlightStore.addColumn]] — the schema
+  * evolution story over versioned store dirs: a migration lands as a NEW
+  * version behind the pointer swap, old readers keep their resolved
+  * version, at-rest fp16 layout passes through untouched, and a
+  * migration can re-layout (partitionBy) in the same commit.
+  */
+class StoreMigrationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshStore(dir: String): Unit = {
+    val docs = Seq(
+      (1L, "alpha text", Seq(1f, 0f, 0f, 0f)),
+      (2L, "bravo text", Seq(0f, 1f, 0f, 0f)),
+      (3L, "charlie text", Seq(0f, 0f, 1f, 0f)))
+      .toDF("id", "text", "embedding")
+    HighlightStore.writeAtomic(docs, dir)
+  }
+
+  private def currentVersion(dir: String): String =
+    Files.readString(java.nio.file.Paths.get(dir, "CURRENT")).trim
+
+  test("addColumn backfills every row behind a pointer swap; old readers unaffected") {
+    val dir = Files.createTempDirectory("store-mig").toString
+    freshStore(dir)
+    val v1 = currentVersion(dir)
+    // a reader that resolved the pointer BEFORE the migration: it must
+    // keep serving the legacy schema until it re-reads (lazy scans run
+    // against the old version dir, which retention keeps)
+    val oldReader = HighlightStore.read(spark, dir).get
+    assert(!oldReader.columns.contains("lang"))
+
+    assert(HighlightStore.addColumn(spark, dir, "lang", lit("en")))
+    val v2 = currentVersion(dir)
+    assert(v1 != v2, "migration must commit a NEW version")
+    // old reader still scans the old version cleanly after the swap
+    assert(oldReader.count() == 3 && !oldReader.columns.contains("lang"))
+    assert(new java.io.File(s"$dir/$v1").isDirectory, "grace version deleted")
+
+    // new readers see the column, backfilled on every existing row
+    val migrated = HighlightStore.read(spark, dir).get
+    assert(migrated.columns.contains("lang"))
+    assert(migrated.filter($"lang" === "en").count() == 3)
+    // existing data intact
+    assert(migrated.select("id", "text").collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "alpha text"), (2L, "bravo text"), (3L, "charlie text")))
+
+    // re-running the same add is a naming collision, not a silent no-op
+    val ex = intercept[IllegalArgumentException] {
+      HighlightStore.addColumn(spark, dir, "lang", lit("en"))
+    }
+    assert(ex.getMessage.contains("already exists"))
+  }
+
+  test("computed backfill + re-layout in one migration; migrate on empty dir is false") {
+    val dir = Files.createTempDirectory("store-mig2").toString
+    freshStore(dir)
+    // backfill from existing columns AND partition the new version by it
+    assert(HighlightStore.migrate(spark, dir,
+      df => df.withColumn("bucket",
+        (col("id") % 2).cast("string")),
+      partitionBy = Seq("bucket")))
+    val migrated = HighlightStore.read(spark, dir).get
+    assert(migrated.filter($"bucket" === "1").count() == 2)
+    // hive layout exists inside the new version
+    val v = currentVersion(dir)
+    assert(new java.io.File(s"$dir/$v").listFiles()
+      .exists(_.getName.startsWith("bucket=")))
+    // no store → no migration
+    assert(!HighlightStore.migrate(spark,
+      Files.createTempDirectory("store-mig-none").toString + "/nope",
+      identity[org.apache.spark.sql.DataFrame]))
+  }
+
+  test("fp16 store migrates without widening: emb16 stays at rest, reads still decode") {
+    val dir = Files.createTempDirectory("store-mig16").toString
+    val docs = Seq(
+      (1L, "alpha", Seq(0.5f, 0.25f)),
+      (2L, "bravo", Seq(1f, 2f))).toDF("id", "text", "embedding")
+    HighlightStore.writeAtomic(docs, dir, fp16 = true)
+    assert(HighlightStore.addColumn(spark, dir, "source_type", lit("book")))
+    // at rest: the migrated version still stores the BINARY blob, no
+    // fp32 embedding column materialized by the migration
+    val raw = spark.read.parquet(s"$dir/${currentVersion(dir)}")
+    assert(raw.columns.contains("emb16") && !raw.columns.contains("embedding"))
+    // through read(): transparent decode + the new column
+    val read = HighlightStore.read(spark, dir).get
+    assert(read.columns.contains("embedding") && read.columns.contains("source_type"))
+    assert(read.filter($"source_type" === "book").count() == 2)
+  }
+}
