@@ -38,15 +38,20 @@ object SemanticSearch {
   /** Column layout expected of a highlight store (FIXTURES.md §1). */
   val EmbeddingCol = "embedding"
 
-  def search(store: DataFrame, req: SearchRequest, keyCol: String = "id"): DataFrame = {
-    val base = store.filter(col(EmbeddingCol).isNotNull)
-    val filtered = Seq[Option[Column]](
+  /** The request's metadata predicates alone (no vector work) — shared
+    * by the dense path below and the hybrid gateway's lexical leg, so
+    * the two legs can never disagree on which rows are in scope. */
+  def applyFilters(store: DataFrame, req: SearchRequest): DataFrame =
+    Seq[Option[Column]](
       req.sourceType.map(col("source_type") === _),
       req.author.map(col("source_author") === _),
       req.tags.map(ts => arrays_overlap(col("tags"), lit(ts.toArray))),
       req.highlightedAtRange.map { case (from, to) =>
         col("highlighted_at").between(from, to) }
-    ).flatten.foldLeft(base)(_ filter _)
+    ).flatten.foldLeft(store)(_ filter _)
+
+  def search(store: DataFrame, req: SearchRequest, keyCol: String = "id"): DataFrame = {
+    val filtered = applyFilters(store.filter(col(EmbeddingCol).isNotNull), req)
     filtered
       .withColumn("score", cosine_distance(col(EmbeddingCol), typedLit(req.queryVec)))
       // the vector never leaves the store (the reference's SELECT list has

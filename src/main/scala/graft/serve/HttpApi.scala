@@ -149,7 +149,8 @@ final class HttpApi(
       author = p.get("author"),
       tagsCsv = p.get("tags"),
       fromDate = p.get("from_date"),
-      toDate = p.get("to_date")) match {
+      toDate = p.get("to_date"),
+      hybrid = p.get("hybrid")) match {
       case Left(err) => respondJson(ex, 422, Map("detail" -> err))
       case Right(params) =>
         ex.getResponseHeaders.set("Content-Type", "text/event-stream")

@@ -34,8 +34,44 @@ final class SearchGateway(store: DataFrame, embedder: Embedder = Embedder.Defaul
       highlightedAtRange = params.highlightedAtRange.map { case (f, t) =>
         (Timestamp.valueOf(f.atStartOfDay()),
           Timestamp.valueOf(t.atStartOfDay())) })
-    val rows = SemanticSearch.search(store, req).collect().iterator
-    rows.map(decode)
+    if (params.hybrid) hybridSearch(params, req)
+    else SemanticSearch.search(store, req).collect().iterator.map(decode)
+  }
+
+  /** Opt-in hybrid retrieval (q83/q84's operators at the serving edge):
+    * dense cosine top-k + BM25 top-k over the SAME filtered row scope
+    * ([[SemanticSearch.applyFilters]] — the legs can't disagree on
+    * which rows are searchable), fused driver-side by reciprocal rank
+    * ([[graft.text.TextRank.rrfFuseLocal]] — two ≤k-row collected lists,
+    * so fusion is local arithmetic, not a third job). One final pruned
+    * fetch rehydrates the fused ids into full serving rows; the reported
+    * `score` is the RRF value (higher = better — callers opting into
+    * hybrid opt into its score scale). A query with no whitespace terms
+    * falls back to dense-only rather than erroring. */
+  private def hybridSearch(params: SearchParams,
+      req: SearchRequest): Iterator[Map[String, Any]] = {
+    val terms = params.query.split("\\s+").toSeq.filter(_.nonEmpty).distinct
+    if (terms.isEmpty)
+      return SemanticSearch.search(store, req).collect().iterator.map(decode)
+    val denseIds = SemanticSearch.search(store, req)
+      .select(org.apache.spark.sql.functions.col("id"))
+      .collect().map(_.getString(0)).toSeq
+    val scoped = SemanticSearch.applyFilters(store, req)
+    val lexIds = graft.text.TextRank.bm25TopK(scoped, "text", "id",
+        terms, params.k)
+      .select(org.apache.spark.sql.functions.col("id"))
+      .collect().map(_.getString(0)).toSeq
+    val fused = graft.text.TextRank.rrfFuseLocal(denseIds, lexIds, params.k)
+    val rrfOf = fused.toMap
+    val order = fused.map(_._1).zipWithIndex.toMap
+    val rows = scoped
+      .filter(org.apache.spark.sql.functions.col("id")
+        .isin(fused.map(_._1): _*))
+      .drop(SemanticSearch.EmbeddingCol)
+      .collect()
+      .sortBy(r => order(r.getAs[String]("id")))
+    rows.iterator.map(r =>
+      decode(r) + ("score" -> rrfOf(r.getAs[String]("id"))))
   }
 
   /** Row → serving dict, the 12-col + score shape of supabase_ops.py:278-295

@@ -12,7 +12,11 @@ final case class SearchParams(
     sourceType: Option[String] = None,
     author: Option[String] = None,
     tags: Option[Seq[String]] = None,
-    highlightedAtRange: Option[(LocalDate, LocalDate)] = None)
+    highlightedAtRange: Option[(LocalDate, LocalDate)] = None,
+    // opt-in hybrid retrieval (100-TB extension surface, not a reference
+    // behavior): dense cosine top-k + BM25 top-k fused by reciprocal
+    // rank; the reported score becomes the RRF value
+    hybrid: Boolean = false)
 
 object SearchParams {
   /** Reference defaults: k=20, invalid k silently coerced to the default
@@ -63,16 +67,26 @@ object SearchParams {
           author = params.get("author").collect { case s: String => s },
           tags = params.get("tags").collect {
             case xs: Seq[_] => xs.map(_.toString) }.filter(_.nonEmpty),
-          highlightedAtRange = range))
+          highlightedAtRange = range,
+          hybrid = parseHybrid(params.get("hybrid"))))
       case _ => Left("Missing or invalid 'q' parameter")
     }
+
+  /** Lenient opt-in flag, matching the k philosophy: only an explicit
+    * true-ish value turns hybrid on; anything else is the dense default. */
+  private def parseHybrid(v: Option[Any]): Boolean = v match {
+    case Some(b: Boolean) => b
+    case Some(s: String) => s.equalsIgnoreCase("true")
+    case _ => false
+  }
 
   /** HTTP query-param parsing (search_service.py:113-165 + the route's
     * comma-split). */
   def fromHttp(query: String, k: Int = DefaultK,
       sourceType: Option[String] = None, author: Option[String] = None,
       tagsCsv: Option[String] = None, fromDate: Option[String] = None,
-      toDate: Option[String] = None): Either[String, SearchParams] =
+      toDate: Option[String] = None,
+      hybrid: Option[String] = None): Either[String, SearchParams] =
     if (query == null || query.isEmpty) Left("Missing or invalid 'q' parameter")
     else Right(SearchParams(
       query = query,
@@ -80,5 +94,6 @@ object SearchParams {
       sourceType = sourceType,
       author = author,
       tags = splitTags(tagsCsv),
-      highlightedAtRange = dateRange(fromDate, toDate)))
+      highlightedAtRange = dateRange(fromDate, toDate),
+      hybrid = parseHybrid(hybrid)))
 }

@@ -159,7 +159,12 @@ object Knn {
       if (fp16) assigned.select(col("id"),
         graft.functions.fp16_encode(col("v")).as("emb16"), col("centroid_id"))
       else assigned
-    cells.write.partitionBy("centroid_id")
+    // cluster by cell before the partitioned write (same rationale as
+    // the lexical segment writer): one file per cell per segment, so an
+    // nprobe-cell probe schedules nprobe scan tasks, not nprobe × writer
+    // tasks of sliver files. Cells that outgrow single-task writes are
+    // the signal to raise `k` — which bounds per-probe scan size too
+    cells.repartition(col("centroid_id")).write.partitionBy("centroid_id")
       .mode("overwrite").parquet(s"$segDir/cells")
   }
 

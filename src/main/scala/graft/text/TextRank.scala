@@ -51,19 +51,32 @@ object TextRank {
       .filter(col("term").isin(queryTerms.map(x => x: Any): _*))
     val tf = toks.groupBy(col("id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
-    // every float op below is a single fixed-shape expression — the
-    // DuckDB oracle mirrors it token for token
+    scoreBm25(tf.crossJoin(stats), queryTerms, k,
+      col("n"), col("total_dl"), k1, b)
+  }
+
+  /** The per-(doc, term) BM25 contribution expression — ONE fixed float
+    * tree shared by every entry point (in-memory, index scan, serving
+    * handle; the DuckDB oracle mirrors it token for token), so the
+    * paths can never drift no matter where `doc_freq`/stats come from
+    * (aggregated columns or plan literals — same values, same tree,
+    * same doubles). */
+  private def bm25Contrib(dfCol: Column, nCol: Column, totalDlCol: Column,
+      k1: Double, b: Double): Column = {
     val lenNorm = col("tf").cast("double") +
       lit(k1) * (lit(1.0 - b) + lit(b) *
-        ((col("dl").cast("double") * col("n").cast("double")) /
-          col("total_dl").cast("double")))
-    val idf = (col("n").cast("double") - col("doc_freq").cast("double") + lit(0.5)) /
-      (col("doc_freq").cast("double") + lit(0.5))
-    val contrib = tf.join(broadcast(dfreq), Seq("term")).crossJoin(stats)
-      .select(col("id"), col("term"),
-        (idf * ((col("tf").cast("double") * lit(k1 + 1.0)) / lenNorm))
-          .as("contrib"))
+        ((col("dl").cast("double") * nCol.cast("double")) /
+          totalDlCol.cast("double")))
+    val idf = (nCol.cast("double") - dfCol.cast("double") + lit(0.5)) /
+      (dfCol.cast("double") + lit(0.5))
+    idf * ((col("tf").cast("double") * lit(k1 + 1.0)) / lenNorm)
+  }
+
+  /** Per-document totals in FIXED term order over a `(id, term, contrib)`
+    * frame — never a float `sum()` whose partial-aggregation order could
+    * differ between engines. */
+  private def totalsTopK(contrib: DataFrame, queryTerms: Seq[String],
+      k: Int): DataFrame = {
     val perTerm = queryTerms.zipWithIndex.map { case (t, i) =>
       max(when(col("term") === t, col("contrib"))).as(s"s$i") }
     contrib.groupBy(col("id"))
@@ -73,6 +86,20 @@ object TextRank {
           .reduceLeft(_ + _).as("score"))
       .orderBy(col("score").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** The shared BM25 scoring tail over a `(id, dl, term, tf)` frame of
+    * matching postings (+ whatever carries the corpus stats — a
+    * crossJoined one-row frame or plan literals via `nCol`/`totalDlCol`).
+    * Document frequency aggregates from the postings and attaches by
+    * broadcast join. */
+  private def scoreBm25(tf: DataFrame, queryTerms: Seq[String], k: Int,
+      nCol: Column, totalDlCol: Column, k1: Double, b: Double): DataFrame = {
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+    val contrib = tf.join(broadcast(dfreq), Seq("term"))
+      .select(col("id"), col("term"),
+        bm25Contrib(col("doc_freq"), nCol, totalDlCol, k1, b).as("contrib"))
+    totalsTopK(contrib, queryTerms, k)
   }
 
   /** Segments are separate parquet ROOTS (each hive-partitioned by
@@ -99,6 +126,14 @@ object TextRank {
       .agg(count(lit(1)).as("tf"))
       .withColumn("term_bucket",
         pmod(TextAnalysis.polyHash(col("term")), lit(buckets.toLong)))
+      // cluster by bucket before the partitioned write: without this,
+      // every writer task leaves a sliver file in every bucket dir
+      // (tasks × buckets tiny files) and a 3-bucket probe schedules ~100
+      // scan tasks of pure overhead — measured 5× the serving latency.
+      // One file per bucket per segment; a bucket outgrowing one task's
+      // write is the signal to raise `buckets`, which keeps per-probe
+      // scan size bounded too
+      .repartition(col("term_bucket"))
       .write.partitionBy("term_bucket")
       .mode("overwrite").parquet(s"$segDir/postings")
   }
@@ -241,26 +276,91 @@ object TextRank {
       .filter(col("term_bucket").isin(inList: _*))
       .filter(col("term").isin(queryTerms.map(x => x: Any): _*))
       .select(col("id"), col("dl"), col("term"), col("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
-    val lenNorm = col("tf").cast("double") +
-      lit(k1) * (lit(1.0 - b) + lit(b) *
-        ((col("dl").cast("double") * col("n").cast("double")) /
-          col("total_dl").cast("double")))
-    val idf = (col("n").cast("double") - col("doc_freq").cast("double") + lit(0.5)) /
-      (col("doc_freq").cast("double") + lit(0.5))
-    val contrib = tf.join(broadcast(dfreq), Seq("term")).crossJoin(broadcast(stats))
-      .select(col("id"), col("term"),
-        (idf * ((col("tf").cast("double") * lit(k1 + 1.0)) / lenNorm))
-          .as("contrib"))
-    val perTerm = queryTerms.zipWithIndex.map { case (t, i) =>
-      max(when(col("term") === t, col("contrib"))).as(s"s$i") }
-    contrib.groupBy(col("id"))
-      .agg(perTerm.head, perTerm.tail: _*)
-      .select(col("id"),
-        queryTerms.indices.map(i => coalesce(col(s"s$i"), lit(0.0)))
-          .reduceLeft(_ + _).as("score"))
-      .orderBy(col("score").desc, col("id").asc)
-      .limit(k)
+    scoreBm25(tf.crossJoin(broadcast(stats)), queryTerms, k,
+      col("n"), col("total_dl"), k1, b)
+  }
+
+  /** Serving handle over a persistent lexical index — the sparse mirror
+    * of [[graft.similarity.Knn.IvfIndex]]: the segment list and corpus
+    * stats resolve ONCE at load (stats become plan literals — no
+    * per-request sidecar scan), the postings relation is held so file
+    * listings are never repeated per request, and each search builds one
+    * bucket-pruned plan over it.
+    *
+    * Per-term document frequencies are CACHED across requests: df is a
+    * property of the index, not the query, so the first request for a
+    * term pays one tiny counting job and every later request folds the
+    * cached value in as a literal — the steady-state scoring plan is a
+    * single pruned scan → one hash aggregation → TakeOrdered (one
+    * shuffle, no df sub-aggregation, no broadcast build per request).
+    * That is what makes the hybrid serving gate's sparse leg cheap.
+    * Appends committed after load serve through a re-load (df cache
+    * included — stale df would mis-rank). Identical scores to
+    * [[searchLexicalIndex]] — same fixed expression tree, same df
+    * values. Thread-safe: the cache is a concurrent map. */
+  final class LexIndex private (
+      postings: DataFrame, n: Long, totalDl: Long, buckets: Int,
+      k1: Double, b: Double) {
+
+    private val dfCache = scala.collection.concurrent.TrieMap.empty[String, Long]
+
+    private def pruned(queryTerms: Seq[String]): DataFrame = {
+      import org.apache.spark.unsafe.types.UTF8String
+      val probedBuckets = queryTerms
+        .map(t => TextMath.polyHash(UTF8String.fromString(t)) % buckets)
+        .distinct
+      val inList: Seq[Any] = postings.schema("term_bucket").dataType match {
+        case org.apache.spark.sql.types.IntegerType => probedBuckets.map(_.toInt)
+        case org.apache.spark.sql.types.LongType => probedBuckets
+        case _ => probedBuckets.map(_.toString)
+      }
+      postings
+        .filter(col("term_bucket").isin(inList: _*))
+        .filter(col("term").isin(queryTerms.map(x => x: Any): _*))
+        .select(col("id"), col("dl"), col("term"), col("tf"))
+    }
+
+    def search(queryTerms: Seq[String], k: Int): DataFrame = {
+      require(queryTerms.nonEmpty && queryTerms.distinct == queryTerms,
+        "LexIndex.search: queryTerms must be non-empty and distinct")
+      val missing = queryTerms.filterNot(dfCache.contains)
+      if (missing.nonEmpty) {
+        pruned(missing).groupBy(col("term"))
+          .agg(count(lit(1)).as("doc_freq")).collect()
+          .foreach(r => dfCache.put(r.getString(0), r.getLong(1)))
+        missing.foreach(t => dfCache.putIfAbsent(t, 0L)) // absent term
+      }
+      // df as a literal CASE over the (few) query terms — every scanned
+      // row matches one of them, so the otherwise-branch never fires
+      val dfCol = queryTerms.tail.foldLeft(
+        when(col("term") === queryTerms.head, lit(dfCache(queryTerms.head)))) {
+        (acc, t) => acc.when(col("term") === t, lit(dfCache(t)))
+      }
+      val contrib = pruned(queryTerms)
+        .select(col("id"), col("term"),
+          bm25Contrib(dfCol, lit(n), lit(totalDl), k1, b).as("contrib"))
+      totalsTopK(contrib, queryTerms, k)
+    }
+  }
+
+  object LexIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+        buckets: Int = 64, k1: Double = 1.2, b: Double = 0.75): LexIndex = {
+      val segs = graft.sync.SegmentedIndex.resolve(spark, indexDir)
+      val postingDirs = segs match {
+        case Some(list) => list.map(s => s"$indexDir/$s/postings")
+        case None       => Seq(s"$indexDir/postings")
+      }
+      val statDirs = segs match {
+        case Some(list) => list.map(s => s"$indexDir/$s/stats")
+        case None       => Seq(s"$indexDir/stats")
+      }
+      val stats = readUnion(spark, statDirs)
+        .agg(sum(col("n")).as("n"), sum(col("total_dl")).as("total_dl"))
+        .head()
+      new LexIndex(readUnion(spark, postingDirs),
+        stats.getLong(0), stats.getLong(1), buckets, k1, b)
+    }
   }
 
   /** Reciprocal-rank fusion of two ranked lists keyed by `id` (each with
@@ -284,5 +384,26 @@ object TextRank {
           coalesce(lit(1.0) / (lit(kRrf) + col("rank_b")), lit(0.0))).as("rrf"))
       .orderBy(col("rrf").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** [[rrfFuse]] for ALREADY-COLLECTED top-N id lists (1-based rank =
+    * list position) — the serving-edge form: the two lists are ≤ k rows
+    * each, so fusing them is driver arithmetic, not a third Spark job
+    * per request. Same formula, same tie-break (rrf desc, id asc);
+    * contributions add in fixed (a then b) order so scores match the
+    * distributed form bit-for-bit. */
+  def rrfFuseLocal[K](a: Seq[K], b: Seq[K], k: Int, kRrf: Int = 60)(
+      implicit ord: Ordering[K]): Seq[(K, Double)] = {
+    val ra = a.zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    val rb = b.zipWithIndex.map { case (id, i) => id -> (i + 1) }.toMap
+    (ra.keySet ++ rb.keySet).toSeq
+      .map { id =>
+        val sa = ra.get(id).map(r => 1.0 / (kRrf + r)).getOrElse(0.0)
+        val sb = rb.get(id).map(r => 1.0 / (kRrf + r)).getOrElse(0.0)
+        (id, sa + sb)
+      }
+      .sortBy { case (id, rrf) => (-rrf, id) }(
+        Ordering.Tuple2(Ordering.Double.TotalOrdering, ord))
+      .take(k)
   }
 }

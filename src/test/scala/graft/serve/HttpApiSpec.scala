@@ -64,6 +64,28 @@ class HttpApiSpec extends AnyFunSuite {
     }
   }
 
+  test("hybrid flag reaches SearchParams from both the POST body and the SSE query param") {
+    val echo = (p: SearchParams) => Iterator.single(
+      scala.collection.immutable.ListMap[String, Any](
+        "id" -> "h0", "hybrid" -> p.hybrid))
+    val api = new HttpApi(echo).start()
+    try {
+      val c = HttpClient.newHttpClient()
+      val port = api.boundPort
+      assert(post(c, port, "/search", """{"q":"x","hybrid":true}""")
+        .body().contains("\"hybrid\":true"))
+      assert(post(c, port, "/search", """{"q":"x"}""")
+        .body().contains("\"hybrid\":false"))
+      // non-boolean junk is the dense default, not an error
+      assert(post(c, port, "/search", """{"q":"x","hybrid":"nope"}""")
+        .body().contains("\"hybrid\":false"))
+      assert(get(c, port, "/mcp/stream?q=x&hybrid=true")
+        .body().contains("\"hybrid\":true"))
+      assert(get(c, port, "/mcp/stream?q=x")
+        .body().contains("\"hybrid\":false"))
+    } finally api.shutdown()
+  }
+
   test("request metrics: /search moves the labeled HTTP series") {
     withApi { (c, port) =>
       def scrape(): Seq[String] = get(c, port, "/metrics").body().split("\n").toSeq

@@ -13,6 +13,9 @@ class McpServerSpec extends AnyFunSuite {
   private def fakeSearch(params: SearchParams): Iterator[Map[String, Any]] =
     if (params.query == "empty") Iterator.empty
     else if (params.query == "boom") throw new RuntimeException("kaput")
+    else if (params.query == "mode") Iterator.single(
+      scala.collection.immutable.ListMap[String, Any](
+        "id" -> "h0", "text" -> s"hybrid=${params.hybrid}", "score" -> 0.1))
     else Iterator.tabulate(math.min(params.k, 3))(i =>
       scala.collection.immutable.ListMap(
         "id" -> s"h$i", "text" -> s"text $i about ${params.query}",
@@ -56,6 +59,23 @@ class McpServerSpec extends AnyFunSuite {
       val m = McpFraming.parseLine(replies.head)
       assert(m.id.contains("null"))
       assert(m.result.get == Seq.empty)
+    }
+  }
+
+  test("hybrid param flows through MCP params; absent/junk stays dense") {
+    withServer { port =>
+      def modeOf(paramsJson: String): String = {
+        val replies = talk(port,
+          s"""{"jsonrpc":"2.0","method":"search","params":$paramsJson,"id":1}""")
+        val row = McpFraming.parseLine(replies.head)
+          .result.get.asInstanceOf[Map[String, Any]]
+        // per-result MCP payload is pruned to {id, text, score}, so the
+        // stub echoes the flag through text
+        row("text").toString
+      }
+      assert(modeOf("""{"q":"mode","hybrid":true}""") == "hybrid=true")
+      assert(modeOf("""{"q":"mode"}""") == "hybrid=false")
+      assert(modeOf("""{"q":"mode","hybrid":"junk"}""") == "hybrid=false")
     }
   }
 

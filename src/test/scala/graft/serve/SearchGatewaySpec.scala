@@ -55,6 +55,36 @@ class SearchGatewaySpec extends SparkTestBase {
     assert(none.isEmpty)
   }
 
+  test("gateway hybrid: RRF fusion of the dense and BM25 legs, filters scope both") {
+    val gw = new SearchGateway(store)
+    // query terms that really occur in the corpus, so the lexical leg bites
+    val words = store.select(col("text")).head().getString(0)
+      .split(" ").filter(_.nonEmpty).distinct.take(2)
+    val q = words.mkString(" ")
+    val rows = gw.search(SearchParams(query = q, k = 5, hybrid = true)).toList
+    assert(rows.length == 5)
+    // hybrid scores are RRF values: descending, in (0, 2/61]
+    val scores = rows.map(_("score").asInstanceOf[Double])
+    assert(scores == scores.sortBy(-_))
+    assert(scores.forall(s => s > 0.0 && s <= 2.0 / 61))
+    assert(rows.head.contains("id") && rows.head.contains("text"))
+    // the fused list is exactly rrfFuseLocal(dense ids, bm25 ids) — the
+    // gateway composes the same legs a pipeline would
+    val dense = gw.search(SearchParams(query = q, k = 5)).toList
+      .map(_("id").asInstanceOf[String])
+    val lex = graft.text.TextRank.bm25TopK(store, "text", "id",
+        words.toSeq, k = 5)
+      .collect().map(_.getString(0)).toSeq
+    val expect = graft.text.TextRank.rrfFuseLocal(dense, lex, 5).map(_._1)
+    assert(rows.map(_("id").asInstanceOf[String]) == expect)
+    // a metadata filter scopes BOTH legs: every hit carries the filter value
+    val st = store.select(col("source_type")).head().getString(0)
+    val filtered = gw.search(SearchParams(query = q, k = 10,
+      sourceType = Some(st), hybrid = true)).toList
+    assert(filtered.nonEmpty)
+    assert(filtered.forall(_("source_type") == st))
+  }
+
   test("MCP server serves real searches over TCP") {
     val gw = new SearchGateway(store)
     val server = new McpServer(gw.search).start()

@@ -143,6 +143,37 @@ class TextRankSpec extends SparkTestBase {
     }
   }
 
+  test("LexIndex serving handle scores row-identically to searchLexicalIndex") {
+    val corpus = (0 until 150).map { i =>
+      val terms = Seq("join", "merge", "scan").filter(t => (i + t.length) % 2 == 0)
+      (i.toLong, (terms ++ Seq(s"pad$i")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("lexhandle").toString
+    TextRank.buildLexicalIndex(corpus.filter($"doc_id" < 100), "text",
+      "doc_id", dir)
+    TextRank.appendLexicalIndex(corpus.filter($"doc_id" >= 100), "text",
+      "doc_id", dir)
+    val handle = TextRank.LexIndex.load(spark, dir)
+    val terms = Seq("join", "merge")
+    // stats resolved at load → plan LITERALS; results bit-identical to
+    // the per-call path (one shared scoring tree)
+    assert(handle.search(terms, k = 10).collect().toSeq ==
+      TextRank.searchLexicalIndex(spark, dir, terms, k = 10).collect().toSeq)
+    // the handle's plan still prunes to the probed buckets per segment
+    import org.apache.spark.unsafe.types.UTF8String
+    val want = terms.map(t =>
+      TextMath.polyHash(UTF8String.fromString(t)) % 64).distinct.size
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans =
+      try handle.search(terms, k = 10).queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata("Location").contains("postings") => f }
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    scans.foreach(sc =>
+      assert(sc.selectedPartitions.partitionCount == want,
+        sc.metadata("PartitionFilters")))
+  }
+
   test("appendLexicalIndexStream: a MemoryStream run equals one wholesale build") {
     val root = java.nio.file.Files.createTempDirectory("lexstream").toString
     val streamDir = s"$root/index"
