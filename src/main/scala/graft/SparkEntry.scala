@@ -1436,16 +1436,114 @@ object SparkEntry {
     //      not a single scored bit ----
     "q89_lexical_index" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      // cache key = order-free CONTENT fingerprint (xor of xxhash64(id, md5)),
-      // not dir basename + row count: regenerated fixtures at the same path
-      // with the same cardinality must MISS, never serve a stale index
-      val fp = d.agg(sum(xxhash64(col("doc_id"), md5(col("text"))))
+      // cache key = order-free CONTENT fingerprint (XOR of per-row
+      // hashes — xor cannot overflow under ANSI, unlike sum), not dir
+      // basename + row count: regenerated fixtures at the same path with
+      // the same cardinality must MISS, never serve a stale index
+      val fp = d.agg(expr("bit_xor(xxhash64(doc_id, md5(text)))")
         .cast("string")).head().getString(0)
       val indexDir = graft.fixtures.Fp16Corpus.workRoot + s"/lexindex-$fp"
       if (!new java.io.File(s"$indexDir/CURRENT").isFile)
         graft.text.TextRank.buildLexicalIndex(d, "text", "doc_id", indexDir)
       graft.text.TextRank.searchLexicalIndex(s, indexDir,
         Seq("join", "filter", "merge"), k = 15)
+    }),
+
+    // ---- the lexical index built INCREMENTALLY (first half wholesale,
+    //      second half as a segment append under the atomic pointer):
+    //      same oracle as q83/q89 — an append-maintained index must
+    //      serve the identical math over the identical corpus, or the
+    //      production steady state silently diverges from the rebuild ----
+    "q106_lexical_append" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val half = d.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val fp = d.agg(expr("bit_xor(xxhash64(doc_id, md5(text)))")
+        .cast("string")).head().getString(0)
+      val indexDir = graft.fixtures.Fp16Corpus.workRoot + s"/lexappend-$fp"
+      if (!new java.io.File(s"$indexDir/CURRENT").isFile) {
+        graft.text.TextRank.buildLexicalIndex(
+          d.filter(col("doc_id") < half), "text", "doc_id", indexDir)
+        graft.text.TextRank.appendLexicalIndex(
+          d.filter(col("doc_id") >= half), "text", "doc_id", indexDir)
+      }
+      graft.text.TextRank.searchLexicalIndex(s, indexDir,
+        Seq("join", "filter", "merge"), k = 15)
+    }),
+
+    // ---- the IVF index maintained by APPEND: centroids train on the
+    //      BASE half's sample only (the fixed cell geometry of a live
+    //      index), the second half lands as an appended segment assigned
+    //      against those frozen centroids. The oracle replicates exactly
+    //      that asymmetry — training CTEs see the base sample, the
+    //      assignment CTE sees the full corpus ----
+    "q107_ivf_append" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val half = e.agg(max(col("vec_id"))).head().getLong(0) / 2
+      val indexDir = graft.fixtures.Fp16Corpus.workRoot +
+        s"/ivfappend-${new java.io.File(dir).getName}-c${e.count()}"
+      if (!Knn.ivfIndexReady(indexDir)) {
+        Knn.ivfBuildIndex(e.filter(col("vec_id") < half), "embedding",
+          "vec_id", indexDir, k = 4, iters = 2,
+          trainFilter = col("vec_id") % 5 === 0)
+        Knn.ivfAppendIndex(e.filter(col("vec_id") >= half), "embedding",
+          "vec_id", indexDir)
+      }
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val probe = Knn.ivfSearchIndex(s, indexDir, qv, k = 10, nprobe = 2)
+      val exact = Knn.topK(e, "embedding", qv, 10, "vec_id")
+        .select(col("vec_id").as("id"), lit(true).as("in_exact"))
+      probe.join(exact, Seq("id"), "left")
+        .na.fill(value = false, Seq("in_exact"))
+        .select(col("id"), col("centroid_id"), col("score"), col("in_exact"))
+        .orderBy(col("score"), col("id"))
+    }),
+
+    // ---- schema evolution through the store: write documents as a
+    //      versioned store, migrate it forward with a COMPUTED backfill
+    //      (word count over the existing text), read the new version
+    //      back. Gates the whole read→evolve→pointer-swap loop against
+    //      plain SQL over the source table ----
+    "q108_store_migrate" -> ((s, dir) => {
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-migrate-gate").toString
+      graft.sync.HighlightStore.writeAtomic(
+        t(s, dir, "documents").select(col("doc_id"), col("text")), storeDir)
+      graft.sync.HighlightStore.migrate(s, storeDir, df =>
+        df.withColumn("n_words",
+          size(split(col("text"), " ")).cast("long")))
+      graft.sync.HighlightStore.read(s, storeDir).get
+        .select(col("doc_id"), col("n_words"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ---- product quantization + asymmetric-distance search (the FAISS
+    //      IVFADC compression half): 2 subspaces × 4-word codebooks
+    //      trained by the DECIMAL-exact L2 Lloyd, vectors stored as m
+    //      bytes of codes, the query scored via a driver-side LUT — no
+    //      vector ever decoded at scan time. The oracle replicates BOTH
+    //      sub-quantizer trainings, the argmin encoding, the LUT cells,
+    //      and the fixed-order ADC sum; in_exact flags each hit's
+    //      membership in the EXACT squared-L2 top-10 (measured
+    //      approximation honesty, like q50's recall flags) ----
+    "q109_pq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val cb = Knn.collectCodebooks(Knn.pqTrain(
+        emb, "embedding", "vec_id", m = 2, ksub = 4, iters = 2))
+      val encoded = Knn.pqEncode(emb, "embedding", "vec_id", cb)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val pq = Knn.pqTopK(encoded, cb, qv, k = 10)
+      val v = emb.filter(col("embedding").isNotNull)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val exact = v.withColumn("d",
+          Knn.l2sq(col("v"), typedLit(qv)))
+        .orderBy(col("d").asc, col("id").asc).limit(10)
+        .select(col("id"), lit(true).as("in_exact"))
+      pq.join(exact, Seq("id"), "left")
+        .na.fill(value = false, Seq("in_exact"))
+        .select(col("id"), col("score_adc"), col("in_exact"))
+        .orderBy(col("score_adc"), col("id"))
     }),
 
     // ---- hybrid search: dense cosine top-30 + BM25 top-30 fused by
@@ -1605,6 +1703,21 @@ object SparkEntry {
     s"""SELECT c.id, c.v, s.centroid_id,
        |  row_number() OVER (PARTITION BY c.id
        |    ORDER BY ${sqlCosine("c.v", "s.cvec")}, s.centroid_id) AS crank
+       |FROM $corpusSrc c, $centSrc s QUALIFY crank = 1""".stripMargin
+
+  /** Squared L2 via the dot expansion — the exact float tree
+    * `Knn.l2sq` builds (three sequential-sum dots, then a - 2b + c). */
+  private def sqlL2Sq(a: String, b: String): String =
+    s"(list_dot_product(CAST($a AS DOUBLE[]), CAST($a AS DOUBLE[])) - " +
+      s"2 * list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) + " +
+      s"list_dot_product(CAST($b AS DOUBLE[]), CAST($b AS DOUBLE[])))"
+
+  /** [[sqlIvfAssign]] under squared L2 (`Knn.ivfAssignL2` — the PQ
+    * sub-quantizer assignment). */
+  private def sqlIvfAssignL2(corpusSrc: String, centSrc: String): String =
+    s"""SELECT c.id, c.v, s.centroid_id,
+       |  row_number() OVER (PARTITION BY c.id
+       |    ORDER BY ${sqlL2Sq("c.v", "s.cvec")}, s.centroid_id) AS crank
        |FROM $corpusSrc c, $centSrc s QUALIFY crank = 1""".stripMargin
 
   /** Exact decimal per-(cell, pos) mean cast to REAL — bit-identical to the
@@ -2953,6 +3066,103 @@ object SparkEntry {
     "q89_lexical_index" ->
       s"""WITH ${sqlBm25Ctes(Seq("join", "filter", "merge"))}
          |SELECT id, score FROM bm25 ORDER BY score DESC, id LIMIT 15""".stripMargin,
+
+    // build + segment-append must serve the SAME math as one wholesale
+    // build: the oracle is q83's again
+    "q106_lexical_append" ->
+      s"""WITH ${sqlBm25Ctes(Seq("join", "filter", "merge"))}
+         |SELECT id, score FROM bm25 ORDER BY score DESC, id LIMIT 15""".stripMargin,
+
+    // q50's chain with the APPEND asymmetry: centroids train on the BASE
+    // half's %5 sample (frozen cell geometry), assignment covers the
+    // full corpus (base segment + appended segment)
+    "q107_ivf_append" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |hh AS (SELECT MAX(vec_id) // 2 AS h FROM embeddings),
+         |sample AS (SELECT * FROM corpus
+         |  WHERE id < (SELECT h FROM hh) AND id % 5 = 0),
+         |seed AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS centroid_id,
+         |    v AS cvec
+         |  FROM sample QUALIFY row_number() OVER (ORDER BY id) <= 4),
+         |a1 AS (${sqlIvfAssign("sample", "seed")}),
+         |x1 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a1),
+         |m1 AS (${sqlIvfMean("x1")}),
+         |cent1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY 1),
+         |a2 AS (${sqlIvfAssign("sample", "cent1")}),
+         |x2 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a2),
+         |m2 AS (${sqlIvfMean("x2")}),
+         |cent2 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m2 GROUP BY 1),
+         |af AS (${sqlIvfAssign("corpus", "cent2")}),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probed AS (
+         |  SELECT centroid_id FROM cent2, q
+         |  ORDER BY ${sqlCosine("cvec", "qv")}, centroid_id LIMIT 2),
+         |hits AS (
+         |  SELECT af.id, af.centroid_id, ${sqlCosine("af.v", "qv")} AS score
+         |  FROM af JOIN probed USING (centroid_id), q
+         |  ORDER BY score, af.id LIMIT 10),
+         |exact AS (SELECT id FROM corpus, q
+         |  ORDER BY ${sqlCosine("v", "qv")}, id LIMIT 10)
+         |SELECT h.id, h.centroid_id, h.score,
+         |  (h.id IN (SELECT id FROM exact)) AS in_exact
+         |FROM hits h ORDER BY score, id""".stripMargin,
+
+    // the migration's computed backfill over the store == the same
+    // expression over the source table
+    "q108_store_migrate" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // PQ end-to-end: per-subspace L2 Lloyd (the q91 training pattern ×2
+    // subspaces), argmin encoding, LUT cells, fixed-order ADC sum —
+    // every float step the dot-expansion tree `Knn.l2sq` builds
+    "q109_pq_adc" -> {
+      def chain(s: Int): String =
+        s"""cb${s}_seed AS (
+           |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT)
+           |      AS centroid_id,
+           |    v AS cvec
+           |  FROM corpus$s QUALIFY row_number() OVER (ORDER BY id) <= 4),
+           |cb${s}_a1 AS (${sqlIvfAssignL2(s"corpus$s", s"cb${s}_seed")}),
+           |cb${s}_x1 AS (SELECT centroid_id, unnest(range(len(v))) AS pos,
+           |  unnest(v) AS x FROM cb${s}_a1),
+           |cb${s}_m1 AS (${sqlIvfMean(s"cb${s}_x1")}),
+           |cb${s}_c1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec
+           |  FROM cb${s}_m1 GROUP BY 1),
+           |cb${s}_a2 AS (${sqlIvfAssignL2(s"corpus$s", s"cb${s}_c1")}),
+           |cb${s}_x2 AS (SELECT centroid_id, unnest(range(len(v))) AS pos,
+           |  unnest(v) AS x FROM cb${s}_a2),
+           |cb${s}_m2 AS (${sqlIvfMean(s"cb${s}_x2")}),
+           |cb${s}_c2 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec
+           |  FROM cb${s}_m2 GROUP BY 1),
+           |enc$s AS (SELECT id, centroid_id AS code
+           |  FROM (${sqlIvfAssignL2(s"corpus$s", s"cb${s}_c2")}) t$s),
+           |lut$s AS (SELECT centroid_id AS code,
+           |  ${sqlL2Sq(s"qv$s", "cvec")} AS d
+           |  FROM cb${s}_c2, q$s)""".stripMargin
+      s"""WITH corpus AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id < 300),
+         |corpus0 AS (SELECT id, v[1:(len(v) // 2)] AS v FROM corpus),
+         |corpus1 AS (SELECT id, v[(len(v) // 2 + 1):len(v)] AS v FROM corpus),
+         |q0 AS (SELECT v AS qv0 FROM corpus0 WHERE id = 0),
+         |q1 AS (SELECT v AS qv1 FROM corpus1 WHERE id = 0),
+         |${chain(0)},
+         |${chain(1)},
+         |adc AS (SELECT e0.id, l0.d + l1.d AS score_adc
+         |  FROM enc0 e0 JOIN enc1 e1 USING (id)
+         |  JOIN lut0 l0 ON e0.code = l0.code
+         |  JOIN lut1 l1 ON e1.code = l1.code),
+         |pq AS (SELECT id, score_adc FROM adc ORDER BY score_adc, id LIMIT 10),
+         |qq AS (SELECT v AS qv FROM corpus WHERE id = 0),
+         |exact AS (SELECT id FROM corpus, qq
+         |  ORDER BY ${sqlL2Sq("v", "qv")}, id LIMIT 10)
+         |SELECT p.id, p.score_adc,
+         |  (p.id IN (SELECT id FROM exact)) AS in_exact
+         |FROM pq p ORDER BY score_adc, id""".stripMargin
+    },
 
     "q88_cms_heavy_hitters" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -78,6 +78,14 @@ package object functions {
       seed: Long): Column =
     shims.column(HyperplaneBands(shims.expression(c), bands, rowsPerBand, seed))
 
+  /** Product-quantize a vector to `m` subspace codes (BINARY). */
+  def pq_encode(c: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    shims.column(PqEncode(shims.expression(c), codebooks))
+
+  /** ADC score of PQ codes against a query's precomputed LUT. */
+  def pq_adc_score(c: Column, lut: Array[Array[Double]]): Column =
+    shims.column(PqAdcScore(shims.expression(c), lut))
+
   def fp16_encode(c: Column): Column =
     shims.column(Fp16Encode(shims.expression(c)))
 

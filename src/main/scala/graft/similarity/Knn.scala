@@ -101,24 +101,45 @@ object Knn {
       .filter(col("rank") <= topK)
   }
 
-  /** IVF-style ANN: assign every corpus vector to its nearest centroid
-    * (broadcast centroids), then answer queries by scanning only the cell
-    * the query lands in. Exactness is traded for pruning; recall grows with
-    * `nprobe` cells (here 1 for determinism).
-    */
-  def ivfAssign(corpus: DataFrame, vecCol: String, keyCol: String,
-      centroids: DataFrame, centVec: String, centKey: String): DataFrame = {
+  /** Squared L2 via the dot-product expansion — the SAME float tree as
+    * the oracle's `dot(a,a) - 2·dot(a,b) + dot(b,b)` (each dot a
+    * sequential Double sum), so L2 assignments replicate bit-for-bit
+    * cross-engine. */
+  def l2sq(a: Column, b: Column): Column =
+    graft.functions.dot_product(a, a) -
+      lit(2.0) * graft.functions.dot_product(a, b) +
+      graft.functions.dot_product(b, b)
+
+  private def assignCore(corpus: DataFrame, vecCol: String, keyCol: String,
+      centroids: DataFrame, centVec: String, centKey: String,
+      dist: (Column, Column) => Column): DataFrame = {
     val c = corpus.select(col(keyCol).as("id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull)
     val cents = centroids.select(col(centKey).as("centroid_id"), col(centVec).as("cvec"))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("cdist").asc, col("centroid_id").asc)
     c.crossJoin(broadcast(cents))
-      .withColumn("cdist", cosine_distance(col("v"), col("cvec")))
+      .withColumn("cdist", dist(col("v"), col("cvec")))
       .withColumn("crank", row_number().over(w))
       .filter(col("crank") === 1)
       .select(col("id"), col("v"), col("centroid_id"))
   }
+
+  /** IVF-style ANN: assign every corpus vector to its nearest centroid
+    * (broadcast centroids), then answer queries by scanning only the cell
+    * the query lands in. Exactness is traded for pruning; recall grows with
+    * `nprobe` cells (here 1 for determinism).
+    */
+  def ivfAssign(corpus: DataFrame, vecCol: String, keyCol: String,
+      centroids: DataFrame, centVec: String, centKey: String): DataFrame =
+    assignCore(corpus, vecCol, keyCol, centroids, centVec, centKey,
+      cosine_distance)
+
+  /** [[ivfAssign]] under squared-L2 — the metric k-means' mean-update
+    * step actually minimizes, used by the PQ sub-quantizers. */
+  def ivfAssignL2(corpus: DataFrame, vecCol: String, keyCol: String,
+      centroids: DataFrame, centVec: String, centKey: String): DataFrame =
+    assignCore(corpus, vecCol, keyCol, centroids, centVec, centKey, l2sq)
 
   /** Top-k within the query vector's own IVF cell. */
   def ivfTopK(assigned: DataFrame, queryVec: Array[Float], queryCentroid: Long,
@@ -367,7 +388,20 @@ object Knn {
     * iteration either way.
     */
   def trainCentroids(corpus: DataFrame, vecCol: String, keyCol: String,
-      k: Int, iters: Int = 5): DataFrame = {
+      k: Int, iters: Int = 5): DataFrame =
+    trainCore(corpus, vecCol, keyCol, k, iters, ivfAssign)
+
+  /** [[trainCentroids]] with squared-L2 assignment — textbook Lloyd
+    * (assignment metric = the one the mean update minimizes), used for
+    * the PQ sub-quantizer codebooks. Same determinism discipline. */
+  def trainCentroidsL2(corpus: DataFrame, vecCol: String, keyCol: String,
+      k: Int, iters: Int = 5): DataFrame =
+    trainCore(corpus, vecCol, keyCol, k, iters, ivfAssignL2)
+
+  private def trainCore(corpus: DataFrame, vecCol: String, keyCol: String,
+      k: Int, iters: Int,
+      assign: (DataFrame, String, String, DataFrame, String, String) => DataFrame)
+      : DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val c = corpus.select(col(keyCol).as("id"), col(vecCol).as("v"))
@@ -378,7 +412,7 @@ object Knn {
         .map { case (r, i) => (i.toLong, r.getSeq[Float](0)) }
     for (_ <- 0 until iters) {
       val centsDf = cents.toDF("centroid_id", "cvec")
-      val assigned = ivfAssign(c, "v", "id", centsDf, "cvec", "centroid_id")
+      val assigned = assign(c, "v", "id", centsDf, "cvec", "centroid_id")
       val means = assigned
         .select(col("centroid_id"), posexplode(col("v")))
         .groupBy(col("centroid_id"), col("pos"))
@@ -391,5 +425,72 @@ object Knn {
       cents = means.as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
     }
     cents.toDF("centroid_id", "cvec")
+  }
+
+  // ---------------------------------------------------------------- PQ
+
+  /** Product-quantizer codebooks (Jégou et al. 2011, the FAISS IVFADC
+    * compression half): the vector splits into `m` contiguous subspaces
+    * of dim/m dimensions, and each subspace trains its own `ksub`-word
+    * codebook with the deterministic L2 Lloyd ([[trainCentroidsL2]]) —
+    * per-subspace means in DECIMAL, seeds = the ksub lowest-key
+    * sub-vectors, so the whole training chain is oracle-replicable.
+    * Returns (subspace, code, cvec); collect with [[collectCodebooks]]
+    * for the encode/ADC expression literals. At 100 TB: train on a
+    * sample — the codebooks are m·ksub·(dim/m) floats of driver state,
+    * like the IVF centroid sidecar. */
+  def pqTrain(corpus: DataFrame, vecCol: String, keyCol: String,
+      m: Int, ksub: Int, iters: Int = 2): DataFrame = {
+    require(m >= 1 && ksub >= 1 && ksub <= 256,
+      s"pqTrain: need m >= 1 and 1 <= ksub <= 256, got m=$m ksub=$ksub")
+    val c = corpus.filter(col(vecCol).isNotNull)
+    val dim = c.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    (0 until m).map { s =>
+      val sliced = c.select(col(keyCol),
+        slice(col(vecCol), s * sub + 1, sub).as("__sv"))
+      trainCentroidsL2(sliced, "__sv", keyCol, ksub, iters)
+        .select(lit(s).as("subspace"), col("centroid_id").as("code"),
+          col("cvec"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[pqTrain]]'s frame → the nested array the expressions reference. */
+  def collectCodebooks(codebooks: DataFrame): Array[Array[Array[Float]]] =
+    codebooks.select(col("subspace"), col("code"), col("cvec"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getLong(1)).map(_.getSeq[Float](2).toArray).toArray
+      }.toArray
+
+  /** Encode a corpus to `m`-byte PQ codes — the 100 TB at-rest form:
+    * 3072-dim fp32 is 12 KB/vector, m=64 codes are 64 B (192×). One
+    * narrow codegen pass ([[graft.functions.PqEncode]]); compose with
+    * the IVF cell layout for FAISS's full IVFADC (cells prune WHERE to
+    * scan, codes shrink WHAT is scanned). */
+  def pqEncode(corpus: DataFrame, vecCol: String, keyCol: String,
+      codebooks: Array[Array[Array[Float]]]): DataFrame =
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(keyCol).as("id"),
+        graft.functions.pq_encode(col(vecCol), codebooks).as("codes"))
+
+  /** Approximate top-k by asymmetric distance: the query's exact
+    * distance to every codeword precomputes into an m×ksub LUT
+    * (driver-side, once), each stored code scores via m table
+    * lookups+adds ([[graft.functions.PqAdcScore]] — codegen, no vector
+    * ever decoded), and `TakeOrderedAndProject` keeps k. Recall is the
+    * quantizer's (m·ksub dial); the score is the ADC approximation of
+    * squared L2. */
+  def pqTopK(encoded: DataFrame, codebooks: Array[Array[Array[Float]]],
+      queryVec: Array[Float], k: Int): DataFrame = {
+    val lut = graft.functions.PqMath.lut(queryVec, codebooks)
+    encoded
+      .withColumn("score_adc",
+        graft.functions.pq_adc_score(col("codes"), lut))
+      .orderBy(col("score_adc").asc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("score_adc"))
   }
 }

@@ -1,0 +1,103 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Product quantization ([[Knn.pqTrain]]/[[Knn.pqEncode]]/[[Knn.pqTopK]]):
+  * code-shape invariants, ADC's relationship to the exact distance, and
+  * the recall the m×ksub dial actually buys on the bench corpus.
+  */
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val emb = table("embeddings")
+    .filter($"embedding".isNotNull).cache()
+
+  private def exactIds(qv: Array[Float], k: Int): Seq[Long] =
+    emb.select($"vec_id".as("id"), $"embedding".as("v"))
+      .withColumn("d", Knn.l2sq($"v", typedLit(qv)))
+      .orderBy($"d".asc, $"id".asc).limit(k)
+      .select($"id").as[Long].collect().toSeq
+
+  test("codes are m bytes; every code under ksub; encoding is deterministic") {
+    val cb = Knn.collectCodebooks(Knn.pqTrain(
+      emb, "embedding", "vec_id", m = 8, ksub = 16, iters = 2))
+    assert(cb.length == 8 && cb.forall(_.length == 16))
+    assert(cb.forall(_.forall(_.length == 8))) // 64 dims / 8 subspaces
+    val enc = Knn.pqEncode(emb, "embedding", "vec_id", cb)
+    val rows = enc.collect()
+    assert(rows.length == emb.count())
+    rows.foreach { r =>
+      val codes = r.getAs[Array[Byte]]("codes")
+      assert(codes.length == 8)
+      assert(codes.forall(c => (c & 0xff) < 16))
+    }
+    // same input → identical codes under a different partitioning
+    val enc2 = Knn.pqEncode(emb.repartition(7), "embedding", "vec_id", cb)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val enc1 = rows.map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(enc1 == enc2)
+  }
+
+  test("ADC of a vector's own codes equals the quantization residual floor") {
+    // score(v, codes(v)) is the distance from v to its reconstruction —
+    // strictly below the distance to any OTHER vector's reconstruction
+    // for well-separated planted vectors, and >= 0 always
+    val cb = Knn.collectCodebooks(Knn.pqTrain(
+      emb, "embedding", "vec_id", m = 8, ksub = 16, iters = 2))
+    val enc = Knn.pqEncode(emb, "embedding", "vec_id", cb)
+    val qv = emb.orderBy($"vec_id").select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val top = Knn.pqTopK(enc, cb, qv, k = 5).collect()
+    assert(top.forall(_.getDouble(1) >= 0.0))
+    // the query vector itself must land in the ADC top-5 (its own codes
+    // minimize the LUT sum up to quantization)
+    assert(top.map(_.getLong(0)).contains(0L))
+  }
+
+  test("recall vs exact L2 top-10: the m×ksub dial, measured") {
+    val qv = emb.filter($"vec_id" === 7).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val exact = exactIds(qv, 10).toSet
+    def recallAt(m: Int, ksub: Int): Double = {
+      val cb = Knn.collectCodebooks(Knn.pqTrain(
+        emb, "embedding", "vec_id", m, ksub, iters = 2))
+      val got = Knn.pqTopK(Knn.pqEncode(emb, "embedding", "vec_id", cb),
+        cb, qv, k = 10).select($"id").as[Long].collect().toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val coarse = recallAt(2, 4) // 4 bits/vec — the oracle-gated config
+    val fine = recallAt(8, 16) // 32 bits/vec — the scale config
+    info(f"PQ recall@10: m=2,ksub=4 -> $coarse%.2f; m=8,ksub=16 -> $fine%.2f")
+    assert(fine >= coarse)
+    assert(fine >= 0.4, s"fine-grained PQ recall $fine unexpectedly low")
+  }
+
+  test("ADC scan plan: codegen'd code lookups, no vector column touched") {
+    val cb = Knn.collectCodebooks(Knn.pqTrain(
+      emb, "embedding", "vec_id", m = 8, ksub = 16, iters = 2))
+    // codes MATERIALIZED at rest, as a deployment stores them — the
+    // serving scan must read m-byte codes only, never the fp32 vectors
+    val dir = java.nio.file.Files.createTempDirectory("pqcodes").toString
+    try {
+      Knn.pqEncode(emb, "embedding", "vec_id", cb).write.parquet(s"$dir/codes")
+      val enc = spark.read.parquet(s"$dir/codes")
+      val qv = emb.orderBy($"vec_id").select($"embedding")
+        .head().getSeq[Float](0).toArray
+      val searched = Knn.pqTopK(enc, cb, qv, k = 10)
+      val plan = searched.queryExecution.executedPlan.toString
+      assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+      assert(plan.contains("pq_adc_score"), plan.take(400))
+      assert(!plan.contains("embedding"), "ADC plan still reads the vector")
+      // and the materialized-code search agrees with the fused form
+      assert(searched.collect().toSeq ==
+        Knn.pqTopK(Knn.pqEncode(emb, "embedding", "vec_id", cb), cb, qv,
+          k = 10).collect().toSeq)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+}
