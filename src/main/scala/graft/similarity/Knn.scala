@@ -493,4 +493,97 @@ object Knn {
       .limit(k)
       .select(col("id"), col("score_adc"))
   }
+
+  // ------------------------------------------------------------ IVFADC
+
+  /** The full FAISS IVFADC, assembled from the parts above: coarse IVF
+    * cells decide WHERE to scan (partition pruning, [[ivfBuildIndex]]'s
+    * layout), RESIDUAL product quantization decides what is STORED —
+    * each vector's offset from its cell centroid (`v − c`) encodes to
+    * `m` bytes, which quantizes far finer than raw-vector PQ at equal
+    * bits because residual magnitudes are a fraction of vector
+    * magnitudes (the reason FAISS encodes residuals). At 100 TB the
+    * index is nprobe-pruned directories of m-byte codes: 3072-dim fp32
+    * corpus = 12 KB/vec, the IVFADC index = m bytes + one id.
+    *
+    * Layout: cells parquet PARTITIONED BY centroid_id with (id, codes)
+    * rows; centroid + codebook sidecars (driver-scale, like the IVF
+    * sidecar). Training order: coarse centroids (L2 Lloyd — the whole
+    * IVFADC pipeline is L2-geometric: residual magnitude is an L2
+    * quantity, so cosine cells would hand the sub-quantizer needlessly
+    * wide residuals) → assign → residuals (`zip_with` subtract) → one
+    * L2 sub-quantizer per subspace over ALL residuals. The residual
+    * advantage over raw-vector PQ scales with how CLUSTERED the corpus
+    * is (residual spread ≪ vector spread inside tight cells); on a
+    * quasi-uniform corpus it only matches raw PQ — PqSpec measures both
+    * on the bench fixtures. */
+  def ivfPqBuildIndex(corpus: DataFrame, vecCol: String, keyCol: String,
+      indexDir: String, cells: Int, m: Int, ksub: Int, iters: Int,
+      trainFilter: Column): Unit = {
+    val cents = trainCentroidsL2(corpus.filter(trainFilter), vecCol, keyCol,
+      cells, iters)
+    val assigned = ivfAssignL2(corpus, vecCol, keyCol, cents, "cvec",
+      "centroid_id")
+    val residuals = assigned
+      .join(broadcast(cents), Seq("centroid_id"))
+      .select(col("id"), col("centroid_id"),
+        zip_with(col("v"), col("cvec"), (a, b) => a - b).as("rv"))
+    val cbFrame = pqTrain(residuals, "rv", "id", m, ksub, iters)
+    val cb = collectCodebooks(cbFrame)
+    residuals
+      .select(col("id"), col("centroid_id"),
+        graft.functions.pq_encode(col("rv"), cb).as("codes"))
+      .repartition(col("centroid_id")).write.partitionBy("centroid_id")
+      .mode("overwrite").parquet(s"$indexDir/cells")
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
+    cbFrame.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+  }
+
+  /** Probe an [[ivfPqBuildIndex]] layout: the query picks its nprobe
+    * L2-nearest cells from the centroid sidecar (driver-side, matching
+    * the index's cell metric), and for EACH probed cell builds the
+    * residual query's LUT (`q − c` sliced against the shared codebooks)
+    * — per-cell LUTs because residuals are cell-relative. Each cell
+    * reads as its own partition-pruned scan scored by its own codegen'd
+    * [[graft.functions.PqAdcScore]]; the union's top-k merges nprobe
+    * pruned scans. Scores approximate squared L2 of (q − v). */
+  def ivfPqSearch(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      queryVec: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(cents.nonEmpty, s"no centroids at $indexDir")
+    val cb = collectCodebooks(spark.read.parquet(s"$indexDir/codebooks"))
+    def l2sqLocal(a: Array[Float], b: Array[Float]): Double = {
+      var aa = 0.0; var ab = 0.0; var bb = 0.0
+      var i = 0
+      while (i < a.length) {
+        aa += a(i).toDouble * a(i); ab += a(i).toDouble * b(i)
+        bb += b(i).toDouble * b(i); i += 1
+      }
+      aa - 2.0 * ab + bb
+    }
+    val probed = cents
+      .map { case (cid, cv) => (cid, l2sqLocal(queryVec, cv)) }
+      .sortBy { case (cid, d) => (d, cid) }
+      .take(nprobe)
+    val cells = spark.read.parquet(s"$indexDir/cells")
+    val inListType = cells.schema("centroid_id").dataType
+    val legs = probed.map { case (cid, _) =>
+      val cv = cents.find(_._1 == cid).get._2
+      val qr = queryVec.zip(cv).map { case (a, b) => a - b }
+      val lut = graft.functions.PqMath.lut(qr, cb)
+      val cidLit: Any = inListType match {
+        case org.apache.spark.sql.types.IntegerType => cid.toInt
+        case org.apache.spark.sql.types.LongType => cid
+        case _ => cid.toString
+      }
+      cells.filter(col("centroid_id") === lit(cidLit))
+        .select(col("id"),
+          col("centroid_id").cast("long").as("centroid_id"),
+          graft.functions.pq_adc_score(col("codes"), lut).as("score_adc"))
+    }
+    legs.reduce(_ unionByName _)
+      .orderBy(col("score_adc").asc, col("id").asc)
+      .limit(k)
+  }
 }
