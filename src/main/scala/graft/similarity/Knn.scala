@@ -233,7 +233,8 @@ object Knn {
       .getOrElse(throw new IllegalStateException(
         s"ivfAppendIndex: no segmented IVF index at $indexDir (build first)"))
     val fp16 = spark.read
-      .parquet(s"$indexDir/${existing.head}/cells")
+      .parquet(s"$indexDir/${existing.filterNot(
+        graft.sync.SegmentedIndex.isTombstone).head}/cells")
       .columns.contains("emb16")
     val cents = spark.read.parquet(s"$indexDir/centroids")
     val assigned = ivfAssign(batch, vecCol, keyCol, cents, "cvec", "centroid_id")
@@ -348,14 +349,42 @@ object Knn {
     * one multi-path read would reject the "conflicting" per-segment
     * partition trees; probe filters push through the Union, so every
     * segment's scan prunes to the probed cells), else the pre-segment
-    * flat `cells/` dir. */
+    * flat `cells/` dir. Tombstone segments ([[ivfDeleteIndex]])
+    * anti-join away — skipped entirely when none exist, so the
+    * steady-state probe plan carries no join. */
   private def readCells(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame =
-    graft.sync.SegmentedIndex.resolve(spark, indexDir) match {
-      case Some(segs) => segs.map(s => spark.read.parquet(s"$indexDir/$s/cells"))
-        .reduce(_ unionByName _)
-      case None       => spark.read.parquet(s"$indexDir/cells")
+    graft.sync.SegmentedIndex.resolve(spark, indexDir)
+      .map(_.partition(s => !graft.sync.SegmentedIndex.isTombstone(s))) match {
+      case Some((data, tombs)) =>
+        val cells = data.map(s => spark.read.parquet(s"$indexDir/$s/cells"))
+          .reduce(_ unionByName _)
+        if (tombs.isEmpty) cells
+        else cells.join(
+          tombs.map(s => spark.read.parquet(s"$indexDir/$s/ids"))
+            .reduce(_ unionByName _),
+          Seq("id"), "left_anti")
+      case None => spark.read.parquet(s"$indexDir/cells")
     }
+
+  /** Delete vectors from a persistent IVF index without rewriting it —
+    * one tombstone segment of ids + one atomic pointer commit (the
+    * lexical-index pattern, [[graft.text.TextRank.deleteFromLexicalIndex]],
+    * minus stats: IVF scoring has no corpus-level statistics to
+    * correct). Probes anti-join the tombstones until a rebuild
+    * ([[ivfBuildIndex]] — the compaction here, since cell geometry
+    * should be re-trained when enough mass leaves) physically erases
+    * the rows. */
+  def ivfDeleteIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: DataFrame, idCol: String): Unit = {
+    val existing = graft.sync.SegmentedIndex.resolve(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(
+        s"ivfDeleteIndex: no segmented IVF index at $indexDir"))
+    val seg = graft.sync.SegmentedIndex.newTombstoneName()
+    ids.select(col(idCol).as("id")).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/$seg/ids")
+    graft.sync.SegmentedIndex.commit(spark, indexDir, existing :+ seg)
+  }
 
   /** Is a COMPLETE persistent index on local disk at `indexDir`?  Both
     * sides must exist — the centroid sidecar AND the cell data (the

@@ -32,6 +32,13 @@ private[graft] object SegmentedIndex {
   /** Zero-padded so lexicographic order == creation order. */
   def newSegmentName(): String = f"seg-${System.nanoTime()}%019d"
 
+  /** Tombstone segments (`del-`): carry deleted ids (and, for indexes
+    * with corpus stats, a NEGATIVE correction row) instead of data.
+    * Readers subtract them; compaction materializes them away. */
+  def newTombstoneName(): String = f"del-${System.nanoTime()}%019d"
+
+  def isTombstone(name: String): Boolean = name.startsWith("del-")
+
   /** The live segment list, or None when no pointer exists (either an
     * empty root or a pre-segment flat layout — callers fall back). */
   def resolve(spark: SparkSession, root: String): Option[Seq[String]] = {
@@ -67,7 +74,8 @@ private[graft] object SegmentedIndex {
       ptrTmp, new HPath(rootP, "CURRENT"))
     val live = segments.toSet
     fs.listStatus(rootP).toSeq.map(_.getPath)
-      .filter(p => p.getName.startsWith("seg-") && !live.contains(p.getName))
+      .filter(p => (p.getName.startsWith("seg-") || p.getName.startsWith("del-"))
+        && !live.contains(p.getName))
       .foreach(p => try { fs.delete(p, true); () } catch { case _: Exception => () })
   }
 }

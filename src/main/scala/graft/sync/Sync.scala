@@ -188,6 +188,21 @@ object HighlightStore {
         s"addColumn: column '$name' already exists in the store at $dir")
       df.withColumn(name, default)
     }, partitionBy)
+
+  /** Delete rows matching `cond` — the takedown/right-to-erasure path
+    * over the versioned store: the new version simply omits them behind
+    * the pointer swap (NULL-safe: rows where `cond` is null are KEPT,
+    * like SQL DELETE's WHERE). The superseded version — still holding
+    * the bytes — falls out of retention on the next commit; call
+    * [[writeAtomic]]-producing ops or a follow-up no-op migration
+    * promptly when physical erasure, not just invisibility, is the
+    * requirement. Returns false when no store exists. */
+  def deleteWhere(spark: SparkSession, dir: String,
+      cond: org.apache.spark.sql.Column,
+      partitionBy: Seq[String] = Nil): Boolean =
+    migrate(spark, dir,
+      _.filter(!org.apache.spark.sql.functions.coalesce(
+        cond, org.apache.spark.sql.functions.lit(false))), partitionBy)
 }
 
 /** Backfill + incremental sync jobs (reference: jobs/backfill.py:17-66,

@@ -111,6 +111,60 @@ object TextRank {
       dirs: Seq[String]): DataFrame =
     dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
 
+  /** The index's LIVE relations: postings with tombstoned ids
+    * anti-joined away (skipped entirely when no tombstones exist — the
+    * steady-state plan carries no join), and the stat dirs of EVERY
+    * live entry — tombstone segments carry NEGATIVE correction rows, so
+    * plain integer summation stays exact after deletes. Falls back to
+    * the pre-segment flat layout. */
+  private def liveRelations(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): (DataFrame, Seq[String]) =
+    graft.sync.SegmentedIndex.resolve(spark, indexDir)
+      .map(_.partition(s => !graft.sync.SegmentedIndex.isTombstone(s))) match {
+      case Some((data, tombs)) =>
+        val posts = readUnion(spark, data.map(s => s"$indexDir/$s/postings"))
+        val cleaned =
+          if (tombs.isEmpty) posts
+          else posts.join(
+            readUnion(spark, tombs.map(s => s"$indexDir/$s/ids")),
+            Seq("id"), "left_anti")
+        (cleaned, (data ++ tombs).map(s => s"$indexDir/$s/stats"))
+      case None =>
+        (spark.read.parquet(s"$indexDir/postings"), Seq(s"$indexDir/stats"))
+    }
+
+  /** Delete documents from a lexical index WITHOUT rewriting it — the
+    * takedown/right-to-erasure path: one tombstone segment carrying the
+    * deleted ids plus a NEGATIVE corpus-stats correction row (−count,
+    * −Σdl over the docs actually present and not already tombstoned, so
+    * re-deleting is an exact no-op), committed with the same atomic
+    * pointer replace as an append. Every read path anti-joins the
+    * tombstones and sums the corrected stats, so served BM25 is
+    * BIT-IDENTICAL to an index rebuilt without those documents; the
+    * bytes are physically erased at the next [[compactLexicalIndex]]
+    * (which materializes the subtraction and drops the tombstones) —
+    * run it promptly when erasure, not just invisibility, is the
+    * requirement. */
+  def deleteFromLexicalIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: DataFrame, idCol: String): Unit = {
+    val existing = graft.sync.SegmentedIndex.resolve(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(
+        s"deleteFromLexicalIndex: no segmented index at $indexDir"))
+    val (livePosts, _) = liveRelations(spark, indexDir)
+    val del = ids.select(col(idCol).as("id")).distinct()
+    // stats correction from docs actually live in the index: one row per
+    // affected doc (a doc's dl repeats on every posting row)
+    val affected = livePosts.join(del, Seq("id"), "left_semi")
+      .select(col("id"), col("dl")).distinct()
+    val seg = graft.sync.SegmentedIndex.newTombstoneName()
+    affected
+      .agg((-count(lit(1))).as("n"),
+        (-coalesce(sum(col("dl")), lit(0L))).as("total_dl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/$seg/stats")
+    del.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/$seg/ids")
+    graft.sync.SegmentedIndex.commit(spark, indexDir, existing :+ seg)
+  }
+
   /** One complete, immutable lexical segment: bucketed postings + a
     * one-row stats sidecar. Shared by build and append — a segment is
     * self-describing, so the search path needs no global dictionary. */
@@ -206,13 +260,15 @@ object TextRank {
       }
     }
 
-  /** Merge all live segments into one (read the postings union — never
-    * the original text — re-group, write, swap the pointer): the LSM
-    * compaction that bounds per-query segment fan-out after many
-    * appends. Per-(id, term) tf rows merge by SUM and dl by MAX (ids
-    * are expected unique across segments, making both a plain carry;
-    * the merge rule keeps compaction total even if that contract was
-    * violated upstream). */
+  /** Merge all live segments into one (read the tombstone-subtracted
+    * postings union — never the original text — re-group, write, swap
+    * the pointer): the LSM compaction that bounds per-query segment
+    * fan-out after many appends, and the step that PHYSICALLY erases
+    * tombstoned documents (the swept tombstone/data segments are
+    * deleted by the commit's retention pass). Per-(id, term) tf rows
+    * merge by SUM and dl by MAX (ids are expected unique across
+    * segments, making both a plain carry; the merge rule keeps
+    * compaction total even if that contract was violated upstream). */
   def compactLexicalIndex(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, buckets: Int = 64): Unit = {
     val existing = graft.sync.SegmentedIndex.resolve(spark, indexDir)
@@ -221,14 +277,14 @@ object TextRank {
     if (existing.size <= 1) return
     val seg = graft.sync.SegmentedIndex.newSegmentName()
     val segDir = s"$indexDir/$seg"
-    val postings = readUnion(spark,
-      existing.map(s => s"$indexDir/$s/postings"))
-    readUnion(spark, existing.map(s => s"$indexDir/$s/stats"))
+    val (postings, statDirs) = liveRelations(spark, indexDir)
+    readUnion(spark, statDirs)
       .agg(sum(col("n")).as("n"), sum(col("total_dl")).as("total_dl"))
       .coalesce(1).write.mode("overwrite").parquet(s"$segDir/stats")
     postings.groupBy(col("id"), col("term"), col("term_bucket"))
       .agg(max(col("dl")).as("dl"), sum(col("tf")).as("tf"))
       .select(col("id"), col("dl"), col("term"), col("tf"), col("term_bucket"))
+      .repartition(col("term_bucket"))
       .write.partitionBy("term_bucket")
       .mode("overwrite").parquet(s"$segDir/postings")
     graft.sync.SegmentedIndex.commit(spark, indexDir, Seq(seg))
@@ -255,16 +311,7 @@ object TextRank {
     val probedBuckets = queryTerms
       .map(t => TextMath.polyHash(UTF8String.fromString(t)) % buckets)
       .distinct
-    val segs = graft.sync.SegmentedIndex.resolve(spark, indexDir)
-    val postingDirs = segs match {
-      case Some(list) => list.map(s => s"$indexDir/$s/postings")
-      case None       => Seq(s"$indexDir/postings") // pre-segment layout
-    }
-    val statDirs = segs match {
-      case Some(list) => list.map(s => s"$indexDir/$s/stats")
-      case None       => Seq(s"$indexDir/stats")
-    }
-    val postings = readUnion(spark, postingDirs)
+    val (postings, statDirs) = liveRelations(spark, indexDir)
     val inList: Seq[Any] = postings.schema("term_bucket").dataType match {
       case org.apache.spark.sql.types.IntegerType => probedBuckets.map(_.toInt)
       case org.apache.spark.sql.types.LongType => probedBuckets
@@ -346,20 +393,15 @@ object TextRank {
   object LexIndex {
     def load(spark: org.apache.spark.sql.SparkSession, indexDir: String,
         buckets: Int = 64, k1: Double = 1.2, b: Double = 0.75): LexIndex = {
-      val segs = graft.sync.SegmentedIndex.resolve(spark, indexDir)
-      val postingDirs = segs match {
-        case Some(list) => list.map(s => s"$indexDir/$s/postings")
-        case None       => Seq(s"$indexDir/postings")
-      }
-      val statDirs = segs match {
-        case Some(list) => list.map(s => s"$indexDir/$s/stats")
-        case None       => Seq(s"$indexDir/stats")
-      }
+      // tombstones resolve at load like everything else: a tombstoned
+      // index serves through an anti-join per request until compaction
+      // restores the join-free steady-state plan
+      val (postings, statDirs) = liveRelations(spark, indexDir)
       val stats = readUnion(spark, statDirs)
         .agg(sum(col("n")).as("n"), sum(col("total_dl")).as("total_dl"))
         .head()
-      new LexIndex(readUnion(spark, postingDirs),
-        stats.getLong(0), stats.getLong(1), buckets, k1, b)
+      new LexIndex(postings, stats.getLong(0), stats.getLong(1),
+        buckets, k1, b)
     }
   }
 

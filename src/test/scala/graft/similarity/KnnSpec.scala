@@ -179,6 +179,38 @@ class KnnSpec extends SparkTestBase {
     } finally { rmrf(dirInc); rmrf(dirAll) }
   }
 
+  test("ivfDeleteIndex: tombstoned vectors vanish from probes; equals an index built without them") {
+    val dirDel = java.nio.file.Files.createTempDirectory("ivfdel").toString
+    val dirRef = java.nio.file.Files.createTempDirectory("ivfref").toString
+    def rmrf(dir: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    try {
+      // deleted ids sit OUTSIDE the %5 training sample, so the reference
+      // index (built without them, same trainFilter) has IDENTICAL
+      // centroids and assignment — searches must match row-for-row
+      val dead = Seq(3L, 7L, 11L, 13L)
+      Knn.ivfBuildIndex(emb, "embedding", "vec_id", dirDel, k = 4,
+        iters = 2, trainFilter = $"vec_id" % 5 === 0)
+      Knn.ivfDeleteIndex(spark, dirDel, dead.toDF("vec_id"), "vec_id")
+      Knn.ivfBuildIndex(emb.filter(!$"vec_id".isin(dead: _*)), "embedding",
+        "vec_id", dirRef, k = 4, iters = 2,
+        trainFilter = $"vec_id" % 5 === 0)
+      val qv = emb.filter($"vec_id" === 7).select($"embedding")
+        .head().getSeq[Float](0).toArray // query BY a deleted vector
+      val del = Knn.ivfSearchIndex(spark, dirDel, qv, k = 10, nprobe = 4)
+        .collect().toSeq
+      assert(del == Knn.ivfSearchIndex(spark, dirRef, qv, k = 10, nprobe = 4)
+        .collect().toSeq)
+      assert(del.map(_.getLong(0)).toSet.intersect(dead.toSet).isEmpty)
+      // the serving handle resolves tombstones at load too
+      assert(Knn.IvfIndex.load(spark, dirDel).search(qv, 10, 4)
+        .collect().toSeq == del)
+    } finally { rmrf(dirDel); rmrf(dirRef) }
+  }
+
   test("trainCentroids: k cells, right dimensionality, assignment improves") {
     val k = 4
     val cents = Knn.trainCentroids(emb, "embedding", "vec_id", k, iters = 3)

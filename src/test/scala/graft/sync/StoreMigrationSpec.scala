@@ -80,6 +80,25 @@ class StoreMigrationSpec extends SparkTestBase {
       identity[org.apache.spark.sql.DataFrame]))
   }
 
+  test("deleteWhere removes matching rows behind the pointer swap; null cond keeps") {
+    val dir = Files.createTempDirectory("store-del").toString
+    val docs = Seq(
+      (1L, "keep me", Some("en")),
+      (2L, "delete me", Some("xx")),
+      (3L, "null lang", Option.empty[String]))
+      .toDF("id", "text", "lang")
+    HighlightStore.writeAtomic(docs, dir)
+    assert(HighlightStore.deleteWhere(spark, dir, $"lang" === "xx"))
+    val left = HighlightStore.read(spark, dir).get
+      .select("id").as[Long].collect().toSet
+    // row 3's condition is NULL → kept, SQL DELETE WHERE semantics
+    assert(left == Set(1L, 3L))
+    // no store → false, not a crash
+    assert(!HighlightStore.deleteWhere(spark,
+      Files.createTempDirectory("store-del-none").toString + "/nope",
+      $"lang" === "xx"))
+  }
+
   test("fp16 store migrates without widening: emb16 stays at rest, reads still decode") {
     val dir = Files.createTempDirectory("store-mig16").toString
     val docs = Seq(

@@ -174,6 +174,51 @@ class TextRankSpec extends SparkTestBase {
         sc.metadata("PartitionFilters")))
   }
 
+  test("tombstone deletes: served BM25 bit-identical to a rebuild without the docs") {
+    val corpus = (0 until 150).map { i =>
+      val terms = Seq("join", "merge", "scan").filter(t => (i + t.length) % 2 == 0)
+      (i.toLong, (terms ++ Seq(s"pad$i")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val deadIds = Seq(4L, 10L, 16L, 22L, 9999L) // 9999 not in the index
+    val dir = java.nio.file.Files.createTempDirectory("lexdel").toString
+    val dirRef = java.nio.file.Files.createTempDirectory("lexref").toString
+    try {
+      TextRank.buildLexicalIndex(corpus, "text", "doc_id", dir)
+      TextRank.deleteFromLexicalIndex(spark, dir,
+        deadIds.toDF("doc_id"), "doc_id")
+      TextRank.buildLexicalIndex(
+        corpus.filter(!$"doc_id".isin(deadIds: _*)), "text", "doc_id", dirRef)
+      val terms = Seq("join", "merge")
+      def served(d: String) =
+        TextRank.searchLexicalIndex(spark, d, terms, k = 10).collect().toSeq
+      // stats corrections + df-after-anti-join make the tombstoned index
+      // score EXACTLY like the rebuild — not just exclude the ids
+      assert(served(dir) == served(dirRef))
+      // the serving handle sees the same world
+      assert(TextRank.LexIndex.load(spark, dir).search(terms, 10)
+        .collect().toSeq == served(dirRef))
+      // re-deleting is an exact no-op (corrections computed over LIVE
+      // postings only — no double subtraction)
+      TextRank.deleteFromLexicalIndex(spark, dir,
+        deadIds.toDF("doc_id"), "doc_id")
+      assert(served(dir) == served(dirRef))
+      // compaction physically erases: one data segment, no tombstones on
+      // disk, same answers
+      TextRank.compactLexicalIndex(spark, dir)
+      val left = graft.sync.SegmentedIndex.resolve(spark, dir).get
+      assert(left.size == 1 && !left.exists(_.startsWith("del-")))
+      assert(new java.io.File(dir).listFiles()
+        .forall(f => !f.getName.startsWith("del-")))
+      assert(served(dir) == served(dirRef))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      Seq(dir, dirRef).foreach { d =>
+        java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator().asScala
+          .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+  }
+
   test("appendLexicalIndexStream: a MemoryStream run equals one wholesale build") {
     val root = java.nio.file.Files.createTempDirectory("lexstream").toString
     val streamDir = s"$root/index"
