@@ -1517,6 +1517,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- tombstone delete through the persistent lexical index: build
+    //      over the FULL corpus, tombstone every doc_id % 7 == 3, serve.
+    //      The oracle is plain BM25 over the corpus WITHOUT those docs —
+    //      passing proves the negative stats-correction row (n, Σdl) and
+    //      the tombstone anti-join reproduce a rebuild BIT-identically
+    //      (df, idf, length norm all shift when docs leave) ----
+    "q110_lexical_delete" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val fp = d.agg(expr("bit_xor(xxhash64(doc_id, md5(text)))")
+        .cast("string")).head().getString(0)
+      val indexDir = graft.fixtures.Fp16Corpus.workRoot + s"/lexdelete-$fp"
+      if (!new java.io.File(s"$indexDir/CURRENT").isFile) {
+        graft.text.TextRank.buildLexicalIndex(d, "text", "doc_id", indexDir)
+        graft.text.TextRank.deleteFromLexicalIndex(s, indexDir,
+          d.filter(col("doc_id") % 7 === 3).select(col("doc_id")), "doc_id")
+      }
+      graft.text.TextRank.searchLexicalIndex(s, indexDir,
+        Seq("join", "filter", "merge"), k = 15)
+    }),
+
+    // ---- right-to-erasure through the versioned store: deleteWhere
+    //      with a condition that is NULL for 'en' rows (nullif) — SQL
+    //      DELETE keeps null-condition rows, so 'en' survives alongside
+    //      everything that isn't 'fr'. Gates the null-safe negation
+    //      behind the pointer swap ----
+    "q111_store_delete" -> ((s, dir) => {
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft-delete-gate").toString
+      graft.sync.HighlightStore.writeAtomic(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")), storeDir)
+      graft.sync.HighlightStore.deleteWhere(s, storeDir,
+        expr("nullif(lang, 'en') = 'fr'"))
+      graft.sync.HighlightStore.read(s, storeDir).get
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- product quantization + asymmetric-distance search (the FAISS
     //      IVFADC compression half): 2 subspaces × 4-word codebooks
     //      trained by the DECIMAL-exact L2 Lloyd, vectors stored as m
@@ -1788,13 +1825,13 @@ object SparkEntry {
     * printing means DuckDB parses back identical values). Yields a
     * relation `bm25(id, score)`, unlimited and unordered. */
   private def sqlBm25Ctes(terms: Seq[String],
-      k1: Double = 1.2, b: Double = 0.75): String = {
+      k1: Double = 1.2, b: Double = 0.75, docsWhere: String = ""): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
     val cases = terms.zipWithIndex.map { case (t, i) =>
       s"MAX(CASE WHEN term = '$t' THEN contrib END) AS s$i" }.mkString(", ")
     val total = terms.indices.map(i => s"COALESCE(s$i, CAST(0.0 AS DOUBLE))")
       .mkString(" + ")
-    s"""bmdocs AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents),
+    s"""bmdocs AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents$docsWhere),
        |bmd2 AS (SELECT id, w, CAST(len(w) AS BIGINT) AS dl FROM bmdocs),
        |bmstats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
        |  CAST(SUM(dl) AS BIGINT) AS total_dl FROM bmd2),
@@ -3072,6 +3109,21 @@ object SparkEntry {
     "q106_lexical_append" ->
       s"""WITH ${sqlBm25Ctes(Seq("join", "filter", "merge"))}
          |SELECT id, score FROM bm25 ORDER BY score DESC, id LIMIT 15""".stripMargin,
+
+    // the tombstoned index must serve BM25 as if the deleted docs were
+    // never indexed: same CTE chain, corpus minus doc_id % 7 = 3
+    "q110_lexical_delete" ->
+      s"""WITH ${sqlBm25Ctes(Seq("join", "filter", "merge"),
+             docsWhere = " WHERE doc_id % 7 <> 3")}
+         |SELECT id, score FROM bm25 ORDER BY score DESC, id LIMIT 15""".stripMargin,
+
+    // DELETE WHERE nullif(lang,'en') = 'fr': 'fr' rows go, 'en' rows have
+    // a NULL condition and are KEPT (SQL DELETE semantics), the rest are
+    // plain false
+    "q111_store_delete" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE NOT COALESCE(NULLIF(lang, 'en') = 'fr', false)
+        |ORDER BY doc_id""".stripMargin,
 
     // q50's chain with the APPEND asymmetry: centroids train on the BASE
     // half's %5 sample (frozen cell geometry), assignment covers the
