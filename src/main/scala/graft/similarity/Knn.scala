@@ -386,6 +386,29 @@ object Knn {
     graft.sync.SegmentedIndex.commit(spark, indexDir, existing :+ seg)
   }
 
+  /** Merge all live segments into one under the FROZEN cell geometry —
+    * the cheap compaction between re-trains: rows already carry their
+    * `centroid_id`, so the merge is a read of the tombstone-subtracted
+    * cell union re-clustered by cell and rewritten (no centroid
+    * training, no assignment pass, vectors move once). Bounds per-probe
+    * segment fan-out after many appends and PHYSICALLY erases tombstoned
+    * vectors (the commit's retention pass deletes the swept segments).
+    * fp16 cells carry through as-is — the blob never decodes. Distinct
+    * from the [[ivfBuildIndex]] rebuild, which re-trains the geometry
+    * itself when enough mass has left or drifted. */
+  def ivfCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val existing = graft.sync.SegmentedIndex.resolve(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(
+        s"ivfCompactIndex: no segmented IVF index at $indexDir"))
+    if (existing.size <= 1) return
+    val seg = graft.sync.SegmentedIndex.newSegmentName()
+    readCells(spark, indexDir)
+      .repartition(col("centroid_id")).write.partitionBy("centroid_id")
+      .mode("overwrite").parquet(s"$indexDir/$seg/cells")
+    graft.sync.SegmentedIndex.commit(spark, indexDir, Seq(seg))
+  }
+
   /** Is a COMPLETE persistent index on local disk at `indexDir`?  Both
     * sides must exist — the centroid sidecar AND the cell data (the
     * segment pointer, or the pre-segment flat layout's `cells` commit

@@ -208,6 +208,18 @@ class KnnSpec extends SparkTestBase {
       // the serving handle resolves tombstones at load too
       assert(Knn.IvfIndex.load(spark, dirDel).search(qv, 10, 4)
         .collect().toSeq == del)
+      // compaction under the frozen geometry: one segment left, tombstone
+      // AND swept data segments physically erased, answers unchanged, and
+      // the steady-state probe plan is join-free again
+      Knn.ivfCompactIndex(spark, dirDel)
+      val left = graft.sync.SegmentedIndex.resolve(spark, dirDel).get
+      assert(left.size == 1 && !left.exists(_.startsWith("del-")))
+      assert(new java.io.File(dirDel).listFiles()
+        .count(f => f.getName.startsWith("seg-") || f.getName.startsWith("del-")) == 1)
+      val compacted = Knn.ivfSearchIndex(spark, dirDel, qv, k = 10, nprobe = 4)
+      assert(compacted.collect().toSeq == del)
+      assert(!compacted.queryExecution.executedPlan.toString.contains("Join"),
+        "compacted probe plan should carry no anti-join")
     } finally { rmrf(dirDel); rmrf(dirRef) }
   }
 
