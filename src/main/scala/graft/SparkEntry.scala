@@ -1537,6 +1537,37 @@ object SparkEntry {
         Seq("join", "filter", "merge"), k = 15)
     }),
 
+    // ---- the delta re-ingest loop end-to-end: store + lexical index
+    //      built from the corpus, then CorpusRefresh applies a snapshot
+    //      with planted removals (%17), text edits (%13) and re-keyed
+    //      additions (%29) — tombstone + O(delta) append, never a
+    //      rebuild. The oracle is plain BM25 over the NEW corpus: passing
+    //      proves the sequence-scoped tombstones serve each changed
+    //      doc's new text while masking its old, with exact stats.
+    //      Refresh is idempotent, so the cached-store re-run is a no-op ----
+    "q112_cdc_refresh" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+      val newSnap = d.filter(col("doc_id") % 17 =!= 2)
+        .withColumn("text", when(col("doc_id") % 13 === 1,
+          concat(col("text"), lit(" changed join"))).otherwise(col("text")))
+        .unionByName(d.filter(col("doc_id") % 29 === 3)
+          .select((col("doc_id") + mx + 1).as("doc_id"),
+            concat(col("text"), lit(" merge added")).as("text")))
+      val fp = d.agg(expr("bit_xor(xxhash64(doc_id, md5(text)))")
+        .cast("string")).head().getString(0)
+      val root = graft.fixtures.Fp16Corpus.workRoot + s"/cdcrefresh-$fp"
+      val storeDir = s"$root/store"; val lexDir = s"$root/lex"
+      if (!new java.io.File(s"$storeDir/CURRENT").isFile) {
+        graft.sync.HighlightStore.writeAtomic(d, storeDir)
+        graft.text.TextRank.buildLexicalIndex(d, "text", "doc_id", lexDir)
+      }
+      graft.sync.CorpusRefresh.refresh(s, newSnap, "text", "doc_id",
+        storeDir, lexIndexDir = Some(lexDir)).unpersist()
+      graft.text.TextRank.searchLexicalIndex(s, lexDir,
+        Seq("join", "filter", "merge"), k = 15)
+    }),
+
     // ---- right-to-erasure through the versioned store: deleteWhere
     //      with a condition that is NULL for 'en' rows (nullif) — SQL
     //      DELETE keeps null-condition rows, so 'en' survives alongside
@@ -1825,13 +1856,14 @@ object SparkEntry {
     * printing means DuckDB parses back identical values). Yields a
     * relation `bm25(id, score)`, unlimited and unordered. */
   private def sqlBm25Ctes(terms: Seq[String],
-      k1: Double = 1.2, b: Double = 0.75, docsWhere: String = ""): String = {
+      k1: Double = 1.2, b: Double = 0.75, docsWhere: String = "",
+      docsFrom: String = "documents"): String = {
     val termList = terms.map(t => s"'$t'").mkString(", ")
     val cases = terms.zipWithIndex.map { case (t, i) =>
       s"MAX(CASE WHEN term = '$t' THEN contrib END) AS s$i" }.mkString(", ")
     val total = terms.indices.map(i => s"COALESCE(s$i, CAST(0.0 AS DOUBLE))")
       .mkString(" + ")
-    s"""bmdocs AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM documents$docsWhere),
+    s"""bmdocs AS (SELECT doc_id AS id, string_split(text, ' ') AS w FROM $docsFrom$docsWhere),
        |bmd2 AS (SELECT id, w, CAST(len(w) AS BIGINT) AS dl FROM bmdocs),
        |bmstats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
        |  CAST(SUM(dl) AS BIGINT) AS total_dl FROM bmd2),
@@ -3115,6 +3147,21 @@ object SparkEntry {
     "q110_lexical_delete" ->
       s"""WITH ${sqlBm25Ctes(Seq("join", "filter", "merge"),
              docsWhere = " WHERE doc_id % 7 <> 3")}
+         |SELECT id, score FROM bm25 ORDER BY score DESC, id LIMIT 15""".stripMargin,
+
+    // the refreshed index must serve BM25 over the NEW corpus exactly:
+    // same planted removals/edits/additions, wholesale, in SQL
+    "q112_cdc_refresh" ->
+      s"""WITH newdocs AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 13 = 1 THEN text || ' changed join'
+         |         ELSE text END AS text
+         |  FROM documents WHERE doc_id % 17 <> 2
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT MAX(doc_id) + 1 FROM documents),
+         |    text || ' merge added'
+         |  FROM documents WHERE doc_id % 29 = 3),
+         |${sqlBm25Ctes(Seq("join", "filter", "merge"), docsFrom = "newdocs")}
          |SELECT id, score FROM bm25 ORDER BY score DESC, id LIMIT 15""".stripMargin,
 
     // DELETE WHERE nullif(lang,'en') = 'fr': 'fr' rows go, 'en' rows have

@@ -350,20 +350,24 @@ object Knn {
     * partition trees; probe filters push through the Union, so every
     * segment's scan prunes to the probed cells), else the pre-segment
     * flat `cells/` dir. Tombstone segments ([[ivfDeleteIndex]])
-    * anti-join away — skipped entirely when none exist, so the
-    * steady-state probe plan carries no join. */
+    * anti-join away under SEQUENCE scope — a tombstone masks only
+    * segments committed before it, so a vector re-appended after its
+    * delete (the CDC changed-doc shape) is served; steady state (no
+    * tombstones) carries no join. */
   private def readCells(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame =
-    graft.sync.SegmentedIndex.resolve(spark, indexDir)
-      .map(_.partition(s => !graft.sync.SegmentedIndex.isTombstone(s))) match {
-      case Some((data, tombs)) =>
-        val cells = data.map(s => spark.read.parquet(s"$indexDir/$s/cells"))
-          .reduce(_ unionByName _)
-        if (tombs.isEmpty) cells
-        else cells.join(
-          tombs.map(s => spark.read.parquet(s"$indexDir/$s/ids"))
-            .reduce(_ unionByName _),
-          Seq("id"), "left_anti")
+    graft.sync.SegmentedIndex.resolve(spark, indexDir) match {
+      case Some(list) =>
+        graft.sync.SegmentedIndex.tombstoneScopes(list)
+          .map { case (data, tombs) =>
+            val cells = data.map(s => spark.read.parquet(s"$indexDir/$s/cells"))
+              .reduce(_ unionByName _)
+            if (tombs.isEmpty) cells
+            else cells.join(
+              tombs.map(s => spark.read.parquet(s"$indexDir/$s/ids"))
+                .reduce(_ unionByName _),
+              Seq("id"), "left_anti")
+          }.reduce(_ unionByName _)
       case None => spark.read.parquet(s"$indexDir/cells")
     }
 

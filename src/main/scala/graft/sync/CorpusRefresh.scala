@@ -1,0 +1,77 @@
+package graft.sync
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Delta-driven refresh: apply a new corpus snapshot to the versioned
+  * store and the persistent indexes by CHANGE, not by rebuild — the
+  * production re-ingest loop (reference: the nightly re-sync shape of
+  * jobs/sync.py, generalized to the index layouts this engine adds).
+  *
+  * The delta is [[graft.text.CorpusPrep.snapshotDiff]] between what the
+  * store currently serves and the new snapshot: `added` / `removed` /
+  * `changed` keys only — the unchanged bulk (at 100 TB, ~all of it)
+  * is filtered in-plan by the digest comparison and never touches an
+  * index or the store write path beyond the one narrow (key, md5) scan.
+  *
+  * Index application is delete-then-append under the sequence-scoped
+  * tombstones of [[SegmentedIndex]]: EVERY delta key is tombstoned
+  * (masking only segments committed before the tombstone), then the
+  * added+changed rows land as one fresh segment AFTER it — so a changed
+  * doc's new version is served while its old one is masked, and the
+  * whole step is idempotent: a crashed half-applied refresh re-derives
+  * the identical delta on re-run (the store — the delta's baseline —
+  * commits LAST), and the re-run's tombstone masks whatever the crashed
+  * run managed to append before appending afresh. Convergence needs no
+  * transaction across the three roots, just the per-root atomic pointer
+  * swaps.
+  *
+  * Cost shape: tombstone commit + one O(delta) segment per index, one
+  * O(corpus) store version rewrite (a columnar store has no row-level
+  * update — the rewrite is one scan + one write, and the versioned-dir
+  * discipline was already paying it for migrations). Compaction
+  * ([[graft.text.TextRank.compactLexicalIndex]] /
+  * [[graft.similarity.Knn.ivfCompactIndex]]) folds the accumulated
+  * tombstones away on its own schedule. */
+object CorpusRefresh {
+
+  /** Apply `newSnap` to the store at `storeDir` and any of the two
+    * index roots; returns the materialized delta (keyCol, status) so
+    * callers can fan further delta-only work (re-embed, re-dedup)
+    * off the same frame. No-op (and no new versions/segments) when the
+    * snapshot matches the store. `newSnap` must carry the store's full
+    * schema; `vecCol` is required only when `ivfIndexDir` is given. */
+  def refresh(spark: SparkSession, newSnap: DataFrame, textCol: String,
+      keyCol: String, storeDir: String,
+      lexIndexDir: Option[String] = None,
+      ivfIndexDir: Option[String] = None,
+      vecCol: String = "embedding"): DataFrame = {
+    val old = HighlightStore.read(spark, storeDir).getOrElse(
+      throw new IllegalStateException(
+        s"CorpusRefresh.refresh: no store at $storeDir (writeAtomic first)"))
+    val delta = graft.text.CorpusPrep
+      .snapshotDiff(old, newSnap, textCol, keyCol).persist()
+    if (delta.isEmpty) { delta.unpersist(); delta }
+    else {
+      val deltaKeys = delta.select(col(keyCol))
+      val upserts = newSnap.join(
+        delta.filter(col("status") =!= "removed").select(col(keyCol)),
+        Seq(keyCol), "left_semi")
+      lexIndexDir.foreach { dir =>
+        graft.text.TextRank.deleteFromLexicalIndex(spark, dir, deltaKeys, keyCol)
+        graft.text.TextRank.appendLexicalIndex(upserts, textCol, keyCol, dir)
+      }
+      ivfIndexDir.foreach { dir =>
+        graft.similarity.Knn.ivfDeleteIndex(spark, dir, deltaKeys, keyCol)
+        graft.similarity.Knn.ivfAppendIndex(upserts, vecCol, keyCol, dir)
+      }
+      // store LAST: it is the delta's baseline, so a crash anywhere above
+      // leaves a re-run deriving the same delta and healing the indexes
+      HighlightStore.migrate(spark, storeDir, df =>
+        df.join(deltaKeys, Seq(keyCol), "left_anti").unionByName(upserts))
+      // stays persisted: callers fan delta-only follow-ups (re-embed,
+      // re-dedup) off the returned frame and own the unpersist
+      delta
+    }
+  }
+}

@@ -39,6 +39,28 @@ private[graft] object SegmentedIndex {
 
   def isTombstone(name: String): Boolean = name.startsWith("del-")
 
+  /** Sequence-scope the live list: a tombstone masks only segments
+    * committed BEFORE it (the LSM sequence-number rule), so an id
+    * re-appended after its delete is served — the shape CDC upserts
+    * produce (delete the changed doc's old version, append its new
+    * one). Returns ordered runs of data segments paired with the
+    * tombstones that apply to them (every `del-` entry appearing later
+    * in the list); consecutive data segments share one run so readers
+    * pay one anti-join per DISTINCT tombstone scope, and the
+    * steady-state list (no tombstones) is a single run with none. */
+  def tombstoneScopes(list: Seq[String]): Seq[(Seq[String], Seq[String])] = {
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Seq[String])]
+    var i = 0
+    while (i < list.length) {
+      if (!isTombstone(list(i))) {
+        val start = i
+        while (i < list.length && !isTombstone(list(i))) i += 1
+        runs += ((list.slice(start, i), list.drop(i).filter(isTombstone)))
+      } else i += 1
+    }
+    runs.toSeq
+  }
+
   /** The live segment list, or None when no pointer exists (either an
     * empty root or a pre-segment flat layout — callers fall back). */
   def resolve(spark: SparkSession, root: String): Option[Seq[String]] = {

@@ -112,23 +112,27 @@ object TextRank {
     dirs.map(spark.read.parquet(_)).reduce(_ unionByName _)
 
   /** The index's LIVE relations: postings with tombstoned ids
-    * anti-joined away (skipped entirely when no tombstones exist — the
-    * steady-state plan carries no join), and the stat dirs of EVERY
-    * live entry — tombstone segments carry NEGATIVE correction rows, so
+    * anti-joined away under SEQUENCE scope — a tombstone masks only
+    * segments committed before it, so a doc re-appended after its
+    * delete (the CDC changed-doc shape) is served; one anti-join per
+    * distinct tombstone scope, and the steady-state plan (no
+    * tombstones) carries no join at all. Stats come from EVERY live
+    * entry — tombstone segments carry NEGATIVE correction rows, so
     * plain integer summation stays exact after deletes. Falls back to
     * the pre-segment flat layout. */
   private def liveRelations(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): (DataFrame, Seq[String]) =
-    graft.sync.SegmentedIndex.resolve(spark, indexDir)
-      .map(_.partition(s => !graft.sync.SegmentedIndex.isTombstone(s))) match {
-      case Some((data, tombs)) =>
-        val posts = readUnion(spark, data.map(s => s"$indexDir/$s/postings"))
-        val cleaned =
-          if (tombs.isEmpty) posts
-          else posts.join(
-            readUnion(spark, tombs.map(s => s"$indexDir/$s/ids")),
-            Seq("id"), "left_anti")
-        (cleaned, (data ++ tombs).map(s => s"$indexDir/$s/stats"))
+    graft.sync.SegmentedIndex.resolve(spark, indexDir) match {
+      case Some(list) =>
+        val posts = graft.sync.SegmentedIndex.tombstoneScopes(list)
+          .map { case (data, tombs) =>
+            val p = readUnion(spark, data.map(s => s"$indexDir/$s/postings"))
+            if (tombs.isEmpty) p
+            else p.join(
+              readUnion(spark, tombs.map(s => s"$indexDir/$s/ids")),
+              Seq("id"), "left_anti")
+          }.reduce(_ unionByName _)
+        (posts, list.map(s => s"$indexDir/$s/stats"))
       case None =>
         (spark.read.parquet(s"$indexDir/postings"), Seq(s"$indexDir/stats"))
     }

@@ -1,0 +1,122 @@
+package graft.sync
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Delta refresh over store + both persistent indexes: the re-ingest
+  * loop. Equality baselines are wholesale rebuilds from the NEW
+  * snapshot; delta ids are kept outside the IVF training sample so the
+  * refreshed index (frozen geometry from the old build) and the rebuilt
+  * index (trained on the new snapshot's sample) share centroids exactly
+  * and must agree row-for-row. */
+class CorpusRefreshSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rmrf(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  // snapshot A: docs 0..59 with text + a deterministic 4-dim vector;
+  // snapshot B: doc 7 removed, docs 11/23 changed (text AND vector),
+  // docs 60..64 added — all delta ids outside the %5 training sample
+  private def vec(id: Long, salt: Int): Array[Float] =
+    Array.tabulate(4)(d => (((id * 31 + d * 7 + salt) % 13).toFloat + 1f))
+  private def snap(ids: Seq[Long], changed: Set[Long]):
+      org.apache.spark.sql.DataFrame =
+    ids.map { i =>
+      val salt = if (changed(i)) 5 else 0
+      val extra = if (changed(i)) " changed" else ""
+      (i, s"doc $i body join merge scan filter${extra} pad$i", vec(i, salt))
+    }.toDF("doc_id", "text", "embedding")
+
+  private val snapA = snap(0L until 60L, Set.empty)
+  private val snapB = snap((0L until 60L).filterNot(_ == 7L) ++ (60L to 64L),
+    Set(11L, 23L))
+
+  test("refresh applies adds/removes/changes; store+lex+ivf equal rebuilds from the new snapshot") {
+    val store = tmp("cr-store"); val lex = tmp("cr-lex"); val ivf = tmp("cr-ivf")
+    val lexRef = tmp("cr-lexref"); val ivfRef = tmp("cr-ivfref")
+    try {
+      HighlightStore.writeAtomic(snapA, store)
+      graft.text.TextRank.buildLexicalIndex(snapA, "text", "doc_id", lex)
+      graft.similarity.Knn.ivfBuildIndex(snapA, "embedding", "doc_id", ivf,
+        k = 3, iters = 2, trainFilter = col("doc_id") % 5 === 0)
+
+      val delta = CorpusRefresh.refresh(spark, snapB, "text", "doc_id",
+        store, lexIndexDir = Some(lex), ivfIndexDir = Some(ivf))
+      val byStatus = delta.as[(Long, String)].collect().toSet
+      assert(byStatus == Set((7L, "removed"), (11L, "changed"),
+        (23L, "changed")) ++ (60L to 64L).map(i => (i, "added")))
+      delta.unpersist()
+
+      // store now serves exactly snapshot B
+      assert(HighlightStore.read(spark, store).get
+        .orderBy("doc_id").collect().toSeq
+        == snapB.orderBy("doc_id").collect().toSeq)
+
+      // lexical: tombstone+append serves BIT-identically to a rebuild —
+      // including the changed docs' NEW text under sequence-scoped
+      // tombstones (the old masked, the re-append served)
+      graft.text.TextRank.buildLexicalIndex(snapB, "text", "doc_id", lexRef)
+      val terms = Seq("join", "changed")
+      assert(graft.text.TextRank.searchLexicalIndex(spark, lex, terms, 15)
+        .collect().toSeq
+        == graft.text.TextRank.searchLexicalIndex(spark, lexRef, terms, 15)
+          .collect().toSeq)
+
+      // ivf: same frozen centroids (delta avoided the %5 sample) → the
+      // refreshed index and the rebuild agree row-for-row, the changed
+      // doc's NEW vector is the served one, the removed id is gone
+      graft.similarity.Knn.ivfBuildIndex(snapB, "embedding", "doc_id",
+        ivfRef, k = 3, iters = 2, trainFilter = col("doc_id") % 5 === 0)
+      val qv = vec(23L, 5)
+      val got = graft.similarity.Knn
+        .ivfSearchIndex(spark, ivf, qv, k = 10, nprobe = 3).collect().toSeq
+      assert(got == graft.similarity.Knn
+        .ivfSearchIndex(spark, ivfRef, qv, k = 10, nprobe = 3).collect().toSeq)
+      assert(!got.map(_.getLong(0)).contains(7L))
+      assert(got.map(_.getLong(0)).contains(23L)) // its own vector → top hit
+
+      // idempotence: a second refresh with the same snapshot is a no-op —
+      // no new segments, no new store version
+      val lexSegs = SegmentedIndex.resolve(spark, lex).get
+      val again = CorpusRefresh.refresh(spark, snapB, "text", "doc_id",
+        store, lexIndexDir = Some(lex), ivfIndexDir = Some(ivf))
+      assert(again.isEmpty)
+      assert(SegmentedIndex.resolve(spark, lex).get == lexSegs)
+    } finally { Seq(store, lex, ivf, lexRef, ivfRef).foreach(rmrf) }
+  }
+
+  test("half-applied refresh heals: re-run converges because the store commits last") {
+    val store = tmp("cr2-store"); val lex = tmp("cr2-lex")
+    val lexRef = tmp("cr2-lexref")
+    try {
+      HighlightStore.writeAtomic(snapA, store)
+      graft.text.TextRank.buildLexicalIndex(snapA, "text", "doc_id", lex)
+      // simulate a refresh that crashed AFTER the index work, BEFORE the
+      // store commit: indexes already carry the delta, store still at A
+      val deltaKeys = Seq(7L, 11L, 23L) ++ (60L to 64L)
+      graft.text.TextRank.deleteFromLexicalIndex(spark, lex,
+        deltaKeys.toDF("doc_id"), "doc_id")
+      graft.text.TextRank.appendLexicalIndex(
+        snapB.filter(col("doc_id").isin(deltaKeys.filterNot(_ == 7L): _*)),
+        "text", "doc_id", lex)
+      // the re-run derives the SAME delta from the untouched store, its
+      // tombstone masks the crashed run's half-applied segment, and the
+      // served index still equals a rebuild
+      CorpusRefresh.refresh(spark, snapB, "text", "doc_id", store,
+        lexIndexDir = Some(lex)).unpersist()
+      graft.text.TextRank.buildLexicalIndex(snapB, "text", "doc_id", lexRef)
+      val terms = Seq("join", "changed")
+      assert(graft.text.TextRank.searchLexicalIndex(spark, lex, terms, 15)
+        .collect().toSeq
+        == graft.text.TextRank.searchLexicalIndex(spark, lexRef, terms, 15)
+          .collect().toSeq)
+      assert(HighlightStore.read(spark, store).get.count() == snapB.count())
+    } finally { Seq(store, lex, lexRef).foreach(rmrf) }
+  }
+}

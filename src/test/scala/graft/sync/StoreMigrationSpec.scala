@@ -80,6 +80,22 @@ class StoreMigrationSpec extends SparkTestBase {
       identity[org.apache.spark.sql.DataFrame]))
   }
 
+  test("tombstoneScopes: a tombstone masks only earlier segments") {
+    // build s1 s2 | del d1 | append s3 | del d2 | append s4
+    val scopes = SegmentedIndex.tombstoneScopes(
+      Seq("seg-1", "seg-2", "del-3", "seg-4", "del-5", "seg-6"))
+    assert(scopes == Seq(
+      (Seq("seg-1", "seg-2"), Seq("del-3", "del-5")),
+      (Seq("seg-4"), Seq("del-5")),
+      (Seq("seg-6"), Nil)))
+    // steady state: one run, no tombstones, no anti-join
+    assert(SegmentedIndex.tombstoneScopes(Seq("seg-1", "seg-2"))
+      == Seq((Seq("seg-1", "seg-2"), Nil)))
+    // leading tombstone (everything before it already compacted away)
+    assert(SegmentedIndex.tombstoneScopes(Seq("del-1", "seg-2"))
+      == Seq((Seq("seg-2"), Nil)))
+  }
+
   test("deleteWhere removes matching rows behind the pointer swap; null cond keeps") {
     val dir = Files.createTempDirectory("store-del").toString
     val docs = Seq(
