@@ -95,6 +95,41 @@ object ConcurrencyProbe {
       }
     }
 
+    if (mode == "pq") {
+      // IVFADC serving: same cells/nprobe dial as `ivf`, but the probed
+      // partitions hold m-byte PQ codes instead of fp16 vectors — per-
+      // request scan I/O drops by the compression ratio (fp16 6 KB/vec →
+      // m=32 B is 192×) while the request shape stays ONE pruned job;
+      // probe selection + the nprobe residual LUTs are driver-local
+      // arithmetic (~dim·ksub flops, microseconds). The latency floor is
+      // the same ~50 ms serialized planning path as `ivf` — this mode
+      // documents that the COMPRESSED index serves the gate too, i.e.
+      // recall (not latency) is the only cost of PQ at serving time.
+      val cellsK = sys.env.getOrElse("CONC_CELLS", "64").toInt
+      val nprobe = sys.env.getOrElse("CONC_NPROBE", "4").toInt
+      val m = sys.env.getOrElse("CONC_PQ_M", "32").toInt
+      val ksub = sys.env.getOrElse("CONC_PQ_KSUB", "64").toInt
+      val indexDir = graft.fixtures.Fp16Corpus.workRoot +
+        s"/ivfpqserve3072-n$n-c$cellsK-m$m-k$ksub"
+      if (!graft.similarity.Knn.ivfPqIndexReady(indexDir)) {
+        val fp32 = corpus.select(col("vec_id").as("id"),
+          graft.functions.fp16_decode(col("emb16")).as("embedding"))
+        // coarse + sub-quantizer training both on ~500-vector samples;
+        // the assignment & encode passes cover the full corpus
+        val every = (n / 500).max(1L)
+        graft.similarity.Knn.ivfPqBuildIndex(fp32, "embedding", "id",
+          indexDir, cells = cellsK, m = m, ksub = ksub, iters = 2,
+          trainFilter = col("id") % every === 0,
+          pqTrainFilter = col("id") % every === 0)
+      }
+      val index = graft.similarity.Knn.IvfPqIndex.load(spark, indexDir)
+      run(spark, s"pq(cells=$cellsK,nprobe=$nprobe,m=$m,ksub=$ksub)", n,
+        users, reqsPerUser) { seed =>
+          val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
+          index.search(qv, k = 10, nprobe = nprobe).collect()
+      }
+    }
+
     if (mode == "hybrid" || mode == "both") {
       // hybrid serving shape: IVF dense leg (one pruned job) + bucket-
       // pruned lexical-index BM25 leg (one pruned job) + DRIVER-side RRF

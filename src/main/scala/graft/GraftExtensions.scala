@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions._
-import graft.text.{ArrayPolyHash, MinHashSig, PolyHash, SimHash16, SimHash64, WordNgrams, WordShingles}
+import graft.text.{ArrayPolyHash, MinHashSig, NfcNormalize, PolyHash, SimHash16, SimHash64, WordNgrams, WordShingles}
 
 /** Session-extension entry point: makes every graft expression available in
   * plain SQL on any session built with
@@ -31,6 +31,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e => L2Distance(e(0), e(1)) }
     inject("poly_hash", "poly_hash(s) - rolling hash fingerprint") {
       e => PolyHash(e.head) }
+    inject("nfc_normalize",
+      "nfc_normalize(s) - Unicode canonical composition (pre-hash text prep)") {
+      e => NfcNormalize(e.head) }
     inject("array_poly_hash",
       "array_poly_hash(arr) - poly_hash of every ARRAY<STRING> element") {
       e => ArrayPolyHash(e.head) }

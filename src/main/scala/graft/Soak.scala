@@ -111,6 +111,42 @@ object Soak {
     timeIt(s"lexical_index_search_${REP * 5}k")(
       graft.text.TextRank.searchLexicalIndex(spark, lexDir,
         Seq("join", "filter", "merge"), k = 20).count())
+    // r8 delete/refresh lifecycle over the same index: a 5% takedown is
+    // one O(batch) tombstone commit; the post-delete search pays one
+    // anti-join until compaction merges (and physically erases)
+    timeIt(s"lexical_delete_5pct_of_${REP * 5}k") {
+      graft.text.TextRank.deleteFromLexicalIndex(spark, lexDir,
+        d.filter(col("doc_id") % 20 === 3).select(col("doc_id")), "doc_id"); 1L
+    }
+    timeIt(s"lexical_search_tombstoned_${REP * 5}k")(
+      graft.text.TextRank.searchLexicalIndex(spark, lexDir,
+        Seq("join", "filter", "merge"), k = 20).count())
+    timeIt(s"lexical_compact_${REP * 5}k") {
+      graft.text.TextRank.compactLexicalIndex(spark, lexDir); 1L
+    }
+    timeIt(s"lexical_search_compacted_${REP * 5}k")(
+      graft.text.TextRank.searchLexicalIndex(spark, lexDir,
+        Seq("join", "filter", "merge"), k = 20).count())
+    // CDC refresh at 100k: store + index application is O(delta); the
+    // store version rewrite is the one O(corpus) pass (columnar stores
+    // have no row-level update)
+    locally {
+      val storeDir = graft.fixtures.Fp16Corpus.workRoot +
+        s"/soak-cdcstore-${REP * 5}k"
+      val refLex = graft.fixtures.Fp16Corpus.workRoot +
+        s"/soak-cdclex-${REP * 5}k"
+      graft.sync.HighlightStore.writeAtomic(d, storeDir) // setup, untimed
+      graft.text.TextRank.buildLexicalIndex(d, "text", "doc_id", refLex)
+      val newSnap = d.filter(col("doc_id") % 17 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      timeIt(s"cdc_refresh_${REP * 5}k") {
+        val delta = graft.sync.CorpusRefresh.refresh(spark, newSnap, "text",
+          "doc_id", storeDir, lexIndexDir = Some(refLex))
+        val out = delta.count(); delta.unpersist(); out
+      }
+    }
     timeIt(s"pack_token_stream_${REP * 5}k")(
       graft.text.CorpusPrep.packTokenStream(d, "text", "doc_id",
         windowTokens = 2048, bucketWidth = 1 << 16).count())

@@ -1537,6 +1537,30 @@ object SparkEntry {
         Seq("join", "filter", "merge"), k = 15)
     }),
 
+    // ---- Unicode NFC normalization (the pre-hash text-prep pass): a
+    //      combining acute (U+0301) is appended to every doc so the
+    //      input is genuinely decomposed; the codegen expression must
+    //      produce the composed form byte-for-byte like DuckDB's
+    //      nfc_normalize, and the normalized poly_hash fingerprint must
+    //      equal the one computed from the PRE-COMPOSED text — the
+    //      "decomposed duplicates now dedup" property, hash-gated ----
+    "q113_nfc_normalize" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      // " caf" + e + U+0301 — genuinely DECOMPOSED input; norm must be
+      // the composed form, and its poly_hash fingerprint must equal the
+      // one computed from PRE-COMPOSED text (decomposed duplicates now
+      // collide — the dedup property this expression exists for)
+      d.select(col("doc_id"),
+          graft.functions.nfc_normalize(
+            concat(col("text"), lit(" café"))).as("norm"))
+        .withColumn("nlen", length(col("norm")).cast("long"))
+        .withColumn("composed_fp_eq",
+          graft.functions.poly_hash(col("norm")) ===
+            graft.functions.poly_hash(
+              concat(col("text"), lit(" café"))))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- the delta re-ingest loop end-to-end: store + lexical index
     //      built from the corpus, then CorpusRefresh applies a snapshot
     //      with planted removals (%17), text edits (%13) and re-keyed
@@ -3148,6 +3172,19 @@ object SparkEntry {
       s"""WITH ${sqlBm25Ctes(Seq("join", "filter", "merge"),
              docsWhere = " WHERE doc_id % 7 <> 3")}
          |SELECT id, score FROM bm25 ORDER BY score DESC, id LIMIT 15""".stripMargin,
+
+    // decomposed input (chr(769) = U+0301 combining acute) must compose;
+    // both fingerprint args are COMPOSED strings, so the per-char
+    // ascii() chain sees the same codepoints Spark's charAt does
+    "q113_nfc_normalize" ->
+      s"""WITH nd AS (
+         |  SELECT doc_id,
+         |    nfc_normalize(text || ' cafe' || chr(769)) AS norm,
+         |    text || ' caf' || chr(233) AS pre
+         |  FROM documents)
+         |SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS nlen,
+         |  (${sqlPolyHash("norm")} = ${sqlPolyHash("pre")}) AS composed_fp_eq
+         |FROM nd ORDER BY doc_id""".stripMargin,
 
     // the refreshed index must serve BM25 over the NEW corpus exactly:
     // same planted removals/edits/additions, wholesale, in SQL

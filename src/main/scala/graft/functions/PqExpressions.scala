@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -150,4 +150,52 @@ case class PqAdcScore(child: Expression,
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "pq_adc_score"
+}
+
+/** Per-cell ADC: each row's codes score against the LUT of the row's OWN
+  * cell — the expression that lets an nprobe-cell IVFADC probe run as
+  * ONE scan with a partition IN-filter instead of nprobe single-cell
+  * scan legs. Under concurrent serving the per-request serialized
+  * planning path is the latency floor, and nprobe legs mean nprobe
+  * scans to plan: the 4-leg union probed p95 1.47 s at 20 users where
+  * the single-scan ivf shape holds ~0.4 s — this collapses the plan
+  * back to one leg. LUTs ride as ONE referenced java.util.HashMap
+  * (cell → m×ksub table), so generated code is identical across
+  * requests and the codegen cache hits. */
+case class PqAdcScoreMulti(codes: Expression, cell: Expression,
+    luts: Map[Long, Array[Array[Double]]]) extends BinaryExpression {
+  require(luts.nonEmpty, "pq_adc_score_cells: empty LUT map")
+  override def left: Expression = codes
+  override def right: Expression = cell
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (codes.dataType, cell.dataType) match {
+      case (BinaryType, IntegerType | LongType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (c, k) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc_score_cells requires (BINARY, INT/BIGINT), got " +
+          s"(${c.simpleString}, ${k.simpleString})")
+    }
+
+  @transient private lazy val jluts: java.util.HashMap[java.lang.Long, Array[Array[Double]]] = {
+    val m = new java.util.HashMap[java.lang.Long, Array[Array[Double]]](luts.size * 2)
+    luts.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  override def nullSafeEval(c: Any, k: Any): Any =
+    PqMath.adc(c.asInstanceOf[Array[Byte]],
+      jluts.get(java.lang.Long.valueOf(k.asInstanceOf[Number].longValue())))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val o = PqMath.getClass.getName.stripSuffix("$")
+    val mRef = ctx.addReferenceObj("pqLuts", jluts, "java.util.HashMap")
+    defineCodeGen(ctx, ev, (c, k) =>
+      s"$o.adc($c, (double[][]) $mRef.get(java.lang.Long.valueOf((long) $k)))")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(codes = l, cell = r)
+  override def prettyName: String = "pq_adc_score_cells"
 }

@@ -56,6 +56,9 @@ package object functions {
   def poly_hash(c: Column): Column =
     shims.column(graft.text.PolyHash(shims.expression(c)))
 
+  def nfc_normalize(c: Column): Column =
+    shims.column(graft.text.NfcNormalize(shims.expression(c)))
+
   def word_shingles(c: Column, k: Int): Column =
     shims.column(graft.text.WordShingles(shims.expression(c), k))
 
@@ -83,6 +86,11 @@ package object functions {
     shims.column(PqEncode(shims.expression(c), codebooks))
 
   /** ADC score of PQ codes against a query's precomputed LUT. */
+  def pq_adc_score_cells(codes: Column, cell: Column,
+      luts: Map[Long, Array[Array[Double]]]): Column =
+    shims.column(PqAdcScoreMulti(shims.expression(codes),
+      shims.expression(cell), luts))
+
   def pq_adc_score(c: Column, lut: Array[Array[Double]]): Column =
     shims.column(PqAdcScore(shims.expression(c), lut))
 
@@ -115,6 +123,8 @@ package object functions {
       "l2_distance", exprs => L2Distance(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "poly_hash", exprs => graft.text.PolyHash(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "nfc_normalize", exprs => graft.text.NfcNormalize(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("word_shingles",
       literalKBuilder("word_shingles")(graft.text.WordShingles(_, _)), "built-in")
     reg.createOrReplaceTempFunction("word_ngrams",

@@ -424,6 +424,13 @@ object Knn {
       (new java.io.File(s"$indexDir/CURRENT").isFile ||
         new java.io.File(s"$indexDir/cells/_SUCCESS").isFile)
 
+  /** Complete [[ivfPqBuildIndex]] layout on local disk? All three
+    * relations must have committed. */
+  def ivfPqIndexReady(indexDir: String): Boolean =
+    new java.io.File(s"$indexDir/centroids/_SUCCESS").isFile &&
+      new java.io.File(s"$indexDir/codebooks/_SUCCESS").isFile &&
+      new java.io.File(s"$indexDir/cells/_SUCCESS").isFile
+
   /** Lloyd-iteration centroid training for the IVF index, DataFrame-native:
     * seed = the `k` lowest-key vectors relabeled 0..k-1; each iteration
     * broadcast-assigns every corpus vector to its nearest centroid, then
@@ -575,7 +582,7 @@ object Knn {
     * on the bench fixtures. */
   def ivfPqBuildIndex(corpus: DataFrame, vecCol: String, keyCol: String,
       indexDir: String, cells: Int, m: Int, ksub: Int, iters: Int,
-      trainFilter: Column): Unit = {
+      trainFilter: Column, pqTrainFilter: Column = lit(true)): Unit = {
     val cents = trainCentroidsL2(corpus.filter(trainFilter), vecCol, keyCol,
       cells, iters)
     val assigned = ivfAssignL2(corpus, vecCol, keyCol, cents, "cvec",
@@ -584,8 +591,19 @@ object Knn {
       .join(broadcast(cents), Seq("centroid_id"))
       .select(col("id"), col("centroid_id"),
         zip_with(col("v"), col("cvec"), (a, b) => a - b).as("rv"))
-    val cbFrame = pqTrain(residuals, "rv", "id", m, ksub, iters)
+    // sub-quantizers may train on a residual sample (pqTrainFilter over
+    // the keyed residual rows) — at corpus scale the codebooks only need
+    // a representative slice, exactly like the coarse trainFilter; the
+    // ENCODE pass below always covers every vector. The training slice
+    // is PERSISTED first: pqTrain runs m independent Lloyd trainings,
+    // each several actions, and every one would otherwise re-execute the
+    // full-corpus assignment lineage behind the residual frame (~m×iters
+    // recomputations of the most expensive pass in the build)
+    val trainRes = residuals.filter(pqTrainFilter)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cbFrame = pqTrain(trainRes, "rv", "id", m, ksub, iters)
     val cb = collectCodebooks(cbFrame)
+    trainRes.unpersist()
     residuals
       .select(col("id"), col("centroid_id"),
         graft.functions.pq_encode(col("rv"), cb).as("codes"))
@@ -641,5 +659,73 @@ object Knn {
     legs.reduce(_ unionByName _)
       .orderBy(col("score_adc").asc, col("id").asc)
       .limit(k)
+  }
+
+  /** Serving handle over an [[ivfPqBuildIndex]] layout — the IVFADC
+    * counterpart of [[IvfIndex]]: centroids AND codebooks are collected
+    * once at load (both are driver-scale sidecars — cells×dim floats
+    * and m×ksub×dsub floats), so a request is local probe selection +
+    * nprobe LUT constructions (m×ksub doubles each) + ONE Spark job
+    * whose per-cell legs are partition-pruned ADC scans over m-byte
+    * codes. Where [[IvfIndex]]'s request reads nprobe/cells of fp16
+    * vectors, this one reads nprobe/cells of PQ codes — the I/O drops
+    * by the compression ratio, the serving shape is identical.
+    * Thread-safe: all state is immutable after load. */
+  final class IvfPqIndex private (
+      cents: Array[(Long, Array[Float])],
+      cb: Array[Array[Array[Float]]],
+      cells: DataFrame, inListType: org.apache.spark.sql.types.DataType) {
+
+    def search(queryVec: Array[Float], k: Int, nprobe: Int): DataFrame = {
+      val probed = cents
+        .map { case (cid, cv) =>
+          var aa = 0.0; var ab = 0.0; var bb = 0.0
+          var i = 0
+          while (i < cv.length) {
+            aa += queryVec(i).toDouble * queryVec(i)
+            ab += queryVec(i).toDouble * cv(i)
+            bb += cv(i).toDouble * cv(i); i += 1
+          }
+          (cid, aa - 2.0 * ab + bb)
+        }
+        .sortBy { case (cid, d) => (d, cid) }
+        .take(nprobe)
+      // ONE scan with a partition IN-filter + the per-cell LUT map —
+      // nprobe single-cell legs would mean nprobe scans to PLAN per
+      // request, and planning is the serialized path under concurrency
+      // (measured: 4-leg union p95 1.47 s vs single-scan ~0.4 s at the
+      // 20-user gate shape)
+      val luts: Map[Long, Array[Array[Double]]] = probed.map { case (cid, _) =>
+        val cv = cents.find(_._1 == cid).get._2
+        val qr = queryVec.zip(cv).map { case (a, b) => a - b }
+        cid -> graft.functions.PqMath.lut(qr, cb)
+      }.toMap
+      val inList: Seq[Any] = inListType match {
+        case org.apache.spark.sql.types.IntegerType => probed.map(_._1.toInt).toSeq
+        case org.apache.spark.sql.types.LongType => probed.map(_._1).toSeq
+        case _ => probed.map(_._1.toString).toSeq
+      }
+      cells.filter(col("centroid_id").isin(inList: _*))
+        .select(col("id"),
+          col("centroid_id").cast("long").as("centroid_id"),
+          graft.functions.pq_adc_score_cells(col("codes"),
+            col("centroid_id"), luts).as("score_adc"))
+        .orderBy(col("score_adc").asc, col("id").asc)
+        .limit(k)
+    }
+  }
+
+  object IvfPqIndex {
+    def load(spark: org.apache.spark.sql.SparkSession,
+        indexDir: String): IvfPqIndex = {
+      val cents = spark.read.parquet(s"$indexDir/centroids")
+        .select(col("centroid_id"), col("cvec"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      require(cents.nonEmpty,
+        s"IVFADC index at $indexDir has an empty centroids sidecar")
+      val cb = collectCodebooks(spark.read.parquet(s"$indexDir/codebooks"))
+      val cells = spark.read.parquet(s"$indexDir/cells")
+      new IvfPqIndex(cents, cb, cells, cells.schema("centroid_id").dataType)
+    }
   }
 }

@@ -120,6 +120,16 @@ object TextMath extends Serializable {
     out
   }
 
+  /** Unicode NFC (canonical composition). Copy-free when the input is
+    * already normalized — `isNormalized` is a scan, not an allocation,
+    * and ~all real text passes it. */
+  def nfc(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
   /** [[polyHash]] over every element of a string array (tight loop —
     * replaces an interpreted per-element `transform`). Fast no-null path. */
   def polyHashAll(arr: ArrayData): Array[Long] = {
@@ -223,6 +233,38 @@ object TextMath extends Serializable {
     }
     out
   }
+}
+
+/** Unicode NFC normalization — canonical composition, the corpus-prep
+  * pass that belongs BEFORE any content hashing: `e` + U+0301 and the
+  * precomposed `é` are the same text to a reader but different bytes to
+  * every digest/shingle/MinHash in the dedup family, so un-normalized
+  * corpora under-deduplicate (web text mixes both forms freely). NFC
+  * (not NFKC) because it is semantics-preserving AND replicable by the
+  * DuckDB oracle's `nfc_normalize` — both sides implement the same
+  * Unicode canonical composition. The already-normalized fast path
+  * (isNormalized — the overwhelming majority of real text) returns the
+  * input UTF8String without copying. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize requires STRING, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    TextMath.nfc(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tm = TextMath.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$tm.nfc($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "nfc_normalize"
 }
 
 /** Polynomial rolling hash of a string: reference-style document

@@ -124,6 +124,17 @@ class PqSpec extends SparkTestBase {
       assert(Knn.ivfPqSearch(spark, dir,
         emb.orderBy($"vec_id").select($"embedding").head().getSeq[Float](0)
           .toArray, k = 1, nprobe = 4).head().getLong(0) == 0L)
+      // the serving handle: sidecars resolved at load, searches
+      // row-identical to the one-shot form, ONE job per request
+      val handle = Knn.IvfPqIndex.load(spark, dir)
+      assert(handle.search(qv, k = 10, nprobe = 2).collect().toSeq
+        == probe2.collect().toSeq)
+      val sc = spark.sparkContext
+      val before = sc.statusTracker.getJobIdsForGroup(null).length
+      handle.search(qv, k = 10, nprobe = 3).collect()
+      val after = sc.statusTracker.getJobIdsForGroup(null).length
+      assert(after - before <= 1,
+        s"IvfPqIndex.search ran ${after - before} jobs; probe selection and LUTs must be local")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
