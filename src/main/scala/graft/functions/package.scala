@@ -21,7 +21,12 @@ package object functions {
         s"$name(text, k) requires exactly 2 arguments")
       val kv = if (exprs(1).foldable) exprs(1).eval() else null
       kv match {
-        case n: Number => make(exprs(0), n.intValue())
+        case n: Number =>
+          val kl = n.longValue()
+          if (kl < Int.MinValue || kl > Int.MaxValue)
+            throw new IllegalArgumentException(
+              s"$name: k=$kl is outside Int range")
+          make(exprs(0), kl.toInt)
         case _ => throw new IllegalArgumentException(
           s"$name: k must be a literal integer")
       }
