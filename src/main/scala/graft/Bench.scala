@@ -66,11 +66,17 @@ object Bench {
       }
       name -> times.sorted.apply(Runs / 2)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision — full-double formatting made the one-line JSON ~4.3 KB,
+    // which overflowed the driver's log-tail capture in round 9 (BENCH_r09
+    // recorded parsed:null with the line's head cut off). 3 decimals keeps
+    // the 113-query line ~3 KB, inside the window, and ±1 ms is far below
+    // the ±0.1 s scheduler noise the median already absorbs.
+    def f(v: Double): String = "%.3f".format(v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Runs}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Runs}"""
     println(line)
     // also persist the artifact: stdout goes through sbt's log-tail
     // capture, which has truncated long lines — the file is always whole

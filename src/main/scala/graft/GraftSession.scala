@@ -51,17 +51,28 @@ object GraftSession {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** Load one testdata table from an sf directory. `events.ts` arrives as
-    * nanosecond int64 (TIMESTAMP(NANOS) parquet, read via nanosAsLong) and
-    * is converted to a microsecond TimestampType column. */
+  /** Load one testdata table from an sf directory, normalizing timestamp
+    * encodings across driver testdata generations: `events.ts` as
+    * nanosecond int64 (TIMESTAMP(NANOS) parquet, read via nanosAsLong)
+    * becomes a microsecond TimestampType column, and any TIMESTAMP_NTZ
+    * column (plain `timestamp[us]` parquet without isAdjustedToUTC) is
+    * cast to TimestampType — identical wall-clock values under the UTC
+    * session timezone, but with the instant semantics every downstream
+    * operator (unix_micros, interval arithmetic, windowing) expects. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events" &&
-        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+    val df =
+      if (name == "events" &&
+          raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      else raw
+    df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }.foldLeft(df) { (d, c) =>
+      d.withColumn(c, d.col(c).cast(org.apache.spark.sql.types.TimestampType))
+    }
   }
 }

@@ -1550,7 +1550,7 @@ object SparkEntry {
       // the composed form, and its poly_hash fingerprint must equal the
       // one computed from PRE-COMPOSED text (decomposed duplicates now
       // collide — the dedup property this expression exists for)
-      d.select(col("doc_id"),
+      d.select(col("doc_id"), col("text"),
           graft.functions.nfc_normalize(
             concat(col("text"), lit(" café"))).as("norm"))
         .withColumn("nlen", length(col("norm")).cast("long"))
@@ -1558,6 +1558,7 @@ object SparkEntry {
           graft.functions.poly_hash(col("norm")) ===
             graft.functions.poly_hash(
               concat(col("text"), lit(" café"))))
+        .drop("text")
         .orderBy(col("doc_id"))
     }),
 

@@ -14,22 +14,46 @@ package object functions {
     * literal integer (it parameterizes generated code) — shared by the
     * per-session registry and [[graft.GraftExtensions]] so the arity and
     * literal checks can't drift between the two registration paths. */
+  /** Evaluate a foldable expression as an integral literal, rejecting
+    * non-literals and fractional values (2.5 must error, not truncate to
+    * 2 — these parameterize generated code, so silent truncation would
+    * change semantics invisibly). */
+  private def integralLiteral(e: Expression, fn: String, what: String): Long =
+    (if (e.foldable) e.eval() else null) match {
+      case n @ (_: java.lang.Byte | _: java.lang.Short |
+                _: java.lang.Integer | _: java.lang.Long) =>
+        n.asInstanceOf[Number].longValue()
+      case d: java.math.BigDecimal =>
+        try d.longValueExact() catch { case _: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"$fn: $what=$d must be an integer literal in Long range")
+        }
+      case d: org.apache.spark.sql.types.Decimal =>
+        try d.toJavaBigDecimal.longValueExact()
+        catch { case _: ArithmeticException =>
+          throw new IllegalArgumentException(
+            s"$fn: $what=$d must be an integer literal in Long range")
+        }
+      case n: Number => throw new IllegalArgumentException(
+        s"$fn: $what=$n must be an integer literal (got a fractional value)")
+      case _ => throw new IllegalArgumentException(
+        s"$fn: $what must be a literal integer")
+    }
+
+  /** [[integralLiteral]] further narrowed to Int range. */
+  private def intLiteral(e: Expression, fn: String, what: String): Int = {
+    val l = integralLiteral(e, fn, what)
+    if (l < Int.MinValue || l > Int.MaxValue)
+      throw new IllegalArgumentException(s"$fn: $what=$l is outside Int range")
+    l.toInt
+  }
+
   private[graft] def literalKBuilder(name: String)(
       make: (Expression, Int) => Expression): Seq[Expression] => Expression =
     exprs => {
       if (exprs.length != 2) throw new IllegalArgumentException(
         s"$name(text, k) requires exactly 2 arguments")
-      val kv = if (exprs(1).foldable) exprs(1).eval() else null
-      kv match {
-        case n: Number =>
-          val kl = n.longValue()
-          if (kl < Int.MinValue || kl > Int.MaxValue)
-            throw new IllegalArgumentException(
-              s"$name: k=$kl is outside Int range")
-          make(exprs(0), kl.toInt)
-        case _ => throw new IllegalArgumentException(
-          s"$name: k must be a literal integer")
-      }
+      make(exprs(0), intLiteral(exprs(1), name, "k"))
     }
 
   /** SQL builder for `hyperplane_bands(vec, bands, rowsPerBand, seed)` —
@@ -39,14 +63,10 @@ package object functions {
     exprs => {
       if (exprs.length != 4) throw new IllegalArgumentException(
         "hyperplane_bands(vec, bands, rowsPerBand, seed) requires exactly 4 arguments")
-      def lit(e: Expression, what: String): Long =
-        (if (e.foldable) e.eval() else null) match {
-          case n: Number => n.longValue()
-          case _ => throw new IllegalArgumentException(
-            s"hyperplane_bands: $what must be a literal integer")
-        }
-      HyperplaneBands(exprs.head, lit(exprs(1), "bands").toInt,
-        lit(exprs(2), "rowsPerBand").toInt, lit(exprs(3), "seed"))
+      val fn = "hyperplane_bands"
+      HyperplaneBands(exprs.head, intLiteral(exprs(1), fn, "bands"),
+        intLiteral(exprs(2), fn, "rowsPerBand"),
+        integralLiteral(exprs(3), fn, "seed"))
     }
 
   def cosine_distance(a: Column, b: Column): Column =

@@ -78,4 +78,19 @@ class HyperplaneLshSpec extends SparkTestBase {
     assert(out.length == 4)
     assert(out.forall(sig => sig >= 0 && sig < 8)) // 3 bits per band
   }
+
+  test("hyperplane_bands rejects fractional and out-of-Int-range literals") {
+    def fails(sql: String, frag: String): Unit = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      def msgs(t: Throwable): List[String] =
+        if (t == null) Nil else t.getMessage :: msgs(t.getCause)
+      assert(msgs(e).exists(m => m != null && m.contains(frag)),
+        s"expected '$frag' in ${msgs(e)}")
+    }
+    val vec = "array(CAST(0.5 AS FLOAT), CAST(-1.5 AS FLOAT))"
+    fails(s"SELECT hyperplane_bands($vec, 4.5, 3, 7)", "integer literal")
+    fails(s"SELECT hyperplane_bands($vec, 4, 3000000000, 7)",
+      "outside Int range")
+    fails(s"SELECT word_shingles('a b c', 2.5)", "integer literal")
+  }
 }
