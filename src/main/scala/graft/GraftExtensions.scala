@@ -61,6 +61,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("fp16_cosine_distance",
       "fp16_cosine_distance(bin, q) - cosine over half-encoded storage") {
       e => Fp16CosineDistance(e(0), e(1)) }
+    inject("int8_encode",
+      "int8_encode(vec) - symmetric per-vector int8 quantization codec") {
+      e => Int8Encode(e.head) }
+    inject("int8_decode", "int8_decode(bin) - dequantized ARRAY<DOUBLE>") {
+      e => Int8Decode(e.head) }
+    inject("int8_cosine_distance",
+      "int8_cosine_distance(bin, q) - cosine in the int8-quantized domain") {
+      e => Int8CosineDistance(e(0), e(1)) }
     // decode+cosine fusion: score encoded embeddings without widening
     ext.injectOptimizerRule(_ => FuseFp16Cosine)
   }

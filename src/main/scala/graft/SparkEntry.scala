@@ -1562,6 +1562,43 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- binary-sketch ANN: 64 sign bits (2×32 seeded hyperplanes,
+    //      8 B/vector) Hamming-rank the corpus in pure integer ops, the
+    //      50 nearest sketches re-rank through exact cosine — one scan,
+    //      two TakeOrderedAndProject heaps, no shuffle; the float math
+    //      runs on 50 rows regardless of corpus size ----
+    "q114_hamming_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      Knn.hammingPrefilterTopK(e, "embedding", "vec_id", qv,
+        k = 10, candidates = 50)
+    }),
+
+    // ---- int8 scalar quantization (1 B/dim — the dial point between
+    //      fp16's 2 B and PQ's 32 B/vector): encode, rank the corpus by
+    //      fused dequantize+cosine in the quantized domain, keep 50, exact
+    //      re-rank to 10. floor(x·scale+0.5) quantization so the oracle
+    //      replicates every code with SQL floor; approx and exact scores
+    //      both in the output so the row hash gates the quantized math ----
+    "q115_int8_search" -> ((s, dir) => {
+      import graft.functions.{int8_encode, int8_cosine_distance}
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      e.filter(col("embedding").isNotNull)
+        .select(col("vec_id"), col("embedding"),
+          int8_encode(col("embedding")).as("enc"))
+        .withColumn("approx",
+          int8_cosine_distance(col("enc"), typedLit(qv)))
+        .orderBy(col("approx").asc, col("vec_id").asc)
+        .limit(50)
+        .withColumn("score", cosine_distance(col("embedding"), typedLit(qv)))
+        .orderBy(col("score").asc, col("vec_id").asc)
+        .limit(10)
+        .select(col("vec_id"), col("approx"), col("score"))
+    }),
+
     // ---- the delta re-ingest loop end-to-end: store + lexical index
     //      built from the corpus, then CorpusRefresh applies a snapshot
     //      with planted removals (%17), text edits (%13) and re-keyed
@@ -3186,6 +3223,63 @@ object SparkEntry {
          |SELECT doc_id, norm, CAST(length(norm) AS BIGINT) AS nlen,
          |  (${sqlPolyHash("norm")} = ${sqlPolyHash("pre")}) AS composed_fp_eq
          |FROM nd ORDER BY doc_id""".stripMargin,
+
+    // the 2×32-bit hyperplane sketch replicated end-to-end: plane signs
+    // from the shared integer mix (seed 777), sequential-double dots,
+    // 32-bit band signatures, per-band XOR+popcount summed into the
+    // Hamming rank, 50-candidate cut, exact-cosine re-rank — every cut
+    // deterministically tie-broken on id so LIMIT agrees with the heap
+    "q114_hamming_search" -> {
+      val bit = sqlHyperSignBit("p.plane", "j", 777L)
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |q AS (SELECT v AS qv FROM v WHERE id = 0),
+         |dots AS (
+         |  SELECT id, p.plane,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(len(v)), j ->
+         |        CASE WHEN $bit = 0 THEN v[j+1] ELSE -v[j+1] END)),
+         |      (acc, x) -> acc + x) AS dot
+         |  FROM v CROSS JOIN (SELECT unnest(range(64)) AS plane) p),
+         |sigs AS (
+         |  SELECT id, plane // 32 AS band,
+         |    CAST(SUM(CASE WHEN dot > 0
+         |      THEN (CAST(1 AS BIGINT) << CAST(plane % 32 AS INT))
+         |      ELSE 0 END) AS BIGINT) AS sig
+         |  FROM dots GROUP BY 1, 2),
+         |qsig AS (SELECT band, sig AS qs FROM sigs WHERE id = 0),
+         |ham AS (
+         |  SELECT s.id, CAST(SUM(bit_count(xor(s.sig, q.qs))) AS BIGINT)
+         |    AS hamming
+         |  FROM sigs s JOIN qsig q USING (band) GROUP BY s.id),
+         |cand AS (SELECT id, hamming FROM ham ORDER BY hamming, id LIMIT 50)
+         |SELECT c.id AS vec_id, c.hamming, ${sqlCosine("v.v", "q.qv")} AS score
+         |FROM cand c JOIN v ON v.id = c.id CROSS JOIN q
+         |ORDER BY score, vec_id LIMIT 10""".stripMargin
+    },
+
+    // int8 quantization replicated code-for-code: scale = 127/max|x|,
+    // code = clamp(floor(x*scale + 0.5), ±127), decoded value = code/scale
+    // — all double arithmetic, so approx cosine is IEEE-identical
+    "q115_int8_search" ->
+      s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |q AS (SELECT v AS qv FROM v WHERE id = 0),
+         |sc AS (SELECT id, v,
+         |  list_max(list_transform(v, x -> abs(x))) AS maxabs FROM v),
+         |s2 AS (SELECT id, v,
+         |  CASE WHEN maxabs = 0 THEN 1.0 ELSE 127.0 / maxabs END AS scale
+         |  FROM sc),
+         |dec AS (SELECT id, list_transform(v, x ->
+         |    GREATEST(CAST(-127 AS DOUBLE),
+         |      LEAST(CAST(127 AS DOUBLE), floor(x * scale + 0.5))) / scale)
+         |  AS dv FROM s2),
+         |approx AS (SELECT d.id, ${sqlCosine("d.dv", "q.qv")} AS approx
+         |  FROM dec d CROSS JOIN q),
+         |cand AS (SELECT id, approx FROM approx ORDER BY approx, id LIMIT 50)
+         |SELECT c.id AS vec_id, c.approx, ${sqlCosine("v.v", "q.qv")} AS score
+         |FROM cand c JOIN v ON v.id = c.id CROSS JOIN q
+         |ORDER BY score, vec_id LIMIT 10""".stripMargin,
 
     // the refreshed index must serve BM25 over the NEW corpus exactly:
     // same planted removals/edits/additions, wholesale, in SQL

@@ -128,6 +128,15 @@ package object functions {
   def fp16_cosine_distance(b: Column, q: Column): Column =
     shims.column(Fp16CosineDistance(shims.expression(b), shims.expression(q)))
 
+  def int8_encode(c: Column): Column =
+    shims.column(Int8Encode(shims.expression(c)))
+
+  def int8_decode(c: Column): Column =
+    shims.column(Int8Decode(shims.expression(c)))
+
+  def int8_cosine_distance(b: Column, q: Column): Column =
+    shims.column(Int8CosineDistance(shims.expression(b), shims.expression(q)))
+
   /** Grouped top-k aggregate: the k smallest (ord, id) pairs per group
     * as ARRAY<STRUCT<ord, id>> — see [[TopKPairs]]. Arguments coerce to
     * (DOUBLE, BIGINT) via Cast, so FLOAT distances and INT ids work. */
@@ -186,6 +195,13 @@ package object functions {
     reg.createOrReplaceTempFunction(
       "fp16_cosine_distance",
       exprs => Fp16CosineDistance(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "int8_encode", exprs => Int8Encode(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "int8_decode", exprs => Int8Decode(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "int8_cosine_distance",
+      exprs => Int8CosineDistance(exprs(0), exprs(1)), "built-in")
     // fuse decode+cosine on sessions not built through GraftExtensions
     // (extraOptimizations appends a user batch after the main optimizer)
     val extra = spark.experimental.extraOptimizations

@@ -24,6 +24,47 @@ object Knn {
       .orderBy(col("score").asc, col(tieBreak).asc)
       .limit(k)
 
+  /** Binary-sketch pre-filtered search: a seeded-hyperplane sign sketch
+    * (`bands`×`rowsPerBand` bits packed into `bands` longs — 8 bytes a
+    * vector at the default 2×32) ranks the corpus by Hamming distance to
+    * the query's sketch, the `candidates` nearest sketches are kept, and
+    * only those are scored with exact cosine for the final top-k.
+    *
+    * Scale shape: ONE corpus scan; the hot loop per row is the codegen'd
+    * sketch ([[graft.functions.hyperplane_bands]]) plus `bands` XOR+
+    * popcount integer ops — no float math on the 99.99% of rows the
+    * Hamming heap rejects. Both cuts plan as `TakeOrderedAndProject`
+    * (per-partition heap of `candidates` rows, driver merge) — no global
+    * sort, no shuffle of corpus rows. Candidate rows carry their vector
+    * through the heap so the re-rank needs no second scan or join; at
+    * `candidates` ≤ a few hundred that is bytes, not gigabytes.
+    * Deterministic: ties break on (hamming, key) then (score, key).
+    * Returns (keyCol, hamming, score) ordered by (score, key). */
+  def hammingPrefilterTopK(corpus: DataFrame, vecCol: String, keyCol: String,
+      queryVec: Array[Float], k: Int, candidates: Int,
+      bands: Int = 2, rowsPerBand: Int = 32, seed: Long = 777L): DataFrame = {
+    val spark = corpus.sparkSession
+    // query sketch through the SAME expression (bit-for-bit parity with
+    // the corpus side; one local 1-row job, no executor work)
+    val qSig = spark.range(1)
+      .select(graft.functions.hyperplane_bands(
+        typedLit(queryVec), bands, rowsPerBand, seed).as("sk"))
+      .head().getSeq[Long](0)
+    val sk = corpus.filter(col(vecCol).isNotNull)
+      .withColumn("sketch",
+        graft.functions.hyperplane_bands(col(vecCol), bands, rowsPerBand, seed))
+    val ham = (0 until bands)
+      .map(b => bit_count(col("sketch")(b).bitwiseXOR(lit(qSig(b)))))
+      .reduce(_ + _)
+    sk.withColumn("hamming", ham.cast("long"))
+      .orderBy(col("hamming").asc, col(keyCol).asc)
+      .limit(candidates)
+      .withColumn("score", cosine_distance(col(vecCol), typedLit(queryVec)))
+      .orderBy(col("score").asc, col(keyCol).asc)
+      .limit(k)
+      .select(col(keyCol), col("hamming"), col("score"))
+  }
+
   /** Exact k-NN join: top-k corpus neighbors for every query row.
     * Queries are broadcast; corpus never shuffles before scoring. */
   def knnJoin(queries: DataFrame, corpus: DataFrame, queryVec: String,

@@ -305,4 +305,35 @@ class KnnSpec extends SparkTestBase {
     val recall = exactE.intersect(edges(cell)).size.toDouble / exactE.size
     assert(recall >= 0.65, s"cell-graph recall $recall vs exact")
   }
+
+  test("hammingPrefilterTopK: recall vs exact, integer-only cut, no shuffle of corpus") {
+    val qv = emb.filter($"vec_id" === 0).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val res = Knn.hammingPrefilterTopK(emb, "embedding", "vec_id", qv,
+      k = 10, candidates = 50)
+    val rows = res.collect()
+    assert(rows.length == 10)
+    // self-query: vec_id 0 has Hamming 0 to itself, cosine ~0
+    assert(rows.head.getLong(0) == 0L && rows.head.getLong(1) == 0L &&
+      rows.head.getDouble(2) < 1e-12)
+    // scores ascend, hamming of every survivor is small-ish vs 64 bits
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.sameElements(scores.sorted))
+    // measured recall@10 vs exact on this corpus: 0.8 (sketches at 64
+    // bits); pin below the deterministic value, well above chance
+    val exact = Knn.topK(emb, "embedding", qv, 10, "vec_id")
+      .select($"vec_id").as[Long].collect().toSet
+    val got = rows.map(_.getLong(0)).toSet
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.6, s"hamming-prefilter recall $recall vs exact")
+    // plan shape: both cuts are TakeOrderedAndProject heaps; the corpus
+    // never shuffles (no ShuffleExchange anywhere in the plan)
+    val plan = res.queryExecution.executedPlan
+    val heaps = plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t }
+    assert(heaps.length == 2, s"want 2 top-k heaps, got:\n$plan")
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty, s"corpus shuffled:\n$plan")
+  }
 }
