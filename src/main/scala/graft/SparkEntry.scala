@@ -1599,6 +1599,19 @@ object SparkEntry {
         .select(col("vec_id"), col("approx"), col("score"))
     }),
 
+    // ---- MMR diversified top-k (Carbonell & Goldstein '98): the 20-deep
+    //      relevance pool is cut distributedly (one scan, top-k heap);
+    //      the greedy λ·rel − (1−λ)·max-sim selection runs on the
+    //      collected pool at the serving edge — kilobytes, like every
+    //      other post-top-k step in the serving layer ----
+    "q116_mmr_rerank" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      graft.search.Mmr.rerank(e, "embedding", "vec_id", qv,
+        k = 10, poolSize = 20, lambda = 0.7)
+    }),
+
     // ---- the delta re-ingest loop end-to-end: store + lexical index
     //      built from the corpus, then CorpusRefresh applies a snapshot
     //      with planted removals (%17), text edits (%13) and re-keyed
@@ -3280,6 +3293,45 @@ object SparkEntry {
          |SELECT c.id AS vec_id, c.approx, ${sqlCosine("v.v", "q.qv")} AS score
          |FROM cand c JOIN v ON v.id = c.id CROSS JOIN q
          |ORDER BY score, vec_id LIMIT 10""".stripMargin,
+
+    // the greedy MMR loop UNROLLED into one CTE per rank (k=10): step i
+    // picks argmax 0.7·rel − (1−0.7)·max-sim-to-selected over the pool
+    // minus s1..s_{i−1}, ties toward the smaller id — the same double
+    // arithmetic, selection order, and tie-break as Mmr.rerank
+    "q116_mmr_rerank" -> {
+      val k = 10
+      val steps = (1 to k).map { i =>
+        if (i == 1)
+          "s1 AS MATERIALIZED (SELECT id, rel,\n" +
+            "  CAST(0.7 AS DOUBLE)*rel - (1 - CAST(0.7 AS DOUBLE))*0 AS mmr\n" +
+            "  FROM cand ORDER BY mmr DESC, id LIMIT 1)"
+        else {
+          val prev = (1 until i).map(j => s"SELECT id FROM s$j")
+            .mkString(" UNION ALL ")
+          s"""s$i AS MATERIALIZED (SELECT c.id, c.rel,
+             |  CAST(0.7 AS DOUBLE)*c.rel - (1 - CAST(0.7 AS DOUBLE))*(
+             |    SELECT MAX(p.sim) FROM pairs p
+             |    WHERE p.id_a = c.id AND p.id_b IN ($prev)) AS mmr
+             |  FROM cand c WHERE c.id NOT IN ($prev)
+             |  ORDER BY mmr DESC, c.id LIMIT 1)""".stripMargin
+        }
+      }
+      val sel = (1 to k)
+        .map(i => s"SELECT id, CAST($i AS BIGINT) AS rank, rel, mmr FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""WITH v AS MATERIALIZED (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |q AS MATERIALIZED (SELECT v AS qv FROM v WHERE id = 0),
+         |cand AS MATERIALIZED (SELECT v.id, v.v, (1 - ${sqlCosine("v.v", "q.qv")}) AS rel
+         |  FROM v CROSS JOIN q
+         |  ORDER BY ${sqlCosine("v.v", "q.qv")}, v.id LIMIT 20),
+         |pairs AS MATERIALIZED (SELECT a.id AS id_a, b.id AS id_b,
+         |    (1 - ${sqlCosine("a.v", "b.v")}) AS sim
+         |  FROM cand a JOIN cand b ON a.id <> b.id),
+         |${steps.mkString(",\n")}
+         |SELECT id AS vec_id, rank, rel, mmr FROM ($sel)
+         |ORDER BY rank""".stripMargin
+    },
 
     // the refreshed index must serve BM25 over the NEW corpus exactly:
     // same planted removals/edits/additions, wholesale, in SQL
