@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 import graft.functions._
-import graft.text.{ArrayPolyHash, MinHashSig, NfcNormalize, PolyHash, SimHash16, SimHash64, WordNgrams, WordShingles}
+import graft.text.{ArrayPolyHash, CharNgramHashes, MinHashSig, NfcNormalize, PolyHash, SimHash16, SimHash64, WordNgrams, WordShingles}
 
 /** Session-extension entry point: makes every graft expression available in
   * plain SQL on any session built with
@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "hyperplane_bands(vec, bands, rowsPerBand, seed) - multi-band " +
         "random-hyperplane LSH signatures (parameters literal)")(
       functions.hyperplaneBandsBuilder)
+    inject("char_ngram_hashes",
+      "char_ngram_hashes(text, n) - rolling poly_hash of every char " +
+        "n-gram (n literal)")(
+      functions.literalKBuilder("char_ngram_hashes")(CharNgramHashes(_, _)))
     inject("fp16_encode", "fp16_encode(vec) - half-precision storage codec") {
       e => Fp16Encode(e.head) }
     inject("fp16_decode", "fp16_decode(bin) - half-precision read codec") {

@@ -1612,6 +1612,26 @@ object SparkEntry {
         k = 10, poolSize = 20, lambda = 0.7)
     }),
 
+    // ---- exact substring duplication (Lee et al. 2021): every char
+    //      40-gram rolling-hashed in ONE pass per doc (O(len), not
+    //      O(len·40)), cross-doc gram frequency via one hash shuffle on
+    //      the gram, per-doc shared-span profile via one more on doc_id.
+    //      No pair join — the output stays linear in the corpus no matter
+    //      how viral a boilerplate span is ----
+    "q117_substring_dup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val g = d.select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.char_ngram_hashes(col("text"), 40))).as("gh"))
+      val w = Window.partitionBy(col("gh"))
+      g.withColumn("nd", count(lit(1)).over(w))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("nd") > 1, 1L).otherwise(0L)).as("shared_grams"))
+        .withColumn("is_dup", col("shared_grams") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- the delta re-ingest loop end-to-end: store + lexical index
     //      built from the corpus, then CorpusRefresh applies a snapshot
     //      with planted removals (%17), text edits (%13) and re-keyed
@@ -3332,6 +3352,23 @@ object SparkEntry {
          |SELECT id AS vec_id, rank, rel, mmr FROM ($sel)
          |ORDER BY rank""".stripMargin
     },
+
+    // every char 40-gram hashed with the shared poly_hash chain (direct
+    // per-gram here; the engine's rolling form is value-identical), set
+    // semantics per doc, cross-doc frequency, per-doc shared profile
+    "q117_substring_dup" ->
+      s"""WITH g AS (
+         |  SELECT DISTINCT doc_id,
+         |    ${sqlPolyHash("substr(text, CAST(i + 1 AS INT), 40)")} AS gh
+         |  FROM documents,
+         |    LATERAL (SELECT unnest(range(length(text) - 39)) AS i) p),
+         |nd AS (SELECT gh, COUNT(*) AS nd FROM g GROUP BY gh)
+         |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(SUM(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS shared_grams,
+         |  (SUM(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) > 0) AS is_dup
+         |FROM g JOIN nd USING (gh)
+         |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
 
     // the refreshed index must serve BM25 over the NEW corpus exactly:
     // same planted removals/edits/additions, wholesale, in SQL

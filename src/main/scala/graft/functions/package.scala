@@ -90,6 +90,9 @@ package object functions {
   def word_ngrams(c: Column, k: Int): Column =
     shims.column(graft.text.WordNgrams(shims.expression(c), k))
 
+  def char_ngram_hashes(c: Column, n: Int): Column =
+    shims.column(graft.text.CharNgramHashes(shims.expression(c), n))
+
   def array_poly_hash(c: Column): Column =
     shims.column(graft.text.ArrayPolyHash(shims.expression(c)))
 
@@ -163,6 +166,9 @@ package object functions {
       literalKBuilder("word_shingles")(graft.text.WordShingles(_, _)), "built-in")
     reg.createOrReplaceTempFunction("word_ngrams",
       literalKBuilder("word_ngrams")(graft.text.WordNgrams(_, _)), "built-in")
+    reg.createOrReplaceTempFunction("char_ngram_hashes",
+      literalKBuilder("char_ngram_hashes")(
+        graft.text.CharNgramHashes(_, _)), "built-in")
     reg.createOrReplaceTempFunction(
       "array_poly_hash", exprs => graft.text.ArrayPolyHash(exprs.head), "built-in")
     reg.createOrReplaceTempFunction(

@@ -47,6 +47,36 @@ object TextMath extends Serializable {
     77232917L, 941083987L, 622970687L, 438395347L,
     135299221L, 715225741L, 472882049L, 291038917L)
 
+  /** [[polyHash]] of EVERY character n-gram of `s`, O(len) by rolling:
+    * h(i+1, n) = ((h(i, n) − c_i·31^{n−1}) · 31 + c_{i+n}) mod p — the
+    * exact-substring-duplication primitive (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * 100-TB scan pays one multiply-add per character, not per
+    * (character × n). Each output equals `polyHash` of the gram
+    * (spec-asserted), so grams group with whole-string fingerprints. */
+  def charNgramHashes(s: UTF8String, n: Int): Array[Long] = {
+    val str = s.toString
+    val len = str.length
+    if (len < n) return Array.emptyLongArray
+    var pow = 1L // 31^(n-1) mod p
+    var i = 0
+    while (i < n - 1) { pow = (pow * Mult) % Mod; i += 1 }
+    val out = new Array[Long](len - n + 1)
+    var h = 0L
+    i = 0
+    while (i < n) { h = (h * Mult + str.charAt(i).toLong) % Mod; i += 1 }
+    out(0) = h
+    var j = 1
+    while (j <= len - n) {
+      val drop = (str.charAt(j - 1).toLong * pow) % Mod
+      // (h − drop + p) ≤ 2p ≈ 2·10⁹; ×31 + char stays far below 2⁶³
+      h = ((h - drop + Mod) * Mult + str.charAt(j + n - 1).toLong) % Mod
+      out(j) = h
+      j += 1
+    }
+    out
+  }
+
   def minHashSig(hashes: Array[Long]): Array[Long] = {
     val sig = Array.fill(16)(Long.MaxValue)
     var i = 0
@@ -324,6 +354,35 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   override def prettyName: String = "word_shingles"
+}
+
+/** Rolling [[TextMath.polyHash]] of every character n-gram —
+  * `char_ngram_hashes(text, n) -> ARRAY<BIGINT>` (n a plan-time literal
+  * baked into codegen). One pass per row regardless of n. */
+case class CharNgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, s"char_ngram_hashes: n must be >= 1, got $n")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"char_ngram_hashes requires STRING, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    new GenericArrayData(
+      TextMath.charNgramHashes(v.asInstanceOf[UTF8String], n))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tm = TextMath.getClass.getName.stripSuffix("$")
+    val gad = classOf[GenericArrayData].getName
+    defineCodeGen(ctx, ev,
+      c => s"new $gad($tm.charNgramHashes($c, $n))")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "char_ngram_hashes"
 }
 
 /** ALL word k-grams (duplicates kept, document order) as one codegen'd

@@ -88,4 +88,30 @@ class ShingleSpec extends SparkTestBase {
       .head().getSeq[String](0)
     assert(r == Seq("a b c", "b c d"))
   }
+
+  test("char_ngram_hashes: rolling equals direct polyHash on every gram") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rng = new scala.util.Random(42)
+    val samples = Seq("", "a", "abab", "the quick brown fox", "aaaaaaaaaa") ++
+      (1 to 30).map(_ => rng.alphanumeric.take(rng.nextInt(120)).mkString) ++
+      // non-ASCII BMP chars exercise the full 16-bit code-unit range
+      Seq("héllo wörld ünïcode ﬆring", "日本語のテキストです")
+    for (s <- samples; n <- Seq(1, 3, 7, 40)) {
+      val rolled = TextMath.charNgramHashes(UTF8String.fromString(s), n).toSeq
+      val direct = (0 to s.length - n).map(i =>
+        TextMath.polyHash(UTF8String.fromString(s.substring(i, i + n))))
+      assert(rolled == direct, s"mismatch for n=$n on '$s'")
+    }
+  }
+
+  test("char_ngram_hashes: SQL-callable, codegen'd, length arithmetic") {
+    graft.functions.registerAll(spark)
+    val r = spark.sql("SELECT char_ngram_hashes('abcd', 2) AS h")
+      .head().getSeq[Long](0)
+    assert(r.length == 3)
+    // shorter than n → empty, never null
+    val e = spark.sql("SELECT char_ngram_hashes('ab', 3) AS h")
+      .head().getSeq[Long](0)
+    assert(e.isEmpty)
+  }
 }
