@@ -1632,6 +1632,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- graph-ANN beam search (the NSW/HNSW query walk): 4 beam-
+    //      expansion hops over the exact 5-NN graph from a fixed entry
+    //      node, ef=20, final top-10 — every hop broadcasts the ≤ef beam,
+    //      so neither corpus nor edges ever shuffle. Query = vec 299's
+    //      embedding, entry = node 0: the walk has to actually traverse ----
+    "q118_graph_beam_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val edges = Knn.knnGraph(e, "embedding", "vec_id", topK = 5)
+        .select(col("id_a"), col("id_b"))
+      val qv = e.filter(col("vec_id") === 299).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      Knn.graphBeamSearch(e, edges, "embedding", "vec_id", qv,
+        k = 10, ef = 20, hops = 4, entryId = 0L)
+    }),
+
     // ---- the delta re-ingest loop end-to-end: store + lexical index
     //      built from the corpus, then CorpusRefresh applies a snapshot
     //      with planted removals (%17), text edits (%13) and re-keyed
@@ -3369,6 +3384,39 @@ object SparkEntry {
          |  (SUM(CASE WHEN nd.nd > 1 THEN 1 ELSE 0 END) > 0) AS is_dup
          |FROM g JOIN nd USING (gh)
          |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
+
+    // the beam walk UNROLLED: q100's 5-NN graph CTE, then per hop
+    // (neighbors of beam) ∪ beam → distinct ids → best 20 by (dist, id);
+    // beams materialized so DuckDB doesn't re-inline the whole prefix
+    "q118_graph_beam_search" -> {
+      val hops = 4
+      val steps = (1 to hops).map { i =>
+        s"""n$i AS (SELECT DISTINCT e.id_b AS id
+           |  FROM edges e JOIN b${i - 1} b ON e.id_a = b.id),
+           |c$i AS (SELECT s.id, s.dist FROM scored s JOIN n$i USING (id)),
+           |b$i AS MATERIALIZED (SELECT DISTINCT id, dist
+           |  FROM (SELECT id, dist FROM b${i - 1}
+           |        UNION ALL SELECT id, dist FROM c$i)
+           |  ORDER BY dist, id LIMIT 20)""".stripMargin
+      }
+      s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
+         |    CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 300 AND embedding IS NOT NULL),
+         |q AS MATERIALIZED (SELECT v AS qv FROM v WHERE id = 299),
+         |scored AS MATERIALIZED (
+         |  SELECT v.id, ${sqlCosine("v.v", "q.qv")} AS dist
+         |  FROM v CROSS JOIN q),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |  ${sqlCosine("a.v", "b.v")} AS dist
+         |  FROM v a JOIN v b ON a.id <> b.id),
+         |edges AS MATERIALIZED (SELECT id_a, id_b FROM (
+         |  SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a
+         |    ORDER BY dist, id_b) AS rank FROM p) WHERE rank <= 5),
+         |b0 AS MATERIALIZED (SELECT id, dist FROM scored WHERE id = 0),
+         |${steps.mkString(",\n")}
+         |SELECT id AS vec_id, dist AS score FROM b$hops
+         |ORDER BY score, vec_id LIMIT 10""".stripMargin
+    },
 
     // the refreshed index must serve BM25 over the NEW corpus exactly:
     // same planted removals/edits/additions, wholesale, in SQL

@@ -65,6 +65,52 @@ object Knn {
       .select(col(keyCol), col("hamming"), col("score"))
   }
 
+  /** Graph-ANN beam search — the NSW/HNSW query primitive over a
+    * precomputed kNN graph (built with [[knnGraph]] / [[cellKnnGraph]]):
+    * starting from `entryId`, repeat `hops` times: expand the beam's
+    * out-neighbors, score them against the query, keep the best `ef` of
+    * (beam ∪ neighbors). Returns the final beam's top-k as
+    * (keyCol, score), ordered by (score, key).
+    *
+    * Fixed hop count rather than expand-until-no-improvement: the beam
+    * is monotone (it only ever improves), so `hops` bounds work
+    * deterministically — and a data-independent loop is what an oracle
+    * can replay. Ties break on id everywhere.
+    *
+    * Scale shape: the beam (≤ ef rows) is BROADCAST into every join —
+    * the corpus and edge tables never shuffle; each hop scores at most
+    * ef·degree candidates. In-plan here, each hop re-scans the edge
+    * relation for the ef matching sources; a production deployment
+    * serves hops from an adjacency store bucketed by source id (the
+    * lexical index's term-bucket layout applied to edges), making each
+    * hop an O(ef) point lookup — the corpus-scan term disappears
+    * entirely, which is the reason graph ANN exists. */
+  def graphBeamSearch(corpus: DataFrame, edges: DataFrame, vecCol: String,
+      keyCol: String, queryVec: Array[Float], k: Int, ef: Int,
+      hops: Int, entryId: Long): DataFrame = {
+    require(k >= 1 && ef >= k, s"need 1 <= k=$k <= ef=$ef")
+    val v = corpus.filter(col(vecCol).isNotNull)
+      .select(col(keyCol).cast("long").as("id"), col(vecCol).as("v"))
+    def score(df: DataFrame): DataFrame = df
+      .withColumn("score", cosine_distance(col("v"), typedLit(queryVec)))
+      .select(col("id"), col("score"))
+    var beam = score(v.filter(col("id") === entryId))
+    val e = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+    var hop = 0
+    while (hop < hops) {
+      val nbrs = e.join(broadcast(beam.select(col("id").as("src"))), "src")
+        .select(col("dst").as("id")).distinct()
+      val cand = score(v.join(broadcast(nbrs), Seq("id")))
+      beam = beam.unionByName(cand)
+        .dropDuplicates("id")
+        .orderBy(col("score").asc, col("id").asc)
+        .limit(ef)
+      hop += 1
+    }
+    beam.orderBy(col("score").asc, col("id").asc).limit(k)
+      .withColumnRenamed("id", keyCol)
+  }
+
   /** Exact k-NN join: top-k corpus neighbors for every query row.
     * Queries are broadcast; corpus never shuffles before scoring. */
   def knnJoin(queries: DataFrame, corpus: DataFrame, queryVec: String,

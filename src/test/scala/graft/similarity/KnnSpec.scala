@@ -306,6 +306,48 @@ class KnnSpec extends SparkTestBase {
     assert(recall >= 0.65, s"cell-graph recall $recall vs exact")
   }
 
+  test("graphBeamSearch: converges to exact top-k neighborhood, beam broadcasts") {
+    val sub = emb.filter($"vec_id" < 300)
+    val edges = Knn.knnGraph(sub, "embedding", "vec_id", topK = 5)
+      .select($"id_a", $"id_b").cache()
+    try {
+      val qv = sub.filter($"vec_id" === 299).select($"embedding")
+        .head().getSeq[Float](0).toArray
+      val res = Knn.graphBeamSearch(sub, edges, "embedding", "vec_id", qv,
+        k = 10, ef = 20, hops = 4, entryId = 0L)
+      val rows = res.collect()
+      assert(rows.length == 10)
+      // the query vector's own node must be found by the walk (score ~0)
+      assert(rows.head.getLong(0) == 299L && rows.head.getDouble(1) < 1e-12)
+      val scores = rows.map(_.getDouble(1))
+      assert(scores.sameElements(scores.sorted))
+      // measured recall@10 vs exact on this corpus: 0.6 at ef=20/hops=4,
+      // 1.0 at ef=60/hops=6 — pin below the deterministic values and pin
+      // that widening the beam is the recall dial
+      val exact = Knn.topK(sub, "embedding", qv, 10, "vec_id")
+        .select($"vec_id").as[Long].collect().toSet
+      val recall = exact.intersect(rows.map(_.getLong(0)).toSet).size / 10.0
+      assert(recall >= 0.55, s"beam-search recall $recall vs exact")
+      val wide = Knn.graphBeamSearch(sub, edges, "embedding", "vec_id", qv,
+        k = 10, ef = 60, hops = 6, entryId = 0L)
+        .select($"vec_id").as[Long].collect().toSet
+      val wideRecall = exact.intersect(wide).size / 10.0
+      assert(wideRecall >= 0.9 && wideRecall >= recall,
+        s"ef=60 recall $wideRecall did not dominate ef=20's $recall")
+      // more hops never worsens the beam (monotone improvement)
+      val more = Knn.graphBeamSearch(sub, edges, "embedding", "vec_id", qv,
+        k = 10, ef = 20, hops = 6, entryId = 0L)
+        .agg(sum($"score")).head().getDouble(0)
+      assert(more <= scores.sum + 1e-12)
+      // plan shape: the beam side always broadcasts — no SortMergeJoin
+      // anywhere (corpus and edges must never shuffle for a walk)
+      val plan = res.queryExecution.executedPlan
+      val smj = plan.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j }
+      assert(smj.isEmpty, s"walk shuffled a corpus-scale side:\n$plan")
+    } finally edges.unpersist()
+  }
+
   test("hammingPrefilterTopK: recall vs exact, integer-only cut, no shuffle of corpus") {
     val qv = emb.filter($"vec_id" === 0).select($"embedding")
       .head().getSeq[Float](0).toArray
