@@ -1647,6 +1647,16 @@ object SparkEntry {
         k = 10, ef = 20, hops = 4, entryId = 0L)
     }),
 
+    // ---- NN-Descent graph construction (Dong et al. WWW'11): ring seed,
+    //      3 rounds of neighbor-of-neighbor proposals over the undirected
+    //      graph, keep 5 best per node — equi-joins + window top-k only,
+    //      never the O(n²) pair join q100's exact form pays ----
+    "q119_nndescent_graph" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      Knn.nnDescentGraph(e, "embedding", "vec_id", k = 5, rounds = 3)
+        .orderBy(col("id_a"), col("rank"))
+    }),
+
     // ---- the delta re-ingest loop end-to-end: store + lexical index
     //      built from the corpus, then CorpusRefresh applies a snapshot
     //      with planted removals (%17), text edits (%13) and re-keyed
@@ -3416,6 +3426,51 @@ object SparkEntry {
          |${steps.mkString(",\n")}
          |SELECT id AS vec_id, dist AS score FROM b$hops
          |ORDER BY score, vec_id LIMIT 10""".stripMargin
+    },
+
+    // NN-Descent replayed round-for-round: LCG expander seed over dense
+    // ranks, per round the undirected closure proposes neighbors-of-
+    // neighbors, union the current edges, rank by (dist, id_b), keep 5
+    "q119_nndescent_graph" -> {
+      val k = 5
+      val bk = 10 // nnDescentGraph's default buildK = 2k
+      val rounds = 3
+      val dist = sqlCosine("va.v", "vb.v")
+      val seed = (1 to bk).map(j =>
+        s"SELECT id AS id_a, rk AS rk_a, " +
+          s"((rk % 2147483648) * 1103515245 + ${j * 12345L}) " +
+          s"% 2147483648 % (SELECT count(*) FROM v) AS rk_b FROM rk")
+        .mkString(" UNION ALL ")
+      val steps = (1 to rounds).map { r =>
+        s"""u$r AS (SELECT DISTINCT id_a, id_b FROM (
+           |  SELECT id_a, id_b FROM e${r - 1}
+           |  UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM e${r - 1})),
+           |p$r AS (SELECT DISTINCT a.id_a, b.id_b
+           |  FROM u$r a JOIN u$r b ON a.id_b = b.id_a
+           |  WHERE a.id_a <> b.id_b
+           |  UNION SELECT id_a, id_b FROM e${r - 1}),
+           |e$r AS MATERIALIZED (SELECT id_a, id_b FROM (
+           |  SELECT c.id_a, c.id_b, row_number() OVER (PARTITION BY c.id_a
+           |      ORDER BY $dist, c.id_b) AS rank
+           |  FROM p$r c JOIN v va ON va.id = c.id_a
+           |    JOIN v vb ON vb.id = c.id_b) WHERE rank <= $bk)""".stripMargin
+      }
+      s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
+         |    CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 200 AND embedding IS NOT NULL),
+         |rk AS MATERIALIZED (SELECT id,
+         |  CAST(row_number() OVER (ORDER BY id) AS BIGINT) - 1 AS rk FROM v),
+         |e0 AS MATERIALIZED (SELECT DISTINCT s.id_a, m.id AS id_b
+         |  FROM ($seed) s JOIN rk m ON m.rk = s.rk_b
+         |  WHERE s.rk_b <> s.rk_a),
+         |${steps.mkString(",\n")}
+         |SELECT id_a, id_b, dist, rank FROM (
+         |  SELECT c.id_a, c.id_b, $dist AS dist,
+         |    CAST(row_number() OVER (PARTITION BY c.id_a
+         |      ORDER BY $dist, c.id_b) AS INT) AS rank
+         |  FROM e$rounds c JOIN v va ON va.id = c.id_a
+         |    JOIN v vb ON vb.id = c.id_b)
+         |WHERE rank <= $k ORDER BY id_a, rank""".stripMargin
     },
 
     // the refreshed index must serve BM25 over the NEW corpus exactly:

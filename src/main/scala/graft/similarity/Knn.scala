@@ -111,6 +111,85 @@ object Knn {
       .withColumnRenamed("id", keyCol)
   }
 
+  /** Approximate kNN-graph CONSTRUCTION by NN-Descent (Dong et al.,
+    * WWW'11) — the scale path that [[knnGraph]]'s O(n²) oracle form and
+    * [[cellKnnGraph]]'s celled form lead to: seed each node with k
+    * pseudo-random partners (a seeded LCG over the node's dense rank —
+    * deterministic, and the long-range links give the seed graph
+    * O(log n) diameter, which is what lets a handful of rounds reach
+    * anywhere; a ring seed's n/k diameter strands recall), then `rounds`
+    * times propose every neighbor-of-neighbor over the UNDIRECTED
+    * current graph and keep each node's k best by (distance, id).
+    *
+    * Per round the candidate set is ≤ (2k)² proposals per node — the
+    * whole round is equi-joins + one window top-k, never an n² pair
+    * join; distances are only computed for proposed pairs. Fully
+    * deterministic (LCG seed, (dist, id) ranking), so an oracle can
+    * replay every round. The dense-rank seeding uses one global-order
+    * window — a one-time O(n log n) sort; at corpus scale seed from LSH
+    * buckets ([[graft.functions.hyperplane_bands]]) instead.
+    *
+    * `buildK` is the in-flight breadth (Dong et al.'s K̃): rounds keep
+    * `buildK` candidates per node and only the final output truncates to
+    * k. Breadth, not round count, is the recall dial — measured on the
+    * test corpus, k=5 pure plateaus at 0.63 recall however many rounds,
+    * while buildK=10 reaches 0.97 in 3 (KnnSpec pins this). Defaults to
+    * 2k. Returns (id_a, id_b, dist, rank) like [[knnGraph]]. */
+  def nnDescentGraph(corpus: DataFrame, vecCol: String, keyCol: String,
+      k: Int, rounds: Int, buildK: Int = -1): DataFrame = {
+    val bk = if (buildK <= 0) 2 * k else buildK
+    require(k >= 1 && rounds >= 0 && bk >= k,
+      s"need 1 <= k <= buildK, rounds >= 0")
+    val v = corpus.filter(col(vecCol).isNotNull)
+      .select(col(keyCol).cast("long").as("id"), col(vecCol).as("v"))
+    val byId = Window.orderBy(col("id"))
+    val n = v.count()
+    // glibc LCG over (rank, j) — partner ranks scatter uniformly, so the
+    // seed graph is an expander; (x % 2^31) keeps every intermediate in
+    // BIGINT range for the SQL replay
+    val rk = v.select(col("id"),
+      (row_number().over(byId).cast("long") - 1L).as("rk"))
+    var edges = (1 to bk)
+      .map(j => rk.select(col("id").as("id_a"), col("rk").as("rk_a"),
+        (((col("rk") % 2147483648L) * 1103515245L + lit(j * 12345L))
+          % 2147483648L % n).as("rk_b")))
+      .reduce(_ unionByName _)
+      .filter(col("rk_b") =!= col("rk_a"))
+      .join(rk.select(col("rk").as("rk_b"), col("id").as("id_b")), Seq("rk_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    var r = 0
+    while (r < rounds) {
+      val und = edges.unionByName(
+          edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .distinct()
+      val prop = und.as("e1")
+        .join(und.as("e2"), col("e1.id_b") === col("e2.id_a"))
+        .select(col("e1.id_a").as("id_a"), col("e2.id_b").as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      val all = prop.unionByName(edges).distinct()
+      val scored = all
+        .join(v.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+        .join(v.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+        .withColumn("dist", cosine_distance(col("va"), col("vb")))
+      val w = Window.partitionBy(col("id_a"))
+        .orderBy(col("dist").asc, col("id_b").asc)
+      edges = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= bk)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint() // bound plan depth across rounds
+      r += 1
+    }
+    edges
+      .join(v.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .withColumn("dist", cosine_distance(col("va"), col("vb")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("id_a"))
+        .orderBy(col("dist").asc, col("id_b").asc)))
+      .filter(col("rank") <= k)
+      .select(col("id_a"), col("id_b"), col("dist"), col("rank"))
+  }
+
   /** Exact k-NN join: top-k corpus neighbors for every query row.
     * Queries are broadcast; corpus never shuffles before scoring. */
   def knnJoin(queries: DataFrame, corpus: DataFrame, queryVec: String,
