@@ -242,6 +242,68 @@ object Soak {
           cosine_distance(graft.functions.fp16_decode(col("emb16")), typedLit(probe3k)).as("score"))
         .orderBy(col("score"), col("id")).limit(20).count()
     }
+    // r10 ANN additions over the same soaked corpora --------------------
+    // binary-sketch Hamming pre-filter: integer XOR+popcount over the
+    // whole corpus, float math on 200 survivors only
+    timeIt(s"hamming_prefilter_topk_${VREP * 2}k")(
+      graft.similarity.Knn.hammingPrefilterTopK(v, "embedding", "vec_id",
+        q, k = 20, candidates = 200).count())
+    // int8-quantized scan (1 B/dim): encode once, fused dequant+cosine
+    val v8 = v.select(col("vec_id"),
+      graft.functions.int8_encode(col("embedding")).as("enc")).cache()
+    timeIt(s"materialize_int8_${VREP * 2}k")(v8.count())
+    timeIt(s"int8_topk_${VREP * 2}k") {
+      v8.select(col("vec_id"),
+          graft.functions.int8_cosine_distance(col("enc"), typedLit(q)).as("s"))
+        .orderBy(col("s"), col("vec_id")).limit(20).count()
+    }
+    // the sketch at REFERENCE dimensionality, the way production runs it:
+    // sketches computed ONCE at ingest and STORED (8 B/vector), the scan
+    // reads sketches not vectors (6 KB fp16 → 8 B = 768×), rerank touches
+    // 200 encoded rows via the fused fp16 kernel
+    val sk3k = store.select(col("id"),
+      graft.functions.hyperplane_bands(
+        graft.functions.fp16_decode(col("emb16")), 2, 32, 777L).as("sk"))
+      .cache()
+    timeIt(s"materialize_sketch_3072_${NV / 1000}k")(sk3k.count())
+    locally {
+      val qsk = spark.range(1).select(graft.functions.hyperplane_bands(
+          typedLit(probe3k), 2, 32, 777L).as("sk"))
+        .head().getSeq[Long](0)
+      val ham = (0 until 2)
+        .map(b => bit_count(col("sk")(b).bitwiseXOR(lit(qsk(b)))))
+        .reduce(_ + _)
+      // two-phase serving: the sketch table answers the candidate cut
+      // (8 B/row scan), then the vector store is probed for JUST those
+      // 200 ids — locally an isin filter; at cluster scale the store is
+      // bucketed by id and the probe is a partition-pruned point lookup
+      timeIt(s"hamming_stored_sketch_scan_3072_${NV / 1000}k") {
+        val ids = sk3k.withColumn("h", ham.cast("long"))
+          .orderBy(col("h").asc, col("id").asc).limit(200)
+          .select(col("id")).collect().map(_.getLong(0)).toSeq
+        store.filter(col("id").isin(ids: _*))
+          .select(col("id"), graft.functions.fp16_cosine_distance(
+            col("emb16"), typedLit(probe3k)).as("score"))
+          .orderBy(col("score"), col("id")).limit(20).count()
+      }
+    }
+    // NN-Descent graph build at 10k nodes (the O(n·K̃²·rounds) family
+    // member — q100's exact form would pay 100M pairs here)
+    val v10k = v.filter(col("vec_id") % lit(10) === 0)
+    timeIt(s"nndescent_build_${VREP / 5 * 2}k_x3") {
+      graft.similarity.Knn.nnDescentGraph(v10k, "embedding", "vec_id",
+        k = 5, rounds = 3).count()
+    }
+    // rolling 40-gram substring-dup profile over 100k docs
+    timeIt(s"substring_dup_${REP * 5}k") {
+      val g = d.select(col("doc_id"), explode(array_distinct(
+        graft.functions.char_ngram_hashes(col("text"), 40))).as("gh"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("gh"))
+      g.withColumn("nd", count(lit(1)).over(w))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("nd") > 1, 1L).otherwise(0L)).as("shared"))
+        .count()
+    }
     spark.stop()
   }
 }

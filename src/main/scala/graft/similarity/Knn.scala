@@ -190,6 +190,32 @@ object Knn {
       .select(col("id_a"), col("id_b"), col("dist"), col("rank"))
   }
 
+  /** Structured-Streaming micro-batch maintenance of a persistent IVF
+    * index — the vector twin of
+    * [[graft.text.TextRank.appendLexicalIndexStream]]: each micro-batch
+    * lands as one immutable cell segment + one atomic pointer commit via
+    * `foreachBatch` (the index is far too large for the state store and
+    * lives naturally as the sink). The FIRST batch builds — its rows are
+    * the training sample, and that geometry is then FROZEN for every
+    * subsequent append (the documented frozen-geometry contract;
+    * recall decay under drift is the re-train trigger). Caller supplies
+    * `.option("checkpointLocation", ...)` and `.start()`. At-least-once
+    * caveat: a replayed batch appends its cells twice — compact with
+    * [[ivfCompactIndex]] after recovery. */
+  def ivfAppendIndexStream(batches: DataFrame, vecCol: String,
+      keyCol: String, indexDir: String, k: Int = 4, iters: Int = 2,
+      fp16: Boolean = false)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    batches.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        if (graft.sync.SegmentedIndex.resolve(spark, indexDir).isEmpty)
+          ivfBuildIndex(batch, vecCol, keyCol, indexDir, k = k,
+            iters = iters, trainFilter = lit(true), fp16 = fp16)
+        else ivfAppendIndex(batch, vecCol, keyCol, indexDir)
+      }
+    }
+
   /** Exact k-NN join: top-k corpus neighbors for every query row.
     * Queries are broadcast; corpus never shuffles before scoring. */
   def knnJoin(queries: DataFrame, corpus: DataFrame, queryVec: String,

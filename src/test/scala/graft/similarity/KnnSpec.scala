@@ -306,6 +306,47 @@ class KnnSpec extends SparkTestBase {
     assert(recall >= 0.65, s"cell-graph recall $recall vs exact")
   }
 
+  test("ivfAppendIndexStream: MemoryStream run equals wholesale build on frozen geometry") {
+    val root = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    val streamDir = s"$root/index"
+    val allDir = s"$root/index-all"
+    try {
+      val rows = emb.filter($"vec_id" < 200)
+        .select($"vec_id", $"embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      implicit val sqlCtx = spark.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])]
+      val df = input.toDF().toDF("vec_id", "embedding")
+        .withColumn("embedding", $"embedding".cast("array<float>"))
+      val q = Knn.ivfAppendIndexStream(df, "embedding", "vec_id", streamDir,
+          k = 4, iters = 2)
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try {
+        input.addData(rows.filter(_._1 < 100): _*) // first batch BUILDS
+        q.processAllAvailable()
+        input.addData(rows.filter(_._1 >= 100): _*) // second APPENDS
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(graft.sync.SegmentedIndex.resolve(spark, streamDir).get.size == 2)
+      // wholesale twin: train on the first batch's rows, assign everything
+      Knn.ivfBuildIndex(emb.filter($"vec_id" < 200), "embedding", "vec_id",
+        allDir, k = 4, iters = 2, trainFilter = $"vec_id" < 100)
+      val qv = emb.filter($"vec_id" === 0).select($"embedding")
+        .head().getSeq[Float](0).toArray
+      val a = Knn.ivfSearchIndex(spark, streamDir, qv, k = 10, nprobe = 2)
+        .collect().toSeq
+      val b = Knn.ivfSearchIndex(spark, allDir, qv, k = 10, nprobe = 2)
+        .collect().toSeq
+      assert(a == b, "streamed index diverges from wholesale twin")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("nnDescentGraph: recall climbs per round toward the exact graph, no n² join") {
     val sub = emb.filter($"vec_id" < 200)
     val exactE = Knn.knnGraph(sub, "embedding", "vec_id", topK = 5)
