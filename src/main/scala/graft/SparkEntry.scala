@@ -1657,6 +1657,18 @@ object SparkEntry {
         .orderBy(col("id_a"), col("rank"))
     }),
 
+    // ---- positional phrase search: "customer join merge" must occur as
+    //      CONSECUTIVE words — posexplode filtered to the 3 terms at the
+    //      generator, two (id, position) equi-joins, per-doc exact
+    //      occurrence counts. The capability tf-only retrieval can't
+    //      express ----
+    "q120_phrase_search" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.TextRank.phraseMatch(d, "text", "doc_id",
+          Seq("customer", "join", "merge"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- the delta re-ingest loop end-to-end: store + lexical index
     //      built from the corpus, then CorpusRefresh applies a snapshot
     //      with planted removals (%17), text edits (%13) and re-keyed
@@ -3472,6 +3484,19 @@ object SparkEntry {
          |    JOIN v vb ON vb.id = c.id_b)
          |WHERE rank <= $k ORDER BY id_a, rank""".stripMargin
     },
+
+    // consecutive-word phrase occurrences counted over the split word
+    // array — every start position where all three words line up
+    "q120_phrase_search" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(list_filter(range(len(ws) - 2), i ->
+         |    ws[i+1] = 'customer' AND ws[i+2] = 'join' AND
+         |    ws[i+3] = 'merge')) AS n
+         |  FROM w)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_matches
+         |FROM m WHERE n > 0 ORDER BY doc_id""".stripMargin,
 
     // the refreshed index must serve BM25 over the NEW corpus exactly:
     // same planted removals/edits/additions, wholesale, in SQL

@@ -36,6 +36,39 @@ object TextRank {
     * engines.
     *
     * Returns (id, score), score descending, ties broken on id. */
+  /** Positional PHRASE match — the capability term-frequency retrieval
+    * ([[bm25TopK]], the lexical index) cannot express: a document
+    * matches only where the phrase's words occur CONSECUTIVELY. Word
+    * positions come from one `posexplode` filtered to the phrase's
+    * terms at the generator (same posture as BM25's term filter: the
+    * exchange carries matching positions only, never the corpus); the
+    * phrase is then an equi-join per subsequent term on
+    * (id, anchor-relative position) — each surviving row is one start
+    * position, so the per-doc count is exact occurrence count.
+    * A positional lexical index (postings carrying position arrays in
+    * the existing term-bucket layout) would serve this without the
+    * scan; the join shape is identical either way.
+    *
+    * Returns (keyCol, n_matches), matching docs only. */
+  def phraseMatch(df: DataFrame, textCol: String, keyCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseMatch: phrase must be non-empty")
+    val pos = df.select(col(keyCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .filter(col("w").isin(phrase: _*))
+    val anchors = pos.filter(col("w") === phrase.head)
+      .select(col("id"), col("pos"))
+    val matches = phrase.zipWithIndex.tail
+      .foldLeft(anchors) { case (acc, (t, i)) =>
+        acc.join(pos.filter(col("w") === t)
+            .select(col("id"), (col("pos") - i).as("pos")),
+          Seq("id", "pos"))
+      }
+    matches.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_matches"))
+      .withColumnRenamed("id", keyCol)
+  }
+
   def bm25TopK(df: DataFrame, textCol: String, keyCol: String,
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {

@@ -250,6 +250,26 @@ class TextRankSpec extends SparkTestBase {
         .collect().toSeq)
   }
 
+  test("phraseMatch: consecutive-only, exact occurrence counts, overlap + repeats") {
+    val d = Seq(
+      (1L, "a b c a b c"),        // "a b" twice
+      (2L, "a c b"),              // both words, never adjacent
+      (3L, "b a"),                // reversed — no match
+      (4L, "x a b y a b a b z"),  // three occurrences
+      (5L, "a a a"),              // repeated-word phrase "a a": two starts
+      (6L, "nothing here")
+    ).toDF("doc_id", "text")
+    def matches(phrase: String*): Map[Long, Long] =
+      graft.text.TextRank.phraseMatch(d, "text", "doc_id", phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(matches("a", "b") == Map(1L -> 2L, 4L -> 3L))
+    assert(matches("a", "a") == Map(5L -> 2L)) // overlapping starts count
+    assert(matches("a", "b", "c") == Map(1L -> 2L))
+    assert(matches("zz") == Map.empty[Long, Long])
+    // single-word phrase degenerates to term occurrence counting
+    assert(matches("a") == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L))
+  }
+
   test("rrfFuse: both-list members outrank single-list members at equal rank") {
     val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
     val b = Seq((20L, 1), (11L, 2), (21L, 3)).toDF("id", "rank")
