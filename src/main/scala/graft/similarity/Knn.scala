@@ -440,6 +440,31 @@ object Knn {
     * vector itself — k centroids are literals, not data), and the cell
     * scan carries `centroid_id IN (probed…)` as a PartitionFilter: only
     * the probed directories are read. Returns in-cell exact top-k. */
+  /** Index health profile — the RE-TRAIN TRIGGER the frozen-geometry
+    * maintenance contract defers to: per live cell (tombstones already
+    * subtracted), member count and mean cosine residual to the frozen
+    * centroid. Distribution drift after many appends shows up as fill
+    * skew (hot cells dominate probe cost) and rising residuals (members
+    * far from their centroid → recall decay at fixed nprobe). One
+    * aggregation over the cells, centroids broadcast; output is k rows.
+    * fp16 cells profile through the fused kernel without widening. */
+  def ivfCellStats(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("centroid_id").cast("long").as("centroid_id"), col("cvec"))
+    val cells = readCells(spark, indexDir)
+    val resid =
+      if (cells.columns.contains("emb16"))
+        graft.functions.fp16_cosine_distance(col("emb16"), col("cvec"))
+      else cosine_distance(col("v"), col("cvec"))
+    cells
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+      .join(broadcast(cents), Seq("centroid_id"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"), avg(resid).as("mean_resid"))
+      .orderBy(col("centroid_id"))
+  }
+
   def ivfSearchIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queryVec: Array[Float], k: Int, nprobe: Int): DataFrame = {
     val probed = spark.read.parquet(s"$indexDir/centroids")

@@ -127,4 +127,21 @@ class PlanShapeSpec extends SparkTestBase {
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(shuffles == 2, s"expected 2 hash exchanges, saw $shuffles:\n$p")
   }
+
+  test("q117: gram frequency via the window — no pair join, 2 hash exchanges") {
+    val p = plan("q117_substring_dup")
+    assert(!p.contains("Join"), s"substring dedup regressed to a join:\n$p")
+    // one exchange on the gram hash (window), one on doc_id (final agg);
+    // output stays linear in the corpus however viral a span is
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles == 2, s"expected 2 hash exchanges, saw $shuffles:\n$p")
+  }
+
+  test("q114: both hamming-search cuts are heaps; corpus never shuffles") {
+    val p = plan("q114_hamming_search")
+    val heaps = "TakeOrderedAndProject".r.findAllIn(p).length
+    assert(heaps == 2, s"expected 2 top-k heaps, saw $heaps:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"hamming search shuffles the corpus:\n$p")
+  }
 }

@@ -306,6 +306,37 @@ class KnnSpec extends SparkTestBase {
     assert(recall >= 0.65, s"cell-graph recall $recall vs exact")
   }
 
+  test("ivfCellStats: counts cover the corpus; drifted appends raise residuals") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfstats").toString
+    try {
+      val base = emb.filter($"vec_id" < 200)
+      Knn.ivfBuildIndex(base, "embedding", "vec_id", dir, k = 4, iters = 2,
+        trainFilter = $"vec_id" % 5 === 0)
+      val s0 = Knn.ivfCellStats(spark, dir).collect()
+      assert(s0.map(_.getLong(1)).sum == 200L)
+      assert(s0.forall(_.getDouble(2) >= 0.0))
+      val n0 = s0.map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val resid0 = s0.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      // drifted batch: NEGATED vectors land far from every frozen centroid
+      val drifted = base.limit(50).select(($"vec_id" + 10000L).as("vec_id"),
+        expr("transform(embedding, x -> -x)").cast("array<float>")
+          .as("embedding"))
+      Knn.ivfAppendIndex(drifted, "embedding", "vec_id", dir)
+      val s1 = Knn.ivfCellStats(spark, dir).collect()
+      assert(s1.map(_.getLong(1)).sum == 250L)
+      // the cells that absorbed drifted members must show higher mean
+      // residual than before — the re-train signal
+      val grew = s1.filter(r => r.getLong(1) > n0(r.getLong(0)))
+      assert(grew.nonEmpty)
+      assert(grew.forall(r => r.getDouble(2) > resid0(r.getLong(0))),
+        "drifted members did not raise the residual signal")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("ivfAppendIndexStream: MemoryStream run equals wholesale build on frozen geometry") {
     val root = java.nio.file.Files.createTempDirectory("ivfstream").toString
     val streamDir = s"$root/index"
