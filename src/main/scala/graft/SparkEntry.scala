@@ -1669,6 +1669,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- distribution window functions: percent_rank + cume_dist over
+    //      priority partitions — (rank−1)/(n−1) and rank_le/n in double,
+    //      engine-portable by definition ----
+    "q121_window_dist" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"))
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+          percent_rank().over(w).as("pr"), cume_dist().over(w).as("cd"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---- arbitrary GROUPING SETS (the general form rollup/cube
+    //      specialize): three chosen groupings in ONE Expand pass,
+    //      partial-aggregated like any hash agg ----
+    "q122_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT grouping_id() AS gid,
+          |  l_returnflag, l_linestatus, COUNT(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+          |FROM lineitem_v
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+          |  (l_returnflag), (l_linestatus))
+          |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+    }),
+
     // ---- the delta re-ingest loop end-to-end: store + lexical index
     //      built from the corpus, then CorpusRefresh applies a snapshot
     //      with planted removals (%17), text edits (%13) and re-keyed
@@ -3497,6 +3525,24 @@ object SparkEntry {
          |  FROM w)
          |SELECT doc_id, CAST(n AS BIGINT) AS n_matches
          |FROM m WHERE n > 0 ORDER BY doc_id""".stripMargin,
+
+    "q121_window_dist" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice,
+        |  percent_rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice) AS pr,
+        |  cume_dist() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice) AS cd
+        |FROM orders WHERE o_orderkey % 7 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q122_grouping_sets" ->
+      """SELECT GROUPING(l_returnflag, l_linestatus) AS gid,
+        |  l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin,
 
     // the refreshed index must serve BM25 over the NEW corpus exactly:
     // same planted removals/edits/additions, wholesale, in SQL
