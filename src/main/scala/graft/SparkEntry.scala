@@ -1669,6 +1669,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // ---- q120 served from the PERSISTENT positional index: postings
+    //      carry sorted position arrays partitioned by term bucket; the
+    //      probe prunes to the phrase's 3 buckets, the oracle is the
+    //      same wholesale count — index-served must equal corpus-scan ----
+    "q123_phrase_index" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val idxDir = graft.fixtures.Fp16Corpus.workRoot +
+        s"/posidx-${new java.io.File(dir).getName}-c${d.count()}"
+      if (graft.sync.SegmentedIndex.resolve(s, idxDir).isEmpty)
+        graft.text.TextRank.buildPositionalIndex(d, "text", "doc_id", idxDir)
+      graft.text.TextRank.searchPhraseIndex(s, idxDir,
+          Seq("customer", "join", "merge"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- distribution window functions: percent_rank + cume_dist over
     //      priority partitions — (rank−1)/(n−1) and rank_le/n in double,
     //      engine-portable by definition ----
@@ -3516,6 +3532,18 @@ object SparkEntry {
     // consecutive-word phrase occurrences counted over the split word
     // array — every start position where all three words line up
     "q120_phrase_search" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(list_filter(range(len(ws) - 2), i ->
+         |    ws[i+1] = 'customer' AND ws[i+2] = 'join' AND
+         |    ws[i+3] = 'merge')) AS n
+         |  FROM w)
+         |SELECT doc_id, CAST(n AS BIGINT) AS n_matches
+         |FROM m WHERE n > 0 ORDER BY doc_id""".stripMargin,
+
+    // the index must serve the same counts the corpus scan produces
+    "q123_phrase_index" ->
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
          |  FROM documents),
          |m AS (SELECT doc_id,

@@ -69,6 +69,93 @@ object TextRank {
       .withColumnRenamed("id", keyCol)
   }
 
+  /** Build a persistent POSITIONAL index — [[phraseMatch]] without the
+    * corpus scan: postings `(term, id, positions)` carry every word
+    * position (sorted int array), written PARTITIONED BY `term_bucket =
+    * polyHash(term) % buckets` under the same [[graft.sync.SegmentedIndex]]
+    * pointer discipline as the lexical index (immutable segments, atomic
+    * commit, O(batch) appends via [[appendPositionalIndex]]). A phrase
+    * query probes only its terms' buckets. */
+  def buildPositionalIndex(df: DataFrame, textCol: String, keyCol: String,
+      indexDir: String, buckets: Int = 64): Unit = {
+    require(buckets >= 1, s"buildPositionalIndex: buckets must be >= 1")
+    val seg = graft.sync.SegmentedIndex.newSegmentName()
+    writePositionalSegment(df, textCol, keyCol, s"$indexDir/$seg", buckets)
+    graft.sync.SegmentedIndex.commit(df.sparkSession, indexDir, Seq(seg))
+  }
+
+  /** One new immutable segment + pointer commit; same contract as
+    * [[appendLexicalIndex]] (matching `buckets`, fresh doc ids). */
+  def appendPositionalIndex(batch: DataFrame, textCol: String,
+      keyCol: String, indexDir: String, buckets: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    val existing = graft.sync.SegmentedIndex.resolve(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(
+        s"appendPositionalIndex: no segmented index at $indexDir (build first)"))
+    val seg = graft.sync.SegmentedIndex.newSegmentName()
+    writePositionalSegment(batch, textCol, keyCol, s"$indexDir/$seg", buckets)
+    graft.sync.SegmentedIndex.commit(spark, indexDir, existing :+ seg)
+  }
+
+  private def writePositionalSegment(df: DataFrame, textCol: String,
+      keyCol: String, segDir: String, buckets: Int): Unit =
+    df.select(col(keyCol).as("id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "term")))
+      .groupBy(col("id"), col("term"))
+      // collect_list order is partition-dependent; sort_array pins it
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("term_bucket",
+        pmod(TextAnalysis.polyHash(col("term")), lit(buckets.toLong)))
+      .repartition(col("term_bucket")) // one file per bucket per segment
+      .write.partitionBy("term_bucket")
+      .mode("overwrite").parquet(s"$segDir/postings")
+
+  /** Serve a phrase query from a [[buildPositionalIndex]] index: probe
+    * the phrase's term buckets (PartitionFilter per segment — un-probed
+    * buckets are never listed or read), explode positions back to
+    * (id, pos) rows for the matched terms only, and run the same
+    * anchor-relative equi-join as [[phraseMatch]]. Tombstoned docs
+    * (segments named `del-*` carrying `ids`) are anti-joined out.
+    * Returns (id, n_matches), matching docs only — row-identical to
+    * [[phraseMatch]] over the indexed corpus. */
+  def searchPhraseIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, phrase: Seq[String], buckets: Int = 64): DataFrame = {
+    require(phrase.nonEmpty, "searchPhraseIndex: phrase must be non-empty")
+    import org.apache.spark.unsafe.types.UTF8String
+    val probedBuckets = phrase.distinct
+      .map(t => TextMath.polyHash(UTF8String.fromString(t)) % buckets)
+      .distinct
+    val list = graft.sync.SegmentedIndex.resolve(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(
+        s"searchPhraseIndex: no segmented index at $indexDir"))
+    val postings = graft.sync.SegmentedIndex.tombstoneScopes(list)
+      .map { case (data, tombs) =>
+        val p = readUnion(spark, data.map(s => s"$indexDir/$s/postings"))
+        if (tombs.isEmpty) p
+        else p.join(
+          readUnion(spark, tombs.map(s => s"$indexDir/$s/ids")),
+          Seq("id"), "left_anti")
+      }.reduce(_ unionByName _)
+    val inList: Seq[Any] = postings.schema("term_bucket").dataType match {
+      case org.apache.spark.sql.types.IntegerType => probedBuckets.map(_.toInt)
+      case org.apache.spark.sql.types.LongType => probedBuckets
+      case _ => probedBuckets.map(_.toString)
+    }
+    val pos = postings
+      .filter(col("term_bucket").isin(inList: _*))
+      .filter(col("term").isin(phrase.map(x => x: Any): _*))
+      .select(col("id"), col("term"), explode(col("positions")).as("pos"))
+    val anchors = pos.filter(col("term") === phrase.head)
+      .select(col("id"), col("pos"))
+    val matches = phrase.zipWithIndex.tail
+      .foldLeft(anchors) { case (acc, (t, i)) =>
+        acc.join(pos.filter(col("term") === t)
+            .select(col("id"), (col("pos") - i).as("pos")),
+          Seq("id", "pos"))
+      }
+    matches.groupBy(col("id")).agg(count(lit(1)).as("n_matches"))
+  }
+
   def bm25TopK(df: DataFrame, textCol: String, keyCol: String,
       queryTerms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {

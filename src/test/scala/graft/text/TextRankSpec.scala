@@ -270,6 +270,51 @@ class TextRankSpec extends SparkTestBase {
     assert(matches("a") == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L))
   }
 
+  test("positional index: served phrase == corpus scan; probe prunes; append == wholesale") {
+    val root = java.nio.file.Files.createTempDirectory("posidx").toString
+    try {
+      val corpus = table("documents").select($"doc_id", $"text")
+      val phrase = Seq("customer", "join")
+      TextRank.buildPositionalIndex(corpus, "text", "doc_id", s"$root/full")
+      val served = TextRank.searchPhraseIndex(spark, s"$root/full", phrase)
+      val expect = graft.text.TextRank
+        .phraseMatch(corpus, "text", "doc_id", phrase)
+        .withColumnRenamed("doc_id", "id")
+      assert(served.orderBy($"id").collect().toSeq ==
+        expect.orderBy($"id").collect().toSeq)
+      // the postings scan prunes to the phrase's term buckets per segment
+      // (the plan has exchanges, so AQE wraps it — unwrap after execution)
+      val pRoot = served.queryExecution.executedPlan
+      val unwrapped = pRoot +: pRoot.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan }
+      val scans = unwrapped.flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata("Location").contains("postings") => f })
+      assert(scans.nonEmpty)
+      val nBuckets = phrase.map(t => graft.text.TextMath.polyHash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)) % 64)
+        .distinct.length
+      scans.foreach { sc =>
+        assert(sc.metadata("PartitionFilters").contains("term_bucket"))
+        assert(sc.selectedPartitions.partitionCount == nBuckets,
+          s"read ${sc.selectedPartitions.partitionCount} buckets, want $nBuckets")
+      }
+      // build half + append half serves identically to the wholesale build
+      TextRank.buildPositionalIndex(corpus.filter($"doc_id" < 250),
+        "text", "doc_id", s"$root/inc")
+      TextRank.appendPositionalIndex(corpus.filter($"doc_id" >= 250),
+        "text", "doc_id", s"$root/inc")
+      assert(TextRank.searchPhraseIndex(spark, s"$root/inc", phrase)
+        .orderBy($"id").collect().toSeq ==
+        served.orderBy($"id").collect().toSeq)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("rrfFuse: both-list members outrank single-list members at equal rank") {
     val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rank")
     val b = Seq((20L, 1), (11L, 2), (21L, 3)).toDF("id", "rank")
