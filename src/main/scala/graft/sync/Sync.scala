@@ -57,6 +57,31 @@ object HighlightStore {
     else resolveCurrent(fs, root).map(p => widen(spark.read.parquet(p.toString)))
   }
 
+  /** Time-travel read (the `VERSION AS OF` shape on the pointer layout):
+    * `stepsBack = 0` is the live version, 1 its retained predecessor.
+    * Anchored at the CURRENT pointer, not the newest directory — a crash
+    * between version write and pointer swap leaves a newer orphan that
+    * was never live and must not count as history. Retention keeps the
+    * newest 2 versions, so history reaches one step by default; None
+    * beyond what's retained. Uses: pre-migration readback, incident
+    * diffing (`CorpusPrep.snapshotDiff(old, new, …)`), grace-window
+    * readers. */
+  def readVersion(spark: SparkSession, dir: String,
+      stepsBack: Int): Option[DataFrame] = {
+    require(stepsBack >= 0, s"stepsBack must be >= 0, got $stepsBack")
+    val root = new HPath(dir)
+    val fs = fsFor(spark, root)
+    if (!fs.exists(root)) return None
+    resolveCurrent(fs, root).flatMap { cur =>
+      val versions = fs.listStatus(root).toSeq.map(_.getPath)
+        .filter(_.getName.startsWith("v-")).sortBy(_.getName)
+      val at = versions.indexWhere(_.getName == cur.getName)
+      val i = (if (at >= 0) at else versions.size - 1) - stepsBack
+      if (i < 0) None
+      else Some(widen(spark.read.parquet(versions(i).toString)))
+    }
+  }
+
   /** At-rest name of the half-precision-encoded embedding column. */
   val Emb16Col = "emb16"
 

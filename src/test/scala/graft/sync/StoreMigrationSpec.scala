@@ -27,6 +27,44 @@ class StoreMigrationSpec extends SparkTestBase {
   private def currentVersion(dir: String): String =
     Files.readString(java.nio.file.Paths.get(dir, "CURRENT")).trim
 
+  test("readVersion: time travel to the retained predecessor, anchored at CURRENT") {
+    val dir = Files.createTempDirectory("ttstore").toString
+    freshStore(dir)
+    val gen1 = HighlightStore.read(spark, dir).get
+      .select($"id", $"text").collect().toSet
+    // second generation: one row edited, one added
+    HighlightStore.writeAtomic(
+      Seq((1L, "alpha EDITED", Seq(1f, 0f, 0f, 0f)),
+        (2L, "bravo text", Seq(0f, 1f, 0f, 0f)),
+        (3L, "charlie text", Seq(0f, 0f, 1f, 0f)),
+        (4L, "delta text", Seq(0f, 0f, 0f, 1f)))
+        .toDF("id", "text", "embedding"), dir)
+    // steps 0 == live read; step 1 == the pre-edit generation, intact
+    assert(HighlightStore.readVersion(spark, dir, 0).get
+      .select($"id", $"text").collect().toSet ==
+      HighlightStore.read(spark, dir).get
+        .select($"id", $"text").collect().toSet)
+    val back = HighlightStore.readVersion(spark, dir, 1).get
+      .select($"id", $"text").collect().toSet
+    assert(back == gen1)
+    // the diff between generations is derivable from history alone
+    val delta = graft.text.CorpusPrep.snapshotDiff(
+      HighlightStore.readVersion(spark, dir, 1).get.select($"id", $"text"),
+      HighlightStore.readVersion(spark, dir, 0).get.select($"id", $"text"),
+      "text", "id").collect()
+    assert(delta.length == 2) // the edit + the addition
+    // beyond retention (keeps 2) there is no history
+    assert(HighlightStore.readVersion(spark, dir, 2).isEmpty)
+    // a crash-orphan version NEWER than CURRENT is not history: plant one
+    val orphan = java.nio.file.Paths.get(dir, f"v-${Long.MaxValue}%019d")
+    Files.createDirectory(orphan)
+    try {
+      val live = HighlightStore.readVersion(spark, dir, 0).get
+        .select($"id").as[Long].collect().toSet
+      assert(live == Set(1L, 2L, 3L, 4L), "orphan version served as live")
+    } finally Files.delete(orphan)
+  }
+
   test("addColumn backfills every row behind a pointer swap; old readers unaffected") {
     val dir = Files.createTempDirectory("store-mig").toString
     freshStore(dir)
