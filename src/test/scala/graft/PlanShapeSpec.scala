@@ -144,4 +144,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Exchange hashpartitioning"),
       s"hamming search shuffles the corpus:\n$p")
   }
+
+  test("q115: int8 approx cut + exact re-rank are heaps; no corpus shuffle") {
+    val p = plan("q115_int8_search")
+    val heaps = "TakeOrderedAndProject".r.findAllIn(p).length
+    assert(heaps == 2, s"expected 2 top-k heaps, saw $heaps:\n$p")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"int8 search shuffles the corpus:\n$p")
+    // the quantized cut scores through the fused kernel, not decode+cosine
+    assert(p.contains("int8_cosine_distance"), s"fused kernel missing:\n$p")
+  }
 }
