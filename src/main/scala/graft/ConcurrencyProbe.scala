@@ -109,8 +109,14 @@ object ConcurrencyProbe {
       val nprobe = sys.env.getOrElse("CONC_NPROBE", "4").toInt
       val m = sys.env.getOrElse("CONC_PQ_M", "32").toInt
       val ksub = sys.env.getOrElse("CONC_PQ_KSUB", "64").toInt
+      // CONC_PQ_REFINE > 1 turns on the exact re-rank stage: the index
+      // carries the fp16 refine payload and every request pays a SECOND
+      // pruned job re-scoring the r·k shortlist — the recall-vs-latency
+      // trade the 5× p95 headroom of the code-only path buys back
+      val refine = sys.env.getOrElse("CONC_PQ_REFINE", "1").toInt
       val indexDir = graft.fixtures.Fp16Corpus.workRoot +
-        s"/ivfpqserve3072-n$n-c$cellsK-m$m-k$ksub"
+        s"/ivfpqserve3072-n$n-c$cellsK-m$m-k$ksub" +
+        (if (refine > 1) "-refine" else "")
       if (!graft.similarity.Knn.ivfPqIndexReady(indexDir)) {
         val fp32 = corpus.select(col("vec_id").as("id"),
           graft.functions.fp16_decode(col("emb16")).as("embedding"))
@@ -120,13 +126,14 @@ object ConcurrencyProbe {
         graft.similarity.Knn.ivfPqBuildIndex(fp32, "embedding", "id",
           indexDir, cells = cellsK, m = m, ksub = ksub, iters = 2,
           trainFilter = col("id") % every === 0,
-          pqTrainFilter = col("id") % every === 0)
+          pqTrainFilter = col("id") % every === 0, refine = refine > 1)
       }
       val index = graft.similarity.Knn.IvfPqIndex.load(spark, indexDir)
-      run(spark, s"pq(cells=$cellsK,nprobe=$nprobe,m=$m,ksub=$ksub)", n,
-        users, reqsPerUser) { seed =>
+      run(spark,
+        s"pq(cells=$cellsK,nprobe=$nprobe,m=$m,ksub=$ksub,refine=$refine)",
+        n, users, reqsPerUser) { seed =>
           val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
-          index.search(qv, k = 10, nprobe = nprobe).collect()
+          index.search(qv, k = 10, nprobe = nprobe, refine = refine).collect()
       }
     }
 

@@ -1790,6 +1790,35 @@ object SparkEntry {
         .orderBy(col("score_adc"), col("id"))
     }),
 
+    // ---- the ADC re-rank refinement stage (FAISS IndexRefine) over
+    //      q109's quantizer: the ADC ranking cut at r·10 broadcast-semi-
+    //      joins back to the full-precision vectors and ONLY those rows
+    //      exact-score — recall lifts toward 1.0 as r grows while the
+    //      exact work stays r·k rows. in_exact per (r, hit) measures the
+    //      lift directly: count(in_exact | r) is recall@10·10 ----
+    "q124_pq_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val cb = Knn.collectCodebooks(Knn.pqTrain(
+        emb, "embedding", "vec_id", m = 2, ksub = 4, iters = 2))
+      val encoded = Knn.pqEncode(emb, "embedding", "vec_id", cb)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val v = emb.filter(col("embedding").isNotNull)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val exact = v.withColumn("d", Knn.l2sq(col("v"), typedLit(qv)))
+        .orderBy(col("d").asc, col("id").asc).limit(10)
+        .select(col("id"), lit(true).as("in_exact"))
+      Seq(1, 2, 4).map { r =>
+          Knn.pqRefine(Knn.pqTopK(encoded, cb, qv, k = r * 10),
+              v, "v", "id", qv, k = 10)
+            .select(lit(r).as("r"), col("id"), col("score_exact"))
+        }.reduce(_ unionByName _)
+        .join(exact, Seq("id"), "left")
+        .na.fill(value = false, Seq("in_exact"))
+        .select(col("r"), col("id"), col("score_exact"), col("in_exact"))
+        .orderBy(col("r"), col("score_exact"), col("id"))
+    }),
+
     // ---- hybrid search: dense cosine top-30 + BM25 top-30 fused by
     //      reciprocal rank (Cormack RRF, k=60) — no score calibration
     //      crosses the lists, only integer ranks ----
@@ -1963,6 +1992,50 @@ object SparkEntry {
        |  row_number() OVER (PARTITION BY c.id
        |    ORDER BY ${sqlL2Sq("c.v", "s.cvec")}, s.centroid_id) AS crank
        |FROM $corpusSrc c, $centSrc s QUALIFY crank = 1""".stripMargin
+
+  /** The q109/q124 shared PQ pipeline as WITH-list clauses (no `WITH`
+    * keyword, trailing comma style): the 300-vector corpus split into 2
+    * subspaces, each with its own 2-iteration L2-Lloyd codebook chain,
+    * joined into per-id ADC scores against vec 0's per-subspace LUTs.
+    * Replicates [[graft.similarity.Knn.pqTrain]]/`pqEncode`/`pqTopK`
+    * with m=2, ksub=4, iters=2 bit-for-bit. */
+  private lazy val sqlPqAdcPreamble: String = {
+    def chain(s: Int): String =
+      s"""cb${s}_seed AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT)
+         |      AS centroid_id,
+         |    v AS cvec
+         |  FROM corpus$s QUALIFY row_number() OVER (ORDER BY id) <= 4),
+         |cb${s}_a1 AS (${sqlIvfAssignL2(s"corpus$s", s"cb${s}_seed")}),
+         |cb${s}_x1 AS (SELECT centroid_id, unnest(range(len(v))) AS pos,
+         |  unnest(v) AS x FROM cb${s}_a1),
+         |cb${s}_m1 AS (${sqlIvfMean(s"cb${s}_x1")}),
+         |cb${s}_c1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec
+         |  FROM cb${s}_m1 GROUP BY 1),
+         |cb${s}_a2 AS (${sqlIvfAssignL2(s"corpus$s", s"cb${s}_c1")}),
+         |cb${s}_x2 AS (SELECT centroid_id, unnest(range(len(v))) AS pos,
+         |  unnest(v) AS x FROM cb${s}_a2),
+         |cb${s}_m2 AS (${sqlIvfMean(s"cb${s}_x2")}),
+         |cb${s}_c2 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec
+         |  FROM cb${s}_m2 GROUP BY 1),
+         |enc$s AS (SELECT id, centroid_id AS code
+         |  FROM (${sqlIvfAssignL2(s"corpus$s", s"cb${s}_c2")}) t$s),
+         |lut$s AS (SELECT centroid_id AS code,
+         |  ${sqlL2Sq(s"qv$s", "cvec")} AS d
+         |  FROM cb${s}_c2, q$s)""".stripMargin
+    s"""corpus AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id < 300),
+       |corpus0 AS (SELECT id, v[1:(len(v) // 2)] AS v FROM corpus),
+       |corpus1 AS (SELECT id, v[(len(v) // 2 + 1):len(v)] AS v FROM corpus),
+       |q0 AS (SELECT v AS qv0 FROM corpus0 WHERE id = 0),
+       |q1 AS (SELECT v AS qv1 FROM corpus1 WHERE id = 0),
+       |${chain(0)},
+       |${chain(1)},
+       |adc AS (SELECT e0.id, l0.d + l1.d AS score_adc
+       |  FROM enc0 e0 JOIN enc1 e1 USING (id)
+       |  JOIN lut0 l0 ON e0.code = l0.code
+       |  JOIN lut1 l1 ON e1.code = l1.code),""".stripMargin
+  }
 
   /** Exact decimal per-(cell, pos) mean cast to REAL — bit-identical to the
     * engine's sum(DECIMAL(25,6))/count → float centroid means. */
@@ -3642,41 +3715,7 @@ object SparkEntry {
     // subspaces), argmin encoding, LUT cells, fixed-order ADC sum —
     // every float step the dot-expansion tree `Knn.l2sq` builds
     "q109_pq_adc" -> {
-      def chain(s: Int): String =
-        s"""cb${s}_seed AS (
-           |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT)
-           |      AS centroid_id,
-           |    v AS cvec
-           |  FROM corpus$s QUALIFY row_number() OVER (ORDER BY id) <= 4),
-           |cb${s}_a1 AS (${sqlIvfAssignL2(s"corpus$s", s"cb${s}_seed")}),
-           |cb${s}_x1 AS (SELECT centroid_id, unnest(range(len(v))) AS pos,
-           |  unnest(v) AS x FROM cb${s}_a1),
-           |cb${s}_m1 AS (${sqlIvfMean(s"cb${s}_x1")}),
-           |cb${s}_c1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec
-           |  FROM cb${s}_m1 GROUP BY 1),
-           |cb${s}_a2 AS (${sqlIvfAssignL2(s"corpus$s", s"cb${s}_c1")}),
-           |cb${s}_x2 AS (SELECT centroid_id, unnest(range(len(v))) AS pos,
-           |  unnest(v) AS x FROM cb${s}_a2),
-           |cb${s}_m2 AS (${sqlIvfMean(s"cb${s}_x2")}),
-           |cb${s}_c2 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec
-           |  FROM cb${s}_m2 GROUP BY 1),
-           |enc$s AS (SELECT id, centroid_id AS code
-           |  FROM (${sqlIvfAssignL2(s"corpus$s", s"cb${s}_c2")}) t$s),
-           |lut$s AS (SELECT centroid_id AS code,
-           |  ${sqlL2Sq(s"qv$s", "cvec")} AS d
-           |  FROM cb${s}_c2, q$s)""".stripMargin
-      s"""WITH corpus AS (SELECT vec_id AS id, embedding AS v FROM embeddings
-         |  WHERE embedding IS NOT NULL AND vec_id < 300),
-         |corpus0 AS (SELECT id, v[1:(len(v) // 2)] AS v FROM corpus),
-         |corpus1 AS (SELECT id, v[(len(v) // 2 + 1):len(v)] AS v FROM corpus),
-         |q0 AS (SELECT v AS qv0 FROM corpus0 WHERE id = 0),
-         |q1 AS (SELECT v AS qv1 FROM corpus1 WHERE id = 0),
-         |${chain(0)},
-         |${chain(1)},
-         |adc AS (SELECT e0.id, l0.d + l1.d AS score_adc
-         |  FROM enc0 e0 JOIN enc1 e1 USING (id)
-         |  JOIN lut0 l0 ON e0.code = l0.code
-         |  JOIN lut1 l1 ON e1.code = l1.code),
+      s"""WITH $sqlPqAdcPreamble
          |pq AS (SELECT id, score_adc FROM adc ORDER BY score_adc, id LIMIT 10),
          |qq AS (SELECT v AS qv FROM corpus WHERE id = 0),
          |exact AS (SELECT id FROM corpus, qq
@@ -3684,6 +3723,31 @@ object SparkEntry {
          |SELECT p.id, p.score_adc,
          |  (p.id IN (SELECT id FROM exact)) AS in_exact
          |FROM pq p ORDER BY score_adc, id""".stripMargin
+    },
+
+    // the refinement stage over q109's ADC pipeline: each shortlist is
+    // the ADC ranking cut at r·10, re-scored by EXACT squared L2 (the
+    // same float tree both engines build), cut again at 10
+    "q124_pq_rerank" -> {
+      def ref(r: Int): String =
+        s"""ref$r AS (SELECT CAST($r AS INT) AS r, c.id,
+           |  ${sqlL2Sq("c.v", "qv")} AS score_exact
+           |  FROM corpus c
+           |  JOIN (SELECT id FROM adc ORDER BY score_adc, id LIMIT ${r * 10})
+           |    s$r USING (id), qq
+           |  ORDER BY score_exact, id LIMIT 10)""".stripMargin
+      s"""WITH $sqlPqAdcPreamble
+         |qq AS (SELECT v AS qv FROM corpus WHERE id = 0),
+         |exact AS (SELECT id FROM corpus, qq
+         |  ORDER BY ${sqlL2Sq("v", "qv")}, id LIMIT 10),
+         |${ref(1)},
+         |${ref(2)},
+         |${ref(4)},
+         |refined AS (SELECT * FROM ref1 UNION ALL
+         |  SELECT * FROM ref2 UNION ALL SELECT * FROM ref4)
+         |SELECT r, id, score_exact,
+         |  (id IN (SELECT id FROM exact)) AS in_exact
+         |FROM refined ORDER BY r, score_exact, id""".stripMargin
     },
 
     "q88_cms_heavy_hitters" ->

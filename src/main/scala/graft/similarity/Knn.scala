@@ -783,6 +783,23 @@ object Knn {
       .select(col("id"), col("score_adc"))
   }
 
+  /** Exact re-rank of an ADC shortlist (the refinement stage FAISS calls
+    * `IndexRefine`): the shortlist — `refine·k` (id)s from [[pqTopK]] or
+    * an IVFADC probe — broadcast-semi-joins back to the full-precision
+    * corpus and ONLY those rows score exact squared L2 against the query.
+    * Recall rises from the quantizer's toward 1.0 as `refine` grows while
+    * exact-scoring work stays r·k rows — output-sensitive, never a corpus
+    * rescan. The shortlist side is r·k rows of ids, always broadcast. */
+  def pqRefine(shortlist: DataFrame, corpus: DataFrame, vecCol: String,
+      keyCol: String, queryVec: Array[Float], k: Int): DataFrame =
+    corpus.select(col(keyCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+      .join(broadcast(shortlist.select(col("id"))), Seq("id"), "left_semi")
+      .select(col("id"),
+        l2sq(col("v"), typedLit(queryVec)).as("score_exact"))
+      .orderBy(col("score_exact").asc, col("id").asc)
+      .limit(k)
+
   // ------------------------------------------------------------ IVFADC
 
   /** The full FAISS IVFADC, assembled from the parts above: coarse IVF
@@ -808,7 +825,8 @@ object Knn {
     * on the bench fixtures. */
   def ivfPqBuildIndex(corpus: DataFrame, vecCol: String, keyCol: String,
       indexDir: String, cells: Int, m: Int, ksub: Int, iters: Int,
-      trainFilter: Column, pqTrainFilter: Column = lit(true)): Unit = {
+      trainFilter: Column, pqTrainFilter: Column = lit(true),
+      refine: Boolean = false): Unit = {
     val cents = trainCentroidsL2(corpus.filter(trainFilter), vecCol, keyCol,
       cells, iters)
     val assigned = ivfAssignL2(corpus, vecCol, keyCol, cents, "cvec",
@@ -816,7 +834,8 @@ object Knn {
     val residuals = assigned
       .join(broadcast(cents), Seq("centroid_id"))
       .select(col("id"), col("centroid_id"),
-        zip_with(col("v"), col("cvec"), (a, b) => a - b).as("rv"))
+        zip_with(col("v"), col("cvec"), (a, b) => a - b).as("rv"),
+        col("v"))
     // sub-quantizers may train on a residual sample (pqTrainFilter over
     // the keyed residual rows) — at corpus scale the codebooks only need
     // a representative slice, exactly like the coarse trainFilter; the
@@ -830,9 +849,18 @@ object Knn {
     val cbFrame = pqTrain(trainRes, "rv", "id", m, ksub, iters)
     val cb = collectCodebooks(cbFrame)
     trainRes.unpersist()
+    // the optional refine payload rides in the SAME cell files as an
+    // fp16 column: parquet is columnar, so stage-1 ADC scans never read
+    // it — it's touched only by the re-rank's id-IN-shortlist probe
+    // (r·k rows/request), while at-rest cost grows from m bytes to
+    // m + 2·dim. The alternative (a separate fp16 index) would pay a
+    // second directory listing + an un-cell-pruned probe per request.
+    val encCols = Seq(col("id"), col("centroid_id"),
+      graft.functions.pq_encode(col("rv"), cb).as("codes")) ++
+      (if (refine) Seq(graft.functions.fp16_encode(col("v")).as("emb16"))
+       else Nil)
     residuals
-      .select(col("id"), col("centroid_id"),
-        graft.functions.pq_encode(col("rv"), cb).as("codes"))
+      .select(encCols: _*)
       .repartition(col("centroid_id")).write.partitionBy("centroid_id")
       .mode("overwrite").parquet(s"$indexDir/cells")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
@@ -902,20 +930,65 @@ object Knn {
       cb: Array[Array[Array[Float]]],
       cells: DataFrame, inListType: org.apache.spark.sql.types.DataType) {
 
-    def search(queryVec: Array[Float], k: Int, nprobe: Int): DataFrame = {
-      val probed = cents
-        .map { case (cid, cv) =>
-          var aa = 0.0; var ab = 0.0; var bb = 0.0
-          var i = 0
-          while (i < cv.length) {
-            aa += queryVec(i).toDouble * queryVec(i)
-            ab += queryVec(i).toDouble * cv(i)
-            bb += cv(i).toDouble * cv(i); i += 1
-          }
-          (cid, aa - 2.0 * ab + bb)
+    /** Was the index built with `refine = true` ([[ivfPqBuildIndex]])?
+      * Only then can [[search]]'s `refine > 1` re-rank run. */
+    val hasRefine: Boolean = cells.columns.contains("emb16")
+
+    /** ADC-shortlist-then-exact-re-rank (the FAISS `IndexRefine` stage):
+      * stage 1 is the plain ADC search widened to `refine·k` candidates;
+      * their ids collect to the driver (r·k longs) and stage 2 re-scores
+      * EXACTLY those rows against the fp16 refine payload — a second
+      * partition-pruned scan of the probed cells with an id IN-list that
+      * parquet row-group stats skip on. Two jobs/request instead of one,
+      * but stage 2 touches r·k fp16 rows, not nprobe/cells of them — the
+      * re-rank cost is output-sensitive, independent of corpus size. The
+      * returned `score` is exact squared L2 of (q − v) at fp16 input
+      * precision, so recall lifts from the quantizer's (~0.3 at 32:1,
+      * PqSpec) toward the coarse-probe ceiling as r grows. */
+    def search(queryVec: Array[Float], k: Int, nprobe: Int,
+        refine: Int): DataFrame = {
+      require(refine >= 1, s"refine=$refine must be >= 1")
+      if (refine == 1) return search(queryVec, k, nprobe)
+      require(hasRefine,
+        "refine > 1 needs an index built with ivfPqBuildIndex(refine=true)")
+      val (probedCells, shortlist) = {
+        val stage1 = search(queryVec, k * refine, nprobe)
+        (probe(queryVec, nprobe).map(_._1),
+          stage1.select(col("id")).collect().map(_.getLong(0)).toSeq)
+      }
+      val inList: Seq[Any] = inListType match {
+        case org.apache.spark.sql.types.IntegerType => probedCells.map(_.toInt)
+        case org.apache.spark.sql.types.LongType => probedCells
+        case _ => probedCells.map(_.toString)
+      }
+      cells.filter(col("centroid_id").isin(inList: _*) &&
+          col("id").isin(shortlist: _*))
+        .select(col("id"),
+          col("centroid_id").cast("long").as("centroid_id"),
+          l2sq(graft.functions.fp16_decode(col("emb16")),
+            typedLit(queryVec)).as("score"))
+        .orderBy(col("score").asc, col("id").asc)
+        .limit(k)
+    }
+
+    /** The query's `nprobe` L2-nearest cells, driver-local. */
+    private def probe(queryVec: Array[Float],
+        nprobe: Int): Array[(Long, Double)] = cents
+      .map { case (cid, cv) =>
+        var aa = 0.0; var ab = 0.0; var bb = 0.0
+        var i = 0
+        while (i < cv.length) {
+          aa += queryVec(i).toDouble * queryVec(i)
+          ab += queryVec(i).toDouble * cv(i)
+          bb += cv(i).toDouble * cv(i); i += 1
         }
-        .sortBy { case (cid, d) => (d, cid) }
-        .take(nprobe)
+        (cid, aa - 2.0 * ab + bb)
+      }
+      .sortBy { case (cid, d) => (d, cid) }
+      .take(nprobe)
+
+    def search(queryVec: Array[Float], k: Int, nprobe: Int): DataFrame = {
+      val probed = probe(queryVec, nprobe)
       // ONE scan with a partition IN-filter + the per-cell LUT map —
       // nprobe single-cell legs would mean nprobe scans to PLAN per
       // request, and planning is the serialized path under concurrency

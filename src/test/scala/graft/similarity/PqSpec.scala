@@ -142,6 +142,72 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("refine: exact re-rank of the ADC shortlist lifts recall; stage-1 scans stay code-only") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqref").toString
+    try {
+      Knn.ivfPqBuildIndex(emb, "embedding", "vec_id", dir,
+        cells = 4, m = 8, ksub = 16, iters = 2,
+        trainFilter = $"vec_id" % 5 === 0, refine = true)
+      val handle = Knn.IvfPqIndex.load(spark, dir)
+      assert(handle.hasRefine)
+      // refine=1 is the plain ADC path, row-identical
+      val qv = emb.filter($"vec_id" === 7).select($"embedding")
+        .head().getSeq[Float](0).toArray
+      assert(handle.search(qv, 10, 4, refine = 1).collect().toSeq
+        == handle.search(qv, 10, 4).collect().toSeq)
+      // stage-1 plan never touches the refine payload (parquet columnar:
+      // the ADC scan reads m-byte codes even though emb16 is on disk)
+      assert(!handle.search(qv, 10, 4).queryExecution.executedPlan
+        .toString.contains("emb16"))
+      // the 32-bit quantizer ranks at recall ~0.3 (the IVFADC test
+      // above); an exact re-rank of the 4k-shortlist must recover MORE
+      // of the true top-10 — compare means over 10 queries to beat
+      // per-query variance
+      val queries = emb.filter($"vec_id" % 29 === 3).limit(10)
+        .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+      val (r1, r4) = queries.map { q =>
+        val exact = exactIds(q, 10).toSet
+        val a = handle.search(q, 10, 4).select($"id")
+          .as[Long].collect().toSet
+        val b = handle.search(q, 10, 4, refine = 4).select($"id")
+          .as[Long].collect().toSet
+        ((a & exact).size / 10.0, (b & exact).size / 10.0)
+      }.reduce((x, y) => (x._1 + y._1, x._2 + y._2)) match {
+        case (a, b) => (a / queries.length, b / queries.length)
+      }
+      info(f"mean recall@10, nprobe=4: ADC-only $r1%.2f vs refine=4 $r4%.2f")
+      assert(r4 > r1, s"refine did not lift recall: $r1 -> $r4")
+      // fp16 re-scoring of the shortlist can only miss top-10 members the
+      // COARSE probe dropped; within probed cells the lift is real
+      assert(r4 >= 0.5, s"refined recall $r4 unexpectedly low")
+      // refine is 2 jobs: ADC shortlist collect + the pruned re-rank scan
+      val sc = spark.sparkContext
+      val before = sc.statusTracker.getJobIdsForGroup(null).length
+      handle.search(qv, 10, 4, refine = 4).collect()
+      val after = sc.statusTracker.getJobIdsForGroup(null).length
+      assert(after - before <= 2,
+        s"refined search ran ${after - before} jobs")
+      // an index built WITHOUT the payload rejects refine>1 loudly
+      val bare = java.nio.file.Files.createTempDirectory("ivfpqbare").toString
+      try {
+        Knn.ivfPqBuildIndex(emb, "embedding", "vec_id", bare,
+          cells = 4, m = 2, ksub = 4, iters = 2,
+          trainFilter = $"vec_id" % 5 === 0)
+        val h2 = Knn.IvfPqIndex.load(spark, bare)
+        assert(!h2.hasRefine)
+        assertThrows[IllegalArgumentException](h2.search(qv, 10, 4, refine = 2))
+      } finally {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(java.nio.file.Paths.get(bare)).iterator()
+          .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("ADC scan plan: codegen'd code lookups, no vector column touched") {
     val cb = Knn.collectCodebooks(Knn.pqTrain(
       emb, "embedding", "vec_id", m = 8, ksub = 16, iters = 2))
