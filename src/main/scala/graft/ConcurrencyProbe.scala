@@ -87,11 +87,25 @@ object ConcurrencyProbe {
           k = cellsK, iters = 2,
           trainFilter = col("id") % (n / 500).max(1L) === 0, fp16 = true)
       }
-      val index = graft.similarity.Knn.IvfIndex.load(spark, indexDir)
-      run(spark, s"ivf(cells=$cellsK,nprobe=$nprobe)", n, users, reqsPerUser) {
-        seed =>
+      // CONC_RELOADING=1 serves through the generation-checked handle
+      // (graft.sync.Reloading) instead of the load-once one — measures
+      // that the per-request pointer probe (~µs local-disk read) doesn't
+      // move the p95, i.e. live index maintenance costs nothing at the
+      // serving edge until a commit actually lands
+      val fetch: () => graft.similarity.Knn.IvfIndex =
+        if (sys.env.get("CONC_RELOADING").contains("1")) {
+          val h = graft.similarity.Knn.IvfIndex.reloading(spark, indexDir)
+          () => h.get
+        } else {
+          val i = graft.similarity.Knn.IvfIndex.load(spark, indexDir)
+          () => i
+        }
+      val tag = if (sys.env.get("CONC_RELOADING").contains("1"))
+        ",reloading" else ""
+      run(spark, s"ivf(cells=$cellsK,nprobe=$nprobe$tag)", n, users,
+        reqsPerUser) { seed =>
           val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
-          index.search(qv, k = 10, nprobe = nprobe).collect()
+          fetch().search(qv, k = 10, nprobe = nprobe).collect()
       }
     }
 

@@ -568,6 +568,15 @@ object Knn {
         cells.schema("centroid_id").dataType,
         cells.columns.contains("emb16"))
     }
+
+    /** [[load]] behind a per-request generation check
+      * ([[graft.sync.Reloading]]): appends, deletes, compactions and
+      * rebuilds committed while the server runs are served after their
+      * commit, not after a process restart. */
+    def reloading(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+        minCheckIntervalMs: Long = 0L): graft.sync.Reloading[IvfIndex] =
+      graft.sync.Reloading(spark, indexDir, Seq("centroids"),
+        minCheckIntervalMs)(load(spark, indexDir))
   }
 
   /** The live cell data: segmented layout when a `CURRENT` pointer
@@ -1026,5 +1035,13 @@ object Knn {
       val cells = spark.read.parquet(s"$indexDir/cells")
       new IvfPqIndex(cents, cb, cells, cells.schema("centroid_id").dataType)
     }
+
+    /** [[load]] behind a generation check — the IVFADC layout has no
+      * segment pointer (rebuilds rewrite in place), so the fingerprint
+      * is the three relations' commit-marker mtimes. */
+    def reloading(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+        minCheckIntervalMs: Long = 0L): graft.sync.Reloading[IvfPqIndex] =
+      graft.sync.Reloading(spark, indexDir, Seq("centroids", "codebooks"),
+        minCheckIntervalMs)(load(spark, indexDir))
   }
 }

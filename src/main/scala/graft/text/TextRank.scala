@@ -527,6 +527,16 @@ object TextRank {
       new LexIndex(postings, stats.getLong(0), stats.getLong(1),
         buckets, k1, b)
     }
+
+    /** [[load]] behind a per-request generation check
+      * ([[graft.sync.Reloading]]): the pointer content covers appends /
+      * deletes / compactions, and a reload also refreshes the corpus
+      * stats and df cache the load-once handle bakes into plan literals. */
+    def reloading(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+        buckets: Int = 64, k1: Double = 1.2, b: Double = 0.75,
+        minCheckIntervalMs: Long = 0L): graft.sync.Reloading[LexIndex] =
+      graft.sync.Reloading(spark, indexDir, Nil, minCheckIntervalMs)(
+        load(spark, indexDir, buckets, k1, b))
   }
 
   /** Reciprocal-rank fusion of two ranked lists keyed by `id` (each with
