@@ -188,30 +188,43 @@ object ConcurrencyProbe {
       // terms at deploy) — otherwise the first request per term pays the
       // one-time df job and those land exactly in the measured tail
       termPool.grouped(3).foreach(g => lexIndex.search(g.distinct, 1).collect())
-      // the legs are independent — run them CONCURRENTLY per request, so
-      // the request's critical path is max(dense, lex), not their sum;
-      // the side thread adopts the caller's FAIR pool so both legs
-      // schedule under the same user share
-      val legPool = Executors.newCachedThreadPool()
-      run(spark, s"hybrid(cells=$cellsK,nprobe=$nprobe)", n, users, reqsPerUser) {
-        seed =>
-          val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
-          val terms = (0 until 3)
-            .map(i => termPool(((seed + i * 7) % termPool.size).toInt)).distinct
-          val pool = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
-          val lexFut = legPool.submit(new java.util.concurrent.Callable[Seq[Long]] {
-            def call(): Seq[Long] = {
-              spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
-              lexIndex.search(terms, k = 10)
-                .select(col("id")).collect().map(_.getLong(0)).toSeq
-            }
-          })
-          val dense = index.search(qv, k = 10, nprobe = nprobe)
-            .select(col("id")).collect().map(_.getLong(0)).toSeq
-          val fused = graft.text.TextRank.rrfFuseLocal(dense, lexFut.get(), 10)
-          require(fused.nonEmpty)
+      // default: the FUSED single-job plan (graft.search.HybridIndex) —
+      // both legs rank inside one planned job, halving the per-request
+      // driver-planning cost that bounded the two-leg shape's p95.
+      // CONC_HYBRID=legs keeps the old two-concurrent-jobs form for
+      // comparison (independent legs, critical path max(dense, lex))
+      if (sys.env.get("CONC_HYBRID").contains("legs")) {
+        val legPool = Executors.newCachedThreadPool()
+        run(spark, s"hybrid(cells=$cellsK,nprobe=$nprobe,legs)", n, users,
+          reqsPerUser) { seed =>
+            val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
+            val terms = (0 until 3)
+              .map(i => termPool(((seed + i * 7) % termPool.size).toInt)).distinct
+            val pool = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+            val lexFut = legPool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+              def call(): Seq[Long] = {
+                spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
+                lexIndex.search(terms, k = 10)
+                  .select(col("id")).collect().map(_.getLong(0)).toSeq
+              }
+            })
+            val dense = index.search(qv, k = 10, nprobe = nprobe)
+              .select(col("id")).collect().map(_.getLong(0)).toSeq
+            val fused = graft.text.TextRank.rrfFuseLocal(dense, lexFut.get(), 10)
+            require(fused.nonEmpty)
+        }
+        legPool.shutdown()
+      } else {
+        val hybrid = new graft.search.HybridIndex(index, lexIndex)
+        run(spark, s"hybrid(cells=$cellsK,nprobe=$nprobe,fused)", n, users,
+          reqsPerUser) { seed =>
+            val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
+            val terms = (0 until 3)
+              .map(i => termPool(((seed + i * 7) % termPool.size).toInt)).distinct
+            require(hybrid.search(qv, terms, k = 10, nprobe = nprobe)
+              .collect().nonEmpty)
+        }
       }
-      legPool.shutdown()
     }
 
     if (mode == "lex") {
