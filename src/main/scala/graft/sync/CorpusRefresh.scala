@@ -35,17 +35,35 @@ import org.apache.spark.sql.functions._
   * tombstones away on its own schedule. */
 object CorpusRefresh {
 
+  /** Default [[refresh]] compaction threshold: each refresh cycle adds
+    * one tombstone + one data segment per index, so 8 live entries ≈ 3
+    * uncompacted cycles — segment fan-out (one scan per segment per
+    * probe) and tombstone anti-joins stay bounded while steady drip
+    * ingest doesn't compact on every batch. */
+  val DefaultMaxSegments: Int = 8
+
   /** Apply `newSnap` to the store at `storeDir` and any of the two
     * index roots; returns the materialized delta (keyCol, status) so
     * callers can fan further delta-only work (re-embed, re-dedup)
     * off the same frame. No-op (and no new versions/segments) when the
     * snapshot matches the store. `newSnap` must carry the store's full
-    * schema; `vecCol` is required only when `ivfIndexDir` is given. */
+    * schema; `vecCol` is required only when `ivfIndexDir` is given.
+    *
+    * Compaction policy: after applying the delta, any index whose live
+    * segment list (data + tombstone entries) exceeds `maxSegments`
+    * compacts — the tombstone-subtracted union rewrites as ONE segment
+    * under the same atomic pointer, physically erasing masked rows and
+    * restoring the join-free steady-state probe plan. Repeated refresh
+    * cycles therefore keep per-probe segment fan-out bounded by
+    * `maxSegments + 2` instead of growing 2 entries per cycle forever;
+    * `maxSegments = Int.MaxValue` disables the trigger for callers
+    * scheduling compaction themselves. */
   def refresh(spark: SparkSession, newSnap: DataFrame, textCol: String,
       keyCol: String, storeDir: String,
       lexIndexDir: Option[String] = None,
       ivfIndexDir: Option[String] = None,
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      maxSegments: Int = DefaultMaxSegments): DataFrame = {
     val old = HighlightStore.read(spark, storeDir).getOrElse(
       throw new IllegalStateException(
         s"CorpusRefresh.refresh: no store at $storeDir (writeAtomic first)"))
@@ -57,13 +75,19 @@ object CorpusRefresh {
       val upserts = newSnap.join(
         delta.filter(col("status") =!= "removed").select(col(keyCol)),
         Seq(keyCol), "left_semi")
+      def overThreshold(dir: String): Boolean =
+        SegmentedIndex.resolve(spark, dir).exists(_.size > maxSegments)
       lexIndexDir.foreach { dir =>
         graft.text.TextRank.deleteFromLexicalIndex(spark, dir, deltaKeys, keyCol)
         graft.text.TextRank.appendLexicalIndex(upserts, textCol, keyCol, dir)
+        if (overThreshold(dir))
+          graft.text.TextRank.compactLexicalIndex(spark, dir)
       }
       ivfIndexDir.foreach { dir =>
         graft.similarity.Knn.ivfDeleteIndex(spark, dir, deltaKeys, keyCol)
         graft.similarity.Knn.ivfAppendIndex(upserts, vecCol, keyCol, dir)
+        if (overThreshold(dir))
+          graft.similarity.Knn.ivfCompactIndex(spark, dir)
       }
       // store LAST: it is the delta's baseline, so a crash anywhere above
       // leaves a re-run deriving the same delta and healing the indexes

@@ -91,6 +91,50 @@ class CorpusRefreshSpec extends SparkTestBase {
     } finally { Seq(store, lex, ivf, lexRef, ivfRef).foreach(rmrf) }
   }
 
+  test("churn: the compaction trigger keeps repeated refreshes' segment lists bounded") {
+    val store = tmp("cr3-store"); val lex = tmp("cr3-lex"); val ivf = tmp("cr3-ivf")
+    val lexRef = tmp("cr3-lexref"); val ivfRef = tmp("cr3-ivfref")
+    try {
+      HighlightStore.writeAtomic(snapA, store)
+      graft.text.TextRank.buildLexicalIndex(snapA, "text", "doc_id", lex)
+      graft.similarity.Knn.ivfBuildIndex(snapA, "embedding", "doc_id", ivf,
+        k = 3, iters = 2, trainFilter = col("doc_id") % 5 === 0)
+      // six refresh cycles, each changing one more doc (ids off the %5
+      // training sample so the frozen geometry matches a rebuild's);
+      // without the trigger the list grows 2 entries/cycle forever —
+      // with maxSegments=4 it must stay bounded the whole run
+      val churn = Seq(21L, 22L, 23L, 24L, 26L, 27L)
+      var changed = Set.empty[Long]
+      for (d <- churn) {
+        changed += d
+        CorpusRefresh.refresh(spark, snap(0L until 60L, changed), "text",
+          "doc_id", store, lexIndexDir = Some(lex), ivfIndexDir = Some(ivf),
+          maxSegments = 4).unpersist()
+        Seq(lex, ivf).foreach { dir =>
+          val segs = SegmentedIndex.resolve(spark, dir).get
+          assert(segs.size <= 4,
+            s"$dir grew to ${segs.size} entries under churn: $segs")
+        }
+      }
+      // compaction never changed what is served: both indexes still
+      // equal wholesale rebuilds from the final snapshot
+      val fin = snap(0L until 60L, changed)
+      graft.text.TextRank.buildLexicalIndex(fin, "text", "doc_id", lexRef)
+      val terms = Seq("join", "changed")
+      assert(graft.text.TextRank.searchLexicalIndex(spark, lex, terms, 15)
+        .collect().toSeq
+        == graft.text.TextRank.searchLexicalIndex(spark, lexRef, terms, 15)
+          .collect().toSeq)
+      graft.similarity.Knn.ivfBuildIndex(fin, "embedding", "doc_id", ivfRef,
+        k = 3, iters = 2, trainFilter = col("doc_id") % 5 === 0)
+      val qv = vec(24L, 5)
+      assert(graft.similarity.Knn
+        .ivfSearchIndex(spark, ivf, qv, k = 10, nprobe = 3).collect().toSeq
+        == graft.similarity.Knn
+          .ivfSearchIndex(spark, ivfRef, qv, k = 10, nprobe = 3).collect().toSeq)
+    } finally { Seq(store, lex, ivf, lexRef, ivfRef).foreach(rmrf) }
+  }
+
   test("half-applied refresh heals: re-run converges because the store commits last") {
     val store = tmp("cr2-store"); val lex = tmp("cr2-lex")
     val lexRef = tmp("cr2-lexref")
