@@ -18,6 +18,7 @@ import graft.sync.{HighlightStore, Sync}
   *
   *   graft.Cli sync --backfill --pages-dir D --store S --ckpt C
   *   graft.Cli sync --since 2024-01-01T00:00:00Z --pages-dir D --store S --ckpt C
+  *   graft.Cli refresh --pages-dir D --store S --ckpt C [--lex-index L] [--ivf-index I]
   *   graft.Cli search "query text" --k 5 --store S [--source-type T]
   *   graft.Cli health
   */
@@ -124,6 +125,32 @@ object Cli {
         }
       }
 
+    // full-export reconciliation: walk the whole export as a snapshot,
+    // delta it against the store, propagate deletes/changes/adds to the
+    // store and any maintained index roots (Sync.refresh / CorpusRefresh)
+    case "refresh" +: rest =>
+      val f = flags(rest)
+      val resolved = GraftConfig.resolve(
+        f -- Seq("lex-index", "ivf-index"), env, GraftConfig.Command.Sync)
+      resolved match {
+        case Left(errs) => errs.foreach(System.err.println); 2
+        case Right(cfg) =>
+          if (HighlightStore.read(spark, cfg.storeDir).isEmpty) {
+            System.err.println(s"no highlight store at ${cfg.storeDir}; " +
+              "run sync --backfill first (refresh reconciles an existing store)")
+            1
+          } else {
+            val counts = Sync.refresh(spark, dirClient(cfg.pagesDir.get),
+              cfg.storeDir, cfg.checkpointDir.get,
+              lexIndexDir = f.get("lex-index"),
+              ivfIndexDir = f.get("ivf-index"),
+              embedder = cfg.embedder)
+            println(Json.write(counts.map { case (k, v) => k -> v } +
+              ("mode" -> "refresh")))
+            0
+          }
+      }
+
     case "search" +: query +: rest =>
       val f = flags(rest)
       // Command.Search scoping: ambient sync/serve env (GRAFT_PAGES_DIR,
@@ -195,7 +222,7 @@ object Cli {
       }
 
     case _ =>
-      System.err.println("usage: graft.Cli sync|search|serve|health ...")
+      System.err.println("usage: graft.Cli sync|refresh|search|serve|health ...")
       2
   }
 

@@ -90,9 +90,20 @@ object CorpusRefresh {
           graft.similarity.Knn.ivfCompactIndex(spark, dir)
       }
       // store LAST: it is the delta's baseline, so a crash anywhere above
-      // leaves a re-run deriving the same delta and healing the indexes
-      HighlightStore.migrate(spark, storeDir, df =>
-        df.join(deltaKeys, Seq(keyCol), "left_anti").unionByName(upserts))
+      // leaves a re-run deriving the same delta and healing the indexes.
+      // migrate hands us the AT-REST relation — on an fp16 store the
+      // upserts encode to match before the union (storage mode is a
+      // property of the store, not of one refresh)
+      HighlightStore.migrate(spark, storeDir, { df =>
+        val ups =
+          if (df.columns.contains(HighlightStore.Emb16Col) &&
+              upserts.columns.contains("embedding"))
+            upserts.withColumn(HighlightStore.Emb16Col,
+              graft.functions.fp16_encode(col("embedding")))
+              .drop("embedding")
+          else upserts
+        df.join(deltaKeys, Seq(keyCol), "left_anti").unionByName(ups)
+      })
       // stays persisted: callers fan delta-only follow-ups (re-embed,
       // re-dedup) off the returned frame and own the unpersist
       delta

@@ -362,6 +362,41 @@ object Sync {
         throw e
     }
 
+  /** Full-export reconciliation through [[CorpusRefresh]] — the nightly
+    * re-sync loop (reference: jobs/incremental.py's scheduled shape)
+    * upgraded from upsert-only to true reconciliation: walk the ENTIRE
+    * export as the new corpus snapshot, diff it against the live store,
+    * and apply the delta to the store and any maintained index roots —
+    * so deletions propagate (an upsert sync can never remove a
+    * highlight deleted upstream), changed docs re-index under
+    * sequence-scoped tombstones, and the unchanged bulk never moves.
+    * Advances the watermark like a backfill (the export walk saw
+    * everything). Returns (added, changed, removed) counts. */
+  def refresh(spark: SparkSession, client: ExportClient, storeDir: String,
+      checkpointDir: String,
+      lexIndexDir: Option[String] = None,
+      ivfIndexDir: Option[String] = None,
+      embedder: Embedder = Embedder.Default,
+      now: () => Instant = () => Instant.now(),
+      spoolDir: Option[String] = None): Map[String, Long] =
+    timed {
+      val spool = spoolDir.getOrElse(
+        s"$checkpointDir/refresh-spool-${System.nanoTime()}")
+      try {
+        val snapshot = spooledHighlights(spark, client.export(None), spool,
+          embedder, version = now().toEpochMilli)
+        val delta = CorpusRefresh.refresh(spark, snapshot, "text", "id",
+          storeDir, lexIndexDir = lexIndexDir, ivfIndexDir = ivfIndexDir)
+        val counts = delta.groupBy(col("status")).count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        delta.unpersist()
+        SyncState.write(checkpointDir, ServiceName, now())
+        val n = Seq("added", "changed").map(counts.getOrElse(_, 0L)).sum
+        graft.serve.Metrics.counter("rows_synced_total").inc(n)
+        Map("added" -> 0L, "changed" -> 0L, "removed" -> 0L) ++ counts
+      } finally if (spoolDir.isEmpty) deleteSpool(spark, spool)
+    }
+
   /** Incremental sync (ST1): `since` defaults to the stored watermark;
     * no watermark and no explicit since → nothing to do (reference returns
     * with a "run a backfill first" message, incremental.py:42-47).

@@ -52,6 +52,66 @@ class CliSpec extends SparkTestBase {
     assert(capture(Cli.run(Array("frobnicate"), spark))._1 == 2)
   }
 
+  test("refresh reconciles the store + lexical index from a new export; search serves the new corpus") {
+    val dir = Files.createTempDirectory("graft-cli-refresh").toString
+    val pages1 = s"$dir/pages1"; val pages2 = s"$dir/pages2"
+    val store = s"$dir/store"; val ckpt = s"$dir/ckpt"; val lex = s"$dir/lex"
+    Files.createDirectories(java.nio.file.Paths.get(pages1))
+    Files.createDirectories(java.nio.file.Paths.get(pages2))
+    Files.writeString(java.nio.file.Paths.get(pages1, "page0.json"),
+      pageJson("h1", "spark joins and shuffles"))
+    Files.writeString(java.nio.file.Paths.get(pages1, "page1.json"),
+      pageJson("h2", "completely different topic words"))
+
+    // refresh before any store exists → exit 1 with guidance
+    assert(capture(Cli.run(Array("refresh", "--pages-dir", pages1,
+      "--store", store, "--ckpt", ckpt), spark))._1 == 1)
+
+    assert(capture(Cli.run(Array("sync", "--backfill", "--pages-dir", pages1,
+      "--store", store, "--ckpt", ckpt), spark))._1 == 0)
+    // a maintained index over the synced corpus (built once, then only
+    // ever delta-maintained by refresh)
+    graft.text.TextRank.buildLexicalIndex(
+      graft.sync.HighlightStore.read(spark, store).get, "text", "id", lex)
+
+    // the next export: h1 deleted upstream, h2 edited, h3 new
+    Files.writeString(java.nio.file.Paths.get(pages2, "page0.json"),
+      pageJson("h2", "completely different topic words edited zebra"))
+    Files.writeString(java.nio.file.Paths.get(pages2, "page1.json"),
+      pageJson("h3", "brand new quokka highlight"))
+
+    val (c, out) = capture(Cli.run(Array("refresh", "--pages-dir", pages2,
+      "--store", store, "--ckpt", ckpt, "--lex-index", lex), spark))
+    assert(c == 0, out)
+    assert(out.contains("\"added\":1") && out.contains("\"changed\":1")
+      && out.contains("\"removed\":1") && out.contains("refresh"), out)
+
+    // the gateway serves the reconciled corpus: h3 findable, h1 gone
+    val (c2, out2) = capture(Cli.run(Array("search",
+      "brand new quokka highlight", "--k", "1", "--store", store), spark))
+    assert(c2 == 0)
+    assert(out2.contains("\"id\":\"h3\""), out2)
+    val (c3, out3) = capture(Cli.run(Array("search",
+      "spark joins and shuffles", "--k", "3", "--store", store), spark))
+    assert(c3 == 0 && !out3.contains("\"id\":\"h1\""), out3)
+
+    // the maintained lexical index serves the delta too
+    val lexHits = graft.text.TextRank.LexIndex.load(spark, lex)
+      .search(Seq("quokka"), k = 3)
+      .select(org.apache.spark.sql.functions.col("id"))
+      .collect().map(_.getString(0)).toSeq
+    assert(lexHits == Seq("h3"), lexHits)
+    assert(graft.text.TextRank.LexIndex.load(spark, lex)
+      .search(Seq("shuffles"), k = 3).count() == 0)
+
+    // idempotent: same export again → all-zero delta
+    val (c4, out4) = capture(Cli.run(Array("refresh", "--pages-dir", pages2,
+      "--store", store, "--ckpt", ckpt, "--lex-index", lex), spark))
+    assert(c4 == 0)
+    assert(out4.contains("\"added\":0") && out4.contains("\"changed\":0")
+      && out4.contains("\"removed\":0"), out4)
+  }
+
   test("search fails fast on store-vs-embedder dim mismatch; works with --embed-dim") {
     val dir = Files.createTempDirectory("graft-cli-dim").toString
     val pages = s"$dir/pages"
