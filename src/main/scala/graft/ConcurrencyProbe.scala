@@ -188,12 +188,16 @@ object ConcurrencyProbe {
       // terms at deploy) — otherwise the first request per term pays the
       // one-time df job and those land exactly in the measured tail
       termPool.grouped(3).foreach(g => lexIndex.search(g.distinct, 1).collect())
-      // default: the FUSED single-job plan (graft.search.HybridIndex) —
-      // both legs rank inside one planned job, halving the per-request
-      // driver-planning cost that bounded the two-leg shape's p95.
-      // CONC_HYBRID=legs keeps the old two-concurrent-jobs form for
-      // comparison (independent legs, critical path max(dense, lex))
-      if (sys.env.get("CONC_HYBRID").contains("legs")) {
+      // default: two CONCURRENT single-leg jobs (critical path =
+      // max(dense, lex)). CONC_HYBRID=fused drives the single-planned-job
+      // HybridIndex plan instead — measured SLOWER here (2026-08-14,
+      // same-day: legs p95 492 ms vs fused 822 ms at nprobe=2, ivf-alone
+      // 543 ms): the fused job's stage barriers (rank windows + fusion
+      // join serialize after the leg scans) cost more than the one saved
+      // planning pass, because FAIR-scheduled independent jobs already
+      // overlap at stage granularity. Kept as the option for deployments
+      // whose bottleneck really is planned-jobs-per-request.
+      if (!sys.env.get("CONC_HYBRID").contains("fused")) {
         val legPool = Executors.newCachedThreadPool()
         run(spark, s"hybrid(cells=$cellsK,nprobe=$nprobe,legs)", n, users,
           reqsPerUser) { seed =>

@@ -31,6 +31,11 @@ object GraftSession {
       // Session-level posture, not operator logic — a real cluster keeps
       // the 128m default and lets AQE coalesce.
       .config("spark.sql.files.maxPartitionBytes", "32m")
+      // push id IN-shortlists (r·k ≈ 40-80 values) down to parquet as a
+      // real In predicate instead of the (min,max) range fallback — the
+      // PQ re-rank's point probe relies on page-level column-index
+      // skipping, which a range filter over a spread shortlist defeats
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "256")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

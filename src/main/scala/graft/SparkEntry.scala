@@ -1647,6 +1647,27 @@ object SparkEntry {
         k = 10, ef = 20, hops = 4, entryId = 0L)
     }),
 
+    // ---- q118's walk served from the PERSISTENT adjacency index:
+    //      bucket-partitioned edge rows carrying fp16 dst vectors, beam
+    //      on the driver, one pruned point-read job per hop. The oracle
+    //      is q118's unrolled walk with fp16-rounded candidate vectors —
+    //      index-served must equal the wholesale-graph walk at the
+    //      index's storage precision ----
+    "q125_adj_index_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val edges = Knn.knnGraph(e, "embedding", "vec_id", topK = 5)
+        .select(col("id_a"), col("id_b"))
+      val qv = e.filter(col("vec_id") === 299).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-adjidx").toString + "/adj"
+      Knn.buildAdjacencyIndex(edges, e, "embedding", "vec_id", idxDir,
+        buckets = 16, fp16 = true)
+      Knn.AdjIndex.load(s, idxDir)
+        .search(qv, k = 10, ef = 20, hops = 4, entryId = 0L)
+        .select(col("id").as("vec_id"), col("score"))
+    }),
+
     // ---- NN-Descent graph construction (Dong et al. WWW'11): ring seed,
     //      3 rounds of neighbor-of-neighbor proposals over the undirected
     //      graph, keep 5 best per node — equi-joins + window top-k only,
@@ -3545,6 +3566,47 @@ object SparkEntry {
          |scored AS MATERIALIZED (
          |  SELECT v.id, ${sqlCosine("v.v", "q.qv")} AS dist
          |  FROM v CROSS JOIN q),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |  ${sqlCosine("a.v", "b.v")} AS dist
+         |  FROM v a JOIN v b ON a.id <> b.id),
+         |edges AS MATERIALIZED (SELECT id_a, id_b FROM (
+         |  SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a
+         |    ORDER BY dist, id_b) AS rank FROM p) WHERE rank <= 5),
+         |b0 AS MATERIALIZED (SELECT id, dist FROM scored WHERE id = 0),
+         |${steps.mkString(",\n")}
+         |SELECT id AS vec_id, dist AS score FROM b$hops
+         |ORDER BY score, vec_id LIMIT 10""".stripMargin
+    },
+
+    // q118's oracle with candidate scoring at the INDEX's precision: the
+    // adjacency rows carry fp16 dst vectors, so every beam distance —
+    // including the entry's self-row — computes over the fp16-rounded
+    // vector; the GRAPH itself (edges) and the query stay fp32
+    "q125_adj_index_search" -> {
+      val hops = 4
+      val half = sqlFp16Round
+      val steps = (1 to hops).map { i =>
+        s"""n$i AS (SELECT DISTINCT e.id_b AS id
+           |  FROM edges e JOIN b${i - 1} b ON e.id_a = b.id),
+           |c$i AS (SELECT s.id, s.dist FROM scored s JOIN n$i USING (id)),
+           |b$i AS MATERIALIZED (SELECT DISTINCT id, dist
+           |  FROM (SELECT id, dist FROM b${i - 1}
+           |        UNION ALL SELECT id, dist FROM c$i)
+           |  ORDER BY dist, id LIMIT 20)""".stripMargin
+      }
+      s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
+         |    CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 300 AND embedding IS NOT NULL),
+         |hc AS (SELECT vec_id AS id, unnest(range(len(embedding))) AS pos,
+         |    unnest(embedding) AS xf
+         |  FROM embeddings WHERE vec_id < 300 AND embedding IS NOT NULL),
+         |hh AS (SELECT id, pos, $half AS xh FROM hc),
+         |vh AS MATERIALIZED (SELECT id, list(xh ORDER BY pos) AS v
+         |  FROM hh GROUP BY id),
+         |q AS MATERIALIZED (SELECT v AS qv FROM v WHERE id = 299),
+         |scored AS MATERIALIZED (
+         |  SELECT vh.id, ${sqlCosine("vh.v", "q.qv")} AS dist
+         |  FROM vh CROSS JOIN q),
          |p AS (SELECT a.id AS id_a, b.id AS id_b,
          |  ${sqlCosine("a.v", "b.v")} AS dist
          |  FROM v a JOIN v b ON a.id <> b.id),

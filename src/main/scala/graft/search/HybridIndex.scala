@@ -7,17 +7,24 @@ import org.apache.spark.sql.functions._
 import graft.similarity.Knn
 import graft.text.TextRank
 
-/** Hybrid dense+BM25 retrieval fused into ONE Spark job per request —
-  * the serving-edge follow-up to the two-leg shape: under concurrency
-  * the serialized resource is the driver's per-job planning path
-  * (SCALE.md's hybrid analysis: two planned jobs/request put p95 at
-  * 491 ms against the 500 ms gate; the legs' DATA work is already
-  * pruned and tiny), so the fix is structural — build both legs as
-  * uncollected frames, rank each inside the plan (a row_number window
-  * over an already-LIMITed ≤k-row list, one partition), and fuse by
-  * reciprocal rank with [[TextRank.rrfFuse]]'s broadcast full-outer
-  * join. One `collect()` = one planned job; the dense cell scan and the
-  * bucket-pruned postings scan run as parallel stages inside it.
+/** Hybrid dense+BM25 retrieval fused into ONE Spark job per request:
+  * both legs built as uncollected frames, each ranked inside the plan
+  * (a row_number window over an already-LIMITed ≤k-row list, one
+  * partition), fused by reciprocal rank with [[TextRank.rrfFuse]] —
+  * one `collect()` = one planned job, with the dense cell scan and the
+  * bucket-pruned postings scan as independent stages inside it.
+  *
+  * MEASURED TRADE (2026-08-14, the 20-user gate, same-day runs): this
+  * single-job plan is p95 822 ms where the two-CONCURRENT-jobs shape
+  * (ConcurrencyProbe's default: each leg its own job on the caller's
+  * FAIR pool, driver-side `rrfFuseLocal`) is 492 ms against an
+  * ivf-alone 543 ms. One planning pass is saved, but the fusion join
+  * and rank windows are stage BARRIERS that serialize after the leg
+  * scans — and FAIR-scheduled independent jobs already overlap at
+  * stage granularity, so the barrier cost exceeds the planning saving
+  * on a single driver. Use this form when planned-jobs-per-request is
+  * the real bound (e.g. many serving replicas sharing a planner-bound
+  * driver, or job-count quotas); use concurrent legs for latency.
   *
   * Wraps the two load-once handles ([[Knn.IvfIndex]],
   * [[TextRank.LexIndex]]); compose with [[graft.sync.Reloading]] at the

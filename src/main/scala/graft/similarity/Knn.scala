@@ -792,6 +792,168 @@ object Knn {
       .select(col("id"), col("score_adc"))
   }
 
+  // ------------------------------------------- adjacency serving index
+
+  /** Persist a kNN graph ([[knnGraph]] / [[nnDescentGraph]]) as the
+    * SERVING adjacency index the [[graphBeamSearch]] docs promise: edge
+    * rows `(src_bucket, src, dst, dvec)` partitioned by `src_bucket =
+    * pmod(src, buckets)` under the [[graft.sync.SegmentedIndex]] pointer
+    * — a beam's neighbor expansion prunes to ≤ef buckets and reads only
+    * its srcs' rows, an O(ef·K̃) point lookup instead of an edge-table
+    * scan. Each row CARRIES the destination's vector (fp16 by default),
+    * so one pruned scan per hop both expands and SCORES the frontier —
+    * no corpus join anywhere in the walk. Storage is K̃+1 copies of
+    * every vector (the denormalization HNSW implementations avoid by
+    * pointer-chasing RAM; a distributed store buys the one-scan hop
+    * with it). A self-row `(src, src, vec)` per corpus node serves the
+    * entry point's exact score and id→vector point reads. Appends are
+    * O(batch) immutable segments like every index here. */
+  def buildAdjacencyIndex(edges: DataFrame, corpus: DataFrame,
+      vecCol: String, keyCol: String, indexDir: String, buckets: Int = 64,
+      fp16: Boolean = true): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = edges.sparkSession
+    require(graft.sync.SegmentedIndex.resolve(spark, indexDir).isEmpty,
+      s"buildAdjacencyIndex: index already exists at $indexDir (append instead)")
+    // meta first: a crash between the two writes leaves a root load()
+    // rejects (no CURRENT), never a pointer without its self-description
+    spark.range(1)
+      .select(lit(buckets).as("buckets"), lit(fp16).as("fp16"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    writeAdjSegment(edges, corpus, vecCol, keyCol, indexDir, buckets, fp16,
+      selfRows = true)
+  }
+
+  /** Append a batch of edges (+ self-rows for any NEW nodes in
+    * `newNodes`) as one immutable segment — the maintenance form: a new
+    * node lands with its out-edges and the in-edges its insertion added
+    * to existing nodes' lists (the caller computes both, e.g. one
+    * [[nnDescentGraph]] round over new∪affected). */
+  def appendAdjacencyIndex(edges: DataFrame, corpus: DataFrame,
+      vecCol: String, keyCol: String, indexDir: String,
+      newNodes: Option[DataFrame] = None): Unit = {
+    val spark = edges.sparkSession
+    require(graft.sync.SegmentedIndex.resolve(spark, indexDir).isDefined,
+      s"appendAdjacencyIndex: no index at $indexDir (build first)")
+    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    writeAdjSegment(edges, corpus, vecCol, keyCol, indexDir,
+      meta.getAs[Int]("buckets"), meta.getAs[Boolean]("fp16"),
+      selfRows = false, selfFor = newNodes)
+  }
+
+  private def writeAdjSegment(edges: DataFrame, corpus: DataFrame,
+      vecCol: String, keyCol: String, indexDir: String, buckets: Int,
+      fp16: Boolean, selfRows: Boolean,
+      selfFor: Option[DataFrame] = None): Unit = {
+    val spark = edges.sparkSession
+    val v = corpus.filter(col(vecCol).isNotNull)
+      .select(col(keyCol).cast("long").as("dst"), col(vecCol).as("__dv"))
+    val e = edges.select(col("id_a").cast("long").as("src"),
+      col("id_b").cast("long").as("dst"))
+    val self =
+      if (selfRows) v.select(col("dst").as("src"), col("dst"))
+      else selfFor.map(ids =>
+          v.join(ids.select(col(ids.columns.head).cast("long").as("dst")),
+            Seq("dst"), "left_semi")
+          .select(col("dst").as("src"), col("dst")))
+        .getOrElse(spark.emptyDataFrame
+          .select(lit(0L).as("src"), lit(0L).as("dst")).limit(0))
+    val dvec = if (fp16) graft.functions.fp16_encode(col("__dv"))
+      else col("__dv")
+    val seg = graft.sync.SegmentedIndex.newSegmentName()
+    e.unionByName(self)
+      .join(v, Seq("dst"))
+      .select(pmod(col("src"), lit(buckets.toLong)).as("src_bucket"),
+        col("src"), col("dst"), dvec.as("dvec"))
+      .repartition(col("src_bucket")).write.partitionBy("src_bucket")
+      .mode("overwrite").parquet(s"$indexDir/$seg/edges")
+    val existing = graft.sync.SegmentedIndex.resolve(spark, indexDir)
+      .getOrElse(Nil)
+    graft.sync.SegmentedIndex.commit(spark, indexDir, existing :+ seg)
+  }
+
+  /** Serving handle over a [[buildAdjacencyIndex]] layout — the
+    * graph-ANN query walk ([[graphBeamSearch]]'s semantics, verbatim)
+    * re-expressed as index point reads: the ≤ef beam lives on the
+    * DRIVER (it is the algorithm's working set — k dozen (id, score)
+    * pairs), and each hop is ONE partition-pruned scan of the beam's
+    * src buckets filtered to the beam's srcs, scoring carried dst
+    * vectors against the query in the same pass. 1 + hops tiny jobs
+    * per request, none touching more than the frontier's edge rows —
+    * the corpus never scans. */
+  final class AdjIndex private (rel: DataFrame, buckets: Int, fp16: Boolean) {
+
+    private def scoreCol(queryVec: Array[Float]): Column =
+      if (fp16) graft.functions.fp16_cosine_distance(col("dvec"),
+        typedLit(queryVec))
+      else cosine_distance(col("dvec"), typedLit(queryVec))
+
+    private[graft] def frontierFrame(srcs: Seq[Long],
+        queryVec: Array[Float]): DataFrame = {
+      // IN-list literals typed to the inferred partition-column type, so
+      // the predicate stays a PartitionFilter (a cast around the column
+      // would defeat pruning — the IvfIndex lesson)
+      val bs: Seq[Any] = rel.schema("src_bucket").dataType match {
+        case org.apache.spark.sql.types.IntegerType =>
+          srcs.map(s => (s % buckets).toInt).distinct
+        case org.apache.spark.sql.types.LongType =>
+          srcs.map(_ % buckets.toLong).distinct
+        case _ => srcs.map(s => (s % buckets).toString).distinct
+      }
+      rel.filter(col("src_bucket").isin(bs: _*)
+          && col("src").isin(srcs.map(x => x: Any): _*))
+        .select(col("dst"), scoreCol(queryVec).as("score"))
+    }
+
+    private def frontier(srcs: Seq[Long],
+        queryVec: Array[Float]): Array[(Long, Double)] =
+      frontierFrame(srcs, queryVec)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+    def search(queryVec: Array[Float], k: Int, ef: Int, hops: Int,
+        entryId: Long): DataFrame = {
+      require(k >= 1 && ef >= k, s"need 1 <= k=$k <= ef=$ef")
+      val spark = rel.sparkSession
+      import spark.implicits._
+      // entry scored exactly off its self-row (one bucket-pruned point
+      // read) — beam semantics identical to graphBeamSearch's b0
+      var beam = frontier(Seq(entryId), queryVec)
+        .filter(_._1 == entryId).toVector
+      require(beam.nonEmpty, s"entry $entryId has no self-row in the index")
+      var hop = 0
+      while (hop < hops) {
+        val cand = frontier(beam.map(_._1), queryVec)
+        beam = (beam ++ cand)
+          .groupBy(_._1).map { case (id, xs) => (id, xs.map(_._2).min) }
+          .toVector
+          .sortBy { case (id, d) => (d, id) }
+          .take(ef)
+        hop += 1
+      }
+      beam.take(k).toDF("id", "score")
+    }
+  }
+
+  object AdjIndex {
+    def load(spark: org.apache.spark.sql.SparkSession,
+        indexDir: String): AdjIndex = {
+      val list = graft.sync.SegmentedIndex.resolve(spark, indexDir)
+        .getOrElse(throw new IllegalStateException(
+          s"no adjacency index at $indexDir"))
+      val rel = list.map(s => spark.read.parquet(s"$indexDir/$s/edges"))
+        .reduce(_ unionByName _)
+      val meta = spark.read.parquet(s"$indexDir/meta").head()
+      new AdjIndex(rel, meta.getAs[Int]("buckets"),
+        meta.getAs[Boolean]("fp16"))
+    }
+
+    /** [[load]] behind the [[graft.sync.Reloading]] generation check. */
+    def reloading(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+        minCheckIntervalMs: Long = 0L): graft.sync.Reloading[AdjIndex] =
+      graft.sync.Reloading(spark, indexDir, Seq("meta"),
+        minCheckIntervalMs)(load(spark, indexDir))
+  }
+
   /** Exact re-rank of an ADC shortlist (the refinement stage FAISS calls
     * `IndexRefine`): the shortlist — `refine·k` (id)s from [[pqTopK]] or
     * an IVFADC probe — broadcast-semi-joins back to the full-precision
@@ -868,9 +1030,19 @@ object Knn {
       graft.functions.pq_encode(col("rv"), cb).as("codes")) ++
       (if (refine) Seq(graft.functions.fp16_encode(col("v")).as("emb16"))
        else Nil)
-    residuals
-      .select(encCols: _*)
-      .repartition(col("centroid_id")).write.partitionBy("centroid_id")
+    // refine layout: rows SORTED by id within each cell + 128 KB row
+    // groups (~20 fp16 rows each), so the re-rank's id IN-shortlist
+    // probe skips on row-group statistics to ~r·k tight groups instead
+    // of decompressing every probed cell's emb16 chunk — measured 3.4×
+    // on the 200 k serving corpus (402 ms → 118 ms warm). The In filter
+    // must reach parquet un-degraded: GraftSession raises
+    // inFilterThreshold past r·k so Spark pushes the actual value list,
+    // not the useless (min,max) range over a spread shortlist.
+    val enc = residuals.select(encCols: _*).repartition(col("centroid_id"))
+    val writer = (if (refine)
+        enc.sortWithinPartitions(col("centroid_id"), col("id"))
+      else enc).write.partitionBy("centroid_id")
+    (if (refine) writer.option("parquet.block.size", 131072) else writer)
       .mode("overwrite").parquet(s"$indexDir/cells")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     cbFrame.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
