@@ -204,12 +204,25 @@ object Cli {
           dimMismatch(df, cfg.embedder.dim).foreach { msg =>
             System.err.println(msg); return 2
           }
-          // readWarm pins the AT-REST relation (encoded bytes for an fp16
-          // store) and builds the serving frame over the SAME resolved
-          // version — request plans hit the cache as a subplan and score
-          // through the fused kernel at half the fp32 resident footprint
-          val gw = new SearchGateway(
-            HighlightStore.readWarm(spark, cfg.storeDir).get, cfg.embedder)
+          // the reloading warm handle pins the AT-REST relation (encoded
+          // bytes for an fp16 store) per resolved version — request plans
+          // hit the cache as a subplan — and follows sync/refresh commits
+          // live, releasing the superseded version's cache on swap.
+          // --ivf-index serves filterless queries through the IVF probe
+          // (also generation-checked) with store rehydration of the k
+          // winners
+          val denseOpt = cfg.ivfIndexDir.map { d =>
+            if (!graft.similarity.Knn.ivfIndexReady(d)) {
+              System.err.println(s"no IVF index at $d " +
+                "(build one with Knn.ivfBuildIndex or drop --ivf-index)")
+              return 1
+            }
+            val h = graft.similarity.Knn.IvfIndex.reloading(spark, d)
+            () => h.get
+          }
+          val storeHandle = HighlightStore.reloadingWarm(spark, cfg.storeDir)
+          val gw = new SearchGateway(() => storeHandle.get.serving,
+            cfg.embedder, denseOpt, cfg.nprobe)
           val http = new HttpApi(gw.search, () => Health.check(spark),
             port = cfg.httpPort).start()
           val mcp = new McpServer(gw.search, port = cfg.mcpPort).start()

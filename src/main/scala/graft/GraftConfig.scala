@@ -23,7 +23,9 @@ final case class GraftConfig(
     httpPort: Int = GraftConfig.DefaultHttpPort,
     mcpPort: Int = GraftConfig.DefaultMcpPort,
     pagesDir: Option[String] = None,
-    checkpointDir: Option[String] = None) {
+    checkpointDir: Option[String] = None,
+    ivfIndexDir: Option[String] = None,
+    nprobe: Int = GraftConfig.DefaultNprobe) {
 
   /** The embedder this configuration describes. */
   def embedder: graft.embed.Embedder =
@@ -35,6 +37,7 @@ object GraftConfig {
   val DefaultEmbedderDim = 64
   val DefaultHttpPort = 8000
   val DefaultMcpPort = 8375
+  val DefaultNprobe = 4
 
   /** Validate a candidate configuration; Left = every violation, each with
     * a message specific enough to fix the config without reading code. */
@@ -61,6 +64,9 @@ object GraftConfig {
       errs += "CHECKPOINT_DIR (--ckpt / GRAFT_CHECKPOINT_DIR) is required " +
         "when PAGES_DIR is set (sync mode cannot track its watermark " +
         "without a checkpoint location)"
+    if (config.nprobe < 1)
+      errs += "NPROBE (--nprobe / GRAFT_NPROBE) must be a positive " +
+        s"integer, got ${config.nprobe}"
     errs.result() match {
       case Nil => Right(config)
       case es  => Left(es)
@@ -115,7 +121,8 @@ object GraftConfig {
     val portsInScope = command == Serve || command == All
     val syncInScope = command == Sync || command == All
     for ((flag, ok) <- Seq("pages-dir" -> syncInScope, "ckpt" -> syncInScope,
-        "http-port" -> portsInScope, "mcp-port" -> portsInScope))
+        "http-port" -> portsInScope, "mcp-port" -> portsInScope,
+        "ivf-index" -> portsInScope, "nprobe" -> portsInScope))
       if (!ok && flags.contains(flag))
         errs += s"--$flag is not a ${command.name} option"
     val fp16 = fp16Flag || (if (!syncInScope) false
@@ -140,7 +147,11 @@ object GraftConfig {
       mcpPort = if (portsInScope) int("mcp-port", "MCP_PORT", DefaultMcpPort)
         else DefaultMcpPort,
       pagesDir = pagesDir,
-      checkpointDir = if (syncInScope) str("ckpt", "CHECKPOINT_DIR") else None)
+      checkpointDir = if (syncInScope) str("ckpt", "CHECKPOINT_DIR") else None,
+      ivfIndexDir = if (portsInScope) str("ivf-index", "IVF_INDEX_DIR")
+        else None,
+      nprobe = if (portsInScope) int("nprobe", "NPROBE", DefaultNprobe)
+        else DefaultNprobe)
     (errs.result(), validated(candidate)) match {
       case (Nil, v)         => v
       case (es, Left(more)) => Left(es ++ more)

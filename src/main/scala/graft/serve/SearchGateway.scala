@@ -19,8 +19,23 @@ import graft.search.{SearchRequest, SemanticSearch}
   * The store is a highlight-schema DataFrame (FIXTURES.md §1). k ≤ 100 so
   * the collected result is tiny; the heavy lifting stays distributed in
   * `TakeOrderedAndProject`.
-  */
-final class SearchGateway(store: DataFrame, embedder: Embedder = Embedder.Default) {
+  *
+  * `storeFn`/`dense` are RESOLVED PER REQUEST so callers can hand in
+  * [[graft.sync.Reloading]]-backed handles (live sync/refresh commits
+  * served without restart); the plain-DataFrame constructors pin one
+  * version, the reference's process-lifecycle behavior. When a dense
+  * IVF index is provided, FILTERLESS non-hybrid queries top-k through
+  * its partition-pruned probe and only rehydrate the k winners from the
+  * store (the pgvector-index shape); filtered queries fall back to the
+  * store scan, where predicates push into the same plan as the score. */
+final class SearchGateway(storeFn: () => DataFrame, embedder: Embedder,
+    dense: Option[() => graft.similarity.Knn.IvfIndex], nprobe: Int) {
+
+  def this(store: DataFrame, embedder: Embedder) =
+    this(() => store, embedder, None, 4)
+  def this(store: DataFrame) = this(store, Embedder.Default)
+
+  private def store: DataFrame = storeFn()
 
   private val iso = DateTimeFormatter.ISO_LOCAL_DATE_TIME
 
@@ -35,7 +50,38 @@ final class SearchGateway(store: DataFrame, embedder: Embedder = Embedder.Defaul
         (Timestamp.valueOf(f.atStartOfDay()),
           Timestamp.valueOf(t.atStartOfDay())) })
     if (params.hybrid) hybridSearch(params, req)
-    else SemanticSearch.search(store, req).collect().iterator.map(decode)
+    else dense match {
+      case Some(idx) if req.sourceType.isEmpty && req.author.isEmpty &&
+          req.tags.isEmpty && req.highlightedAtRange.isEmpty =>
+        denseIndexSearch(idx(), req)
+      case _ =>
+        SemanticSearch.search(store, req).collect().iterator.map(decode)
+    }
+  }
+
+  /** Index-served top-k + store rehydration: the probe is the IvfIndex's
+    * partition-pruned job; the fetch reads only the k winners' rows
+    * (id IN-list, embedding column never projected). Scores come from
+    * the index (same cosine the store scan computes), so the two paths
+    * agree wherever the probe's recall does. */
+  private def denseIndexSearch(idx: graft.similarity.Knn.IvfIndex,
+      req: SearchRequest): Iterator[Map[String, Any]] = {
+    val k = SearchRequest.clampK(req.k)
+    val top = idx.search(req.queryVec, k, nprobe)
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("score"))
+      .collect()
+    if (top.isEmpty) return Iterator.empty
+    val scoreOf = top.map(r => (r.get(0), r.getDouble(1))).toMap
+    val order = top.map(_.get(0)).zipWithIndex.toMap
+    val rows = store
+      .filter(org.apache.spark.sql.functions.col("id")
+        .isin(top.map(_.get(0)): _*))
+      .drop(SemanticSearch.EmbeddingCol)
+      .collect()
+      .sortBy(r => order(r.getAs[Any]("id")))
+    rows.iterator.map(r =>
+      decode(r) + ("score" -> scoreOf(r.getAs[Any]("id"))))
   }
 
   /** Opt-in hybrid retrieval (q83/q84's operators at the serving edge):

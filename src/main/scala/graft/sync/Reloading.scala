@@ -30,7 +30,7 @@ import org.apache.spark.sql.SparkSession
   * next commit's retention sweep.
   */
 final class Reloading[T] private (fingerprint: () => String, loadFn: () => T,
-    minCheckIntervalMs: Long) {
+    minCheckIntervalMs: Long, onEvict: T => Unit) {
 
   @volatile private var state: (String, T) = {
     val g = fingerprint()
@@ -55,7 +55,13 @@ final class Reloading[T] private (fingerprint: () => String, loadFn: () => T,
       if (g == s2._1) s2._2
       else {
         val t = loadFn()
+        val old = s2._2
         state = (g, t)
+        // release the superseded handle's resources (e.g. unpersist a
+        // pinned store version). In-flight requests may still hold it —
+        // eviction must be a soft release (a Spark unpersist recomputes
+        // transparently), never a hard close.
+        onEvict(old)
         t
       }
     }
@@ -72,7 +78,14 @@ object Reloading {
   def apply[T](spark: SparkSession, root: String, sidecars: Seq[String],
       minCheckIntervalMs: Long = 0L)(loadFn: => T): Reloading[T] =
     new Reloading(() => fingerprintOf(spark, root, sidecars), () => loadFn,
-      minCheckIntervalMs)
+      minCheckIntervalMs, (_: T) => ())
+
+  /** [[apply]] with a soft-release hook for the superseded handle. */
+  def withEvict[T](spark: SparkSession, root: String, sidecars: Seq[String],
+      minCheckIntervalMs: Long = 0L)(loadFn: => T)(
+      onEvict: T => Unit): Reloading[T] =
+    new Reloading(() => fingerprintOf(spark, root, sidecars), () => loadFn,
+      minCheckIntervalMs, onEvict)
 
   /** Generation token of an index root — cheap by construction: one
     * small-file read (the pointer) + one file status per sidecar. */

@@ -101,6 +101,23 @@ object HighlightStore {
   def readWarm(spark: SparkSession, dir: String): Option[DataFrame] =
     warm(spark, dir).map(widen)
 
+  /** The pinned serving view of one resolved store version: the cached
+    * AT-REST relation (held so it can be released on reload) and the
+    * widened frame requests plan over. */
+  final case class WarmStore(atRest: DataFrame, serving: DataFrame)
+
+  /** [[readWarm]] behind a generation check ([[Reloading]] — the store's
+    * `CURRENT` pointer is the fingerprint): a long-lived serving process
+    * follows sync/refresh commits instead of pinning the boot-time
+    * version forever, and each swap releases the superseded version's
+    * cache (soft — in-flight requests recompute transparently). */
+  def reloadingWarm(spark: SparkSession, dir: String,
+      minCheckIntervalMs: Long = 0L): Reloading[WarmStore] =
+    Reloading.withEvict(spark, dir, Nil, minCheckIntervalMs) {
+      warm(spark, dir).map(at => WarmStore(at, widen(at)))
+        .getOrElse(throw new IllegalStateException(s"no store at $dir"))
+    } (old => { old.atRest.unpersist(); () })
+
   /** Surface an fp16 store's at-rest `emb16` as `embedding` (no-op for
     * fp32 stores). */
   private def widen(df: DataFrame): DataFrame =

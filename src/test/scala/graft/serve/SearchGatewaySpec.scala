@@ -85,6 +85,54 @@ class SearchGatewaySpec extends SparkTestBase {
     assert(filtered.forall(_("source_type") == st))
   }
 
+  test("index-backed gateway: filterless queries probe the IVF index, agree with the store scan, and follow live refresh") {
+    val root = java.nio.file.Files.createTempDirectory("gw-ivf").toString
+    val storeDir = s"$root/store"; val ivfDir = s"$root/ivf"
+    try {
+      graft.sync.HighlightStore.writeAtomic(store, storeDir)
+      graft.similarity.Knn.ivfBuildIndex(store, "embedding", "id", ivfDir,
+        k = 4, iters = 2,
+        trainFilter = crc32(col("id")) % 5 === 0)
+      val storeHandle = graft.sync.HighlightStore.reloadingWarm(spark, storeDir)
+      val ivfHandle = graft.similarity.Knn.IvfIndex.reloading(spark, ivfDir)
+      val gw = new SearchGateway(() => storeHandle.get.serving,
+        Embedder.Default, Some(() => ivfHandle.get), 4)
+      // nprobe = all cells → the probe's recall is exact and the index
+      // path must return the SAME ids/scores as the store scan
+      val plain = new SearchGateway(store)
+        .search(SearchParams(query = "spark vector join", k = 5)).toList
+      val indexed = gw
+        .search(SearchParams(query = "spark vector join", k = 5)).toList
+      assert(indexed.map(r => (r("id"), r("score"))) ==
+        plain.map(r => (r("id"), r("score"))))
+      assert(indexed.head.contains("text")) // rehydrated serving columns
+      // a FILTERED query falls back to the store scan path
+      val lang = store.select(element_at(col("tags"), 1)).head().getString(0)
+      val filtered = gw.search(SearchParams(query = "data", k = 50,
+        tags = Some(Seq(lang)))).toList
+      assert(filtered.nonEmpty && filtered.forall(
+        _("tags").asInstanceOf[scala.collection.Seq[String]].contains(lang)))
+      // live refresh: a new doc lands in store + index via CorpusRefresh;
+      // the SAME gateway instance serves it — no restart
+      val probe = "zzgatewayreload"
+      val newDoc = store.limit(1)
+        .withColumn("id", lit("zz-new"))
+        .withColumn("text", lit(s"the $probe document"))
+        .withColumn("embedding", Embedder.embedUdf()(col("text")))
+      val snap = store.unionByName(newDoc)
+      graft.sync.CorpusRefresh.refresh(spark, snap, "text", "id", storeDir,
+        ivfIndexDir = Some(ivfDir)).unpersist()
+      val got = gw.search(SearchParams(query = s"the $probe document",
+        k = 1)).toList
+      assert(got.map(_("id")) == List("zz-new"), got.map(_("id")))
+      assert(got.head("text").toString.contains(probe)) // rehydrated from the NEW store version
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("MCP server serves real searches over TCP") {
     val gw = new SearchGateway(store)
     val server = new McpServer(gw.search).start()
