@@ -151,6 +151,36 @@ object ConcurrencyProbe {
       }
     }
 
+    if (mode == "graph") {
+      // graph-ANN serving: NN-Descent builds the 5-NN graph once
+      // (O(n·K̃²·rounds), the only affordable construction at corpus
+      // scale), persisted as the bucket-partitioned adjacency index;
+      // each request walks the beam as 1 + hops partition-pruned point
+      // reads. The per-request job count (1+hops) is the honest cost of
+      // graph traversal on a planner-bound runtime — the dial against
+      // ivf's 1 job is hops, not bytes (every read touches only the
+      // frontier's edge rows).
+      val hops = sys.env.getOrElse("CONC_GRAPH_HOPS", "3").toInt
+      val ef = sys.env.getOrElse("CONC_GRAPH_EF", "20").toInt
+      val indexDir = graft.fixtures.Fp16Corpus.workRoot + s"/adjserve3072-n$n-k5"
+      if (!new java.io.File(s"$indexDir/CURRENT").isFile) {
+        val fp32 = corpus.select(col("vec_id").as("id"),
+          graft.functions.fp16_decode(col("emb16")).as("embedding"))
+        val edges = graft.similarity.Knn.nnDescentGraph(
+            fp32, "embedding", "id", k = 5, rounds = 3)
+          .select(col("id_a"), col("id_b"))
+        graft.similarity.Knn.buildAdjacencyIndex(edges, fp32, "embedding",
+          "id", indexDir, buckets = 64)
+      }
+      val index = graft.similarity.Knn.AdjIndex.load(spark, indexDir)
+      run(spark, s"graph(k=5,ef=$ef,hops=$hops)", n, users, reqsPerUser) {
+        seed =>
+          val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
+          index.search(qv, k = 10, ef = ef, hops = hops, entryId = seed % n)
+            .collect()
+      }
+    }
+
     if (mode == "hybrid" || mode == "both") {
       // hybrid serving shape: IVF dense leg (one pruned job) + bucket-
       // pruned lexical-index BM25 leg (one pruned job) + DRIVER-side RRF

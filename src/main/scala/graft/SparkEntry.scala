@@ -680,6 +680,20 @@ object SparkEntry {
         .orderBy(col("score"), col("id"))
     }),
 
+    // ---- the IVF drift monitor over q50's index: per-cell fill + the
+    //      DECIMAL-exact mean cosine residual to the cell centroid — the
+    //      measurable signal that fires a geometry re-train. Oracle
+    //      replays the training chain and aggregates the same residuals ----
+    "q126_cell_stats" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val indexDir = graft.fixtures.Fp16Corpus.workRoot +
+        s"/ivfindex-${new java.io.File(dir).getName}-c${e.count()}"
+      if (!Knn.ivfIndexReady(indexDir))
+        Knn.ivfBuildIndex(e, "embedding", "vec_id", indexDir, k = 4,
+          iters = 2, trainFilter = col("vec_id") % 5 === 0)
+      Knn.ivfCellStats(s, indexDir)
+    }),
+
     // ---- q50 with HALF-PRECISION cells: the index stores 2 bytes/dim
     //      (at 100 TB the cells ARE the index footprint), assignment and
     //      probe selection stay fp32, and the probe scores through the
@@ -2707,6 +2721,32 @@ object SparkEntry {
          |SELECT h.id, h.centroid_id, h.score,
          |  (h.id IN (SELECT id FROM exact)) AS in_exact
          |FROM hits h ORDER BY score, id""".stripMargin,
+
+    // q50's training chain verbatim through the full-corpus assignment,
+    // then per-cell fill + DECIMAL-summed mean residual
+    "q126_cell_stats" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |sample AS (SELECT * FROM corpus WHERE id % 5 = 0),
+         |seed AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS centroid_id,
+         |    v AS cvec
+         |  FROM sample QUALIFY row_number() OVER (ORDER BY id) <= 4),
+         |a1 AS (${sqlIvfAssign("sample", "seed")}),
+         |x1 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a1),
+         |m1 AS (${sqlIvfMean("x1")}),
+         |cent1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY 1),
+         |a2 AS (${sqlIvfAssign("sample", "cent1")}),
+         |x2 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a2),
+         |m2 AS (${sqlIvfMean("x2")}),
+         |cent2 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m2 GROUP BY 1),
+         |af AS (${sqlIvfAssign("corpus", "cent2")})
+         |SELECT af.centroid_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |  CAST(SUM(CAST(${sqlCosine("af.v", "c.cvec")} AS DECIMAL(25,9)))
+         |    AS DOUBLE) / COUNT(*) AS mean_resid
+         |FROM af JOIN cent2 c USING (centroid_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // q50's training/assignment/probe arithmetic verbatim (fp32), with
     // the SCORED vector first rounded component-wise to half precision —

@@ -466,11 +466,16 @@ object Knn {
       if (cells.columns.contains("emb16"))
         graft.functions.fp16_cosine_distance(col("emb16"), col("cvec"))
       else cosine_distance(col("v"), col("cvec"))
+    // DECIMAL-accumulated mean (the Lloyd-mean discipline): the drift
+    // signal is deterministic under any partitioning — and oracle-gated
+    // (q126) like every other relational output here
     cells
       .withColumn("centroid_id", col("centroid_id").cast("long"))
       .join(broadcast(cents), Seq("centroid_id"))
       .groupBy(col("centroid_id"))
-      .agg(count(lit(1)).as("n"), avg(resid).as("mean_resid"))
+      .agg(count(lit(1)).as("n"),
+        (sum(resid.cast("decimal(25,9)")).cast("double") / count(lit(1)))
+          .as("mean_resid"))
       .orderBy(col("centroid_id"))
   }
 
