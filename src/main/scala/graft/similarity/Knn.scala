@@ -925,14 +925,29 @@ object Knn {
       var beam = frontier(Seq(entryId), queryVec)
         .filter(_._1 == entryId).toVector
       require(beam.nonEmpty, s"entry $entryId has no self-row in the index")
+      // expand each src at most once, and stop when the beam holds no
+      // unexpanded member (the walk converged). Results are IDENTICAL to
+      // re-expanding the whole beam every hop (graphBeamSearch's literal
+      // form): the beam's score set only improves, so a candidate cut by
+      // the ef-th score at hop t stays cut at every later hop — a
+      // re-proposal can never re-enter. What it buys: each hop reads only
+      // the NEW frontier's buckets, and a converged walk skips its
+      // remaining hop jobs entirely.
+      var expanded = Set.empty[Long]
       var hop = 0
-      while (hop < hops) {
-        val cand = frontier(beam.map(_._1), queryVec)
-        beam = (beam ++ cand)
-          .groupBy(_._1).map { case (id, xs) => (id, xs.map(_._2).min) }
-          .toVector
-          .sortBy { case (id, d) => (d, id) }
-          .take(ef)
+      var frontierLeft = true
+      while (hop < hops && frontierLeft) {
+        val fresh = beam.map(_._1).filterNot(expanded)
+        if (fresh.isEmpty) frontierLeft = false
+        else {
+          expanded ++= fresh
+          val cand = frontier(fresh, queryVec)
+          beam = (beam ++ cand)
+            .groupBy(_._1).map { case (id, xs) => (id, xs.map(_._2).min) }
+            .toVector
+            .sortBy { case (id, d) => (d, id) }
+            .take(ef)
+        }
         hop += 1
       }
       beam.take(k).toDF("id", "score")
