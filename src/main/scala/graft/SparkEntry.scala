@@ -1682,6 +1682,22 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("score"))
     }),
 
+    // ---- HNSW layered descent: geometric levels (affine hash, nested
+    //      ~1/4 layers), greedy width-1 walk down each upper layer's
+    //      exact 3-NN graph to pick the layer-0 ENTRY, then q118's
+    //      ef-beam from there. The oracle replays the level CASE, both
+    //      upper-layer graphs, every greedy hop, and the final beam ----
+    "q127_hnsw_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val edges = Knn.knnGraph(e, "embedding", "vec_id", topK = 5)
+        .select(col("id_a"), col("id_b"))
+      val qv = e.filter(col("vec_id") === 299).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      Knn.hnswSearch(e, edges, "embedding", "vec_id", qv,
+        k = 10, ef = 20, hops = 4, maxLevel = 2, upperM = 3,
+        upperHops = 4)
+    }),
+
     // ---- NN-Descent graph construction (Dong et al. WWW'11): ring seed,
     //      3 rounds of neighbor-of-neighbor proposals over the undirected
     //      graph, keep 5 best per node — equi-joins + window top-k only,
@@ -3655,6 +3671,70 @@ object SparkEntry {
          |    ORDER BY dist, id_b) AS rank FROM p) WHERE rank <= 5),
          |b0 AS MATERIALIZED (SELECT id, dist FROM scored WHERE id = 0),
          |${steps.mkString(",\n")}
+         |SELECT id AS vec_id, dist AS score FROM b$hops
+         |ORDER BY score, vec_id LIMIT 10""".stripMargin
+    },
+
+    // q127: q118's oracle extended with the layered descent. Levels are
+    // the affine-hash CASE chain (nested: h%16=0 ⊆ h%4=0); each upper
+    // layer's exact 3-NN graph is a subset pair join + row_number; the
+    // greedy walks are the beam unroll with LIMIT 1; the final beam is
+    // q118's, entered from wherever the descent landed
+    "q127_hnsw_search" -> {
+      val upperHops = 4
+      def greedy(lvl: Int, fromCte: String): String = {
+        val steps = (1 to upperHops).map { i =>
+          s"""n${lvl}_$i AS (SELECT DISTINCT e.id_b AS id
+             |  FROM e$lvl e JOIN g${lvl}_${i - 1} b ON e.id_a = b.id),
+             |c${lvl}_$i AS (SELECT s.id, s.dist
+             |  FROM scored s JOIN n${lvl}_$i USING (id)),
+             |g${lvl}_$i AS MATERIALIZED (SELECT DISTINCT id, dist
+             |  FROM (SELECT id, dist FROM g${lvl}_${i - 1}
+             |        UNION ALL SELECT id, dist FROM c${lvl}_$i)
+             |  ORDER BY dist, id LIMIT 1)""".stripMargin
+        }
+        s"""p$lvl AS (SELECT a.id AS id_a, b.id AS id_b,
+           |  ${sqlCosine("a.v", "b.v")} AS dist
+           |  FROM lv a JOIN lv b ON a.id <> b.id
+           |  WHERE a.level >= $lvl AND b.level >= $lvl),
+           |e$lvl AS MATERIALIZED (SELECT id_a, id_b FROM (
+           |  SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a
+           |    ORDER BY dist, id_b) AS rank FROM p$lvl) WHERE rank <= 3),
+           |g${lvl}_0 AS MATERIALIZED ($fromCte),
+           |${steps.mkString(",\n")}""".stripMargin
+      }
+      val hops = 4
+      val beam = (1 to hops).map { i =>
+        s"""n$i AS (SELECT DISTINCT e.id_b AS id
+           |  FROM edges e JOIN b${i - 1} b ON e.id_a = b.id),
+           |c$i AS (SELECT s.id, s.dist FROM scored s JOIN n$i USING (id)),
+           |b$i AS MATERIALIZED (SELECT DISTINCT id, dist
+           |  FROM (SELECT id, dist FROM b${i - 1}
+           |        UNION ALL SELECT id, dist FROM c$i)
+           |  ORDER BY dist, id LIMIT 20)""".stripMargin
+      }
+      s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
+         |    CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 300 AND embedding IS NOT NULL),
+         |q AS MATERIALIZED (SELECT v AS qv FROM v WHERE id = 299),
+         |scored AS MATERIALIZED (
+         |  SELECT v.id, ${sqlCosine("v.v", "q.qv")} AS dist
+         |  FROM v CROSS JOIN q),
+         |lv AS MATERIALIZED (SELECT id, v,
+         |  CASE WHEN ((id * 1103515245 + 12345) % 1048576) % 16 = 0 THEN 2
+         |       WHEN ((id * 1103515245 + 12345) % 1048576) % 4 = 0 THEN 1
+         |       ELSE 0 END AS level FROM v),
+         |${greedy(2, "SELECT id, dist FROM scored WHERE id = " +
+            "(SELECT min(id) FROM lv WHERE level >= 2)")},
+         |${greedy(1, s"SELECT id, dist FROM g2_$upperHops")},
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |  ${sqlCosine("a.v", "b.v")} AS dist
+         |  FROM v a JOIN v b ON a.id <> b.id),
+         |edges AS MATERIALIZED (SELECT id_a, id_b FROM (
+         |  SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a
+         |    ORDER BY dist, id_b) AS rank FROM p) WHERE rank <= 5),
+         |b0 AS MATERIALIZED (SELECT id, dist FROM g1_$upperHops),
+         |${beam.mkString(",\n")}
          |SELECT id AS vec_id, dist AS score FROM b$hops
          |ORDER BY score, vec_id LIMIT 10""".stripMargin
     },

@@ -111,6 +111,67 @@ object Knn {
       .withColumnRenamed("id", keyCol)
   }
 
+  /** Deterministic geometric HNSW level assignment: an affine hash of
+    * the id, level = the largest ℓ ≤ maxLevel with hash % 4^ℓ == 0, so
+    * each layer keeps ~1/4 of the one below and the level sets NEST
+    * (h % 16 == 0 implies h % 4 == 0) — the property HNSW's
+    * `floor(-ln(U)/ln(M))` draw has in expectation, made exact and
+    * replayable (no RNG state; an oracle computes the same CASE chain).
+    */
+  def hnswLevel(id: Column, maxLevel: Int): Column = {
+    val h = pmod(id * lit(1103515245L) + lit(12345L), lit(1048576L))
+    (1 to maxLevel).foldLeft(lit(0)) { (acc, l) =>
+      when(pmod(h, lit(1L << (2 * l))) === 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** HNSW-style hierarchical search: the layered entry-point descent on
+    * top of [[graphBeamSearch]]'s flat walk. Nodes get geometric levels
+    * ([[hnswLevel]]); each upper layer ℓ ∈ [1, maxLevel] is the exact
+    * `upperM`-NN graph over the nodes with level ≥ ℓ. The query enters
+    * at the top layer's min-id node, GREEDILY descends each upper layer
+    * (beam width 1, `upperHops` hops — [[graphBeamSearch]] with
+    * ef = k = 1), and runs the full ef-beam only at layer 0 over the
+    * caller's `edges` graph, starting from wherever the descent landed.
+    *
+    * Why layers: a flat walk's hop count to reach the query's
+    * neighborhood grows with corpus diameter; the upper layers are
+    * expander-like long-range links that cover that distance in
+    * O(log n) single-width hops, so layer-0 `hops` can stay small and
+    * local. Fully deterministic (affine levels, (dist, id) ties), so an
+    * oracle replays the descent hop-for-hop.
+    *
+    * Scale shape: layer ℓ holds ~n/4^ℓ nodes, so upper-layer graphs are
+    * geometrically cheaper than layer 0's; this in-plan form rebuilds
+    * them per call as the oracle does ([[knnGraph]] — O((n/4^ℓ)²); at
+    * corpus scale build each layer once with [[nnDescentGraph]] and
+    * serve every layer from its own [[buildAdjacencyIndex]] bucket
+    * layout, making each greedy hop an O(1) point read — the descent
+    * adds maxLevel·upperHops point reads per query, nothing
+    * corpus-sized. */
+  def hnswSearch(corpus: DataFrame, edges: DataFrame, vecCol: String,
+      keyCol: String, queryVec: Array[Float], k: Int, ef: Int, hops: Int,
+      maxLevel: Int = 2, upperM: Int = 3, upperHops: Int = 4): DataFrame = {
+    require(maxLevel >= 1, s"hnswSearch: need maxLevel >= 1, got $maxLevel")
+    val v = corpus.filter(col(vecCol).isNotNull)
+      .select(col(keyCol).cast("long").as("id"), col(vecCol).as("v"))
+    val lev = v.withColumn("level", hnswLevel(col("id"), maxLevel))
+    var cur = lev.filter(col("level") >= maxLevel)
+      .agg(min(col("id"))).head().getLong(0)
+    var l = maxLevel
+    while (l >= 1) {
+      val sub = lev.filter(col("level") >= l)
+        .select(col("id").as(keyCol), col("v").as(vecCol))
+      val subEdges = knnGraph(sub, vecCol, keyCol, topK = upperM)
+        .select(col("id_a"), col("id_b"))
+      cur = graphBeamSearch(sub, subEdges, vecCol, keyCol, queryVec,
+        k = 1, ef = 1, hops = upperHops, entryId = cur).head().getLong(0)
+      l -= 1
+    }
+    graphBeamSearch(corpus, edges, vecCol, keyCol, queryVec, k, ef, hops,
+      entryId = cur)
+  }
+
   /** Approximate kNN-graph CONSTRUCTION by NN-Descent (Dong et al.,
     * WWW'11) — the scale path that [[knnGraph]]'s O(n²) oracle form and
     * [[cellKnnGraph]]'s celled form lead to: seed each node with k

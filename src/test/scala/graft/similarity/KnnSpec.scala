@@ -459,6 +459,40 @@ class KnnSpec extends SparkTestBase {
     } finally edges.unpersist()
   }
 
+  test("hnswSearch: nested geometric levels, layered descent, recall vs exact") {
+    val sub = emb.filter($"vec_id" < 300)
+    // affine-hash levels over ids 0..299: level>=1 ⇔ id ≡ 3 (mod 4),
+    // level 2 ⇔ id ≡ 3 (mod 16) — geometric ~1/4 layers, and the sets
+    // NEST (mod-16 hits are mod-4 hits), the HNSW layer property
+    val counts = sub.select($"vec_id".cast("long").as("id"))
+      .withColumn("level", Knn.hnswLevel($"id", 2))
+      .groupBy($"level").count().as[(Int, Long)].collect().toMap
+    assert(counts == Map(0 -> 225L, 1 -> 56L, 2 -> 19L), s"$counts")
+    val edges = Knn.knnGraph(sub, "embedding", "vec_id", topK = 5)
+      .select($"id_a", $"id_b").cache()
+    try {
+      val qv = sub.filter($"vec_id" === 299).select($"embedding")
+        .head().getSeq[Float](0).toArray
+      def run() = Knn.hnswSearch(sub, edges, "embedding", "vec_id", qv,
+        k = 10, ef = 20, hops = 4, maxLevel = 2, upperM = 3,
+        upperHops = 4).collect()
+      val rows = run()
+      assert(rows.length == 10)
+      val scores = rows.map(_.getDouble(1))
+      assert(scores.sameElements(scores.sorted))
+      val exact = Knn.topK(sub, "embedding", qv, 10, "vec_id")
+        .select($"vec_id").as[Long].collect().toSet
+      // measured (deterministic): 0.9 — vs 0.6 for the flat walk from
+      // entry 0 at the SAME ef/hops (the graphBeamSearch test above):
+      // the descent's better entry is worth +0.3 recall at equal cost
+      val recall = exact.intersect(rows.map(_.getLong(0)).toSet).size / 10.0
+      info(s"hnsw recall@10 at ef=20/hops=4: $recall")
+      assert(recall >= 0.85, s"hnsw recall $recall vs exact")
+      // fully deterministic: affine levels + (dist, id) ties everywhere
+      assert(rows.toSeq == run().toSeq)
+    } finally edges.unpersist()
+  }
+
   test("hammingPrefilterTopK: recall vs exact, integer-only cut, no shuffle of corpus") {
     val qv = emb.filter($"vec_id" === 0).select($"embedding")
       .head().getSeq[Float](0).toArray
