@@ -150,7 +150,8 @@ final class HttpApi(
       tagsCsv = p.get("tags"),
       fromDate = p.get("from_date"),
       toDate = p.get("to_date"),
-      hybrid = p.get("hybrid")) match {
+      hybrid = p.get("hybrid"),
+      mmr = p.get("mmr")) match {
       case Left(err) => respondJson(ex, 422, Map("detail" -> err))
       case Right(params) =>
         ex.getResponseHeaders.set("Content-Type", "text/event-stream")

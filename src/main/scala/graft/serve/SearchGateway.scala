@@ -50,13 +50,71 @@ final class SearchGateway(storeFn: () => DataFrame, embedder: Embedder,
         (Timestamp.valueOf(f.atStartOfDay()),
           Timestamp.valueOf(t.atStartOfDay())) })
     if (params.hybrid) hybridSearch(params, req)
-    else dense match {
-      case Some(idx) if req.sourceType.isEmpty && req.author.isEmpty &&
-          req.tags.isEmpty && req.highlightedAtRange.isEmpty =>
-        denseIndexSearch(idx(), req)
-      case _ =>
-        SemanticSearch.search(store, req).collect().iterator.map(decode)
+    else params.mmrLambda match {
+      case Some(lambda) => mmrSearch(lambda, req)
+      case None => dense match {
+        case Some(idx) if req.sourceType.isEmpty && req.author.isEmpty &&
+            req.tags.isEmpty && req.highlightedAtRange.isEmpty =>
+          denseIndexSearch(idx(), req)
+        case _ =>
+          SemanticSearch.search(store, req).collect().iterator.map(decode)
+      }
     }
+  }
+
+  /** Opt-in MMR diversification (q116's operator at the serving edge):
+    * one store scan cuts a 4·k (≤ 200) candidate pool into a top-pool
+    * heap WITH embeddings, then [[graft.search.Mmr]]'s greedy
+    * λ·rel − (1−λ)·max-sim selection re-orders it locally — O(k·pool)
+    * driver arithmetic on kilobytes, the same collected-top-k contract
+    * as every other serving path. The reported `score` stays the cosine
+    * distance (comparable with the plain path); only the ORDER is
+    * diversified. Runs on the always-correct store scan (the IVF probe
+    * returns ids without vectors, and diversification needs the pool's
+    * embeddings), honoring the request's filters. */
+  private def mmrSearch(lambda: Double,
+      req: SearchRequest): Iterator[Map[String, Any]] = {
+    import org.apache.spark.sql.functions.{col, typedLit}
+    val k = SearchRequest.clampK(req.k)
+    val pool = math.min(4 * k, 2 * SearchRequest.MaxK)
+    val cand = SemanticSearch.applyFilters(
+        store.filter(col(SemanticSearch.EmbeddingCol).isNotNull), req)
+      .withColumn("score", graft.functions.cosine_distance(
+        col(SemanticSearch.EmbeddingCol), typedLit(req.queryVec)))
+      .orderBy(col("score").asc, col("id").asc)
+      .limit(pool)
+      .collect()
+    if (cand.isEmpty) return Iterator.empty
+    val vecOf = cand.map(r => r.getAs[String]("id") ->
+      r.getAs[Seq[Float]](SemanticSearch.EmbeddingCol).toArray).toMap
+    def sim(a: Array[Float], b: Array[Float]): Double =
+      1.0 - graft.functions.VectorMath.cosineDistance(a, b)
+    // greedy Mmr.rerank selection keyed by the store's string ids; ties
+    // on mmr break toward the lexicographically smaller id
+    val remaining = scala.collection.mutable.LinkedHashMap(
+      cand.map(r => r.getAs[String]("id") -> r): _*)
+    val out = Seq.newBuilder[Row]
+    var selected = List.empty[Array[Float]]
+    var rank = 0
+    while (rank < k && remaining.nonEmpty) {
+      var bestId: String = null
+      var bestMmr = Double.NegativeInfinity
+      remaining.foreach { case (id, r) =>
+        val rel = 1.0 - r.getAs[Double]("score")
+        val maxSim =
+          if (selected.isEmpty) 0.0
+          else selected.iterator.map(s => sim(vecOf(id), s)).max
+        val mmr = lambda * rel - (1.0 - lambda) * maxSim
+        if (mmr > bestMmr || (mmr == bestMmr && (bestId == null || id < bestId))) {
+          bestMmr = mmr; bestId = id
+        }
+      }
+      val r = remaining.remove(bestId).get
+      selected ::= vecOf(bestId)
+      out += r
+      rank += 1
+    }
+    out.result().iterator.map(decode)
   }
 
   /** Index-served top-k + store rehydration: the probe is the IvfIndex's

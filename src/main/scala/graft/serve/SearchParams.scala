@@ -16,7 +16,13 @@ final case class SearchParams(
     // opt-in hybrid retrieval (100-TB extension surface, not a reference
     // behavior): dense cosine top-k + BM25 top-k fused by reciprocal
     // rank; the reported score becomes the RRF value
-    hybrid: Boolean = false)
+    hybrid: Boolean = false,
+    // opt-in MMR diversification (q116's operator at the serving edge):
+    // λ ∈ (0, 1] re-orders a pooled dense top-4k by
+    // λ·rel − (1−λ)·max-sim greedy selection. Dense store-scan path
+    // only; ignored when hybrid is set (RRF candidates carry no
+    // embedding to diversify on)
+    mmrLambda: Option[Double] = None)
 
 object SearchParams {
   /** Reference defaults: k=20, invalid k silently coerced to the default
@@ -68,9 +74,22 @@ object SearchParams {
           tags = params.get("tags").collect {
             case xs: Seq[_] => xs.map(_.toString) }.filter(_.nonEmpty),
           highlightedAtRange = range,
-          hybrid = parseHybrid(params.get("hybrid"))))
+          hybrid = parseHybrid(params.get("hybrid")),
+          mmrLambda = parseMmr(params.get("mmr"))))
       case _ => Left("Missing or invalid 'q' parameter")
     }
+
+  /** Lenient λ parse matching the k philosophy: only a numeric value in
+    * (0, 1] opts in; anything else (absent, junk, out of range) is the
+    * plain-ranking default. λ=1 is legal and ≡ plain top-k — a caller
+    * probing the dial's endpoint gets the consistent answer. */
+  private def parseMmr(v: Option[Any]): Option[Double] = (v match {
+    case Some(d: Double) => Some(d)
+    case Some(n: Long) => Some(n.toDouble)
+    case Some(n: Int) => Some(n.toDouble)
+    case Some(s: String) => s.toDoubleOption
+    case _ => None
+  }).filter(l => l > 0.0 && l <= 1.0)
 
   /** Lenient opt-in flag, matching the k philosophy: only an explicit
     * true-ish value turns hybrid on; anything else is the dense default. */
@@ -86,7 +105,8 @@ object SearchParams {
       sourceType: Option[String] = None, author: Option[String] = None,
       tagsCsv: Option[String] = None, fromDate: Option[String] = None,
       toDate: Option[String] = None,
-      hybrid: Option[String] = None): Either[String, SearchParams] =
+      hybrid: Option[String] = None,
+      mmr: Option[String] = None): Either[String, SearchParams] =
     if (query == null || query.isEmpty) Left("Missing or invalid 'q' parameter")
     else Right(SearchParams(
       query = query,
@@ -95,5 +115,6 @@ object SearchParams {
       author = author,
       tags = splitTags(tagsCsv),
       highlightedAtRange = dateRange(fromDate, toDate),
-      hybrid = parseHybrid(hybrid)))
+      hybrid = parseHybrid(hybrid),
+      mmrLambda = parseMmr(mmr)))
 }

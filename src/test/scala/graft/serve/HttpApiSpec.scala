@@ -86,6 +86,28 @@ class HttpApiSpec extends AnyFunSuite {
     } finally api.shutdown()
   }
 
+  test("mmr λ reaches SearchParams from both the POST body and the SSE query param") {
+    val echo = (p: SearchParams) => Iterator.single(
+      scala.collection.immutable.ListMap[String, Any](
+        "id" -> "h0", "mmr" -> p.mmrLambda.map(_.toString).getOrElse("off")))
+    val api = new HttpApi(echo).start()
+    try {
+      val c = HttpClient.newHttpClient()
+      val port = api.boundPort
+      assert(post(c, port, "/search", """{"q":"x","mmr":0.3}""")
+        .body().contains("\"mmr\":\"0.3\""))
+      assert(post(c, port, "/search", """{"q":"x"}""")
+        .body().contains("\"mmr\":\"off\""))
+      // out-of-range / junk λ is the plain-ranking default, not an error
+      assert(post(c, port, "/search", """{"q":"x","mmr":7}""")
+        .body().contains("\"mmr\":\"off\""))
+      assert(get(c, port, "/mcp/stream?q=x&mmr=0.5")
+        .body().contains("\"mmr\":\"0.5\""))
+      assert(get(c, port, "/mcp/stream?q=x&mmr=junk")
+        .body().contains("\"mmr\":\"off\""))
+    } finally api.shutdown()
+  }
+
   test("request metrics: /search moves the labeled HTTP series") {
     withApi { (c, port) =>
       def scrape(): Seq[String] = get(c, port, "/metrics").body().split("\n").toSeq

@@ -55,6 +55,49 @@ class SearchGatewaySpec extends SparkTestBase {
     assert(none.isEmpty)
   }
 
+  test("gateway mmr: λ=1 ≡ plain order, λ<1 de-clumps, junk λ ignored, hybrid wins") {
+    val gw = new SearchGateway(store)
+    val q = "spark vector join"
+    def ids(rows: List[Map[String, Any]]): List[String] =
+      rows.map(_("id").asInstanceOf[String])
+    val plain = gw.search(SearchParams(query = q, k = 10)).toList
+    // λ=1: mmr = λ·rel — pure relevance, ties toward smaller id: the
+    // plain path's exact order (the dial's endpoint is consistent)
+    val l1 = gw.search(SearchParams(query = q, k = 10,
+      mmrLambda = Some(1.0))).toList
+    assert(ids(l1) == ids(plain))
+    // score stays the cosine distance on the mmr path (comparable scales)
+    assert(l1.map(_("score")) == plain.map(_("score")))
+    def meanPairSim(xs: List[String]): Double = {
+      val vs = store.filter(col("id").isin(xs: _*))
+        .select(col("embedding")).collect()
+        .map(_.getAs[Seq[Float]](0).toArray)
+      val sims = for { i <- vs.indices; j <- i + 1 until vs.length }
+        yield 1.0 - graft.functions.VectorMath.cosineDistance(vs(i), vs(j))
+      sims.sum / sims.size
+    }
+    // λ=0.3 diversifies: order changes and the result set de-clumps
+    val div = gw.search(SearchParams(query = q, k = 10,
+      mmrLambda = Some(0.3))).toList
+    assert(ids(div) != ids(plain))
+    assert(meanPairSim(ids(div)) <= meanPairSim(ids(plain)) + 1e-12)
+    // deterministic re-run
+    assert(ids(gw.search(SearchParams(query = q, k = 10,
+      mmrLambda = Some(0.3))).toList) == ids(div))
+    // lenient parse: only numeric (0, 1] opts in
+    assert(SearchParams.fromHttp("x", mmr = Some("1.5")).toOption.get.mmrLambda.isEmpty)
+    assert(SearchParams.fromHttp("x", mmr = Some("junk")).toOption.get.mmrLambda.isEmpty)
+    assert(SearchParams.fromHttp("x", mmr = Some("0")).toOption.get.mmrLambda.isEmpty)
+    assert(SearchParams.fromHttp("x", mmr = Some("0.4")).toOption.get.mmrLambda.contains(0.4))
+    assert(SearchParams.fromMcp(Map("q" -> "x", "mmr" -> 0.4)).toOption.get.mmrLambda.contains(0.4))
+    // hybrid + mmr: hybrid wins (RRF candidates carry no embeddings)
+    val hybridOnly = gw.search(SearchParams(query = q, k = 10,
+      hybrid = true)).toList
+    val both = gw.search(SearchParams(query = q, k = 10, hybrid = true,
+      mmrLambda = Some(0.3))).toList
+    assert(ids(both) == ids(hybridOnly))
+  }
+
   test("gateway hybrid: RRF fusion of the dense and BM25 legs, filters scope both") {
     val gw = new SearchGateway(store)
     // query terms that really occur in the corpus, so the lexical leg bites
