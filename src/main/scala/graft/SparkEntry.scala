@@ -1698,6 +1698,61 @@ object SparkEntry {
         upperHops = 4)
     }),
 
+    // ---- q127 served from the PERSISTENT layer stack: one adjacency
+    //      index per layer (fp16 dvecs), meta-pinned entry, greedy
+    //      point-read descent + layer-0 beam. Oracle is q127's walk
+    //      with every score fp16-rounded (the q125 discipline) ----
+    "q128_hnsw_index_search" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val qv = e.filter(col("vec_id") === 299).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-hnswidx").toString + "/hnsw"
+      Knn.buildHnswIndex(e, "embedding", "vec_id", idxDir,
+        maxLevel = 2, upperM = 3, k0 = 5, buckets = 16, fp16 = true)
+      Knn.HnswIndex.load(s, idxDir)
+        .search(qv, k = 10, ef = 20, hops = 4, upperHops = 4)
+        .select(col("id").as("vec_id"), col("score"))
+    }),
+
+    // ---- exact triangle counting over q95's content-derived link
+    //      graph (Suri & Vassilvitskii degree-ordered orientation):
+    //      the local-clustering signal of link analysis, with every
+    //      out-degree bounded O(√m) regardless of skew ----
+    "q129_triangle_count" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val n = d.count()
+      val h = TextAnalysis.polyHash(col("text"))
+      val dsts = (0 until 3).map { j =>
+        (lit(graft.text.TextMath.MinHashA(j)) * h +
+          lit(graft.text.TextMath.MinHashB(j))) %
+          lit(graft.text.TextMath.Mod) % lit(n)
+      }
+      val edges = d.select(col("doc_id").as("src"),
+        explode(array(dsts: _*)).as("dst"))
+      graft.operators.Graph.triangleCounts(edges, "src", "dst")
+        .orderBy(col("id"))
+    }),
+
+    // ---- synchronous label-propagation communities over the same
+    //      link graph, 3 replayed rounds: most-frequent neighbor label,
+    //      ties toward the smaller — the mesoscale structure (mirror
+    //      families, link rings) PageRank and dedup don't expose ----
+    "q130_label_propagation" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val n = d.count()
+      val h = TextAnalysis.polyHash(col("text"))
+      val dsts = (0 until 3).map { j =>
+        (lit(graft.text.TextMath.MinHashA(j)) * h +
+          lit(graft.text.TextMath.MinHashB(j))) %
+          lit(graft.text.TextMath.Mod) % lit(n)
+      }
+      val edges = d.select(col("doc_id").as("src"),
+        explode(array(dsts: _*)).as("dst"))
+      graft.operators.Graph.labelPropagation(edges, "src", "dst",
+        rounds = 3).orderBy(col("id"))
+    }),
+
     // ---- NN-Descent graph construction (Dong et al. WWW'11): ring seed,
     //      3 rounds of neighbor-of-neighbor proposals over the undirected
     //      graph, keep 5 best per node — equi-joins + window top-k only,
@@ -3737,6 +3792,155 @@ object SparkEntry {
          |${beam.mkString(",\n")}
          |SELECT id AS vec_id, dist AS score FROM b$hops
          |ORDER BY score, vec_id LIMIT 10""".stripMargin
+    },
+
+    // q128: q127's layered walk with every SCORE computed over the
+    // fp16-rounded vector (the persisted adjacency rows' dvec precision
+    // — q125's discipline); the level CASE, both upper-layer GRAPHS and
+    // the layer-0 graph stay fp32, exactly what buildHnswIndex persists
+    "q128_hnsw_index_search" -> {
+      val upperHops = 4
+      def greedy(lvl: Int, fromCte: String): String = {
+        val steps = (1 to upperHops).map { i =>
+          s"""n${lvl}_$i AS (SELECT DISTINCT e.id_b AS id
+             |  FROM e$lvl e JOIN g${lvl}_${i - 1} b ON e.id_a = b.id),
+             |c${lvl}_$i AS (SELECT s.id, s.dist
+             |  FROM scored s JOIN n${lvl}_$i USING (id)),
+             |g${lvl}_$i AS MATERIALIZED (SELECT DISTINCT id, dist
+             |  FROM (SELECT id, dist FROM g${lvl}_${i - 1}
+             |        UNION ALL SELECT id, dist FROM c${lvl}_$i)
+             |  ORDER BY dist, id LIMIT 1)""".stripMargin
+        }
+        s"""p$lvl AS (SELECT a.id AS id_a, b.id AS id_b,
+           |  ${sqlCosine("a.v", "b.v")} AS dist
+           |  FROM lv a JOIN lv b ON a.id <> b.id
+           |  WHERE a.level >= $lvl AND b.level >= $lvl),
+           |e$lvl AS MATERIALIZED (SELECT id_a, id_b FROM (
+           |  SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a
+           |    ORDER BY dist, id_b) AS rank FROM p$lvl) WHERE rank <= 3),
+           |g${lvl}_0 AS MATERIALIZED ($fromCte),
+           |${steps.mkString(",\n")}""".stripMargin
+      }
+      val hops = 4
+      val beam = (1 to hops).map { i =>
+        s"""n$i AS (SELECT DISTINCT e.id_b AS id
+           |  FROM edges e JOIN b${i - 1} b ON e.id_a = b.id),
+           |c$i AS (SELECT s.id, s.dist FROM scored s JOIN n$i USING (id)),
+           |b$i AS MATERIALIZED (SELECT DISTINCT id, dist
+           |  FROM (SELECT id, dist FROM b${i - 1}
+           |        UNION ALL SELECT id, dist FROM c$i)
+           |  ORDER BY dist, id LIMIT 20)""".stripMargin
+      }
+      val half = sqlFp16Round
+      s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
+         |    CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 300 AND embedding IS NOT NULL),
+         |hc AS (SELECT vec_id AS id, unnest(range(len(embedding))) AS pos,
+         |    unnest(embedding) AS xf
+         |  FROM embeddings WHERE vec_id < 300 AND embedding IS NOT NULL),
+         |hh AS (SELECT id, pos, $half AS xh FROM hc),
+         |vh AS MATERIALIZED (SELECT id, list(xh ORDER BY pos) AS v
+         |  FROM hh GROUP BY id),
+         |q AS MATERIALIZED (SELECT v AS qv FROM v WHERE id = 299),
+         |scored AS MATERIALIZED (
+         |  SELECT vh.id, ${sqlCosine("vh.v", "q.qv")} AS dist
+         |  FROM vh CROSS JOIN q),
+         |lv AS MATERIALIZED (SELECT id, v,
+         |  CASE WHEN ((id * 1103515245 + 12345) % 1048576) % 16 = 0 THEN 2
+         |       WHEN ((id * 1103515245 + 12345) % 1048576) % 4 = 0 THEN 1
+         |       ELSE 0 END AS level FROM v),
+         |${greedy(2, "SELECT id, dist FROM scored WHERE id = " +
+            "(SELECT min(id) FROM lv WHERE level >= 2)")},
+         |${greedy(1, s"SELECT id, dist FROM g2_$upperHops")},
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |  ${sqlCosine("a.v", "b.v")} AS dist
+         |  FROM v a JOIN v b ON a.id <> b.id),
+         |edges AS MATERIALIZED (SELECT id_a, id_b FROM (
+         |  SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a
+         |    ORDER BY dist, id_b) AS rank FROM p) WHERE rank <= 5),
+         |b0 AS MATERIALIZED (SELECT id, dist FROM g1_$upperHops),
+         |${beam.mkString(",\n")}
+         |SELECT id AS vec_id, dist AS score FROM b$hops
+         |ORDER BY score, vec_id LIMIT 10""".stripMargin
+    },
+
+    // q129: triangle counting replayed — q95's edge derivation, then the
+    // simple undirected reduction, (deg, id)-ordered orientation, wedge
+    // join around each triangle's lowest vertex, closure join, explode
+    "q129_triangle_count" -> {
+      val P2 = graft.text.TextMath.Mod
+      def edge(j: Int): String = {
+        val a = graft.text.TextMath.MinHashA(j)
+        val b = graft.text.TextMath.MinHashB(j)
+        s"SELECT doc_id AS src, ($a * h + $b) % $P2 % (SELECT n FROM nn) AS dst FROM docs"
+      }
+      s"""WITH docs AS (SELECT doc_id, ${sqlPolyHash("text")} AS h FROM documents),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |base AS (
+         |  ${edge(0)}
+         |  UNION ALL
+         |  ${edge(1)}
+         |  UNION ALL
+         |  ${edge(2)}),
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM base WHERE src <> dst),
+         |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+         |  SELECT u AS id FROM und UNION ALL SELECT v AS id FROM und)
+         |  GROUP BY id),
+         |o AS (SELECT
+         |  CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+         |    THEN u ELSE v END AS src,
+         |  CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+         |    THEN v ELSE u END AS dst,
+         |  CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+         |    THEN dv.deg ELSE du.deg END AS ddeg
+         |  FROM und JOIN deg du ON du.id = u JOIN deg dv ON dv.id = v),
+         |w AS (SELECT e1.src, e1.dst AS b, e2.dst AS c
+         |  FROM o e1 JOIN o e2 ON e1.src = e2.src
+         |  WHERE e1.ddeg < e2.ddeg
+         |     OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst)),
+         |tri AS (SELECT w.src, w.b, w.c
+         |  FROM w JOIN o e3 ON e3.src = w.b AND e3.dst = w.c),
+         |ids AS (SELECT src AS id FROM tri
+         |  UNION ALL SELECT b FROM tri
+         |  UNION ALL SELECT c FROM tri)
+         |SELECT id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM ids
+         |GROUP BY id ORDER BY id""".stripMargin
+    },
+
+    // q130: label propagation unrolled — per round one neighbor-label
+    // count and one (cnt DESC, label ASC) row_number pick per node
+    "q130_label_propagation" -> {
+      val P2 = graft.text.TextMath.Mod
+      def edge(j: Int): String = {
+        val a = graft.text.TextMath.MinHashA(j)
+        val b = graft.text.TextMath.MinHashB(j)
+        s"SELECT doc_id AS src, ($a * h + $b) % $P2 % (SELECT n FROM nn) AS dst FROM docs"
+      }
+      val rounds = (1 to 3).map { i =>
+        s"""c$i AS (SELECT adj.a, l.label, COUNT(*) AS cnt
+           |  FROM adj JOIN l${i - 1} l ON adj.b = l.id
+           |  GROUP BY adj.a, l.label),
+           |l$i AS MATERIALIZED (SELECT a AS id, label FROM (
+           |  SELECT a, label, row_number() OVER (PARTITION BY a
+           |    ORDER BY cnt DESC, label ASC) AS rk FROM c$i) WHERE rk = 1)"""
+          .stripMargin
+      }
+      s"""WITH docs AS (SELECT doc_id, ${sqlPolyHash("text")} AS h FROM documents),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |base AS (
+         |  ${edge(0)}
+         |  UNION ALL
+         |  ${edge(1)}
+         |  UNION ALL
+         |  ${edge(2)}),
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM base WHERE src <> dst),
+         |adj AS (SELECT u AS a, v AS b FROM und
+         |  UNION ALL SELECT v AS a, u AS b FROM und),
+         |l0 AS (SELECT DISTINCT a AS id, a AS label FROM adj),
+         |${rounds.mkString(",\n")}
+         |SELECT id, label FROM l3 ORDER BY id""".stripMargin
     },
 
     // NN-Descent replayed round-for-round: LCG expander seed over dense

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics over plain edge-list DataFrames — the
@@ -18,6 +19,129 @@ object Graph {
       case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
       case _              => ()
     }
+
+  /** Exact per-vertex triangle counting by degree-ordered orientation
+    * (Suri & Vassilvitskii, WWW'11 — the "curse of the last reducer"
+    * fix). The input edge list is first reduced to the simple
+    * UNDIRECTED graph (self-loops dropped, both orientations and
+    * multi-edges collapsed via least/greatest + distinct), then every
+    * edge orients from its lower endpoint to its higher under the
+    * TOTAL order (degree, id). Wedges form only around each triangle's
+    * LOWEST vertex — two oriented out-edges joined on their shared
+    * source, ordered (deg, id) between the endpoints — and close with
+    * one equi-join back to the oriented edge list, so each triangle is
+    * found exactly once and per-vertex counts are one explode + count.
+    *
+    * Why the orientation matters at 100 TB: wedge count is
+    * Σ out_deg(v)², and degree-ordering bounds every out-degree by
+    * O(√m) however skewed the raw degrees are — a celebrity node with
+    * 10⁸ followers contributes no wedges at all (all its edges point
+    * INTO it), where the naive per-vertex join would generate 10¹⁶
+    * pairs on one reducer. Three hash exchanges total (degree agg,
+    * wedge join on src, closure join on the (b, c) pair), every join an
+    * equi-join AQE can split; no row ever carries more than three ids.
+    *
+    * Returns (id, n_tri) for vertices in ≥1 triangle — deterministic
+    * exact counts, SQL-replicable for the oracle. */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = und.select(col("u").as("id"))
+      .unionAll(und.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient toward the higher (deg, id); carry the destination's degree
+    // so the wedge ordering needs no further join
+    val o = und
+      .join(deg.select(col("id").as("u"), col("deg").as("udeg")), Seq("u"))
+      .join(deg.select(col("id").as("v"), col("deg").as("vdeg")), Seq("v"))
+      .select(
+        when(col("udeg") < col("vdeg") ||
+            (col("udeg") === col("vdeg") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("src"),
+        when(col("udeg") < col("vdeg") ||
+            (col("udeg") === col("vdeg") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("dst"),
+        when(col("udeg") < col("vdeg") ||
+            (col("udeg") === col("vdeg") && col("u") < col("v")),
+          col("vdeg")).otherwise(col("udeg")).as("ddeg"))
+    val wedges = o.select(col("src"), col("dst").as("b"), col("ddeg").as("bdeg"))
+      .join(o.select(col("src"), col("dst").as("c"), col("ddeg").as("cdeg")),
+        Seq("src"))
+      .filter(col("bdeg") < col("cdeg") ||
+        (col("bdeg") === col("cdeg") && col("b") < col("c")))
+    val tri = wedges.join(
+      o.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    tri.select(explode(array(col("src"), col("b"), col("c"))).as("id"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** Synchronous label-propagation community detection (Raghavan et al.
+    * 2007), made deterministic and replayable: every node starts labeled
+    * with its own id; each round EVERY node simultaneously adopts the
+    * most frequent label among its neighbors (ties toward the smaller
+    * label), for a FIXED `rounds` — the same data-independent loop
+    * bound as [[pageRank]], so an oracle unrolls it round-for-round and
+    * sync-update oscillation (LPA's known behavior on bipartite-ish
+    * structures) is simply part of the replayed definition.
+    *
+    * Communities in a link corpus are the mesoscale signal dedup and
+    * PageRank don't expose: boilerplate link rings, mirror families,
+    * and topic clusters all surface as labels converging onto hubs.
+    *
+    * Per round: one equi-join of the adjacency list with the label
+    * frame (hash-partitioned on the neighbor id), one partial-agg count
+    * per (node, label), one window top-1 per node — all map-side
+    * combinable, nothing ever carries more than (id, label, count).
+    * Label state localCheckpoints every `checkpointEvery` rounds with
+    * superseded-generation release ([[pageRank]]'s lineage discipline).
+    * Operates on the simple undirected graph (self-loops and duplicate
+    * orientations collapsed); returns (id, label) per non-isolated
+    * node. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, checkpointEvery: Int = 5): DataFrame = {
+    require(rounds >= 1, s"labelPropagation: need rounds >= 1, got $rounds")
+    require(checkpointEvery >= 1,
+      s"labelPropagation: need checkpointEvery >= 1, got $checkpointEvery")
+    val und = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val adj = und.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(und.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint() // reused every round; pin one materialization
+    var gen: Option[DataFrame] = None
+    var done = false
+    try {
+      var lab = adj.select(col("a").as("id")).distinct()
+        .withColumn("label", col("id"))
+      val w = Window.partitionBy(col("a"))
+        .orderBy(col("cnt").desc, col("label").asc)
+      for (r <- 1 to rounds) {
+        lab = adj
+          .join(lab.select(col("id").as("b"), col("label")), Seq("b"))
+          .groupBy(col("a"), col("label")).agg(count(lit(1)).as("cnt"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("a").as("id"), col("label"))
+        if (r % checkpointEvery == 0 && r < rounds) {
+          val ck = lab.localCheckpoint()
+          gen.foreach(release)
+          gen = Some(ck)
+          lab = ck
+        }
+      }
+      done = true
+      lab
+    } finally {
+      if (!done) {
+        gen.foreach(release)
+        release(adj)
+      }
+    }
+  }
 
   /** PageRank with a fixed iteration count and driver-known node count.
     *

@@ -1035,6 +1035,73 @@ object Knn {
         minCheckIntervalMs)(load(spark, indexDir))
   }
 
+  /** Persist [[hnswSearch]]'s layer stack as serving indexes: one
+    * [[buildAdjacencyIndex]] layout per layer (layer 0 = the `k0`-NN
+    * graph over the whole corpus; layer ℓ ≥ 1 = the exact `upperM`-NN
+    * graph over the nodes with [[hnswLevel]] ≥ ℓ — geometrically
+    * smaller, so the upper layouts cost a vanishing fraction of layer
+    * 0's), plus a meta sidecar pinning `max_level` and the ENTRY node
+    * (the top layer's min id — resolved once at build, so serving never
+    * scans anything to start a walk). Level sets nest, so the node a
+    * layer-ℓ walk lands on always has a self-row in layer ℓ−1. */
+  def buildHnswIndex(corpus: DataFrame, vecCol: String, keyCol: String,
+      indexDir: String, maxLevel: Int = 2, upperM: Int = 3, k0: Int = 5,
+      buckets: Int = 16, fp16: Boolean = true): Unit = {
+    require(maxLevel >= 1, s"buildHnswIndex: need maxLevel >= 1, got $maxLevel")
+    val spark = corpus.sparkSession
+    val v = corpus.filter(col(vecCol).isNotNull)
+      .select(col(keyCol).cast("long").as("id"), col(vecCol).as("v"))
+    val lev = v.withColumn("level", hnswLevel(col("id"), maxLevel))
+    val entry = lev.filter(col("level") >= maxLevel)
+      .agg(min(col("id"))).head().getLong(0)
+    spark.range(1)
+      .select(lit(maxLevel).as("max_level"), lit(entry).as("entry"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    (0 to maxLevel).foreach { l =>
+      val sub = (if (l == 0) lev else lev.filter(col("level") >= l))
+        .select(col("id").as(keyCol), col("v").as(vecCol))
+      val m = if (l == 0) k0 else upperM
+      val edges = knnGraph(sub, vecCol, keyCol, topK = m)
+        .select(col("id_a"), col("id_b"))
+      buildAdjacencyIndex(edges, sub, vecCol, keyCol,
+        s"$indexDir/layer$l", buckets, fp16)
+    }
+  }
+
+  /** Serving handle over a [[buildHnswIndex]] layout — the full HNSW
+    * query: greedy width-1 descent through each upper layer's
+    * [[AdjIndex]] (ef = k = 1, `upperHops` hops — every hop one
+    * bucket-pruned point read), then the ef-beam over layer 0 from
+    * wherever the descent landed. maxLevel·upperHops + 1 + hops tiny
+    * jobs per request, none corpus-sized; scores carry the index's
+    * storage precision (fp16 by default), exactly [[AdjIndex.search]]'s
+    * contract per layer. */
+  final class HnswIndex private (layers: IndexedSeq[AdjIndex],
+      val entryId: Long, maxLevel: Int) {
+    def search(queryVec: Array[Float], k: Int, ef: Int, hops: Int,
+        upperHops: Int = 4): DataFrame = {
+      var cur = entryId
+      var l = maxLevel
+      while (l >= 1) {
+        cur = layers(l).search(queryVec, k = 1, ef = 1, hops = upperHops,
+          entryId = cur).head().getLong(0)
+        l -= 1
+      }
+      layers(0).search(queryVec, k, ef, hops, entryId = cur)
+    }
+  }
+
+  object HnswIndex {
+    def load(spark: org.apache.spark.sql.SparkSession,
+        indexDir: String): HnswIndex = {
+      val meta = spark.read.parquet(s"$indexDir/meta").head()
+      val maxLevel = meta.getAs[Int]("max_level")
+      val layers = (0 to maxLevel).map(l =>
+        AdjIndex.load(spark, s"$indexDir/layer$l"))
+      new HnswIndex(layers, meta.getAs[Long]("entry"), maxLevel)
+    }
+  }
+
   /** Exact re-rank of an ADC shortlist (the refinement stage FAISS calls
     * `IndexRefine`): the shortlist — `refine·k` (id)s from [[pqTopK]] or
     * an IVFADC probe — broadcast-semi-joins back to the full-precision

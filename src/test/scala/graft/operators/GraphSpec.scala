@@ -24,6 +24,54 @@ class GraphSpec extends SparkTestBase {
     assert(math.abs(pr.values.sum - 1.0) < 1e-6)
   }
 
+  test("triangleCounts: exact counts; loops/multi-edges/orientation collapse; skew-safe wedges") {
+    // K4 on 0..3 (every vertex in C(3,2)=3 triangles) + a pendant edge
+    // 3-4 (no triangle) + noise the simple-graph reduction must absorb:
+    // a self-loop, a duplicate edge, and a reversed duplicate
+    val k4 = for { i <- 0 to 3; j <- 0 to 3 if i < j } yield (i.toLong, j.toLong)
+    val edges = (k4 ++ Seq((3L, 4L), (2L, 2L), (0L, 1L), (1L, 0L)))
+      .toDF("src", "dst")
+    val got = Graph.triangleCounts(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L), s"$got")
+    // a hub with many pendant spokes (the "last reducer" shape): all hub
+    // edges orient INTO it, so the hub generates zero wedges — only the
+    // one real triangle survives
+    val hub = (1 to 50).map(i => (0L, i.toLong)) ++ Seq((1L, 2L))
+    val hot = Graph.triangleCounts(hub.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(hot == Map(0L -> 1L, 1L -> 1L, 2L -> 1L), s"$hot")
+    // triangle-free graph → empty result
+    val ring = (0 until 6).map(i => (i.toLong, ((i + 1) % 6).toLong))
+    assert(Graph.triangleCounts(ring.toDF("src", "dst"), "src", "dst")
+      .count() == 0)
+    // deterministic under repartitioning
+    val re = Graph.triangleCounts(edges.repartition(7), "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(re == got)
+  }
+
+  test("labelPropagation: disjoint cliques converge to min-id labels; deterministic") {
+    // two disjoint triangles + a pendant hanging off the second
+    val tri1 = Seq((0L, 1L), (1L, 2L), (2L, 0L))
+    val tri2 = Seq((10L, 11L), (11L, 12L), (12L, 10L), (12L, 13L))
+    val edges = (tri1 ++ tri2).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, "src", "dst", rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // sync LPA on a triangle: min-tie round 1, floods to the min id by
+    // round 2-3; the pendant follows its only neighbor's label
+    assert(got(0) == 0L && got(1) == 0L && got(2) == 0L, s"$got")
+    assert(got(10) == 10L && got(11) == 10L && got(12) == 10L, s"$got")
+    assert(Set(10L, 11L).contains(got(13)), s"$got") // one round behind 12
+    // labels never cross components
+    assert(Set(got(0), got(1), got(2))
+      .intersect(Set(got(10), got(11), got(12), got(13))).isEmpty)
+    // deterministic under repartitioning
+    val re = Graph.labelPropagation(edges.repartition(5), "src", "dst",
+      rounds = 3).as[(Long, Long)].collect().toMap
+    assert(re == got)
+  }
+
   test("star graph: the hub outranks every spoke") {
     // spokes 1..20 point at hub 0; hub points back at spoke 1 (no danglers)
     val edges = ((1 to 20).map(i => (i.toLong, 0L)) :+ ((0L, 1L)))

@@ -57,6 +57,32 @@ class AdjIndexSpec extends SparkTestBase {
     } finally { rmTree(d32); rmTree(d16) }
   }
 
+  test("HnswIndex: persisted layer stack equals hnswSearch; entry pinned at build") {
+    val sub = emb.filter($"vec_id" < 300)
+    val dir = java.nio.file.Files.createTempDirectory("hnsw").toString + "/i"
+    try {
+      Knn.buildHnswIndex(sub, "embedding", "vec_id", dir, maxLevel = 2,
+        upperM = 3, k0 = 5, buckets = 8, fp16 = false)
+      val idx = Knn.HnswIndex.load(spark, dir)
+      // affine levels over 0..299: top layer = ids ≡ 3 (mod 16), min 3
+      assert(idx.entryId == 3L)
+      val got = idx.search(qv, k = 10, ef = 20, hops = 4, upperHops = 4)
+        .collect().toSeq
+      // fp32 storage: the served walk is row-identical to the in-plan
+      // layered search (same levels, same graphs, same greedy + beam)
+      val edges300 = Knn.knnGraph(sub, "embedding", "vec_id", topK = 5)
+        .select($"id_a", $"id_b")
+      val want = Knn.hnswSearch(sub, edges300, "embedding", "vec_id", qv,
+          k = 10, ef = 20, hops = 4, maxLevel = 2, upperM = 3,
+          upperHops = 4)
+        .collect().toSeq.map(r => org.apache.spark.sql.Row(r.get(0), r.get(1)))
+      assert(got == want, s"$got vs $want")
+      // deterministic reruns off the same handle
+      assert(idx.search(qv, k = 10, ef = 20, hops = 4, upperHops = 4)
+        .collect().toSeq == got)
+    } finally rmTree(dir)
+  }
+
   test("frontier reads prune to the beam's buckets; a search is 1 + hops point-read jobs") {
     val dir = java.nio.file.Files.createTempDirectory("adjpr").toString + "/i"
     try {
