@@ -36,8 +36,9 @@ import org.apache.spark.sql.functions._
   * gates.
   *
   * env: CONC_VECS (default 200000), CONC_USERS (default 20),
-  * CONC_REQS per user (default 10), CONC_MODE (`ivf`, `brute`, or
-  * default `both`), CONC_CELLS (default 64), CONC_NPROBE (default 4),
+  * CONC_REQS per user (default 10), CONC_MODE (`ivf`, `brute`, `pq`,
+  * `graph`, `hnsw`, `hybrid`, `lex`, or default `both`), CONC_CELLS
+  * (default 64), CONC_NPROBE (default 4),
   * CONC_THINK_MS (mean think time; default 1000 = locust's
   * between(0.5, 1.5); 0 = closed-loop stress), CONC_SPAWN_RATE
   * (users/s; default 2).
@@ -178,6 +179,37 @@ object ConcurrencyProbe {
           val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
           index.search(qv, k = 10, ef = ef, hops = hops, entryId = seed % n)
             .collect()
+      }
+    }
+
+    if (mode == "hnsw") {
+      // layered graph-ANN serving: the `graph` mode plus the HNSW upper
+      // layers — every layer built with NN-Descent (the only affordable
+      // construction at corpus scale; upper layers are 16×/256× smaller
+      // so their builds are noise), served from per-layer adjacency
+      // layouts. The per-request cost is maxLevel·upperHops + 1 + hops
+      // planned point-read jobs — the descent buys a query-near entry
+      // (recall, measured in KnnSpec) at upperHops extra tiny jobs per
+      // upper layer, where `graph` mode starts from an arbitrary seed.
+      val hops = sys.env.getOrElse("CONC_GRAPH_HOPS", "3").toInt
+      val ef = sys.env.getOrElse("CONC_GRAPH_EF", "20").toInt
+      val upperHops = sys.env.getOrElse("CONC_HNSW_UPPERHOPS", "2").toInt
+      val indexDir = graft.fixtures.Fp16Corpus.workRoot + s"/hnswserve3072-n$n"
+      // layer<maxLevel> writes LAST — its pointer is the completion marker
+      if (!new java.io.File(s"$indexDir/layer2/CURRENT").isFile) {
+        val fp32 = corpus.select(col("vec_id").as("id"),
+          graft.functions.fp16_decode(col("emb16")).as("embedding"))
+        graft.similarity.Knn.buildHnswIndex(fp32, "embedding", "id",
+          indexDir, maxLevel = 2, upperM = 5, k0 = 5, buckets = 64,
+          graphFn = Some((df, m) => graft.similarity.Knn.nnDescentGraph(
+            df, "embedding", "id", k = m, rounds = 3)))
+      }
+      val index = graft.similarity.Knn.HnswIndex.load(spark, indexDir)
+      run(spark, s"hnsw(k=5,ef=$ef,hops=$hops,upperHops=$upperHops)", n,
+        users, reqsPerUser) { seed =>
+          val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
+          index.search(qv, k = 10, ef = ef, hops = hops,
+            upperHops = upperHops).collect()
       }
     }
 

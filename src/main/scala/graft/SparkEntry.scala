@@ -1753,6 +1753,24 @@ object SparkEntry {
         rounds = 3).orderBy(col("id"))
     }),
 
+    // ---- k-core peeling over the same link graph (k=3, 3 replayed
+    //      rounds): delete nodes with surviving-degree < k each round —
+    //      the dense-subgraph/link-spam structural prior ----
+    "q131_kcore" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val n = d.count()
+      val h = TextAnalysis.polyHash(col("text"))
+      val dsts = (0 until 3).map { j =>
+        (lit(graft.text.TextMath.MinHashA(j)) * h +
+          lit(graft.text.TextMath.MinHashB(j))) %
+          lit(graft.text.TextMath.Mod) % lit(n)
+      }
+      val edges = d.select(col("doc_id").as("src"),
+        explode(array(dsts: _*)).as("dst"))
+      graft.operators.Graph.kCore(edges, "src", "dst", k = 3, rounds = 3)
+        .orderBy(col("id"))
+    }),
+
     // ---- NN-Descent graph construction (Dong et al. WWW'11): ring seed,
     //      3 rounds of neighbor-of-neighbor proposals over the undirected
     //      graph, keep 5 best per node — equi-joins + window top-k only,
@@ -3941,6 +3959,39 @@ object SparkEntry {
          |l0 AS (SELECT DISTINCT a AS id, a AS label FROM adj),
          |${rounds.mkString(",\n")}
          |SELECT id, label FROM l3 ORDER BY id""".stripMargin
+    },
+
+    // q131: k-core unrolled — per round a HAVING >= k survivor set and
+    // two endpoint joins restricting the adjacency list
+    "q131_kcore" -> {
+      val P2 = graft.text.TextMath.Mod
+      def edge(j: Int): String = {
+        val a = graft.text.TextMath.MinHashA(j)
+        val b = graft.text.TextMath.MinHashB(j)
+        s"SELECT doc_id AS src, ($a * h + $b) % $P2 % (SELECT n FROM nn) AS dst FROM docs"
+      }
+      val rounds = (1 to 3).map { i =>
+        s"""k$i AS (SELECT a AS id FROM a${i - 1}
+           |  GROUP BY a HAVING COUNT(*) >= 3),
+           |a$i AS MATERIALIZED (SELECT t.a, t.b FROM a${i - 1} t
+           |  JOIN k$i x ON t.a = x.id JOIN k$i y ON t.b = y.id)"""
+          .stripMargin
+      }
+      s"""WITH docs AS (SELECT doc_id, ${sqlPolyHash("text")} AS h FROM documents),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+         |base AS (
+         |  ${edge(0)}
+         |  UNION ALL
+         |  ${edge(1)}
+         |  UNION ALL
+         |  ${edge(2)}),
+         |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+         |  FROM base WHERE src <> dst),
+         |a0 AS (SELECT u AS a, v AS b FROM und
+         |  UNION ALL SELECT v AS a, u AS b FROM und),
+         |${rounds.mkString(",\n")}
+         |SELECT a AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM a3
+         |GROUP BY a ORDER BY id""".stripMargin
     },
 
     // NN-Descent replayed round-for-round: LCG expander seed over dense

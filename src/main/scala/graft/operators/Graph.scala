@@ -143,6 +143,62 @@ object Graph {
     }
   }
 
+  /** k-core peeling (Seidman 1983; the distributed fixed-round form):
+    * repeatedly delete every node whose CURRENT degree in the surviving
+    * subgraph is below `k`, for a fixed `rounds` — the dense-subgraph
+    * extraction that separates organic link neighborhoods from pendant
+    * chains and spam tendrils (a crawl-quality prior, like [[pageRank]]
+    * but structural). After enough rounds the survivors are exactly the
+    * k-core (deleting a node only ever lowers OTHER degrees, so peeling
+    * is monotone and confluent — round order can't change the fixed
+    * point); a fixed round count makes the loop data-independent, so an
+    * oracle replays it and a 100 TB run has a hard cost bound. Returns
+    * (id, deg) for surviving nodes with their degree INSIDE the
+    * surviving subgraph.
+    *
+    * Per round: one degree count (partial-agg) + two semi-joins
+    * restricting the adjacency list to surviving endpoints — all
+    * equi-joins on node ids, nothing carries more than two ids; the
+    * edge frame localCheckpoints on [[pageRank]]'s cadence so deep
+    * peels plan against bounded lineage. Operates on the simple
+    * undirected graph (self-loops and duplicate orientations
+    * collapsed). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String, k: Int,
+      rounds: Int, checkpointEvery: Int = 5): DataFrame = {
+    require(k >= 1, s"kCore: need k >= 1, got $k")
+    require(rounds >= 1, s"kCore: need rounds >= 1, got $rounds")
+    require(checkpointEvery >= 1,
+      s"kCore: need checkpointEvery >= 1, got $checkpointEvery")
+    val und = edges.select(
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("u"),
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    var adj = und.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(und.select(col("v").as("a"), col("u").as("b")))
+    var gen: Option[DataFrame] = None
+    var done = false
+    try {
+      for (r <- 1 to rounds) {
+        val keep = adj.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+          .filter(col("deg") >= k).select(col("a").as("id"))
+        adj = adj
+          .join(keep.select(col("id").as("a")), Seq("a"), "left_semi")
+          .join(keep.select(col("id").as("b")), Seq("b"), "left_semi")
+        if (r % checkpointEvery == 0 && r < rounds) {
+          val ck = adj.localCheckpoint()
+          gen.foreach(release)
+          gen = Some(ck)
+          adj = ck
+        }
+      }
+      done = true
+      adj.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .select(col("a").as("id"), col("deg"))
+    } finally {
+      if (!done) gen.foreach(release)
+    }
+  }
+
   /** PageRank with a fixed iteration count and driver-known node count.
     *
     * Per iteration: every node sends `pr / out_degree` along each

@@ -1043,10 +1043,18 @@ object Knn {
     * 0's), plus a meta sidecar pinning `max_level` and the ENTRY node
     * (the top layer's min id — resolved once at build, so serving never
     * scans anything to start a walk). Level sets nest, so the node a
-    * layer-ℓ walk lands on always has a self-row in layer ℓ−1. */
+    * layer-ℓ walk lands on always has a self-row in layer ℓ−1.
+    *
+    * `graphFn` swaps the per-layer graph construction: the default is
+    * the exact [[knnGraph]] (the oracle form — O(subset²)); at corpus
+    * scale pass `(df, m) => nnDescentGraph(df, vecCol, keyCol, k = m,
+    * rounds = …)` so every layer builds in O(n·K̃²·rounds). Layers
+    * write bottom-up after meta, so `layer<maxLevel>/CURRENT` is the
+    * build's completion marker. */
   def buildHnswIndex(corpus: DataFrame, vecCol: String, keyCol: String,
       indexDir: String, maxLevel: Int = 2, upperM: Int = 3, k0: Int = 5,
-      buckets: Int = 16, fp16: Boolean = true): Unit = {
+      buckets: Int = 16, fp16: Boolean = true,
+      graphFn: Option[(DataFrame, Int) => DataFrame] = None): Unit = {
     require(maxLevel >= 1, s"buildHnswIndex: need maxLevel >= 1, got $maxLevel")
     val spark = corpus.sparkSession
     val v = corpus.filter(col(vecCol).isNotNull)
@@ -1057,12 +1065,13 @@ object Knn {
     spark.range(1)
       .select(lit(maxLevel).as("max_level"), lit(entry).as("entry"))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    val build = graphFn.getOrElse(
+      (df: DataFrame, m: Int) => knnGraph(df, vecCol, keyCol, topK = m))
     (0 to maxLevel).foreach { l =>
       val sub = (if (l == 0) lev else lev.filter(col("level") >= l))
         .select(col("id").as(keyCol), col("v").as(vecCol))
       val m = if (l == 0) k0 else upperM
-      val edges = knnGraph(sub, vecCol, keyCol, topK = m)
-        .select(col("id_a"), col("id_b"))
+      val edges = build(sub, m).select(col("id_a"), col("id_b"))
       buildAdjacencyIndex(edges, sub, vecCol, keyCol,
         s"$indexDir/layer$l", buckets, fp16)
     }

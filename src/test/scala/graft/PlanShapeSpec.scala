@@ -120,6 +120,17 @@ class PlanShapeSpec extends SparkTestBase {
       s"expected exactly 1 user_id hash exchange, saw $userShuffles:\n$p")
   }
 
+  test("q129/q130/q131: graph rounds are equi-joins only — nothing n²-shaped") {
+    for (q <- Seq("q129_triangle_count", "q130_label_propagation",
+        "q131_kcore")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q fell back to a cartesian join:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"$q planned a nested-loop join:\n$p")
+    }
+  }
+
   test("q67: familiarity counts attach via the window — no count-table join") {
     val p = plan("q67_bigram_familiarity")
     assert(!p.contains("Join"), s"bigram counts regressed to a join:\n$p")

@@ -72,6 +72,33 @@ class GraphSpec extends SparkTestBase {
     assert(re == got)
   }
 
+  test("kCore: peels tendrils, keeps the clique; converged rounds are a fixed point") {
+    // K5 on 0..4 (a 4-core) with a pendant chain 4-10-11-12 hanging off
+    val k5 = for { i <- 0 to 4; j <- 0 to 4 if i < j } yield (i.toLong, j.toLong)
+    val chain = Seq((4L, 10L), (10L, 11L), (11L, 12L))
+    val edges = (k5 ++ chain).toDF("src", "dst")
+    // k=2: round 1 peels 12 (deg 1), round 2 peels 11, round 3 peels 10
+    // — the chain unravels one node per round, the clique never moves
+    val got = Graph.kCore(edges, "src", "dst", k = 2, rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 4L, 1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L),
+      s"$got")
+    // fewer rounds = a partial peel (the replayed-bound semantics)
+    val partial = Graph.kCore(edges, "src", "dst", k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(partial.contains(11L) && !partial.contains(12L), s"$partial")
+    // more rounds past convergence change nothing
+    val more = Graph.kCore(edges, "src", "dst", k = 2, rounds = 6)
+      .as[(Long, Long)].collect().toMap
+    assert(more == got)
+    // k above the densest structure empties the graph
+    assert(Graph.kCore(edges, "src", "dst", k = 5, rounds = 3).count() == 0)
+    // deterministic under repartitioning
+    val re = Graph.kCore(edges.repartition(5), "src", "dst", k = 2,
+      rounds = 3).as[(Long, Long)].collect().toMap
+    assert(re == got)
+  }
+
   test("star graph: the hub outranks every spoke") {
     // spokes 1..20 point at hub 0; hub points back at spoke 1 (no danglers)
     val edges = ((1 to 20).map(i => (i.toLong, 0L)) :+ ((0L, 1L)))
