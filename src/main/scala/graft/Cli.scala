@@ -19,7 +19,7 @@ import graft.sync.{HighlightStore, Sync}
   *   graft.Cli sync --backfill --pages-dir D --store S --ckpt C
   *   graft.Cli sync --since 2024-01-01T00:00:00Z --pages-dir D --store S --ckpt C
   *   graft.Cli refresh --pages-dir D --store S --ckpt C [--lex-index L] [--ivf-index I]
-  *   graft.Cli search "query text" --k 5 --store S [--source-type T]
+  *   graft.Cli search "query text" --k 5 --store S [--source-type T] [--hybrid true] [--mmr 0.3]
   *   graft.Cli health
   */
 object Cli {
@@ -180,7 +180,12 @@ object Cli {
             author = f.get("author"),
             tagsCsv = f.get("tags"),
             fromDate = f.get("from"),
-            toDate = f.get("to")) match {
+            toDate = f.get("to"),
+            // value-style like every flag here: `--hybrid true`,
+            // `--mmr 0.3`; junk/out-of-range values fall back to the
+            // dense default per SearchParams' lenient-parse contract
+            hybrid = f.get("hybrid"),
+            mmr = f.get("mmr")) match {
             case Left(err) => System.err.println(err); 2
             case Right(params) =>
               // the gateway must embed queries at the dimensionality the

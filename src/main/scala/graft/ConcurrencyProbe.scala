@@ -153,22 +153,29 @@ object ConcurrencyProbe {
     }
 
     if (mode == "graph") {
-      // graph-ANN serving: NN-Descent builds the 5-NN graph once
-      // (O(n·K̃²·rounds), the only affordable construction at corpus
-      // scale), persisted as the bucket-partitioned adjacency index;
-      // each request walks the beam as 1 + hops partition-pruned point
-      // reads. The per-request job count (1+hops) is the honest cost of
-      // graph traversal on a planner-bound runtime — the dial against
-      // ivf's 1 job is hops, not bytes (every read touches only the
-      // frontier's edge rows).
+      // graph-ANN serving: the 5-NN graph builds once via the CELLED
+      // construction (cellKnnGraph — each vector shuffles nprobe times
+      // into its probed cells, pairs score inside cell equi-joins), then
+      // persists as the bucket-partitioned adjacency index; each request
+      // walks the beam as 1 + hops partition-pruned point reads. At this
+      // corpus's 3072-dim width NN-Descent is NOT the build path: its
+      // proposal joins carry both endpoint vectors, ~80 M proposals ×
+      // 24 KB ≈ 2 TB of shuffle per round (measured to fill the disk);
+      // the celled build's big exchange is n·nprobe vector rows ≈ 5 GB.
+      // Descent remains the right construction at moderate dims or over
+      // PQ/fp16-compressed codes. The per-request job count (1+hops) is
+      // the honest cost of graph traversal on a planner-bound runtime —
+      // the dial against ivf's 1 job is hops, not bytes (every read
+      // touches only the frontier's edge rows).
       val hops = sys.env.getOrElse("CONC_GRAPH_HOPS", "3").toInt
       val ef = sys.env.getOrElse("CONC_GRAPH_EF", "20").toInt
       val indexDir = graft.fixtures.Fp16Corpus.workRoot + s"/adjserve3072-n$n-k5"
       if (!new java.io.File(s"$indexDir/CURRENT").isFile) {
         val fp32 = corpus.select(col("vec_id").as("id"),
           graft.functions.fp16_decode(col("emb16")).as("embedding"))
-        val edges = graft.similarity.Knn.nnDescentGraph(
-            fp32, "embedding", "id", k = 5, rounds = 3)
+        val edges = graft.similarity.Knn.cellKnnGraph(
+            fp32, "embedding", "id", topK = 5,
+            cells = (n / 800).max(8L).toInt, iters = 2, nprobe = 2)
           .select(col("id_a"), col("id_b"))
         graft.similarity.Knn.buildAdjacencyIndex(edges, fp32, "embedding",
           "id", indexDir, buckets = 64)
@@ -184,13 +191,15 @@ object ConcurrencyProbe {
 
     if (mode == "hnsw") {
       // layered graph-ANN serving: the `graph` mode plus the HNSW upper
-      // layers — every layer built with NN-Descent (the only affordable
-      // construction at corpus scale; upper layers are 16×/256× smaller
-      // so their builds are noise), served from per-layer adjacency
-      // layouts. The per-request cost is maxLevel·upperHops + 1 + hops
-      // planned point-read jobs — the descent buys a query-near entry
-      // (recall, measured in KnnSpec) at upperHops extra tiny jobs per
-      // upper layer, where `graph` mode starts from an arbitrary seed.
+      // layers — every layer built with the celled construction (see the
+      // `graph` mode note on why NN-Descent's vector-carrying proposal
+      // joins are the wrong build at 3072-dim; upper layers are 16×/256×
+      // smaller so their builds are noise), served from per-layer
+      // adjacency layouts. The per-request cost is maxLevel·upperHops +
+      // 1 + hops planned point-read jobs — the descent buys a
+      // query-near entry (recall, measured in KnnSpec) at upperHops
+      // extra tiny jobs per upper layer, where `graph` mode starts from
+      // an arbitrary seed.
       val hops = sys.env.getOrElse("CONC_GRAPH_HOPS", "3").toInt
       val ef = sys.env.getOrElse("CONC_GRAPH_EF", "20").toInt
       val upperHops = sys.env.getOrElse("CONC_HNSW_UPPERHOPS", "2").toInt
@@ -201,8 +210,12 @@ object ConcurrencyProbe {
           graft.functions.fp16_decode(col("emb16")).as("embedding"))
         graft.similarity.Knn.buildHnswIndex(fp32, "embedding", "id",
           indexDir, maxLevel = 2, upperM = 5, k0 = 5, buckets = 64,
-          graphFn = Some((df, m) => graft.similarity.Knn.nnDescentGraph(
-            df, "embedding", "id", k = m, rounds = 3)))
+          graphFn = Some { (df, m) =>
+            val sz = df.count()
+            graft.similarity.Knn.cellKnnGraph(df, "embedding", "id",
+              topK = m, cells = (sz / 800).max(8L).toInt, iters = 2,
+              nprobe = 2)
+          })
       }
       val index = graft.similarity.Knn.HnswIndex.load(spark, indexDir)
       run(spark, s"hnsw(k=5,ef=$ef,hops=$hops,upperHops=$upperHops)", n,

@@ -805,14 +805,13 @@ object Dedup {
       val c = df.select(col(keyCol).as("id"), col(vecCol).as("v"))
         .filter(col("v").isNotNull)
       val centsDf = cents.select(col("centroid_id"), col("cvec"))
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("cdist").asc, col("centroid_id").asc)
-      val ranked = c.crossJoin(broadcast(centsDf))
-        .withColumn("cdist", cosine_distance(col("v"), col("cvec")))
-        .withColumn("crank", row_number().over(w))
-      val index = ranked.filter(col("crank") === 1)
+      // narrow picks (Knn.cellPicks — vectors never ride the rank
+      // exchange), then one id join ships each vector nprobe times
+      val picks = graft.similarity.Knn.cellPicks(c, centsDf, nprobe,
+        cosine_distance(_, _))
+      val index = c.join(picks.filter(col("crank") === 1), Seq("id"))
         .select(col("id"), col("v"), col("centroid_id"))
-      val probe = ranked.filter(col("crank") <= nprobe)
+      val probe = c.join(picks, Seq("id"))
         .select(col("id"), col("v"), col("centroid_id"))
       probe.as("a").join(index.as("b"),
           col("a.centroid_id") === col("b.centroid_id") &&

@@ -195,7 +195,15 @@ object Knn {
     * k. Breadth, not round count, is the recall dial — measured on the
     * test corpus, k=5 pure plateaus at 0.63 recall however many rounds,
     * while buildK=10 reaches 0.97 in 3 (KnnSpec pins this). Defaults to
-    * 2k. Returns (id_a, id_b, dist, rank) like [[knnGraph]]. */
+    * 2k. Returns (id_a, id_b, dist, rank) like [[knnGraph]].
+    *
+    * Mind the VECTOR WIDTH: proposal joins carry both endpoint vectors,
+    * so per-round shuffle is ~(2·buildK)²·n·(2·vecBytes) — fine at the
+    * 64-dim bench corpus, ~2 TB/round at 200 k × 3072-dim fp32
+    * (measured to exhaust local disk). At wide dims run the descent
+    * over fp16/int8/PQ-compressed vectors (exact distances recomputed
+    * only for the final kept edges), or build with [[cellKnnGraph]],
+    * whose one big exchange is n·nprobe vector rows. */
   def nnDescentGraph(corpus: DataFrame, vecCol: String, keyCol: String,
       k: Int, rounds: Int, buildK: Int = -1,
       checkpointEvery: Int = 1): DataFrame = {
@@ -343,14 +351,12 @@ object Knn {
     val c = df.select(col(keyCol).as("id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull)
     val centsDf = cents.select(col("centroid_id"), col("cvec"))
-    val w0 = Window.partitionBy(col("id"))
-      .orderBy(col("cdist").asc, col("centroid_id").asc)
-    val ranked = c.crossJoin(broadcast(centsDf))
-      .withColumn("cdist", cosine_distance(col("v"), col("cvec")))
-      .withColumn("crank", row_number().over(w0))
-    val probe = ranked.filter(col("crank") <= nprobe)
+    // narrow picks ([[cellPicks]] — vectors never ride the rank
+    // exchange), then one id join ships each vector nprobe times
+    val picks = cellPicks(c, centsDf, nprobe, cosine_distance)
+    val probe = c.join(picks, Seq("id"))
       .select(col("id"), col("v"), col("centroid_id"))
-    val index = ranked.filter(col("crank") === 1)
+    val index = c.join(picks.filter(col("crank") === 1), Seq("id"))
       .select(col("id"), col("v"), col("centroid_id"))
     val w = Window.partitionBy(col("id_a"))
       .orderBy(col("dist").asc, col("id_b").asc)
@@ -372,18 +378,45 @@ object Knn {
       lit(2.0) * graft.functions.dot_product(a, b) +
       graft.functions.dot_product(b, b)
 
+  /** Per-vector nearest-`nprobe` cell picks WITHOUT the vector in
+    * flight — the assignment's scale-critical shape. The naive form
+    * (crossJoin → row_number window over the vector-carrying rows)
+    * exchanges n×cells rows each dragging the full vector: at 200 k ×
+    * 3072-dim × 250 cells that is ~600 GB of shuffle (measured to
+    * exhaust local disk). Here the crossJoin projects down to
+    * (id, centroid_id, cdist) ~24 B rows BEFORE any exchange; nprobe=1
+    * goes further — a partial-aggregatable min over (cdist, cid)
+    * structs, so map-side combine bounds the exchange at one row per id
+    * per task. Tie-break (cdist asc, centroid_id asc) in both branches,
+    * identical to the window form bit-for-bit. Vectors re-attach via
+    * one id equi-join (n rows, each shipped once). */
+  private[graft] def cellPicks(c: DataFrame, cents: DataFrame, nprobe: Int,
+      dist: (Column, Column) => Column): DataFrame = {
+    val scored = c.crossJoin(broadcast(cents))
+      .select(col("id"), col("centroid_id"),
+        dist(col("v"), col("cvec")).as("cdist"))
+    if (nprobe == 1)
+      scored
+        .select(col("id"), struct(col("cdist"), col("centroid_id")).as("dc"))
+        .groupBy(col("id")).agg(min(col("dc")).as("dc"))
+        .select(col("id"), col("dc.centroid_id").as("centroid_id"),
+          lit(1).as("crank"))
+    else {
+      val w = Window.partitionBy(col("id"))
+        .orderBy(col("cdist").asc, col("centroid_id").asc)
+      scored.withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= nprobe)
+        .select(col("id"), col("centroid_id"), col("crank"))
+    }
+  }
+
   private def assignCore(corpus: DataFrame, vecCol: String, keyCol: String,
       centroids: DataFrame, centVec: String, centKey: String,
       dist: (Column, Column) => Column): DataFrame = {
     val c = corpus.select(col(keyCol).as("id"), col(vecCol).as("v"))
       .filter(col("v").isNotNull)
     val cents = centroids.select(col(centKey).as("centroid_id"), col(centVec).as("cvec"))
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("cdist").asc, col("centroid_id").asc)
-    c.crossJoin(broadcast(cents))
-      .withColumn("cdist", dist(col("v"), col("cvec")))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
+    c.join(cellPicks(c, cents, nprobe = 1, dist).drop("crank"), Seq("id"))
       .select(col("id"), col("v"), col("centroid_id"))
   }
 
@@ -1108,6 +1141,22 @@ object Knn {
       val layers = (0 to maxLevel).map(l =>
         AdjIndex.load(spark, s"$indexDir/layer$l"))
       new HnswIndex(layers, meta.getAs[Long]("entry"), maxLevel)
+    }
+
+    /** [[load]] behind a generation check spanning EVERY layer's pointer
+      * plus the meta sidecar — an append/compaction on any layer (via
+      * [[appendAdjacencyIndex]] on `layer<ℓ>`) serves at the next
+      * request, [[graft.sync.Reloading]]'s contract for the stack. */
+    def reloading(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+        minCheckIntervalMs: Long = 0L): graft.sync.Reloading[HnswIndex] = {
+      val maxLevel = spark.read.parquet(s"$indexDir/meta")
+        .head().getAs[Int]("max_level")
+      graft.sync.Reloading.withFingerprint(() =>
+        ((0 to maxLevel).map(l => graft.sync.Reloading.fingerprintOf(
+            spark, s"$indexDir/layer$l", Nil)) :+
+          graft.sync.Reloading.fingerprintOf(spark, indexDir, Seq("meta")))
+          .mkString("||"),
+        minCheckIntervalMs)(load(spark, indexDir))
     }
   }
 

@@ -80,6 +80,15 @@ object Reloading {
     new Reloading(() => fingerprintOf(spark, root, sidecars), () => loadFn,
       minCheckIntervalMs, (_: T) => ())
 
+  /** [[apply]] with a caller-supplied fingerprint — for indexes spread
+    * over SEVERAL pointer roots (e.g. the HNSW layer stack: one
+    * [[SegmentedIndex]] per layer plus a meta sidecar), where one
+    * generation token must cover every root. */
+  def withFingerprint[T](fingerprint: () => String,
+      minCheckIntervalMs: Long = 0L)(loadFn: => T): Reloading[T] =
+    new Reloading(fingerprint, () => loadFn, minCheckIntervalMs,
+      (_: T) => ())
+
   /** [[apply]] with a soft-release hook for the superseded handle. */
   def withEvict[T](spark: SparkSession, root: String, sidecars: Seq[String],
       minCheckIntervalMs: Long = 0L)(loadFn: => T)(

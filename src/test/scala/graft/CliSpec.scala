@@ -42,6 +42,11 @@ class CliSpec extends SparkTestBase {
     assert(lines.head.contains("\"id\":\"h1\"")) // best match first
     assert(lines.head.contains("\"score\":"))
 
+    // --mmr plumbing: λ=1 is plain ranking — identical output rows
+    val (cM, outM) = capture(Cli.run(Array("search", "spark joins",
+      "--k", "2", "--store", s"$dir/store", "--mmr", "1.0"), spark))
+    assert(cM == 0 && outM == out2)
+
     // incremental against a fresh ckpt dir → exit 1 (backfill required)
     val (c3, _) = capture(Cli.run(Array("sync",
       "--pages-dir", pages, "--store", s"$dir/store2", "--ckpt", s"$dir/ckpt2"), spark))

@@ -83,6 +83,39 @@ class AdjIndexSpec extends SparkTestBase {
     } finally rmTree(dir)
   }
 
+  test("HnswIndex.reloading: a layer-0 append serves at the next request") {
+    val sub = emb.filter($"vec_id" < 300)
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val dir = java.nio.file.Files.createTempDirectory("hnswre").toString + "/i"
+    try {
+      Knn.buildHnswIndex(sub, "embedding", "vec_id", dir, maxLevel = 2,
+        upperM = 3, k0 = 5, buckets = 8, fp16 = false)
+      val h = Knn.HnswIndex.reloading(spark, dir)
+      val before = h.get.search(qv, k = 10, ef = 20, hops = 4).collect()
+      // stable generation: the same loaded instance, no spurious reloads
+      assert(h.get eq h.get)
+      // append a new node that duplicates the query vector, linked both
+      // ways to the current top hits — reachable in one hop from nodes
+      // the beam already visits
+      val top = before.take(3).map(_.getLong(0))
+      val withNew = sub.unionByName(
+        Seq((1000L, qv.toSeq)).toDF("vec_id", "embedding"))
+      val newEdges = top.flatMap(t => Seq((t, 1000L), (1000L, t)))
+        .toSeq.toDF("id_a", "id_b")
+      Knn.appendAdjacencyIndex(newEdges, withNew, "embedding", "vec_id",
+        s"$dir/layer0",
+        newNodes = Some(Seq(1000L).toDF("vec_id")))
+      // qv IS node 7's vector, so 7 and the appended 1000 tie at score 0
+      // and (score, id) puts 7 first — the new node must be served at
+      // the exact-duplicate score right behind it
+      val after = h.get.search(qv, k = 10, ef = 20, hops = 4).collect()
+      val newRow = after.find(_.getLong(0) == 1000L)
+      assert(newRow.exists(_.getDouble(1) < 1e-9),
+        s"appended node not served: ${after.toSeq}")
+      assert(!before.exists(_.getLong(0) == 1000L))
+    } finally rmTree(dir)
+  }
+
   test("frontier reads prune to the beam's buckets; a search is 1 + hops point-read jobs") {
     val dir = java.nio.file.Files.createTempDirectory("adjpr").toString + "/i"
     try {
