@@ -960,11 +960,21 @@ object Knn {
     val dvec = if (fp16) graft.functions.fp16_encode(col("__dv"))
       else col("__dv")
     val seg = graft.sync.SegmentedIndex.newSegmentName()
+    // point-probe layout (the q124 refine lesson applied to edges): rows
+    // SORTED by src within each bucket + 128 KB row groups (~20 fp16
+    // dvec rows each), so a hop's src IN-frontier probe skips on
+    // row-group statistics to the frontier's own rows. Unsorted buckets
+    // made each hop decompress the WHOLE bucket's dvec chunk — measured
+    // p95 6.2 s on the 200 k serving corpus vs 543 ms for the one-scan
+    // ivf mode; sorted groups read ~ef·(K̃+1) rows instead.
     e.unionByName(self)
       .join(v, Seq("dst"))
       .select(pmod(col("src"), lit(buckets.toLong)).as("src_bucket"),
         col("src"), col("dst"), dvec.as("dvec"))
-      .repartition(col("src_bucket")).write.partitionBy("src_bucket")
+      .repartition(col("src_bucket"))
+      .sortWithinPartitions(col("src_bucket"), col("src"))
+      .write.partitionBy("src_bucket")
+      .option("parquet.block.size", 131072)
       .mode("overwrite").parquet(s"$indexDir/$seg/edges")
     val existing = graft.sync.SegmentedIndex.resolve(spark, indexDir)
       .getOrElse(Nil)
