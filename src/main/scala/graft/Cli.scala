@@ -213,9 +213,12 @@ object Cli {
           // bytes for an fp16 store) per resolved version — request plans
           // hit the cache as a subplan — and follows sync/refresh commits
           // live, releasing the superseded version's cache on swap.
-          // --ivf-index serves filterless queries through the IVF probe
-          // (also generation-checked) with store rehydration of the k
-          // winners
+          // --ivf-index serves queries through the IVF probe (also
+          // generation-checked) with store rehydration of the k winners;
+          // filtered requests stay on the index when its cells carry the
+          // referenced attr columns (ivfBuildIndex attrCols, with
+          // adaptive probe widening), else they fall back to the store
+          // scan
           val denseOpt = cfg.ivfIndexDir.map { d =>
             if (!graft.similarity.Knn.ivfIndexReady(d)) {
               System.err.println(s"no IVF index at $d " +

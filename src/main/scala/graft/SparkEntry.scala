@@ -2040,6 +2040,32 @@ object SparkEntry {
           ev.filter(col("event_type") === "click"), windowMinutes = 10)
         .select(col("user_id"), col("left_id"), col("right_id"), col("lag_us"))
         .orderBy(col("user_id"), col("left_id"), col("right_id"))
+    }),
+
+    // ---- attribute-filtered ANN through the persistent IVF index: the
+    //      cells CARRY the label column (ivfBuildIndex attrCols), so the
+    //      predicate evaluates INSIDE the pruned probe scan — pgvector's
+    //      "ivfflat + WHERE" shape, no post-hoc join-and-hope. in_exact
+    //      compares against the exact FILTERED top-k ----
+    "q132_ivf_filtered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val indexDir = graft.fixtures.Fp16Corpus.workRoot +
+        s"/ivfindexattr-${new java.io.File(dir).getName}-c${e.count()}"
+      if (!Knn.ivfIndexReady(indexDir))
+        Knn.ivfBuildIndex(e, "embedding", "vec_id", indexDir, k = 4,
+          iters = 2, trainFilter = col("vec_id") % 5 === 0,
+          attrCols = Seq("label"))
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val cond = col("label") % 3 === 1
+      val probe = Knn.ivfSearchIndex(s, indexDir, qv, k = 10, nprobe = 2,
+        filter = Some(cond))
+      val exact = Knn.topK(e.filter(cond), "embedding", qv, 10, "vec_id")
+        .select(col("vec_id").as("id"), lit(true).as("in_exact"))
+      probe.join(exact, Seq("id"), "left")
+        .na.fill(value = false, Seq("in_exact"))
+        .select(col("id"), col("centroid_id"), col("score"), col("in_exact"))
+        .orderBy(col("score"), col("id"))
     })
   )
 
@@ -4689,6 +4715,46 @@ object SparkEntry {
          |SELECT meta_source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
          |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
          |  MAX(rate_ppm) AS rate_ppm
-         |FROM kept GROUP BY meta_source ORDER BY meta_source""".stripMargin
+         |FROM kept GROUP BY meta_source ORDER BY meta_source""".stripMargin,
+
+    // q50's training/assignment/probe chain verbatim, with the label
+    // predicate applied inside the probed-cell scope (hits) and to the
+    // exact baseline — the filtered-ANN contract: winners satisfy the
+    // filter by construction, recall measured against the FILTERED
+    // exact top-k
+    "q132_ivf_filtered" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |lab AS (SELECT vec_id AS id, label FROM embeddings),
+         |sample AS (SELECT * FROM corpus WHERE id % 5 = 0),
+         |seed AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS centroid_id,
+         |    v AS cvec
+         |  FROM sample QUALIFY row_number() OVER (ORDER BY id) <= 4),
+         |a1 AS (${sqlIvfAssign("sample", "seed")}),
+         |x1 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a1),
+         |m1 AS (${sqlIvfMean("x1")}),
+         |cent1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY 1),
+         |a2 AS (${sqlIvfAssign("sample", "cent1")}),
+         |x2 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a2),
+         |m2 AS (${sqlIvfMean("x2")}),
+         |cent2 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m2 GROUP BY 1),
+         |af AS (${sqlIvfAssign("corpus", "cent2")}),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probed AS (
+         |  SELECT centroid_id FROM cent2, q
+         |  ORDER BY ${sqlCosine("cvec", "qv")}, centroid_id LIMIT 2),
+         |hits AS (
+         |  SELECT af.id, af.centroid_id, ${sqlCosine("af.v", "qv")} AS score
+         |  FROM af JOIN probed USING (centroid_id) JOIN lab USING (id), q
+         |  WHERE lab.label % 3 = 1
+         |  ORDER BY score, af.id LIMIT 10),
+         |exact AS (SELECT c.id FROM corpus c JOIN lab USING (id), q
+         |  WHERE lab.label % 3 = 1
+         |  ORDER BY ${sqlCosine("c.v", "qv")}, c.id LIMIT 10)
+         |SELECT h.id, h.centroid_id, h.score,
+         |  (h.id IN (SELECT id FROM exact)) AS in_exact
+         |FROM hits h ORDER BY score, id""".stripMargin
   )
 }

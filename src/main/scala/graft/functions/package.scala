@@ -182,17 +182,11 @@ package object functions {
     reg.createOrReplaceTempFunction("topk_pairs", exprs => {
       if (exprs.length != 3) throw new IllegalArgumentException(
         "topk_pairs(ord, id, k) requires exactly 3 arguments")
-      val kv = if (exprs(2).foldable) exprs(2).eval() else null
-      kv match {
-        case n: Number =>
-          val kl = n.longValue()
-          if (kl < 1 || kl > (1L << 20)) throw new IllegalArgumentException(
-            s"topk_pairs: need 1 <= k <= 2^20, got $kl")
-          TopKPairs(Cast(exprs(0), DoubleType), Cast(exprs(1), LongType),
-            kl.toInt).toAggregateExpression()
-        case _ => throw new IllegalArgumentException(
-          "topk_pairs: k must be a literal integer")
-      }
+      val kl = integralLiteral(exprs(2), "topk_pairs", "k")
+      if (kl < 1 || kl > (1L << 20)) throw new IllegalArgumentException(
+        s"topk_pairs: need 1 <= k <= 2^20, got $kl")
+      TopKPairs(Cast(exprs(0), DoubleType), Cast(exprs(1), LongType),
+        kl.toInt).toAggregateExpression()
     }, "built-in")
     reg.createOrReplaceTempFunction(
       "fp16_encode", exprs => Fp16Encode(exprs.head), "built-in")

@@ -38,17 +38,26 @@ object SemanticSearch {
   /** Column layout expected of a highlight store (FIXTURES.md §1). */
   val EmbeddingCol = "embedding"
 
+  /** The request's metadata predicates as (column name, predicate)
+    * pairs — ONE definition of filter semantics shared by the store
+    * scan, the hybrid legs, and the attr-carrying IVF index probe
+    * ([[graft.similarity.Knn.IvfIndex.searchAdaptive]]), so no two
+    * serving paths can disagree on which rows are in scope. */
+  def filterConditions(req: SearchRequest): Seq[(String, Column)] =
+    Seq[Option[(String, Column)]](
+      req.sourceType.map(v => "source_type" -> (col("source_type") === v)),
+      req.author.map(v => "source_author" -> (col("source_author") === v)),
+      req.tags.map(ts =>
+        "tags" -> arrays_overlap(col("tags"), lit(ts.toArray))),
+      req.highlightedAtRange.map { case (from, to) =>
+        "highlighted_at" -> col("highlighted_at").between(from, to) }
+    ).flatten
+
   /** The request's metadata predicates alone (no vector work) — shared
     * by the dense path below and the hybrid gateway's lexical leg, so
     * the two legs can never disagree on which rows are in scope. */
   def applyFilters(store: DataFrame, req: SearchRequest): DataFrame =
-    Seq[Option[Column]](
-      req.sourceType.map(col("source_type") === _),
-      req.author.map(col("source_author") === _),
-      req.tags.map(ts => arrays_overlap(col("tags"), lit(ts.toArray))),
-      req.highlightedAtRange.map { case (from, to) =>
-        col("highlighted_at").between(from, to) }
-    ).flatten.foldLeft(store)(_ filter _)
+    filterConditions(req).map(_._2).foldLeft(store)(_ filter _)
 
   def search(store: DataFrame, req: SearchRequest, keyCol: String = "id"): DataFrame = {
     val filtered = applyFilters(store.filter(col(EmbeddingCol).isNotNull), req)

@@ -53,9 +53,20 @@ final class SearchGateway(storeFn: () => DataFrame, embedder: Embedder,
     else params.mmrLambda match {
       case Some(lambda) => mmrSearch(lambda, req)
       case None => dense match {
-        case Some(idx) if req.sourceType.isEmpty && req.author.isEmpty &&
-            req.tags.isEmpty && req.highlightedAtRange.isEmpty =>
-          denseIndexSearch(idx(), req)
+        case Some(idx) =>
+          val conds = SemanticSearch.filterConditions(req)
+          if (conds.isEmpty) denseIndexSearch(idx(), req)
+          else {
+            // a filtered request serves from the index ONLY when the
+            // cells carry every column the predicate references
+            // (ivfBuildIndex attrCols) — otherwise the store scan is
+            // the one plan that can evaluate the filter
+            val i = idx()
+            if (conds.forall { case (c, _) => i.attrColumns.contains(c) })
+              filteredIndexSearch(i, req, conds.map(_._2))
+            else SemanticSearch.search(store, req)
+              .collect().iterator.map(decode)
+          }
         case _ =>
           SemanticSearch.search(store, req).collect().iterator.map(decode)
       }
@@ -123,12 +134,30 @@ final class SearchGateway(storeFn: () => DataFrame, embedder: Embedder,
     * the index (same cosine the store scan computes), so the two paths
     * agree wherever the probe's recall does. */
   private def denseIndexSearch(idx: graft.similarity.Knn.IvfIndex,
-      req: SearchRequest): Iterator[Map[String, Any]] = {
-    val k = SearchRequest.clampK(req.k)
-    val top = idx.search(req.queryVec, k, nprobe)
+      req: SearchRequest): Iterator[Map[String, Any]] =
+    rehydrate(idx.search(req.queryVec, SearchRequest.clampK(req.k), nprobe)
       .select(org.apache.spark.sql.functions.col("id"),
         org.apache.spark.sql.functions.col("score"))
-      .collect()
+      .collect())
+
+  /** Filtered request through an attr-carrying index: the predicate
+    * evaluates INSIDE the pruned cell scan (same filter semantics as
+    * the store path — [[SemanticSearch.filterConditions]]), and the
+    * probe widens adaptively when the filter starves the first
+    * `nprobe` cells of k matches. Store rehydration is identical to
+    * the filterless path — by construction the k winners already
+    * satisfy the predicate. */
+  private def filteredIndexSearch(idx: graft.similarity.Knn.IvfIndex,
+      req: SearchRequest,
+      conds: Seq[org.apache.spark.sql.Column]): Iterator[Map[String, Any]] =
+    rehydrate(idx.searchAdaptive(req.queryVec, SearchRequest.clampK(req.k),
+        nprobe, conds.reduceOption(_ && _))
+      .select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("score"))
+      .collect())
+
+  private def rehydrate(
+      top: Array[Row]): Iterator[Map[String, Any]] = {
     if (top.isEmpty) return Iterator.empty
     val scoreOf = top.map(r => (r.get(0), r.getDouble(1))).toMap
     val order = top.map(_.get(0)).zipWithIndex.toMap

@@ -412,12 +412,19 @@ object Knn {
 
   private def assignCore(corpus: DataFrame, vecCol: String, keyCol: String,
       centroids: DataFrame, centVec: String, centKey: String,
-      dist: (Column, Column) => Column): DataFrame = {
-    val c = corpus.select(col(keyCol).as("id"), col(vecCol).as("v"))
+      dist: (Column, Column) => Column,
+      attrCols: Seq[String] = Nil): DataFrame = {
+    // attrCols ride on the SAME re-attach join the vectors use (the
+    // rank exchange inside cellPicks prunes them away — it only ever
+    // carries (id, centroid_id, cdist)), so filterable metadata lands
+    // in the cells at zero extra shuffle
+    val c = corpus.select(col(keyCol).as("id") +: col(vecCol).as("v") +:
+        attrCols.map(col): _*)
       .filter(col("v").isNotNull)
     val cents = centroids.select(col(centKey).as("centroid_id"), col(centVec).as("cvec"))
     c.join(cellPicks(c, cents, nprobe = 1, dist).drop("crank"), Seq("id"))
-      .select(col("id"), col("v"), col("centroid_id"))
+      .select(col("id") +: col("v") +: attrCols.map(col) :+
+        col("centroid_id"): _*)
   }
 
   /** IVF-style ANN: assign every corpus vector to its nearest centroid
@@ -426,9 +433,10 @@ object Knn {
     * `nprobe` cells (here 1 for determinism).
     */
   def ivfAssign(corpus: DataFrame, vecCol: String, keyCol: String,
-      centroids: DataFrame, centVec: String, centKey: String): DataFrame =
+      centroids: DataFrame, centVec: String, centKey: String,
+      attrCols: Seq[String] = Nil): DataFrame =
     assignCore(corpus, vecCol, keyCol, centroids, centVec, centKey,
-      cosine_distance)
+      cosine_distance, attrCols)
 
   /** [[ivfAssign]] under squared-L2 — the metric k-means' mean-update
     * step actually minimizes, used by the PQ sub-quantizers. */
@@ -472,8 +480,9 @@ object Knn {
     // footprint, and the probe path has a fused decode+cosine kernel, so
     // fp32 cells would double storage and scan I/O for nothing
     val cells =
-      if (fp16) assigned.select(col("id"),
-        graft.functions.fp16_encode(col("v")).as("emb16"), col("centroid_id"))
+      if (fp16) assigned
+        .withColumn("emb16", graft.functions.fp16_encode(col("v")))
+        .drop("v") // attr columns (filtered-search metadata) carry through
       else assigned
     // cluster by cell before the partitioned write (same rationale as
     // the lexical segment writer): one file per cell per segment, so an
@@ -497,12 +506,24 @@ object Knn {
     * Layout: the centroid sidecar at the root (immutable — appends assign
     * against it) + one initial cell segment under a `CURRENT` segment
     * list ([[graft.sync.SegmentedIndex]]); production batches extend via
-    * [[ivfAppendIndex]] at O(batch) cost. */
+    * [[ivfAppendIndex]] at O(batch) cost.
+    *
+    * `attrCols` names corpus metadata columns (labels, source, tags,
+    * timestamps) to CARRY INTO the cells: filtered ANN then applies its
+    * predicate inside the pruned cell scan — pgvector's
+    * "ivfflat + WHERE" shape — instead of joining winners back to the
+    * store and hoping enough survive. Attrs are tiny next to the
+    * vectors and ride the existing re-attach join; appends sniff and
+    * require them, compaction and tombstones preserve them. */
   def ivfBuildIndex(corpus: DataFrame, vecCol: String, keyCol: String,
       indexDir: String, k: Int, iters: Int,
-      trainFilter: Column, fp16: Boolean = false): Unit = {
+      trainFilter: Column, fp16: Boolean = false,
+      attrCols: Seq[String] = Nil): Unit = {
+    require(!attrCols.exists(Set("id", "v", "emb16", "centroid_id")),
+      s"ivfBuildIndex: attrCols clash with index layout columns")
     val cents = trainCentroids(corpus.filter(trainFilter), vecCol, keyCol, k, iters)
-    val assigned = ivfAssign(corpus, vecCol, keyCol, cents, "cvec", "centroid_id")
+    val assigned = ivfAssign(corpus, vecCol, keyCol, cents, "cvec",
+      "centroid_id", attrCols)
     val seg = graft.sync.SegmentedIndex.newSegmentName()
     writeCellSegment(assigned, s"$indexDir/$seg", fp16)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
@@ -527,12 +548,23 @@ object Knn {
     val existing = graft.sync.SegmentedIndex.resolve(spark, indexDir)
       .getOrElse(throw new IllegalStateException(
         s"ivfAppendIndex: no segmented IVF index at $indexDir (build first)"))
-    val fp16 = spark.read
+    val liveCols = spark.read
       .parquet(s"$indexDir/${existing.filterNot(
         graft.sync.SegmentedIndex.isTombstone).head}/cells")
-      .columns.contains("emb16")
+      .columns
+    val fp16 = liveCols.contains("emb16")
+    // attr columns are part of the index's schema contract: sniff them
+    // from the live segments (like fp16) and demand them of the batch,
+    // so an appended segment can never silently drop the metadata the
+    // filtered probes rely on
+    val attrCols = liveCols.toSeq
+      .filterNot(Set("id", "v", "emb16", "centroid_id"))
+    val missing = attrCols.filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"ivfAppendIndex: batch lacks index attr column(s) ${missing.mkString(", ")}")
     val cents = spark.read.parquet(s"$indexDir/centroids")
-    val assigned = ivfAssign(batch, vecCol, keyCol, cents, "cvec", "centroid_id")
+    val assigned = ivfAssign(batch, vecCol, keyCol, cents, "cvec",
+      "centroid_id", attrCols)
     val seg = graft.sync.SegmentedIndex.newSegmentName()
     writeCellSegment(assigned, s"$indexDir/$seg", fp16)
     graft.sync.SegmentedIndex.commit(spark, indexDir, existing :+ seg)
@@ -573,8 +605,14 @@ object Knn {
       .orderBy(col("centroid_id"))
   }
 
+  /** `filter`: optional metadata predicate over the index's attr
+    * columns (see [[ivfBuildIndex]]'s `attrCols`), applied INSIDE the
+    * pruned cell scan — it reaches the parquet reader as a data filter
+    * on the probed partitions, so selective predicates cut scan work
+    * instead of starving the post-hoc result. */
   def ivfSearchIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      queryVec: Array[Float], k: Int, nprobe: Int): DataFrame = {
+      queryVec: Array[Float], k: Int, nprobe: Int,
+      filter: Option[Column] = None): DataFrame = {
     val probed = spark.read.parquet(s"$indexDir/centroids")
       .select(col("centroid_id"),
         cosine_distance(col("cvec"), typedLit(queryVec)).as("cdist"))
@@ -602,8 +640,8 @@ object Knn {
       if (cells.columns.contains("emb16"))
         graft.functions.fp16_cosine_distance(col("emb16"), typedLit(queryVec))
       else cosine_distance(col("v"), typedLit(queryVec))
-    cells
-      .filter(col("centroid_id").isin(inList: _*))
+    filter.foldLeft(cells.filter(col("centroid_id").isin(inList: _*)))(
+        _ filter _)
       .withColumn("score", score)
       .orderBy(col("score").asc, col("id").asc)
       .limit(k)
@@ -627,7 +665,17 @@ object Knn {
       cells: DataFrame, inListType: org.apache.spark.sql.types.DataType,
       fp16: Boolean) {
 
-    def search(queryVec: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    /** Number of cells in the frozen geometry — the nprobe ceiling. */
+    def numCells: Int = centroids.length
+
+    /** Metadata columns the cells carry beyond the index layout — the
+      * predicates a filtered probe may reference. Empty for an index
+      * built without `attrCols`. */
+    val attrColumns: Seq[String] =
+      cells.columns.toSeq.filterNot(Set("id", "v", "emb16", "centroid_id"))
+
+    def search(queryVec: Array[Float], k: Int, nprobe: Int,
+        filter: Option[Column] = None): DataFrame = {
       val probed = centroids
         .map { case (cid, cv) =>
           (cid, graft.functions.VectorMath.cosineDistance(cv, queryVec)) }
@@ -642,12 +690,34 @@ object Knn {
         if (fp16) graft.functions.fp16_cosine_distance(
           col("emb16"), typedLit(queryVec))
         else cosine_distance(col("v"), typedLit(queryVec))
-      cells.filter(col("centroid_id").isin(inList: _*))
+      filter.foldLeft(cells.filter(col("centroid_id").isin(inList: _*)))(
+          _ filter _)
         .withColumn("score", score)
         .orderBy(col("score").asc, col("id").asc)
         .limit(k)
         .select(col("id"), col("centroid_id").cast("long").as("centroid_id"),
           col("score"))
+    }
+
+    /** Filtered search with adaptive probe widening: a selective
+      * predicate can leave fewer than k matches in the `nprobe` nearest
+      * cells (the filtered-ANN recall starvation problem), so the probe
+      * DOUBLES its cell set until k rows survive or the whole geometry
+      * has been scanned — each widening is one more pruned job, and the
+      * worst case (predicate matches < k rows anywhere) degrades to the
+      * brute-force-over-index scan that is the only correct answer
+      * there. Unfiltered requests never widen (the first probe's k rows
+      * are the cells' true top-k). */
+    def searchAdaptive(queryVec: Array[Float], k: Int, nprobe: Int,
+        filter: Option[Column]): DataFrame = {
+      var np = math.max(1, math.min(nprobe, numCells))
+      var res = search(queryVec, k, np, filter)
+      if (filter.isEmpty) return res
+      while (np < numCells && res.count() < k) {
+        np = math.min(np * 2, numCells)
+        res = search(queryVec, k, np, filter)
+      }
+      res
     }
   }
 
@@ -786,7 +856,8 @@ object Knn {
     */
   def trainCentroids(corpus: DataFrame, vecCol: String, keyCol: String,
       k: Int, iters: Int = 5): DataFrame =
-    trainCore(corpus, vecCol, keyCol, k, iters, ivfAssign)
+    trainCore(corpus, vecCol, keyCol, k, iters,
+      ivfAssign(_, _, _, _, _, _))
 
   /** [[trainCentroids]] with squared-L2 assignment — textbook Lloyd
     * (assignment metric = the one the mean update minimizes), used for

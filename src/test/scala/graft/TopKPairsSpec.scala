@@ -61,6 +61,24 @@ class TopKPairsSpec extends SparkTestBase {
     assert(plan.contains("partial_topk_pairs"), plan.take(400))
   }
 
+  test("SQL k literal: fractional and out-of-range values error, never truncate") {
+    graft.functions.registerAll(spark)
+    rows.createOrReplaceTempView("tkrows")
+    // k=2.5 must be rejected at analysis, not silently become k=2
+    val frac = intercept[Exception] {
+      spark.sql("SELECT g, topk_pairs(ord, id, 2.5) FROM tkrows GROUP BY g")
+        .collect()
+    }
+    assert(frac.getMessage.contains("integer literal"), frac.getMessage)
+    // k beyond Int range must be rejected, not wrap to a small positive k
+    val big = intercept[Exception] {
+      spark.sql(
+        "SELECT g, topk_pairs(ord, id, 4294967297) FROM tkrows GROUP BY g")
+        .collect()
+    }
+    assert(big.getMessage.contains("2^20"), big.getMessage)
+  }
+
   test("callable from SQL once registered") {
     graft.functions.registerAll(spark)
     rows.createOrReplaceTempView("tkrows")

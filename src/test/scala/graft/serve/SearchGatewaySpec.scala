@@ -176,6 +176,48 @@ class SearchGatewaySpec extends SparkTestBase {
     }
   }
 
+  test("attr-carrying index serves FILTERED queries from the probe, agreeing with the store scan") {
+    val root = java.nio.file.Files.createTempDirectory("gw-ivf-attr").toString
+    val ivfDir = s"$root/ivf"
+    try {
+      // the cells carry every servable filter column, so the gateway's
+      // filtered route stays on the index instead of falling back
+      graft.similarity.Knn.ivfBuildIndex(store, "embedding", "id", ivfDir,
+        k = 4, iters = 2, trainFilter = crc32(col("id")) % 5 === 0,
+        attrCols = Seq("source_type", "source_author", "tags",
+          "highlighted_at"))
+      val idx = graft.similarity.Knn.IvfIndex.load(spark, ivfDir)
+      assert(idx.attrColumns.toSet ==
+        Set("source_type", "source_author", "tags", "highlighted_at"))
+      val gw = new SearchGateway(() => store, Embedder.Default,
+        Some(() => idx), 4)
+      // nprobe = all cells → index recall is exact, so the filtered
+      // index route must agree with the store scan bit-for-bit
+      val st = store.select(col("source_type")).head().getString(0)
+      val viaIndex = gw.search(SearchParams(query = "spark vector join",
+        k = 5, sourceType = Some(st))).toList
+      val viaStore = new SearchGateway(store)
+        .search(SearchParams(query = "spark vector join",
+          k = 5, sourceType = Some(st))).toList
+      assert(viaIndex.map(r => (r("id"), r("score"))) ==
+        viaStore.map(r => (r("id"), r("score"))))
+      assert(viaIndex.nonEmpty && viaIndex.forall(_("source_type") == st))
+      // array-overlap filter (tags) rides the same route
+      val tag = store.select(element_at(col("tags"), 1)).head().getString(0)
+      val tagged = gw.search(SearchParams(query = "data", k = 10,
+        tags = Some(Seq(tag)))).toList
+      val taggedStore = new SearchGateway(store)
+        .search(SearchParams(query = "data", k = 10,
+          tags = Some(Seq(tag)))).toList
+      assert(tagged.map(r => (r("id"), r("score"))) ==
+        taggedStore.map(r => (r("id"), r("score"))))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("MCP server serves real searches over TCP") {
     val gw = new SearchGateway(store)
     val server = new McpServer(gw.search).start()

@@ -47,6 +47,68 @@ class KnnSpec extends SparkTestBase {
     }
   }
 
+  test("attr-carrying cells: filtered probe, adaptive widening, appends keep the contract") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfattr").toString
+    try {
+      Knn.ivfBuildIndex(emb, "embedding", "vec_id", dir, k = 4, iters = 2,
+        trainFilter = $"vec_id" % 5 === 0, attrCols = Seq("label"))
+      val idx = Knn.IvfIndex.load(spark, dir)
+      assert(idx.attrColumns == Seq("label"))
+      val qv = emb.orderBy($"vec_id").select($"embedding")
+        .head().getSeq[Float](0).toArray
+      val labelOf = emb.select($"vec_id", $"label").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // every winner satisfies the predicate BY CONSTRUCTION (it was
+      // evaluated inside the pruned cell scan, not post-hoc)
+      val cond = col("label") % 3 === 1
+      val hits = idx.search(qv, 10, 2, Some(cond)).collect()
+      assert(hits.nonEmpty && hits.forall(r => labelOf(r.getLong(0)) % 3 == 1))
+      // the filter is a DATA filter on the probed partitions: partition
+      // pruning by centroid still applies, label lands in PushedFilters
+      val plan = idx.search(qv, 10, 2, Some(cond)).queryExecution.executedPlan
+      val scan = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.head
+      assert(scan.metadata("PartitionFilters").contains("centroid_id"))
+      assert(scan.metadata("PushedFilters").contains("label"),
+        scan.metadata("PushedFilters"))
+      // widened to the whole geometry, filtered probe == exact filtered top-k
+      val all = idx.search(qv, 10, idx.numCells, Some(cond))
+        .collect().map(_.getLong(0)).toSeq
+      val exact = Knn.topK(emb.filter(cond), "embedding", qv, 10, "vec_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(all == exact)
+      // a predicate with fewer than k matches ANYWHERE: searchAdaptive
+      // must widen to the full geometry and return every match, exactly
+      // the brute-force filtered answer
+      val rare = col("label") === 7 && col("id") % 11 === 3
+      val rareIds = emb.filter($"label" === 7 && $"vec_id" % 11 === 3)
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+      assert(rareIds.nonEmpty && rareIds.size < 10) // genuinely starving
+      val widened = idx.searchAdaptive(qv, 10, 1, Some(rare))
+        .collect().map(_.getLong(0)).toSet
+      assert(widened == rareIds)
+      // append: attrs are part of the index schema contract — sniffed
+      // from live segments, demanded of the batch
+      val batch = emb.select(($"vec_id" + 100000L).as("vec_id"),
+        $"embedding", $"label").limit(5)
+      Knn.ivfAppendIndex(batch, "embedding", "vec_id", dir)
+      val idx2 = Knn.IvfIndex.load(spark, dir)
+      assert(idx2.search(qv, 10000, idx2.numCells, None).count() ==
+        emb.count() + 5)
+      val noAttr = intercept[IllegalArgumentException] {
+        Knn.ivfAppendIndex(
+          emb.select(($"vec_id" + 200000L).as("vec_id"), $"embedding")
+            .limit(3),
+          "embedding", "vec_id", dir)
+      }
+      assert(noAttr.getMessage.contains("label"), noAttr.getMessage)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("fp16 cells: probe scores through the fused kernel, rank-identical to fp32") {
     val dir32 = java.nio.file.Files.createTempDirectory("ivfidx32").toString
     val dir16 = java.nio.file.Files.createTempDirectory("ivfidx16").toString
