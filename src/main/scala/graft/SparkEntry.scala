@@ -2066,7 +2066,19 @@ object SparkEntry {
         .na.fill(value = false, Seq("in_exact"))
         .select(col("id"), col("centroid_id"), col("score"), col("in_exact"))
         .orderBy(col("score"), col("id"))
-    })
+    }),
+
+    // ---- stupid-backoff trigram LM scoring (Brants et al. 2007): the
+    //      CCNet/KenLM perplexity-filter shape for corpus curation —
+    //      counts trained on the %10<8 subset, EVERY doc scored by avg
+    //      per-token log-prob with trigram → α·bigram → α²·Laplace-
+    //      unigram backoff; ln p accumulates in DECIMAL so the score is
+    //      partition-deterministic ----
+    "q133_ngram_lm" -> ((s, dir) =>
+      graft.text.TextAnalysis.ngramLmScore(
+          t(s, dir, "documents"), "text", "doc_id",
+          trainFilter = col("doc_id") % 10 < 8)
+        .orderBy(col("doc_id")))
   )
 
   /** Probe text for q35 (shared by the Spark query and the DuckDB oracle). */
@@ -4755,6 +4767,48 @@ object SparkEntry {
          |  ORDER BY ${sqlCosine("c.v", "qv")}, c.id LIMIT 10)
          |SELECT h.id, h.centroid_id, h.score,
          |  (h.id IN (SELECT id FROM exact)) AS in_exact
-         |FROM hits h ORDER BY score, id""".stripMargin
+         |FROM hits h ORDER BY score, id""".stripMargin,
+
+    // the stupid-backoff chain replayed: same tokenization, same lag
+    // contexts, same count relations, same CASE and the same
+    // DECIMAL(25,12) ln-sum — the α factors written as 0.4 products so
+    // both engines compute the identical double
+    "q133_ngram_lm" ->
+      s"""WITH src AS (SELECT doc_id AS id, doc_id % 10 < 8 AS is_train,
+         |    string_split(text, ' ') AS ws FROM documents),
+         |toks AS (SELECT id, is_train, unnest(range(len(ws))) AS pos,
+         |    unnest(ws) AS w FROM src),
+         |grams AS (SELECT id, is_train, pos, w,
+         |    lag(w, 2) OVER (PARTITION BY id ORDER BY pos) AS w1,
+         |    lag(w, 1) OVER (PARTITION BY id ORDER BY pos) AS w2
+         |  FROM toks),
+         |train AS (SELECT * FROM grams WHERE is_train),
+         |uni AS (SELECT w, count(*) AS c1 FROM train GROUP BY w),
+         |tot AS (SELECT SUM(c1) AS t_tokens, COUNT(*) AS vocab FROM uni),
+         |big AS (SELECT w2, w, count(*) AS c2 FROM train
+         |  WHERE w2 IS NOT NULL GROUP BY w2, w),
+         |tri AS (SELECT w1, w2, w, count(*) AS c3 FROM train
+         |  WHERE w1 IS NOT NULL GROUP BY w1, w2, w),
+         |lp AS (
+         |  SELECT g.id,
+         |    ln(CASE
+         |      WHEN t3.c3 IS NOT NULL
+         |        THEN CAST(t3.c3 AS DOUBLE) / CAST(bc.c2 AS DOUBLE)
+         |      WHEN b.c2 IS NOT NULL
+         |        THEN 0.4 * CAST(b.c2 AS DOUBLE) / CAST(uc.c1 AS DOUBLE)
+         |      ELSE 0.4 * 0.4 * (CAST(COALESCE(u.c1, 0) AS DOUBLE) + 1.0) /
+         |        (CAST(tot.t_tokens AS DOUBLE) + CAST(tot.vocab AS DOUBLE))
+         |    END) AS lp
+         |  FROM grams g
+         |  LEFT JOIN tri t3 ON t3.w1 = g.w1 AND t3.w2 = g.w2 AND t3.w = g.w
+         |  LEFT JOIN big bc ON bc.w2 = g.w1 AND bc.w = g.w2
+         |  LEFT JOIN big b ON b.w2 = g.w2 AND b.w = g.w
+         |  LEFT JOIN uni uc ON uc.w = g.w2
+         |  LEFT JOIN uni u ON u.w = g.w
+         |  CROSS JOIN tot)
+         |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CAST(lp AS DECIMAL(25,12))) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE) AS avg_logprob
+         |FROM lp GROUP BY id ORDER BY doc_id""".stripMargin
   )
 }

@@ -370,6 +370,80 @@ object TextAnalysis {
     * per-doc re-aggregation. Documents with fewer than 2 words are
     * dropped (no bigrams → no sequence evidence). Returns (keyCol,
     * n_bigrams, familiarity). */
+  /** Stupid-backoff trigram language-model score (Brants et al.,
+    * "Large Language Models in Machine Translation", EMNLP 2007 — the
+    * backoff chosen PRECISELY because it needs no discounting state and
+    * distributes as plain counts): train n-gram counts on
+    * `trainFilter`'s subset, score EVERY document by its average
+    * per-token log-probability. This is the CCNet/KenLM perplexity
+    * filter shape for training-data curation (low avg_logprob =
+    * boilerplate-free but also gibberish; high = fluent/common): score
+    * with a clean-corpus-trained model, keep the middle of the
+    * distribution.
+    *
+    * Per token w with context (w1, w2):
+    *   c3(w1,w2,w) > 0 → c3 / c2(w1,w2)
+    *   else c2(w2,w) > 0 → α · c2(w2,w) / c1(w2)
+    *   else → α² · (c1(w)+1) / (T+V)     (Laplace unigram, OOV-safe)
+    * Document starts fall through naturally: a null lag context matches
+    * no count row. avg_logprob accumulates ln p in DECIMAL(25,12) (the
+    * Lloyd-mean discipline), so the score is bit-deterministic under
+    * any partitioning — and oracle-replicable.
+    *
+    * Scale shape: the model IS three count relations, partial-aggregated
+    * and shuffled by gram key; scoring is five equi-joins on those keys
+    * (no window beyond the per-doc lag pass, no driver state). At
+    * 100 TB prune the model with `minCount` — dropping singleton
+    * trigrams cuts the model ~10× and only moves rare tokens one
+    * backoff level down. */
+  def ngramLmScore(df: org.apache.spark.sql.DataFrame, textCol: String,
+      keyCol: String, trainFilter: Column, alpha: Double = 0.4,
+      minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
+    val toks = df
+      .select(col(keyCol).as("id"), trainFilter.as("is_train"),
+        posexplode(words(col(textCol))).as(Seq("pos", "w")))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    val grams = toks
+      .withColumn("w1", lag(col("w"), 2).over(byDoc))
+      .withColumn("w2", lag(col("w"), 1).over(byDoc))
+    val train = grams.filter(col("is_train"))
+    val uni = train.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    // T and V are the UNPRUNED totals (pruning reshapes backoff, not
+    // the unigram floor); one tiny row, broadcast
+    val totals = uni.agg(sum(col("c1")).as("t_tokens"),
+      count(lit(1)).as("vocab"))
+    val big = train.filter(col("w2").isNotNull)
+      .groupBy(col("w2"), col("w")).agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val tri = train.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2"), col("w")).agg(count(lit(1)).as("c3"))
+      .filter(col("c3") >= minCount)
+    val scored = grams
+      .join(tri, Seq("w1", "w2", "w"), "left")
+      .join(big.select(col("w2").as("w1"), col("w").as("w2"),
+        col("c2").as("c2ctx")), Seq("w1", "w2"), "left")
+      .join(big, Seq("w2", "w"), "left")
+      .join(uni.select(col("w").as("w2"), col("c1").as("c1ctx")),
+        Seq("w2"), "left")
+      .join(uni, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+    val lp = log(
+      when(col("c3").isNotNull,
+        col("c3").cast("double") / col("c2ctx").cast("double"))
+      .when(col("c2").isNotNull,
+        lit(alpha) * col("c2").cast("double") / col("c1ctx").cast("double"))
+      .otherwise(lit(alpha) * lit(alpha) *
+        (coalesce(col("c1"), lit(0L)).cast("double") + lit(1.0)) /
+        (col("t_tokens").cast("double") + col("vocab").cast("double"))))
+    scored.withColumn("lp", lp)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("lp").cast("decimal(25,12)")).cast("double") /
+          count(lit(1)).cast("double")).as("avg_logprob"))
+      .select(col("id").as(keyCol), col("n_tokens"), col("avg_logprob"))
+  }
+
   def bigramFamiliarity(df: org.apache.spark.sql.DataFrame, textCol: String,
       keyCol: String): org.apache.spark.sql.DataFrame = {
     val bi = df.select(col(keyCol).as("id"),

@@ -119,4 +119,42 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.head().getAs[String]("__langid_w") == "keepme")
     assert(out.head().getAs[String]("pred") == "en")
   }
+
+  test("ngramLmScore: backoff ladder orders fluent > bigram-only > OOV; deterministic") {
+    // train: 20 copies of one sentence → its trigrams are all known
+    val trainDocs = (0L until 20L).map(i =>
+      (i, "the quick brown fox jumps over the lazy dog"))
+    val probes = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // trigram hits
+      (101L, "dog the quick lazy over brown fox jumps the"), // words known, order scrambled
+      (102L, "zz qq ww rr tt yy uu ii oo pp"))                // pure OOV
+    val df = (trainDocs ++ probes).toDF("doc_id", "text")
+    val scored = TextAnalysis.ngramLmScore(df, "text", "doc_id",
+        trainFilter = col("doc_id") < 100)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    val (n100, s100) = scored(100L)
+    val (n102, s102) = scored(102L)
+    assert(n100 == 9 && n102 == 10)
+    // the ladder: in-model trigrams beat scrambled (backed-off) beat OOV
+    assert(s100 > scored(101L)._2, s"$s100 vs ${scored(101L)._2}")
+    assert(scored(101L)._2 > s102, s"${scored(101L)._2} vs $s102")
+    // the fluent doc's tokens after position 2 are all seen trigrams:
+    // p = c3/c2 = 1 exactly, so only the two context-less start tokens
+    // pull the average below 0
+    assert(s100 > -2.0 && s100 < 0.0)
+    // OOV floor: every token scores α²·1/(T+V) — all equal
+    assert(s102 < math.log(0.16 / 180.0) + 1e-9)
+    // DECIMAL accumulation: score invariant under repartitioning
+    val re = TextAnalysis.ngramLmScore(df.repartition(7), "text", "doc_id",
+        trainFilter = col("doc_id") < 100)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(re == scored.map { case (k, (_, s)) => k -> s })
+    // minCount prunes the model: a threshold above the corpus count
+    // empties tri/big, so every token backs off to the unigram floor
+    val pruned = TextAnalysis.ngramLmScore(df, "text", "doc_id",
+        trainFilter = col("doc_id") < 100, minCount = 1000L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(pruned(100L) < scored(100L)._2)
+  }
 }
