@@ -2078,7 +2078,36 @@ object SparkEntry {
       graft.text.TextAnalysis.ngramLmScore(
           t(s, dir, "documents"), "text", "doc_id",
           trainFilter = col("doc_id") % 10 < 8)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // ---- weight-proportional sampling without replacement (Efraimidis–
+    //      Spirakis exponential clocks, hash-seeded): the quality-
+    //      weighted subsample step — 3 docs per source, inclusion odds
+    //      ∝ n_chars, deterministic across re-runs/shards/engines ----
+    "q134_weighted_sample" -> ((s, dir) =>
+      graft.text.CorpusPrep.weightedSample(
+          t(s, dir, "documents"), "text", "n_chars", "doc_id", "source",
+          k = 3)
+        .orderBy(col("source"), col("rk"))),
+
+    // ---- Matryoshka prefix-dimension search: stage 1 ranks by cosine
+    //      over the first 16 of 64 components (4× cheaper scan), stage 2
+    //      exactly re-scores the 4·k survivors — the coarse-then-refine
+    //      dial in DIMENSION rather than precision ----
+    "q135_prefix_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val probe = Knn.prefixTopK(e, "embedding", "vec_id", qv, k = 10,
+        dPrefix = 16, factor = 4)
+      val exact = Knn.topK(e, "embedding", qv, 10, "vec_id")
+        .select(col("vec_id").as("id"), lit(true).as("in_exact"))
+      probe.withColumnRenamed("vec_id", "id")
+        .join(exact, Seq("id"), "left")
+        .na.fill(value = false, Seq("in_exact"))
+        .select(col("id"), col("pre_score"), col("score"), col("in_exact"))
+        .orderBy(col("score"), col("id"))
+    })
   )
 
   /** Probe text for q35 (shared by the Spark query and the DuckDB oracle). */
@@ -4809,6 +4838,43 @@ object SparkEntry {
          |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
          |  CAST(SUM(CAST(lp AS DECIMAL(25,12))) AS DOUBLE) /
          |    CAST(COUNT(*) AS DOUBLE) AS avg_logprob
-         |FROM lp GROUP BY id ORDER BY doc_id""".stripMargin
+         |FROM lp GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // the exponential clocks replayed: same content-hash uniform, same
+    // -ln(u)/w key, same (key, id) rank; the key doubles stay internal
+    // so ulp differences in pow/ln can only matter on exact rank ties,
+    // which the id tiebreak resolves identically
+    "q134_weighted_sample" ->
+      s"""WITH d AS (SELECT source, doc_id, n_chars, text FROM documents
+         |  WHERE n_chars > 0),
+         |keyed AS (SELECT source, doc_id, n_chars,
+         |  -ln((CAST(${sqlPolyHash("text")} AS DOUBLE) + 1.0) / 1000000008.0)
+         |    / CAST(n_chars AS DOUBLE) AS ky
+         |  FROM d),
+         |rk AS (SELECT source, doc_id, n_chars,
+         |  CAST(row_number() OVER (PARTITION BY source ORDER BY ky, doc_id)
+         |    AS INT) AS rk
+         |  FROM keyed)
+         |SELECT source, rk, doc_id, n_chars FROM rk
+         |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
+
+    // both cuts + the exact baseline replayed over list slices; v[1:16]
+    // is DuckDB's 1-based inclusive slice = Spark's slice(v, 1, 16)
+    "q135_prefix_topk" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |pre AS (
+         |  SELECT id, v, ${sqlCosine("v[1:16]", "qv[1:16]")} AS pre_score
+         |  FROM corpus, q ORDER BY pre_score, id LIMIT 40),
+         |hits AS (
+         |  SELECT id, pre_score, ${sqlCosine("v", "qv")} AS score
+         |  FROM pre, q ORDER BY score, id LIMIT 10),
+         |exact AS (SELECT id FROM corpus, q
+         |  ORDER BY ${sqlCosine("v", "qv")}, id LIMIT 10)
+         |SELECT h.id, h.pre_score, h.score,
+         |  (h.id IN (SELECT id FROM exact)) AS in_exact
+         |FROM hits h ORDER BY score, id""".stripMargin
   )
 }

@@ -65,6 +65,41 @@ object Knn {
       .select(col(keyCol), col("hamming"), col("score"))
   }
 
+  /** Matryoshka prefix-dimension search (Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS 2022): stage 1 ranks the corpus
+    * by cosine over only the FIRST `dPrefix` components, stage 2
+    * exactly re-scores the `factor`·k survivors over the full vector.
+    * MRL-trained embeddings front-load information, so a dim/dPrefix×
+    * cheaper stage-1 scan buys near-exact recall — the coarse-then-
+    * refine dial the fp16/int8/PQ ladder expresses in PRECISION,
+    * expressed in DIMENSION instead (the two compose).
+    *
+    * Scale shape: one corpus scan; both cuts are TakeOrderedAndProject
+    * heaps (no shuffle of corpus rows), and candidates carry their full
+    * vector through the first heap so the re-rank needs no second scan
+    * or join (the [[hammingPrefilterTopK]] discipline). At rest, store
+    * the prefix as its OWN column: columnar scans then read dPrefix
+    * floats a row for stage 1 and rehydrate the full vector only for
+    * the shortlist (the q124 point-probe layout applies verbatim).
+    * Deterministic: ties break on (pre_score, key) then (score, key).
+    * Returns (keyCol, pre_score, score) ordered by (score, key). */
+  def prefixTopK(corpus: DataFrame, vecCol: String, keyCol: String,
+      queryVec: Array[Float], k: Int, dPrefix: Int,
+      factor: Int = 4): DataFrame = {
+    require(dPrefix > 0 && dPrefix <= queryVec.length,
+      s"prefixTopK: need 0 < dPrefix <= ${queryVec.length}, got $dPrefix")
+    require(factor >= 1, s"prefixTopK: need factor >= 1, got $factor")
+    corpus.filter(col(vecCol).isNotNull)
+      .withColumn("pre_score", cosine_distance(
+        slice(col(vecCol), 1, dPrefix), typedLit(queryVec.take(dPrefix))))
+      .orderBy(col("pre_score").asc, col(keyCol).asc)
+      .limit(factor * k)
+      .withColumn("score", cosine_distance(col(vecCol), typedLit(queryVec)))
+      .orderBy(col("score").asc, col(keyCol).asc)
+      .limit(k)
+      .select(col(keyCol), col("pre_score"), col("score"))
+  }
+
   /** Graph-ANN beam search — the NSW/HNSW query primitive over a
     * precomputed kNN graph (built with [[knnGraph]] / [[cellKnnGraph]]):
     * starting from `entryId`, repeat `hops` times: expand the beam's

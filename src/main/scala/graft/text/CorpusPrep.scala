@@ -79,6 +79,38 @@ object CorpusPrep {
       .drop("__rk")
   }
 
+  /** Weight-proportional sampling without replacement (Efraimidis &
+    * Spirakis 2006, the exponential-clock form): every row draws
+    * key = −ln(u)/w with u a CONTENT-HASH uniform in (0,1), and the k
+    * smallest keys per stratum are exactly a w-proportional sample
+    * without replacement — the quality-weighted subsample step of a
+    * curation pipeline (w = quality score, token count, dup-cluster
+    * size…). Hash-seeded rather than random, so re-runs, shards and the
+    * oracle agree bit-for-bit; rows with w ≤ 0 are excluded (they have
+    * no exponential clock).
+    *
+    * Scale shape: narrow per-row math + one per-stratum top-k. Same
+    * stratum-size caveat as [[takeNPerStratum]]: the window sorts each
+    * full stratum — for shuffle-sized strata either pre-thin with
+    * [[sampleByContentHash]] or swap the window for the
+    * `topk_pairs` bounded-heap aggregate (map-side partial heaps, no
+    * sort). Returns (strataCol, rk, keyCol, weightCol) — the key
+    * doubles stay internal so output stability never rides on ulp. */
+  def weightedSample(df: DataFrame, textCol: String, weightCol: String,
+      keyCol: String, strataCol: String, k: Int): DataFrame = {
+    require(k >= 0, s"weightedSample: need k >= 0, got $k")
+    val mod = TextMath.Mod
+    val u = (TextAnalysis.polyHash(col(textCol)).cast("double") + lit(1.0)) /
+      lit((mod + 1).toDouble)
+    val key = -log(u) / col(weightCol).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(key.asc, col(keyCol).asc)
+    df.filter(col(weightCol) > 0)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(strataCol), col("rk"), col(keyCol), col(weightCol))
+  }
+
   /** Scrub patterns. Kept RE2-compatible (no backtracking constructs) so
     * the same pattern text runs identically under Java regex (Spark) and
     * RE2 (DuckDB oracle) — and would under any RE2-based scan pushdown.

