@@ -110,6 +110,39 @@ object ConcurrencyProbe {
       }
     }
 
+    if (mode == "filtered") {
+      // attribute-filtered serving (q132's shape under the gate): the
+      // cells carry a label attr and every request filters on it via
+      // searchAdaptive. At CONC_FILTER_MOD=10 the predicate keeps ~10%
+      // of each probed cell — selective enough that post-hoc filtering
+      // of 10 winners would starve, dense enough that the adaptive
+      // probe almost never widens: the request stays ONE pruned job
+      // with the predicate evaluated inside the scan, so the p95
+      // should sit on `ivf` mode's, not above it. Raise the modulus to
+      // measure the widening ladder's cost.
+      val cellsK = sys.env.getOrElse("CONC_CELLS", "64").toInt
+      val nprobe = sys.env.getOrElse("CONC_NPROBE", "4").toInt
+      val fmod = sys.env.getOrElse("CONC_FILTER_MOD", "10").toLong
+      val indexDir = graft.fixtures.Fp16Corpus.workRoot +
+        s"/ivfserve3072attr-n$n-c$cellsK-m$fmod"
+      if (!graft.similarity.Knn.ivfIndexReady(indexDir)) {
+        val fp32 = corpus.select(col("vec_id").as("id"),
+          graft.functions.fp16_decode(col("emb16")).as("embedding"),
+          pmod(col("vec_id"), lit(fmod)).as("label"))
+        graft.similarity.Knn.ivfBuildIndex(fp32, "embedding", "id", indexDir,
+          k = cellsK, iters = 2,
+          trainFilter = col("id") % (n / 500).max(1L) === 0, fp16 = true,
+          attrCols = Seq("label"))
+      }
+      val index = graft.similarity.Knn.IvfIndex.load(spark, indexDir)
+      run(spark, s"filtered(cells=$cellsK,nprobe=$nprobe,mod=$fmod)", n,
+        users, reqsPerUser) { seed =>
+          val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
+          index.searchAdaptiveRows(qv, k = 10, nprobe = nprobe,
+            Some(col("label") === seed % fmod))
+      }
+    }
+
     if (mode == "pq") {
       // IVFADC serving: same cells/nprobe dial as `ivf`, but the probed
       // partitions hold m-byte PQ codes instead of fp16 vectors — per-

@@ -2107,6 +2107,29 @@ object SparkEntry {
         .na.fill(value = false, Seq("in_exact"))
         .select(col("id"), col("pre_score"), col("score"), col("in_exact"))
         .orderBy(col("score"), col("id"))
+    }),
+
+    // ---- the LM model under segment maintenance: build on half the
+    //      train docs, append the other half, RETRACT the %7 subset as a
+    //      negative-count segment — counts are additive, so the merged
+    //      model must equal a wholesale recount of the surviving train
+    //      set, which is exactly what the oracle computes ----
+    "q136_lm_store" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val train = d.filter(col("doc_id") % 10 < 8)
+      val fp = d.agg(expr("bit_xor(xxhash64(doc_id, md5(text)))")
+        .cast("string")).head().getString(0)
+      val root = graft.fixtures.Fp16Corpus.workRoot + s"/lmstore-$fp"
+      if (!new java.io.File(s"$root/CURRENT").isFile) {
+        graft.text.LmStore.build(
+          train.filter(col("doc_id") % 2 === 0), "text", "doc_id", root)
+        graft.text.LmStore.append(
+          train.filter(col("doc_id") % 2 === 1), "text", "doc_id", root)
+        graft.text.LmStore.delete(
+          train.filter(col("doc_id") % 7 === 3), "text", "doc_id", root)
+      }
+      graft.text.LmStore.score(d, "text", "doc_id", root)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -2323,6 +2346,49 @@ object SparkEntry {
        |bmagg AS (SELECT id, $cases FROM bmcontrib GROUP BY id),
        |bm25 AS (SELECT id, ($total) AS score FROM bmagg)""".stripMargin
   }
+
+  /** The q133 stupid-backoff chain with a parameterized train
+    * predicate — shared by the wholesale model (q133) and the
+    * segment-maintained LmStore gate (q136, whose train set is the
+    * wholesale one minus the retracted docs: append + negative-count
+    * delete segments must merge to EXACTLY this recount). */
+  private def sqlLmBackoff(trainWhere: String): String =
+    s"""WITH src AS (SELECT doc_id AS id, $trainWhere AS is_train,
+       |    string_split(text, ' ') AS ws FROM documents),
+       |toks AS (SELECT id, is_train, unnest(range(len(ws))) AS pos,
+       |    unnest(ws) AS w FROM src),
+       |grams AS (SELECT id, is_train, pos, w,
+       |    lag(w, 2) OVER (PARTITION BY id ORDER BY pos) AS w1,
+       |    lag(w, 1) OVER (PARTITION BY id ORDER BY pos) AS w2
+       |  FROM toks),
+       |train AS (SELECT * FROM grams WHERE is_train),
+       |uni AS (SELECT w, count(*) AS c1 FROM train GROUP BY w),
+       |tot AS (SELECT SUM(c1) AS t_tokens, COUNT(*) AS vocab FROM uni),
+       |big AS (SELECT w2, w, count(*) AS c2 FROM train
+       |  WHERE w2 IS NOT NULL GROUP BY w2, w),
+       |tri AS (SELECT w1, w2, w, count(*) AS c3 FROM train
+       |  WHERE w1 IS NOT NULL GROUP BY w1, w2, w),
+       |lp AS (
+       |  SELECT g.id,
+       |    ln(CASE
+       |      WHEN t3.c3 IS NOT NULL
+       |        THEN CAST(t3.c3 AS DOUBLE) / CAST(bc.c2 AS DOUBLE)
+       |      WHEN b.c2 IS NOT NULL
+       |        THEN 0.4 * CAST(b.c2 AS DOUBLE) / CAST(uc.c1 AS DOUBLE)
+       |      ELSE 0.4 * 0.4 * (CAST(COALESCE(u.c1, 0) AS DOUBLE) + 1.0) /
+       |        (CAST(tot.t_tokens AS DOUBLE) + CAST(tot.vocab AS DOUBLE))
+       |    END) AS lp
+       |  FROM grams g
+       |  LEFT JOIN tri t3 ON t3.w1 = g.w1 AND t3.w2 = g.w2 AND t3.w = g.w
+       |  LEFT JOIN big bc ON bc.w2 = g.w1 AND bc.w = g.w2
+       |  LEFT JOIN big b ON b.w2 = g.w2 AND b.w = g.w
+       |  LEFT JOIN uni uc ON uc.w = g.w2
+       |  LEFT JOIN uni u ON u.w = g.w
+       |  CROSS JOIN tot)
+       |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CAST(lp AS DECIMAL(25,12))) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS avg_logprob
+       |FROM lp GROUP BY id ORDER BY doc_id""".stripMargin
 
   private def sqlCosine(a: String, b: String): String =
     s"(1 - list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) / " +
@@ -4802,43 +4868,12 @@ object SparkEntry {
     // contexts, same count relations, same CASE and the same
     // DECIMAL(25,12) ln-sum — the α factors written as 0.4 products so
     // both engines compute the identical double
-    "q133_ngram_lm" ->
-      s"""WITH src AS (SELECT doc_id AS id, doc_id % 10 < 8 AS is_train,
-         |    string_split(text, ' ') AS ws FROM documents),
-         |toks AS (SELECT id, is_train, unnest(range(len(ws))) AS pos,
-         |    unnest(ws) AS w FROM src),
-         |grams AS (SELECT id, is_train, pos, w,
-         |    lag(w, 2) OVER (PARTITION BY id ORDER BY pos) AS w1,
-         |    lag(w, 1) OVER (PARTITION BY id ORDER BY pos) AS w2
-         |  FROM toks),
-         |train AS (SELECT * FROM grams WHERE is_train),
-         |uni AS (SELECT w, count(*) AS c1 FROM train GROUP BY w),
-         |tot AS (SELECT SUM(c1) AS t_tokens, COUNT(*) AS vocab FROM uni),
-         |big AS (SELECT w2, w, count(*) AS c2 FROM train
-         |  WHERE w2 IS NOT NULL GROUP BY w2, w),
-         |tri AS (SELECT w1, w2, w, count(*) AS c3 FROM train
-         |  WHERE w1 IS NOT NULL GROUP BY w1, w2, w),
-         |lp AS (
-         |  SELECT g.id,
-         |    ln(CASE
-         |      WHEN t3.c3 IS NOT NULL
-         |        THEN CAST(t3.c3 AS DOUBLE) / CAST(bc.c2 AS DOUBLE)
-         |      WHEN b.c2 IS NOT NULL
-         |        THEN 0.4 * CAST(b.c2 AS DOUBLE) / CAST(uc.c1 AS DOUBLE)
-         |      ELSE 0.4 * 0.4 * (CAST(COALESCE(u.c1, 0) AS DOUBLE) + 1.0) /
-         |        (CAST(tot.t_tokens AS DOUBLE) + CAST(tot.vocab AS DOUBLE))
-         |    END) AS lp
-         |  FROM grams g
-         |  LEFT JOIN tri t3 ON t3.w1 = g.w1 AND t3.w2 = g.w2 AND t3.w = g.w
-         |  LEFT JOIN big bc ON bc.w2 = g.w1 AND bc.w = g.w2
-         |  LEFT JOIN big b ON b.w2 = g.w2 AND b.w = g.w
-         |  LEFT JOIN uni uc ON uc.w = g.w2
-         |  LEFT JOIN uni u ON u.w = g.w
-         |  CROSS JOIN tot)
-         |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         |  CAST(SUM(CAST(lp AS DECIMAL(25,12))) AS DOUBLE) /
-         |    CAST(COUNT(*) AS DOUBLE) AS avg_logprob
-         |FROM lp GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q133_ngram_lm" -> sqlLmBackoff("doc_id % 10 < 8"),
+
+    // q133's chain with the retracted docs OUT of the train set: the
+    // oracle recounts wholesale, the engine merges build + append +
+    // negative-count delete segments — additive counts make them equal
+    "q136_lm_store" -> sqlLmBackoff("doc_id % 10 < 8 AND doc_id % 7 <> 3"),
 
     // the exponential clocks replayed: same content-hash uniform, same
     // -ln(u)/w key, same (key, id) rank; the key doubles stay internal

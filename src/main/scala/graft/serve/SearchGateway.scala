@@ -150,11 +150,11 @@ final class SearchGateway(storeFn: () => DataFrame, embedder: Embedder,
   private def filteredIndexSearch(idx: graft.similarity.Knn.IvfIndex,
       req: SearchRequest,
       conds: Seq[org.apache.spark.sql.Column]): Iterator[Map[String, Any]] =
-    rehydrate(idx.searchAdaptive(req.queryVec, SearchRequest.clampK(req.k),
-        nprobe, conds.reduceOption(_ && _))
-      .select(org.apache.spark.sql.functions.col("id"),
-        org.apache.spark.sql.functions.col("score"))
-      .collect())
+    // the serving form: each widening attempt is ONE job (collect
+    // decides widening — no count pass, no plan re-execution)
+    rehydrate(idx.searchAdaptiveRows(req.queryVec,
+        SearchRequest.clampK(req.k), nprobe, conds.reduceOption(_ && _))
+      .map(r => Row(r.get(0), r.getDouble(2))))
 
   private def rehydrate(
       top: Array[Row]): Iterator[Map[String, Any]] = {

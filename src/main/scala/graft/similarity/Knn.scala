@@ -754,6 +754,23 @@ object Knn {
       }
       res
     }
+
+    /** [[searchAdaptive]]'s SERVING form: each widening attempt runs as
+      * exactly one job (the probe collects its ≤ k rows and the length
+      * decides widening — no separate count pass, no re-execution of
+      * the final plan), so the common case costs the same single pruned
+      * job as an unfiltered probe. Returns (id, centroid_id, score)
+      * rows ordered by (score, id). */
+    def searchAdaptiveRows(queryVec: Array[Float], k: Int, nprobe: Int,
+        filter: Option[Column]): Array[org.apache.spark.sql.Row] = {
+      var np = math.max(1, math.min(nprobe, numCells))
+      var rows = search(queryVec, k, np, filter).collect()
+      while (filter.nonEmpty && rows.length < k && np < numCells) {
+        np = math.min(np * 2, numCells)
+        rows = search(queryVec, k, np, filter).collect()
+      }
+      rows
+    }
   }
 
   object IvfIndex {

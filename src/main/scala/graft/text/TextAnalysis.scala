@@ -399,26 +399,58 @@ object TextAnalysis {
   def ngramLmScore(df: org.apache.spark.sql.DataFrame, textCol: String,
       keyCol: String, trainFilter: Column, alpha: Double = 0.4,
       minCount: Long = 1L): org.apache.spark.sql.DataFrame = {
-    val toks = df
-      .select(col(keyCol).as("id"), trainFilter.as("is_train"),
+    val grams = lmGrams(df, textCol, keyCol, Some(trainFilter))
+    val (uni, big, tri) = lmCounts(grams.filter(col("is_train")))
+    lmScoreWith(grams, uni, big, tri, alpha, minCount, keyCol)
+  }
+
+  /** (id, pos, w, w1, w2) token rows with the two previous words
+    * attached by ONE per-doc lag window — the shared front half of LM
+    * counting and LM scoring. */
+  private[text] def lmGrams(df: org.apache.spark.sql.DataFrame,
+      textCol: String, keyCol: String,
+      trainFilter: Option[Column]): org.apache.spark.sql.DataFrame = {
+    val base = trainFilter match {
+      case Some(f) => df.select(col(keyCol).as("id"), f.as("is_train"),
         posexplode(words(col(textCol))).as(Seq("pos", "w")))
+      case None => df.select(col(keyCol).as("id"),
+        posexplode(words(col(textCol))).as(Seq("pos", "w")))
+    }
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
-    val grams = toks
+    base
       .withColumn("w1", lag(col("w"), 2).over(byDoc))
       .withColumn("w2", lag(col("w"), 1).over(byDoc))
-    val train = grams.filter(col("is_train"))
-    val uni = train.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+  }
+
+  /** The model's three count relations over [[lmGrams]] rows — RAW
+    * counts (pruning belongs at scoring assembly: raw counts are what
+    * stays additive across [[LmStore]] segments). */
+  private[text] def lmCounts(train: org.apache.spark.sql.DataFrame)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         org.apache.spark.sql.DataFrame) = (
+    train.groupBy(col("w")).agg(count(lit(1)).as("c1")),
+    train.filter(col("w2").isNotNull)
+      .groupBy(col("w2"), col("w")).agg(count(lit(1)).as("c2")),
+    train.filter(col("w1").isNotNull)
+      .groupBy(col("w1"), col("w2"), col("w")).agg(count(lit(1)).as("c3")))
+
+  /** The backoff-scoring back half over prepared [[lmGrams]] rows and
+    * count relations (wholesale-trained or [[LmStore]]-merged — the
+    * score can't tell, which is exactly the append==wholesale gate). */
+  private[text] def lmScoreWith(grams: org.apache.spark.sql.DataFrame,
+      uniRaw: org.apache.spark.sql.DataFrame,
+      bigRaw: org.apache.spark.sql.DataFrame,
+      triRaw: org.apache.spark.sql.DataFrame,
+      alpha: Double, minCount: Long,
+      keyCol: String): org.apache.spark.sql.DataFrame = {
+    val uni = uniRaw
     // T and V are the UNPRUNED totals (pruning reshapes backoff, not
     // the unigram floor); one tiny row, broadcast
     val totals = uni.agg(sum(col("c1")).as("t_tokens"),
       count(lit(1)).as("vocab"))
-    val big = train.filter(col("w2").isNotNull)
-      .groupBy(col("w2"), col("w")).agg(count(lit(1)).as("c2"))
-      .filter(col("c2") >= minCount)
-    val tri = train.filter(col("w1").isNotNull)
-      .groupBy(col("w1"), col("w2"), col("w")).agg(count(lit(1)).as("c3"))
-      .filter(col("c3") >= minCount)
+    val big = bigRaw.filter(col("c2") >= minCount)
+    val tri = triRaw.filter(col("c3") >= minCount)
     val scored = grams
       .join(tri, Seq("w1", "w2", "w"), "left")
       .join(big.select(col("w2").as("w1"), col("w").as("w2"),

@@ -127,6 +127,10 @@ class KnnSpec extends SparkTestBase {
       val widened = idx.searchAdaptive(qv, 10, 1, Some(rare))
         .collect().map(_.getLong(0)).toSet
       assert(widened == rareIds)
+      // the serving form (one job per attempt, no count pass) agrees
+      val widenedRows = idx.searchAdaptiveRows(qv, 10, 1, Some(rare))
+        .map(_.getLong(0)).toSet
+      assert(widenedRows == rareIds)
       // append: attrs are part of the index schema contract — sniffed
       // from live segments, demanded of the batch
       val batch = emb.select(($"vec_id" + 100000L).as("vec_id"),
