@@ -74,6 +74,24 @@ object LmStore {
       storeDir: String): Unit =
     extend(docs, textCol, keyCol, storeDir, negate = true)
 
+  /** Structured-Streaming micro-batch maintenance: each batch lands as
+    * one count segment ([[append]]; the first batch [[build]]s) — the
+    * same foreachBatch discipline as the lexical and IVF index streams.
+    * At-least-once caveat: a replayed batch double-counts — dedup
+    * upstream, or [[delete]] the replayed docs once and re-append
+    * (counts are additive, so the correction is exact). */
+  def appendStream(batches: DataFrame, textCol: String, keyCol: String,
+      storeDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    batches.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        if (graft.sync.SegmentedIndex.resolve(spark, storeDir).isEmpty)
+          build(batch, textCol, keyCol, storeDir)
+        else append(batch, textCol, keyCol, storeDir)
+      }
+    }
+
   /** Merge all live segments into one (the additive compaction):
     * materializes [[read]]'s summed relations and swaps the pointer,
     * physically erasing retracted grams. */

@@ -69,6 +69,33 @@ class LmStoreSpec extends SparkTestBase {
     } finally rm(dir)
   }
 
+  test("appendStream: MemoryStream run equals the wholesale model") {
+    val root = tmp()
+    try {
+      val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1)))
+      implicit val sqlCtx = spark.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val df = input.toDF().toDF("doc_id", "text")
+      val q = LmStore.appendStream(df, "text", "doc_id", s"$root/store")
+        .option("checkpointLocation", s"$root/ckpt")
+        .start()
+      try {
+        input.addData(rows.filter(_._1 < 30): _*) // first batch BUILDS
+        q.processAllAvailable()
+        input.addData(rows.filter(_._1 >= 30): _*) // second APPENDS
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(graft.sync.SegmentedIndex
+        .resolve(spark, s"$root/store").get.size == 2)
+      val streamed = scores(LmStore.score(corpus, "text", "doc_id",
+        s"$root/store"))
+      val wholesale = scores(TextAnalysis.ngramLmScore(corpus, "text",
+        "doc_id", trainFilter = lit(true)))
+      assert(streamed == wholesale)
+    } finally rm(root)
+  }
+
   test("append to a missing store fails loudly; minCount prunes at read") {
     val dir = tmp()
     try {
