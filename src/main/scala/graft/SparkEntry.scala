@@ -2138,6 +2138,34 @@ object SparkEntry {
       }
       graft.text.LmStore.score(d, "text", "doc_id", root)
         .orderBy(col("doc_id"))
+    }),
+
+    // ---- attribute-filtered ADC search: the encoded relation carries
+    //      the label, the predicate applies BEFORE the ADC ranking (on
+    //      the compressed rows — no decode, no post-hoc starvation), and
+    //      recall is measured against the exact FILTERED top-k. q132's
+    //      filter-in-index contract at the compressed point of the
+    //      precision ladder ----
+    "q137_pq_filtered" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val cb = Knn.collectCodebooks(Knn.pqTrain(
+        emb, "embedding", "vec_id", m = 2, ksub = 4, iters = 2))
+      val lab = emb.select(col("vec_id").as("id"), col("label"))
+      val encoded = Knn.pqEncode(emb, "embedding", "vec_id", cb)
+        .join(lab, Seq("id"))
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val cond = col("label") % 3 === 1
+      val pq = Knn.pqTopK(encoded.filter(cond), cb, qv, k = 10)
+      val v = emb.filter(col("embedding").isNotNull && cond)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val exact = v.withColumn("d", Knn.l2sq(col("v"), typedLit(qv)))
+        .orderBy(col("d").asc, col("id").asc).limit(10)
+        .select(col("id"), lit(true).as("in_exact"))
+      pq.join(exact, Seq("id"), "left")
+        .na.fill(value = false, Seq("in_exact"))
+        .select(col("id"), col("score_adc"), col("in_exact"))
+        .orderBy(col("score_adc"), col("id"))
     })
   )
 
@@ -4882,6 +4910,22 @@ object SparkEntry {
     // oracle recounts wholesale, the engine merges build + append +
     // negative-count delete segments — additive counts make them equal
     "q136_lm_store" -> sqlLmBackoff("doc_id % 10 < 8 AND doc_id % 7 <> 3"),
+
+    // q109's full quantizer replay with the label predicate on the ADC
+    // ranking AND the exact baseline — training/encoding stay over the
+    // whole sub-corpus (the filter scopes the SEARCH, not the model)
+    "q137_pq_filtered" ->
+      s"""WITH $sqlPqAdcPreamble
+         |lab AS (SELECT vec_id AS id, label FROM embeddings),
+         |pq AS (SELECT a.id, a.score_adc FROM adc a JOIN lab USING (id)
+         |  WHERE lab.label % 3 = 1 ORDER BY score_adc, id LIMIT 10),
+         |qq AS (SELECT v AS qv FROM corpus WHERE id = 0),
+         |exact AS (SELECT c.id FROM corpus c JOIN lab USING (id), qq
+         |  WHERE lab.label % 3 = 1
+         |  ORDER BY ${sqlL2Sq("c.v", "qv")}, c.id LIMIT 10)
+         |SELECT p.id, p.score_adc,
+         |  (p.id IN (SELECT id FROM exact)) AS in_exact
+         |FROM pq p ORDER BY score_adc, id""".stripMargin,
 
     // the exponential clocks replayed: same content-hash uniform, same
     // -ln(u)/w key, same (key, id) rank; the key doubles stay internal

@@ -497,8 +497,10 @@ object Knn {
   /** [[ivfAssign]] under squared-L2 — the metric k-means' mean-update
     * step actually minimizes, used by the PQ sub-quantizers. */
   def ivfAssignL2(corpus: DataFrame, vecCol: String, keyCol: String,
-      centroids: DataFrame, centVec: String, centKey: String): DataFrame =
-    assignCore(corpus, vecCol, keyCol, centroids, centVec, centKey, l2sq)
+      centroids: DataFrame, centVec: String, centKey: String,
+      attrCols: Seq[String] = Nil): DataFrame =
+    assignCore(corpus, vecCol, keyCol, centroids, centVec, centKey, l2sq,
+      attrCols)
 
   /** Top-k within the query vector's own IVF cell. */
   def ivfTopK(assigned: DataFrame, queryVec: Array[Float], queryCentroid: Long,
@@ -937,7 +939,8 @@ object Knn {
     * the PQ sub-quantizer codebooks. Same determinism discipline. */
   def trainCentroidsL2(corpus: DataFrame, vecCol: String, keyCol: String,
       k: Int, iters: Int = 5): DataFrame =
-    trainCore(corpus, vecCol, keyCol, k, iters, ivfAssignL2)
+    trainCore(corpus, vecCol, keyCol, k, iters,
+      ivfAssignL2(_, _, _, _, _, _))
 
   private def trainCore(corpus: DataFrame, vecCol: String, keyCol: String,
       k: Int, iters: Int,
@@ -1357,16 +1360,18 @@ object Knn {
   def ivfPqBuildIndex(corpus: DataFrame, vecCol: String, keyCol: String,
       indexDir: String, cells: Int, m: Int, ksub: Int, iters: Int,
       trainFilter: Column, pqTrainFilter: Column = lit(true),
-      refine: Boolean = false): Unit = {
+      refine: Boolean = false, attrCols: Seq[String] = Nil): Unit = {
+    require(!attrCols.exists(Set("id", "v", "rv", "codes", "emb16",
+      "centroid_id")), "ivfPqBuildIndex: attrCols clash with layout columns")
     val cents = trainCentroidsL2(corpus.filter(trainFilter), vecCol, keyCol,
       cells, iters)
     val assigned = ivfAssignL2(corpus, vecCol, keyCol, cents, "cvec",
-      "centroid_id")
+      "centroid_id", attrCols)
     val residuals = assigned
       .join(broadcast(cents), Seq("centroid_id"))
-      .select(col("id"), col("centroid_id"),
-        zip_with(col("v"), col("cvec"), (a, b) => a - b).as("rv"),
-        col("v"))
+      .select(col("id") +: col("centroid_id") +:
+        zip_with(col("v"), col("cvec"), (a, b) => a - b).as("rv") +:
+        col("v") +: attrCols.map(col): _*)
     // sub-quantizers may train on a residual sample (pqTrainFilter over
     // the keyed residual rows) — at corpus scale the codebooks only need
     // a representative slice, exactly like the coarse trainFilter; the
@@ -1389,7 +1394,9 @@ object Knn {
     val encCols = Seq(col("id"), col("centroid_id"),
       graft.functions.pq_encode(col("rv"), cb).as("codes")) ++
       (if (refine) Seq(graft.functions.fp16_encode(col("v")).as("emb16"))
-       else Nil)
+       else Nil) ++
+      attrCols.map(col) // filterable metadata next to the codes (q132's
+                        // attr contract applied to the compressed layout)
     // refine layout: rows SORTED by id within each cell + 128 KB row
     // groups (~20 fp16 rows each), so the re-rank's id IN-shortlist
     // probe skips on row-group statistics to ~r·k tight groups instead
@@ -1475,6 +1482,12 @@ object Knn {
       * Only then can [[search]]'s `refine > 1` re-rank run. */
     val hasRefine: Boolean = cells.columns.contains("emb16")
 
+    /** Metadata columns the cells carry beyond the layout
+      * (ivfPqBuildIndex `attrCols`) — the predicates a filtered probe
+      * may reference. */
+    val attrColumns: Seq[String] = cells.columns.toSeq
+      .filterNot(Set("id", "centroid_id", "codes", "emb16"))
+
     /** ADC-shortlist-then-exact-re-rank (the FAISS `IndexRefine` stage):
       * stage 1 is the plain ADC search widened to `refine·k` candidates;
       * their ids collect to the driver (r·k longs) and stage 2 re-scores
@@ -1487,13 +1500,15 @@ object Knn {
       * precision, so recall lifts from the quantizer's (~0.3 at 32:1,
       * PqSpec) toward the coarse-probe ceiling as r grows. */
     def search(queryVec: Array[Float], k: Int, nprobe: Int,
-        refine: Int): DataFrame = {
+        refine: Int, filter: Option[Column] = None): DataFrame = {
       require(refine >= 1, s"refine=$refine must be >= 1")
-      if (refine == 1) return search(queryVec, k, nprobe)
+      if (refine == 1) return search(queryVec, k, nprobe, filter)
       require(hasRefine,
         "refine > 1 needs an index built with ivfPqBuildIndex(refine=true)")
+      // the filter applies at STAGE 1 (inside the pruned ADC scan), so
+      // the shortlist already satisfies it — stage 2 re-scores ids
       val (probedCells, shortlist) = {
-        val stage1 = search(queryVec, k * refine, nprobe)
+        val stage1 = search(queryVec, k * refine, nprobe, filter)
         (probe(queryVec, nprobe).map(_._1),
           stage1.select(col("id")).collect().map(_.getLong(0)).toSeq)
       }
@@ -1528,7 +1543,8 @@ object Knn {
       .sortBy { case (cid, d) => (d, cid) }
       .take(nprobe)
 
-    def search(queryVec: Array[Float], k: Int, nprobe: Int): DataFrame = {
+    def search(queryVec: Array[Float], k: Int, nprobe: Int,
+        filter: Option[Column]): DataFrame = {
       val probed = probe(queryVec, nprobe)
       // ONE scan with a partition IN-filter + the per-cell LUT map —
       // nprobe single-cell legs would mean nprobe scans to PLAN per
@@ -1545,7 +1561,8 @@ object Knn {
         case org.apache.spark.sql.types.LongType => probed.map(_._1).toSeq
         case _ => probed.map(_._1.toString).toSeq
       }
-      cells.filter(col("centroid_id").isin(inList: _*))
+      filter.foldLeft(cells.filter(col("centroid_id").isin(inList: _*)))(
+          _ filter _)
         .select(col("id"),
           col("centroid_id").cast("long").as("centroid_id"),
           graft.functions.pq_adc_score_cells(col("codes"),
@@ -1553,6 +1570,9 @@ object Knn {
         .orderBy(col("score_adc").asc, col("id").asc)
         .limit(k)
     }
+
+    def search(queryVec: Array[Float], k: Int, nprobe: Int): DataFrame =
+      search(queryVec, k, nprobe, None: Option[Column])
   }
 
   object IvfPqIndex {

@@ -208,6 +208,47 @@ class PqSpec extends SparkTestBase {
     }
   }
 
+  test("attr-filtered IVFADC: predicate inside the pruned code scan, refine composes") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqattr").toString
+    try {
+      Knn.ivfPqBuildIndex(emb, "embedding", "vec_id", dir,
+        cells = 4, m = 8, ksub = 16, iters = 2,
+        trainFilter = $"vec_id" % 5 === 0, refine = true,
+        attrCols = Seq("label"))
+      val idx = Knn.IvfPqIndex.load(spark, dir)
+      assert(idx.attrColumns == Seq("label"))
+      val labelOf = emb.select($"vec_id", $"label").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val qv = emb.orderBy($"vec_id").select($"embedding")
+        .head().getSeq[Float](0).toArray
+      val cond = col("label") % 3 === 1
+      // filtered ADC ranking == unfiltered ranking restricted to the
+      // matching ids (same codes, same LUTs — the filter only scopes)
+      val wide = idx.search(qv, 10000, 4).collect()
+        .filter(r => labelOf(r.getLong(0)) % 3 == 1)
+        .map(r => (r.getLong(0), r.getDouble(2))).take(10).toSeq
+      val filtered = idx.search(qv, 10, 4, Some(cond)).collect()
+        .map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      assert(filtered == wide)
+      // refine > 1 composes: the shortlist satisfies the predicate, the
+      // exact re-rank keeps it
+      val refined = idx.search(qv, 10, 4, refine = 4, Some(cond)).collect()
+      assert(refined.nonEmpty &&
+        refined.forall(r => labelOf(r.getLong(0)) % 3 == 1))
+      // the predicate reaches the scan (PushedFilters), pruning intact
+      val plan = idx.search(qv, 10, 4, Some(cond)).queryExecution.executedPlan
+      val scan = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.head
+      assert(scan.metadata("PartitionFilters").contains("centroid_id"))
+      assert(scan.metadata("PushedFilters").contains("label"),
+        scan.metadata("PushedFilters"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("ADC scan plan: codegen'd code lookups, no vector column touched") {
     val cb = Knn.collectCodebooks(Knn.pqTrain(
       emb, "embedding", "vec_id", m = 8, ksub = 16, iters = 2))
