@@ -19,6 +19,7 @@ import graft.sync.{HighlightStore, Sync}
   *   graft.Cli sync --backfill --pages-dir D --store S --ckpt C
   *   graft.Cli sync --since 2024-01-01T00:00:00Z --pages-dir D --store S --ckpt C
   *   graft.Cli refresh --pages-dir D --store S --ckpt C [--lex-index L] [--ivf-index I]
+  *   graft.Cli index --store S --out D [--cells 64] [--fp16 true] [--attrs c1,c2]
   *   graft.Cli search "query text" --k 5 --store S [--source-type T] [--hybrid true] [--mmr 0.3]
   *   graft.Cli health
   */
@@ -194,6 +195,53 @@ object Cli {
                 .foreach(row => println(Json.write(row)))
               0
           }
+      }
+
+    // build a persistent IVF index over the store — the reference
+    // creates its pgvector ivfflat index as migration DDL
+    // (`CREATE INDEX … USING ivfflat (embedding vector_cosine_ops)
+    // WITH (lists=…)`, alembic); here index creation is the same
+    // explicit lifecycle step, over the same store relation the server
+    // scans, with the lists knob as --cells. --attrs carries filterable
+    // store columns into the cells so `serve --ivf-index` can keep
+    // FILTERED queries on the probe (q132's contract); --fp16 halves
+    // the at-rest cells.
+    //   graft.Cli index --store S --out D [--cells 64] [--iters 2]
+    //     [--train-every 5] [--fp16 true] [--attrs col1,col2,…]
+    case "index" +: rest =>
+      val f = flags(rest)
+      (f.get("store"), f.get("out")) match {
+        case (Some(storeDir), Some(out)) =>
+          val badInts = Seq("cells", "iters", "train-every")
+            .flatMap(k => f.get(k).filter(_.toIntOption.forall(_ <= 0))
+              .map(v => s"--$k must be a positive integer, got '$v'"))
+          if (badInts.nonEmpty) { badInts.foreach(System.err.println); return 2 }
+          val cells = f.get("cells").flatMap(_.toIntOption).getOrElse(64)
+          val iters = f.get("iters").flatMap(_.toIntOption).getOrElse(2)
+          val every = f.get("train-every").flatMap(_.toIntOption).getOrElse(5)
+          val attrs = f.get("attrs").toSeq.flatMap(_.split(","))
+            .map(_.trim).filter(_.nonEmpty)
+          HighlightStore.read(spark, storeDir) match {
+            case None =>
+              System.err.println(s"no highlight store at $storeDir"); 1
+            case Some(df) =>
+              val missing = attrs.filterNot(df.columns.contains)
+              if (missing.nonEmpty) {
+                System.err.println("--attrs name(s) not in the store: " +
+                  missing.mkString(", "))
+                return 2
+              }
+              graft.similarity.Knn.ivfBuildIndex(df, "embedding", "id", out,
+                k = cells, iters = iters,
+                trainFilter = org.apache.spark.sql.functions.crc32(
+                  org.apache.spark.sql.functions.col("id")) % every === 0,
+                fp16 = f.get("fp16").contains("true"), attrCols = attrs)
+              println(Json.write(Map("indexed" -> out, "cells" -> cells,
+                "attrs" -> attrs.mkString(","))))
+              0
+          }
+        case _ =>
+          System.err.println("index requires --store and --out"); 2
       }
 
     case "serve" +: rest =>

@@ -57,6 +57,41 @@ class CliSpec extends SparkTestBase {
     assert(capture(Cli.run(Array("frobnicate"), spark))._1 == 2)
   }
 
+  test("index builds an attr-carrying IVF index from the store; bad flags fail fast") {
+    val dir = Files.createTempDirectory("graft-cli-idx").toString
+    val pages = s"$dir/pages"
+    Files.createDirectories(java.nio.file.Paths.get(pages))
+    Files.writeString(java.nio.file.Paths.get(pages, "page0.json"),
+      pageJson("h1", "spark joins and shuffles"))
+    Files.writeString(java.nio.file.Paths.get(pages, "page1.json"),
+      pageJson("h2", "completely different topic words"))
+    assert(capture(Cli.run(Array("sync", "--backfill",
+      "--pages-dir", pages, "--store", s"$dir/store",
+      "--ckpt", s"$dir/ckpt"), spark))._1 == 0)
+    // error paths first: missing --out, unknown attr column
+    assert(capture(Cli.run(Array("index",
+      "--store", s"$dir/store"), spark))._1 == 2)
+    assert(capture(Cli.run(Array("index", "--store", s"$dir/store",
+      "--out", s"$dir/ivf", "--attrs", "nope"), spark))._1 == 2)
+    assert(capture(Cli.run(Array("index", "--store", s"$dir/store",
+      "--out", s"$dir/ivf", "--cells", "zero"), spark))._1 == 2)
+    // the real build: 2 cells, every-row training, source_type carried
+    val (c, out) = capture(Cli.run(Array("index",
+      "--store", s"$dir/store", "--out", s"$dir/ivf",
+      "--cells", "2", "--train-every", "1",
+      "--attrs", "source_type"), spark))
+    assert(c == 0, out)
+    assert(graft.similarity.Knn.ivfIndexReady(s"$dir/ivf"))
+    val idx = graft.similarity.Knn.IvfIndex.load(spark, s"$dir/ivf")
+    assert(idx.attrColumns == Seq("source_type"))
+    // the built index serves a filtered probe over the carried column
+    val qv = graft.embed.Embedder.Default.embed("spark joins and shuffles")
+    val hits = idx.search(qv, 5, idx.numCells,
+      Some(org.apache.spark.sql.functions.col("source_type") === "books"))
+      .collect()
+    assert(hits.nonEmpty)
+  }
+
   test("refresh reconciles the store + lexical index from a new export; search serves the new corpus") {
     val dir = Files.createTempDirectory("graft-cli-refresh").toString
     val pages1 = s"$dir/pages1"; val pages2 = s"$dir/pages2"
