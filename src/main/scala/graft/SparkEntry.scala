@@ -2166,6 +2166,29 @@ object SparkEntry {
         .na.fill(value = false, Seq("in_exact"))
         .select(col("id"), col("score_adc"), col("in_exact"))
         .orderBy(col("score_adc"), col("id"))
+    }),
+
+    // ---- batch k-NN join through ONE IVF geometry: the corpus indexes
+    //      at its primary cell, each query replicates to its nprobe=2
+    //      nearest — candidates meet in a cell equi-join, NEITHER side
+    //      broadcasts (the scale form of q18's broadcast join, for when
+    //      the query side is itself a corpus). in_exact vs the exact
+    //      join measures the nprobe recall dial ----
+    "q138_ivf_knn_join" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 20)
+      val corpus = e.filter(col("vec_id") >= 100)
+      val probe = Knn.ivfKnnJoin(queries, corpus, "embedding", "vec_id",
+        "embedding", "vec_id", k = 5, cells = 4, iters = 2, nprobe = 2)
+      val exact = Knn.knnJoin(queries, corpus, "embedding", "vec_id",
+          "embedding", "vec_id", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(true).as("in_exact"))
+      probe.join(exact, Seq("query_id", "neighbor_id"), "left")
+        .na.fill(value = false, Seq("in_exact"))
+        .select(col("query_id"), col("neighbor_id"), col("score"),
+          col("rank"), col("in_exact"))
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -4926,6 +4949,54 @@ object SparkEntry {
          |SELECT p.id, p.score_adc,
          |  (p.id IN (SELECT id FROM exact)) AS in_exact
          |FROM pq p ORDER BY score_adc, id""".stripMargin,
+
+    // the q50 Lloyd chain trained on the CORPUS side (no sample filter —
+    // the call trains on the full corpus arg), then the probe/index
+    // split: corpus at crank=1, queries at crank<=2, candidates meet in
+    // the cell equi-join, exact broadcast join flags recall
+    "q138_ivf_knn_join" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id >= 100),
+         |qs AS (
+         |  SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id < 20),
+         |seed AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS centroid_id,
+         |    v AS cvec
+         |  FROM corpus QUALIFY row_number() OVER (ORDER BY id) <= 4),
+         |a1 AS (${sqlIvfAssign("corpus", "seed")}),
+         |x1 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a1),
+         |m1 AS (${sqlIvfMean("x1")}),
+         |cent1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY 1),
+         |a2 AS (${sqlIvfAssign("corpus", "cent1")}),
+         |x2 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a2),
+         |m2 AS (${sqlIvfMean("x2")}),
+         |cent2 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m2 GROUP BY 1),
+         |ci AS (${sqlIvfAssign("corpus", "cent2")}),
+         |qa AS (
+         |  SELECT q.id, q.v, s.centroid_id,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY ${sqlCosine("q.v", "s.cvec")}, s.centroid_id) AS crank
+         |  FROM qs q, cent2 s QUALIFY crank <= 2),
+         |cand AS (
+         |  SELECT qa.id AS query_id, ci.id AS neighbor_id,
+         |    ${sqlCosine("ci.v", "qa.v")} AS score
+         |  FROM qa JOIN ci USING (centroid_id)),
+         |probe AS (
+         |  SELECT query_id, neighbor_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score, neighbor_id) AS INT) AS rank
+         |  FROM cand QUALIFY rank <= 5),
+         |exact AS (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id
+         |  FROM qs q, corpus c
+         |  QUALIFY row_number() OVER (PARTITION BY q.id
+         |    ORDER BY ${sqlCosine("c.v", "q.v")}, c.id) <= 5)
+         |SELECT p.query_id, p.neighbor_id, p.score, p.rank,
+         |  (e.neighbor_id IS NOT NULL) AS in_exact
+         |FROM probe p LEFT JOIN exact e USING (query_id, neighbor_id)
+         |ORDER BY query_id, rank""".stripMargin,
 
     // the exponential clocks replayed: same content-hash uniform, same
     // -ln(u)/w key, same (key, id) rank; the key doubles stay internal

@@ -351,7 +351,9 @@ object Knn {
     }
 
   /** Exact k-NN join: top-k corpus neighbors for every query row.
-    * Queries are broadcast; corpus never shuffles before scoring. */
+    * Queries are broadcast; corpus never shuffles before scoring. For
+    * query sets too large to broadcast, [[ivfKnnJoin]] co-partitions
+    * both sides through one IVF geometry instead. */
   def knnJoin(queries: DataFrame, corpus: DataFrame, queryVec: String,
       queryKey: String, corpusVec: String, corpusKey: String, k: Int): DataFrame = {
     val q = queries.select(col(queryKey).as("query_id"), col(queryVec).as("qv"))
@@ -362,6 +364,51 @@ object Knn {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").asc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** k-NN join at BATCH-QUERY scale — the scale sibling [[knnJoin]]'s
+    * docs defer to: the broadcast form ships every query to every
+    * corpus partition, which is right for a handful of queries and
+    * quadratic-work when the query side is itself a corpus (embedding
+    * dedup between snapshots, batch retrieval for a training set,
+    * cross-corpus contamination). This form co-partitions BOTH sides
+    * through one IVF geometry trained on the corpus: corpus vectors
+    * index at their primary cell, each query replicates to its
+    * `nprobe` nearest cells, and candidates meet in a cell equi-join —
+    * ~|Q|·nprobe·|C|/cells distance work, exchanges keyed by cell (AQE
+    * splits hot cells), no broadcast of either side. The probe/index
+    * split is [[cellKnnGraph]]'s: a (query, neighbor) pair meets at
+    * most once because the neighbor is indexed ONLY at its primary
+    * cell. `nprobe` dials recall exactly as measured there
+    * (0.42/0.69/0.87 at 1/2/3 on the test corpus). Queries landing in
+    * cells with no corpus members emit no rows. Returns
+    * (query_id, neighbor_id, score, rank). */
+  def ivfKnnJoin(queries: DataFrame, corpus: DataFrame, queryVec: String,
+      queryKey: String, corpusVec: String, corpusKey: String, k: Int,
+      cells: Int, iters: Int = 2, nprobe: Int = 2): DataFrame = {
+    require(nprobe >= 1 && nprobe <= cells,
+      s"ivfKnnJoin: need 1 <= nprobe <= cells, got $nprobe/$cells")
+    val cents = trainCentroids(corpus, corpusVec, corpusKey, cells, iters)
+    val centsDf = cents.select(col("centroid_id"), col("cvec"))
+    val c = corpus.select(col(corpusKey).as("id"), col(corpusVec).as("v"))
+      .filter(col("v").isNotNull)
+    val q = queries.select(col(queryKey).as("id"), col(queryVec).as("v"))
+      .filter(col("v").isNotNull)
+    val probe = q.join(cellPicks(q, centsDf, nprobe, cosine_distance)
+        .drop("crank"), Seq("id"))
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("centroid_id"))
+    val index = c.join(cellPicks(c, centsDf, nprobe = 1, cosine_distance)
+        .drop("crank"), Seq("id"))
+      .select(col("id").as("neighbor_id"), col("v").as("cv"),
+        col("centroid_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").asc, col("neighbor_id").asc)
+    probe.join(index, Seq("centroid_id"))
+      .withColumn("score", cosine_distance(col("cv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }

@@ -47,6 +47,39 @@ class KnnSpec extends SparkTestBase {
     }
   }
 
+  test("ivfKnnJoin: nprobe dial to exact, no duplicate pairs, no cartesian") {
+    val queries = emb.filter($"vec_id" < 20)
+    val corpus = emb.filter($"vec_id" >= 100)
+    val exact = Knn.knnJoin(queries, corpus, "embedding", "vec_id",
+        "embedding", "vec_id", k = 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def joined(nprobe: Int) = Knn.ivfKnnJoin(queries, corpus, "embedding",
+      "vec_id", "embedding", "vec_id", k = 5, cells = 4, iters = 2,
+      nprobe = nprobe)
+    val p2 = joined(2).collect()
+    // a (query, neighbor) pair meets at most once: neighbor indexed only
+    // at its primary cell
+    assert(p2.map(r => (r.getLong(0), r.getLong(1))).distinct.length ==
+      p2.length)
+    // every query keeps at most k, ranked (score, neighbor) ascending
+    assert(p2.groupBy(_.getLong(0)).values.forall(_.length <= 5))
+    val r1 = joined(1).select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val r2 = p2.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rAll = joined(4).select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    // probing every cell makes the candidate set the whole corpus — the
+    // join IS exact there; fewer probes trade recall monotonically
+    assert(rAll == exact)
+    val rec1 = (r1 & exact).size.toDouble / exact.size
+    val rec2 = (r2 & exact).size.toDouble / exact.size
+    assert(rec2 >= rec1, s"nprobe dial not monotone: $rec2 < $rec1")
+    assert(rec2 >= 0.5, s"nprobe=2 recall $rec2")
+    // co-partitioned, not cross-joined: no CartesianProduct anywhere
+    val plan = joined(2).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(500))
+  }
+
   test("prefixTopK: recall vs exact, factor dial, two heaps and no shuffle") {
     val qv = emb.orderBy($"vec_id").select($"embedding")
       .head().getSeq[Float](0).toArray
