@@ -2189,6 +2189,28 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("score"),
           col("rank"), col("in_exact"))
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- SEMANTIC decontamination (the embedding-space sibling of the
+    //      lexical q59/q65/q87 family): for every held-out doc, count
+    //      train-corpus vectors within cosine distance 0.35 through the
+    //      co-partitioned join — paraphrase/re-render contamination that
+    //      n-gram overlap can't see. Per-benchmark verdict + closest
+    //      train distance; benchmark docs stay rows even with zero hits ----
+    "q139_semantic_decon" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val bench = e.filter(col("vec_id") < 50)
+      val train = e.filter(col("vec_id") >= 100)
+      val near = Knn.ivfKnnJoin(bench, train, "embedding", "vec_id",
+          "embedding", "vec_id", k = 10, cells = 4, iters = 2, nprobe = 2)
+        .filter(col("score") < 0.35)
+      bench.select(col("vec_id").as("query_id"))
+        .join(near, Seq("query_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("neighbor_id")).as("n_close"),
+          min(col("score")).as("min_score"))
+        .withColumn("contaminated", col("n_close") > 0)
+        .orderBy(col("query_id"))
     })
   )
 
@@ -4997,6 +5019,50 @@ object SparkEntry {
          |  (e.neighbor_id IS NOT NULL) AS in_exact
          |FROM probe p LEFT JOIN exact e USING (query_id, neighbor_id)
          |ORDER BY query_id, rank""".stripMargin,
+
+    // q138's probe chain over the benchmark slice, thresholded and
+    // re-aggregated per benchmark doc; the LEFT JOIN keeps clean docs
+    // as zero-hit rows (their min_score is NULL in both engines)
+    "q139_semantic_decon" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id >= 100),
+         |qs AS (
+         |  SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id < 50),
+         |seed AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS centroid_id,
+         |    v AS cvec
+         |  FROM corpus QUALIFY row_number() OVER (ORDER BY id) <= 4),
+         |a1 AS (${sqlIvfAssign("corpus", "seed")}),
+         |x1 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a1),
+         |m1 AS (${sqlIvfMean("x1")}),
+         |cent1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY 1),
+         |a2 AS (${sqlIvfAssign("corpus", "cent1")}),
+         |x2 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a2),
+         |m2 AS (${sqlIvfMean("x2")}),
+         |cent2 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m2 GROUP BY 1),
+         |ci AS (${sqlIvfAssign("corpus", "cent2")}),
+         |qa AS (
+         |  SELECT q.id, q.v, s.centroid_id,
+         |    row_number() OVER (PARTITION BY q.id
+         |      ORDER BY ${sqlCosine("q.v", "s.cvec")}, s.centroid_id) AS crank
+         |  FROM qs q, cent2 s QUALIFY crank <= 2),
+         |cand AS (
+         |  SELECT qa.id AS query_id, ci.id AS neighbor_id,
+         |    ${sqlCosine("ci.v", "qa.v")} AS score
+         |  FROM qa JOIN ci USING (centroid_id)),
+         |probe AS (
+         |  SELECT query_id, neighbor_id, score
+         |  FROM cand QUALIFY row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score, neighbor_id) <= 10),
+         |near AS (SELECT * FROM probe WHERE score < 0.35)
+         |SELECT q.id AS query_id,
+         |  CAST(COUNT(n.neighbor_id) AS BIGINT) AS n_close,
+         |  MIN(n.score) AS min_score,
+         |  COUNT(n.neighbor_id) > 0 AS contaminated
+         |FROM qs q LEFT JOIN near n ON n.query_id = q.id
+         |GROUP BY q.id ORDER BY query_id""".stripMargin,
 
     // the exponential clocks replayed: same content-hash uniform, same
     // -ln(u)/w key, same (key, id) rank; the key doubles stay internal
