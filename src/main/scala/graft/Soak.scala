@@ -304,6 +304,42 @@ object Soak {
         .agg(sum(when(col("nd") > 1, 1L).otherwise(0L)).as("shared"))
         .count()
     }
+    // r10 families over the same 100k near-dup corpus
+    // trigram LM: counts shuffled by gram key, scoring = lag window +
+    // five gram-key joins — the whole pipeline at 100k docs
+    timeIt(s"ngram_lm_score_${REP * 5}k") {
+      graft.text.TextAnalysis.ngramLmScore(d, "text", "doc_id",
+        trainFilter = col("doc_id") % 10 < 8).count()
+    }
+    // the segment-maintained model: O(batch) append on top of a built
+    // store — the claim is the APPEND cost, so time it alone
+    val lmDir = graft.fixtures.Fp16Corpus.workRoot + s"/soak-lmstore-${REP * 5}k"
+    timeIt(s"lm_store_build_${REP * 5}k") {
+      graft.text.LmStore.build(d, "text", "doc_id", lmDir); 1L
+    }
+    timeIt(s"lm_store_append_5k_vs_${REP * 5}k") {
+      graft.text.LmStore.append(d0.select(
+          (col("doc_id") + 8000000L).as("doc_id"),
+          concat(col("text"), lit(" lmrev")).as("text")),
+        "text", "doc_id", lmDir); 1L
+    }
+    // weight-proportional sampling: narrow clocks + per-stratum top-k
+    timeIt(s"weighted_sample_${REP * 5}k") {
+      graft.text.CorpusPrep.weightedSample(
+        d.withColumn("w", length(col("text")).cast("double"))
+          .withColumn("src", pmod(col("doc_id"), lit(20L))),
+        "text", "w", "doc_id", "src", k = 100).count()
+    }
+    // batch k-NN join: 2k queries x 100k corpus through one geometry —
+    // neither side broadcasts; the broadcast form would ship 2k vectors
+    // into every corpus task and window-rank 200M scored pairs
+    timeIt(s"ivf_knn_join_2k_x_${VREP * 2}k") {
+      val qs = v0.filter(col("vec_id") < 2000)
+        .select((col("vec_id") + 77000000L).as("vec_id"), col("embedding"))
+      graft.similarity.Knn.ivfKnnJoin(qs, v, "embedding", "vec_id",
+        "embedding", "vec_id", k = 10, cells = 64, iters = 2,
+        nprobe = 2).count()
+    }
     spark.stop()
   }
 }

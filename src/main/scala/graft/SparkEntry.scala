@@ -2211,6 +2211,35 @@ object SparkEntry {
           min(col("score")).as("min_score"))
         .withColumn("contaminated", col("n_close") > 0)
         .orderBy(col("query_id"))
+    }),
+
+    // ---- the C4-style curation CASCADE, end to end: language ID →
+    //      heuristic quality → LM score band → exact-hash dedup, each
+    //      doc tagged with its FIRST failing stage (the audit trail a
+    //      curation run must emit), rolled up per (source, reason).
+    //      Four operator families composed in one plan — the report a
+    //      100 TB curation job writes next to its output ----
+    "q140_curation_cascade" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val lm = graft.text.TextAnalysis.ngramLmScore(d, "text", "doc_id",
+          trainFilter = col("doc_id") % 10 < 8)
+        .select(col("doc_id"), col("avg_logprob"))
+      val sig = d.select(col("doc_id"), col("source"),
+        graft.text.TextAnalysis.langId(col("text")).as("lang_pred"),
+        graft.text.TextAnalysis.qualityScore(col("text")).as("quality"),
+        graft.text.TextAnalysis.polyHash(col("text")).as("fp"))
+      val canon = sig.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("canon_id"))
+      sig.join(lm, Seq("doc_id")).join(canon, Seq("fp"))
+        .withColumn("reason",
+          when(col("lang_pred") =!= "en", "1_lang")
+            .when(col("quality") < 0.6, "2_quality")
+            .when(col("avg_logprob") < -6.0, "3_lm")
+            .when(col("doc_id") =!= col("canon_id"), "4_duplicate")
+            .otherwise("keep"))
+        .groupBy(col("source"), col("reason"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("source"), col("reason"))
     })
   )
 
@@ -2434,7 +2463,16 @@ object SparkEntry {
     * wholesale one minus the retracted docs: append + negative-count
     * delete segments must merge to EXACTLY this recount). */
   private def sqlLmBackoff(trainWhere: String): String =
-    s"""WITH src AS (SELECT doc_id AS id, $trainWhere AS is_train,
+    s"""WITH ${sqlLmCtes(trainWhere)}
+       |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(CAST(lp AS DECIMAL(25,12))) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE) AS avg_logprob
+       |FROM lp GROUP BY id ORDER BY doc_id""".stripMargin
+
+  /** The q133 CTE body alone (through the per-token `lp` relation) for
+    * composition into larger chains (q140's cascade). */
+  private def sqlLmCtes(trainWhere: String): String =
+    s"""src AS (SELECT doc_id AS id, $trainWhere AS is_train,
        |    string_split(text, ' ') AS ws FROM documents),
        |toks AS (SELECT id, is_train, unnest(range(len(ws))) AS pos,
        |    unnest(ws) AS w FROM src),
@@ -2465,11 +2503,7 @@ object SparkEntry {
        |  LEFT JOIN big b ON b.w2 = g.w2 AND b.w = g.w
        |  LEFT JOIN uni uc ON uc.w = g.w2
        |  LEFT JOIN uni u ON u.w = g.w
-       |  CROSS JOIN tot)
-       |SELECT id AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       |  CAST(SUM(CAST(lp AS DECIMAL(25,12))) AS DOUBLE) /
-       |    CAST(COUNT(*) AS DOUBLE) AS avg_logprob
-       |FROM lp GROUP BY id ORDER BY doc_id""".stripMargin
+       |  CROSS JOIN tot)""".stripMargin
 
   private def sqlCosine(a: String, b: String): String =
     s"(1 - list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) / " +
@@ -5063,6 +5097,49 @@ object SparkEntry {
          |  COUNT(n.neighbor_id) > 0 AS contaminated
          |FROM qs q LEFT JOIN near n ON n.query_id = q.id
          |GROUP BY q.id ORDER BY query_id""".stripMargin,
+
+    // every stage's exact arithmetic already gates on its own (q27
+    // langid, q26 quality, q28 fingerprint, q133 LM); the cascade
+    // composes them with a first-failing-reason CASE and rolls up
+    "q140_curation_cascade" -> {
+      val stops = TextAnalysis.Stopwords.map(x => s"'$x'").mkString(", ")
+      val hits = TextAnalysis.LangMarkers.map { case (lang, ms) =>
+        val set = ms.map(m => s"'$m'").mkString(", ")
+        s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ($set))) AS BIGINT) AS h_$lang"
+      }.mkString(",\n  ")
+      val langs = TextAnalysis.LangMarkers.map(_._1)
+      val best = s"greatest(${langs.map(l => s"h_$l").mkString(", ")})"
+      val caseChain = langs.map(l => s"WHEN h_$l = $best THEN '$l'")
+        .mkString(" ")
+      s"""WITH ${sqlLmCtes("doc_id % 10 < 8")},
+         |lmscore AS (
+         |  SELECT id AS doc_id,
+         |    CAST(SUM(CAST(lp AS DECIMAL(25,12))) AS DOUBLE) /
+         |      CAST(COUNT(*) AS DOUBLE) AS avg_logprob
+         |  FROM lp GROUP BY id),
+         |marked AS (SELECT doc_id, source, text, $hits FROM documents),
+         |sig AS (
+         |  SELECT doc_id, source,
+         |    CASE $caseChain ELSE 'und' END AS lang_pred,
+         |    least(1.0, CAST(len(string_split(text, ' ')) AS BIGINT) / 100.0) * 0.5 +
+         |      (1.0 - CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) /
+         |        CAST(length(text) AS DOUBLE)) * 0.25 +
+         |      least(1.0, (CAST(len(list_filter(string_split(text, ' '), t -> t IN ($stops))) AS DOUBLE) /
+         |        CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5.0) * 0.25 AS quality,
+         |    ${sqlPolyHash("text")} AS fp
+         |  FROM marked),
+         |canon AS (SELECT fp, MIN(doc_id) AS canon_id FROM sig GROUP BY fp),
+         |staged AS (
+         |  SELECT s.source,
+         |    CASE WHEN s.lang_pred <> 'en' THEN '1_lang'
+         |      WHEN s.quality < 0.6 THEN '2_quality'
+         |      WHEN l.avg_logprob < -6.0 THEN '3_lm'
+         |      WHEN s.doc_id <> c.canon_id THEN '4_duplicate'
+         |      ELSE 'keep' END AS reason
+         |  FROM sig s JOIN lmscore l USING (doc_id) JOIN canon c USING (fp))
+         |SELECT source, reason, CAST(COUNT(*) AS BIGINT) AS n
+         |FROM staged GROUP BY 1, 2 ORDER BY source, reason""".stripMargin
+    },
 
     // the exponential clocks replayed: same content-hash uniform, same
     // -ln(u)/w key, same (key, id) rank; the key doubles stay internal
