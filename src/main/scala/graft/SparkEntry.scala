@@ -2240,6 +2240,24 @@ object SparkEntry {
         .groupBy(col("source"), col("reason"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("source"), col("reason"))
+    }),
+
+    // ---- retrieval evaluation (trec_eval's core triplet) as a
+    //      distributed operator: the nprobe=1 co-partitioned join scored
+    //      against the exact join as gold — per-query recall@5, RR and
+    //      binary nDCG@5, DECIMAL-summed DCG terms. The harness every
+    //      ANN dial in the engine is tuned against ----
+    "q141_rank_eval" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 20)
+      val corpus = e.filter(col("vec_id") >= 100)
+      val sys = Knn.ivfKnnJoin(queries, corpus, "embedding", "vec_id",
+        "embedding", "vec_id", k = 5, cells = 4, iters = 2, nprobe = 1)
+      val gold = Knn.knnJoin(queries, corpus, "embedding", "vec_id",
+        "embedding", "vec_id", k = 5)
+      graft.search.RankEval.evaluate(sys, gold, "query_id", "neighbor_id",
+          "rank")
+        .orderBy(col("query_id"))
     })
   )
 
@@ -2504,6 +2522,46 @@ object SparkEntry {
        |  LEFT JOIN uni uc ON uc.w = g.w2
        |  LEFT JOIN uni u ON u.w = g.w
        |  CROSS JOIN tot)""".stripMargin
+
+  /** The [[graft.similarity.Knn.ivfKnnJoin]] replay: q50's Lloyd chain
+    * trained on the `corpus` CTE (vec_id >= 100), corpus indexed at its
+    * primary cell (`ci`), queries (`qs` = `qsWhere`) probing their
+    * `nprobe` nearest, candidates met in the cell equi-join and ranked
+    * per query into `probe` (rank <= k). Shared by q138/q139/q141. */
+  private def sqlIvfJoinCtes(qsWhere: String, nprobe: Int, k: Int): String =
+    s"""corpus AS (
+       |  SELECT vec_id AS id, embedding AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id >= 100),
+       |qs AS (
+       |  SELECT vec_id AS id, embedding AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND $qsWhere),
+       |seed AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS centroid_id,
+       |    v AS cvec
+       |  FROM corpus QUALIFY row_number() OVER (ORDER BY id) <= 4),
+       |a1 AS (${sqlIvfAssign("corpus", "seed")}),
+       |x1 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a1),
+       |m1 AS (${sqlIvfMean("x1")}),
+       |cent1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY 1),
+       |a2 AS (${sqlIvfAssign("corpus", "cent1")}),
+       |x2 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a2),
+       |m2 AS (${sqlIvfMean("x2")}),
+       |cent2 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m2 GROUP BY 1),
+       |ci AS (${sqlIvfAssign("corpus", "cent2")}),
+       |qa AS (
+       |  SELECT q.id, q.v, s.centroid_id,
+       |    row_number() OVER (PARTITION BY q.id
+       |      ORDER BY ${sqlCosine("q.v", "s.cvec")}, s.centroid_id) AS crank
+       |  FROM qs q, cent2 s QUALIFY crank <= $nprobe),
+       |cand AS (
+       |  SELECT qa.id AS query_id, ci.id AS neighbor_id,
+       |    ${sqlCosine("ci.v", "qa.v")} AS score
+       |  FROM qa JOIN ci USING (centroid_id)),
+       |probe AS (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score, neighbor_id) AS INT) AS rank
+       |  FROM cand QUALIFY rank <= $k)""".stripMargin
 
   private def sqlCosine(a: String, b: String): String =
     s"(1 - list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) / " +
@@ -5008,42 +5066,10 @@ object SparkEntry {
 
     // the q50 Lloyd chain trained on the CORPUS side (no sample filter —
     // the call trains on the full corpus arg), then the probe/index
-    // split: corpus at crank=1, queries at crank<=2, candidates meet in
-    // the cell equi-join, exact broadcast join flags recall
+    // split: corpus at crank=1, queries at crank<=nprobe, candidates
+    // meet in the cell equi-join, exact broadcast join flags recall
     "q138_ivf_knn_join" ->
-      s"""WITH corpus AS (
-         |  SELECT vec_id AS id, embedding AS v FROM embeddings
-         |  WHERE embedding IS NOT NULL AND vec_id >= 100),
-         |qs AS (
-         |  SELECT vec_id AS id, embedding AS v FROM embeddings
-         |  WHERE embedding IS NOT NULL AND vec_id < 20),
-         |seed AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS centroid_id,
-         |    v AS cvec
-         |  FROM corpus QUALIFY row_number() OVER (ORDER BY id) <= 4),
-         |a1 AS (${sqlIvfAssign("corpus", "seed")}),
-         |x1 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a1),
-         |m1 AS (${sqlIvfMean("x1")}),
-         |cent1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY 1),
-         |a2 AS (${sqlIvfAssign("corpus", "cent1")}),
-         |x2 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a2),
-         |m2 AS (${sqlIvfMean("x2")}),
-         |cent2 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m2 GROUP BY 1),
-         |ci AS (${sqlIvfAssign("corpus", "cent2")}),
-         |qa AS (
-         |  SELECT q.id, q.v, s.centroid_id,
-         |    row_number() OVER (PARTITION BY q.id
-         |      ORDER BY ${sqlCosine("q.v", "s.cvec")}, s.centroid_id) AS crank
-         |  FROM qs q, cent2 s QUALIFY crank <= 2),
-         |cand AS (
-         |  SELECT qa.id AS query_id, ci.id AS neighbor_id,
-         |    ${sqlCosine("ci.v", "qa.v")} AS score
-         |  FROM qa JOIN ci USING (centroid_id)),
-         |probe AS (
-         |  SELECT query_id, neighbor_id, score,
-         |    CAST(row_number() OVER (PARTITION BY query_id
-         |      ORDER BY score, neighbor_id) AS INT) AS rank
-         |  FROM cand QUALIFY rank <= 5),
+      s"""WITH ${sqlIvfJoinCtes(qsWhere = "vec_id < 20", nprobe = 2, k = 5)},
          |exact AS (
          |  SELECT q.id AS query_id, c.id AS neighbor_id
          |  FROM qs q, corpus c
@@ -5058,38 +5084,7 @@ object SparkEntry {
     // re-aggregated per benchmark doc; the LEFT JOIN keeps clean docs
     // as zero-hit rows (their min_score is NULL in both engines)
     "q139_semantic_decon" ->
-      s"""WITH corpus AS (
-         |  SELECT vec_id AS id, embedding AS v FROM embeddings
-         |  WHERE embedding IS NOT NULL AND vec_id >= 100),
-         |qs AS (
-         |  SELECT vec_id AS id, embedding AS v FROM embeddings
-         |  WHERE embedding IS NOT NULL AND vec_id < 50),
-         |seed AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS centroid_id,
-         |    v AS cvec
-         |  FROM corpus QUALIFY row_number() OVER (ORDER BY id) <= 4),
-         |a1 AS (${sqlIvfAssign("corpus", "seed")}),
-         |x1 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a1),
-         |m1 AS (${sqlIvfMean("x1")}),
-         |cent1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY 1),
-         |a2 AS (${sqlIvfAssign("corpus", "cent1")}),
-         |x2 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a2),
-         |m2 AS (${sqlIvfMean("x2")}),
-         |cent2 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m2 GROUP BY 1),
-         |ci AS (${sqlIvfAssign("corpus", "cent2")}),
-         |qa AS (
-         |  SELECT q.id, q.v, s.centroid_id,
-         |    row_number() OVER (PARTITION BY q.id
-         |      ORDER BY ${sqlCosine("q.v", "s.cvec")}, s.centroid_id) AS crank
-         |  FROM qs q, cent2 s QUALIFY crank <= 2),
-         |cand AS (
-         |  SELECT qa.id AS query_id, ci.id AS neighbor_id,
-         |    ${sqlCosine("ci.v", "qa.v")} AS score
-         |  FROM qa JOIN ci USING (centroid_id)),
-         |probe AS (
-         |  SELECT query_id, neighbor_id, score
-         |  FROM cand QUALIFY row_number() OVER (PARTITION BY query_id
-         |    ORDER BY score, neighbor_id) <= 10),
+      s"""WITH ${sqlIvfJoinCtes(qsWhere = "vec_id < 50", nprobe = 2, k = 10)},
          |near AS (SELECT * FROM probe WHERE score < 0.35)
          |SELECT q.id AS query_id,
          |  CAST(COUNT(n.neighbor_id) AS BIGINT) AS n_close,
@@ -5140,6 +5135,41 @@ object SparkEntry {
          |SELECT source, reason, CAST(COUNT(*) AS BIGINT) AS n
          |FROM staged GROUP BY 1, 2 ORDER BY source, reason""".stripMargin
     },
+
+    // the probe chain at nprobe=1 + the exact gold ranking, then the
+    // trec triplet with the same ln-ratio log2 and DECIMAL DCG sums;
+    // zero-hit queries keep NULL rr in both engines
+    "q141_rank_eval" ->
+      s"""WITH ${sqlIvfJoinCtes(qsWhere = "vec_id < 20", nprobe = 1, k = 5)},
+         |gold AS (
+         |  SELECT q.id AS query_id, c.id AS neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY q.id
+         |      ORDER BY ${sqlCosine("c.v", "q.v")}, c.id) AS INT) AS grank
+         |  FROM qs q, corpus c QUALIFY grank <= 5),
+         |gn AS (
+         |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_gold,
+         |    SUM(CAST(1.0 / (ln(CAST(grank AS DOUBLE) + 1.0) / ln(2.0))
+         |      AS DECIMAL(25,12))) AS idcg
+         |  FROM gold GROUP BY 1),
+         |hits AS (
+         |  SELECT p.query_id, p.rank FROM probe p
+         |  JOIN gold g ON g.query_id = p.query_id
+         |    AND g.neighbor_id = p.neighbor_id),
+         |pq AS (
+         |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+         |    MIN(rank) AS first_hit,
+         |    SUM(CAST(1.0 / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0))
+         |      AS DECIMAL(25,12))) AS dcg
+         |  FROM hits GROUP BY 1)
+         |SELECT g.query_id,
+         |  CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits, g.n_gold,
+         |  CAST(COALESCE(p.n_hits, 0) AS DOUBLE) / CAST(g.n_gold AS DOUBLE)
+         |    AS recall,
+         |  CAST(1.0 AS DOUBLE) / CAST(p.first_hit AS DOUBLE) AS rr,
+         |  CAST(COALESCE(p.dcg, 0) AS DOUBLE) / CAST(g.idcg AS DOUBLE)
+         |    AS ndcg
+         |FROM gn g LEFT JOIN pq p USING (query_id)
+         |ORDER BY query_id""".stripMargin,
 
     // the exponential clocks replayed: same content-hash uniform, same
     // -ln(u)/w key, same (key, id) rank; the key doubles stay internal
