@@ -2258,6 +2258,21 @@ object SparkEntry {
       graft.search.RankEval.evaluate(sys, gold, "query_id", "neighbor_id",
           "rank")
         .orderBy(col("query_id"))
+    }),
+
+    // ---- shard export, the pipeline's last mile: whole docs packed
+    //      into ~2048-token shard directories, manifest derived from the
+    //      files AS WRITTEN (read back) — doc/token counts + an
+    //      order-independent poly_hash XOR digest per shard, the thing a
+    //      training loader verifies before it trusts the data ----
+    "q142_export_shards" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val fp = d.agg(expr("bit_xor(xxhash64(doc_id, md5(text)))")
+        .cast("string")).head().getString(0)
+      val out = graft.fixtures.Fp16Corpus.workRoot + s"/shards-$fp"
+      graft.text.CorpusPrep.exportShards(d, "text", "doc_id", out,
+          shardTokens = 2048)
+        .orderBy(col("shard_id"))
     })
   )
 
@@ -5170,6 +5185,25 @@ object SparkEntry {
          |    AS ndcg
          |FROM gn g LEFT JOIN pq p USING (query_id)
          |ORDER BY query_id""".stripMargin,
+
+    // the pack arithmetic (q85's global prefix sum) re-grouped by the
+    // first-token window, digests XOR'd over the same poly_hash — the
+    // engine's manifest comes from the WRITTEN files, so passing proves
+    // the sink landed every doc exactly once in its assigned shard
+    "q142_export_shards" ->
+      s"""WITH d AS (SELECT doc_id AS id, text,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |p AS (SELECT id, text, n_tokens,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS tokens_before
+         |  FROM d)
+         |SELECT tokens_before // 2048 AS shard_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
+         |  bit_xor(${sqlPolyHash("text")}) AS digest
+         |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin,
 
     // the exponential clocks replayed: same content-hash uniform, same
     // -ln(u)/w key, same (key, id) rank; the key doubles stay internal

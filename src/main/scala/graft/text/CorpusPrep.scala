@@ -331,6 +331,37 @@ object CorpusPrep {
         pmod(col("tokens_before"), win).as("offset_in_shard"))
   }
 
+  /** Shard EXPORT — where a curation pipeline ends: the corpus written
+    * as one parquet directory per shard (whole documents, shard =
+    * [[packTokenStream]]'s window containing the doc's first token, so
+    * shards hold ~`shardTokens` whitespace tokens ± one document), plus
+    * a MANIFEST relation derived from the files as WRITTEN (read back,
+    * not from the input plan — the manifest proves the sink, not the
+    * intent): per shard, document count, token count and an
+    * order-independent `bit_xor(poly_hash(text))` content digest a
+    * downstream loader can verify against.
+    *
+    * Scale shape: the pack is the two-level prefix sum; the write is one
+    * `repartition(shard)` exchange + a partitioned write (one directory
+    * per shard, loaders read shards independently); the manifest is one
+    * aggregation over the written files. Deterministic end to end —
+    * same corpus, same shard cuts, same digests, any partitioning. */
+  def exportShards(df: DataFrame, textCol: String, idCol: String,
+      outDir: String, shardTokens: Int): DataFrame = {
+    val packed = packTokenStream(df, textCol, idCol, shardTokens)
+      .select(col("id"), col("n_tokens"), col("shard_start").as("shard_id"))
+    df.select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(packed, Seq("id"))
+      .repartition(col("shard_id"))
+      .write.partitionBy("shard_id").mode("overwrite").parquet(outDir)
+    df.sparkSession.read.parquet(outDir)
+      .withColumn("__h", TextAnalysis.polyHash(col("text")))
+      .groupBy(col("shard_id").cast("long").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("shard_tokens"),
+        expr("bit_xor(__h)").as("digest"))
+  }
+
   /** Temperature-scaled mixture rates (the UniMax / multilingual-LM
     * sampling rule): given per-source document counts `c_s`, source s is
     * sampled with probability proportional to `c_s^alpha` — alpha = 1

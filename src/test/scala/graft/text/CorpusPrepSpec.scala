@@ -270,6 +270,39 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("exportShards: every doc lands exactly once, shard dirs on disk, manifest honest") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    try {
+      val docs = (0 until 300).map(i =>
+        (i.toLong, (0 to i % 17).map(j => s"w$j").mkString(" ")))
+        .toDF("doc_id", "text")
+      val manifest = CorpusPrep.exportShards(docs, "text", "doc_id",
+        s"$dir/out", shardTokens = 100).collect()
+      // the manifest sums back to the corpus: every doc exactly once
+      assert(manifest.map(_.getLong(1)).sum == 300L)
+      val totalTokens = docs
+        .agg(sum(size(split($"text", " ")))).head().getLong(0)
+      assert(manifest.map(_.getLong(2)).sum == totalTokens)
+      // whole-doc sharding: each shard holds ~budget ± one document
+      assert(manifest.forall(r => r.getLong(2) <= 100L + 17L))
+      // shard directories really exist with data files
+      val shardDirs = new java.io.File(s"$dir/out").listFiles()
+        .filter(_.getName.startsWith("shard_id=")).map(_.getName).sorted
+      assert(shardDirs.length == manifest.length)
+      // and the manifest re-derives identically from a fresh read
+      val re = CorpusPrep.exportShards(docs.repartition(7), "text",
+        "doc_id", s"$dir/out2", shardTokens = 100).collect()
+      assert(re.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq ==
+        manifest.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(_._1).toSeq)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("weightedSample: quota + determinism; heavy weights dominate; w<=0 excluded") {
     // one stratum, 200 rows: 100 with weight 50, 100 with weight 1 —
     // an exponential-clock sample of 20 should be mostly heavy rows
