@@ -2273,6 +2273,26 @@ object SparkEntry {
       graft.text.CorpusPrep.exportShards(d, "text", "doc_id", out,
           shardTokens = 2048)
         .orderBy(col("shard_id"))
+    }),
+
+    // ---- q138's join served from the PERSISTENT index: the geometry
+    //      and cells come from disk (trainFilter = everything, so the
+    //      frozen geometry equals the in-plan chain's), the batch's
+    //      probe set meets the cell rows in a shuffle join keyed by
+    //      cell. Index-served must equal the in-plan math — the
+    //      q89/q106 read-path contract applied to batch retrieval ----
+    "q143_ivf_join_index" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") >= 100)
+      val indexDir = graft.fixtures.Fp16Corpus.workRoot +
+        s"/ivfjoinidx-${new java.io.File(dir).getName}-c${corpus.count()}"
+      if (!Knn.ivfIndexReady(indexDir))
+        Knn.ivfBuildIndex(corpus, "embedding", "vec_id", indexDir, k = 4,
+          iters = 2, trainFilter = lit(true))
+      Knn.ivfKnnJoinIndex(s, indexDir,
+          e.filter(col("vec_id") < 20), "embedding", "vec_id",
+          k = 5, nprobe = 2)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -5204,6 +5224,13 @@ object SparkEntry {
          |  CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
          |  bit_xor(${sqlPolyHash("text")}) AS digest
          |FROM p GROUP BY 1 ORDER BY shard_id""".stripMargin,
+
+    // the index changes the read path, not the math: q138's chain (the
+    // index trained on the full corpus = the chain's trainCentroids)
+    "q143_ivf_join_index" ->
+      s"""WITH ${sqlIvfJoinCtes(qsWhere = "vec_id < 20", nprobe = 2, k = 5)}
+         |SELECT query_id, neighbor_id, score, rank FROM probe
+         |ORDER BY query_id, rank""".stripMargin,
 
     // the exponential clocks replayed: same content-hash uniform, same
     // -ln(u)/w key, same (key, id) rank; the key doubles stay internal

@@ -413,6 +413,46 @@ object Knn {
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
   }
 
+  /** Batch probe of a PERSISTENT index ([[ivfBuildIndex]]): the serving
+    * index reused for batch retrieval — [[ivfKnnJoin]]'s shape with the
+    * geometry and cells read from disk instead of derived in-plan, so a
+    * nightly batch job and the serving edge share one index artifact.
+    * Queries assign to their `nprobe` nearest cells against the
+    * sidecar; candidates meet the cell rows in a `centroid_id`
+    * equi-join. Unlike the single-query probe (literal IN-list →
+    * partition pruning), a batch's probe set is a runtime relation and
+    * usually touches most cells — the right plan IS the shuffle join
+    * keyed by cell, which is exactly what this builds. fp16 cells score
+    * through the fused kernel without widening. Tombstoned ids are
+    * masked by [[readCells]]' sequence-scoped anti-joins like every
+    * other read. Returns (query_id, neighbor_id, score, rank). */
+  def ivfKnnJoinIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queries: DataFrame, queryVec: String,
+      queryKey: String, k: Int, nprobe: Int): DataFrame = {
+    val cents = spark.read.parquet(s"$indexDir/centroids")
+      .select(col("centroid_id"), col("cvec"))
+    val q = queries.select(col(queryKey).as("id"), col(queryVec).as("v"))
+      .filter(col("v").isNotNull)
+    val probe = q.join(cellPicks(q, cents, nprobe, cosine_distance)
+        .drop("crank"), Seq("id"))
+      .select(col("id").as("query_id"), col("v").as("qv"),
+        col("centroid_id"))
+    val cells = readCells(spark, indexDir)
+      .withColumn("centroid_id", col("centroid_id").cast("long"))
+    val score =
+      if (cells.columns.contains("emb16"))
+        graft.functions.fp16_cosine_distance(col("emb16"), col("qv"))
+      else cosine_distance(col("v"), col("qv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").asc, col("id").asc)
+    cells.join(probe, Seq("centroid_id"))
+      .withColumn("score", score)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("id").as("neighbor_id"), col("score"),
+        col("rank"))
+  }
+
   /** Exact k-nearest-neighbor GRAPH: every vector's `topK` closest
     * neighbors — the backbone structure for graph-based clustering,
     * agglomerative dedup, label propagation, and HNSW-style index

@@ -80,6 +80,36 @@ class KnnSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), plan.take(500))
   }
 
+  test("ivfKnnJoinIndex: index-served batch join equals the in-plan join; fp16 sticky; tombstones masked") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfjoin").toString
+    try {
+      val corpus = emb.filter($"vec_id" >= 100)
+      val queries = emb.filter($"vec_id" < 20)
+      Knn.ivfBuildIndex(corpus, "embedding", "vec_id", dir, k = 4,
+        iters = 2, trainFilter = lit(true))
+      val served = Knn.ivfKnnJoinIndex(spark, dir, queries, "embedding",
+        "vec_id", k = 5, nprobe = 2).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      val inPlan = Knn.ivfKnnJoin(queries, corpus, "embedding", "vec_id",
+        "embedding", "vec_id", k = 5, cells = 4, iters = 2, nprobe = 2)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      assert(served.sortBy(x => (x._1, x._4)).toSeq ==
+        inPlan.sortBy(x => (x._1, x._4)).toSeq)
+      // a tombstoned neighbor vanishes from the batch probe too
+      val victim = served.head._2
+      Knn.ivfDeleteIndex(spark, dir,
+        Seq(victim).toDF("vec_id"), "vec_id")
+      val after = Knn.ivfKnnJoinIndex(spark, dir, queries, "embedding",
+        "vec_id", k = 5, nprobe = 2).collect().map(_.getLong(1)).toSet
+      assert(!after.contains(victim))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("prefixTopK: recall vs exact, factor dial, two heaps and no shuffle") {
     val qv = emb.orderBy($"vec_id").select($"embedding")
       .head().getSeq[Float](0).toArray
