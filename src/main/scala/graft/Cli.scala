@@ -20,6 +20,7 @@ import graft.sync.{HighlightStore, Sync}
   *   graft.Cli sync --since 2024-01-01T00:00:00Z --pages-dir D --store S --ckpt C
   *   graft.Cli refresh --pages-dir D --store S --ckpt C [--lex-index L] [--ivf-index I]
   *   graft.Cli index --store S --out D [--cells 64] [--fp16 true] [--attrs c1,c2]
+  *   graft.Cli export --store S --out D [--shard-tokens 2048]
   *   graft.Cli search "query text" --k 5 --store S [--source-type T] [--hybrid true] [--mmr 0.3]
   *   graft.Cli health
   */
@@ -242,6 +243,49 @@ object Cli {
           }
         case _ =>
           System.err.println("index requires --store and --out"); 2
+      }
+
+    // export the store's text as training shards + verifiable manifest
+    // (CorpusPrep.exportShards): the curation pipeline's last mile from
+    // the CLI — one parquet directory per ~shard-tokens window, manifest
+    // printed as JSON lines (shard_id, n_docs, shard_tokens, digest)
+    //   graft.Cli export --store S --out D [--shard-tokens 2048]
+    case "export" +: rest =>
+      val f = flags(rest)
+      (f.get("store"), f.get("out")) match {
+        case (Some(storeDir), Some(out)) =>
+          val st = f.get("shard-tokens")
+          if (st.exists(_.toIntOption.forall(_ <= 0))) {
+            System.err.println(
+              s"--shard-tokens must be a positive integer, got '${st.get}'")
+            return 2
+          }
+          HighlightStore.read(spark, storeDir) match {
+            case None =>
+              System.err.println(s"no highlight store at $storeDir"); 1
+            case Some(df) =>
+              // the store keys highlights by STRING id; the packer's
+              // two-level prefix sum needs a numeric total order, so
+              // assign a rank surrogate ordered by the store id. The
+              // single-partition window is fine at highlight-store
+              // scale; a 100 TB corpus export keys by its own numeric
+              // id and calls exportShards directly
+              import org.apache.spark.sql.functions.{col, row_number}
+              val ordered = df.withColumn("__sid",
+                row_number().over(org.apache.spark.sql.expressions.Window
+                  .orderBy(col("id"))).cast("long"))
+              graft.text.CorpusPrep.exportShards(ordered, "text", "__sid",
+                  out, st.flatMap(_.toIntOption).getOrElse(2048))
+                .orderBy(col("shard_id"))
+                .collect()
+                .foreach(r => println(Json.write(Map(
+                  "shard_id" -> r.getLong(0), "n_docs" -> r.getLong(1),
+                  "shard_tokens" -> r.getLong(2),
+                  "digest" -> r.getLong(3)))))
+              0
+          }
+        case _ =>
+          System.err.println("export requires --store and --out"); 2
       }
 
     case "serve" +: rest =>

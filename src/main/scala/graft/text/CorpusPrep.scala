@@ -349,13 +349,15 @@ object CorpusPrep {
   def exportShards(df: DataFrame, textCol: String, idCol: String,
       outDir: String, shardTokens: Int): DataFrame = {
     val packed = packTokenStream(df, textCol, idCol, shardTokens)
-      .select(col("id"), col("n_tokens"), col("shard_start").as("shard_id"))
-    df.select(col(idCol).as("id"), col(textCol).as("text"))
-      .join(packed, Seq("id"))
+      .select(col("id").as(idCol), col("n_tokens"),
+        col("shard_start").as("shard_id"))
+    // every input column rides into the shards (ids, metadata, labels —
+    // a loader needs more than the text), plus the pack bookkeeping
+    df.join(packed, Seq(idCol))
       .repartition(col("shard_id"))
       .write.partitionBy("shard_id").mode("overwrite").parquet(outDir)
     df.sparkSession.read.parquet(outDir)
-      .withColumn("__h", TextAnalysis.polyHash(col("text")))
+      .withColumn("__h", TextAnalysis.polyHash(col(textCol)))
       .groupBy(col("shard_id").cast("long").as("shard_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("shard_tokens"),

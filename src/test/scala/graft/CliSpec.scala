@@ -92,6 +92,31 @@ class CliSpec extends SparkTestBase {
     assert(hits.nonEmpty)
   }
 
+  test("export writes shard dirs and prints the manifest; bad flags fail fast") {
+    val dir = Files.createTempDirectory("graft-cli-exp").toString
+    val pages = s"$dir/pages"
+    Files.createDirectories(java.nio.file.Paths.get(pages))
+    Files.writeString(java.nio.file.Paths.get(pages, "page0.json"),
+      pageJson("h1", "spark joins and shuffles"))
+    Files.writeString(java.nio.file.Paths.get(pages, "page1.json"),
+      pageJson("h2", "completely different topic words"))
+    assert(capture(Cli.run(Array("sync", "--backfill",
+      "--pages-dir", pages, "--store", s"$dir/store",
+      "--ckpt", s"$dir/ckpt"), spark))._1 == 0)
+    assert(capture(Cli.run(Array("export",
+      "--store", s"$dir/store"), spark))._1 == 2)
+    assert(capture(Cli.run(Array("export", "--store", s"$dir/store",
+      "--out", s"$dir/shards", "--shard-tokens", "junk"), spark))._1 == 2)
+    val (c, out) = capture(Cli.run(Array("export",
+      "--store", s"$dir/store", "--out", s"$dir/shards",
+      "--shard-tokens", "4"), spark))
+    assert(c == 0, out)
+    val lines = out.linesIterator.filter(_.nonEmpty).toSeq
+    assert(lines.nonEmpty && lines.forall(_.contains("\"digest\":")))
+    assert(new java.io.File(s"$dir/shards").listFiles()
+      .exists(_.getName.startsWith("shard_id=")))
+  }
+
   test("refresh reconciles the store + lexical index from a new export; search serves the new corpus") {
     val dir = Files.createTempDirectory("graft-cli-refresh").toString
     val pages1 = s"$dir/pages1"; val pages2 = s"$dir/pages2"
