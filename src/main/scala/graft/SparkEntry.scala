@@ -2293,6 +2293,47 @@ object SparkEntry {
           e.filter(col("vec_id") < 20), "embedding", "vec_id",
           k = 5, nprobe = 2)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // ---- q141's per-query metrics macro-averaged (the headline number
+    //      a tuning sweep reports): zero-hit queries count 0 toward MRR
+    //      (trec convention), every mean DECIMAL-summed ----
+    "q144_rank_eval_macro" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val queries = e.filter(col("vec_id") < 20)
+      val corpus = e.filter(col("vec_id") >= 100)
+      val sys = Knn.ivfKnnJoin(queries, corpus, "embedding", "vec_id",
+        "embedding", "vec_id", k = 5, cells = 4, iters = 2, nprobe = 1)
+      val gold = Knn.knnJoin(queries, corpus, "embedding", "vec_id",
+        "embedding", "vec_id", k = 5)
+      graft.search.RankEval.macroAvg(
+        graft.search.RankEval.evaluate(sys, gold, "query_id",
+          "neighbor_id", "rank"))
+    }),
+
+    // ---- HNSW bulk insertion gated at the EDGE level: build the stack
+    //      on the base 250, hnswAppendIndex the next 50 — layer 0's
+    //      non-self edge relation must equal base-5-NN-graph ∪ each new
+    //      node's 5 nearest base members ∪ the reverse links. The walk
+    //      over the merged graph is spec-verified; this row proves the
+    //      insertion MATH cross-engine ----
+    "q145_hnsw_insert" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val base = e.filter(col("vec_id") < 250)
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val batch = e.filter(col("vec_id") >= 250 && col("vec_id") < 300)
+        .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      val root = graft.fixtures.Fp16Corpus.workRoot +
+        s"/hnswapp-${new java.io.File(dir).getName}-c${e.count()}"
+      if (!new java.io.File(s"$root/layer0/CURRENT").isFile) {
+        Knn.buildHnswIndex(base, "embedding", "vec_id", root, maxLevel = 2,
+          upperM = 3, k0 = 5, buckets = 8, fp16 = false)
+        Knn.hnswAppendIndex(batch, "embedding", "vec_id", root)
+      }
+      graft.similarity.Knn.AdjIndex.load(s, s"$root/layer0").relation
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+        .orderBy(col("src"), col("dst"))
     })
   )
 
@@ -2597,6 +2638,40 @@ object SparkEntry {
        |    CAST(row_number() OVER (PARTITION BY query_id
        |      ORDER BY score, neighbor_id) AS INT) AS rank
        |  FROM cand QUALIFY rank <= $k)""".stripMargin
+
+  /** q141's eval chain through the per-query `per` relation — shared
+    * with the q144 macro-average. */
+  private lazy val sqlRankEvalCtes: String =
+    s"""${sqlIvfJoinCtes(qsWhere = "vec_id < 20", nprobe = 1, k = 5)},
+       |gold AS (
+       |  SELECT q.id AS query_id, c.id AS neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY q.id
+       |      ORDER BY ${sqlCosine("c.v", "q.v")}, c.id) AS INT) AS grank
+       |  FROM qs q, corpus c QUALIFY grank <= 5),
+       |gn AS (
+       |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_gold,
+       |    SUM(CAST(1.0 / (ln(CAST(grank AS DOUBLE) + 1.0) / ln(2.0))
+       |      AS DECIMAL(25,12))) AS idcg
+       |  FROM gold GROUP BY 1),
+       |hits AS (
+       |  SELECT p.query_id, p.rank FROM probe p
+       |  JOIN gold g ON g.query_id = p.query_id
+       |    AND g.neighbor_id = p.neighbor_id),
+       |pq AS (
+       |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       |    MIN(rank) AS first_hit,
+       |    SUM(CAST(1.0 / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0))
+       |      AS DECIMAL(25,12))) AS dcg
+       |  FROM hits GROUP BY 1),
+       |per AS (
+       |  SELECT g.query_id,
+       |    CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits, g.n_gold,
+       |    CAST(COALESCE(p.n_hits, 0) AS DOUBLE) / CAST(g.n_gold AS DOUBLE)
+       |      AS recall,
+       |    CAST(1.0 AS DOUBLE) / CAST(p.first_hit AS DOUBLE) AS rr,
+       |    CAST(COALESCE(p.dcg, 0) AS DOUBLE) / CAST(g.idcg AS DOUBLE)
+       |      AS ndcg
+       |  FROM gn g LEFT JOIN pq p USING (query_id))""".stripMargin
 
   private def sqlCosine(a: String, b: String): String =
     s"(1 - list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) / " +
@@ -5175,36 +5250,46 @@ object SparkEntry {
     // trec triplet with the same ln-ratio log2 and DECIMAL DCG sums;
     // zero-hit queries keep NULL rr in both engines
     "q141_rank_eval" ->
-      s"""WITH ${sqlIvfJoinCtes(qsWhere = "vec_id < 20", nprobe = 1, k = 5)},
-         |gold AS (
-         |  SELECT q.id AS query_id, c.id AS neighbor_id,
-         |    CAST(row_number() OVER (PARTITION BY q.id
-         |      ORDER BY ${sqlCosine("c.v", "q.v")}, c.id) AS INT) AS grank
-         |  FROM qs q, corpus c QUALIFY grank <= 5),
-         |gn AS (
-         |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_gold,
-         |    SUM(CAST(1.0 / (ln(CAST(grank AS DOUBLE) + 1.0) / ln(2.0))
-         |      AS DECIMAL(25,12))) AS idcg
-         |  FROM gold GROUP BY 1),
-         |hits AS (
-         |  SELECT p.query_id, p.rank FROM probe p
-         |  JOIN gold g ON g.query_id = p.query_id
-         |    AND g.neighbor_id = p.neighbor_id),
-         |pq AS (
-         |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
-         |    MIN(rank) AS first_hit,
-         |    SUM(CAST(1.0 / (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0))
-         |      AS DECIMAL(25,12))) AS dcg
-         |  FROM hits GROUP BY 1)
-         |SELECT g.query_id,
-         |  CAST(COALESCE(p.n_hits, 0) AS BIGINT) AS n_hits, g.n_gold,
-         |  CAST(COALESCE(p.n_hits, 0) AS DOUBLE) / CAST(g.n_gold AS DOUBLE)
-         |    AS recall,
-         |  CAST(1.0 AS DOUBLE) / CAST(p.first_hit AS DOUBLE) AS rr,
-         |  CAST(COALESCE(p.dcg, 0) AS DOUBLE) / CAST(g.idcg AS DOUBLE)
-         |    AS ndcg
-         |FROM gn g LEFT JOIN pq p USING (query_id)
-         |ORDER BY query_id""".stripMargin,
+      s"""WITH $sqlRankEvalCtes
+         |SELECT query_id, n_hits, n_gold, recall, rr, ndcg
+         |FROM per ORDER BY query_id""".stripMargin,
+
+    // base 5-NN graph + each new node's 5 nearest base members + the
+    // reverse links — exactly what hnswAppendIndex commits to layer 0
+    "q145_hnsw_insert" ->
+      s"""WITH base AS (
+         |  SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id < 250),
+         |batch AS (
+         |  SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id >= 250 AND vec_id < 300),
+         |g AS (
+         |  SELECT a.id AS src, b.id AS dst FROM base a, base b
+         |  WHERE a.id <> b.id
+         |  QUALIFY row_number() OVER (PARTITION BY a.id
+         |    ORDER BY ${sqlCosine("a.v", "b.v")}, b.id) <= 5),
+         |ins AS (
+         |  SELECT q.id AS src, c.id AS dst FROM batch q, base c
+         |  QUALIFY row_number() OVER (PARTITION BY q.id
+         |    ORDER BY ${sqlCosine("c.v", "q.v")}, c.id) <= 5),
+         |alledges AS (
+         |  SELECT src, dst FROM g
+         |  UNION ALL SELECT src, dst FROM ins
+         |  UNION ALL SELECT dst AS src, src AS dst FROM ins)
+         |SELECT src, dst FROM alledges ORDER BY src, dst""".stripMargin,
+
+    // q141's rows macro-averaged with the trec zero-hit-counts-0 MRR
+    // convention, every mean DECIMAL-summed
+    "q144_rank_eval_macro" ->
+      s"""WITH $sqlRankEvalCtes
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+         |  CAST(SUM(CAST(recall AS DECIMAL(25,12))) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE) AS mean_recall,
+         |  CAST(SUM(CAST(COALESCE(rr, 0.0) AS DECIMAL(25,12))) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE) AS mrr,
+         |  CAST(SUM(CAST(ndcg AS DECIMAL(25,12))) AS DOUBLE) /
+         |    CAST(COUNT(*) AS DOUBLE) AS mean_ndcg
+         |FROM per""".stripMargin,
 
     // the pack arithmetic (q85's global prefix sum) re-grouped by the
     // first-token window, digests XOR'd over the same poly_hash — the

@@ -1226,6 +1226,11 @@ object Knn {
     * the corpus never scans. */
   final class AdjIndex private (rel: DataFrame, buckets: Int, fp16: Boolean) {
 
+    /** The resolved edge relation (src_bucket, src, dst, dvec incl.
+      * self-rows) — maintenance code ([[Knn.hnswAppendIndex]]) reads
+      * members and degrees from it, and the q145 gate audits it. */
+    private[graft] def relation: DataFrame = rel
+
     private def scoreCol(queryVec: Array[Float]): Column =
       if (fp16) graft.functions.fp16_cosine_distance(col("dvec"),
         typedLit(queryVec))
@@ -1351,6 +1356,59 @@ object Knn {
       val edges = build(sub, m).select(col("id_a"), col("id_b"))
       buildAdjacencyIndex(edges, sub, vecCol, keyCol,
         s"$indexDir/layer$l", buckets, fp16)
+    }
+  }
+
+  /** Append a node batch to a [[buildHnswIndex]] stack — HNSW's
+    * insertion rule in BULK: every new node draws its level from the
+    * same affine hash (the level sets keep nesting by construction),
+    * and for each layer ℓ ≤ its level the batch finds its M nearest
+    * among the layer's CURRENT members (the self-row relation, scored
+    * at the layer's storage precision) and appends BOTH edge directions
+    * plus the new nodes' self-rows as one immutable segment
+    * ([[appendAdjacencyIndex]]). M is recovered from the live layer's
+    * max out-degree, so append extends the geometry the build chose.
+    *
+    * One broadcast join per layer (the batch is the broadcast side) —
+    * O(batch·|layer ℓ|) distance work, never a corpus re-sort; upper
+    * layers are 4^-ℓ of the corpus so their joins are noise. The meta
+    * entry point stays — any top-layer node is a valid entry, and the
+    * reverse edges make new nodes reachable from day one. Differences
+    * from a from-scratch rebuild are the documented HNSW trade: a
+    * rebuild re-derives ALL neighborhoods, insertion only links
+    * new↔old (existing lists grow by the reverse edges; compaction or
+    * re-build prunes). Batch ids must be new (dedup upstream). */
+  def hnswAppendIndex(batch: DataFrame, vecCol: String, keyCol: String,
+      indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    val maxLevel = meta.getAs[Int]("max_level")
+    val b = batch.filter(col(vecCol).isNotNull)
+      .select(col(keyCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("level", hnswLevel(col("id"), maxLevel))
+    (0 to maxLevel).foreach { l =>
+      val newAtL = b.filter(col("level") >= l)
+        .select(col("id"), col("v"))
+      if (!newAtL.isEmpty) {
+        val layerDir = s"$indexDir/layer$l"
+        val fp16 = spark.read.parquet(s"$layerDir/meta").head()
+          .getAs[Boolean]("fp16")
+        val rel = AdjIndex.load(spark, layerDir).relation
+        val members = rel.filter(col("src") === col("dst"))
+          .select(col("dst").as("id"),
+            (if (fp16) graft.functions.fp16_decode(col("dvec"))
+             else col("dvec")).as("v"))
+        val m = rel.filter(col("src") =!= col("dst"))
+          .groupBy(col("src")).agg(count(lit(1)).as("d"))
+          .agg(max(col("d"))).head().getLong(0).toInt
+        val fwd = knnJoin(newAtL, members, "v", "id", "v", "id", k = m)
+          .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+        val edges = fwd.unionByName(
+          fwd.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        appendAdjacencyIndex(edges,
+          members.unionByName(newAtL), "v", "id", layerDir,
+          newNodes = Some(newAtL.select(col("id"))))
+      }
     }
   }
 

@@ -116,6 +116,44 @@ class AdjIndexSpec extends SparkTestBase {
     } finally rmTree(dir)
   }
 
+  test("hnswAppendIndex: bulk insertion — levels nest, new nodes findable, old queries intact") {
+    val base = emb.filter($"vec_id" < 250)
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val batch = emb.filter($"vec_id" >= 250 && $"vec_id" < 300)
+      .select($"vec_id".cast("long").as("vec_id"), $"embedding")
+    val dir = java.nio.file.Files.createTempDirectory("hnswapp").toString + "/i"
+    try {
+      Knn.buildHnswIndex(base, "embedding", "vec_id", dir, maxLevel = 2,
+        upperM = 3, k0 = 5, buckets = 8, fp16 = false)
+      val before = Knn.HnswIndex.load(spark, dir)
+        .search(qv, k = 10, ef = 20, hops = 4).collect().toSeq
+      Knn.hnswAppendIndex(batch, "embedding", "vec_id", dir)
+      val idx = Knn.HnswIndex.load(spark, dir)
+      // level discipline: an appended node with affine level >= 1 got a
+      // self-row in layer 1, level-0 nodes did not
+      val lev = batch.select($"vec_id",
+          Knn.hnswLevel($"vec_id", 2).as("level"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(lev.values.exists(_ >= 1) && lev.values.exists(_ == 0))
+      val l1Selfs = Knn.AdjIndex.load(spark, s"$dir/layer1").relation
+        .filter($"src" === $"dst").select($"dst").as[Long].collect().toSet
+      assert(lev.filter(_._2 >= 1).keySet.subsetOf(l1Selfs))
+      assert(lev.filter(_._2 == 0).keySet.intersect(l1Selfs).isEmpty)
+      // every appended node is findable: query its own vector, rank 1
+      // at score ~0 (reverse edges make it reachable immediately)
+      batch.limit(3).collect().foreach { r =>
+        val v = r.getSeq[Float](1).toArray
+        val hit = idx.search(v, k = 1, ef = 20, hops = 4).head()
+        assert(hit.getLong(0) == r.getLong(0), s"missed node ${r.getLong(0)}")
+        assert(hit.getDouble(1) < 1e-9)
+      }
+      // a pre-append query still resolves with comparable quality: the
+      // old top hit is unchanged (its neighborhood only gained edges)
+      val after = idx.search(qv, k = 10, ef = 20, hops = 4).collect().toSeq
+      assert(after.head.getLong(0) == before.head.getLong(0))
+    } finally rmTree(java.nio.file.Paths.get(dir).getParent.toString)
+  }
+
   test("frontier reads prune to the beam's buckets; a search is 1 + hops point-read jobs") {
     val dir = java.nio.file.Files.createTempDirectory("adjpr").toString + "/i"
     try {
