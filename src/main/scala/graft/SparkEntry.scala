@@ -2334,6 +2334,18 @@ object SparkEntry {
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"))
         .orderBy(col("src"), col("dst"))
+    }),
+
+    // ---- hard-negative mining (contrastive training): every anchor's
+    //      5 nearest corpus vectors with a DIFFERENT label — same-label
+    //      positives excluded BEFORE the rank so no negative slot is
+    //      wasted ----
+    "q146_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Knn.hardNegatives(
+          e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 100),
+          "embedding", "vec_id", "label", k = 5)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -5277,6 +5289,25 @@ object SparkEntry {
          |  UNION ALL SELECT src, dst FROM ins
          |  UNION ALL SELECT dst AS src, src AS dst FROM ins)
          |SELECT src, dst FROM alledges ORDER BY src, dst""".stripMargin,
+
+    // the ≠-label filter precedes the per-anchor rank — same window
+    // arithmetic as every knn oracle
+    "q146_hard_negatives" ->
+      s"""WITH anchors AS (
+         |  SELECT vec_id AS id, embedding AS v, label FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id < 20),
+         |corpus AS (
+         |  SELECT vec_id AS id, embedding AS v, label FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id >= 100)
+         |SELECT a.id AS query_id, c.id AS neighbor_id,
+         |  c.label AS neg_label,
+         |  ${sqlCosine("c.v", "a.v")} AS score,
+         |  CAST(row_number() OVER (PARTITION BY a.id
+         |    ORDER BY ${sqlCosine("c.v", "a.v")}, c.id) AS INT) AS rank
+         |FROM anchors a, corpus c
+         |WHERE c.label <> a.label
+         |QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     // q141's rows macro-averaged with the trec zero-hit-counts-0 MRR
     // convention, every mean DECIMAL-summed

@@ -453,6 +453,37 @@ object Knn {
         col("rank"))
   }
 
+  /** Hard-negative mining for contrastive training: every anchor's k
+    * nearest corpus vectors with a DIFFERENT label — the negatives that
+    * actually move an InfoNCE/triplet loss (random negatives are
+    * trivially far; same-label neighbors are the positives and must not
+    * leak into the negative set). The label predicate applies BEFORE
+    * the rank, so the k slots never waste on excluded rows.
+    *
+    * This exact form broadcasts the anchors ([[knnJoin]]'s shape — the
+    * per-class probe set of a training epoch); when the anchor side is
+    * itself a corpus, run [[ivfKnnJoin]] with the label carried as a
+    * cell attr (q132's contract) and the ≠-filter inside the cell
+    * join, widening k for the post-filter loss. Returns (query_id,
+    * neighbor_id, neg_label, score, rank). */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame, vecCol: String,
+      keyCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = anchors.select(col(keyCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("q_label"))
+    val c = corpus.select(col(keyCol).as("neighbor_id"),
+        col(vecCol).as("cv"), col(labelCol).as("neg_label"))
+      .filter(col("cv").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").asc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .filter(col("neg_label") =!= col("q_label"))
+      .withColumn("score", cosine_distance(col("cv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        col("score"), col("rank"))
+  }
+
   /** Exact k-nearest-neighbor GRAPH: every vector's `topK` closest
     * neighbors — the backbone structure for graph-based clustering,
     * agglomerative dedup, label propagation, and HNSW-style index
@@ -1411,6 +1442,19 @@ object Knn {
       }
     }
   }
+
+  /** Structured-Streaming micro-batch maintenance of the HNSW stack:
+    * each batch inserts via [[hnswAppendIndex]] — the same foreachBatch
+    * discipline as the IVF/lexical/LM streams. The stack must exist
+    * (insertion needs members to link to); build from the first corpus
+    * snapshot, stream the rest. At-least-once caveat: a replayed batch
+    * re-appends its edges — dedup upstream. */
+  def hnswAppendIndexStream(batches: DataFrame, vecCol: String,
+      keyCol: String, indexDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    batches.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) hnswAppendIndex(batch, vecCol, keyCol, indexDir)
+    }
 
   /** Serving handle over a [[buildHnswIndex]] layout — the full HNSW
     * query: greedy width-1 descent through each upper layer's
