@@ -1429,9 +1429,14 @@ object Knn {
           .select(col("dst").as("id"),
             (if (fp16) graft.functions.fp16_decode(col("dvec"))
              else col("dvec")).as("v"))
+        // M = the live layer's max out-degree; a layer too small to have
+        // edges yet (one member) falls back to linking every member
         val m = rel.filter(col("src") =!= col("dst"))
           .groupBy(col("src")).agg(count(lit(1)).as("d"))
-          .agg(max(col("d"))).head().getLong(0).toInt
+          .agg(max(col("d"))).head() match {
+            case r if r.isNullAt(0) => members.count().toInt.max(1)
+            case r => r.getLong(0).toInt
+          }
         val fwd = knnJoin(newAtL, members, "v", "id", "v", "id", k = m)
           .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
         val edges = fwd.unionByName(

@@ -348,6 +348,14 @@ object CorpusPrep {
     * same corpus, same shard cuts, same digests, any partitioning. */
   def exportShards(df: DataFrame, textCol: String, idCol: String,
       outDir: String, shardTokens: Int): DataFrame = {
+    if (df.isEmpty) {
+      // an empty corpus writes nothing; reading the empty directory
+      // back would fail schema inference — the honest manifest is the
+      // empty relation with the manifest's schema
+      import df.sparkSession.implicits._
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF("shard_id", "n_docs", "shard_tokens", "digest")
+    }
     val packed = packTokenStream(df, textCol, idCol, shardTokens)
       .select(col("id").as(idCol), col("n_tokens"),
         col("shard_start").as("shard_id"))

@@ -303,6 +303,22 @@ class CorpusPrepSpec extends SparkTestBase {
     }
   }
 
+  test("exportShards: empty corpus yields the empty manifest, not a read error") {
+    val dir = java.nio.file.Files.createTempDirectory("shardsempty").toString
+    try {
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      val m = CorpusPrep.exportShards(empty, "text", "doc_id",
+        s"$dir/out", shardTokens = 100)
+      assert(m.columns.toSeq ==
+        Seq("shard_id", "n_docs", "shard_tokens", "digest"))
+      assert(m.count() == 0)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("weightedSample: quota + determinism; heavy weights dominate; w<=0 excluded") {
     // one stratum, 200 rows: 100 with weight 50, 100 with weight 1 —
     // an exponential-clock sample of 20 should be mostly heavy rows
