@@ -44,6 +44,50 @@ class ReloadingSpec extends SparkTestBase {
     } finally rmTree(dir)
   }
 
+  test("drift → re-train → live serve: the q126 signal fires a rebuild the handle picks up") {
+    val emb = table("embeddings").filter($"embedding".isNotNull)
+    val dir = java.nio.file.Files.createTempDirectory("retrain-ivf").toString
+    try {
+      val base = emb.filter($"vec_id" < 200)
+      Knn.ivfBuildIndex(base, "embedding", "vec_id", dir, k = 4, iters = 2,
+        trainFilter = $"vec_id" % 5 === 0)
+      val handle = Knn.IvfIndex.reloading(spark, dir)
+      // drift: a NEGATED-vector batch lands far from every frozen
+      // centroid — appends serve correctly but the monitor must light up
+      val drifted = base.limit(60).select(($"vec_id" + 10000L).as("vec_id"),
+        expr("transform(embedding, x -> -x)").cast("array<float>")
+          .as("embedding"))
+      val resid0 = Knn.ivfCellStats(spark, dir).agg(max($"mean_resid"))
+        .head().getDouble(0)
+      Knn.ivfAppendIndex(drifted, "embedding", "vec_id", dir)
+      val resid1 = Knn.ivfCellStats(spark, dir).agg(max($"mean_resid"))
+        .head().getDouble(0)
+      assert(resid1 > resid0, "drift did not raise the re-train signal")
+      // the operator's response: wholesale re-train over the LIVE corpus
+      // (the same pointer swap as the build) — geometry now owns the
+      // drifted mass, and the live handle serves the new generation
+      val live = base.select($"vec_id", $"embedding").unionByName(drifted)
+      val g0 = handle.generation
+      Knn.ivfBuildIndex(live, "embedding", "vec_id", dir, k = 8, iters = 2,
+        trainFilter = $"vec_id" % 5 === 0)
+      assert(handle.get.numCells == 8) // re-trained geometry, no restart
+      assert(handle.generation != g0)
+      val resid2 = Knn.ivfCellStats(spark, dir).agg(max($"mean_resid"))
+        .head().getDouble(0)
+      assert(resid2 < resid1,
+        s"re-train did not absorb the drift: $resid2 vs $resid1")
+      // and a drifted vector's own query resolves through the new
+      // geometry at rank 1 (its cell exists now; recall no longer rides
+      // on a far centroid absorbing it)
+      val qRow = drifted.head()
+      val qv = qRow.getSeq[Float](1).toArray
+      val top = handle.get.search(qv, k = 3, nprobe = 2)
+        .select($"id").as[Long].collect()
+      assert(top.headOption.contains(qRow.getLong(0)),
+        s"drifted self-query mis-served: ${top.toSeq}")
+    } finally rmTree(dir)
+  }
+
   test("lexical handle serves a CorpusRefresh'd doc with refreshed stats") {
     val docs = table("documents").select($"doc_id", $"text").limit(60)
     val root = java.nio.file.Files.createTempDirectory("reload-lex").toString
