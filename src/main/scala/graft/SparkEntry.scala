@@ -2346,7 +2346,17 @@ object SparkEntry {
           e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 100),
           "embedding", "vec_id", "label", k = 5)
         .orderBy(col("query_id"), col("rank"))
-    })
+    }),
+
+    // ---- long-document embedding by mean-pooling: 30-word chunks embed
+    //      independently, per-dimension DECIMAL means, unit-renormalize
+    //      with the embedder's fp32 rounding — the answer to the
+    //      reference's hard 8191-token truncation (the tail counts) ----
+    "q147_pooled_embedding" -> ((s, dir) =>
+      graft.embed.Pooling.pooledEmbedding(
+          t(s, dir, "documents").filter(col("doc_id") < 100),
+          "text", "doc_id", chunkWords = 30)
+        .orderBy(col("doc_id")))
   )
 
   /** Probe text for q35 (shared by the Spark query and the DuckDB oracle). */
@@ -5308,6 +5318,32 @@ object SparkEntry {
          |WHERE c.label <> a.label
          |QUALIFY rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // zero-overlap chunking + the q35 embedder replication per chunk +
+    // DECIMAL per-dimension means + the same fp32-rounded renormalize
+    "q147_pooled_embedding" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents WHERE doc_id < 100),
+         |nch AS (SELECT doc_id, w, greatest(1, CAST(ceil(
+         |    CAST(len(w) AS DOUBLE) / 30.0) AS INT)) AS nc FROM d),
+         |cks AS (SELECT doc_id, w, unnest(range(nc)) AS idx FROM nch),
+         |src AS (SELECT doc_id * 1000 + idx AS key, doc_id,
+         |  array_to_string(list_slice(w, idx * 30 + 1, idx * 30 + 30), ' ')
+         |    AS text FROM cks),
+         |$sqlEmbedderCtes,
+         |px AS (SELECT s.doc_id, unnest(range(len(nm.v))) AS pos,
+         |    unnest(nm.v) AS x
+         |  FROM normed nm JOIN src s ON s.key = nm.key),
+         |mn AS (SELECT doc_id, pos,
+         |    CAST(SUM(CAST(x AS DECIMAL(25,12))) AS DOUBLE) /
+         |      CAST(COUNT(*) AS DOUBLE) AS m
+         |  FROM px GROUP BY 1, 2),
+         |vv AS (SELECT doc_id, list(m ORDER BY pos) AS v FROM mn GROUP BY 1),
+         |fin AS (SELECT doc_id, v, list_dot_product(v, v) AS n2 FROM vv)
+         |SELECT doc_id,
+         |  CASE WHEN n2 > 0 THEN list_transform(v,
+         |    x -> CAST(CAST(x / sqrt(n2) AS REAL) AS DOUBLE)) ELSE v END AS v
+         |FROM fin ORDER BY doc_id""".stripMargin,
 
     // q141's rows macro-averaged with the trec zero-hit-counts-0 MRR
     // convention, every mean DECIMAL-summed

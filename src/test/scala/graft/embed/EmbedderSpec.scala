@@ -37,4 +37,31 @@ class EmbedderSpec extends SparkTestBase {
     val plan = viaBatch.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"))
   }
+
+  test("pooledEmbedding: unit norm, single-chunk ≈ plain embed, repartition-stable") {
+    val docs = Seq(
+      (1L, "short doc stays one chunk"),
+      (2L, (1 to 70).map(i => s"tok$i").mkString(" ")), // 3 chunks at 30
+      (3L, (1 to 60).map(i => s"w${i % 9}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val pooled = Pooling.pooledEmbedding(docs, "text", "doc_id",
+      chunkWords = 30).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // every pooled vector is unit norm (fp32-rounded)
+    pooled.values.foreach { v =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-6)
+    }
+    // a single-chunk doc pools to (approximately) its plain embedding —
+    // the renormalize only re-rounds an already-unit vector
+    val plain = Embedder.Default.embed("short doc stays one chunk")
+      .map(_.toDouble)
+    pooled(1L).zip(plain).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-6, s"$a vs $b")
+    }
+    // DECIMAL means: bit-identical under repartitioning
+    val re = Pooling.pooledEmbedding(docs.repartition(7), "text", "doc_id",
+      chunkWords = 30).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(re == pooled)
+  }
 }
