@@ -2353,10 +2353,15 @@ object SparkEntry {
     //      with the embedder's fp32 rounding — the answer to the
     //      reference's hard 8191-token truncation (the tail counts) ----
     "q147_pooled_embedding" -> ((s, dir) =>
+      // gated output is posexploded to scalar (doc_id, pos, x) rows —
+      // the driver's pandas comparator cannot sort array cells, and the
+      // scalar shape is strictly stronger (gates every element AND its
+      // position, not an array-equality blob)
       graft.embed.Pooling.pooledEmbedding(
           t(s, dir, "documents").filter(col("doc_id") < 100),
           "text", "doc_id", chunkWords = 30)
-        .orderBy(col("doc_id")))
+        .select(col("doc_id"), posexplode(col("v")).as(Seq("pos", "x")))
+        .orderBy(col("doc_id"), col("pos")))
   )
 
   /** Probe text for q35 (shared by the Spark query and the DuckDB oracle). */
@@ -5339,11 +5344,14 @@ object SparkEntry {
          |      CAST(COUNT(*) AS DOUBLE) AS m
          |  FROM px GROUP BY 1, 2),
          |vv AS (SELECT doc_id, list(m ORDER BY pos) AS v FROM mn GROUP BY 1),
-         |fin AS (SELECT doc_id, v, list_dot_product(v, v) AS n2 FROM vv)
-         |SELECT doc_id,
+         |fin AS (SELECT doc_id, v, list_dot_product(v, v) AS n2 FROM vv),
+         |fv AS (SELECT doc_id,
          |  CASE WHEN n2 > 0 THEN list_transform(v,
          |    x -> CAST(CAST(x / sqrt(n2) AS REAL) AS DOUBLE)) ELSE v END AS v
-         |FROM fin ORDER BY doc_id""".stripMargin,
+         |  FROM fin)
+         |SELECT doc_id, CAST(unnest(range(len(v))) AS INT) AS pos,
+         |  unnest(v) AS x
+         |FROM fv ORDER BY doc_id, pos""".stripMargin,
 
     // q141's rows macro-averaged with the trec zero-hit-counts-0 MRR
     // convention, every mean DECIMAL-summed
