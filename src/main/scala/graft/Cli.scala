@@ -22,6 +22,7 @@ import graft.sync.{HighlightStore, Sync}
   *   graft.Cli index --store S --out D [--cells 64] [--fp16 true] [--attrs c1,c2]
   *   graft.Cli export --store S --out D [--shard-tokens 2048]
   *   graft.Cli search "query text" --k 5 --store S [--source-type T] [--hybrid true] [--mmr 0.3]
+  *   graft.Cli serve --store S [--ivf-index I | --pq-index P [--pq-refine 8]] [--nprobe 4]
   *   graft.Cli health
   */
 object Cli {
@@ -311,15 +312,35 @@ object Cli {
           // referenced attr columns (ivfBuildIndex attrCols, with
           // adaptive probe widening), else they fall back to the store
           // scan
-          val denseOpt = cfg.ivfIndexDir.map { d =>
-            if (!graft.similarity.Knn.ivfIndexReady(d)) {
-              System.err.println(s"no IVF index at $d " +
-                "(build one with Knn.ivfBuildIndex or drop --ivf-index)")
-              return 1
+          // --pq-index is the compressed dense path (IVFADC codes +
+          // exact fp16 refine, cosine-scored — the r11 default-mode
+          // promotion): same gateway contract, ~192× less probe I/O,
+          // two pruned jobs per request instead of one
+          val denseOpt: Option[() => graft.similarity.Knn.DenseIndex] =
+            cfg.pqIndexDir match {
+              case Some(d) =>
+                if (!graft.similarity.Knn.ivfPqIndexReady(d)) {
+                  System.err.println(s"no IVFADC index at $d (build one " +
+                    "with Knn.ivfPqBuildIndex(refine=true) or drop --pq-index)")
+                  return 1
+                }
+                val h = graft.similarity.Knn.IvfPqIndex.reloading(spark, d)
+                if (!h.get.hasRefine) {
+                  System.err.println(s"IVFADC index at $d has no refine " +
+                    "payload — rebuild with ivfPqBuildIndex(refine=true)")
+                  return 1
+                }
+                Some(() => h.get.asDense(cfg.pqRefine))
+              case None => cfg.ivfIndexDir.map { d =>
+                if (!graft.similarity.Knn.ivfIndexReady(d)) {
+                  System.err.println(s"no IVF index at $d " +
+                    "(build one with Knn.ivfBuildIndex or drop --ivf-index)")
+                  return 1
+                }
+                val h = graft.similarity.Knn.IvfIndex.reloading(spark, d)
+                () => h.get
+              }
             }
-            val h = graft.similarity.Knn.IvfIndex.reloading(spark, d)
-            () => h.get
-          }
           val storeHandle = HighlightStore.reloadingWarm(spark, cfg.storeDir)
           val gw = new SearchGateway(() => storeHandle.get.serving,
             cfg.embedder, denseOpt, cfg.nprobe)

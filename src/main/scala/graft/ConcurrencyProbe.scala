@@ -36,9 +36,11 @@ import org.apache.spark.sql.functions._
   * gates.
   *
   * env: CONC_VECS (default 200000), CONC_USERS (default 20),
-  * CONC_REQS per user (default 10), CONC_MODE (`ivf`, `brute`, `pq`,
-  * `graph`, `hnsw`, `hybrid`, `lex`, or default `both`), CONC_CELLS
-  * (default 64), CONC_NPROBE (default 4),
+  * CONC_REQS per user (default 10), CONC_MODE (`dense` — the default
+  * serving mode, PQ codes + fp16 cosine refine; `ivf`, `brute`, `pq`,
+  * `filtered`, `graph`, `hnsw`, `hybrid`, `lex`, or `both` = dense +
+  * ivf + hybrid + brute), CONC_CELLS
+  * (default 64), CONC_NPROBE (default 4), CONC_DENSE_REFINE (default 64),
   * CONC_THINK_MS (mean think time; default 1000 = locust's
   * between(0.5, 1.5); 0 = closed-loop stress), CONC_SPAWN_RATE
   * (users/s; default 2).
@@ -62,6 +64,46 @@ object ConcurrencyProbe {
     val users = sys.env.getOrElse("CONC_USERS", "20").toInt
     val reqsPerUser = sys.env.getOrElse("CONC_REQS", "10").toInt
     val mode = sys.env.getOrElse("CONC_MODE", "both")
+    def denseMode(corpus: org.apache.spark.sql.DataFrame): Unit = {
+      // THE DEFAULT DENSE SERVING MODE (r11): IVFADC codes shortlist +
+      // exact fp16 COSINE refine (refine=64) through the DenseIndex
+      // contract the gateway routes (`Cli serve --pq-index`). Promoted
+      // over the fp16 IVF probe after r10's gate instability — ivf
+      // nprobe=4 ran p95 436/521/502 ms same-phase (1-in-3 over the
+      // 500 ms gate) and 781 ms in r11's slow-phase sweep, while this
+      // mode's stage 1 touches 192× fewer scan bytes and stage 2 only
+      // refine·k fp16 point rows. The refine ladder (SCALE.md r11,
+      // same-day, recall vs exact brute force on this fixture; p95
+      // after the inFilterThreshold fix let the ≥320-id shortlists
+      // reach parquet as real In predicates):
+      //   r=8  p95 241 ms @ recall 0.575   r=64  p95 290 ms @ 0.972
+      //   r=32 p95 247 ms @ 0.845          r=128 p95 320 ms @ 1.000*
+      // r=64 is the default: recall within 0.03 of the fp16 IVF probe
+      // at ~2.7× less p95 (same phase). *r=128 is exact parity but its
+      // 1280-literal In predicate overflows default 1 MB task stacks
+      // (needs -Xss16m) — a deployment choice, not a default.
+      val cellsK = sys.env.getOrElse("CONC_CELLS", "64").toInt
+      val nprobe = sys.env.getOrElse("CONC_NPROBE", "4").toInt
+      val refine = sys.env.getOrElse("CONC_DENSE_REFINE", "64").toInt
+      val indexDir = graft.fixtures.Fp16Corpus.workRoot +
+        s"/ivfpqserve3072-n$n-c$cellsK-m32-k64-refine"
+      if (!graft.similarity.Knn.ivfPqIndexReady(indexDir)) {
+        val fp32 = corpus.select(col("vec_id").as("id"),
+          graft.functions.fp16_decode(col("emb16")).as("embedding"))
+        val every = (n / 500).max(1L)
+        graft.similarity.Knn.ivfPqBuildIndex(fp32, "embedding", "id",
+          indexDir, cells = cellsK, m = 32, ksub = 64, iters = 2,
+          trainFilter = col("id") % every === 0,
+          pqTrainFilter = col("id") % every === 0, refine = true)
+      }
+      val dense = graft.similarity.Knn.IvfPqIndex.load(spark, indexDir)
+        .asDense(refine)
+      run(spark, s"dense(pq+refine=$refine,cells=$cellsK,nprobe=$nprobe)", n,
+        users, reqsPerUser) { seed =>
+          val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
+          require(dense.servingTopK(qv, 10, nprobe, None).length == 10)
+      }
+    }
     // the lexical leg's scoring agg has one real shuffle; at serving row
     // counts its reduce stage is pure scheduling overhead, so the modes
     // that run the sparse leg drop shuffle parallelism to a few tasks
@@ -73,6 +115,7 @@ object ConcurrencyProbe {
     if (mode == "hybrid" || mode == "lex")
       spark.conf.set("spark.sql.shuffle.partitions", "4")
     val corpus = graft.fixtures.Fp16Corpus.prepared(spark, "/root/testdata/sf0.1", n)
+    if (mode == "dense" || mode == "both") denseMode(corpus)
 
     if (mode == "ivf" || mode == "both") {
       val cellsK = sys.env.getOrElse("CONC_CELLS", "64").toInt

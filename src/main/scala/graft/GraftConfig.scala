@@ -25,6 +25,8 @@ final case class GraftConfig(
     pagesDir: Option[String] = None,
     checkpointDir: Option[String] = None,
     ivfIndexDir: Option[String] = None,
+    pqIndexDir: Option[String] = None,
+    pqRefine: Int = GraftConfig.DefaultPqRefine,
     nprobe: Int = GraftConfig.DefaultNprobe) {
 
   /** The embedder this configuration describes. */
@@ -38,6 +40,15 @@ object GraftConfig {
   val DefaultHttpPort = 8000
   val DefaultMcpPort = 8375
   val DefaultNprobe = 4
+  /** ADC shortlist factor for `--pq-index` serving: stage 2 exactly
+    * re-scores refine·k fp16 rows. 64 is the measured default rung
+    * (SCALE.md r11 refine ladder on the 200 k × 3072-dim fixture):
+    * recall@10 0.972 — within 0.03 of the fp16 IVF probe's 1.000 at
+    * the same nprobe — at p95 290 ms in a VM phase where that probe
+    * ran 781 ms. refine=128 reaches exact recall parity (p95 320 ms)
+    * but its 1280-literal In predicate overflows default 1 MB task
+    * stacks — an -Xss16m deployment choice, not a default. */
+  val DefaultPqRefine = 64
 
   /** Validate a candidate configuration; Left = every violation, each with
     * a message specific enough to fix the config without reading code. */
@@ -67,6 +78,12 @@ object GraftConfig {
     if (config.nprobe < 1)
       errs += "NPROBE (--nprobe / GRAFT_NPROBE) must be a positive " +
         s"integer, got ${config.nprobe}"
+    if (config.ivfIndexDir.isDefined && config.pqIndexDir.isDefined)
+      errs += "IVF_INDEX_DIR (--ivf-index) and PQ_INDEX_DIR (--pq-index) " +
+        "are mutually exclusive — the gateway serves through ONE dense index"
+    if (config.pqRefine < 2)
+      errs += "PQ_REFINE (--pq-refine / GRAFT_PQ_REFINE) must be >= 2 " +
+        s"(the PQ serving path re-ranks refine·k rows), got ${config.pqRefine}"
     errs.result() match {
       case Nil => Right(config)
       case es  => Left(es)
@@ -122,7 +139,8 @@ object GraftConfig {
     val syncInScope = command == Sync || command == All
     for ((flag, ok) <- Seq("pages-dir" -> syncInScope, "ckpt" -> syncInScope,
         "http-port" -> portsInScope, "mcp-port" -> portsInScope,
-        "ivf-index" -> portsInScope, "nprobe" -> portsInScope))
+        "ivf-index" -> portsInScope, "nprobe" -> portsInScope,
+        "pq-index" -> portsInScope, "pq-refine" -> portsInScope))
       if (!ok && flags.contains(flag))
         errs += s"--$flag is not a ${command.name} option"
     val fp16 = fp16Flag || (if (!syncInScope) false
@@ -150,6 +168,10 @@ object GraftConfig {
       checkpointDir = if (syncInScope) str("ckpt", "CHECKPOINT_DIR") else None,
       ivfIndexDir = if (portsInScope) str("ivf-index", "IVF_INDEX_DIR")
         else None,
+      pqIndexDir = if (portsInScope) str("pq-index", "PQ_INDEX_DIR")
+        else None,
+      pqRefine = if (portsInScope) int("pq-refine", "PQ_REFINE",
+        DefaultPqRefine) else DefaultPqRefine,
       nprobe = if (portsInScope) int("nprobe", "NPROBE", DefaultNprobe)
         else DefaultNprobe)
     (errs.result(), validated(candidate)) match {

@@ -31,11 +31,16 @@ object GraftSession {
       // Session-level posture, not operator logic — a real cluster keeps
       // the 128m default and lets AQE coalesce.
       .config("spark.sql.files.maxPartitionBytes", "32m")
-      // push id IN-shortlists (r·k ≈ 40-80 values) down to parquet as a
-      // real In predicate instead of the (min,max) range fallback — the
-      // PQ re-rank's point probe relies on page-level column-index
-      // skipping, which a range filter over a spread shortlist defeats
-      .config("spark.sql.parquet.pushdown.inFilterThreshold", "256")
+      // push id IN-shortlists down to parquet as a real In predicate
+      // instead of the (min,max) range fallback — the PQ re-rank's
+      // point probe relies on row-group/page skipping, which a range
+      // filter over a spread shortlist defeats. 4096 covers the full
+      // refine ladder (r=128 × k=10 = 1280 ids; at 256 the r≥32 rungs
+      // silently degraded to range filters and their p95 doubled —
+      // r11 ladder in SCALE.md). Set membership per row-group stat is
+      // a sorted-array probe; the eval cost is noise next to one
+      // decompressed 128 KB row group.
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

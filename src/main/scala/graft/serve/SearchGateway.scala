@@ -24,12 +24,14 @@ import graft.search.{SearchRequest, SemanticSearch}
   * [[graft.sync.Reloading]]-backed handles (live sync/refresh commits
   * served without restart); the plain-DataFrame constructors pin one
   * version, the reference's process-lifecycle behavior. When a dense
-  * IVF index is provided, FILTERLESS non-hybrid queries top-k through
-  * its partition-pruned probe and only rehydrate the k winners from the
+  * index ([[graft.similarity.Knn.DenseIndex]] — fp16 IVF cells, or the
+  * IVFADC codes + exact-refine path via `IvfPqIndex.asDense`) is
+  * provided, FILTERLESS non-hybrid queries top-k through its
+  * partition-pruned probe and only rehydrate the k winners from the
   * store (the pgvector-index shape); filtered queries fall back to the
   * store scan, where predicates push into the same plan as the score. */
 final class SearchGateway(storeFn: () => DataFrame, embedder: Embedder,
-    dense: Option[() => graft.similarity.Knn.IvfIndex], nprobe: Int) {
+    dense: Option[() => graft.similarity.Knn.DenseIndex], nprobe: Int) {
 
   def this(store: DataFrame, embedder: Embedder) =
     this(() => store, embedder, None, 4)
@@ -59,8 +61,8 @@ final class SearchGateway(storeFn: () => DataFrame, embedder: Embedder,
           else {
             // a filtered request serves from the index ONLY when the
             // cells carry every column the predicate references
-            // (ivfBuildIndex attrCols) — otherwise the store scan is
-            // the one plan that can evaluate the filter
+            // (ivfBuildIndex/ivfPqBuildIndex attrCols) — otherwise the
+            // store scan is the one plan that can evaluate the filter
             val i = idx()
             if (conds.forall { case (c, _) => i.attrColumns.contains(c) })
               filteredIndexSearch(i, req, conds.map(_._2))
@@ -128,33 +130,30 @@ final class SearchGateway(storeFn: () => DataFrame, embedder: Embedder,
     out.result().iterator.map(decode)
   }
 
-  /** Index-served top-k + store rehydration: the probe is the IvfIndex's
-    * partition-pruned job; the fetch reads only the k winners' rows
-    * (id IN-list, embedding column never projected). Scores come from
-    * the index (same cosine the store scan computes), so the two paths
+  /** Index-served top-k + store rehydration: the probe is the index's
+    * partition-pruned serving job (one job for fp16 IVF, two for the
+    * PQ+refine path); the fetch reads only the k winners' rows (id
+    * IN-list, embedding column never projected). Scores come from the
+    * index (same cosine the store scan computes), so the two paths
     * agree wherever the probe's recall does. */
-  private def denseIndexSearch(idx: graft.similarity.Knn.IvfIndex,
+  private def denseIndexSearch(idx: graft.similarity.Knn.DenseIndex,
       req: SearchRequest): Iterator[Map[String, Any]] =
-    rehydrate(idx.search(req.queryVec, SearchRequest.clampK(req.k), nprobe)
-      .select(org.apache.spark.sql.functions.col("id"),
-        org.apache.spark.sql.functions.col("score"))
-      .collect())
+    rehydrate(idx.servingTopK(req.queryVec, SearchRequest.clampK(req.k),
+      nprobe, None))
 
   /** Filtered request through an attr-carrying index: the predicate
     * evaluates INSIDE the pruned cell scan (same filter semantics as
     * the store path — [[SemanticSearch.filterConditions]]), and the
     * probe widens adaptively when the filter starves the first
-    * `nprobe` cells of k matches. Store rehydration is identical to
-    * the filterless path — by construction the k winners already
-    * satisfy the predicate. */
-  private def filteredIndexSearch(idx: graft.similarity.Knn.IvfIndex,
+    * `nprobe` cells of k matches (each widening attempt is ONE job —
+    * the collect decides widening, no count pass). Store rehydration is
+    * identical to the filterless path — by construction the k winners
+    * already satisfy the predicate. */
+  private def filteredIndexSearch(idx: graft.similarity.Knn.DenseIndex,
       req: SearchRequest,
       conds: Seq[org.apache.spark.sql.Column]): Iterator[Map[String, Any]] =
-    // the serving form: each widening attempt is ONE job (collect
-    // decides widening — no count pass, no plan re-execution)
-    rehydrate(idx.searchAdaptiveRows(req.queryVec,
-        SearchRequest.clampK(req.k), nprobe, conds.reduceOption(_ && _))
-      .map(r => Row(r.get(0), r.getDouble(2))))
+    rehydrate(idx.servingTopK(req.queryVec, SearchRequest.clampK(req.k),
+      nprobe, conds.reduceOption(_ && _)))
 
   private def rehydrate(
       top: Array[Row]): Iterator[Map[String, Any]] = {

@@ -836,10 +836,30 @@ object Knn {
     * is the steady-state shape. Schema-sniffs fp16 cells and scores them
     * through the fused decode+cosine kernel. Thread-safe: all mutable
     * state is constructed at load. */
+  /** What the serving edge needs from a dense ANN index, independent of
+    * its storage layout — [[SearchGateway]] routes filterless and
+    * attr-filtered requests through this so the default dense mode is a
+    * deployment choice ([[IvfIndex]] fp16 cells, or [[IvfPqIndex]] ADC
+    * codes + exact refine via [[IvfPqIndex.asDense]]), not a code path.
+    * `score` is cosine distance ascending — the same number the store
+    * scan computes, so index- and store-served results agree wherever
+    * the probe's recall does. */
+  trait DenseIndex {
+    /** Metadata columns the index cells carry — the predicates a
+      * filtered probe may evaluate inside the pruned scan. */
+    def attrColumns: Seq[String]
+    /** Serving top-k: ≤ k `(id, score)` rows ordered by (score, id).
+      * `nprobe` is the probe-width dial; a filtered request widens the
+      * probe adaptively when the predicate starves the first `nprobe`
+      * cells of k matches (each attempt is one pruned job). */
+    def servingTopK(queryVec: Array[Float], k: Int, nprobe: Int,
+        filter: Option[Column]): Array[org.apache.spark.sql.Row]
+  }
+
   final class IvfIndex private (spark: org.apache.spark.sql.SparkSession,
       centroids: Array[(Long, Array[Float])],
       cells: DataFrame, inListType: org.apache.spark.sql.types.DataType,
-      fp16: Boolean) {
+      fp16: Boolean) extends DenseIndex {
 
     /** Number of cells in the frozen geometry — the nprobe ceiling. */
     def numCells: Int = centroids.length
@@ -912,6 +932,13 @@ object Knn {
       }
       rows
     }
+
+    /** [[DenseIndex]]: one pruned job filterless, the adaptive-widening
+      * loop filtered — (id, score) with the cells' cosine distance. */
+    def servingTopK(queryVec: Array[Float], k: Int, nprobe: Int,
+        filter: Option[Column]): Array[org.apache.spark.sql.Row] =
+      searchAdaptiveRows(queryVec, k, nprobe, filter)
+        .map(r => org.apache.spark.sql.Row(r.get(0), r.getDouble(2)))
   }
 
   object IvfIndex {
@@ -1693,32 +1720,76 @@ object Knn {
       * returned `score` is exact squared L2 of (q − v) at fp16 input
       * precision, so recall lifts from the quantizer's (~0.3 at 32:1,
       * PqSpec) toward the coarse-probe ceiling as r grows. */
+    /** Number of cells in the frozen geometry — the nprobe ceiling. */
+    def numCells: Int = cents.length
+
     def search(queryVec: Array[Float], k: Int, nprobe: Int,
-        refine: Int, filter: Option[Column] = None): DataFrame = {
+        refine: Int, filter: Option[Column] = None,
+        cosineScore: Boolean = false): DataFrame = {
       require(refine >= 1, s"refine=$refine must be >= 1")
       if (refine == 1) return search(queryVec, k, nprobe, filter)
       require(hasRefine,
         "refine > 1 needs an index built with ivfPqBuildIndex(refine=true)")
       // the filter applies at STAGE 1 (inside the pruned ADC scan), so
       // the shortlist already satisfies it — stage 2 re-scores ids
+      // id type follows the corpus key (long for numeric corpora, string
+      // for the highlight store) — the IN-list carries whatever it is
       val (probedCells, shortlist) = {
         val stage1 = search(queryVec, k * refine, nprobe, filter)
         (probe(queryVec, nprobe).map(_._1),
-          stage1.select(col("id")).collect().map(_.getLong(0)).toSeq)
+          stage1.select(col("id")).collect().map(_.get(0)).toSeq)
       }
       val inList: Seq[Any] = inListType match {
         case org.apache.spark.sql.types.IntegerType => probedCells.map(_.toInt)
         case org.apache.spark.sql.types.LongType => probedCells
         case _ => probedCells.map(_.toString)
       }
+      // cosineScore swaps the re-rank metric to the fused fp16 cosine —
+      // identical ranking on the unit-norm corpus (l2² = 2·cos-dist for
+      // unit vectors), but the score matches what the store scan and
+      // IvfIndex emit, so the serving edge can route through either
+      // index without changing its score contract
+      val rescore =
+        if (cosineScore) graft.functions.fp16_cosine_distance(
+          col("emb16"), typedLit(queryVec))
+        else l2sq(graft.functions.fp16_decode(col("emb16")),
+          typedLit(queryVec))
       cells.filter(col("centroid_id").isin(inList: _*) &&
           col("id").isin(shortlist: _*))
         .select(col("id"),
           col("centroid_id").cast("long").as("centroid_id"),
-          l2sq(graft.functions.fp16_decode(col("emb16")),
-            typedLit(queryVec)).as("score"))
+          rescore.as("score"))
         .orderBy(col("score").asc, col("id").asc)
         .limit(k)
+    }
+
+    /** [[DenseIndex]] view at a fixed refine rung: ADC shortlists r·k
+      * inside the pruned probe scan, the second job re-scores exactly
+      * those rows against the fp16 refine payload with the COSINE
+      * metric (store-compatible scores). Filtered requests widen the
+      * probe adaptively, like [[IvfIndex.searchAdaptiveRows]] — the
+      * predicate applies at stage 1, so the shortlist (and therefore
+      * the re-ranked winners) always satisfies it. */
+    def asDense(refine: Int): DenseIndex = {
+      require(refine >= 2 && hasRefine,
+        "asDense serves cosine scores through the refine stage — needs " +
+        "an index built with ivfPqBuildIndex(refine=true) and refine >= 2")
+      val self = this
+      new DenseIndex {
+        def attrColumns: Seq[String] = self.attrColumns
+        def servingTopK(queryVec: Array[Float], k: Int, nprobe: Int,
+            filter: Option[Column]): Array[org.apache.spark.sql.Row] = {
+          var np = math.max(1, math.min(nprobe, numCells))
+          var rows = self.search(queryVec, k, np, refine, filter,
+            cosineScore = true).collect()
+          while (filter.nonEmpty && rows.length < k && np < numCells) {
+            np = math.min(np * 2, numCells)
+            rows = self.search(queryVec, k, np, refine, filter,
+              cosineScore = true).collect()
+          }
+          rows.map(r => org.apache.spark.sql.Row(r.get(0), r.getDouble(2)))
+        }
+      }
     }
 
     /** The query's `nprobe` L2-nearest cells, driver-local. */

@@ -37,6 +37,19 @@ class ConfigSpec extends AnyFunSuite {
       GraftConfig("/s", httpPort = 0, mcpPort = 0)).isRight)
   }
 
+  test("dense-index matrix: ivf+pq refuse together; pq-refine < 2 refuses") {
+    val Left(errs) = GraftConfig.validated(GraftConfig("/s",
+      ivfIndexDir = Some("/i"), pqIndexDir = Some("/p"),
+      pqRefine = 1)): @unchecked
+    assert(errs.exists(_.contains("mutually exclusive")), errs)
+    assert(errs.exists(e => e.contains("PQ_REFINE") && e.contains("got 1")),
+      errs)
+    assert(GraftConfig.validated(
+      GraftConfig("/s", pqIndexDir = Some("/p"))).isRight)
+    assert(GraftConfig.orThrow(GraftConfig.validated(
+      GraftConfig("/s"))).pqRefine == 64) // the measured default rung
+  }
+
   test("sync matrix: PAGES_DIR without CHECKPOINT_DIR refuses; with it, validates") {
     val Left(errs) = GraftConfig.validated(
       GraftConfig("/s", pagesDir = Some("/p"))): @unchecked

@@ -218,6 +218,41 @@ class SearchGatewaySpec extends SparkTestBase {
     }
   }
 
+  test("PQ+refine dense index behind the gateway: cosine scores agree with the store scan at full probe") {
+    val root = java.nio.file.Files.createTempDirectory("gw-pq").toString
+    try {
+      // the r11 default dense mode: IVFADC codes + exact fp16 cosine
+      // refine, routed through the same DenseIndex contract as the fp16
+      // IVF probe. nprobe = all cells AND a refine rung sized past the
+      // corpus ⇒ the shortlist contains every row, so the gateway's
+      // PQ route must agree with the store scan bit-for-bit at fp16
+      // input precision (same fused fp16_cosine_distance kernel).
+      val n = store.count().toInt
+      graft.similarity.Knn.ivfPqBuildIndex(store, "embedding", "id",
+        s"$root/pq", cells = 4, m = 8, ksub = 16, iters = 2,
+        trainFilter = crc32(col("id")) % 5 === 0, refine = true)
+      val idx = graft.similarity.Knn.IvfPqIndex.load(spark, s"$root/pq")
+      assert(idx.hasRefine)
+      val gw = new SearchGateway(() => store, Embedder.Default,
+        Some(() => idx.asDense(n / 5 + 2)), nprobe = 4)
+      val viaPq = gw.search(SearchParams(query = "spark vector join",
+        k = 5)).toList
+      val viaStore = new SearchGateway(store)
+        .search(SearchParams(query = "spark vector join", k = 5)).toList
+      assert(viaPq.map(_("id")) == viaStore.map(_("id")))
+      // the store scores fp32 vectors, the refine stage fp16 ones —
+      // identical ranking, scores equal at fp16 rounding tolerance
+      viaPq.zip(viaStore).foreach { case (a, b) =>
+        assert(math.abs(a("score").asInstanceOf[Double] -
+          b("score").asInstanceOf[Double]) < 2e-3) }
+      assert(viaPq.head.contains("text")) // rehydrated serving columns
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+        .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("MCP server serves real searches over TCP") {
     val gw = new SearchGateway(store)
     val server = new McpServer(gw.search).start()

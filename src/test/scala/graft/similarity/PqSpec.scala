@@ -275,4 +275,67 @@ class PqSpec extends SparkTestBase {
         .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
   }
+
+  test("asDense: cosine-scored refine ranks like l2 refine; serving contract holds filtered and filterless") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqdense").toString
+    try {
+      Knn.ivfPqBuildIndex(
+        emb.withColumn("label", pmod($"vec_id", lit(7))),
+        "embedding", "vec_id", dir,
+        cells = 4, m = 8, ksub = 16, iters = 2,
+        trainFilter = $"vec_id" % 5 === 0, refine = true,
+        attrCols = Seq("label"))
+      val handle = Knn.IvfPqIndex.load(spark, dir)
+      val qv = emb.filter($"vec_id" === 11).select($"embedding")
+        .head().getSeq[Float](0).toArray
+      // on the unit-norm corpus l2² = 2·cosine-distance, so the two
+      // refine metrics rank identically and the scores are a factor of
+      // exactly 2 apart (at fp16 input precision)
+      val l2 = handle.search(qv, 10, 4, refine = 4).collect()
+      val cos = handle.search(qv, 10, 4, refine = 4, filter = None,
+        cosineScore = true).collect()
+      assert(l2.map(_.getLong(0)).toSeq == cos.map(_.getLong(0)).toSeq)
+      l2.zip(cos).foreach { case (a, b) =>
+        assert(math.abs(a.getDouble(2) / 2.0 - b.getDouble(2)) < 2e-3,
+          s"l2/2=${a.getDouble(2) / 2.0} vs cos=${b.getDouble(2)}") }
+      // the DenseIndex view: (id, score) rows, same ids/scores as the
+      // cosine refine search — what the gateway rehydrates from
+      val dense = handle.asDense(4)
+      assert(dense.attrColumns == Seq("label"))
+      val served = dense.servingTopK(qv, 10, 4, None)
+      assert(served.map(_.getLong(0)).toSeq == cos.map(_.getLong(0)).toSeq)
+      served.zip(cos).foreach { case (a, b) =>
+        assert(a.getDouble(1) == b.getDouble(2)) }
+      // filtered serving: every winner satisfies the predicate, and a
+      // selective filter still fills k slots by widening the probe —
+      // nprobe=1 over 4 cells with a 1-in-7 label keeps < 10 matches in
+      // one cell on this corpus, so the loop must widen to find them
+      val filtered = dense.servingTopK(qv, 10, 1, Some($"label" === 3))
+      assert(filtered.length == 10)
+      val matching = emb.filter(pmod($"vec_id", lit(7)) === 3)
+        .select($"vec_id").as[Long].collect().toSet
+      assert(filtered.forall(r => matching.contains(r.getLong(0))))
+      // widened-to-all-cells filtered serving == the exact filtered
+      // top-k (the q132 contract through the DenseIndex view). The
+      // refine rung is sized so refine·k covers every matching row —
+      // the ADC shortlist then contains ALL matches and the exact
+      // re-rank makes the result exact by construction
+      val exactFiltered = emb.filter(pmod($"vec_id", lit(7)) === 3)
+        .select($"vec_id".as("id"), $"embedding".as("v"))
+        .withColumn("d", Knn.l2sq($"v", typedLit(qv)))
+        .orderBy($"d".asc, $"id".asc).limit(10)
+        .select($"id").as[Long].collect().toSeq
+      val nMatch = matching.size
+      val coverAll = handle.asDense((nMatch / 10 + 2).max(2))
+      assert(coverAll.servingTopK(qv, 10, 4, Some($"label" === 3))
+        .map(_.getLong(0)).toSeq == exactFiltered)
+      // refine < 2 is not a serving config (the cosine contract needs
+      // the refine stage)
+      assertThrows[IllegalArgumentException](handle.asDense(1))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
