@@ -1361,7 +1361,26 @@ object Knn {
       val list = graft.sync.SegmentedIndex.resolve(spark, indexDir)
         .getOrElse(throw new IllegalStateException(
           s"no adjacency index at $indexDir"))
-      val rel = list.map(s => spark.read.parquet(s"$indexDir/$s/edges"))
+      // tombstones mask EVERY edge that touches a deleted node — its
+      // out-list (src), its self-row, and its slots in other nodes'
+      // lists (dst) — in segments committed before them (sequence
+      // scope, so a node re-appended after its delete is served). The
+      // walk simply never sees the node; re-linking the survivors'
+      // shortened lists is compaction's or a rebuild's job.
+      val rel = graft.sync.SegmentedIndex.tombstoneScopes(list)
+        .map { case (data, tombs) =>
+          val edges = data.map(s => spark.read.parquet(s"$indexDir/$s/edges"))
+            .reduce(_ unionByName _)
+          if (tombs.isEmpty) edges
+          else {
+            val tomb = tombs
+              .map(t => spark.read.parquet(s"$indexDir/$t/ids"))
+              .reduce(_ unionByName _).distinct()
+            edges
+              .join(tomb.select(col("id").as("src")), Seq("src"), "left_anti")
+              .join(tomb.select(col("id").as("dst")), Seq("dst"), "left_anti")
+          }
+        }
         .reduce(_ unionByName _)
       val meta = spark.read.parquet(s"$indexDir/meta").head()
       new AdjIndex(rel, meta.getAs[Int]("buckets"),
