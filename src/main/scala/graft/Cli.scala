@@ -330,7 +330,19 @@ object Cli {
                     "payload — rebuild with ivfPqBuildIndex(refine=true)")
                   return 1
                 }
-                Some(() => h.get.asDense(cfg.pqRefine))
+                // hasRefine is RE-CHECKED per request, not just here: the
+                // reloading handle follows rebuilds, and a later generation
+                // committed without the refine payload must become a
+                // descriptive serving error (surfaced as an SSE/JSON-RPC
+                // error frame), not asDense's bare require failure
+                Some(() => {
+                  val idx = h.get
+                  if (!idx.hasRefine) throw new IllegalStateException(
+                    s"IVFADC index at $d was rebuilt without its refine " +
+                    "payload; rebuild with ivfPqBuildIndex(refine=true) " +
+                    "or restart serve without --pq-index")
+                  idx.asDense(cfg.pqRefine)
+                })
               case None => cfg.ivfIndexDir.map { d =>
                 if (!graft.similarity.Knn.ivfIndexReady(d)) {
                   System.err.println(s"no IVF index at $d " +

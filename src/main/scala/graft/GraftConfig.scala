@@ -81,7 +81,11 @@ object GraftConfig {
     if (config.ivfIndexDir.isDefined && config.pqIndexDir.isDefined)
       errs += "IVF_INDEX_DIR (--ivf-index) and PQ_INDEX_DIR (--pq-index) " +
         "are mutually exclusive — the gateway serves through ONE dense index"
-    if (config.pqRefine < 2)
+    // validated only when the PQ serving path is actually selected —
+    // ambient GRAFT_PQ_REFINE garbage must not refuse a serve config
+    // that never touches it (mirrors how nprobe pairs with the index
+    // flags; the r11 advice item)
+    if (config.pqIndexDir.isDefined && config.pqRefine < 2)
       errs += "PQ_REFINE (--pq-refine / GRAFT_PQ_REFINE) must be >= 2 " +
         s"(the PQ serving path re-ranks refine·k rows), got ${config.pqRefine}"
     errs.result() match {

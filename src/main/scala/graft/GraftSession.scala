@@ -34,12 +34,14 @@ object GraftSession {
       // push id IN-shortlists down to parquet as a real In predicate
       // instead of the (min,max) range fallback — the PQ re-rank's
       // point probe relies on row-group/page skipping, which a range
-      // filter over a spread shortlist defeats. 4096 covers the full
-      // refine ladder (r=128 × k=10 = 1280 ids; at 256 the r≥32 rungs
+      // filter over a spread shortlist defeats (at 256 the r≥32 rungs
       // silently degraded to range filters and their p95 doubled —
-      // r11 ladder in SCALE.md). Set membership per row-group stat is
-      // a sorted-array probe; the eval cost is noise next to one
-      // decompressed 128 KB row group.
+      // r11 ladder in SCALE.md). Since r12 the refine stage ships its
+      // shortlist through Knn.chunkedIn (balanced OR of ≤256-id legs),
+      // so no single In ever approaches this threshold at any refine·k
+      // — 4096 stays as defense in depth for ad-hoc user predicates.
+      // Set membership per row-group stat is a sorted-array probe; the
+      // eval cost is noise next to one decompressed 128 KB row group.
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
       .config("spark.ui.enabled", "false")
 

@@ -16,6 +16,30 @@ import graft.functions.cosine_distance
   */
 object Knn {
 
+  /** Stack-safe id IN-list predicate for large shortlists. Spark pushes
+    * a `sources.In` to parquet as a LEFT-DEEP `or(eq, or(eq, …))` chain,
+    * and parquet-mr evaluates that chain recursively — one stack frame
+    * per literal, so a ~1280-value list overflows the default 1 MB task
+    * stack (measured: refine=128 × k=10 needed -Xss16m, SCALE.md §r11).
+    * Chunking the list into `chunk`-sized `isin` legs OR'd as a BALANCED
+    * tree caps the parquet predicate depth at ~chunk + log2(n/chunk),
+    * and every leg stays below the parquet pushdown inFilterThreshold
+    * regardless of total list size — the full value list always reaches
+    * the row-group statistics (no silent (min,max)-range degradation at
+    * ANY refine·k, which closes the r10 threshold-cliff class for good).
+    * Semantically identical to `idCol.isin(values: _*)`. */
+  def chunkedIn(idCol: Column, values: Seq[Any], chunk: Int = 256): Column = {
+    require(values.nonEmpty, "chunkedIn needs a non-empty value list")
+    require(chunk >= 1, s"chunkedIn: need chunk >= 1, got $chunk")
+    def orTree(cs: IndexedSeq[Column]): Column =
+      if (cs.length == 1) cs.head
+      else {
+        val (l, r) = cs.splitAt(cs.length / 2)
+        orTree(l) || orTree(r)
+      }
+    orTree(values.grouped(chunk).map(g => idCol.isin(g: _*)).toIndexedSeq)
+  }
+
   /** Brute-force exact top-k for one query vector. */
   def topK(corpus: DataFrame, vecCol: String, queryVec: Array[Float], k: Int,
       tieBreak: String): DataFrame =
@@ -141,7 +165,7 @@ object Knn {
     // bit-identical to the in-plan form the oracle replays.
     def scoreIds(ids: Seq[Long]): Array[(Long, Double)] =
       if (ids.isEmpty) Array.empty
-      else v.filter(col("id").isin(ids: _*))
+      else v.filter(chunkedIn(col("id"), ids))
         .withColumn("score",
           cosine_distance(col("v"), typedLit(queryVec)))
         .select(col("id"), col("score"))
@@ -1773,8 +1797,15 @@ object Knn {
           col("emb16"), typedLit(queryVec))
         else l2sq(graft.functions.fp16_decode(col("emb16")),
           typedLit(queryVec))
+      // chunkedIn, not isin: refine·k literals in one In would build a
+      // left-deep parquet or-chain whose recursive evaluation overflows
+      // default task stacks past ~1024 ids (refine=128·k=10, and the
+      // API default k=20 at refine=64, both hit 1280) — and any single
+      // In past inFilterThreshold silently range-degrades (the r10
+      // cliff). Balanced 256-id legs have neither failure mode at any
+      // legal refine·k (MaxK=100 → 12800 ids → depth ~261).
       cells.filter(col("centroid_id").isin(inList: _*) &&
-          col("id").isin(shortlist: _*))
+          chunkedIn(col("id"), shortlist))
         .select(col("id"),
           col("centroid_id").cast("long").as("centroid_id"),
           rescore.as("score"))

@@ -48,6 +48,11 @@ class ConfigSpec extends AnyFunSuite {
       GraftConfig("/s", pqIndexDir = Some("/p"))).isRight)
     assert(GraftConfig.orThrow(GraftConfig.validated(
       GraftConfig("/s"))).pqRefine == 64) // the measured default rung
+    // pqRefine is validated ONLY when the PQ path is selected — ambient
+    // GRAFT_PQ_REFINE garbage must not refuse an unrelated serve config
+    assert(GraftConfig.validated(GraftConfig("/s", pqRefine = 1)).isRight)
+    assert(GraftConfig.validated(GraftConfig("/s",
+      ivfIndexDir = Some("/i"), pqRefine = 1)).isRight)
   }
 
   test("sync matrix: PAGES_DIR without CHECKPOINT_DIR refuses; with it, validates") {

@@ -750,4 +750,36 @@ class KnnSpec extends SparkTestBase {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e }
     assert(shuffles.isEmpty, s"corpus shuffled:\n$plan")
   }
+
+  test("chunkedIn: equals isin, survives shortlists past the literal stack ceiling, still pushes down") {
+    val dir = java.nio.file.Files.createTempDirectory("chunkin").toString
+    try {
+      spark.range(20000).select($"id", ($"id" * 2).as("x"))
+        .write.parquet(s"$dir/t")
+      val t = spark.read.parquet(s"$dir/t")
+      // a shortlist far past BOTH failure modes of a single In: the
+      // ~1280-literal parquet or-chain stack overflow (SCALE.md §r11 —
+      // refine=128·k=10, and the API default k=20 at refine=64) and the
+      // inFilterThreshold=4096 silent range degradation (refine=64 ×
+      // MaxK=100 = 6400). 6667 ids → 27 balanced ≤256-id legs.
+      val ids: Seq[Any] = 0L until 20000L by 3L
+      val got = t.filter(Knn.chunkedIn($"id", ids)).select($"id")
+        .as[Long].collect().toSet
+      assert(got == (0L until 20000L by 3L).toSet)
+      // the full list reaches the parquet scan as real In legs (row-group
+      // stats can skip), not a bare (min,max) range
+      val scan = t.filter(Knn.chunkedIn($"id", ids)).queryExecution
+        .executedPlan.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.head
+      assert(scan.metadata("PushedFilters").contains("In("),
+        scan.metadata("PushedFilters").take(200))
+      // edges: empty refuses loudly, singleton degenerates to one isin
+      assertThrows[IllegalArgumentException](Knn.chunkedIn($"id", Nil))
+      assert(t.filter(Knn.chunkedIn($"id", Seq(5L))).count() == 1L)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+        .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
 }
