@@ -33,39 +33,52 @@ object Bench {
         try SparkEntry.queries(n)(spark, warmDir).count()
         catch { case _: Throwable => () }
       }
-    // median of 3 timed passes per query — single-run local[32] numbers
-    // carry ±0.1s scheduler noise that reads as fake regressions when
-    // rounds are compared; the median is stable run-over-run.
+    // median of 3 timed samples per query, taken across INTERLEAVED
+    // full passes over the query list — single-run local[32] numbers
+    // carry ±0.1s scheduler noise, and back-to-back samples of one
+    // query all land inside the same VM contention window, so a
+    // minutes-long slow phase owned every sample of whichever
+    // alphabetic block it hit (r10: q70/q85–q87 ×3–5; r11: q64/q65/q67
+    // — both diagnosed as phase noise by listener replication). With
+    // pass-major order the three samples of a query are separated by a
+    // full traversal (~minutes), so a contention window can taint at
+    // most one of them and the median stays in band.
     //
-    // Session state is SWEPT before each query (persistent RDDs — cached
-    // relations and localCheckpoint generations — plus the SQL cache):
-    // without the sweep, the alphabetic tail of the run inherits every
+    // Session state is SWEPT before each query visit (persistent RDDs —
+    // cached relations and localCheckpoint generations — plus the SQL
+    // cache): without the sweep, the tail of a pass inherits every
     // prior query's pinned blocks and measures accumulated session
-    // memory pressure instead of the operator (round-5 verdict: q52/q54/
-    // q59 benched 2-5x their standalone times). The 3 passes of one
-    // query then run back-to-back: pass 1 re-populates the caches the
-    // query deliberately uses (Fp16Corpus, the encoded store — their
-    // DATA persists on disk and is re-read, not rebuilt), and the median
-    // reports the warm steady state, same as a standalone session.
+    // memory pressure instead of the operator (round-5 verdict: q52/
+    // q54/q59 benched 2-5x their standalone times). Because the sweep
+    // now runs between a query's samples, each visit first re-primes
+    // the caches the query deliberately uses with an UNTIMED run
+    // (Fp16Corpus, the encoded store — their DATA persists on disk and
+    // is re-read, not rebuilt) and then times one warm run — the same
+    // warm steady state the old back-to-back median reported (its pass
+    // 1 was the priming run; the median discarded it).
     val Runs = 3
     // blocking = true: async removal would race block cleanup into the
-    // next query's pass 1 — the sweep exists to make isolation
+    // next query's priming run — the sweep exists to make isolation
     // deterministic, so pay the removal cost HERE, outside any timing
     def sweep(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
     }
-    val results = names.map { name =>
-      sweep()
-      val times = (1 to Runs).map { _ =>
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    (1 to Runs).foreach { _ =>
+      names.foreach { name =>
+        sweep()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case _: Throwable => () }
         val t0 = System.nanoTime()
         try { SparkEntry.queries(name)(spark, sfDir).count() }
         catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        samples(name) = dt :: samples.getOrElse(name, Nil)
       }
-      name -> times.sorted.apply(Runs / 2)
     }
+    val results = names.map(n => n -> samples(n).sorted.apply(Runs / 2))
     // the driver captures only the LAST 2000 chars of output: rounds 8/9
     // overflowed it (135 full-name queries ≈ 3 KB even at 3 decimals), so
     // the line's head — metric/value/the first ~40 queries — was cut and

@@ -109,6 +109,37 @@ object Int8 extends Serializable {
     if (na == 0.0 || qNorm == 0.0) 1.0
     else 1.0 - dotAQ / (na * qNorm)
   }
+
+  /** Cosine distance between two int8 BLOBS, scale-free: cosine divides
+    * out each vector's uniform scale (cos(a/sa, b/sb) = cos(a, b)), so
+    * the hot loop is three INTEGER dot products over the raw codes —
+    * no dequantize, no double math until the final division. Mismatched
+    * lengths follow [[cosineDistanceData]]: tail dims count toward
+    * their own vector's norm only. */
+  def cosineCodes(a: Array[Byte], b: Array[Byte]): Double = {
+    val na0 = a.length - 8
+    val nb0 = b.length - 8
+    val n = math.min(na0, nb0)
+    var dotAB = 0L
+    var dotAA = 0L
+    var dotBB = 0L
+    var i = 0
+    while (i < n) {
+      val av = a(8 + i).toLong
+      val bv = b(8 + i).toLong
+      dotAB += av * bv
+      dotAA += av * av
+      dotBB += bv * bv
+      i += 1
+    }
+    var j = n
+    while (j < na0) { val av = a(8 + j).toLong; dotAA += av * av; j += 1 }
+    var l = n
+    while (l < nb0) { val bv = b(8 + l).toLong; dotBB += bv * bv; l += 1 }
+    if (dotAA == 0L || dotBB == 0L) 1.0
+    else 1.0 - dotAB.toDouble /
+      (math.sqrt(dotAA.toDouble) * math.sqrt(dotBB.toDouble))
+  }
 }
 
 /** `int8_encode(ARRAY<FLOAT>) -> BINARY` — 1 byte/dim write codec. */
@@ -188,4 +219,30 @@ case class Int8CosineDistance(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
   override def prettyName: String = "int8_cosine_distance"
+}
+
+/** `int8_cosine_codes(BINARY, BINARY) -> DOUBLE` — cosine distance
+  * between two stored int8 blobs, integer-only hot loop (scales cancel
+  * in cosine). The symmetric metric a compressed NN-Descent ranks by:
+  * proposal joins carry 1 byte/dim instead of a 4-byte float. */
+case class Int8CosineCodes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"int8_cosine_codes requires (BINARY, BINARY), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Int8.cosineCodes(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val o = Int8.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (a, b) => s"$o.cosineCodes($a, $b)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+  override def prettyName: String = "int8_cosine_codes"
 }

@@ -97,6 +97,36 @@ object PqMath extends Serializable {
     }
     out
   }
+
+  /** Symmetric-distance tables (SDC, Jégou et al. TPAMI'11 §III.A):
+    * tables(s)(x)(y) = ||c_s[x] − c_s[y]||² — m·ksub² doubles computed
+    * once driver-side. Code-vs-code distance then never touches a float
+    * vector: Σ_s tables(s)(x_s)(y_s), m table loads + adds a pair. */
+  def sdcTables(codebooks: Array[Array[Array[Float]]]): Array[Array[Array[Double]]] =
+    codebooks.map { cb =>
+      Array.tabulate(cb.length, cb.length) { (x, y) =>
+        var d = 0.0
+        var i = 0
+        while (i < cb(x).length) {
+          val diff = cb(x)(i).toDouble - cb(y)(i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        d
+      }
+    }
+
+  /** SDC score of two stored codes: Σ_s tables(s)(a_s)(b_s). */
+  def sdc(a: Array[Byte], b: Array[Byte],
+      tables: Array[Array[Array[Double]]]): Double = {
+    var s = 0
+    var sum = 0.0
+    while (s < tables.length) {
+      sum += tables(s)(a(s) & 0xff)(b(s) & 0xff)
+      s += 1
+    }
+    sum
+  }
 }
 
 /** `ARRAY<FLOAT> -> BINARY(m)` — encode a vector to its `m` subspace
@@ -198,4 +228,36 @@ case class PqAdcScoreMulti(codes: Expression, cell: Expression,
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): Expression = copy(codes = l, cell = r)
   override def prettyName: String = "pq_adc_score_cells"
+}
+
+/** `pq_sdc_score(BINARY, BINARY) -> DOUBLE` — symmetric distance between
+  * two stored PQ codes via the precomputed per-subspace codeword-pair
+  * tables ([[PqMath.sdcTables]]). The metric a compressed NN-Descent
+  * ranks by: proposal joins carry m bytes a vector (m=32 at 3072-dim is
+  * 384×) and the per-pair work is m table loads + adds. Tables ride as
+  * a referenced object like [[PqEncode]]'s codebooks. */
+case class PqSdcScore(left: Expression, right: Expression,
+    tables: Array[Array[Array[Double]]]) extends BinaryExpression {
+  require(tables.nonEmpty && tables.forall(t => t.nonEmpty),
+    "pq_sdc_score: empty tables")
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_sdc_score requires (BINARY, BINARY), got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    PqMath.sdc(a.asInstanceOf[Array[Byte]], b.asInstanceOf[Array[Byte]],
+      tables)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val o = PqMath.getClass.getName.stripSuffix("$")
+    val tRef = ctx.addReferenceObj("pqSdcTables", tables, "double[][][]")
+    defineCodeGen(ctx, ev, (a, b) => s"$o.sdc($a, $b, $tRef)")
+  }
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+  override def prettyName: String = "pq_sdc_score"
 }

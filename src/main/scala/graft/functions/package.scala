@@ -140,6 +140,17 @@ package object functions {
   def int8_cosine_distance(b: Column, q: Column): Column =
     shims.column(Int8CosineDistance(shims.expression(b), shims.expression(q)))
 
+  /** Cosine distance between two stored int8 blobs (integer-only loop;
+    * scales cancel) — the compressed-descent ranking metric. */
+  def int8_cosine_codes(a: Column, b: Column): Column =
+    shims.column(Int8CosineCodes(shims.expression(a), shims.expression(b)))
+
+  /** Symmetric PQ distance of two stored codes via precomputed
+    * codeword-pair tables ([[PqMath.sdcTables]]). */
+  def pq_sdc_score(a: Column, b: Column,
+      tables: Array[Array[Array[Double]]]): Column =
+    shims.column(PqSdcScore(shims.expression(a), shims.expression(b), tables))
+
   /** Grouped top-k aggregate: the k smallest (ord, id) pairs per group
     * as ARRAY<STRUCT<ord, id>> — see [[TopKPairs]]. Arguments coerce to
     * (DOUBLE, BIGINT) via Cast, so FLOAT distances and INT ids work. */

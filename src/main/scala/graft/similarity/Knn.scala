@@ -280,10 +280,11 @@ object Knn {
     * Mind the VECTOR WIDTH: proposal joins carry both endpoint vectors,
     * so per-round shuffle is ~(2·buildK)²·n·(2·vecBytes) — fine at the
     * 64-dim bench corpus, ~2 TB/round at 200 k × 3072-dim fp32
-    * (measured to exhaust local disk). At wide dims run the descent
-    * over fp16/int8/PQ-compressed vectors (exact distances recomputed
-    * only for the final kept edges), or build with [[cellKnnGraph]],
-    * whose one big exchange is n·nprobe vector rows. */
+    * (measured to exhaust local disk). At wide dims use
+    * [[nnDescentGraphCompressed]] — the same descent with rounds ranked
+    * over int8 blobs or PQ codes and exact distances recomputed only
+    * for the final kept edges — or build with [[cellKnnGraph]], whose
+    * one big exchange is n·nprobe vector rows. */
   def nnDescentGraph(corpus: DataFrame, vecCol: String, keyCol: String,
       k: Int, rounds: Int, buildK: Int = -1,
       checkpointEvery: Int = 1): DataFrame = {
@@ -292,12 +293,91 @@ object Knn {
       s"need 1 <= k <= buildK, rounds >= 0, checkpointEvery >= 1")
     val v = corpus.filter(col(vecCol).isNotNull)
       .select(col(keyCol).cast("long").as("id"), col(vecCol).as("v"))
+    val kept = nnDescentRounds(v.select(col("id"), col("v").as("c")),
+      (a, b) => cosine_distance(a, b), rounds, bk, checkpointEvery)
+    nnDescentFinish(kept, v, k)
+  }
+
+  /** [[nnDescentGraph]] with the proposal ROUNDS run over compressed
+    * codes — the mitigation the vector-width caveat above prescribes.
+    * Every round's shuffle carries codec bytes a vector instead of
+    * 4-byte floats; the final kept edges (n·buildK pairs, ~(2·buildK)²/
+    * (2·buildK) = 2·buildK× fewer than one round's proposals) are
+    * re-scored EXACTLY over the fp32 vectors, and only that truncation
+    * to k is what the caller sees — `dist` in the output is the true
+    * cosine distance, not the codec's.
+    *
+    * Codecs:
+    *  - `"int8"` (default): 1 byte/dim blobs, ranked by
+    *    [[graft.functions.int8_cosine_codes]] (scales cancel in cosine,
+    *    so the hot loop is integer dot products). ~4× less shuffle than
+    *    fp32 at near-lossless ranking — the right dial when descent
+    *    QUALITY must match the fp32 build.
+    *  - `"pq"`: m-byte PQ codes ranked by symmetric distance over
+    *    driver-precomputed codeword-pair tables
+    *    ([[graft.functions.pq_sdc_score]]). Vectors are unit-normalized
+    *    before training/encoding so SDC's L2² ranks like cosine
+    *    (L2² = 2·cosdist on unit vectors). dim·4/m× less shuffle
+    *    (384× at 3072-dim, m=32) — the 100-TB dial; coarser ranking
+    *    means give it a round or a few buildK more than fp32 needs.
+    *    `pqTrainFilter` bounds the Lloyd sample at corpus scale.
+    *
+    * At 200 k × 3072-dim fp32 a round shuffles ~2 TB and exhausts local
+    * disk (the documented failure); int8 brings it to ~½ TB and pq m=32
+    * to ~5 GB — the graph-index build path at the reference's
+    * corpus-wide ingest scale. */
+  def nnDescentGraphCompressed(corpus: DataFrame, vecCol: String,
+      keyCol: String, k: Int, rounds: Int, buildK: Int = -1,
+      checkpointEvery: Int = 1, codec: String = "int8",
+      m: Int = 32, ksub: Int = 64, pqIters: Int = 2,
+      pqTrainFilter: Option[Column] = None): DataFrame = {
+    val bk = if (buildK <= 0) 2 * k else buildK
+    require(k >= 1 && rounds >= 0 && bk >= k && checkpointEvery >= 1,
+      s"need 1 <= k <= buildK, rounds >= 0, checkpointEvery >= 1")
+    val v = corpus.filter(col(vecCol).isNotNull)
+      .select(col(keyCol).cast("long").as("id"), col(vecCol).as("v"))
+    val kept = codec match {
+      case "int8" =>
+        nnDescentRounds(
+          v.select(col("id"), graft.functions.int8_encode(col("v")).as("c")),
+          (a, b) => graft.functions.int8_cosine_codes(a, b),
+          rounds, bk, checkpointEvery)
+      case "pq" =>
+        // unit-normalize so the symmetric L2² tables rank like cosine
+        val norm = sqrt(aggregate(col("v"), lit(0.0d),
+          (acc, x) => acc + x.cast("double") * x.cast("double")))
+        val unit = v.select(col("id"),
+          transform(col("v"), x => (x.cast("double") / norm).cast("float"))
+            .as("u"))
+        val cb = collectCodebooks(pqTrain(
+          pqTrainFilter.fold(unit)(unit.filter(_)), "u", "id",
+          m, ksub, pqIters))
+        val tables = graft.functions.PqMath.sdcTables(cb)
+        nnDescentRounds(
+          unit.select(col("id"),
+            graft.functions.pq_encode(col("u"), cb).as("c")),
+          (a, b) => graft.functions.pq_sdc_score(a, b, tables),
+          rounds, bk, checkpointEvery)
+      case other => throw new IllegalArgumentException(
+        s"nnDescentGraphCompressed: codec must be int8 or pq, got $other")
+    }
+    nnDescentFinish(kept, v, k)
+  }
+
+  /** The shared descent engine: seed each node with `bk` LCG partners,
+    * then `rounds` of propose-over-neighbors-of-neighbors, ranking by
+    * `dist` over the (id, c) relation — c is whatever representation
+    * the caller chose (fp32 arrays, int8 blobs, PQ codes). Returns the
+    * kept (id_a, id_b) edges at breadth `bk`. */
+  private def nnDescentRounds(codes: DataFrame,
+      dist: (Column, Column) => Column, rounds: Int, bk: Int,
+      checkpointEvery: Int): DataFrame = {
     val byId = Window.orderBy(col("id"))
-    val n = v.count()
+    val n = codes.count()
     // glibc LCG over (rank, j) — partner ranks scatter uniformly, so the
     // seed graph is an expander; (x % 2^31) keeps every intermediate in
     // BIGINT range for the SQL replay
-    val rk = v.select(col("id"),
+    val rk = codes.select(col("id"),
       (row_number().over(byId).cast("long") - 1L).as("rk"))
     var edges = (1 to bk)
       .map(j => rk.select(col("id").as("id_a"), col("rk").as("rk_a"),
@@ -319,9 +399,9 @@ object Knn {
         .filter(col("id_a") =!= col("id_b"))
       val all = prop.unionByName(edges).distinct()
       val scored = all
-        .join(v.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
-        .join(v.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
-        .withColumn("dist", cosine_distance(col("va"), col("vb")))
+        .join(codes.select(col("id").as("id_a"), col("c").as("ca")), Seq("id_a"))
+        .join(codes.select(col("id").as("id_b"), col("c").as("cb")), Seq("id_b"))
+        .withColumn("dist", dist(col("ca"), col("cb")))
       val w = Window.partitionBy(col("id_a"))
         .orderBy(col("dist").asc, col("id_b").asc)
       val kept = scored.withColumn("rank", row_number().over(w))
@@ -339,6 +419,14 @@ object Knn {
       r += 1
     }
     edges
+  }
+
+  /** Exact fp32 re-score of the kept edges + truncation to the caller's
+    * k — the only stage that touches full-width vectors in a compressed
+    * descent, and it touches n·buildK pairs, not a round's proposals. */
+  private def nnDescentFinish(kept: DataFrame, v: DataFrame,
+      k: Int): DataFrame =
+    kept
       .join(v.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
       .join(v.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("dist", cosine_distance(col("va"), col("vb")))
@@ -346,7 +434,6 @@ object Knn {
         .orderBy(col("dist").asc, col("id_b").asc)))
       .filter(col("rank") <= k)
       .select(col("id_a"), col("id_b"), col("dist"), col("rank"))
-  }
 
   /** Structured-Streaming micro-batch maintenance of a persistent IVF
     * index — the vector twin of

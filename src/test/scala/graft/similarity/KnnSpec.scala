@@ -644,6 +644,53 @@ class KnnSpec extends SparkTestBase {
     assert(nested.isEmpty, s"n²-shaped join in NN-Descent plan:\n$plan")
   }
 
+  test("nnDescentGraphCompressed: int8 rounds match fp32 descent within 0.02; pq descends; output dist is exact") {
+    val sub = emb.filter($"vec_id" < 200)
+    val exactE = Knn.knnGraph(sub, "embedding", "vec_id", topK = 5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    def recall(e: Set[(Long, Long)]): Double =
+      exactE.intersect(e).size.toDouble / exactE.size
+    def edgesOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val fp32 = recall(edgesOf(
+      Knn.nnDescentGraph(sub, "embedding", "vec_id", k = 5, rounds = 3)))
+    // int8 ranking is near-lossless: the descent makes (almost) the same
+    // keep decisions, so the final graph's recall pins within 0.02 of
+    // the fp32 build — the verdict's "compressed descent" gate
+    val i8 = recall(edgesOf(Knn.nnDescentGraphCompressed(
+      sub, "embedding", "vec_id", k = 5, rounds = 3)))
+    assert(math.abs(fp32 - i8) <= 0.02, s"int8 recall $i8 vs fp32 $fp32")
+    // pq ranking is coarser — the doc's dial: give it breadth (buildK)
+    // and finer subspaces. m=16/ksub=32 on 64-dim, buildK=20: assert it
+    // DESCENDS (well above the ~0.03 seed) rather than pinning to fp32
+    val pq = recall(edgesOf(Knn.nnDescentGraphCompressed(
+      sub, "embedding", "vec_id", k = 5, rounds = 3, buildK = 20,
+      codec = "pq", m = 16, ksub = 32)))
+    assert(pq >= 0.5, s"pq descent recall $pq — did not descend")
+    // the reported dist is the EXACT fp32 cosine, not the codec metric:
+    // spot-check every edge of one node against directly computed cosine
+    val g = Knn.nnDescentGraphCompressed(
+      sub, "embedding", "vec_id", k = 5, rounds = 2)
+    val some = g.filter($"id_a" === 7L)
+      .select($"id_b", $"dist").as[(Long, Double)].collect()
+    assert(some.nonEmpty)
+    val va = sub.filter($"vec_id" === 7L).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    some.foreach { case (b, d) =>
+      val vb = sub.filter($"vec_id" === b).select($"embedding")
+        .head().getSeq[Float](0).toArray
+      val dot = va.zip(vb).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val exact = 1.0 - dot / (math.sqrt(va.map(x => x.toDouble * x).sum) *
+        math.sqrt(vb.map(x => x.toDouble * x).sum))
+      assert(math.abs(d - exact) < 1e-9, s"edge (7,$b): $d vs exact $exact")
+    }
+    assert(Knn.nnDescentGraphCompressed(sub, "embedding", "vec_id",
+      k = 5, rounds = 2).groupBy($"id_a").count().select($"count")
+      .as[Long].collect().forall(_ == 5L))
+    assertThrows[IllegalArgumentException](Knn.nnDescentGraphCompressed(
+      sub, "embedding", "vec_id", k = 5, rounds = 1, codec = "fp8"))
+  }
+
   test("graphBeamSearch: converges to exact top-k neighborhood, beam broadcasts") {
     val sub = emb.filter($"vec_id" < 300)
     val edges = Knn.knnGraph(sub, "embedding", "vec_id", topK = 5)
