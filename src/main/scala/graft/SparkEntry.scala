@@ -1687,6 +1687,39 @@ object SparkEntry {
         .select(col("id").as("vec_id"), col("score"))
     }),
 
+    // ---- graph-index takedown (q110/q111's delete==rebuild gate for
+    //      the adjacency family): adjDeleteIndex tombstones vec_id%7==3
+    //      — masking every edge that touches a deleted node — then
+    //      adjCompactIndex physically erases the masked rows under the
+    //      frozen bucket layout. BOTH phases' walks must equal the walk
+    //      over the graph with those nodes' edges removed, which is
+    //      what the oracle replays (q125's walk + the endpoint mask),
+    //      emitted once per phase ----
+    "q148_adj_delete" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val edges = Knn.knnGraph(e, "embedding", "vec_id", topK = 5)
+        .select(col("id_a"), col("id_b"))
+      val qv = e.filter(col("vec_id") === 299).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-adjdel").toString + "/adj"
+      Knn.buildAdjacencyIndex(edges, e, "embedding", "vec_id", idxDir,
+        buckets = 16, fp16 = true)
+      Knn.adjDeleteIndex(s, idxDir,
+        e.filter(col("vec_id") % 7 === 3).select(col("vec_id")), "vec_id")
+      val deleted = Knn.AdjIndex.load(s, idxDir)
+        .search(qv, k = 10, ef = 20, hops = 4, entryId = 0L)
+        .select(lit("deleted").as("phase"), col("id").as("vec_id"),
+          col("score"))
+      Knn.adjCompactIndex(s, idxDir)
+      val compacted = Knn.AdjIndex.load(s, idxDir)
+        .search(qv, k = 10, ef = 20, hops = 4, entryId = 0L)
+        .select(lit("compacted").as("phase"), col("id").as("vec_id"),
+          col("score"))
+      compacted.unionByName(deleted)
+        .orderBy(col("phase"), col("score"), col("vec_id"))
+    }),
+
     // ---- HNSW layered descent: geometric levels (affine hash, nested
     //      ~1/4 layers), greedy width-1 walk down each upper layer's
     //      exact 3-NN graph to pick the layer-0 ENTRY, then q118's
@@ -4189,6 +4222,51 @@ object SparkEntry {
          |${steps.mkString(",\n")}
          |SELECT id AS vec_id, dist AS score FROM b$hops
          |ORDER BY score, vec_id LIMIT 10""".stripMargin
+    },
+
+    // q148: q125's walk with every edge touching a deleted node
+    // (id % 7 = 3) masked from the graph BEFORE the walk — the
+    // delete==rebuild semantics both the tombstoned and the compacted
+    // index must serve; the identical top-10 is emitted once per phase
+    "q148_adj_delete" -> {
+      val hops = 4
+      val half = sqlFp16Round
+      val steps = (1 to hops).map { i =>
+        s"""n$i AS (SELECT DISTINCT e.id_b AS id
+           |  FROM edges e JOIN b${i - 1} b ON e.id_a = b.id),
+           |c$i AS (SELECT s.id, s.dist FROM scored s JOIN n$i USING (id)),
+           |b$i AS MATERIALIZED (SELECT DISTINCT id, dist
+           |  FROM (SELECT id, dist FROM b${i - 1}
+           |        UNION ALL SELECT id, dist FROM c$i)
+           |  ORDER BY dist, id LIMIT 20)""".stripMargin
+      }
+      s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
+         |    CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 300 AND embedding IS NOT NULL),
+         |hc AS (SELECT vec_id AS id, unnest(range(len(embedding))) AS pos,
+         |    unnest(embedding) AS xf
+         |  FROM embeddings WHERE vec_id < 300 AND embedding IS NOT NULL),
+         |hh AS (SELECT id, pos, $half AS xh FROM hc),
+         |vh AS MATERIALIZED (SELECT id, list(xh ORDER BY pos) AS v
+         |  FROM hh GROUP BY id),
+         |q AS MATERIALIZED (SELECT v AS qv FROM v WHERE id = 299),
+         |scored AS MATERIALIZED (
+         |  SELECT vh.id, ${sqlCosine("vh.v", "q.qv")} AS dist
+         |  FROM vh CROSS JOIN q),
+         |p AS (SELECT a.id AS id_a, b.id AS id_b,
+         |  ${sqlCosine("a.v", "b.v")} AS dist
+         |  FROM v a JOIN v b ON a.id <> b.id),
+         |edges AS MATERIALIZED (SELECT id_a, id_b FROM (
+         |  SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a
+         |    ORDER BY dist, id_b) AS rank FROM p) WHERE rank <= 5
+         |  AND id_a % 7 <> 3 AND id_b % 7 <> 3),
+         |b0 AS MATERIALIZED (SELECT id, dist FROM scored WHERE id = 0),
+         |${steps.mkString(",\n")},
+         |top AS (SELECT id, dist FROM b$hops ORDER BY dist, id LIMIT 10)
+         |SELECT phase, id AS vec_id, dist AS score FROM (
+         |  SELECT 'compacted' AS phase, id, dist FROM top
+         |  UNION ALL SELECT 'deleted' AS phase, id, dist FROM top)
+         |ORDER BY phase, score, vec_id""".stripMargin
     },
 
     // q127: q118's oracle extended with the layered descent. Levels are

@@ -1343,6 +1343,51 @@ object Knn {
       selfRows = false, selfFor = newNodes)
   }
 
+  /** Tombstone delete for the adjacency index — the O(batch) takedown
+    * the other index families have ([[ivfDeleteIndex]] shape): one
+    * `del-` id segment under the atomic pointer. [[AdjIndex.load]]
+    * masks every edge that TOUCHES a tombstoned node — its out-list
+    * (src), its self-row, and its slots in other nodes' lists (dst) —
+    * in segments committed before it, so the walk never sees the node
+    * from the next reload on. Sequence-scoped: a node re-appended
+    * AFTER its delete serves again. Survivors' shortened lists re-link
+    * at re-append ([[hnswAppendIndex]] adds reverse edges) or rebuild;
+    * [[adjCompactIndex]] physically erases the masked rows. */
+  def adjDeleteIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: DataFrame, idCol: String): Unit = {
+    val existing = graft.sync.SegmentedIndex.resolve(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(
+        s"adjDeleteIndex: no adjacency index at $indexDir"))
+    val seg = graft.sync.SegmentedIndex.newTombstoneName()
+    ids.select(col(idCol).cast("long").as("id")).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/$seg/ids")
+    graft.sync.SegmentedIndex.commit(spark, indexDir, existing :+ seg)
+  }
+
+  /** Merge all live segments into ONE under the frozen bucket layout —
+    * [[ivfCompactIndex]] for edges: the tombstone-subtracted union
+    * rewrites with the build's point-probe discipline (sorted by src
+    * within each bucket, 128 KB row groups), PHYSICALLY erasing
+    * tombstoned nodes' rows and restoring single-segment hop reads
+    * after many append/delete cycles. No re-derivation of neighbor
+    * lists — that is a rebuild's job (frozen-layout compaction, same
+    * contract as the IVF family's). */
+  def adjCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val existing = graft.sync.SegmentedIndex.resolve(spark, indexDir)
+      .getOrElse(throw new IllegalStateException(
+        s"adjCompactIndex: no adjacency index at $indexDir"))
+    if (existing.size <= 1) return
+    val seg = graft.sync.SegmentedIndex.newSegmentName()
+    AdjIndex.load(spark, indexDir).relation
+      .repartition(col("src_bucket"))
+      .sortWithinPartitions(col("src_bucket"), col("src"))
+      .write.partitionBy("src_bucket")
+      .option("parquet.block.size", 131072)
+      .mode("overwrite").parquet(s"$indexDir/$seg/edges")
+    graft.sync.SegmentedIndex.commit(spark, indexDir, Seq(seg))
+  }
+
   private def writeAdjSegment(edges: DataFrame, corpus: DataFrame,
       vecCol: String, keyCol: String, indexDir: String, buckets: Int,
       fp16: Boolean, selfRows: Boolean,
@@ -1603,6 +1648,53 @@ object Knn {
           newNodes = Some(newAtL.select(col("id"))))
       }
     }
+  }
+
+  /** Delete nodes from EVERY layer of a [[buildHnswIndex]] stack — the
+    * takedown path the reference's upsert semantics require of every
+    * serving artifact (db/supabase_ops.py:148-166): one
+    * [[adjDeleteIndex]] tombstone per layer (level sets nest, and a
+    * tombstone for an id a layer never held masks nothing, so all
+    * layers get the same batch), O(batch) total.
+    *
+    * Entry safety: if the meta-pinned entry node is in the batch, the
+    * meta rewrites FIRST to the smallest surviving top-layer member —
+    * any top-layer node is a valid entry — and only then do the
+    * tombstones commit. A reader between the two writes sees the new
+    * entry against the old (still-serving) layers, which is valid;
+    * the reverse order would serve a deleted entry whose self-row the
+    * masked layer no longer has. An emptied top layer refuses: that
+    * stack needs a rebuild at a lower maxLevel, not a masked serve. */
+  def hnswDeleteIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, ids: DataFrame, idCol: String): Unit = {
+    val meta = spark.read.parquet(s"$indexDir/meta").head()
+    val maxLevel = meta.getAs[Int]("max_level")
+    val entry = meta.getAs[Long]("entry")
+    val dead = ids.select(col(idCol).cast("long").as("id")).distinct()
+      .localCheckpoint() // meta + N pointer commits re-read it
+    if (dead.filter(col("id") === entry).limit(1).count() > 0) {
+      val top = AdjIndex.load(spark, s"$indexDir/layer$maxLevel").relation
+      val next = top.filter(col("src") === col("dst"))
+        .join(dead.select(col("id").as("src")), Seq("src"), "left_anti")
+        .agg(min(col("src"))).head()
+      if (next.isNullAt(0)) throw new IllegalStateException(
+        s"hnswDeleteIndex: delete would empty layer$maxLevel — rebuild " +
+        "the stack (lower maxLevel) instead of masking its last entry")
+      spark.range(1)
+        .select(lit(maxLevel).as("max_level"), lit(next.getLong(0)).as("entry"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    }
+    (0 to maxLevel).foreach(l =>
+      adjDeleteIndex(spark, s"$indexDir/layer$l", dead, "id"))
+  }
+
+  /** [[adjCompactIndex]] per layer — folds a stack's accumulated
+    * append/delete segments back to one per layer. */
+  def hnswCompactIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    val maxLevel = spark.read.parquet(s"$indexDir/meta").head()
+      .getAs[Int]("max_level")
+    (0 to maxLevel).foreach(l => adjCompactIndex(spark, s"$indexDir/layer$l"))
   }
 
   /** Structured-Streaming micro-batch maintenance of the HNSW stack:

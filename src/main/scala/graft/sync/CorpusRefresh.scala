@@ -63,7 +63,8 @@ object CorpusRefresh {
       lexIndexDir: Option[String] = None,
       ivfIndexDir: Option[String] = None,
       vecCol: String = "embedding",
-      maxSegments: Int = DefaultMaxSegments): DataFrame = {
+      maxSegments: Int = DefaultMaxSegments,
+      hnswIndexDir: Option[String] = None): DataFrame = {
     val old = HighlightStore.read(spark, storeDir).getOrElse(
       throw new IllegalStateException(
         s"CorpusRefresh.refresh: no store at $storeDir (writeAtomic first)"))
@@ -88,6 +89,19 @@ object CorpusRefresh {
         graft.similarity.Knn.ivfAppendIndex(upserts, vecCol, keyCol, dir)
         if (overThreshold(dir))
           graft.similarity.Knn.ivfCompactIndex(spark, dir)
+      }
+      // the HNSW stack under the same delete-then-append discipline:
+      // every delta key is tombstoned from every layer (entry re-pinned
+      // if deleted), then added+changed nodes re-insert via the bulk
+      // HNSW insertion — a changed doc's old neighborhood is masked, its
+      // new vector links fresh. Fan-out check on layer 0 (the big one —
+      // upper layers accrue segments at the same rate or slower).
+      hnswIndexDir.foreach { dir =>
+        graft.similarity.Knn.hnswDeleteIndex(spark, dir, deltaKeys, keyCol)
+        if (!upserts.isEmpty)
+          graft.similarity.Knn.hnswAppendIndex(upserts, vecCol, keyCol, dir)
+        if (overThreshold(s"$dir/layer0"))
+          graft.similarity.Knn.hnswCompactIndex(spark, dir)
       }
       // store LAST: it is the delta's baseline, so a crash anywhere above
       // leaves a re-run deriving the same delta and healing the indexes.

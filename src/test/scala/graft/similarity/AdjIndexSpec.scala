@@ -201,4 +201,97 @@ class AdjIndexSpec extends SparkTestBase {
         .search(qv, k = 5, ef = 12, hops = 3, entryId = 0L).collect().toSeq)
     } finally { rmTree(half); rmTree(full) }
   }
+
+  test("adjDeleteIndex: delete == build-without; re-append revives; compaction erases and preserves the walk") {
+    val del = java.nio.file.Files.createTempDirectory("adjdel").toString + "/i"
+    val ref = java.nio.file.Files.createTempDirectory("adjref").toString + "/i"
+    try {
+      Knn.buildAdjacencyIndex(edges, emb, "embedding", "vec_id", del,
+        buckets = 8)
+      val dead = emb.filter($"vec_id" % 7 === 3).select($"vec_id")
+      val deadSet = dead.as[Long].collect().toSet
+      Knn.adjDeleteIndex(spark, del, dead, "vec_id")
+      // masking == the index built from the same graph minus every edge
+      // touching a deleted node, over the surviving corpus (the
+      // delete-then-search == rebuild-then-search gate, q110/q111 form)
+      Knn.buildAdjacencyIndex(
+        edges.filter($"id_a" % 7 =!= 3 && $"id_b" % 7 =!= 3),
+        emb.filter($"vec_id" % 7 =!= 3), "embedding", "vec_id", ref,
+        buckets = 8)
+      val gotDel = Knn.AdjIndex.load(spark, del)
+        .search(qv, k = 5, ef = 12, hops = 3, entryId = 0L).collect().toSeq
+      val gotRef = Knn.AdjIndex.load(spark, ref)
+        .search(qv, k = 5, ef = 12, hops = 3, entryId = 0L).collect().toSeq
+      assert(gotDel == gotRef, s"$gotDel vs $gotRef")
+      assert(gotDel.forall(r => !deadSet(r.getLong(0))))
+      // compaction: one physical segment, no dead row anywhere, and the
+      // walk unchanged (frozen layout — erase only)
+      Knn.adjCompactIndex(spark, del)
+      assert(graft.sync.SegmentedIndex.resolve(spark, del).get.size == 1)
+      val rel = Knn.AdjIndex.load(spark, del).relation
+      assert(rel.filter($"src".isin(deadSet.toSeq: _*) ||
+        $"dst".isin(deadSet.toSeq: _*)).isEmpty)
+      assert(Knn.AdjIndex.load(spark, del)
+        .search(qv, k = 5, ef = 12, hops = 3, entryId = 0L)
+        .collect().toSeq == gotDel)
+      // sequence scope: a deleted node re-appended AFTER its tombstone
+      // serves again — its self-row and links are visible to the walk
+      val back = deadSet.min
+      val backEdges = edges.filter(
+        ($"id_a" === back && $"id_b" % 7 =!= 3) ||
+        ($"id_b" === back && $"id_a" % 7 =!= 3))
+      Knn.appendAdjacencyIndex(backEdges, emb, "embedding", "vec_id", del,
+        newNodes = Some(emb.filter($"vec_id" === back).select($"vec_id")))
+      val relBack = Knn.AdjIndex.load(spark, del).relation
+      assert(relBack.filter($"src" === back && $"dst" === back).count() == 1)
+      assert(relBack.filter($"src" === back).count() >= 1)
+    } finally { rmTree(del); rmTree(ref) }
+  }
+
+  test("hnswDeleteIndex: masks every layer, re-pins a deleted entry, compaction folds the stack") {
+    val dir = java.nio.file.Files.createTempDirectory("hnswdel").toString + "/h"
+    try {
+      Knn.buildHnswIndex(emb, "embedding", "vec_id", dir,
+        maxLevel = 2, upperM = 3, k0 = 5, buckets = 8)
+      val meta0 = spark.read.parquet(s"$dir/meta").head()
+      val entry0 = meta0.getAs[Long]("entry")
+      // delete a non-entry batch: results never contain a dead id, and
+      // every layer's relation is masked
+      val dead = emb.filter($"vec_id" % 11 === 4 && $"vec_id" =!= entry0)
+        .select($"vec_id")
+      val deadSet = dead.as[Long].collect().toSet
+      Knn.hnswDeleteIndex(spark, dir, dead, "vec_id")
+      val got = Knn.HnswIndex.load(spark, dir)
+        .search(qv, k = 5, ef = 12, hops = 3, upperHops = 3).collect()
+      assert(got.nonEmpty && got.forall(r => !deadSet(r.getLong(0))))
+      (0 to 2).foreach { l =>
+        val rel = Knn.AdjIndex.load(spark, s"$dir/layer$l").relation
+        assert(rel.filter($"src".isin(deadSet.toSeq: _*) ||
+          $"dst".isin(deadSet.toSeq: _*)).isEmpty, s"layer$l not masked")
+      }
+      // deleting the ENTRY re-pins meta to the smallest surviving
+      // top-layer member before the tombstones land
+      Knn.hnswDeleteIndex(spark, dir,
+        spark.range(entry0, entry0 + 1).toDF("vec_id"), "vec_id")
+      val meta1 = spark.read.parquet(s"$dir/meta").head()
+      assert(meta1.getAs[Long]("entry") != entry0)
+      val top = Knn.AdjIndex.load(spark, s"$dir/layer2").relation
+      assert(top.filter($"src" === $"dst")
+        .agg(org.apache.spark.sql.functions.min($"src")).head().getLong(0)
+        == meta1.getAs[Long]("entry"))
+      assert(Knn.HnswIndex.load(spark, dir)
+        .search(qv, k = 5, ef = 12, hops = 3, upperHops = 3)
+        .collect().nonEmpty)
+      // compaction folds every layer to one segment; the walk survives
+      val before = Knn.HnswIndex.load(spark, dir)
+        .search(qv, k = 5, ef = 12, hops = 3, upperHops = 3)
+        .collect().toSeq
+      Knn.hnswCompactIndex(spark, dir)
+      (0 to 2).foreach { l => assert(
+        graft.sync.SegmentedIndex.resolve(spark, s"$dir/layer$l").get.size == 1) }
+      assert(Knn.HnswIndex.load(spark, dir)
+        .search(qv, k = 5, ef = 12, hops = 3, upperHops = 3)
+        .collect().toSeq == before)
+    } finally { rmTree(dir) }
+  }
 }
