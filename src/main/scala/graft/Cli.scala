@@ -16,7 +16,7 @@ import graft.sync.{HighlightStore, Sync}
   * filename order through the same paginated-client path a live HTTP
   * transport would use.
   *
-  *   graft.Cli sync --backfill --pages-dir D --store S --ckpt C
+  *   graft.Cli sync --backfill --pages-dir D --store S --ckpt C [--pooled [--chunk-words N]]
   *   graft.Cli sync --since 2024-01-01T00:00:00Z --pages-dir D --store S --ckpt C
   *   graft.Cli refresh --pages-dir D --store S --ckpt C [--lex-index L] [--ivf-index I]
   *   graft.Cli index --store S --out D [--cells 64] [--fp16 true] [--attrs c1,c2]
@@ -84,8 +84,13 @@ object Cli {
       // The mode-dependent --since checks merge into the SAME error
       // report — all violations at once.
       val backfill = rest.contains("--backfill")
+      // --pooled [--chunk-words N]: long documents ingest chunk→embed→
+      // mean-pool (Pooling) instead of one capped embed — the tail of a
+      // document longer than the embedder's input contributes to its
+      // stored vector (the reference truncates it away)
       val resolved = GraftConfig.resolve(f, env, GraftConfig.Command.Sync,
-        fp16Flag = rest.contains("--fp16"))
+        fp16Flag = rest.contains("--fp16"),
+        pooledFlag = rest.contains("--pooled"))
       // --since belongs to incremental mode only: with --backfill it was
       // previously ignored silently — reject the conflict instead
       val sinceParsed: Either[String, Option[java.time.Instant]] =
@@ -110,13 +115,14 @@ object Cli {
         if (backfill) {
           val n = Sync.backfill(spark, dirClient(cfg.pagesDir.get),
             cfg.storeDir, cfg.checkpointDir.get, embedder = cfg.embedder,
-            fp16 = cfg.fp16)
+            fp16 = cfg.fp16, pooledChunkWords = cfg.pooledChunkWords)
           println(Json.write(Map("synced" -> n, "mode" -> "backfill")))
           0
         } else {
           Sync.incremental(spark, dirClient(cfg.pagesDir.get), cfg.storeDir,
               cfg.checkpointDir.get, sinceParsed.toOption.get,
-              embedder = cfg.embedder, fp16 = cfg.fp16) match {
+              embedder = cfg.embedder, fp16 = cfg.fp16,
+              pooledChunkWords = cfg.pooledChunkWords) match {
             case Some(n) =>
               println(Json.write(Map("synced" -> n, "mode" -> "incremental")))
               0
@@ -134,7 +140,8 @@ object Cli {
     case "refresh" +: rest =>
       val f = flags(rest)
       val resolved = GraftConfig.resolve(
-        f -- Seq("lex-index", "ivf-index"), env, GraftConfig.Command.Sync)
+        f -- Seq("lex-index", "ivf-index"), env, GraftConfig.Command.Sync,
+        pooledFlag = rest.contains("--pooled"))
       resolved match {
         case Left(errs) => errs.foreach(System.err.println); 2
         case Right(cfg) =>
@@ -147,7 +154,8 @@ object Cli {
               cfg.storeDir, cfg.checkpointDir.get,
               lexIndexDir = f.get("lex-index"),
               ivfIndexDir = f.get("ivf-index"),
-              embedder = cfg.embedder)
+              embedder = cfg.embedder,
+              pooledChunkWords = cfg.pooledChunkWords)
             println(Json.write(counts.map { case (k, v) => k -> v } +
               ("mode" -> "refresh")))
             0

@@ -27,7 +27,8 @@ final case class GraftConfig(
     ivfIndexDir: Option[String] = None,
     pqIndexDir: Option[String] = None,
     pqRefine: Int = GraftConfig.DefaultPqRefine,
-    nprobe: Int = GraftConfig.DefaultNprobe) {
+    nprobe: Int = GraftConfig.DefaultNprobe,
+    pooledChunkWords: Option[Int] = None) {
 
   /** The embedder this configuration describes. */
   def embedder: graft.embed.Embedder =
@@ -49,6 +50,12 @@ object GraftConfig {
     * but its 1280-literal In predicate overflows default 1 MB task
     * stacks — an -Xss16m deployment choice, not a default. */
   val DefaultPqRefine = 64
+
+  /** `--pooled` chunk width when `--chunk-words` is omitted: 256 words
+    * ≈ a few hundred tokens per chunk — small enough that every chunk
+    * sits far inside the embedder's input cap (the point of pooling),
+    * large enough that chunk count stays ~tokens/256. */
+  val DefaultChunkWords = 256
 
   /** Validate a candidate configuration; Left = every violation, each with
     * a message specific enough to fix the config without reading code. */
@@ -81,6 +88,11 @@ object GraftConfig {
     if (config.ivfIndexDir.isDefined && config.pqIndexDir.isDefined)
       errs += "IVF_INDEX_DIR (--ivf-index) and PQ_INDEX_DIR (--pq-index) " +
         "are mutually exclusive — the gateway serves through ONE dense index"
+    config.pooledChunkWords.foreach { cw =>
+      if (cw < 1)
+        errs += "CHUNK_WORDS (--chunk-words / GRAFT_CHUNK_WORDS) must be " +
+          s"a positive word count, got $cw"
+    }
     // validated only when the PQ serving path is actually selected —
     // ambient GRAFT_PQ_REFINE garbage must not refuse a serve config
     // that never touches it (mirrors how nprobe pairs with the index
@@ -124,7 +136,8 @@ object GraftConfig {
     * out-of-scope FLAGS are rejected with a message. */
   def resolve(flags: Map[String, String], env: Map[String, String],
       command: Command,
-      fp16Flag: Boolean = false): Either[List[String], GraftConfig] = {
+      fp16Flag: Boolean = false,
+      pooledFlag: Boolean = false): Either[List[String], GraftConfig] = {
     import Command._
     val norm = env.map { case (k, v) => k.toUpperCase -> v }
     def e(key: String): Option[String] = norm.get(s"GRAFT_$key")
@@ -142,6 +155,7 @@ object GraftConfig {
     val portsInScope = command == Serve || command == All
     val syncInScope = command == Sync || command == All
     for ((flag, ok) <- Seq("pages-dir" -> syncInScope, "ckpt" -> syncInScope,
+        "chunk-words" -> syncInScope,
         "http-port" -> portsInScope, "mcp-port" -> portsInScope,
         "ivf-index" -> portsInScope, "nprobe" -> portsInScope,
         "pq-index" -> portsInScope, "pq-refine" -> portsInScope))
@@ -160,6 +174,24 @@ object GraftConfig {
     val pagesDir = if (syncInScope) str("pages-dir", "PAGES_DIR") else None
     if (command == Sync && pagesDir.isEmpty)
       errs += "PAGES_DIR is required for sync (--pages-dir)"
+    // --pooled turns on chunk→embed→mean-pool ingest (the long-document
+    // path); --chunk-words sizes the chunks and is meaningless without
+    // it — reject the silent-drop rather than ignore explicit input
+    val pooled = pooledFlag || (syncInScope && (e("POOLED") match {
+      case None => false
+      case Some(v) => v.toLowerCase match {
+        case "true" | "1"  => true
+        case "false" | "0" => false
+        case other =>
+          errs += s"GRAFT_POOLED must be true/false, got '$other'"; false
+      }
+    }))
+    if (flags.contains("chunk-words") && !pooled)
+      errs += "--chunk-words requires --pooled (it sizes the pooled " +
+        "ingest's chunks)"
+    val pooledChunkWords =
+      if (pooled) Some(int("chunk-words", "CHUNK_WORDS", DefaultChunkWords))
+      else None
     val candidate = GraftConfig(
       storeDir = str("store", "STORE_DIR").getOrElse(""),
       fp16 = fp16,
@@ -177,7 +209,8 @@ object GraftConfig {
       pqRefine = if (portsInScope) int("pq-refine", "PQ_REFINE",
         DefaultPqRefine) else DefaultPqRefine,
       nprobe = if (portsInScope) int("nprobe", "NPROBE", DefaultNprobe)
-        else DefaultNprobe)
+        else DefaultNprobe,
+      pooledChunkWords = pooledChunkWords)
     (errs.result(), validated(candidate)) match {
       case (Nil, v)         => v
       case (es, Left(more)) => Left(es ++ more)

@@ -326,15 +326,31 @@ object Sync {
     * would let a stale copy of an id tie with — or beat — the newer copy
     * already in the store. */
   private def spooledHighlights(spark: SparkSession, pages: Iterator[String],
-      spool: String, embedder: Embedder, version: Long): DataFrame = {
+      spool: String, embedder: Embedder, version: Long,
+      pooledChunkWords: Option[Int] = None): DataFrame = {
     val beforeRun = spoolPages(spark, pages, spool)
-    val embedUdf = Embedder.embedUdf(embedder)
     val reader = spark.read.format("graft-export")
-    beforeRun.fold(reader)(n =>
+    val parsed = beforeRun.fold(reader)(n =>
         reader.option(graft.sources.ExportOptions.StartAfter, n))
       .load(spool)
-      .withColumn("embedding", embedUdf(col("text")))
-      .withColumn("version", lit(version))
+    // --pooled: long documents ingest through chunk → embed → DECIMAL
+    // mean-pool → renormalize (Pooling, the q147 operator) instead of
+    // the single embed whose input cap silently drops the tail — the
+    // reference hard-truncates at 8191 tokens (core/embedding.py:49-54)
+    // and this is the repo's documented answer. Pooled vectors live on
+    // the same unit sphere at the same dim, so the store schema, fp16
+    // encode, and every serving path compose unchanged.
+    val withEmb = pooledChunkWords match {
+      case Some(cw) =>
+        val pooled = graft.embed.Pooling
+          .pooledEmbedding(parsed, "text", "id", cw, embedder)
+          .select(col("id"),
+            expr("transform(v, x -> CAST(x AS FLOAT))").as("embedding"))
+        parsed.join(pooled, Seq("id"), "left")
+      case None =>
+        parsed.withColumn("embedding", Embedder.embedUdf(embedder)(col("text")))
+    }
+    withEmb.withColumn("version", lit(version))
   }
 
   /** Full backfill (ST2): cursor walk → spool → executor-side parse →
@@ -345,13 +361,14 @@ object Sync {
   def backfill(spark: SparkSession, client: ExportClient, storeDir: String,
       checkpointDir: String, embedder: Embedder = Embedder.Default,
       now: () => Instant = () => Instant.now(),
-      spoolDir: Option[String] = None, fp16: Boolean = false): Long =
+      spoolDir: Option[String] = None, fp16: Boolean = false,
+      pooledChunkWords: Option[Int] = None): Long =
     timed {
       val spool = spoolDir.getOrElse(
         s"$checkpointDir/backfill-spool-${System.nanoTime()}")
       try {
         val fresh = spooledHighlights(spark, client.export(None), spool,
-          embedder, version = now().toEpochMilli).cache()
+          embedder, version = now().toEpochMilli, pooledChunkWords).cache()
         try {
           val merged = HighlightStore.read(spark, storeDir) match {
             case Some(existing) => Ingest.upsert(existing, fresh, "id", "version")
@@ -395,13 +412,14 @@ object Sync {
       ivfIndexDir: Option[String] = None,
       embedder: Embedder = Embedder.Default,
       now: () => Instant = () => Instant.now(),
-      spoolDir: Option[String] = None): Map[String, Long] =
+      spoolDir: Option[String] = None,
+      pooledChunkWords: Option[Int] = None): Map[String, Long] =
     timed {
       val spool = spoolDir.getOrElse(
         s"$checkpointDir/refresh-spool-${System.nanoTime()}")
       try {
         val snapshot = spooledHighlights(spark, client.export(None), spool,
-          embedder, version = now().toEpochMilli)
+          embedder, version = now().toEpochMilli, pooledChunkWords)
         val delta = CorpusRefresh.refresh(spark, snapshot, "text", "id",
           storeDir, lexIndexDir = lexIndexDir, ivfIndexDir = ivfIndexDir)
         val counts = delta.groupBy(col("status")).count()
@@ -426,7 +444,8 @@ object Sync {
       checkpointDir: String, since: Option[Instant] = None,
       embedder: Embedder = Embedder.Default,
       now: () => Instant = () => Instant.now(),
-      spoolDir: Option[String] = None, fp16: Boolean = false): Option[Long] = {
+      spoolDir: Option[String] = None, fp16: Boolean = false,
+      pooledChunkWords: Option[Int] = None): Option[Long] = {
     val effectiveSince = since.orElse(SyncState.read(checkpointDir, ServiceName))
     effectiveSince.map { s =>
       timed {
@@ -434,7 +453,8 @@ object Sync {
           s"$checkpointDir/incremental-spool-${System.nanoTime()}")
         try {
           val fresh = spooledHighlights(spark, client.export(Some(s.toString)),
-            spool, embedder, version = now().toEpochMilli).cache()
+            spool, embedder, version = now().toEpochMilli,
+            pooledChunkWords).cache()
           try {
             val merged = HighlightStore.read(spark, storeDir) match {
               case Some(existing) => Ingest.upsert(existing, fresh, "id", "version")

@@ -263,4 +263,55 @@ class CliSpec extends SparkTestBase {
     assert(raw2.columns.contains("emb16") && !raw2.columns.contains("embedding"))
     assert(raw2.count() == 2)
   }
+
+  test("sync --pooled: search finds tail-only content the capped embed truncates away") {
+    val dir = Files.createTempDirectory("graft-cli-pooled").toString
+    val pages = s"$dir/pages"
+    Files.createDirectories(java.nio.file.Paths.get(pages))
+    // a document LONGER than the embedder's input cap (HashNgramEmbedder
+    // maxChars = 32768): 3500 ten-char filler words (35 000 chars) push
+    // the whole tail past the cap, so the plain embed never sees it; at
+    // --chunk-words 1750 the tail lands as its own PURE chunk (1/3 of
+    // the pool) whose features survive the mean
+    val longDoc = ("alphabeta " * 3500) + ("zanzibarqux " * 1750).trim
+    Files.writeString(java.nio.file.Paths.get(pages, "page0.json"),
+      pageJson("h1", longDoc))
+    Files.writeString(java.nio.file.Paths.get(pages, "page1.json"),
+      pageJson("h2", "unrelated distractor content entirely"))
+
+    val (cp, _) = capture(Cli.run(Array("sync", "--backfill", "--pooled",
+      "--chunk-words", "1750", "--pages-dir", pages,
+      "--store", s"$dir/pooled", "--ckpt", s"$dir/ckptP"), spark))
+    assert(cp == 0)
+    val (cq, _) = capture(Cli.run(Array("sync", "--backfill",
+      "--pages-dir", pages,
+      "--store", s"$dir/plain", "--ckpt", s"$dir/ckptQ"), spark))
+    assert(cq == 0)
+
+    def scoreOf(out: String, id: String): Double = {
+      val line = out.trim.split("\n").find(_.contains(s""""id":"$id"""")).get
+      """"score":([0-9.Ee+-]+)""".r.findFirstMatchIn(line).get.group(1).toDouble
+    }
+    val (c1, outPooled) = capture(Cli.run(Array("search", "zanzibarqux",
+      "--k", "2", "--store", s"$dir/pooled"), spark))
+    val (c2, outPlain) = capture(Cli.run(Array("search", "zanzibarqux",
+      "--k", "2", "--store", s"$dir/plain"), spark))
+    assert(c1 == 0 && c2 == 0)
+    // pooled: the long doc is the clear top hit (its tail chunk shares
+    // the query's features); plain: the cap dropped the tail, so the
+    // doc is ~orthogonal to the query
+    assert(outPooled.trim.split("\n").head.contains("\"id\":\"h1\""),
+      outPooled)
+    val pooledScore = scoreOf(outPooled, "h1")
+    val plainScore = scoreOf(outPlain, "h1")
+    assert(plainScore - pooledScore > 0.1,
+      s"pooled $pooledScore vs plain $plainScore — pooling should beat " +
+      "truncation by a clear margin on tail-only content")
+
+    // --chunk-words without --pooled is rejected, not silently dropped
+    val (cBad, _) = capture(Cli.run(Array("sync", "--backfill",
+      "--chunk-words", "100", "--pages-dir", pages,
+      "--store", s"$dir/x", "--ckpt", s"$dir/y"), spark))
+    assert(cBad == 2)
+  }
 }
