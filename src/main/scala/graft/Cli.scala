@@ -21,6 +21,8 @@ import graft.sync.{HighlightStore, Sync}
   *   graft.Cli refresh --pages-dir D --store S --ckpt C [--lex-index L] [--ivf-index I]
   *   graft.Cli index --store S --out D [--cells 64] [--fp16 true] [--attrs c1,c2]
   *   graft.Cli export --store S --out D [--shard-tokens 2048]
+  *   graft.Cli curate --docs D.parquet --out O [--quality 0.6] [--lm-threshold -6.0]
+  *     [--lm-store L] [--mix-alpha A --mix-frac F] [--shard-tokens 2048] [--report-only]
   *   graft.Cli search "query text" --k 5 --store S [--source-type T] [--hybrid true] [--mmr 0.3]
   *   graft.Cli serve --store S [--ivf-index I | --pq-index P [--pq-refine 8]] [--nprobe 4]
   *   graft.Cli health
@@ -297,6 +299,102 @@ object Cli {
           System.err.println("export requires --store and --out"); 2
       }
 
+    // the full curation pipeline as ONE command (the q140 cascade run
+    // for real): language-ID → quality → LM filter → exact dedup, the
+    // per-stage report printed first (JSON rows, row-identical to
+    // q140's gated output on the same table), then the kept docs —
+    // optionally temperature-remixed across sources — packed into
+    // verifiable shard directories with their manifest printed last.
+    //   graft.Cli curate --docs D.parquet --out DIR [--shard-tokens N]
+    //     [--quality 0.6] [--lm-threshold -6.0] [--lm-store DIR]
+    //     [--mix-alpha A --mix-frac F] [--report-only]
+    case "curate" +: rest =>
+      val f = flags(rest)
+      (f.get("docs"), f.get("out")) match {
+        case (Some(docsPath), outOpt)
+            if outOpt.isDefined || rest.contains("--report-only") =>
+          def num(flag: String, default: Double): Either[String, Double] =
+            f.get(flag) match {
+              case None => Right(default)
+              case Some(v) => v.toDoubleOption.toRight(
+                s"--$flag must be a number, got '$v'")
+            }
+          val parsed = for {
+            q <- num("quality", 0.6)
+            lmThr <- num("lm-threshold", -6.0)
+            st <- f.get("shard-tokens").fold(
+                Right(2048): Either[String, Int])(v =>
+              v.toIntOption.filter(_ > 0).toRight(
+                s"--shard-tokens must be a positive integer, got '$v'"))
+            mix <- (f.get("mix-alpha"), f.get("mix-frac")) match {
+              case (None, None) => Right(None)
+              case (Some(a), Some(fr)) =>
+                (a.toDoubleOption, fr.toDoubleOption) match {
+                  case (Some(av), Some(fv)) => Right(Some((av, fv)))
+                  case _ => Left("--mix-alpha and --mix-frac must be numbers")
+                }
+              case _ => Left("--mix-alpha and --mix-frac go together " +
+                "(temperature mixture needs both the exponent and the " +
+                "target fraction)")
+            }
+          } yield (q, lmThr, st, mix)
+          parsed match {
+            case Left(e) => System.err.println(e); 2
+            case Right((quality, lmThr, shardTokens, mix)) =>
+              val docs = spark.read.parquet(docsPath)
+              val missing = Seq("doc_id", "text", "source")
+                .filterNot(docs.columns.contains)
+              if (missing.nonEmpty) {
+                System.err.println("curate needs columns doc_id, text, " +
+                  s"source; $docsPath is missing ${missing.mkString(", ")}")
+                return 2
+              }
+              import org.apache.spark.sql.functions.col
+              // LM leg: a persistent LmStore when given (score against
+              // the maintained counts), else q140's in-line training on
+              // the %10<8 split
+              val lm = f.get("lm-store") match {
+                case Some(d) =>
+                  graft.text.LmStore.score(docs, "text", "doc_id", d)
+                    .select(col("doc_id"), col("avg_logprob"))
+                case None =>
+                  graft.text.TextAnalysis.ngramLmScore(docs, "text",
+                      "doc_id", trainFilter = col("doc_id") % 10 < 8)
+                    .select(col("doc_id"), col("avg_logprob"))
+              }
+              val (tagged, report) = graft.text.CorpusPrep.curationCascade(
+                docs, "text", "doc_id", "source", lm, quality, lmThr)
+              val taggedP = tagged.persist()
+              try {
+                report.collect().foreach(r => println(Json.write(Map(
+                  "source" -> r.getString(0), "reason" -> r.getString(1),
+                  "n" -> r.getLong(2)))))
+                if (rest.contains("--report-only")) 0
+                else {
+                  val kept = docs.join(
+                    taggedP.filter(col("reason") === "keep")
+                      .select(col("doc_id")), Seq("doc_id"), "left_semi")
+                  val mixed = mix.fold(kept) { case (a, fr) =>
+                    graft.text.CorpusPrep.temperatureMixture(
+                      kept, "text", "source", a, fr)
+                  }
+                  graft.text.CorpusPrep.exportShards(
+                      mixed.select(col("doc_id"), col("text")), "text",
+                      "doc_id", outOpt.get, shardTokens)
+                    .orderBy(col("shard_id")).collect()
+                    .foreach(r => println(Json.write(Map(
+                      "shard_id" -> r.getLong(0), "n_docs" -> r.getLong(1),
+                      "shard_tokens" -> r.getLong(2),
+                      "digest" -> r.getLong(3)))))
+                  0
+                }
+              } finally { taggedP.unpersist(); () }
+          }
+        case _ =>
+          System.err.println(
+            "curate requires --docs and (--out or --report-only)"); 2
+      }
+
     case "serve" +: rest =>
       val f = flags(rest)
       val cfg = GraftConfig.resolve(f, env, GraftConfig.Command.Serve) match {
@@ -376,7 +474,8 @@ object Cli {
       }
 
     case _ =>
-      System.err.println("usage: graft.Cli sync|refresh|search|serve|health ...")
+      System.err.println(
+        "usage: graft.Cli sync|refresh|search|serve|index|export|curate|health ...")
       2
   }
 

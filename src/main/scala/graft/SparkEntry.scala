@@ -2257,22 +2257,9 @@ object SparkEntry {
       val lm = graft.text.TextAnalysis.ngramLmScore(d, "text", "doc_id",
           trainFilter = col("doc_id") % 10 < 8)
         .select(col("doc_id"), col("avg_logprob"))
-      val sig = d.select(col("doc_id"), col("source"),
-        graft.text.TextAnalysis.langId(col("text")).as("lang_pred"),
-        graft.text.TextAnalysis.qualityScore(col("text")).as("quality"),
-        graft.text.TextAnalysis.polyHash(col("text")).as("fp"))
-      val canon = sig.groupBy(col("fp"))
-        .agg(min(col("doc_id")).as("canon_id"))
-      sig.join(lm, Seq("doc_id")).join(canon, Seq("fp"))
-        .withColumn("reason",
-          when(col("lang_pred") =!= "en", "1_lang")
-            .when(col("quality") < 0.6, "2_quality")
-            .when(col("avg_logprob") < -6.0, "3_lm")
-            .when(col("doc_id") =!= col("canon_id"), "4_duplicate")
-            .otherwise("keep"))
-        .groupBy(col("source"), col("reason"))
-        .agg(count(lit(1)).as("n"))
-        .orderBy(col("source"), col("reason"))
+      // the shared cascade engine — `Cli curate` emits THIS report
+      graft.text.CorpusPrep.curationCascade(d, "text", "doc_id",
+        "source", lm)._2
     }),
 
     // ---- retrieval evaluation (trec_eval's core triplet) as a

@@ -403,6 +403,38 @@ object CorpusPrep {
         < col("rate_ppm"))
   }
 
+  /** The C4-style curation cascade (q140, and `Cli curate`'s engine —
+    * ONE definition so the CLI report can never drift from the gated
+    * query): language-ID → heuristic quality → LM average log-prob →
+    * exact-hash dedup (canonical = min key per fingerprint), each doc
+    * tagged with its FIRST failing stage. `lm` carries (keyCol,
+    * avg_logprob) — [[TextAnalysis.ngramLmScore]] or the persistent
+    * [[LmStore.score]], caller's choice. Returns (tagged, report):
+    * tagged = (keyCol, sourceCol, reason) per doc; report = the
+    * per-(source, reason) rollup ordered for replay. */
+  def curationCascade(docs: DataFrame, textCol: String, keyCol: String,
+      sourceCol: String, lm: DataFrame, qualityMin: Double = 0.6,
+      lmMin: Double = -6.0): (DataFrame, DataFrame) = {
+    val sig = docs.select(col(keyCol), col(sourceCol),
+      TextAnalysis.langId(col(textCol)).as("lang_pred"),
+      TextAnalysis.qualityScore(col(textCol)).as("quality"),
+      TextAnalysis.polyHash(col(textCol)).as("fp"))
+    val canon = sig.groupBy(col("fp"))
+      .agg(min(col(keyCol)).as("canon_id"))
+    val tagged = sig.join(lm, Seq(keyCol)).join(canon, Seq("fp"))
+      .withColumn("reason",
+        when(col("lang_pred") =!= "en", "1_lang")
+          .when(col("quality") < qualityMin, "2_quality")
+          .when(col("avg_logprob") < lmMin, "3_lm")
+          .when(col(keyCol) =!= col("canon_id"), "4_duplicate")
+          .otherwise("keep"))
+      .select(col(keyCol), col(sourceCol), col("reason"))
+    val report = tagged.groupBy(col(sourceCol), col("reason"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col(sourceCol), col("reason"))
+    (tagged, report)
+  }
+
   /** The rate table behind [[temperatureMixture]]: one row per source —
     * (source, n_docs, rate_ppm). rate_ppm = floor(buckets · min(1,
     * targetFrac · N · q_s / c_s)) where q_s = c_s^alpha / Σ c_t^alpha. */

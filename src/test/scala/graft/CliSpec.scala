@@ -314,4 +314,48 @@ class CliSpec extends SparkTestBase {
       "--store", s"$dir/x", "--ckpt", s"$dir/y"), spark))
     assert(cBad == 2)
   }
+
+  test("curate runs the q140 cascade end-to-end: report row-identical, kept docs land as verifiable shards") {
+    val dir = Files.createTempDirectory("graft-cli-curate").toString
+    val (c1, out1) = capture(Cli.run(Array("curate",
+      "--docs", s"$sfDir/documents.parquet", "--out", s"$dir/shards"), spark))
+    assert(c1 == 0, out1)
+    val lines = out1.trim.split("\n")
+    val (reportLines, manifestLines) = lines.partition(_.contains("\"reason\""))
+    // the printed report is ROW-IDENTICAL to the gated q140 output on
+    // the same table — one shared cascade definition, no drift possible
+    val want = SparkEntry.queries("q140_curation_cascade")(spark, sfDir)
+      .collect().map(r => graft.serve.Json.write(Map(
+        "source" -> r.getString(0), "reason" -> r.getString(1),
+        "n" -> r.getLong(2))))
+    assert(reportLines.toSeq == want.toSeq)
+    // the kept count from the report equals the manifest's doc total —
+    // every kept doc landed in exactly one shard (the q142 digest
+    // discipline guards content; counts guard coverage)
+    val keptN = reportLines.filter(_.contains("\"reason\":\"keep\""))
+      .map(l => """"n":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong).sum
+    val shardN = manifestLines
+      .map(l => """"n_docs":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong).sum
+    assert(keptN == shardN && manifestLines.nonEmpty,
+      s"kept $keptN vs sharded $shardN")
+    assert(new java.io.File(s"$dir/shards").isDirectory)
+    // temperature mixture thins the kept set; report stays identical
+    val (c2, out2) = capture(Cli.run(Array("curate",
+      "--docs", s"$sfDir/documents.parquet", "--out", s"$dir/shards2",
+      "--mix-alpha", "0.5", "--mix-frac", "0.5"), spark))
+    assert(c2 == 0)
+    val mixedN = out2.trim.split("\n").filter(_.contains("\"n_docs\""))
+      .map(l => """"n_docs":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong).sum
+    assert(mixedN > 0 && mixedN < keptN, s"mixture did not thin: $mixedN")
+    // flag matrix: --report-only needs no --out; half a mixture refuses
+    val (c3, out3) = capture(Cli.run(Array("curate",
+      "--docs", s"$sfDir/documents.parquet", "--report-only"), spark))
+    assert(c3 == 0 && out3.trim.split("\n").toSeq == want.toSeq)
+    val (c4, _) = capture(Cli.run(Array("curate",
+      "--docs", s"$sfDir/documents.parquet", "--out", s"$dir/x",
+      "--mix-alpha", "0.5"), spark))
+    assert(c4 == 2)
+    val (c5, _) = capture(Cli.run(Array("curate"), spark))
+    assert(c5 == 2)
+  }
 }
