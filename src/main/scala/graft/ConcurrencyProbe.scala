@@ -257,10 +257,32 @@ object ConcurrencyProbe {
           "id", indexDir, buckets = 64)
       }
       val index = graft.similarity.Knn.AdjIndex.load(spark, indexDir)
-      run(spark, s"graph(k=5,ef=$ef,hops=$hops)", n, users, reqsPerUser) {
+      // CONC_ENTRY=ivf seeds each walk from the query's own region via
+      // the driver-local centroid probe (Knn.ivfGraphEntries) — the
+      // zero-extra-job alternative to the HNSW upper descent, whose
+      // maxLevel·upperHops extra jobs measured 1028 ms p95 where this
+      // shape serves ~390 ms (SCALE.md §r12)
+      val entries =
+        if (!sys.env.get("CONC_ENTRY").contains("ivf")) None
+        else {
+          val cellsK = sys.env.getOrElse("CONC_CELLS", "64").toInt
+          val ivfDir = graft.fixtures.Fp16Corpus.workRoot +
+            s"/ivfserve3072-n$n-c$cellsK"
+          if (!graft.similarity.Knn.ivfIndexReady(ivfDir)) {
+            val fp32 = corpus.select(col("vec_id").as("id"),
+              graft.functions.fp16_decode(col("emb16")).as("embedding"))
+            graft.similarity.Knn.ivfBuildIndex(fp32, "embedding", "id",
+              ivfDir, k = cellsK, iters = 2,
+              trainFilter = col("id") % (n / 500).max(1L) === 0, fp16 = true)
+          }
+          Some(graft.similarity.Knn.ivfGraphEntries(spark, ivfDir))
+        }
+      val tag = if (entries.isDefined) ",entry=ivf" else ""
+      run(spark, s"graph(k=5,ef=$ef,hops=$hops$tag)", n, users, reqsPerUser) {
         seed =>
           val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
-          index.search(qv, k = 10, ef = ef, hops = hops, entryId = seed % n)
+          val entry = entries.fold(seed % n)(_.entryFor(qv))
+          index.search(qv, k = 10, ef = ef, hops = hops, entryId = entry)
             .collect()
       }
     }

@@ -343,14 +343,33 @@ object Knn {
           (a, b) => graft.functions.int8_cosine_codes(a, b),
           rounds, bk, checkpointEvery)
       case "pq" =>
-        // unit-normalize so the symmetric L2² tables rank like cosine
+        // unit-normalize so the symmetric L2² tables rank like cosine.
+        // TWO checkpointed steps, deliberately: HOFs run interpreted
+        // (the SCALE.md caveat), and an inline `x / sqrt(aggregate(v))`
+        // inside the transform lambda re-evaluates the whole-array
+        // aggregate PER ELEMENT once Catalyst collapses the projects —
+        // O(dim²) interpreted ops a row (measured: a 5 k × 3072 soak
+        // parked 20+ min in ArrayAggregate.eval). Materializing the
+        // norm column behind a checkpoint barrier makes it once-per-row,
+        // and the second checkpoint keeps pqTrain's m×iters Lloyd
+        // actions from re-running the normalize per subspace action.
         val norm = sqrt(aggregate(col("v"), lit(0.0d),
           (acc, x) => acc + x.cast("double") * x.cast("double")))
-        val unit = v.select(col("id"),
-          transform(col("v"), x => (x.cast("double") / norm).cast("float"))
-            .as("u"))
-        val cb = collectCodebooks(pqTrain(
-          pqTrainFilter.fold(unit)(unit.filter(_)), "u", "id",
+        val withNorm = v.select(col("id"), col("v"), norm.as("__n"))
+          .localCheckpoint()
+        val unit = withNorm.select(col("id"),
+          transform(col("v"),
+            x => (x.cast("double") / col("__n")).cast("float")).as("u"))
+          .localCheckpoint()
+        // pqTrainFilter references the CALLER's corpus columns (like
+        // ivfPqBuildIndex's): the keep-set semi-joins onto the internal
+        // unit frame by key
+        val trainUnit = pqTrainFilter.fold(unit) { f =>
+          unit.join(corpus.filter(f)
+              .select(col(keyCol).cast("long").as("id")),
+            Seq("id"), "left_semi")
+        }
+        val cb = collectCodebooks(pqTrain(trainUnit, "u", "id",
           m, ksub, pqIters))
         val tables = graft.functions.PqMath.sdcTables(cb)
         nnDescentRounds(
@@ -1341,6 +1360,66 @@ object Knn {
     writeAdjSegment(edges, corpus, vecCol, keyCol, indexDir,
       meta.getAs[Int]("buckets"), meta.getAs[Boolean]("fp16"),
       selfRows = false, selfFor = newNodes)
+  }
+
+  /** Driver-local entry selection for graph-ANN serving — the measured
+    * answer to the layered-descent job tax. The HNSW upper descent buys
+    * a query-near layer-0 entry for maxLevel·upperHops EXTRA planned
+    * point-read jobs per request; on a planner-bound runtime that tax
+    * is the whole game: at the 20-user gate the flat walk from a fixed
+    * entry serves p95 388 ms while the 2-layer descent (4 extra jobs)
+    * serves 1028 ms — twice the gate (SCALE.md §r12, same phase). This
+    * buys the same query-near property for ZERO extra jobs: the IVF
+    * centroid sidecar is already driver-resident arithmetic, and each
+    * cell's stored representative (its centroid-nearest member) seeds
+    * the walk from inside the query's own region.
+    *
+    * Setup is one job (per-cell min over the cells relation, collected
+    * as numCells rows); per request [[GraphEntries.entryFor]] is pure
+    * driver math. Compose with [[AdjIndex.search]]:
+    * `adj.search(qv, k, ef, hops, entries.entryFor(qv))`. */
+  final class GraphEntries private[Knn] (
+      cents: Array[(Long, Array[Float])], reps: Map[Long, Long])
+      extends Serializable {
+    require(cents.nonEmpty, "GraphEntries: no cells with members")
+    /** The representative member of the query's nearest non-empty cell
+      * — 0 Spark jobs, numCells·dim driver flops. */
+    def entryFor(queryVec: Array[Float]): Long =
+      reps(cents
+        .map { case (cid, cv) =>
+          (cid, graft.functions.VectorMath.cosineDistance(cv, queryVec)) }
+        .minBy { case (cid, d) => (d, cid) }._1)
+  }
+
+  /** Build [[GraphEntries]] from a persistent IVF index: per cell, the
+    * member nearest its centroid (ties to min id). Cells emptied by
+    * deletes drop out — their queries route to the nearest surviving
+    * cell. */
+  def ivfGraphEntries(spark: org.apache.spark.sql.SparkSession,
+      ivfIndexDir: String): GraphEntries = {
+    val cents = spark.read.parquet(s"$ivfIndexDir/centroids")
+      .select(col("centroid_id"), col("cvec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    require(cents.nonEmpty,
+      s"ivfGraphEntries: empty centroids sidecar at $ivfIndexDir")
+    import spark.implicits._
+    val centDf = cents.toSeq.toDF("__cid", "cvec")
+    val cells = readCells(spark, ivfIndexDir)
+    val dist =
+      if (cells.columns.contains("emb16"))
+        graft.functions.fp16_cosine_distance(col("emb16"), col("cvec"))
+      else cosine_distance(col("v"), col("cvec"))
+    val reps = cells
+      .join(broadcast(centDf),
+        col("centroid_id").cast("long") === col("__cid"))
+      .select(col("__cid"), col("id").cast("long").as("__id"),
+        dist.as("__d"))
+      .groupBy(col("__cid"))
+      .agg(min(struct(col("__d"), col("__id"))).as("m"))
+      .select(col("__cid"), col("m.__id"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    new GraphEntries(cents.filter(c => reps.contains(c._1)), reps)
   }
 
   /** Tombstone delete for the adjacency index — the O(batch) takedown
