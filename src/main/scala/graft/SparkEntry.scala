@@ -1822,6 +1822,21 @@ object SparkEntry {
         .orderBy(col("id_a"), col("rank"))
     }),
 
+    // ---- q119's descent with the ROUNDS ranked over int8 codes (1
+    //      byte/dim; integer-only cosine — scales cancel) and only the
+    //      final kept edges re-scored over fp32: the wide-vector build
+    //      path (18.5× less round shuffle measured at 3072-dim,
+    //      SCALE.md r12). The oracle replays the floor-based encode,
+    //      the code-domain cosine every round, and the exact final
+    //      re-score — quantized ranking is deterministic cross-engine
+    //      because every intermediate is IEEE double ----
+    "q149_compressed_descent" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      Knn.nnDescentGraphCompressed(e, "embedding", "vec_id", k = 5,
+          rounds = 3)
+        .orderBy(col("id_a"), col("rank"))
+    }),
+
     // ---- positional phrase search: "customer join merge" must occur as
     //      CONSECUTIVE words — posexplode filtered to the 3 terms at the
     //      generator, two (id, position) equi-joins, per-doc exact
@@ -4532,6 +4547,63 @@ object SparkEntry {
       s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
          |    CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings WHERE vec_id < 200 AND embedding IS NOT NULL),
+         |rk AS MATERIALIZED (SELECT id,
+         |  CAST(row_number() OVER (ORDER BY id) AS BIGINT) - 1 AS rk FROM v),
+         |e0 AS MATERIALIZED (SELECT DISTINCT s.id_a, m.id AS id_b
+         |  FROM ($seed) s JOIN rk m ON m.rk = s.rk_b
+         |  WHERE s.rk_b <> s.rk_a),
+         |${steps.mkString(",\n")}
+         |SELECT id_a, id_b, dist, rank FROM (
+         |  SELECT c.id_a, c.id_b, $dist AS dist,
+         |    CAST(row_number() OVER (PARTITION BY c.id_a
+         |      ORDER BY $dist, c.id_b) AS INT) AS rank
+         |  FROM e$rounds c JOIN v va ON va.id = c.id_a
+         |    JOIN v vb ON vb.id = c.id_b)
+         |WHERE rank <= $k ORDER BY id_a, rank""".stripMargin
+    },
+
+    // q149: q119's replay with the per-round ranking distance swapped to
+    // the int8 CODE domain — encode is floor(x·scale + 0.5) clamped to
+    // ±127 with scale = 127/maxabs (1 when maxabs = 0), and cosine over
+    // codes needs no scale (it divides out). Integer sums ≪ 2^53 are
+    // exact in double in any order, so the code cosine is bit-identical
+    // cross-engine; the FINAL distances re-score over fp32 like q119's.
+    "q149_compressed_descent" -> {
+      val k = 5
+      val bk = 10
+      val rounds = 3
+      val distCodes = "(1 - list_dot_product(ca.c, cb.c) / " +
+        "(sqrt(list_dot_product(ca.c, ca.c)) * " +
+        "sqrt(list_dot_product(cb.c, cb.c))))"
+      val dist = sqlCosine("va.v", "vb.v")
+      val seed = (1 to bk).map(j =>
+        s"SELECT id AS id_a, rk AS rk_a, " +
+          s"((rk % 2147483648) * 1103515245 + ${j * 12345L}) " +
+          s"% 2147483648 % (SELECT count(*) FROM v) AS rk_b FROM rk")
+        .mkString(" UNION ALL ")
+      val steps = (1 to rounds).map { r =>
+        s"""u$r AS (SELECT DISTINCT id_a, id_b FROM (
+           |  SELECT id_a, id_b FROM e${r - 1}
+           |  UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM e${r - 1})),
+           |p$r AS (SELECT DISTINCT a.id_a, b.id_b
+           |  FROM u$r a JOIN u$r b ON a.id_b = b.id_a
+           |  WHERE a.id_a <> b.id_b
+           |  UNION SELECT id_a, id_b FROM e${r - 1}),
+           |e$r AS MATERIALIZED (SELECT id_a, id_b FROM (
+           |  SELECT c.id_a, c.id_b, row_number() OVER (PARTITION BY c.id_a
+           |      ORDER BY $distCodes, c.id_b) AS rank
+           |  FROM p$r c JOIN codes ca ON ca.id = c.id_a
+           |    JOIN codes cb ON cb.id = c.id_b) WHERE rank <= $bk)""".stripMargin
+      }
+      s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
+         |    CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 200 AND embedding IS NOT NULL),
+         |codes AS MATERIALIZED (SELECT id,
+         |  list_transform(v, x -> CAST(GREATEST(-127.0, LEAST(127.0,
+         |    floor(x * (CASE WHEN mx = 0 THEN 1.0 ELSE 127.0 / mx END)
+         |      + 0.5))) AS DOUBLE)) AS c
+         |  FROM (SELECT id, v,
+         |    list_max(list_transform(v, y -> abs(y))) AS mx FROM v)),
          |rk AS MATERIALIZED (SELECT id,
          |  CAST(row_number() OVER (ORDER BY id) AS BIGINT) - 1 AS rk FROM v),
          |e0 AS MATERIALIZED (SELECT DISTINCT s.id_a, m.id AS id_b

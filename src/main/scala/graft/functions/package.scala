@@ -213,6 +213,9 @@ package object functions {
     reg.createOrReplaceTempFunction(
       "int8_cosine_distance",
       exprs => Int8CosineDistance(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "int8_cosine_codes",
+      exprs => Int8CosineCodes(exprs(0), exprs(1)), "built-in")
     // fuse decode+cosine on sessions not built through GraftExtensions
     // (extraOptimizations appends a user batch after the main optimizer)
     val extra = spark.experimental.extraOptimizations
