@@ -290,14 +290,15 @@ object ConcurrencyProbe {
     if (mode == "hnsw") {
       // layered graph-ANN serving: the `graph` mode plus the HNSW upper
       // layers — every layer built with the celled construction (see the
-      // `graph` mode note on why NN-Descent's vector-carrying proposal
-      // joins are the wrong build at 3072-dim; upper layers are 16×/256×
-      // smaller so their builds are noise), served from per-layer
-      // adjacency layouts. The per-request cost is maxLevel·upperHops +
-      // 1 + hops planned point-read jobs — the descent buys a
-      // query-near entry (recall, measured in KnnSpec) at upperHops
-      // extra tiny jobs per upper layer, where `graph` mode starts from
-      // an arbitrary seed.
+      // `graph` mode note; at 3072-dim use nnDescentGraphCompressed for
+      // descent builds — int8/PQ rounds, SCALE.md r12), served from
+      // per-layer adjacency layouts. The per-request cost is
+      // maxLevel·upperHops + 1 + hops planned point-read jobs.
+      // MEASURED (r12): the 4 extra descent jobs cost ~640 ms under the
+      // 20-user gate — p95 1028 ms vs the flat walk's 388 same-phase,
+      // 2.1× OVER the gate. This mode documents the job tax; the
+      // production entry-quality answer is `graph` + CONC_ENTRY=ivf
+      // (Knn.ivfGraphEntries — query-near entry for zero extra jobs).
       val hops = sys.env.getOrElse("CONC_GRAPH_HOPS", "3").toInt
       val ef = sys.env.getOrElse("CONC_GRAPH_EF", "20").toInt
       val upperHops = sys.env.getOrElse("CONC_HNSW_UPPERHOPS", "2").toInt
