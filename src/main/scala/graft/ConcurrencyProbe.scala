@@ -77,11 +77,12 @@ object ConcurrencyProbe {
       // after the inFilterThreshold fix let the ≥320-id shortlists
       // reach parquet as real In predicates):
       //   r=8  p95 241 ms @ recall 0.575   r=64  p95 290 ms @ 0.972
-      //   r=32 p95 247 ms @ 0.845          r=128 p95 320 ms @ 1.000*
+      //   r=32 p95 247 ms @ 0.845          r=128 p95 320 ms @ 1.000
       // r=64 is the default: recall within 0.03 of the fp16 IVF probe
-      // at ~2.7× less p95 (same phase). *r=128 is exact parity but its
-      // 1280-literal In predicate overflows default 1 MB task stacks
-      // (needs -Xss16m) — a deployment choice, not a default.
+      // at ~2.7× less p95 (same phase). r=128 is exact-recall parity;
+      // since r12's chunkedIn shortlist it serves on DEFAULT task
+      // stacks (gate-confirmed 333 ms p95; the old single-In form
+      // overflowed at 1280 literals and needed -Xss16m).
       val cellsK = sys.env.getOrElse("CONC_CELLS", "64").toInt
       val nprobe = sys.env.getOrElse("CONC_NPROBE", "4").toInt
       val refine = sys.env.getOrElse("CONC_DENSE_REFINE", "64").toInt

@@ -46,9 +46,9 @@ object GraftConfig {
     * (SCALE.md r11 refine ladder on the 200 k × 3072-dim fixture):
     * recall@10 0.972 — within 0.03 of the fp16 IVF probe's 1.000 at
     * the same nprobe — at p95 290 ms in a VM phase where that probe
-    * ran 781 ms. refine=128 reaches exact recall parity (p95 320 ms)
-    * but its 1280-literal In predicate overflows default 1 MB task
-    * stacks — an -Xss16m deployment choice, not a default. */
+    * ran 781 ms. refine=128 reaches exact recall parity (p95 333 ms,
+    * default task stacks — the old 1280-literal In overflow is gone
+    * since the chunked shortlist) for deployments that want it. */
   val DefaultPqRefine = 64
 
   /** `--pooled` chunk width when `--chunk-words` is omitted: 256 words
