@@ -1,0 +1,49 @@
+package graft
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.functions._
+object XScaleDescent {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.get()
+    spark.sparkContext.setLogLevel("ERROR")
+    val n = sys.env.getOrElse("XSD_N", "200000").toInt
+    val codec = sys.env.getOrElse("XSD_CODEC", "pq")
+    val bk = sys.env.getOrElse("XSD_BK", "10").toInt
+    val corpus = spark.read.parquet(
+        "/tmp/graft-prep/fp16corpus-sf0.1-n200000.parquet")
+      .filter(col("vec_id") < n)
+      .select(col("vec_id"), graft.functions.fp16_decode(col("emb16"))
+        .cast("array<float>").as("embedding"))
+    @volatile var shuffleBytes = 0L
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        shuffleBytes += s.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+    })
+    val t0 = System.nanoTime()
+    val g =
+      if (codec == "fp32") graft.similarity.Knn.nnDescentGraph(
+        corpus, "embedding", "vec_id", k = 5, rounds = 3, buildK = bk)
+      else graft.similarity.Knn.nnDescentGraphCompressed(
+        corpus, "embedding", "vec_id", k = 5, rounds = 3, buildK = bk,
+        codec = codec, m = 32, ksub = 64,
+        pqTrainFilter = Some(col("vec_id") % 400 === 0))
+    val rows = g.count()
+    Thread.sleep(2000)
+    println(f"SCALEDESC|$codec|n=$n|dim=3072|rounds=3|buildK=$bk|rows=$rows|" +
+      f"shuffleGB=${shuffleBytes / 1e9}%.1f|min=${(System.nanoTime() - t0) / 6e10}%.1f")
+    // recall@5 vs exact brute force on 20 sampled nodes
+    val gC = g.cache(); gC.count()
+    val ids = (0 until 20).map(i => (i * 9973L) % n)
+    val recalls = ids.map { q =>
+      val qv = corpus.filter(col("vec_id") === q).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val exact = graft.similarity.Knn.topK(
+          corpus.filter(col("vec_id") =!= q), "embedding", qv, 5, "vec_id")
+        .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      val got = gC.filter(col("id_a") === q).select(col("id_b"))
+        .collect().map(_.getLong(0)).toSet
+      exact.intersect(got).size.toDouble / 5.0
+    }
+    println(f"SCALEDESC_RECALL|mean=${recalls.sum / recalls.size}%.2f|min=${recalls.min}%.2f")
+    spark.stop()
+  }
+}
