@@ -27,10 +27,14 @@ object Knn {
     * regardless of total list size — the full value list always reaches
     * the row-group statistics (no silent (min,max)-range degradation at
     * ANY refine·k, which closes the r10 threshold-cliff class for good).
-    * Semantically identical to `idCol.isin(values: _*)`. */
+    * Semantically identical to `idCol.isin(values: _*)` — including the
+    * empty list, which matches nothing (`lit(false)`), so callers that
+    * pass a starved shortlist (e.g. a filtered refine whose predicate
+    * matched zero rows in the probed cells) get an empty result and keep
+    * their adaptive-widening loop alive instead of crashing. */
   def chunkedIn(idCol: Column, values: Seq[Any], chunk: Int = 256): Column = {
-    require(values.nonEmpty, "chunkedIn needs a non-empty value list")
     require(chunk >= 1, s"chunkedIn: need chunk >= 1, got $chunk")
+    if (values.isEmpty) return lit(false)
     def orTree(cs: IndexedSeq[Column]): Column =
       if (cs.length == 1) cs.head
       else {
@@ -357,9 +361,16 @@ object Knn {
           (acc, x) => acc + x.cast("double") * x.cast("double")))
         val withNorm = v.select(col("id"), col("v"), norm.as("__n"))
           .localCheckpoint()
+        // zero-norm guard (matches Pooling's CASE WHEN __n2 > 0): an
+        // all-zero vector passes through unchanged instead of dividing
+        // 0/0 — NaN unit rows would feed pqTrain and a single NaN
+        // training row poisons its centroid, corrupting SDC ranking
+        // corpus-wide
         val unit = withNorm.select(col("id"),
-          transform(col("v"),
-            x => (x.cast("double") / col("__n")).cast("float")).as("u"))
+          when(col("__n") > 0d,
+            transform(col("v"),
+              x => (x.cast("double") / col("__n")).cast("float")))
+            .otherwise(col("v")).as("u"))
           .localCheckpoint()
         // pqTrainFilter references the CALLER's corpus columns (like
         // ivfPqBuildIndex's): the keep-set semi-joins onto the internal
@@ -388,16 +399,30 @@ object Knn {
     * `dist` over the (id, c) relation — c is whatever representation
     * the caller chose (fp32 arrays, int8 blobs, PQ codes). Returns the
     * kept (id_a, id_b) edges at breadth `bk`. */
+  /** 0-based rank of every id by ascending id — the descent's seed
+    * numbering. zipWithIndex-derived (a range-partitioned sort, then
+    * per-partition counts + offsets), NOT `row_number` over an
+    * unpartitioned window: the window form funnels the whole corpus
+    * through ONE task's sort — column-pruned to 8-byte ids, but still a
+    * serial bottleneck at 10⁹ nodes. Identical assignment to
+    * `row_number().over(Window.orderBy(id)) - 1`. */
+  private[similarity] def seedRanks(codes: DataFrame): DataFrame = {
+    val ss = codes.sparkSession
+    import ss.implicits._
+    codes.select(col("id")).sort(col("id"))
+      .as[Long].rdd.zipWithIndex().toDF("id", "rk")
+  }
+
   private def nnDescentRounds(codes: DataFrame,
       dist: (Column, Column) => Column, rounds: Int, bk: Int,
       checkpointEvery: Int): DataFrame = {
-    val byId = Window.orderBy(col("id"))
     val n = codes.count()
     // glibc LCG over (rank, j) — partner ranks scatter uniformly, so the
     // seed graph is an expander; (x % 2^31) keeps every intermediate in
-    // BIGINT range for the SQL replay
-    val rk = codes.select(col("id"),
-      (row_number().over(byId).cast("long") - 1L).as("rk"))
+    // BIGINT range for the SQL replay. Checkpointed: the RDD-backed rank
+    // frame is referenced bk+1 times below and would re-run the sort+
+    // zip job per reference otherwise.
+    val rk = seedRanks(codes).localCheckpoint()
     var edges = (1 to bk)
       .map(j => rk.select(col("id").as("id_a"), col("rk").as("rk_a"),
         (((col("rk") % 2147483648L) * 1103515245L + lit(j * 12345L))
@@ -1743,18 +1768,38 @@ object Knn {
     * entry against the old (still-serving) layers, which is valid;
     * the reverse order would serve a deleted entry whose self-row the
     * masked layer no longer has. An emptied top layer refuses: that
-    * stack needs a rebuild at a lower maxLevel, not a masked serve. */
+    * stack needs a rebuild at a lower maxLevel, not a masked serve.
+    *
+    * `revived`: keys in the batch that the caller will IMMEDIATELY
+    * re-append (the delete-then-append refresh flow — a changed doc's
+    * old neighborhood is masked, its new vector re-links at the SAME
+    * deterministic [[hnswLevel]]). Those keys count as survivors for
+    * the entry choice and the empty-top-layer guard, so a delta that
+    * covers every top-layer member (e.g. a corpus-wide re-embed) no
+    * longer aborts the refresh. Trade-off, documented: a reader between
+    * the tombstone commit and the re-append may descend from a masked
+    * entry — a degraded (possibly empty) walk, never a crash — which
+    * is why only the refresh flow passes `revived`. */
   def hnswDeleteIndex(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, ids: DataFrame, idCol: String): Unit = {
+      indexDir: String, ids: DataFrame, idCol: String,
+      revived: Option[DataFrame] = None,
+      revivedIdCol: String = "id"): Unit = {
     val meta = spark.read.parquet(s"$indexDir/meta").head()
     val maxLevel = meta.getAs[Int]("max_level")
     val entry = meta.getAs[Long]("entry")
     val dead = ids.select(col(idCol).cast("long").as("id")).distinct()
       .localCheckpoint() // meta + N pointer commits re-read it
-    if (dead.filter(col("id") === entry).limit(1).count() > 0) {
+    // entry choice / guard only: a dead-but-reviving key keeps (or can
+    // take) the entry slot because the append right after this call
+    // restores its self-row at the same level. Tombstones below still
+    // use the FULL dead set — the old neighborhood must be masked.
+    val effDead = revived.fold(dead)(r => dead.join(
+      r.select(col(revivedIdCol).cast("long").as("id")).distinct(),
+      Seq("id"), "left_anti"))
+    if (effDead.filter(col("id") === entry).limit(1).count() > 0) {
       val top = AdjIndex.load(spark, s"$indexDir/layer$maxLevel").relation
       val next = top.filter(col("src") === col("dst"))
-        .join(dead.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(effDead.select(col("id").as("src")), Seq("src"), "left_anti")
         .agg(min(col("src"))).head()
       if (next.isNullAt(0)) throw new IllegalStateException(
         s"hnswDeleteIndex: delete would empty layer$maxLevel — rebuild " +

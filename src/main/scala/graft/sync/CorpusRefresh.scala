@@ -97,7 +97,13 @@ object CorpusRefresh {
       // new vector links fresh. Fan-out check on layer 0 (the big one —
       // upper layers accrue segments at the same rate or slower).
       hnswIndexDir.foreach { dir =>
-        graft.similarity.Knn.hnswDeleteIndex(spark, dir, deltaKeys, keyCol)
+        // added+changed keys re-append right below at the same
+        // deterministic level, so they count as survivors for the
+        // entry choice — a delta touching every top-layer member
+        // (corpus-wide re-embed) refreshes instead of aborting
+        graft.similarity.Knn.hnswDeleteIndex(spark, dir, deltaKeys, keyCol,
+          revived = Some(upserts.select(col(keyCol))),
+          revivedIdCol = keyCol)
         if (!upserts.isEmpty)
           graft.similarity.Knn.hnswAppendIndex(upserts, vecCol, keyCol, dir)
         if (overThreshold(s"$dir/layer0"))

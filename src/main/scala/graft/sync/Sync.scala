@@ -346,7 +346,13 @@ object Sync {
           .pooledEmbedding(parsed, "text", "id", cw, embedder)
           .select(col("id"),
             expr("transform(v, x -> CAST(x AS FLOAT))").as("embedding"))
+        // a doc that produces ZERO chunks (empty/whitespace text) has no
+        // pooled row — fall back to the plain embed so the pooled path
+        // never ingests NULL-embedding rows the dense serving paths
+        // would silently drop (the unpooled path always embeds)
         parsed.join(pooled, Seq("id"), "left")
+          .withColumn("embedding", coalesce(col("embedding"),
+            Embedder.embedUdf(embedder)(col("text"))))
       case None =>
         parsed.withColumn("embedding", Embedder.embedUdf(embedder)(col("text")))
     }

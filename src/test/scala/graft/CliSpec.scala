@@ -278,11 +278,25 @@ class CliSpec extends SparkTestBase {
       pageJson("h1", longDoc))
     Files.writeString(java.nio.file.Paths.get(pages, "page1.json"),
       pageJson("h2", "unrelated distractor content entirely"))
+    // a doc that chunks to NOTHING (whitespace text): the pooled path
+    // must fall back to the plain embed, not ingest a NULL embedding
+    // that every dense serving path would silently drop
+    Files.writeString(java.nio.file.Paths.get(pages, "page2.json"),
+      pageJson("h3", "   "))
 
     val (cp, _) = capture(Cli.run(Array("sync", "--backfill", "--pooled",
       "--chunk-words", "1750", "--pages-dir", pages,
       "--store", s"$dir/pooled", "--ckpt", s"$dir/ckptP"), spark))
     assert(cp == 0)
+    val pooledCur = Files.readString(
+      java.nio.file.Paths.get(s"$dir/pooled", "CURRENT")).trim
+    val pooledStore = spark.read.parquet(s"$dir/pooled/$pooledCur")
+    val embCol = if (pooledStore.columns.contains("emb16")) "emb16"
+      else "embedding"
+    assert(pooledStore.filter(
+      org.apache.spark.sql.functions.col("id") === "h3" &&
+      org.apache.spark.sql.functions.col(embCol).isNotNull).count() == 1L,
+      "zero-chunk doc lost its embedding in the pooled ingest")
     val (cq, _) = capture(Cli.run(Array("sync", "--backfill",
       "--pages-dir", pages,
       "--store", s"$dir/plain", "--ckpt", s"$dir/ckptQ"), spark))

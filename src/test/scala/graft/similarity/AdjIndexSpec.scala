@@ -341,4 +341,36 @@ class AdjIndexSpec extends SparkTestBase {
         .collect().toSeq == before)
     } finally { rmTree(dir) }
   }
+
+  test("hnswDeleteIndex(revived): a delta covering the whole top layer refreshes instead of aborting") {
+    val dir = java.nio.file.Files.createTempDirectory("hnswrev").toString + "/h"
+    try {
+      Knn.buildHnswIndex(emb, "embedding", "vec_id", dir,
+        maxLevel = 2, upperM = 3, k0 = 5, buckets = 8)
+      val entry0 = spark.read.parquet(s"$dir/meta").head().getAs[Long]("entry")
+      val topIds = Knn.AdjIndex.load(spark, s"$dir/layer2").relation
+        .filter($"src" === $"dst").select($"src".as("vec_id")).distinct()
+      assert(topIds.count() > 0)
+      // the corpus-wide re-embed shape: EVERY top-layer member is in the
+      // delta as a "changed" doc. Without revived, the guard refuses —
+      // a bare delete really would strand the stack entry-less.
+      assertThrows[IllegalStateException](
+        Knn.hnswDeleteIndex(spark, dir, topIds, "vec_id"))
+      // with revived = the same keys (they re-append right after at the
+      // same deterministic level), the delete proceeds and the entry is
+      // KEPT (dead-but-reviving): the append below restores its self-row
+      Knn.hnswDeleteIndex(spark, dir, topIds, "vec_id",
+        revived = Some(topIds), revivedIdCol = "vec_id")
+      assert(spark.read.parquet(s"$dir/meta").head()
+        .getAs[Long]("entry") == entry0)
+      val batch = emb.join(topIds, Seq("vec_id"), "left_semi")
+      Knn.hnswAppendIndex(batch, "embedding", "vec_id", dir)
+      val got = Knn.HnswIndex.load(spark, dir)
+        .search(qv, k = 5, ef = 12, hops = 3, upperHops = 3).collect()
+      assert(got.nonEmpty)
+      // the re-appended entry's self-row is live again in the top layer
+      assert(Knn.AdjIndex.load(spark, s"$dir/layer2").relation
+        .filter($"src" === entry0 && $"dst" === entry0).count() == 1L)
+    } finally { rmTree(dir) }
+  }
 }

@@ -691,6 +691,29 @@ class KnnSpec extends SparkTestBase {
       sub, "embedding", "vec_id", k = 5, rounds = 1, codec = "fp8"))
   }
 
+  test("nnDescentGraphCompressed(pq): an all-zero vector cannot poison the codebook") {
+    val sub = emb.filter($"vec_id" < 150).select($"vec_id", $"embedding")
+    // the zero-norm guard's target: unit-normalizing 0/0 would emit a
+    // NaN row into pqTrain, and ONE NaN training row drags its centroid
+    // to NaN — corrupting SDC ranking corpus-wide, not just this row
+    val zero = sub.limit(1).select(lit(900000L).as("vec_id"),
+      expr("transform(embedding, x -> CAST(0.0D AS FLOAT))").as("embedding"))
+    val corpus = sub.unionByName(zero)
+    val edges = Knn.nnDescentGraphCompressed(corpus, "embedding", "vec_id",
+        k = 5, rounds = 3, buildK = 20, codec = "pq", m = 16, ksub = 32)
+      .filter($"id_a" =!= 900000L && $"id_b" =!= 900000L)
+      .select($"id_a", $"id_b", $"dist").as[(Long, Long, Double)].collect()
+    assert(edges.nonEmpty)
+    assert(edges.forall { case (_, _, d) => !d.isNaN && !d.isInfinite })
+    // a poisoned codebook collapses the descent's keep decisions to
+    // noise — recall vs the exact graph must stay descent-grade
+    val exactE = Knn.knnGraph(sub, "embedding", "vec_id", topK = 5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val got = edges.map { case (a, b, _) => (a, b) }.toSet
+    val rec = exactE.intersect(got).size.toDouble / exactE.size
+    assert(rec >= 0.4, s"recall $rec — codebook likely NaN-poisoned")
+  }
+
   test("graphBeamSearch: converges to exact top-k neighborhood, beam broadcasts") {
     val sub = emb.filter($"vec_id" < 300)
     val edges = Knn.knnGraph(sub, "embedding", "vec_id", topK = 5)
@@ -820,13 +843,38 @@ class KnnSpec extends SparkTestBase {
           case f: org.apache.spark.sql.execution.FileSourceScanExec => f }.head
       assert(scan.metadata("PushedFilters").contains("In("),
         scan.metadata("PushedFilters").take(200))
-      // edges: empty refuses loudly, singleton degenerates to one isin
-      assertThrows[IllegalArgumentException](Knn.chunkedIn($"id", Nil))
+      // edges: empty matches nothing (isin() parity — a starved filtered
+      // refine shortlist must keep the widening loop alive, not crash),
+      // singleton degenerates to one isin
+      assert(t.filter(Knn.chunkedIn($"id", Nil)).count() == 0L)
       assert(t.filter(Knn.chunkedIn($"id", Seq(5L))).count() == 1L)
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
         .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
     }
+  }
+
+  test("seedRanks: dense 0-based rank by ascending id, no single-partition exchange") {
+    // sparse, shuffled ids across many partitions — the descent's seed
+    // numbering must equal row_number()-1 over ORDER BY id
+    val ids = Seq(907L, 3L, 55L, 41L, 8L, 999L, 12L, 500L, 77L, 0L)
+    val codes = spark.createDataset(ids).repartition(7).toDF("id")
+      .withColumn("c", lit(1))
+    val got = Knn.seedRanks(codes).as[(Long, Long)].collect().toMap
+    val want = ids.sorted.zipWithIndex.map { case (id, r) => id -> r.toLong }
+      .toMap
+    assert(got == want)
+    // the scale point of the rewrite: NO exchange funnels the corpus
+    // into one task (the old unpartitioned row_number window planned a
+    // SinglePartition shuffle before its sort)
+    val plan = Knn.seedRanks(codes).queryExecution.executedPlan
+    val single = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.outputPartitioning.numPartitions == 1 => e
+    }
+    assert(single.isEmpty, s"single-partition exchange in seed plan:\n$plan")
+    assert(plan.toString.indexOf("Window") < 0,
+      s"window in seed plan:\n$plan")
   }
 }
