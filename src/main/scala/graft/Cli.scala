@@ -18,13 +18,17 @@ import graft.sync.{HighlightStore, Sync}
   *
   *   graft.Cli sync --backfill --pages-dir D --store S --ckpt C [--pooled [--chunk-words N]]
   *   graft.Cli sync --since 2024-01-01T00:00:00Z --pages-dir D --store S --ckpt C
-  *   graft.Cli refresh --pages-dir D --store S --ckpt C [--lex-index L] [--ivf-index I]
-  *   graft.Cli index --store S --out D [--cells 64] [--fp16 true] [--attrs c1,c2]
+  *   graft.Cli refresh --pages-dir D --store S --ckpt C [--lex-index L]
+  *     [--ivf-index I] [--hnsw-index H]
+  *   graft.Cli index --store S --out D [--type ivf|graph|hnsw|lexical]
+  *     [--cells 64] [--fp16 true] [--attrs c1,c2] [--graph-k 5] [--buckets N]
   *   graft.Cli export --store S --out D [--shard-tokens 2048]
   *   graft.Cli curate --docs D.parquet --out O [--quality 0.6] [--lm-threshold -6.0]
   *     [--lm-store L] [--mix-alpha A --mix-frac F] [--shard-tokens 2048] [--report-only]
   *   graft.Cli search "query text" --k 5 --store S [--source-type T] [--hybrid true] [--mmr 0.3]
-  *   graft.Cli serve --store S [--ivf-index I | --pq-index P [--pq-refine 8]] [--nprobe 4]
+  *   graft.Cli serve --store S [--ivf-index I | --pq-index P [--pq-refine 8]
+  *     | --graph-index G [--graph-entry-ivf I] [--graph-ef 20] [--graph-hops 3]]
+  *     [--nprobe 4]
   *   graft.Cli health
   */
 object Cli {
@@ -142,7 +146,8 @@ object Cli {
     case "refresh" +: rest =>
       val f = flags(rest)
       val resolved = GraftConfig.resolve(
-        f -- Seq("lex-index", "ivf-index"), env, GraftConfig.Command.Sync,
+        f -- Seq("lex-index", "ivf-index", "hnsw-index"), env,
+        GraftConfig.Command.Sync,
         pooledFlag = rest.contains("--pooled"))
       resolved match {
         case Left(errs) => errs.foreach(System.err.println); 2
@@ -156,6 +161,7 @@ object Cli {
               cfg.storeDir, cfg.checkpointDir.get,
               lexIndexDir = f.get("lex-index"),
               ivfIndexDir = f.get("ivf-index"),
+              hnswIndexDir = f.get("hnsw-index"),
               embedder = cfg.embedder,
               pooledChunkWords = cfg.pooledChunkWords)
             println(Json.write(counts.map { case (k, v) => k -> v } +
@@ -218,39 +224,130 @@ object Cli {
     // store columns into the cells so `serve --ivf-index` can keep
     // FILTERED queries on the probe (q132's contract); --fp16 halves
     // the at-rest cells.
-    //   graft.Cli index --store S --out D [--cells 64] [--iters 2]
-    //     [--train-every 5] [--fp16 true] [--attrs col1,col2,…]
+    //   graft.Cli index --store S --out D [--type ivf|graph|hnsw|lexical]
+    //     ivf:     [--cells 64] [--iters 2] [--train-every 5] [--fp16 true]
+    //              [--attrs col1,col2,…]
+    //     graph:   [--graph-k 5] [--cells 64] [--nprobe 2] [--buckets 64]
+    //              [--fp16 true]   (flat beam-walk serving: --graph-index)
+    //     hnsw:    [--graph-k 5] [--levels 2] [--upper-m 3] [--cells 64]
+    //              [--nprobe 2] [--buckets 16] [--fp16 true]
+    //     lexical: [--buckets 64]
     case "index" +: rest =>
       val f = flags(rest)
       (f.get("store"), f.get("out")) match {
         case (Some(storeDir), Some(out)) =>
-          val badInts = Seq("cells", "iters", "train-every")
+          val typ = f.getOrElse("type", "ivf")
+          if (!Seq("ivf", "graph", "hnsw", "lexical").contains(typ)) {
+            System.err.println(
+              s"--type must be ivf, graph, hnsw or lexical, got '$typ'")
+            return 2
+          }
+          val badInts = Seq("cells", "iters", "train-every", "graph-k",
+              "nprobe", "buckets", "levels", "upper-m")
             .flatMap(k => f.get(k).filter(_.toIntOption.forall(_ <= 0))
               .map(v => s"--$k must be a positive integer, got '$v'"))
           if (badInts.nonEmpty) { badInts.foreach(System.err.println); return 2 }
-          val cells = f.get("cells").flatMap(_.toIntOption).getOrElse(64)
-          val iters = f.get("iters").flatMap(_.toIntOption).getOrElse(2)
-          val every = f.get("train-every").flatMap(_.toIntOption).getOrElse(5)
-          val attrs = f.get("attrs").toSeq.flatMap(_.split(","))
-            .map(_.trim).filter(_.nonEmpty)
+          def intOf(k: String, d: Int) = f.get(k).flatMap(_.toIntOption)
+            .getOrElse(d)
+          val cells = intOf("cells", 64)
+          val fp16 = f.get("fp16").contains("true")
           HighlightStore.read(spark, storeDir) match {
             case None =>
               System.err.println(s"no highlight store at $storeDir"); 1
             case Some(df) =>
-              val missing = attrs.filterNot(df.columns.contains)
-              if (missing.nonEmpty) {
-                System.err.println("--attrs name(s) not in the store: " +
-                  missing.mkString(", "))
-                return 2
+              import org.apache.spark.sql.functions.{col, crc32, sum, when}
+              // the graph family keys nodes by LONG ids; the store's ids
+              // are numeric strings (Readwise highlight ids), so the cast
+              // round-trips — verified here in one aggregate, because a
+              // non-numeric id would otherwise vanish into a NULL node
+              // silently
+              def numericIdsOk(): Boolean = {
+                // try_cast (ANSI cast throws on 'h1') + null-safe compare
+                // (NULL =!= 'h1' is NULL, not true — <=> catches it)
+                val bad = df.filter(col("id").isNotNull)
+                  .agg(sum(when(col("id").try_cast("long").cast("string")
+                    <=> col("id"), 0).otherwise(1)))
+                  .head().getLong(0)
+                if (bad > 0) System.err.println(s"--type $typ needs numeric " +
+                  s"store ids (graph nodes key by long); $bad ids do not " +
+                  "round-trip through CAST(id AS LONG)")
+                bad == 0
               }
-              graft.similarity.Knn.ivfBuildIndex(df, "embedding", "id", out,
-                k = cells, iters = iters,
-                trainFilter = org.apache.spark.sql.functions.crc32(
-                  org.apache.spark.sql.functions.col("id")) % every === 0,
-                fp16 = f.get("fp16").contains("true"), attrCols = attrs)
-              println(Json.write(Map("indexed" -> out, "cells" -> cells,
-                "attrs" -> attrs.mkString(","))))
-              0
+              typ match {
+                case "ivf" =>
+                  val every = intOf("train-every", 5)
+                  val attrs = f.get("attrs").toSeq.flatMap(_.split(","))
+                    .map(_.trim).filter(_.nonEmpty)
+                  val missing = attrs.filterNot(df.columns.contains)
+                  if (missing.nonEmpty) {
+                    System.err.println("--attrs name(s) not in the store: " +
+                      missing.mkString(", "))
+                    return 2
+                  }
+                  graft.similarity.Knn.ivfBuildIndex(df, "embedding", "id",
+                    out, k = cells, iters = intOf("iters", 2),
+                    trainFilter = crc32(col("id")) % every === 0,
+                    fp16 = fp16, attrCols = attrs)
+                  println(Json.write(Map("indexed" -> out, "type" -> "ivf",
+                    "cells" -> cells, "attrs" -> attrs.mkString(","))))
+                  0
+                case "graph" =>
+                  if (!numericIdsOk()) return 2
+                  val gk = intOf("graph-k", 5)
+                  val nprobe = intOf("nprobe", 2)
+                  // the 100-TB construction: neighbors searched inside
+                  // k-means cells (cellKnnGraph — the nprobe dial buys
+                  // recall linearly), never the O(n²) exact pair join.
+                  // Cells clamp to corpus size so small stores degrade
+                  // to the exact graph instead of starving k-means.
+                  val n = df.count()
+                  val c = math.max(1, math.min(cells, (n / 4).toInt))
+                  val corpus = df.filter(col("embedding").isNotNull)
+                    .select(col("id").cast("long").as("id"), col("embedding"))
+                  val edges = graft.similarity.Knn.cellKnnGraph(corpus,
+                      "embedding", "id", topK = gk, cells = c,
+                      iters = intOf("iters", 2),
+                      nprobe = math.min(nprobe, c))
+                    .select(col("id_a"), col("id_b"))
+                  graft.similarity.Knn.buildAdjacencyIndex(edges, corpus,
+                    "embedding", "id", out, buckets = intOf("buckets", 64),
+                    fp16 = fp16)
+                  println(Json.write(Map("indexed" -> out, "type" -> "graph",
+                    "graph_k" -> gk, "cells" -> c)))
+                  0
+                case "hnsw" =>
+                  if (!numericIdsOk()) return 2
+                  val gk = intOf("graph-k", 5)
+                  val nprobe = intOf("nprobe", 2)
+                  val corpus = df.filter(col("embedding").isNotNull)
+                    .select(col("id").cast("long").as("id"), col("embedding"))
+                  // per-layer celled construction: upper layers are
+                  // geometrically small, so cells clamp per layer (a
+                  // 3-node top layer trains 1 cell = the exact graph)
+                  val graphFn = (sub: org.apache.spark.sql.DataFrame,
+                      m: Int) => {
+                    val ln = sub.count()
+                    val c = math.max(1, math.min(cells, (ln / 4).toInt))
+                    graft.similarity.Knn.cellKnnGraph(sub, "embedding",
+                      "id", topK = m, cells = c,
+                      iters = intOf("iters", 2),
+                      nprobe = math.min(nprobe, c))
+                  }
+                  graft.similarity.Knn.buildHnswIndex(corpus, "embedding",
+                    "id", out, maxLevel = intOf("levels", 2),
+                    upperM = intOf("upper-m", 3), k0 = gk,
+                    buckets = intOf("buckets", 16), fp16 = fp16,
+                    graphFn = Some(graphFn))
+                  println(Json.write(Map("indexed" -> out, "type" -> "hnsw",
+                    "graph_k" -> gk, "levels" -> intOf("levels", 2))))
+                  0
+                case "lexical" =>
+                  graft.text.TextRank.buildLexicalIndex(df, "text", "id",
+                    out, buckets = intOf("buckets", 64))
+                  println(Json.write(Map(
+                    "indexed" -> out, "type" -> "lexical")))
+                  0
+              }
           }
         case _ =>
           System.err.println("index requires --store and --out"); 2
@@ -422,8 +519,36 @@ object Cli {
           // exact fp16 refine, cosine-scored — the r11 default-mode
           // promotion): same gateway contract, ~192× less probe I/O,
           // two pruned jobs per request instead of one
+          // --graph-index is the graph-ANN serving mode (the flat beam
+          // walk that PASSED the 20-user gate — 388 ms p95 fixed-entry,
+          // 356 ms with --graph-entry-ivf's zero-job query-near entries;
+          // SCALE.md §r12): same gateway contract, 1 + hops bucket-
+          // pruned point reads per request. Filtered requests fall back
+          // to the store scan (a walk reads edge rows, not attr cells).
           val denseOpt: Option[() => graft.similarity.Knn.DenseIndex] =
-            cfg.pqIndexDir match {
+            cfg.graphIndexDir match {
+              case Some(d) =>
+                if (!graft.similarity.Knn.graphIndexReady(d)) {
+                  System.err.println(s"no adjacency index at $d (build one " +
+                    "with `graft.Cli index --type graph` or drop --graph-index)")
+                  return 1
+                }
+                cfg.graphEntryIvfDir.foreach { e =>
+                  if (!graft.similarity.Knn.ivfIndexReady(e)) {
+                    System.err.println(s"no IVF index at $e for " +
+                      "--graph-entry-ivf (build one with `graft.Cli index` " +
+                      "or drop the flag for fixed-entry walks)")
+                    return 1
+                  }
+                }
+                // graph node ids are the store's numeric string ids cast
+                // long at build; idOf maps winners back so rehydration
+                // joins on the store's own key type
+                val h = graft.similarity.Knn.GraphIndex.reloading(spark, d,
+                  cfg.graphEntryIvfDir, cfg.graphEf, cfg.graphHops,
+                  idOf = (id: Long) => id.toString)
+                Some(() => h.get)
+              case None => cfg.pqIndexDir match {
               case Some(d) =>
                 if (!graft.similarity.Knn.ivfPqIndexReady(d)) {
                   System.err.println(s"no IVFADC index at $d (build one " +
@@ -459,6 +584,7 @@ object Cli {
                 () => h.get
               }
             }
+          }
           val storeHandle = HighlightStore.reloadingWarm(spark, cfg.storeDir)
           val gw = new SearchGateway(() => storeHandle.get.serving,
             cfg.embedder, denseOpt, cfg.nprobe)

@@ -246,24 +246,28 @@ object ConcurrencyProbe {
       // touches only the frontier's edge rows).
       val hops = sys.env.getOrElse("CONC_GRAPH_HOPS", "3").toInt
       val ef = sys.env.getOrElse("CONC_GRAPH_EF", "20").toInt
-      val indexDir = graft.fixtures.Fp16Corpus.workRoot + s"/adjserve3072-n$n-k5"
+      // graph out-degree — the recall dial that costs storage + per-hop
+      // read width instead of jobs (CONC_GRAPH_K=10 doubles the edge
+      // rows a frontier read returns; job count is unchanged)
+      val gk = sys.env.getOrElse("CONC_GRAPH_K", "5").toInt
+      val indexDir = graft.fixtures.Fp16Corpus.workRoot +
+        s"/adjserve3072-n$n-k$gk"
       if (!new java.io.File(s"$indexDir/CURRENT").isFile) {
         val fp32 = corpus.select(col("vec_id").as("id"),
           graft.functions.fp16_decode(col("emb16")).as("embedding"))
         val edges = graft.similarity.Knn.cellKnnGraph(
-            fp32, "embedding", "id", topK = 5,
+            fp32, "embedding", "id", topK = gk,
             cells = (n / 800).max(8L).toInt, iters = 2, nprobe = 2)
           .select(col("id_a"), col("id_b"))
         graft.similarity.Knn.buildAdjacencyIndex(edges, fp32, "embedding",
           "id", indexDir, buckets = 64)
       }
-      val index = graft.similarity.Knn.AdjIndex.load(spark, indexDir)
       // CONC_ENTRY=ivf seeds each walk from the query's own region via
       // the driver-local centroid probe (Knn.ivfGraphEntries) — the
       // zero-extra-job alternative to the HNSW upper descent, whose
       // maxLevel·upperHops extra jobs measured 1028 ms p95 where this
       // shape serves ~390 ms (SCALE.md §r12)
-      val entries =
+      val entryIvf =
         if (!sys.env.get("CONC_ENTRY").contains("ivf")) None
         else {
           val cellsK = sys.env.getOrElse("CONC_CELLS", "64").toInt
@@ -276,15 +280,19 @@ object ConcurrencyProbe {
               ivfDir, k = cellsK, iters = 2,
               trainFilter = col("id") % (n / 500).max(1L) === 0, fp16 = true)
           }
-          Some(graft.similarity.Knn.ivfGraphEntries(spark, ivfDir))
+          Some(ivfDir)
         }
-      val tag = if (entries.isDefined) ",entry=ivf" else ""
-      run(spark, s"graph(k=5,ef=$ef,hops=$hops$tag)", n, users, reqsPerUser) {
-        seed =>
+      // the PRODUCT path: the same Knn.GraphIndex the gateway routes for
+      // `Cli serve --graph-index` (fixed min-id entry, or --graph-entry-ivf)
+      val index = graft.similarity.Knn.GraphIndex.load(spark, indexDir,
+        entryIvf, ef = ef, hops = hops)
+      val tag = if (entryIvf.isDefined) ",entry=ivf" else ",entry=fixed"
+      recall10(spark, corpus, n, s"graph(k=$gk,ef=$ef,hops=$hops$tag)") {
+        qv => index.servingTopK(qv, 10, 0, None).map(_.getLong(0)) }
+      run(spark, s"graph(k=$gk,ef=$ef,hops=$hops$tag)", n, users,
+        reqsPerUser) { seed =>
           val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
-          val entry = entries.fold(seed % n)(_.entryFor(qv))
-          index.search(qv, k = 10, ef = ef, hops = hops, entryId = entry)
-            .collect()
+          require(index.servingTopK(qv, 10, 0, None).nonEmpty)
       }
     }
 
@@ -318,6 +326,10 @@ object ConcurrencyProbe {
           })
       }
       val index = graft.similarity.Knn.HnswIndex.load(spark, indexDir)
+      recall10(spark, corpus, n,
+        s"hnsw(k=5,ef=$ef,hops=$hops,upperHops=$upperHops)") { qv =>
+          index.search(qv, 10, ef, hops, upperHops)
+            .collect().map(_.getLong(0)).toSeq }
       run(spark, s"hnsw(k=5,ef=$ef,hops=$hops,upperHops=$upperHops)", n,
         users, reqsPerUser) { seed =>
           val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
@@ -440,6 +452,32 @@ object ConcurrencyProbe {
     }
 
     spark.stop()
+  }
+
+  /** Recall@10 vs exact brute-force cosine over the corpus, printed
+    * beside the latency line so the mode ships a recall+latency PAIR
+    * (the refine-ladder contract every promoted serving mode carries —
+    * SCALE.md r11; the r12 verdict flagged graph serving as
+    * latency-only). Queries are the SAME corpus vectors the latency
+    * run replays; the oracle is [[graft.similarity.Knn.topK]] over the
+    * fp16-decoded corpus (what the index stores — the precision a
+    * served request can possibly recover). env: CONC_RECALL_QS
+    * (default 20; 0 skips the pass). */
+  private def recall10(spark: org.apache.spark.sql.SparkSession,
+      corpus: org.apache.spark.sql.DataFrame, n: Long, label: String)(
+      search: Array[Float] => Seq[Long]): Unit = {
+    val qs = sys.env.getOrElse("CONC_RECALL_QS", "20").toInt
+    if (qs == 0) return
+    val fp32 = corpus.select(col("vec_id"),
+      graft.functions.fp16_decode(col("emb16")).as("embedding"))
+    val recalls = (0 until qs).map { i =>
+      val qv = graft.fixtures.Fp16Corpus.vector((i * 9973L + 17L) % n)
+      val exact = graft.similarity.Knn.topK(fp32, "embedding", qv, 10,
+        "vec_id").select(col("vec_id")).collect().map(_.getLong(0)).toSet
+      exact.intersect(search(qv).toSet).size / 10.0
+    }
+    println(f"RECALL10|mode=$label|qs=$qs|" +
+      f"mean=${recalls.sum / recalls.size}%.3f|min=${recalls.min}%.3f")
   }
 
   /** Warm serially, then drive `users` closed-loop threads, each in its

@@ -28,7 +28,11 @@ final case class GraftConfig(
     pqIndexDir: Option[String] = None,
     pqRefine: Int = GraftConfig.DefaultPqRefine,
     nprobe: Int = GraftConfig.DefaultNprobe,
-    pooledChunkWords: Option[Int] = None) {
+    pooledChunkWords: Option[Int] = None,
+    graphIndexDir: Option[String] = None,
+    graphEntryIvfDir: Option[String] = None,
+    graphEf: Int = GraftConfig.DefaultGraphEf,
+    graphHops: Int = GraftConfig.DefaultGraphHops) {
 
   /** The embedder this configuration describes. */
   def embedder: graft.embed.Embedder =
@@ -50,6 +54,17 @@ object GraftConfig {
     * default task stacks — the old 1280-literal In overflow is gone
     * since the chunked shortlist) for deployments that want it. */
   val DefaultPqRefine = 64
+
+  /** Beam width for `--graph-index` serving when `--graph-ef` is
+    * omitted: the gate-measured config (ef=20, hops=3 at k=10 — p95
+    * 388 ms fixed-entry / 356 ms ivf-entry, SCALE.md §r12). The serving
+    * walk widens ef to k automatically when a request's k exceeds it. */
+  val DefaultGraphEf = 20
+
+  /** Walk depth for `--graph-index` serving when `--graph-hops` is
+    * omitted — each hop is one bucket-pruned point-read job, so hops is
+    * the latency dial (the gate config). */
+  val DefaultGraphHops = 3
 
   /** `--pooled` chunk width when `--chunk-words` is omitted: 256 words
     * ≈ a few hundred tokens per chunk — small enough that every chunk
@@ -85,9 +100,27 @@ object GraftConfig {
     if (config.nprobe < 1)
       errs += "NPROBE (--nprobe / GRAFT_NPROBE) must be a positive " +
         s"integer, got ${config.nprobe}"
-    if (config.ivfIndexDir.isDefined && config.pqIndexDir.isDefined)
-      errs += "IVF_INDEX_DIR (--ivf-index) and PQ_INDEX_DIR (--pq-index) " +
-        "are mutually exclusive — the gateway serves through ONE dense index"
+    val denseModes = Seq(
+      "IVF_INDEX_DIR (--ivf-index)" -> config.ivfIndexDir,
+      "PQ_INDEX_DIR (--pq-index)" -> config.pqIndexDir,
+      "GRAPH_INDEX_DIR (--graph-index)" -> config.graphIndexDir)
+      .collect { case (n, Some(_)) => n }
+    if (denseModes.size > 1)
+      errs += denseModes.mkString(" and ") +
+        " are mutually exclusive — the gateway serves through ONE dense index"
+    // graph-walk knobs pair with --graph-index the way pq-refine pairs
+    // with --pq-index: validated only when the graph path is selected
+    if (config.graphIndexDir.isDefined) {
+      if (config.graphEf < 1)
+        errs += "GRAPH_EF (--graph-ef / GRAFT_GRAPH_EF) must be a positive " +
+          s"beam width, got ${config.graphEf}"
+      if (config.graphHops < 1)
+        errs += "GRAPH_HOPS (--graph-hops / GRAFT_GRAPH_HOPS) must be a " +
+          s"positive hop count, got ${config.graphHops}"
+    } else if (config.graphEntryIvfDir.isDefined)
+      errs += "GRAPH_ENTRY_IVF (--graph-entry-ivf) requires " +
+        "GRAPH_INDEX_DIR (--graph-index) — it selects walk entries for " +
+        "the graph serving mode"
     config.pooledChunkWords.foreach { cw =>
       if (cw < 1)
         errs += "CHUNK_WORDS (--chunk-words / GRAFT_CHUNK_WORDS) must be " +
@@ -158,7 +191,9 @@ object GraftConfig {
         "chunk-words" -> syncInScope,
         "http-port" -> portsInScope, "mcp-port" -> portsInScope,
         "ivf-index" -> portsInScope, "nprobe" -> portsInScope,
-        "pq-index" -> portsInScope, "pq-refine" -> portsInScope))
+        "pq-index" -> portsInScope, "pq-refine" -> portsInScope,
+        "graph-index" -> portsInScope, "graph-entry-ivf" -> portsInScope,
+        "graph-ef" -> portsInScope, "graph-hops" -> portsInScope))
       if (!ok && flags.contains(flag))
         errs += s"--$flag is not a ${command.name} option"
     val fp16 = fp16Flag || (if (!syncInScope) false
@@ -210,7 +245,22 @@ object GraftConfig {
         DefaultPqRefine) else DefaultPqRefine,
       nprobe = if (portsInScope) int("nprobe", "NPROBE", DefaultNprobe)
         else DefaultNprobe,
-      pooledChunkWords = pooledChunkWords)
+      pooledChunkWords = pooledChunkWords,
+      graphIndexDir = if (portsInScope) str("graph-index", "GRAPH_INDEX_DIR")
+        else None,
+      graphEntryIvfDir = if (portsInScope)
+        str("graph-entry-ivf", "GRAPH_ENTRY_IVF") else None,
+      graphEf = if (portsInScope) int("graph-ef", "GRAPH_EF", DefaultGraphEf)
+        else DefaultGraphEf,
+      graphHops = if (portsInScope) int("graph-hops", "GRAPH_HOPS",
+        DefaultGraphHops) else DefaultGraphHops)
+    // explicit walk-knob flags without the graph mode are a silent drop
+    // (the env-only form is ignored garbage, like ambient GRAFT_PQ_REFINE)
+    if (candidate.graphIndexDir.isEmpty)
+      Seq("graph-ef", "graph-hops").filter(flags.contains).foreach { fl =>
+        errs += s"--$fl requires --graph-index (it dials the graph " +
+          "serving walk)"
+      }
     (errs.result(), validated(candidate)) match {
       case (Nil, v)         => v
       case (es, Left(more)) => Left(es ++ more)

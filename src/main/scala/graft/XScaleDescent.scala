@@ -8,8 +8,8 @@ object XScaleDescent {
     val n = sys.env.getOrElse("XSD_N", "200000").toInt
     val codec = sys.env.getOrElse("XSD_CODEC", "pq")
     val bk = sys.env.getOrElse("XSD_BK", "10").toInt
-    val corpus = spark.read.parquet(
-        "/tmp/graft-prep/fp16corpus-sf0.1-n200000.parquet")
+    val corpus = graft.fixtures.Fp16Corpus
+      .prepared(spark, "/root/testdata/sf0.1", 200000L)
       .filter(col("vec_id") < n)
       .select(col("vec_id"), graft.functions.fp16_decode(col("emb16"))
         .cast("array<float>").as("embedding"))

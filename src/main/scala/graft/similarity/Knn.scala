@@ -1842,15 +1842,68 @@ object Knn {
     * jobs per request, none corpus-sized; scores carry the index's
     * storage precision (fp16 by default), exactly [[AdjIndex.search]]'s
     * contract per layer. */
+  /** One upper layer held driver-side: out-adjacency plus each member's
+    * stored vector (fp16 blob or fp32 array — scored with the SAME
+    * double-accumulation kernels the distributed walk's column
+    * expressions use, so the resident descent is bit-identical to the
+    * per-job one). Memory is nodes · (adjacency + dim · 2 or 4 B) —
+    * the [[HnswIndex.load]] budget bounds it. */
+  private final class ResidentLayer(
+      neighbors: scala.collection.Map[Long, Array[Long]],
+      vecs16: scala.collection.Map[Long, Array[Byte]],
+      vecs32: scala.collection.Map[Long, Array[Float]]) {
+    private def score(id: Long, q: Array[Float], qNorm: Double): Double =
+      if (vecs16.nonEmpty)
+        graft.functions.VectorMath.cosineDistanceHalfPre(vecs16(id), q, qNorm)
+      else graft.functions.VectorMath.cosineDistance(vecs32(id), q)
+
+    /** The ef=1 greedy descent of [[AdjIndex.search]] replayed locally:
+      * move to the best-scoring neighbor under (dist, id) ordering,
+      * stop on convergence or after `hops` moves — identical node
+      * choice, zero Spark jobs. */
+    def descend(q: Array[Float], entry: Long, hops: Int): Long = {
+      val qNorm = {
+        var s = 0.0; var i = 0
+        while (i < q.length) { s += q(i).toDouble * q(i).toDouble; i += 1 }
+        math.sqrt(s)
+      }
+      var cur = entry
+      var curD = score(cur, q, qNorm)
+      var hop = 0
+      var moved = true
+      while (hop < hops && moved) {
+        moved = false
+        var bestId = cur
+        var bestD = curD
+        neighbors.getOrElse(cur, Array.empty[Long]).foreach { nb =>
+          val d = score(nb, q, qNorm)
+          if (d < bestD || (d == bestD && nb < bestId)) {
+            bestD = d; bestId = nb
+          }
+        }
+        if (bestId != cur) { cur = bestId; curD = bestD; moved = true }
+        hop += 1
+      }
+      cur
+    }
+  }
+
   final class HnswIndex private (layers: IndexedSeq[AdjIndex],
-      val entryId: Long, maxLevel: Int) {
+      val entryId: Long, maxLevel: Int,
+      resident: Map[Int, ResidentLayer]) {
+    /** Levels whose descent is driver-resident (contiguous from the
+      * top); levels ≥ 1 outside this set are SKIPPED — see [[load]]. */
+    private[similarity] def residentLevels: Set[Int] = resident.keySet
+
     def search(queryVec: Array[Float], k: Int, ef: Int, hops: Int,
         upperHops: Int = 4): DataFrame = {
       var cur = entryId
       var l = maxLevel
       while (l >= 1) {
-        cur = layers(l).search(queryVec, k = 1, ef = 1, hops = upperHops,
-          entryId = cur).head().getLong(0)
+        resident.get(l) match {
+          case Some(rl) => cur = rl.descend(queryVec, cur, upperHops)
+          case None => // over budget: skip (level nesting keeps cur valid)
+        }
         l -= 1
       }
       layers(0).search(queryVec, k, ef, hops, entryId = cur)
@@ -1858,13 +1911,70 @@ object Knn {
   }
 
   object HnswIndex {
+    /** Upper-layer residency budget (total nodes across levels ≥ 1)
+      * when [[load]]'s caller does not size it: 250 k nodes ≈ 1.5 GB
+      * of driver heap at 3072-dim fp16 (and 32 MB at the 64-dim CLI
+      * default) — centroid-sidecar-sized state, not a dataset. */
+    val DefaultResidentNodes = 250000L
+
+    /** Load the serving stack. Upper layers are held DRIVER-RESIDENT,
+      * top-down, while their cumulative node count fits
+      * `residentNodes`: the upper descent then costs ZERO Spark jobs
+      * per request — the whole request is 1 + hops bucket-pruned reads,
+      * the same job shape as the flat [[GraphIndex]] walk that passed
+      * the 20-user serving gate at 388 ms p95, where the per-job
+      * descent's maxLevel·upperHops extra point-reads measured 1028 ms
+      * (2.1× OVER the gate; SCALE.md §r12 — job count, not bytes, is
+      * what a planner-bound runtime pays for).
+      *
+      * A level past the budget — and every level below it, keeping the
+      * resident set a contiguous top — is SKIPPED during descent, not
+      * walked per-job: level sets nest, so the deepest resident level's
+      * result is a valid entry for layer 0, and entry quality degrades
+      * one resolution step per skipped level instead of re-paying the
+      * gate-failing job tax. (At 10⁹ nodes with 4× level decay, levels
+      * ≥ 3 fit any reasonable budget; skipping levels 2..1 leaves entry
+      * selection at 64-cell granularity — still query-near, like
+      * [[ivfGraphEntries]] with coarser cells.) */
     def load(spark: org.apache.spark.sql.SparkSession,
-        indexDir: String): HnswIndex = {
+        indexDir: String,
+        residentNodes: Long = DefaultResidentNodes): HnswIndex = {
       val meta = spark.read.parquet(s"$indexDir/meta").head()
       val maxLevel = meta.getAs[Int]("max_level")
       val layers = (0 to maxLevel).map(l =>
         AdjIndex.load(spark, s"$indexDir/layer$l"))
-      new HnswIndex(layers, meta.getAs[Long]("entry"), maxLevel)
+      var budget = residentNodes
+      val resident = Map.newBuilder[Int, ResidentLayer]
+      var l = maxLevel
+      var fits = true
+      while (l >= 1 && fits) {
+        val rel = layers(l).relation
+        val fp16 = rel.schema("dvec").dataType ==
+          org.apache.spark.sql.types.BinaryType
+        // one narrow job per resident layer, at LOAD time: self-rows
+        // carry each member's vector, non-self rows the adjacency
+        val rows = rel.select(col("src"), col("dst"), col("dvec")).collect()
+        val memberRows = rows.filter(r => r.getLong(0) == r.getLong(1))
+        if (memberRows.length > budget) fits = false
+        else {
+          budget -= memberRows.length
+          val nbrs = rows.filter(r => r.getLong(0) != r.getLong(1))
+            .groupBy(_.getLong(0))
+            .map { case (s, rs) => s -> rs.map(_.getLong(1)).sorted }
+          val v16 =
+            if (fp16) memberRows
+              .map(r => r.getLong(0) -> r.getAs[Array[Byte]](2)).toMap
+            else Map.empty[Long, Array[Byte]]
+          val v32 =
+            if (fp16) Map.empty[Long, Array[Float]]
+            else memberRows
+              .map(r => r.getLong(0) -> r.getSeq[Float](2).toArray).toMap
+          resident += l -> new ResidentLayer(nbrs, v16, v32)
+          l -= 1
+        }
+      }
+      new HnswIndex(layers, meta.getAs[Long]("entry"), maxLevel,
+        resident.result())
     }
 
     /** [[load]] behind a generation check spanning EVERY layer's pointer
@@ -1882,6 +1992,90 @@ object Knn {
           .mkString("||"),
         minCheckIntervalMs)(load(spark, indexDir))
     }
+  }
+
+  /** Whether a [[buildAdjacencyIndex]] layout has committed at `indexDir`
+    * — the serve-time precondition probe ([[ivfIndexReady]]'s sibling):
+    * both the segment pointer and the meta sidecar must exist. */
+  def graphIndexReady(indexDir: String): Boolean =
+    new java.io.File(s"$indexDir/CURRENT").isFile &&
+      new java.io.File(s"$indexDir/meta/_SUCCESS").isFile
+
+  /** Graph-ANN serving behind the [[DenseIndex]] contract — the flat
+    * beam walk over a persistent [[buildAdjacencyIndex]] layout, so
+    * `--graph-index` is a gateway deployment choice exactly like the
+    * fp16-IVF and IVFADC modes (this is the mode that PASSED the
+    * 20-user serving gate at 388 ms p95 fixed-entry / 356 ms ivf-entry,
+    * where the layered HNSW descent's per-request job tax failed it —
+    * SCALE.md §r12). Per request: 1 + hops bucket-pruned point-read
+    * jobs, plus ZERO for entry selection ([[GraphEntries]] is driver
+    * arithmetic when `entries` is given; otherwise the fixed entry
+    * resolved once at load).
+    *
+    * `attrColumns` is empty by construction — a beam walk reads edge
+    * rows, not attribute-carrying cells, so [[graft.serve.SearchGateway]]
+    * routes every filtered request to the store scan (the plan that can
+    * evaluate the predicate) and only filterless top-k lands here.
+    *
+    * `idOf` maps the graph's long node ids back to the caller's key
+    * domain (the highlight store keys by numeric STRING ids; the CLI
+    * passes `_.toString` so rehydration joins on the store's own type). */
+  final class GraphIndex private[Knn] (adj: AdjIndex,
+      entries: Option[GraphEntries], fixedEntry: Long,
+      ef: Int, hops: Int, idOf: Long => Any) extends DenseIndex {
+    val attrColumns: Seq[String] = Nil
+    /** ≤ k (id, score) rows by (score, id); `nprobe` is ignored — the
+      * graph mode's recall dials are ef and hops, fixed per deployment
+      * (widening ef per request would change the walk's job shape). */
+    def servingTopK(queryVec: Array[Float], k: Int, nprobe: Int,
+        filter: Option[Column]): Array[org.apache.spark.sql.Row] = {
+      require(filter.isEmpty, "GraphIndex cannot evaluate attribute " +
+        "predicates; the gateway must route filtered requests to the store")
+      val entry = entries.fold(fixedEntry)(_.entryFor(queryVec))
+      adj.search(queryVec, k, math.max(ef, k), hops, entry)
+        .collect()
+        .map(r => org.apache.spark.sql.Row(idOf(r.getLong(0)), r.getDouble(1)))
+    }
+  }
+
+  object GraphIndex {
+    /** Serving handle over an adjacency layout. `entryIvfDir` opts into
+      * query-near entry selection via [[ivfGraphEntries]] (an IVF index
+      * over the same corpus — zero extra jobs per request); without it
+      * every walk starts from the index's min live node id, resolved
+      * here with one narrow job. */
+    def load(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+        entryIvfDir: Option[String] = None, ef: Int = 20, hops: Int = 3,
+        idOf: Long => Any = identity[Long] _): GraphIndex = {
+      require(ef >= 1 && hops >= 1,
+        s"GraphIndex: need ef >= 1 and hops >= 1, got ef=$ef hops=$hops")
+      val adj = AdjIndex.load(spark, indexDir)
+      val entries = entryIvfDir.map(d => ivfGraphEntries(spark, d))
+      val fixed =
+        if (entries.isDefined) -1L
+        else adj.relation.agg(min(col("src"))).head() match {
+          case r if r.isNullAt(0) => throw new IllegalStateException(
+            s"GraphIndex: adjacency index at $indexDir has no live nodes")
+          case r => r.getLong(0)
+        }
+      new GraphIndex(adj, entries, fixed, ef, hops, idOf)
+    }
+
+    /** [[load]] behind a generation check spanning the adjacency
+      * pointer AND (when given) the entry IVF's — a refresh of either
+      * serves at the next request, and the fixed entry / entry table
+      * re-resolve against the new generation. */
+    def reloading(spark: org.apache.spark.sql.SparkSession,
+        indexDir: String, entryIvfDir: Option[String] = None,
+        ef: Int = 20, hops: Int = 3, idOf: Long => Any = identity[Long] _,
+        minCheckIntervalMs: Long = 0L)
+        : graft.sync.Reloading[GraphIndex] =
+      graft.sync.Reloading.withFingerprint(() =>
+        (graft.sync.Reloading.fingerprintOf(spark, indexDir, Seq("meta")) +:
+          entryIvfDir.toSeq.map(d => graft.sync.Reloading
+            .fingerprintOf(spark, d, Seq("centroids"))))
+          .mkString("||"),
+        minCheckIntervalMs)(load(spark, indexDir, entryIvfDir, ef, hops, idOf))
   }
 
   /** Exact re-rank of an ADC shortlist (the refinement stage FAISS calls

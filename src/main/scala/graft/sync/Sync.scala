@@ -419,7 +419,8 @@ object Sync {
       embedder: Embedder = Embedder.Default,
       now: () => Instant = () => Instant.now(),
       spoolDir: Option[String] = None,
-      pooledChunkWords: Option[Int] = None): Map[String, Long] =
+      pooledChunkWords: Option[Int] = None,
+      hnswIndexDir: Option[String] = None): Map[String, Long] =
     timed {
       val spool = spoolDir.getOrElse(
         s"$checkpointDir/refresh-spool-${System.nanoTime()}")
@@ -427,7 +428,8 @@ object Sync {
         val snapshot = spooledHighlights(spark, client.export(None), spool,
           embedder, version = now().toEpochMilli, pooledChunkWords)
         val delta = CorpusRefresh.refresh(spark, snapshot, "text", "id",
-          storeDir, lexIndexDir = lexIndexDir, ivfIndexDir = ivfIndexDir)
+          storeDir, lexIndexDir = lexIndexDir, ivfIndexDir = ivfIndexDir,
+          hnswIndexDir = hnswIndexDir)
         val counts = delta.groupBy(col("status")).count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         delta.unpersist()

@@ -92,6 +92,132 @@ class CliSpec extends SparkTestBase {
     assert(hits.nonEmpty)
   }
 
+  test("index --type graph/hnsw/lexical: build → serve → delete → refresh round-trip") {
+    val dir = Files.createTempDirectory("graft-cli-graph").toString
+    val pages1 = s"$dir/pages1"; val pages2 = s"$dir/pages2"
+    val store = s"$dir/store"; val ckpt = s"$dir/ckpt"
+    val graph = s"$dir/graph"; val hnsw = s"$dir/hnsw"; val lexi = s"$dir/lex"
+    Files.createDirectories(java.nio.file.Paths.get(pages1))
+    Files.createDirectories(java.nio.file.Paths.get(pages2))
+    // numeric string ids — the Readwise id domain the graph family's
+    // long node keys round-trip through
+    val texts = Seq(
+      "1" -> "spark joins and shuffles",
+      "2" -> "spark shuffles and joins again",
+      "3" -> "completely different topic words",
+      "4" -> "quantum entanglement and physics",
+      "5" -> "gardening tips for tomato plants",
+      "6" -> "spark partitions and shuffles tuning",
+      "7" -> "tomato garden watering schedule",
+      "8" -> "physics of entangled particles")
+    texts.zipWithIndex.foreach { case ((id, tx), i) =>
+      Files.writeString(java.nio.file.Paths.get(pages1, f"page$i%02d.json"),
+        pageJson(id, tx)) }
+    assert(capture(Cli.run(Array("sync", "--backfill", "--pages-dir", pages1,
+      "--store", store, "--ckpt", ckpt), spark))._1 == 0)
+
+    // bad --type fails fast
+    assert(capture(Cli.run(Array("index", "--store", store, "--out", graph,
+      "--type", "bogus"), spark))._1 == 2)
+
+    // flat graph index via the CLI
+    val (cg, outg) = capture(Cli.run(Array("index", "--store", store,
+      "--out", graph, "--type", "graph", "--graph-k", "3", "--cells", "2",
+      "--buckets", "4"), spark))
+    assert(cg == 0, outg)
+    assert(outg.contains("\"type\":\"graph\""), outg)
+    assert(graft.similarity.Knn.graphIndexReady(graph))
+
+    // the serve path: gateway + GraphIndex returns store rows keyed by
+    // the STORE's string ids (the idOf round-trip), best match first
+    val embedder = graft.embed.Embedder.Default
+    def gw(idx: graft.similarity.Knn.DenseIndex) =
+      new graft.serve.SearchGateway(
+        () => graft.sync.HighlightStore.read(spark, store).get, embedder,
+        Some(() => idx), 4)
+    def ask(g: graft.serve.SearchGateway, q: String, k: Int) = {
+      val Right(p) = graft.serve.SearchParams.fromHttp(q, k): @unchecked
+      g.search(p).toSeq
+    }
+    val gi = graft.similarity.Knn.GraphIndex.load(spark, graph,
+      ef = 8, hops = 3, idOf = (id: Long) => id.toString)
+    val rows = ask(gw(gi), "spark joins and shuffles", 3)
+    assert(rows.nonEmpty && rows.head("id") == "1", rows.map(_("id")))
+    assert(rows.head.contains("score") && rows.head.contains("text"))
+
+    // filtered requests fall back to the store scan (a walk carries no
+    // attr columns) — they still serve, from the one plan that can
+    // evaluate the predicate
+    val Right(fp) = graft.serve.SearchParams.fromHttp(
+      "spark joins and shuffles", 3, sourceType = Some("books")): @unchecked
+    assert(gw(gi).search(fp).toSeq.nonEmpty)
+
+    // delete: tombstone node 1; the walk stops serving it on reload
+    import spark.implicits._
+    graft.similarity.Knn.adjDeleteIndex(spark, graph,
+      Seq(1L).toDF("id"), "id")
+    val gi2 = graft.similarity.Knn.GraphIndex.load(spark, graph,
+      ef = 8, hops = 3, idOf = (id: Long) => id.toString)
+    val rows2 = ask(gw(gi2), "spark joins and shuffles", 3)
+    assert(rows2.nonEmpty && !rows2.exists(_("id") == "1"),
+      rows2.map(_("id")))
+
+    // hnsw stack via the CLI, then `refresh --hnsw-index` drives it:
+    // id 5 removed upstream, id 2 edited, id 9 added
+    assert(capture(Cli.run(Array("index", "--store", store, "--out", hnsw,
+      "--type", "hnsw", "--graph-k", "3", "--levels", "1", "--cells", "2",
+      "--buckets", "4"), spark))._1 == 0)
+    val texts2 = texts.filterNot(_._1 == "5").map {
+      case ("2", _) => "2" -> "spark shuffles edited zebra content"
+      case other => other
+    } :+ ("9" -> "brand new quokka highlight")
+    texts2.zipWithIndex.foreach { case ((id, tx), i) =>
+      Files.writeString(java.nio.file.Paths.get(pages2, f"page$i%02d.json"),
+        pageJson(id, tx)) }
+    val (cr, outr) = capture(Cli.run(Array("refresh", "--pages-dir", pages2,
+      "--store", store, "--ckpt", ckpt, "--hnsw-index", hnsw), spark))
+    assert(cr == 0, outr)
+    assert(outr.contains("\"added\":1") && outr.contains("\"changed\":1")
+      && outr.contains("\"removed\":1"), outr)
+    val idx = graft.similarity.Knn.HnswIndex.load(spark, hnsw)
+    val got9 = idx.search(embedder.embed("brand new quokka highlight"),
+      k = 3, ef = 12, hops = 4).collect()
+    assert(got9.nonEmpty && got9.head.getLong(0) == 9L, got9.toSeq)
+    val got5 = idx.search(embedder.embed("gardening tips for tomato plants"),
+      k = 8, ef = 16, hops = 4).collect()
+    assert(got5.nonEmpty && got5.forall(_.getLong(0) != 5L), got5.toSeq)
+
+    // the refreshed stack's layer0 is itself a --graph-index target:
+    // the gate-passing flat walk over the maintained graph
+    val gl0 = graft.similarity.Knn.GraphIndex.load(spark, s"$hnsw/layer0",
+      ef = 12, hops = 4, idOf = (id: Long) => id.toString)
+    val rows9 = ask(gw(gl0), "brand new quokka highlight", 1)
+    assert(rows9.nonEmpty && rows9.head("id") == "9", rows9.map(_("id")))
+
+    // lexical index via the CLI serves the refreshed corpus
+    assert(capture(Cli.run(Array("index", "--store", store, "--out", lexi,
+      "--type", "lexical", "--buckets", "4"), spark))._1 == 0)
+    val lexHits = graft.text.TextRank.LexIndex.load(spark, lexi)
+      .search(Seq("quokka"), k = 3)
+      .select(org.apache.spark.sql.functions.col("id"))
+      .collect().map(_.getString(0)).toSeq
+    assert(lexHits == Seq("9"), lexHits)
+  }
+
+  test("index --type graph refuses non-numeric store ids with a specific message") {
+    val dir = Files.createTempDirectory("graft-cli-gnn").toString
+    val pages = s"$dir/pages"
+    Files.createDirectories(java.nio.file.Paths.get(pages))
+    Files.writeString(java.nio.file.Paths.get(pages, "page0.json"),
+      pageJson("h1", "non numeric id content"))
+    assert(capture(Cli.run(Array("sync", "--backfill", "--pages-dir", pages,
+      "--store", s"$dir/store", "--ckpt", s"$dir/ckpt"), spark))._1 == 0)
+    assert(capture(Cli.run(Array("index", "--store", s"$dir/store",
+      "--out", s"$dir/g", "--type", "graph"), spark))._1 == 2)
+    assert(capture(Cli.run(Array("index", "--store", s"$dir/store",
+      "--out", s"$dir/h", "--type", "hnsw"), spark))._1 == 2)
+  }
+
   test("export writes shard dirs and prints the manifest; bad flags fail fast") {
     val dir = Files.createTempDirectory("graft-cli-exp").toString
     val pages = s"$dir/pages"

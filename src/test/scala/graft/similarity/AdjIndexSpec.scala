@@ -83,6 +83,50 @@ class AdjIndexSpec extends SparkTestBase {
     } finally rmTree(dir)
   }
 
+  test("resident upper descent: identical walk, zero descent jobs; budget overflow skips but serves") {
+    val sub = emb.filter($"vec_id" < 300)
+    val dir = java.nio.file.Files.createTempDirectory("hnswres").toString + "/i"
+    try {
+      Knn.buildHnswIndex(sub, "embedding", "vec_id", dir, maxLevel = 2,
+        upperM = 3, k0 = 5, buckets = 8, fp16 = true)
+      val idx = Knn.HnswIndex.load(spark, dir)
+      assert(idx.residentLevels == Set(1, 2), idx.residentLevels)
+      val l0 = Knn.AdjIndex.load(spark, s"$dir/layer0")
+      val qs = Seq(7L, 42L, 123L).map(i => emb.filter($"vec_id" === i)
+        .select($"embedding").head().getSeq[Float](0).toArray)
+      qs.foreach { q =>
+        // the per-job upper descent (the pre-r13 serving path) lands on
+        // the same layer-0 entry: full results are row-identical
+        var cur = idx.entryId
+        Seq(2, 1).foreach { l =>
+          cur = Knn.AdjIndex.load(spark, s"$dir/layer$l")
+            .search(q, k = 1, ef = 1, hops = 4, entryId = cur)
+            .head().getLong(0)
+        }
+        val got = idx.search(q, k = 5, ef = 12, hops = 3).collect().toSeq
+        val want = l0.search(q, k = 5, ef = 12, hops = 3, entryId = cur)
+          .collect().toSeq
+        assert(got == want, s"$got vs $want")
+      }
+      // the job shape is the FLAT walk's: 1 entry + hops frontier reads
+      // (+ a possible local-rows job) — the descent adds ZERO jobs
+      val sc = spark.sparkContext
+      val before = sc.statusTracker.getJobIdsForGroup(null).length
+      idx.search(qs.head, k = 5, ef = 12, hops = 3).collect()
+      val after = sc.statusTracker.getJobIdsForGroup(null).length
+      assert(after - before <= 5, s"ran ${after - before} jobs")
+      // a budget the uppers don't fit: levels are skipped, never walked
+      // per-job — the walk serves from the pinned entry
+      val tiny = Knn.HnswIndex.load(spark, dir, residentNodes = 1)
+      assert(tiny.residentLevels.isEmpty)
+      val got = tiny.search(qs.head, k = 5, ef = 12, hops = 3)
+        .collect().toSeq
+      val want = l0.search(qs.head, k = 5, ef = 12, hops = 3,
+        entryId = idx.entryId).collect().toSeq
+      assert(got == want, s"$got vs $want")
+    } finally rmTree(dir)
+  }
+
   test("HnswIndex.reloading: a layer-0 append serves at the next request") {
     val sub = emb.filter($"vec_id" < 300)
       .select($"vec_id".cast("long").as("vec_id"), $"embedding")
