@@ -27,8 +27,8 @@ import graft.sync.{HighlightStore, Sync}
   *     [--lm-store L] [--mix-alpha A --mix-frac F] [--shard-tokens 2048] [--report-only]
   *   graft.Cli search "query text" --k 5 --store S [--source-type T] [--hybrid true] [--mmr 0.3]
   *   graft.Cli serve --store S [--ivf-index I | --pq-index P [--pq-refine 8]
-  *     | --graph-index G [--graph-entry-ivf I] [--graph-ef 20] [--graph-hops 3]]
-  *     [--nprobe 4]
+  *     | --graph-index G [--graph-entry-ivf I] | --hnsw-index H]
+  *     [--graph-ef 20] [--graph-hops 3] [--nprobe 4]
   *   graft.Cli health
   */
 object Cli {
@@ -548,6 +548,22 @@ object Cli {
                   cfg.graphEntryIvfDir, cfg.graphEf, cfg.graphHops,
                   idOf = (id: Long) => id.toString)
                 Some(() => h.get)
+              case None => cfg.hnswIndexDir match {
+              case Some(d) =>
+                // --hnsw-index serves the layered stack: the resident
+                // upper descent resolves a query-near layer-0 entry with
+                // ZERO Spark jobs (r13 — HnswIndex.load holds upper
+                // layers driver-side under a node budget), so a request
+                // is the flat walk's 1 + hops pruned reads with entry
+                // quality the flat mode can't match at corpus scale
+                if (!graft.similarity.Knn.hnswIndexReady(spark, d)) {
+                  System.err.println(s"no hnsw stack at $d (build one " +
+                    "with `graft.Cli index --type hnsw` or drop --hnsw-index)")
+                  return 1
+                }
+                val h = graft.similarity.Knn.HnswIndex.reloading(spark, d)
+                Some(() => h.get.asDense(cfg.graphEf, cfg.graphHops,
+                  idOf = (id: Long) => id.toString))
               case None => cfg.pqIndexDir match {
               case Some(d) =>
                 if (!graft.similarity.Knn.ivfPqIndexReady(d)) {
@@ -584,6 +600,7 @@ object Cli {
                 () => h.get
               }
             }
+          }
           }
           val storeHandle = HighlightStore.reloadingWarm(spark, cfg.storeDir)
           val gw = new SearchGateway(() => storeHandle.get.serving,

@@ -63,7 +63,16 @@ object ConcurrencyProbe {
     val n = sys.env.getOrElse("CONC_VECS", "200000").toLong
     val users = sys.env.getOrElse("CONC_USERS", "20").toInt
     val reqsPerUser = sys.env.getOrElse("CONC_REQS", "10").toInt
-    val mode = sys.env.getOrElse("CONC_MODE", "both")
+    // comma-separated mode list, run in order of the blocks below — one
+    // JVM, one VM phase, so a full serving-menu re-gate is ONE
+    // same-phase session instead of per-mode runs stitched across
+    // phases (the r10/r11 swing lesson applied to the gate table);
+    // `both` remains the dense+ivf+hybrid+brute shorthand
+    val modes = sys.env.getOrElse("CONC_MODE", "both")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    def mode(m: String): Boolean = modes.contains(m) ||
+      (modes.contains("both") &&
+        Set("dense", "ivf", "hybrid", "brute").contains(m))
     def denseMode(corpus: org.apache.spark.sql.DataFrame): Unit = {
       // THE DEFAULT DENSE SERVING MODE (r11): IVFADC codes shortlist +
       // exact fp16 COSINE refine (refine=64) through the DenseIndex
@@ -113,12 +122,12 @@ object ConcurrencyProbe {
     // DOUBLES the per-request job count — measured 270 ms vs 180 ms for
     // the identical search — and job count is the serialized resource
     // under concurrency
-    if (mode == "hybrid" || mode == "lex")
+    if (mode("hybrid") || mode("lex"))
       spark.conf.set("spark.sql.shuffle.partitions", "4")
     val corpus = graft.fixtures.Fp16Corpus.prepared(spark, "/root/testdata/sf0.1", n)
-    if (mode == "dense" || mode == "both") denseMode(corpus)
+    if (mode("dense")) denseMode(corpus)
 
-    if (mode == "ivf" || mode == "both") {
+    if (mode("ivf")) {
       val cellsK = sys.env.getOrElse("CONC_CELLS", "64").toInt
       val nprobe = sys.env.getOrElse("CONC_NPROBE", "4").toInt
       val indexDir = graft.fixtures.Fp16Corpus.workRoot +
@@ -154,7 +163,7 @@ object ConcurrencyProbe {
       }
     }
 
-    if (mode == "filtered") {
+    if (mode("filtered")) {
       // attribute-filtered serving (q132's shape under the gate): the
       // cells carry a label attr and every request filters on it via
       // searchAdaptive. At CONC_FILTER_MOD=10 the predicate keeps ~10%
@@ -187,7 +196,7 @@ object ConcurrencyProbe {
       }
     }
 
-    if (mode == "pq") {
+    if (mode("pq")) {
       // IVFADC serving: same cells/nprobe dial as `ivf`, but the probed
       // partitions hold m-byte PQ codes instead of fp16 vectors — per-
       // request scan I/O drops by the compression ratio (fp16 6 KB/vec →
@@ -229,7 +238,7 @@ object ConcurrencyProbe {
       }
     }
 
-    if (mode == "graph") {
+    if (mode("graph")) {
       // graph-ANN serving: the 5-NN graph builds once via the CELLED
       // construction (cellKnnGraph — each vector shuffles nprobe times
       // into its probed cells, pairs score inside cell equi-joins), then
@@ -296,21 +305,23 @@ object ConcurrencyProbe {
       }
     }
 
-    if (mode == "hnsw") {
+    if (mode("hnsw")) {
       // layered graph-ANN serving: the `graph` mode plus the HNSW upper
       // layers — every layer built with the celled construction (see the
       // `graph` mode note; at 3072-dim use nnDescentGraphCompressed for
       // descent builds — int8/PQ rounds, SCALE.md r12), served from
-      // per-layer adjacency layouts. The per-request cost is
-      // maxLevel·upperHops + 1 + hops planned point-read jobs.
-      // MEASURED (r12): the 4 extra descent jobs cost ~640 ms under the
-      // 20-user gate — p95 1028 ms vs the flat walk's 388 same-phase,
-      // 2.1× OVER the gate. This mode documents the job tax; the
-      // production entry-quality answer is `graph` + CONC_ENTRY=ivf
-      // (Knn.ivfGraphEntries — query-near entry for zero extra jobs).
+      // per-layer adjacency layouts. Since r13 the upper layers load
+      // DRIVER-RESIDENT (HnswIndex.load's node budget), so the descent
+      // costs ZERO Spark jobs and a request is the flat walk's 1 + hops
+      // pruned reads — r12's measured 2.1×-over-gate job tax (p95
+      // 1028 ms vs the flat 388 same-phase, ~640 ms for 4 descent jobs)
+      // is structurally gone. upperHops is now a CONVERGENCE cap on the
+      // per-layer greedy descent (resident moves are driver flops, ~µs)
+      // — default 64, effectively run-to-local-minimum, the entry
+      // quality the job-priced descent could never afford.
       val hops = sys.env.getOrElse("CONC_GRAPH_HOPS", "3").toInt
       val ef = sys.env.getOrElse("CONC_GRAPH_EF", "20").toInt
-      val upperHops = sys.env.getOrElse("CONC_HNSW_UPPERHOPS", "2").toInt
+      val upperHops = sys.env.getOrElse("CONC_HNSW_UPPERHOPS", "64").toInt
       val indexDir = graft.fixtures.Fp16Corpus.workRoot + s"/hnswserve3072-n$n"
       // layer<maxLevel> writes LAST — its pointer is the completion marker
       if (!new java.io.File(s"$indexDir/layer2/CURRENT").isFile) {
@@ -338,7 +349,7 @@ object ConcurrencyProbe {
       }
     }
 
-    if (mode == "hybrid" || mode == "both") {
+    if (mode("hybrid")) {
       // hybrid serving shape: IVF dense leg (one pruned job) + bucket-
       // pruned lexical-index BM25 leg (one pruned job) + DRIVER-side RRF
       // fusion (rrfFuseLocal — two 10-row lists, no third job). The
@@ -418,7 +429,7 @@ object ConcurrencyProbe {
       }
     }
 
-    if (mode == "lex") {
+    if (mode("lex")) {
       // diagnosis mode: the sparse leg alone, for attributing hybrid cost
       val docs = GraftSession.table(spark, "/root/testdata/sf0.1", "documents")
       val lexDir = graft.fixtures.Fp16Corpus.workRoot + "/lexserve-sf01"
@@ -434,7 +445,7 @@ object ConcurrencyProbe {
       }
     }
 
-    if (mode == "brute" || mode == "both") {
+    if (mode("brute")) {
       val storeDir = graft.fixtures.Fp16Corpus.workRoot + s"/fp16store3072-n$n"
       if (!new java.io.File(storeDir, "CURRENT").isFile) {
         val fp32 = corpus.select(col("vec_id").cast("string").as("id"),

@@ -32,7 +32,8 @@ final case class GraftConfig(
     graphIndexDir: Option[String] = None,
     graphEntryIvfDir: Option[String] = None,
     graphEf: Int = GraftConfig.DefaultGraphEf,
-    graphHops: Int = GraftConfig.DefaultGraphHops) {
+    graphHops: Int = GraftConfig.DefaultGraphHops,
+    hnswIndexDir: Option[String] = None) {
 
   /** The embedder this configuration describes. */
   def embedder: graft.embed.Embedder =
@@ -103,24 +104,29 @@ object GraftConfig {
     val denseModes = Seq(
       "IVF_INDEX_DIR (--ivf-index)" -> config.ivfIndexDir,
       "PQ_INDEX_DIR (--pq-index)" -> config.pqIndexDir,
-      "GRAPH_INDEX_DIR (--graph-index)" -> config.graphIndexDir)
+      "GRAPH_INDEX_DIR (--graph-index)" -> config.graphIndexDir,
+      "HNSW_INDEX_DIR (--hnsw-index)" -> config.hnswIndexDir)
       .collect { case (n, Some(_)) => n }
     if (denseModes.size > 1)
       errs += denseModes.mkString(" and ") +
         " are mutually exclusive — the gateway serves through ONE dense index"
     // graph-walk knobs pair with --graph-index the way pq-refine pairs
     // with --pq-index: validated only when the graph path is selected
-    if (config.graphIndexDir.isDefined) {
+    if (config.graphIndexDir.isDefined || config.hnswIndexDir.isDefined) {
       if (config.graphEf < 1)
         errs += "GRAPH_EF (--graph-ef / GRAFT_GRAPH_EF) must be a positive " +
           s"beam width, got ${config.graphEf}"
       if (config.graphHops < 1)
         errs += "GRAPH_HOPS (--graph-hops / GRAFT_GRAPH_HOPS) must be a " +
           s"positive hop count, got ${config.graphHops}"
-    } else if (config.graphEntryIvfDir.isDefined)
+    }
+    // entry selection pairs with the FLAT walk only — the hnsw stack's
+    // entry is its own upper-layer descent
+    if (config.graphEntryIvfDir.isDefined && config.graphIndexDir.isEmpty)
       errs += "GRAPH_ENTRY_IVF (--graph-entry-ivf) requires " +
         "GRAPH_INDEX_DIR (--graph-index) — it selects walk entries for " +
-        "the graph serving mode"
+        "the flat graph serving mode (the hnsw stack descends its own " +
+        "upper layers)"
     config.pooledChunkWords.foreach { cw =>
       if (cw < 1)
         errs += "CHUNK_WORDS (--chunk-words / GRAFT_CHUNK_WORDS) must be " +
@@ -193,7 +199,8 @@ object GraftConfig {
         "ivf-index" -> portsInScope, "nprobe" -> portsInScope,
         "pq-index" -> portsInScope, "pq-refine" -> portsInScope,
         "graph-index" -> portsInScope, "graph-entry-ivf" -> portsInScope,
-        "graph-ef" -> portsInScope, "graph-hops" -> portsInScope))
+        "graph-ef" -> portsInScope, "graph-hops" -> portsInScope,
+        "hnsw-index" -> portsInScope))
       if (!ok && flags.contains(flag))
         errs += s"--$flag is not a ${command.name} option"
     val fp16 = fp16Flag || (if (!syncInScope) false
@@ -253,13 +260,15 @@ object GraftConfig {
       graphEf = if (portsInScope) int("graph-ef", "GRAPH_EF", DefaultGraphEf)
         else DefaultGraphEf,
       graphHops = if (portsInScope) int("graph-hops", "GRAPH_HOPS",
-        DefaultGraphHops) else DefaultGraphHops)
+        DefaultGraphHops) else DefaultGraphHops,
+      hnswIndexDir = if (portsInScope) str("hnsw-index", "HNSW_INDEX_DIR")
+        else None)
     // explicit walk-knob flags without the graph mode are a silent drop
     // (the env-only form is ignored garbage, like ambient GRAFT_PQ_REFINE)
-    if (candidate.graphIndexDir.isEmpty)
+    if (candidate.graphIndexDir.isEmpty && candidate.hnswIndexDir.isEmpty)
       Seq("graph-ef", "graph-hops").filter(flags.contains).foreach { fl =>
-        errs += s"--$fl requires --graph-index (it dials the graph " +
-          "serving walk)"
+        errs += s"--$fl requires --graph-index or --hnsw-index (it dials " +
+          "the graph serving walk)"
       }
     (errs.result(), validated(candidate)) match {
       case (Nil, v)         => v

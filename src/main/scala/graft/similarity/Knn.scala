@@ -1908,6 +1908,31 @@ object Knn {
       }
       layers(0).search(queryVec, k, ef, hops, entryId = cur)
     }
+
+    /** The layered stack behind the [[DenseIndex]] contract —
+      * [[GraphIndex]]'s sibling for `Cli serve --hnsw-index`. The
+      * resident upper descent costs ZERO Spark jobs, so a request is
+      * 1 + hops bucket-pruned point reads — the flat walk's
+      * gate-passing job shape — with the entry resolved by the full
+      * multi-layer descent instead of a fixed node or an IVF sidecar.
+      * `upperHops` caps the per-layer greedy descent; resident moves
+      * are driver flops, so the cap is a convergence bound, not a
+      * latency dial (descent stops early when no neighbor improves).
+      * `attrColumns` is empty — a walk reads edge rows, not attribute
+      * cells — so the gateway routes filtered requests to the store. */
+    def asDense(ef: Int, hops: Int, upperHops: Int = 64,
+        idOf: Long => Any = identity[Long] _): DenseIndex = new DenseIndex {
+      val attrColumns: Seq[String] = Nil
+      def servingTopK(queryVec: Array[Float], k: Int, nprobe: Int,
+          filter: Option[Column]): Array[org.apache.spark.sql.Row] = {
+        require(filter.isEmpty, "HnswIndex cannot evaluate attribute " +
+          "predicates; the gateway must route filtered requests to the store")
+        search(queryVec, k, math.max(ef, k), hops, upperHops)
+          .collect()
+          .map(r => org.apache.spark.sql.Row(idOf(r.getLong(0)),
+            r.getDouble(1)))
+      }
+    }
   }
 
   object HnswIndex {
@@ -1952,8 +1977,13 @@ object Knn {
         val fp16 = rel.schema("dvec").dataType ==
           org.apache.spark.sql.types.BinaryType
         // one narrow job per resident layer, at LOAD time: self-rows
-        // carry each member's vector, non-self rows the adjacency
-        val rows = rel.select(col("src"), col("dst"), col("dvec")).collect()
+        // carry each member's vector, non-self rows ONLY the 16-byte
+        // adjacency pair — dvec is masked at the scan so the collect
+        // moves nodes·dim vector bytes, not edges·dim (a 50 k-node
+        // layer at upperM=5 would otherwise pull ~6× the vector
+        // payload in edge rows it immediately discards)
+        val rows = rel.select(col("src"), col("dst"),
+          when(col("src") === col("dst"), col("dvec")).as("dvec")).collect()
         val memberRows = rows.filter(r => r.getLong(0) == r.getLong(1))
         if (memberRows.length > budget) fits = false
         else {
@@ -2000,6 +2030,20 @@ object Knn {
   def graphIndexReady(indexDir: String): Boolean =
     new java.io.File(s"$indexDir/CURRENT").isFile &&
       new java.io.File(s"$indexDir/meta/_SUCCESS").isFile
+
+  /** Whether a [[buildHnswIndex]] stack has committed at `indexDir`.
+    * The build writes meta FIRST and layer maxLevel last, so the probe
+    * reads meta's level count and requires every layer's pointer — a
+    * build that died mid-stack reports not-ready instead of failing at
+    * the first request. Serve-start-time only (one tiny parquet read). */
+  def hnswIndexReady(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Boolean =
+    new java.io.File(s"$indexDir/meta/_SUCCESS").isFile && {
+      val maxLevel = spark.read.parquet(s"$indexDir/meta")
+        .head().getAs[Int]("max_level")
+      (0 to maxLevel).forall(l =>
+        new java.io.File(s"$indexDir/layer$l/CURRENT").isFile)
+    }
 
   /** Graph-ANN serving behind the [[DenseIndex]] contract — the flat
     * beam walk over a persistent [[buildAdjacencyIndex]] layout, so

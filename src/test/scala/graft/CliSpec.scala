@@ -194,6 +194,19 @@ class CliSpec extends SparkTestBase {
     val rows9 = ask(gw(gl0), "brand new quokka highlight", 1)
     assert(rows9.nonEmpty && rows9.head("id") == "9", rows9.map(_("id")))
 
+    // --hnsw-index serving: the stack behind the DenseIndex contract
+    // (asDense — the resident upper descent picks the entry, zero
+    // jobs), through the same gateway; filtered requests fall back
+    assert(graft.similarity.Knn.hnswIndexReady(spark, hnsw))
+    val hd = graft.similarity.Knn.HnswIndex.load(spark, hnsw)
+      .asDense(ef = 12, hops = 4, idOf = (id: Long) => id.toString)
+    val rowsH = ask(gw(hd), "brand new quokka highlight", 1)
+    assert(rowsH.nonEmpty && rowsH.head("id") == "9", rowsH.map(_("id")))
+    val Right(fh) = graft.serve.SearchParams.fromHttp(
+      "brand new quokka highlight", 2, sourceType = Some("books")): @unchecked
+    assert(gw(hd).search(fh).toSeq.nonEmpty)
+    assert(!graft.similarity.Knn.hnswIndexReady(spark, graph + "-missing"))
+
     // lexical index via the CLI serves the refreshed corpus
     assert(capture(Cli.run(Array("index", "--store", store, "--out", lexi,
       "--type", "lexical", "--buckets", "4"), spark))._1 == 0)

@@ -103,6 +103,38 @@ class ConfigSpec extends AnyFunSuite {
       && r.graphHops == 4)
   }
 
+  test("hnsw serving mode: exclusivity, walk knobs apply, entry-ivf rejected") {
+    // hnsw joins the one-dense-index rule
+    val Left(e1) = GraftConfig.validated(GraftConfig("/s",
+      graphIndexDir = Some("/g"), hnswIndexDir = Some("/h"))): @unchecked
+    assert(e1.exists(e => e.contains("mutually exclusive")
+      && e.contains("HNSW_INDEX_DIR")), e1)
+    val Left(e2) = GraftConfig.validated(GraftConfig("/s",
+      pqIndexDir = Some("/p"), hnswIndexDir = Some("/h"))): @unchecked
+    assert(e2.exists(_.contains("mutually exclusive")), e2)
+    // the shared walk knobs validate under the hnsw mode too
+    val Left(e3) = GraftConfig.validated(GraftConfig("/s",
+      hnswIndexDir = Some("/h"), graphEf = 0)): @unchecked
+    assert(e3.exists(_.contains("GRAPH_EF")), e3)
+    // entry-ivf pairs with the FLAT walk only — the stack descends its
+    // own upper layers
+    val Left(e4) = GraftConfig.validated(GraftConfig("/s",
+      hnswIndexDir = Some("/h"), graphEntryIvfDir = Some("/i"))): @unchecked
+    assert(e4.exists(_.contains("GRAPH_ENTRY_IVF")), e4)
+    // walk-knob flags are accepted with --hnsw-index
+    val Right(r) = GraftConfig.resolve(
+      Map("graph-ef" -> "32", "graph-hops" -> "4"),
+      Map("GRAFT_STORE_DIR" -> "/s", "GRAFT_HNSW_INDEX_DIR" -> "/h"),
+      GraftConfig.Command.Serve): @unchecked
+    assert(r.hnswIndexDir.contains("/h") && r.graphEf == 32
+      && r.graphHops == 4)
+    // serve-scoped like the other index flags
+    val Left(e5) = GraftConfig.resolve(
+      Map("store" -> "/s", "hnsw-index" -> "/h"),
+      Map.empty, GraftConfig.Command.Search): @unchecked
+    assert(e5.exists(_.contains("--hnsw-index is not a search option")), e5)
+  }
+
   test("sync matrix: PAGES_DIR without CHECKPOINT_DIR refuses; with it, validates") {
     val Left(errs) = GraftConfig.validated(
       GraftConfig("/s", pagesDir = Some("/p"))): @unchecked
