@@ -43,7 +43,8 @@ import org.apache.spark.sql.functions._
   * (default 64), CONC_NPROBE (default 4), CONC_DENSE_REFINE (default 64),
   * CONC_THINK_MS (mean think time; default 1000 = locust's
   * between(0.5, 1.5); 0 = closed-loop stress), CONC_SPAWN_RATE
-  * (users/s; default 2).
+  * (users/s; default 2), CONC_FIXTURE (`uniform` | `manifold` — the
+  * corpus shape; see [[graft.fixtures.ManifoldCorpus]]).
   */
 object ConcurrencyProbe {
 
@@ -73,6 +74,21 @@ object ConcurrencyProbe {
     def mode(m: String): Boolean = modes.contains(m) ||
       (modes.contains("both") &&
         Set("dense", "ivf", "hybrid", "brute").contains(m))
+    // CONC_FIXTURE selects the corpus SHAPE the menu is priced on:
+    // `uniform` (Fp16Corpus — quasi-uniform on the sphere, the
+    // distance-concentration worst case where graph navigation has no
+    // gradient) or `manifold` (ManifoldCorpus — low intrinsic dimension,
+    // what real embedding models emit and where graph-ANN is supposed to
+    // work). Index fixtures are tagged per fixture so variants never
+    // collide; query vectors come from the matching generator.
+    val fixture = sys.env.getOrElse("CONC_FIXTURE", "uniform")
+    require(Set("uniform", "manifold").contains(fixture),
+      s"CONC_FIXTURE must be uniform|manifold, got $fixture")
+    val ftag = if (fixture == "uniform") "" else s"-$fixture"
+    val qvec: Long => Array[Float] =
+      if (fixture == "manifold")
+        seed => graft.fixtures.ManifoldCorpus.vector(seed % n)
+      else seed => graft.fixtures.Fp16Corpus.vector(seed % n)
     def denseMode(corpus: org.apache.spark.sql.DataFrame): Unit = {
       // THE DEFAULT DENSE SERVING MODE (r11): IVFADC codes shortlist +
       // exact fp16 COSINE refine (refine=64) through the DenseIndex
@@ -96,7 +112,7 @@ object ConcurrencyProbe {
       val nprobe = sys.env.getOrElse("CONC_NPROBE", "4").toInt
       val refine = sys.env.getOrElse("CONC_DENSE_REFINE", "64").toInt
       val indexDir = graft.fixtures.Fp16Corpus.workRoot +
-        s"/ivfpqserve3072-n$n-c$cellsK-m32-k64-refine"
+        s"/ivfpqserve3072$ftag-n$n-c$cellsK-m32-k64-refine"
       if (!graft.similarity.Knn.ivfPqIndexReady(indexDir)) {
         val fp32 = corpus.select(col("vec_id").as("id"),
           graft.functions.fp16_decode(col("emb16")).as("embedding"))
@@ -108,9 +124,13 @@ object ConcurrencyProbe {
       }
       val dense = graft.similarity.Knn.IvfPqIndex.load(spark, indexDir)
         .asDense(refine)
+      recall10(spark, corpus, n,
+        s"dense(pq+refine=$refine,cells=$cellsK,nprobe=$nprobe)", qvec) {
+          qv => dense.servingTopK(qv, 10, nprobe, None)
+            .map(_.getLong(0)).toSeq }
       run(spark, s"dense(pq+refine=$refine,cells=$cellsK,nprobe=$nprobe)", n,
         users, reqsPerUser) { seed =>
-          val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
+          val qv = qvec(seed)
           require(dense.servingTopK(qv, 10, nprobe, None).length == 10)
       }
     }
@@ -124,14 +144,16 @@ object ConcurrencyProbe {
     // under concurrency
     if (mode("hybrid") || mode("lex"))
       spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val corpus = graft.fixtures.Fp16Corpus.prepared(spark, "/root/testdata/sf0.1", n)
+    val corpus =
+      if (fixture == "manifold") graft.fixtures.ManifoldCorpus.prepared(spark, n)
+      else graft.fixtures.Fp16Corpus.prepared(spark, "/root/testdata/sf0.1", n)
     if (mode("dense")) denseMode(corpus)
 
     if (mode("ivf")) {
       val cellsK = sys.env.getOrElse("CONC_CELLS", "64").toInt
       val nprobe = sys.env.getOrElse("CONC_NPROBE", "4").toInt
       val indexDir = graft.fixtures.Fp16Corpus.workRoot +
-        s"/ivfserve3072-n$n-c$cellsK"
+        s"/ivfserve3072$ftag-n$n-c$cellsK"
       if (!graft.similarity.Knn.ivfIndexReady(indexDir)) {
         val fp32 = corpus.select(col("vec_id").as("id"),
           graft.functions.fp16_decode(col("emb16")).as("embedding"))
@@ -156,9 +178,12 @@ object ConcurrencyProbe {
         }
       val tag = if (sys.env.get("CONC_RELOADING").contains("1"))
         ",reloading" else ""
+      recall10(spark, corpus, n, s"ivf(cells=$cellsK,nprobe=$nprobe$tag)",
+        qvec) { qv => fetch().search(qv, k = 10, nprobe = nprobe)
+          .select(col("id")).collect().map(_.getLong(0)).toSeq }
       run(spark, s"ivf(cells=$cellsK,nprobe=$nprobe$tag)", n, users,
         reqsPerUser) { seed =>
-          val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
+          val qv = qvec(seed)
           fetch().search(qv, k = 10, nprobe = nprobe).collect()
       }
     }
@@ -177,7 +202,7 @@ object ConcurrencyProbe {
       val nprobe = sys.env.getOrElse("CONC_NPROBE", "4").toInt
       val fmod = sys.env.getOrElse("CONC_FILTER_MOD", "10").toLong
       val indexDir = graft.fixtures.Fp16Corpus.workRoot +
-        s"/ivfserve3072attr-n$n-c$cellsK-m$fmod"
+        s"/ivfserve3072attr$ftag-n$n-c$cellsK-m$fmod"
       if (!graft.similarity.Knn.ivfIndexReady(indexDir)) {
         val fp32 = corpus.select(col("vec_id").as("id"),
           graft.functions.fp16_decode(col("emb16")).as("embedding"),
@@ -190,7 +215,7 @@ object ConcurrencyProbe {
       val index = graft.similarity.Knn.IvfIndex.load(spark, indexDir)
       run(spark, s"filtered(cells=$cellsK,nprobe=$nprobe,mod=$fmod)", n,
         users, reqsPerUser) { seed =>
-          val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
+          val qv = qvec(seed)
           index.searchAdaptiveRows(qv, k = 10, nprobe = nprobe,
             Some(col("label") === seed % fmod))
       }
@@ -216,7 +241,7 @@ object ConcurrencyProbe {
       // trade the 5× p95 headroom of the code-only path buys back
       val refine = sys.env.getOrElse("CONC_PQ_REFINE", "1").toInt
       val indexDir = graft.fixtures.Fp16Corpus.workRoot +
-        s"/ivfpqserve3072-n$n-c$cellsK-m$m-k$ksub" +
+        s"/ivfpqserve3072$ftag-n$n-c$cellsK-m$m-k$ksub" +
         (if (refine > 1) "-refine" else "")
       if (!graft.similarity.Knn.ivfPqIndexReady(indexDir)) {
         val fp32 = corpus.select(col("vec_id").as("id"),
@@ -233,7 +258,7 @@ object ConcurrencyProbe {
       run(spark,
         s"pq(cells=$cellsK,nprobe=$nprobe,m=$m,ksub=$ksub,refine=$refine)",
         n, users, reqsPerUser) { seed =>
-          val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
+          val qv = qvec(seed)
           index.search(qv, k = 10, nprobe = nprobe, refine = refine).collect()
       }
     }
@@ -260,7 +285,7 @@ object ConcurrencyProbe {
       // rows a frontier read returns; job count is unchanged)
       val gk = sys.env.getOrElse("CONC_GRAPH_K", "5").toInt
       val indexDir = graft.fixtures.Fp16Corpus.workRoot +
-        s"/adjserve3072-n$n-k$gk"
+        s"/adjserve3072$ftag-n$n-k$gk"
       if (!new java.io.File(s"$indexDir/CURRENT").isFile) {
         val fp32 = corpus.select(col("vec_id").as("id"),
           graft.functions.fp16_decode(col("emb16")).as("embedding"))
@@ -281,7 +306,7 @@ object ConcurrencyProbe {
         else {
           val cellsK = sys.env.getOrElse("CONC_CELLS", "64").toInt
           val ivfDir = graft.fixtures.Fp16Corpus.workRoot +
-            s"/ivfserve3072-n$n-c$cellsK"
+            s"/ivfserve3072$ftag-n$n-c$cellsK"
           if (!graft.similarity.Knn.ivfIndexReady(ivfDir)) {
             val fp32 = corpus.select(col("vec_id").as("id"),
               graft.functions.fp16_decode(col("emb16")).as("embedding"))
@@ -296,11 +321,11 @@ object ConcurrencyProbe {
       val index = graft.similarity.Knn.GraphIndex.load(spark, indexDir,
         entryIvf, ef = ef, hops = hops)
       val tag = if (entryIvf.isDefined) ",entry=ivf" else ",entry=fixed"
-      recall10(spark, corpus, n, s"graph(k=$gk,ef=$ef,hops=$hops$tag)") {
+      recall10(spark, corpus, n, s"graph(k=$gk,ef=$ef,hops=$hops$tag)", qvec) {
         qv => index.servingTopK(qv, 10, 0, None).map(_.getLong(0)) }
       run(spark, s"graph(k=$gk,ef=$ef,hops=$hops$tag)", n, users,
         reqsPerUser) { seed =>
-          val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
+          val qv = qvec(seed)
           require(index.servingTopK(qv, 10, 0, None).nonEmpty)
       }
     }
@@ -322,13 +347,19 @@ object ConcurrencyProbe {
       val hops = sys.env.getOrElse("CONC_GRAPH_HOPS", "3").toInt
       val ef = sys.env.getOrElse("CONC_GRAPH_EF", "20").toInt
       val upperHops = sys.env.getOrElse("CONC_HNSW_UPPERHOPS", "64").toInt
-      val indexDir = graft.fixtures.Fp16Corpus.workRoot + s"/hnswserve3072-n$n"
+      // layer-0 out-degree: must sit at or above the corpus's INTRINSIC
+      // dimension for greedy walks to have an escape direction (the
+      // manifold fixture's L=8 needs k0 ≥ 8; degree 5 strands the beam)
+      val k0 = sys.env.getOrElse("CONC_HNSW_K0", "5").toInt
+      val indexDir = graft.fixtures.Fp16Corpus.workRoot +
+        s"/hnswserve3072$ftag-n$n-k$k0"
       // layer<maxLevel> writes LAST — its pointer is the completion marker
       if (!new java.io.File(s"$indexDir/layer2/CURRENT").isFile) {
         val fp32 = corpus.select(col("vec_id").as("id"),
           graft.functions.fp16_decode(col("emb16")).as("embedding"))
         graft.similarity.Knn.buildHnswIndex(fp32, "embedding", "id",
-          indexDir, maxLevel = 2, upperM = 5, k0 = 5, buckets = 64,
+          indexDir, maxLevel = 2, upperM = math.max(5, k0), k0 = k0,
+          buckets = 64,
           graphFn = Some { (df, m) =>
             val sz = df.count()
             graft.similarity.Knn.cellKnnGraph(df, "embedding", "id",
@@ -338,12 +369,12 @@ object ConcurrencyProbe {
       }
       val index = graft.similarity.Knn.HnswIndex.load(spark, indexDir)
       recall10(spark, corpus, n,
-        s"hnsw(k=5,ef=$ef,hops=$hops,upperHops=$upperHops)") { qv =>
+        s"hnsw(k=$k0,ef=$ef,hops=$hops,upperHops=$upperHops)", qvec) { qv =>
           index.search(qv, 10, ef, hops, upperHops)
             .collect().map(_.getLong(0)).toSeq }
-      run(spark, s"hnsw(k=5,ef=$ef,hops=$hops,upperHops=$upperHops)", n,
+      run(spark, s"hnsw(k=$k0,ef=$ef,hops=$hops,upperHops=$upperHops)", n,
         users, reqsPerUser) { seed =>
-          val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
+          val qv = qvec(seed)
           index.search(qv, k = 10, ef = ef, hops = hops,
             upperHops = upperHops).collect()
       }
@@ -360,7 +391,7 @@ object ConcurrencyProbe {
       val cellsK = sys.env.getOrElse("CONC_CELLS", "64").toInt
       val nprobe = sys.env.getOrElse("CONC_NPROBE", "4").toInt
       val indexDir = graft.fixtures.Fp16Corpus.workRoot +
-        s"/ivfserve3072-n$n-c$cellsK"
+        s"/ivfserve3072$ftag-n$n-c$cellsK"
       if (!graft.similarity.Knn.ivfIndexReady(indexDir)) {
         val fp32 = corpus.select(col("vec_id").as("id"),
           graft.functions.fp16_decode(col("emb16")).as("embedding"))
@@ -399,7 +430,7 @@ object ConcurrencyProbe {
         val legPool = Executors.newCachedThreadPool()
         run(spark, s"hybrid(cells=$cellsK,nprobe=$nprobe,legs)", n, users,
           reqsPerUser) { seed =>
-            val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
+            val qv = qvec(seed)
             val terms = (0 until 3)
               .map(i => termPool(((seed + i * 7) % termPool.size).toInt)).distinct
             val pool = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
@@ -420,7 +451,7 @@ object ConcurrencyProbe {
         val hybrid = new graft.search.HybridIndex(index, lexIndex)
         run(spark, s"hybrid(cells=$cellsK,nprobe=$nprobe,fused)", n, users,
           reqsPerUser) { seed =>
-            val qv = graft.fixtures.Fp16Corpus.vector(seed % n)
+            val qv = qvec(seed)
             val terms = (0 until 3)
               .map(i => termPool(((seed + i * 7) % termPool.size).toInt)).distinct
             require(hybrid.search(qv, terms, k = 10, nprobe = nprobe)
@@ -446,7 +477,7 @@ object ConcurrencyProbe {
     }
 
     if (mode("brute")) {
-      val storeDir = graft.fixtures.Fp16Corpus.workRoot + s"/fp16store3072-n$n"
+      val storeDir = graft.fixtures.Fp16Corpus.workRoot + s"/fp16store3072$ftag-n$n"
       if (!new java.io.File(storeDir, "CURRENT").isFile) {
         val fp32 = corpus.select(col("vec_id").cast("string").as("id"),
           graft.functions.fp16_decode(col("emb16")).as("embedding"))
@@ -475,19 +506,21 @@ object ConcurrencyProbe {
     * served request can possibly recover). env: CONC_RECALL_QS
     * (default 20; 0 skips the pass). */
   private def recall10(spark: org.apache.spark.sql.SparkSession,
-      corpus: org.apache.spark.sql.DataFrame, n: Long, label: String)(
+      corpus: org.apache.spark.sql.DataFrame, n: Long, label: String,
+      qvec: Long => Array[Float])(
       search: Array[Float] => Seq[Long]): Unit = {
     val qs = sys.env.getOrElse("CONC_RECALL_QS", "20").toInt
     if (qs == 0) return
     val fp32 = corpus.select(col("vec_id"),
       graft.functions.fp16_decode(col("emb16")).as("embedding"))
     val recalls = (0 until qs).map { i =>
-      val qv = graft.fixtures.Fp16Corpus.vector((i * 9973L + 17L) % n)
+      val qv = qvec(i * 9973L + 17L)
       val exact = graft.similarity.Knn.topK(fp32, "embedding", qv, 10,
         "vec_id").select(col("vec_id")).collect().map(_.getLong(0)).toSet
       exact.intersect(search(qv).toSet).size / 10.0
     }
-    println(f"RECALL10|mode=$label|qs=$qs|" +
+    val fx = sys.env.getOrElse("CONC_FIXTURE", "uniform")
+    println(f"RECALL10|fixture=$fx|mode=$label|qs=$qs|" +
       f"mean=${recalls.sum / recalls.size}%.3f|min=${recalls.min}%.3f")
   }
 
@@ -527,7 +560,8 @@ object ConcurrencyProbe {
     val wallSec = (System.nanoTime() - t0) / 1e9
     val sorted = lat.asScala.toVector.sorted
     def pct(p: Double) = sorted(((sorted.size - 1) * p).round.toInt)
-    println(f"CONCURRENCY3072|mode=$label|think=${thinkMs}ms|n=$n|users=$users|reqs=${sorted.size}|" +
+    val fx = sys.env.getOrElse("CONC_FIXTURE", "uniform")
+    println(f"CONCURRENCY3072|fixture=$fx|mode=$label|think=${thinkMs}ms|n=$n|users=$users|reqs=${sorted.size}|" +
       f"wall=$wallSec%.1f s|qps=${sorted.size / wallSec}%.1f|" +
       f"p50=${pct(0.5)}%.0f ms|p95=${pct(0.95)}%.0f ms|p99=${pct(0.99)}%.0f ms")
   }

@@ -8,8 +8,16 @@ object XScaleDescent {
     val n = sys.env.getOrElse("XSD_N", "200000").toInt
     val codec = sys.env.getOrElse("XSD_CODEC", "pq")
     val bk = sys.env.getOrElse("XSD_BK", "10").toInt
-    val corpus = graft.fixtures.Fp16Corpus
-      .prepared(spark, "/root/testdata/sf0.1", 200000L)
+    // XSD_FIXTURE=manifold measures the descent on low-intrinsic-dim
+    // data (ManifoldCorpus) instead of the quasi-uniform mix — graph
+    // quality is fixture-shaped; shuffle bytes are not
+    val fixtureName = sys.env.getOrElse("XSD_FIXTURE", "uniform")
+    val fixtureDf =
+      if (fixtureName == "manifold")
+        graft.fixtures.ManifoldCorpus.prepared(spark, 200000L)
+      else graft.fixtures.Fp16Corpus
+        .prepared(spark, "/root/testdata/sf0.1", 200000L)
+    val corpus = fixtureDf
       .filter(col("vec_id") < n)
       .select(col("vec_id"), graft.functions.fp16_decode(col("emb16"))
         .cast("array<float>").as("embedding"))
@@ -28,7 +36,7 @@ object XScaleDescent {
         pqTrainFilter = Some(col("vec_id") % 400 === 0))
     val rows = g.count()
     Thread.sleep(2000)
-    println(f"SCALEDESC|$codec|n=$n|dim=3072|rounds=3|buildK=$bk|rows=$rows|" +
+    println(f"SCALEDESC|$codec|fixture=$fixtureName|n=$n|dim=3072|rounds=3|buildK=$bk|rows=$rows|" +
       f"shuffleGB=${shuffleBytes / 1e9}%.1f|min=${(System.nanoTime() - t0) / 6e10}%.1f")
     // recall@5 vs exact brute force on 20 sampled nodes
     val gC = g.cache(); gC.count()
