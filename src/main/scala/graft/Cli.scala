@@ -27,7 +27,8 @@ import graft.sync.{HighlightStore, Sync}
   *     [--lm-store L] [--mix-alpha A --mix-frac F] [--shard-tokens 2048] [--report-only]
   *   graft.Cli search "query text" --k 5 --store S [--source-type T] [--hybrid true] [--mmr 0.3]
   *   graft.Cli serve --store S [--ivf-index I | --pq-index P [--pq-refine 8]
-  *     | --graph-index G [--graph-entry-ivf I] | --hnsw-index H]
+  *     | --graph-index G [--graph-entry-ivf I] [--graph-resident]
+  *     | --hnsw-index H]
   *     [--graph-ef 20] [--graph-hops 3] [--nprobe 4]
   *   graft.Cli health
   */
@@ -229,6 +230,10 @@ object Cli {
     //              [--attrs col1,col2,…]
     //     graph:   [--graph-k 5] [--cells 64] [--nprobe 2] [--buckets 64]
     //              [--fp16 true]   (flat beam-walk serving: --graph-index)
+    //              [--codes true [--pq-m 32] [--pq-ksub 64]]
+    //                              (+pq-code sidecar: --graph-resident)
+    //     graph-codes: [--pq-m 32] [--pq-ksub 64]
+    //                    (sidecar-only rebuild over an existing layout)
     //     hnsw:    [--graph-k 5] [--levels 2] [--upper-m 3] [--cells 64]
     //              [--nprobe 2] [--buckets 16] [--fp16 true]
     //     lexical: [--buckets 64]
@@ -237,13 +242,14 @@ object Cli {
       (f.get("store"), f.get("out")) match {
         case (Some(storeDir), Some(out)) =>
           val typ = f.getOrElse("type", "ivf")
-          if (!Seq("ivf", "graph", "hnsw", "lexical").contains(typ)) {
-            System.err.println(
-              s"--type must be ivf, graph, hnsw or lexical, got '$typ'")
+          if (!Seq("ivf", "graph", "graph-codes", "hnsw", "lexical")
+              .contains(typ)) {
+            System.err.println(s"--type must be ivf, graph, graph-codes, " +
+              s"hnsw or lexical, got '$typ'")
             return 2
           }
           val badInts = Seq("cells", "iters", "train-every", "graph-k",
-              "nprobe", "buckets", "levels", "upper-m")
+              "nprobe", "buckets", "levels", "upper-m", "pq-m", "pq-ksub")
             .flatMap(k => f.get(k).filter(_.toIntOption.forall(_ <= 0))
               .map(v => s"--$k must be a positive integer, got '$v'"))
           if (badInts.nonEmpty) { badInts.foreach(System.err.println); return 2 }
@@ -312,8 +318,52 @@ object Cli {
                   graft.similarity.Knn.buildAdjacencyIndex(edges, corpus,
                     "embedding", "id", out, buckets = intOf("buckets", 64),
                     fp16 = fp16)
+                  // --codes true: also build the pq-code sidecar that
+                  // `serve --graph-resident` needs (one narrow pass;
+                  // rebuild after refresh/append — the resident load
+                  // refuses a sidecar that no longer covers the live set)
+                  val codes = f.get("codes").contains("true")
+                  if (codes) {
+                    val pm = intOf("pq-m", 32)
+                    val dims = df.filter(col("embedding").isNotNull)
+                      .select(org.apache.spark.sql.functions
+                        .size(col("embedding"))).head().getInt(0)
+                    if (dims % pm != 0) {
+                      System.err.println(s"--pq-m $pm must divide the " +
+                        s"embedding dim $dims")
+                      return 2
+                    }
+                    graft.similarity.Knn.buildGraphCodes(spark, out,
+                      m = pm, ksub = intOf("pq-ksub", 64))
+                  }
                   println(Json.write(Map("indexed" -> out, "type" -> "graph",
-                    "graph_k" -> gk, "cells" -> c)))
+                    "graph_k" -> gk, "cells" -> c, "codes" -> codes)))
+                  0
+                case "graph-codes" =>
+                  // sidecar-only (re)build over an EXISTING adjacency
+                  // layout — the maintenance verb after append/refresh
+                  // (the resident load refuses a sidecar that no longer
+                  // covers the live set; this one pass re-covers it)
+                  if (!graft.similarity.Knn.graphIndexReady(out)) {
+                    System.err.println(s"no adjacency index at $out — " +
+                      "--type graph-codes rebuilds the pq-code sidecar of " +
+                      "an existing graph index (build one with --type graph)")
+                    return 1
+                  }
+                  val pm = intOf("pq-m", 32)
+                  val dims = df.filter(col("embedding").isNotNull)
+                    .select(org.apache.spark.sql.functions
+                      .size(col("embedding"))).head().getInt(0)
+                  if (dims % pm != 0) {
+                    System.err.println(s"--pq-m $pm must divide the " +
+                      s"embedding dim $dims")
+                    return 2
+                  }
+                  graft.similarity.Knn.buildGraphCodes(spark, out,
+                    m = pm, ksub = intOf("pq-ksub", 64))
+                  println(Json.write(Map("indexed" -> out,
+                    "type" -> "graph-codes", "pq_m" -> pm,
+                    "pq_ksub" -> intOf("pq-ksub", 64))))
                   0
                 case "hnsw" =>
                   if (!numericIdsOk()) return 2
@@ -494,7 +544,8 @@ object Cli {
 
     case "serve" +: rest =>
       val f = flags(rest)
-      val cfg = GraftConfig.resolve(f, env, GraftConfig.Command.Serve) match {
+      val cfg = GraftConfig.resolve(f, env, GraftConfig.Command.Serve,
+        graphResidentFlag = rest.contains("--graph-resident")) match {
         case Left(errs) => errs.foreach(System.err.println); return 2
         case Right(c)   => c
       }
@@ -544,10 +595,30 @@ object Cli {
                 // graph node ids are the store's numeric string ids cast
                 // long at build; idOf maps winners back so rehydration
                 // joins on the store's own key type
-                val h = graft.similarity.Knn.GraphIndex.reloading(spark, d,
-                  cfg.graphEntryIvfDir, cfg.graphEf, cfg.graphHops,
-                  idOf = (id: Long) => id.toString)
-                Some(() => h.get)
+                if (cfg.graphResident) {
+                  // --graph-resident: the walk runs driver-side over the
+                  // pq-code sidecar (best-first, natural termination —
+                  // --graph-hops does not apply) and the one Spark job
+                  // per request is the exact re-rank of the ef shortlist
+                  // (SCALE.md §r13: multi-hop-as-jobs prices at seconds
+                  // on navigable data; this is the serving answer)
+                  if (!graft.similarity.Knn.graphCodesReady(d)) {
+                    System.err.println(s"no pq-code sidecar at $d/pqcodes " +
+                      "for --graph-resident (build with `graft.Cli index " +
+                      "--type graph --codes true`, or `--type graph-codes` " +
+                      "over the existing layout)")
+                    return 1
+                  }
+                  val h = graft.similarity.Knn.ResidentGraphIndex.reloading(
+                    spark, d, cfg.graphEntryIvfDir, cfg.graphEf,
+                    idOf = (id: Long) => id.toString)
+                  Some(() => h.get)
+                } else {
+                  val h = graft.similarity.Knn.GraphIndex.reloading(spark, d,
+                    cfg.graphEntryIvfDir, cfg.graphEf, cfg.graphHops,
+                    idOf = (id: Long) => id.toString)
+                  Some(() => h.get)
+                }
               case None => cfg.hnswIndexDir match {
               case Some(d) =>
                 // --hnsw-index serves the layered stack: the resident

@@ -38,8 +38,9 @@ import org.apache.spark.sql.functions._
   * env: CONC_VECS (default 200000), CONC_USERS (default 20),
   * CONC_REQS per user (default 10), CONC_MODE (`dense` — the default
   * serving mode, PQ codes + fp16 cosine refine; `ivf`, `brute`, `pq`,
-  * `filtered`, `graph`, `hnsw`, `hybrid`, `lex`, or `both` = dense +
-  * ivf + hybrid + brute), CONC_CELLS
+  * `filtered`, `graph`, `resident` (the driver-resident code walk,
+  * CONC_RESIDENT_EF default 64), `hnsw`, `hybrid`, `lex`, or `both` =
+  * dense + ivf + hybrid + brute), CONC_CELLS
   * (default 64), CONC_NPROBE (default 4), CONC_DENSE_REFINE (default 64),
   * CONC_THINK_MS (mean think time; default 1000 = locust's
   * between(0.5, 1.5); 0 = closed-loop stress), CONC_SPAWN_RATE
@@ -324,6 +325,63 @@ object ConcurrencyProbe {
       recall10(spark, corpus, n, s"graph(k=$gk,ef=$ef,hops=$hops$tag)", qvec) {
         qv => index.servingTopK(qv, 10, 0, None).map(_.getLong(0)) }
       run(spark, s"graph(k=$gk,ef=$ef,hops=$hops$tag)", n, users,
+        reqsPerUser) { seed =>
+          val qv = qvec(seed)
+          require(index.servingTopK(qv, 10, 0, None).nonEmpty)
+      }
+    }
+
+    if (mode("resident")) {
+      // the resident-code walk (Knn.ResidentGraphIndex — `Cli serve
+      // --graph-index G --graph-resident`): topology + m-byte PQ codes
+      // driver-resident, the FULL best-first graph search runs at ~µs
+      // per expansion (no hop cap — natural termination), and the one
+      // Spark job per request is the bucket-pruned exact re-rank of the
+      // ef shortlist. This is the serving answer to the manifold
+      // ladder's finding that multi-hop-as-jobs prices at seconds
+      // (SCALE.md §r13): the walk's budget stops costing jobs, so ef
+      // buys recall at driver-flop prices and the job count matches the
+      // gate-passing IVF probe's.
+      val gk = sys.env.getOrElse("CONC_GRAPH_K", "5").toInt
+      val ef = sys.env.getOrElse("CONC_RESIDENT_EF", "64").toInt
+      val indexDir = graft.fixtures.Fp16Corpus.workRoot +
+        s"/adjserve3072$ftag-n$n-k$gk"
+      if (!new java.io.File(s"$indexDir/CURRENT").isFile) {
+        val fp32 = corpus.select(col("vec_id").as("id"),
+          graft.functions.fp16_decode(col("emb16")).as("embedding"))
+        val edges = graft.similarity.Knn.cellKnnGraph(
+            fp32, "embedding", "id", topK = gk,
+            cells = (n / 800).max(8L).toInt, iters = 2, nprobe = 2)
+          .select(col("id_a"), col("id_b"))
+        graft.similarity.Knn.buildAdjacencyIndex(edges, fp32, "embedding",
+          "id", indexDir, buckets = 64)
+      }
+      if (!graft.similarity.Knn.graphCodesReady(indexDir))
+        // train on ~2000 nodes — codebook quality saturates long before
+        // the corpus; encode is the full narrow pass either way
+        graft.similarity.Knn.buildGraphCodes(spark, indexDir,
+          m = 32, ksub = 64, trainMod = math.max(1L, n / 2000L))
+      val entryIvf =
+        if (!sys.env.get("CONC_ENTRY").contains("ivf")) None
+        else {
+          val cellsK = sys.env.getOrElse("CONC_CELLS", "64").toInt
+          val ivfDir = graft.fixtures.Fp16Corpus.workRoot +
+            s"/ivfserve3072$ftag-n$n-c$cellsK"
+          if (!graft.similarity.Knn.ivfIndexReady(ivfDir)) {
+            val fp32 = corpus.select(col("vec_id").as("id"),
+              graft.functions.fp16_decode(col("emb16")).as("embedding"))
+            graft.similarity.Knn.ivfBuildIndex(fp32, "embedding", "id",
+              ivfDir, k = cellsK, iters = 2,
+              trainFilter = col("id") % (n / 500).max(1L) === 0, fp16 = true)
+          }
+          Some(ivfDir)
+        }
+      val index = graft.similarity.Knn.ResidentGraphIndex.load(spark,
+        indexDir, entryIvf, ef = ef)
+      val tag = if (entryIvf.isDefined) ",entry=ivf" else ",entry=fixed"
+      recall10(spark, corpus, n, s"resident(k=$gk,ef=$ef$tag)", qvec) {
+        qv => index.servingTopK(qv, 10, 0, None).map(_.getLong(0)) }
+      run(spark, s"resident(k=$gk,ef=$ef$tag)", n, users,
         reqsPerUser) { seed =>
           val qv = qvec(seed)
           require(index.servingTopK(qv, 10, 0, None).nonEmpty)

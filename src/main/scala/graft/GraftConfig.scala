@@ -33,7 +33,8 @@ final case class GraftConfig(
     graphEntryIvfDir: Option[String] = None,
     graphEf: Int = GraftConfig.DefaultGraphEf,
     graphHops: Int = GraftConfig.DefaultGraphHops,
-    hnswIndexDir: Option[String] = None) {
+    hnswIndexDir: Option[String] = None,
+    graphResident: Boolean = false) {
 
   /** The embedder this configuration describes. */
   def embedder: graft.embed.Embedder =
@@ -127,6 +128,13 @@ object GraftConfig {
         "GRAPH_INDEX_DIR (--graph-index) — it selects walk entries for " +
         "the flat graph serving mode (the hnsw stack descends its own " +
         "upper layers)"
+    // the resident walk serves the flat adjacency layout's pq-code
+    // sidecar — it has no meaning without --graph-index
+    if (config.graphResident && config.graphIndexDir.isEmpty)
+      errs += "GRAPH_RESIDENT (--graph-resident) requires " +
+        "GRAPH_INDEX_DIR (--graph-index) — it serves the adjacency " +
+        "layout's driver-resident code walk (build the sidecar with " +
+        "`Cli index --type graph --codes true`)"
     config.pooledChunkWords.foreach { cw =>
       if (cw < 1)
         errs += "CHUNK_WORDS (--chunk-words / GRAFT_CHUNK_WORDS) must be " +
@@ -176,7 +184,8 @@ object GraftConfig {
   def resolve(flags: Map[String, String], env: Map[String, String],
       command: Command,
       fp16Flag: Boolean = false,
-      pooledFlag: Boolean = false): Either[List[String], GraftConfig] = {
+      pooledFlag: Boolean = false,
+      graphResidentFlag: Boolean = false): Either[List[String], GraftConfig] = {
     import Command._
     val norm = env.map { case (k, v) => k.toUpperCase -> v }
     def e(key: String): Option[String] = norm.get(s"GRAFT_$key")
@@ -262,7 +271,18 @@ object GraftConfig {
       graphHops = if (portsInScope) int("graph-hops", "GRAPH_HOPS",
         DefaultGraphHops) else DefaultGraphHops,
       hnswIndexDir = if (portsInScope) str("hnsw-index", "HNSW_INDEX_DIR")
-        else None)
+        else None,
+      graphResident = graphResidentFlag || (portsInScope &&
+        (e("GRAPH_RESIDENT") match {
+          case None => false
+          case Some(v) => v.toLowerCase match {
+            case "true" | "1"  => true
+            case "false" | "0" => false
+            case other =>
+              errs += s"GRAFT_GRAPH_RESIDENT must be true/false, got " +
+                s"'$other'"; false
+          }
+        })))
     // explicit walk-knob flags without the graph mode are a silent drop
     // (the env-only form is ignored garbage, like ambient GRAFT_PQ_REFINE)
     if (candidate.graphIndexDir.isEmpty && candidate.hnswIndexDir.isEmpty)

@@ -1576,6 +1576,28 @@ object Knn {
       frontierFrame(srcs, queryVec)
         .collect().map(r => (r.getLong(0), r.getDouble(1)))
 
+    /** Exact scores for a shortlist's SELF-ROWS — the refine read the
+      * resident-code walk ([[ResidentGraphIndex]]) spends its one Spark
+      * job on: bucket `IN` keeps the scan partition-pruned, the
+      * [[chunkedIn]] OR-tree keeps every id leg inside row-group
+      * statistics at any shortlist width, and `src = dst` touches only
+      * the one vector-carrying row per node. Scores carry the index's
+      * storage precision — identical to what [[search]]'s beam scores. */
+    private[similarity] def selfScores(ids: Seq[Long],
+        queryVec: Array[Float]): DataFrame = {
+      val bs: Seq[Any] = rel.schema("src_bucket").dataType match {
+        case org.apache.spark.sql.types.IntegerType =>
+          ids.map(s => (s % buckets).toInt).distinct
+        case org.apache.spark.sql.types.LongType =>
+          ids.map(_ % buckets.toLong).distinct
+        case _ => ids.map(s => (s % buckets).toString).distinct
+      }
+      rel.filter(col("src_bucket").isin(bs: _*)
+          && col("src") === col("dst")
+          && chunkedIn(col("src"), ids.map(x => x: Any)))
+        .select(col("src").as("id"), scoreCol(queryVec).as("score"))
+    }
+
     def search(queryVec: Array[Float], k: Int, ef: Int, hops: Int,
         entryId: Long): DataFrame = {
       require(k >= 1 && ef >= k, s"need 1 <= k=$k <= ef=$ef")
@@ -2120,6 +2142,263 @@ object Knn {
             .fingerprintOf(spark, d, Seq("centroids"))))
           .mkString("||"),
         minCheckIntervalMs)(load(spark, indexDir, entryIvfDir, ef, hops, idOf))
+  }
+
+  // ------------------------------------ resident-code graph serving
+
+  /** Whether [[buildGraphCodes]] has committed its sidecar under a
+    * [[buildAdjacencyIndex]] layout. */
+  def graphCodesReady(indexDir: String): Boolean =
+    new java.io.File(s"$indexDir/pqcodes/codebooks/_SUCCESS").isFile &&
+      new java.io.File(s"$indexDir/pqcodes/codes/_SUCCESS").isFile
+
+  /** Build the PQ-code sidecar that turns an adjacency layout into a
+    * [[ResidentGraphIndex]]: every LIVE node's vector (read from the
+    * index's own self-rows, so tombstones and appends are honored as of
+    * this build) unit-normalizes, trains an `m`×`ksub` product
+    * quantizer, and encodes to `m` bytes under
+    * `indexDir/pqcodes/{codebooks,codes}`.
+    *
+    * Unit-normalizing BEFORE train/encode is what makes the walk's ADC
+    * ordering correct for this engine's metric: on unit vectors,
+    * squared L2 = 2·cosine-distance, so the ADC approximation of L2
+    * (the quantity [[graft.functions.PqMath]] computes) is monotone
+    * with the cosine the exact refine scores. Zero-norm vectors pass
+    * through unnormalized (the [[graft.embed.Pooling]] guard) — they
+    * encode to SOME code and are re-ranked exactly anyway.
+    *
+    * Scale shape: one narrow pass over n self-rows (train on a
+    * `trainMod` sample, encode all — [[graft.functions.PqEncode]]
+    * codegen); output is n·(8+m) bytes. The sidecar is a snapshot of
+    * the graph's membership: after appends or compaction, rebuild it
+    * (one pass) before reloading a resident handle —
+    * [[ResidentGraphIndex.load]] refuses a sidecar that no longer
+    * covers the live set rather than serving nodes it cannot score. */
+  def buildGraphCodes(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, m: Int = 32, ksub: Int = 64, iters: Int = 2,
+      trainMod: Long = 1L): Unit = {
+    require(m >= 1 && ksub >= 1 && trainMod >= 1,
+      s"buildGraphCodes: need m, ksub, trainMod >= 1, got $m/$ksub/$trainMod")
+    val rel = AdjIndex.load(spark, indexDir).relation
+    val fp16 = rel.schema("dvec").dataType ==
+      org.apache.spark.sql.types.BinaryType
+    val vec =
+      if (fp16) graft.functions.fp16_decode(col("dvec")).cast("array<float>")
+      else col("dvec")
+    // TWO checkpointed steps, deliberately — the HOF-per-element trap
+    // (see nnDescentGraphCompressed's pq codec for the measured
+    // failure): an inline `x / sqrt(aggregate(v))` re-evaluates the
+    // whole-array aggregate (AND the fp16 decode) per element once
+    // Catalyst collapses the projects; the second barrier keeps
+    // pqTrain's m×iters Lloyd actions from re-running decode+normalize
+    // per subspace action
+    val norm = sqrt(aggregate(col("v"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val withNorm = rel.filter(col("src") === col("dst"))
+      .select(col("src").as("id"), vec.as("v"))
+      .select(col("id"), col("v"), norm.as("__n"))
+      .localCheckpoint()
+    // zero-norm guard (Pooling's CASE WHEN): all-zero vectors pass
+    // through unnormalized — they encode to SOME code and the exact
+    // refine re-ranks them anyway
+    val self = withNorm.select(col("id"),
+      when(col("__n") > 0d,
+          transform(col("v"), x => (x.cast("double") / col("__n"))
+            .cast("float")))
+        .otherwise(col("v")).as("v"))
+      .localCheckpoint()
+    val books = pqTrain(self.filter(col("id") % trainMod === 0),
+      "v", "id", m, ksub, iters)
+    // codebooks first: a crash between the writes leaves codes absent
+    // and graphCodesReady false — never codes against foreign codebooks
+    books.coalesce(1).write.mode("overwrite")
+      .parquet(s"$indexDir/pqcodes/codebooks")
+    pqEncode(self, "v", "id", collectCodebooks(books))
+      .write.mode("overwrite").parquet(s"$indexDir/pqcodes/codes")
+  }
+
+  /** Graph-ANN serving with the WALK off the job path — the r13 answer
+    * to the measured structure of the manifold ladder (SCALE.md §r13):
+    * on navigable data the beam walk reaches competitive recall only at
+    * hops ≥ 5, and every hop is a serialized planned job (~50 ms floor
+    * under load), so multi-hop-as-jobs prices at seconds. Here the hops
+    * cost driver flops instead: topology (out-adjacency) and `m`-byte
+    * PQ codes ([[buildGraphCodes]]) are held driver-resident, a request
+    * runs the full best-first graph search (Malkov & Yashunin's
+    * SEARCH-LAYER, candidate/result heaps, natural termination — no hop
+    * cap) over ADC distances at ~µs per expansion, and exactly ONE
+    * Spark job runs per request: the bucket-pruned exact re-rank of the
+    * ef-wide shortlist against the index's self-rows
+    * ([[AdjIndex.selfScores]] — the same one-pruned-read shape as the
+    * IVF probe that serves 269 ms p95).
+    *
+    * Residency budget: ~(8 + 4·degree + m) bytes a node — 200 k nodes
+    * at degree 10, m=32 is ~16 MB; the default `maxResidentNodes` bound
+    * (2 M) caps driver heap at ~160 MB, centroid-sidecar-sized state.
+    * Past the budget [[load]] REFUSES (the job walk and the IVF modes
+    * remain); at true corpus scale the resident walk is a per-replica
+    * shard choice, not a single-driver structure — the same posture as
+    * [[HnswIndex.load]]'s resident upper layers.
+    *
+    * `attrColumns` is empty — the walk reads resident codes, not
+    * attribute cells — so the gateway routes filtered requests to the
+    * store scan, [[GraphIndex]]'s exact contract. */
+  final class ResidentGraphIndex private[Knn] (adj: AdjIndex,
+      ids: Array[Long], nbrs: Array[Array[Int]], codes: Array[Array[Byte]],
+      codebooks: Array[Array[Array[Float]]], entries: Option[GraphEntries],
+      ef: Int, idOf: Long => Any) extends DenseIndex {
+    val attrColumns: Seq[String] = Nil
+
+    private val idToIdx: java.util.HashMap[Long, Integer] = {
+      val m = new java.util.HashMap[Long, Integer](ids.length * 2)
+      var i = 0
+      while (i < ids.length) { m.put(ids(i), i); i += 1 }
+      m
+    }
+
+    /** The ef best node ids by ADC distance, best-first from `entry` —
+      * all driver flops, zero jobs. Deterministic: `ids` is sorted, so
+      * (distance, idx) ordering is (distance, id) ordering. */
+    private[similarity] def walk(queryVec: Array[Float]): Array[Long] = {
+      val qn = {
+        var s = 0.0; var i = 0
+        while (i < queryVec.length) {
+          s += queryVec(i).toDouble * queryVec(i).toDouble; i += 1 }
+        val n = math.sqrt(s)
+        if (n > 0) queryVec.map(x => (x / n).toFloat) else queryVec
+      }
+      val lut = graft.functions.PqMath.lut(qn, codebooks)
+      val entryIdx = entries
+        .map(_.entryFor(queryVec))
+        .flatMap(e => Option(idToIdx.get(e)).map(_.intValue()))
+        .getOrElse(0)
+      val visited = new java.util.BitSet(ids.length)
+      // candidates: min-heap by (dist, idx); results: max-heap, head =
+      // worst kept — SEARCH-LAYER's two-heap form
+      val cand = scala.collection.mutable.PriorityQueue
+        .empty[(Double, Int)](Ordering.Tuple2[Double, Int].reverse)
+      val res = scala.collection.mutable.PriorityQueue
+        .empty[(Double, Int)](Ordering.Tuple2[Double, Int])
+      visited.set(entryIdx)
+      val d0 = graft.functions.PqMath.adc(codes(entryIdx), lut)
+      cand.enqueue((d0, entryIdx)); res.enqueue((d0, entryIdx))
+      var done = false
+      while (!done && cand.nonEmpty) {
+        val (cd, ci) = cand.dequeue()
+        if (res.size >= ef && cd > res.head._1) done = true
+        else {
+          val ns = nbrs(ci)
+          var j = 0
+          while (j < ns.length) {
+            val nb = ns(j)
+            if (!visited.get(nb)) {
+              visited.set(nb)
+              val d = graft.functions.PqMath.adc(codes(nb), lut)
+              if (res.size < ef) { res.enqueue((d, nb)); cand.enqueue((d, nb)) }
+              else if (Ordering.Tuple2[Double, Int]
+                  .lt((d, nb), res.head)) {
+                res.dequeue(); res.enqueue((d, nb)); cand.enqueue((d, nb))
+              }
+            }
+            j += 1
+          }
+        }
+      }
+      res.dequeueAll.reverseIterator
+        .map((t: (Double, Int)) => ids(t._2)).toArray
+    }
+
+    /** ≤ k (id, score) rows by (score, id); `nprobe` is ignored — the
+      * recall dial is ef, fixed per deployment. One Spark job. */
+    def servingTopK(queryVec: Array[Float], k: Int, nprobe: Int,
+        filter: Option[Column]): Array[org.apache.spark.sql.Row] = {
+      require(filter.isEmpty, "ResidentGraphIndex cannot evaluate attribute " +
+        "predicates; the gateway must route filtered requests to the store")
+      adj.selfScores(walk(queryVec).toSeq, queryVec)
+        .orderBy(col("score").asc, col("id").asc)
+        .limit(k)
+        .collect()
+        .map(r => org.apache.spark.sql.Row(idOf(r.getLong(0)), r.getDouble(1)))
+    }
+  }
+
+  object ResidentGraphIndex {
+    /** Driver-heap bound on resident nodes — see the class note. */
+    val DefaultMaxResidentNodes = 2000000L
+
+    /** Load a resident-walk handle: topology from the index's
+      * tombstone-masked edge relation (one narrow collect of 16-byte
+      * pairs), codes from the [[buildGraphCodes]] sidecar, entries from
+      * an IVF sidecar ([[ivfGraphEntries]] — zero jobs per request) or
+      * the min live id. Refuses when the live set exceeds
+      * `maxResidentNodes` or the sidecar predates an append (a node the
+      * walk cannot SCORE is a node it silently never returns — rebuild
+      * the one-pass sidecar instead). */
+    def load(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+        entryIvfDir: Option[String] = None, ef: Int = 64,
+        maxResidentNodes: Long = DefaultMaxResidentNodes,
+        idOf: Long => Any = identity[Long] _): ResidentGraphIndex = {
+      require(ef >= 1, s"ResidentGraphIndex: need ef >= 1, got $ef")
+      require(graphCodesReady(indexDir),
+        s"no pq-code sidecar at $indexDir/pqcodes — run buildGraphCodes " +
+          "(Cli index --type graph --codes true) before resident serving")
+      val adj = AdjIndex.load(spark, indexDir)
+      // one narrow job: ids only for self-rows, 16-byte pairs for edges
+      val pairs = adj.relation.select(col("src"), col("dst")).collect()
+      val ids = pairs.iterator
+        .filter(r => r.getLong(0) == r.getLong(1)).map(_.getLong(0))
+        .toArray.sorted
+      require(ids.nonEmpty,
+        s"ResidentGraphIndex: adjacency index at $indexDir has no live nodes")
+      require(ids.length <= maxResidentNodes,
+        s"ResidentGraphIndex: ${ids.length} live nodes exceed the resident " +
+          s"budget $maxResidentNodes — serve --graph-index (job walk) or " +
+          "shard the corpus per replica")
+      val idToIdx = ids.iterator.zipWithIndex.toMap
+      val nbrs = Array.fill(ids.length)(List.empty[Int])
+      pairs.foreach { r =>
+        val s = r.getLong(0); val d = r.getLong(1)
+        if (s != d)
+          // edges to nodes outside the live set were already masked by
+          // the relation's tombstone anti-joins; both lookups hit
+          for (si <- idToIdx.get(s); di <- idToIdx.get(d))
+            nbrs(si) = di :: nbrs(si)
+      }
+      val codeRows = spark.read.parquet(s"$indexDir/pqcodes/codes")
+        .select(col("id"), col("codes")).collect()
+      val codeMap = codeRows.iterator
+        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+      val missing = ids.count(!codeMap.contains(_))
+      require(missing == 0,
+        s"ResidentGraphIndex: $missing live nodes have no PQ code — the " +
+          s"sidecar at $indexDir/pqcodes predates an append; rebuild it " +
+          "with buildGraphCodes")
+      val codebooks = collectCodebooks(
+        spark.read.parquet(s"$indexDir/pqcodes/codebooks"))
+      new ResidentGraphIndex(adj, ids,
+        nbrs.map(_.toArray.sorted), ids.map(codeMap),
+        codebooks, entryIvfDir.map(d => ivfGraphEntries(spark, d)),
+        ef, idOf)
+    }
+
+    /** [[load]] behind a generation check spanning the adjacency
+      * pointer, the code sidecar, and (when given) the entry IVF's
+      * centroids — an append + sidecar rebuild or a refresh serves at
+      * the next request. */
+    def reloading(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+        entryIvfDir: Option[String] = None, ef: Int = 64,
+        maxResidentNodes: Long = DefaultMaxResidentNodes,
+        idOf: Long => Any = identity[Long] _, minCheckIntervalMs: Long = 0L)
+        : graft.sync.Reloading[ResidentGraphIndex] =
+      graft.sync.Reloading.withFingerprint(() =>
+        (Seq(graft.sync.Reloading.fingerprintOf(spark, indexDir, Seq("meta")),
+          graft.sync.Reloading.fingerprintOf(spark, s"$indexDir/pqcodes",
+            Seq("codebooks", "codes"))) ++
+          entryIvfDir.map(d => graft.sync.Reloading
+            .fingerprintOf(spark, d, Seq("centroids"))))
+          .mkString("||"),
+        minCheckIntervalMs)(
+        load(spark, indexDir, entryIvfDir, ef, maxResidentNodes, idOf))
   }
 
   /** Exact re-rank of an ADC shortlist (the refinement stage FAISS calls

@@ -162,6 +162,27 @@ class CliSpec extends SparkTestBase {
     assert(rows2.nonEmpty && !rows2.exists(_("id") == "1"),
       rows2.map(_("id")))
 
+    // the resident-code walk (`serve --graph-resident`): sidecar-only
+    // rebuild over the EXISTING (tombstoned) layout via --type
+    // graph-codes, then the gateway serves through ResidentGraphIndex —
+    // same contract, deleted node stays gone, one refine job a request
+    val (cc, outc) = capture(Cli.run(Array("index", "--store", store,
+      "--out", graph, "--type", "graph-codes", "--pq-m", "8",
+      "--pq-ksub", "4"), spark))
+    assert(cc == 0, outc)
+    assert(outc.contains("\"type\":\"graph-codes\""), outc)
+    assert(graft.similarity.Knn.graphCodesReady(graph))
+    val ri = graft.similarity.Knn.ResidentGraphIndex.load(spark, graph,
+      ef = 8, idOf = (id: Long) => id.toString)
+    val rowsR = ask(gw(ri), "spark shuffles and joins again", 3)
+    assert(rowsR.nonEmpty && rowsR.head("id") == "2", rowsR.map(_("id")))
+    assert(!rowsR.exists(_("id") == "1"), rowsR.map(_("id")))
+    // filtered requests fall back to the store scan here too
+    assert(gw(ri).search(fp).toSeq.nonEmpty)
+    // graph-codes over a missing layout names the fix
+    assert(capture(Cli.run(Array("index", "--store", store,
+      "--out", s"$graph-none", "--type", "graph-codes"), spark))._1 == 1)
+
     // hnsw stack via the CLI, then `refresh --hnsw-index` drives it:
     // id 5 removed upstream, id 2 edited, id 9 added
     assert(capture(Cli.run(Array("index", "--store", store, "--out", hnsw,

@@ -103,6 +103,35 @@ class ConfigSpec extends AnyFunSuite {
       && r.graphHops == 4)
   }
 
+  test("graph-resident: requires the graph mode; env form parses and validates") {
+    // the resident walk serves the flat layout's pq-code sidecar — no
+    // meaning without --graph-index
+    val Left(e1) = GraftConfig.validated(GraftConfig("/s",
+      graphResident = true)): @unchecked
+    assert(e1.exists(e => e.contains("GRAPH_RESIDENT")
+      && e.contains("GRAPH_INDEX_DIR")), e1)
+    assert(GraftConfig.validated(GraftConfig("/s",
+      graphIndexDir = Some("/g"), graphResident = true)).isRight)
+    // flag layer (value-less, like --pooled) composes with the mode
+    val Right(r1) = GraftConfig.resolve(
+      Map("store" -> "/s", "graph-index" -> "/g"), Map.empty,
+      GraftConfig.Command.Serve, graphResidentFlag = true): @unchecked
+    assert(r1.graphResident)
+    // env layer parses true/false and rejects garbage
+    val Right(r2) = GraftConfig.resolve(Map("store" -> "/s",
+      "graph-index" -> "/g"), Map("GRAFT_GRAPH_RESIDENT" -> "1"),
+      GraftConfig.Command.Serve): @unchecked
+    assert(r2.graphResident)
+    val Left(e2) = GraftConfig.resolve(Map("store" -> "/s",
+      "graph-index" -> "/g"), Map("GRAFT_GRAPH_RESIDENT" -> "maybe"),
+      GraftConfig.Command.Serve): @unchecked
+    assert(e2.exists(_.contains("GRAFT_GRAPH_RESIDENT")), e2)
+    // ambient env garbage outside serve scope stays ignored
+    assert(GraftConfig.resolve(Map("store" -> "/s"),
+      Map("GRAFT_GRAPH_RESIDENT" -> "junk", "GRAFT_STORE_DIR" -> "/s"),
+      GraftConfig.Command.Search).isRight)
+  }
+
   test("hnsw serving mode: exclusivity, walk knobs apply, entry-ivf rejected") {
     // hnsw joins the one-dense-index rule
     val Left(e1) = GraftConfig.validated(GraftConfig("/s",

@@ -1,0 +1,132 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.fixtures.ManifoldCorpus
+
+/** [[Knn.ResidentGraphIndex]] — graph-ANN serving with the walk off the
+  * job path. Pins (1) the serving contract: the one Spark job per
+  * request is the exact storage-precision re-rank of the driver walk's
+  * shortlist, sorted (score, id); (2) recall on navigable data at the
+  * default ef (the r13 manifold-ladder finding this mode exists to
+  * answer — SCALE.md §r13); (3) the lifecycle: tombstoned nodes leave
+  * the walk, a sidecar that predates an append REFUSES to load (a node
+  * the walk cannot score must not silently vanish from results), and a
+  * one-pass [[Knn.buildGraphCodes]] rebuild restores serving; (4) the
+  * residency budget refusal. */
+class ResidentGraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def rmTree(dir: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
+  private val N = 400L
+  // the navigable fixture: low intrinsic dimension, so the walk's ADC
+  // ordering has gradient to follow (the uniform fixture would measure
+  // distance concentration, not the implementation — ManifoldCorpusSpec)
+  private lazy val corpus = (0L until N)
+    .map(v => (v, ManifoldCorpus.vector(v).toSeq))
+    .toDF("vec_id", "embedding").localCheckpoint()
+  private lazy val edges = Knn.knnGraph(corpus, "embedding", "vec_id",
+    topK = 8).select($"id_a", $"id_b").localCheckpoint()
+
+  private def buildAt(dir: String): Unit = {
+    Knn.buildAdjacencyIndex(edges, corpus, "embedding", "vec_id", dir,
+      buckets = 8)
+    Knn.buildGraphCodes(spark, dir, m = 32, ksub = 16)
+  }
+
+  test("one refine job per request; scores are the exact fp16 re-rank of the walk's shortlist") {
+    val dir = java.nio.file.Files.createTempDirectory("resg").toString + "/i"
+    try {
+      buildAt(dir)
+      val idx = Knn.ResidentGraphIndex.load(spark, dir, ef = 32)
+      val qv = ManifoldCorpus.vector(7L)
+      val shortlist = idx.walk(qv)
+      assert(shortlist.length == 32)
+      val sc = spark.sparkContext
+      val before = sc.statusTracker.getJobIdsForGroup(null).length
+      val got = idx.servingTopK(qv, 5, 0, None).toSeq
+      val after = sc.statusTracker.getJobIdsForGroup(null).length
+      // the whole request is ONE TakeOrderedAndProject over the
+      // bucket-pruned self-rows (walk = driver flops, zero jobs)
+      assert(after - before <= 1, s"ran ${after - before} jobs")
+      // exactness: the k winners are the fp16-cosine rank of the
+      // shortlist — recompute wholesale over the rounded corpus
+      val want = corpus
+        .filter($"vec_id".isin(shortlist.map(x => x: Any): _*))
+        .select($"vec_id", graft.functions.fp16_cosine_distance(
+          graft.functions.fp16_encode($"embedding"), typedLit(qv))
+          .as("score"))
+        .orderBy($"score".asc, $"vec_id".asc).limit(5)
+        .collect().map(r => org.apache.spark.sql.Row(r.getLong(0),
+          r.getDouble(1))).toSeq
+      assert(got == want, s"$got vs $want")
+      // residency budget: past it, load refuses toward the job walk
+      val e = intercept[IllegalArgumentException] {
+        Knn.ResidentGraphIndex.load(spark, dir, maxResidentNodes = 10L)
+      }
+      assert(e.getMessage.contains("resident budget"))
+    } finally rmTree(dir)
+  }
+
+  test("recall@10 on navigable data at default ef; ivf entries accepted") {
+    val dir = java.nio.file.Files.createTempDirectory("resgr").toString + "/i"
+    val ivf = java.nio.file.Files.createTempDirectory("resgi").toString + "/i"
+    try {
+      buildAt(dir)
+      Knn.ivfBuildIndex(corpus, "embedding", "vec_id", ivf, k = 8,
+        iters = 2, trainFilter = lit(true), fp16 = true)
+      val idx = Knn.ResidentGraphIndex.load(spark, dir, Some(ivf))
+      val recalls = Seq(7L, 131L, 263L).map { q =>
+        val qv = ManifoldCorpus.vector(q)
+        val got = idx.servingTopK(qv, 10, 0, None).map(_.getLong(0)).toSet
+        val want = Knn.topK(corpus, "embedding", qv, 10, "vec_id")
+          .collect().map(_.getLong(0)).toSet
+        (got & want).size / 10.0
+      }
+      val mean = recalls.sum / recalls.size
+      assert(mean >= 0.9, s"recall@10 $recalls")
+    } finally { rmTree(dir); rmTree(ivf) }
+  }
+
+  test("tombstoned nodes leave the walk; a stale sidecar refuses; rebuild serves appends") {
+    val dir = java.nio.file.Files.createTempDirectory("resgt").toString + "/i"
+    try {
+      buildAt(dir)
+      val qv = ManifoldCorpus.vector(7L)
+      val top = Knn.ResidentGraphIndex.load(spark, dir)
+        .servingTopK(qv, 5, 0, None).map(_.getLong(0))
+      // delete the best node: the reloaded walk must never return it
+      Knn.adjDeleteIndex(spark, dir, Seq(top.head).toDF("id"), "id")
+      val afterDel = Knn.ResidentGraphIndex.load(spark, dir)
+        .servingTopK(qv, 5, 0, None).map(_.getLong(0))
+      assert(!afterDel.contains(top.head), s"deleted ${top.head} served")
+      // append nodes the sidecar has never seen: load must REFUSE (the
+      // walk cannot score them) and name the fix
+      val grown = (0L until N + 50L)
+        .map(v => (v, ManifoldCorpus.vector(v).toSeq))
+        .toDF("vec_id", "embedding").localCheckpoint()
+      val allEdges = Knn.knnGraph(grown, "embedding", "vec_id", topK = 8)
+        .select($"id_a", $"id_b")
+      Knn.appendAdjacencyIndex(
+        allEdges.filter($"id_a" >= N || $"id_b" >= N), grown,
+        "embedding", "vec_id", dir,
+        newNodes = Some(grown.filter($"vec_id" >= N).select($"vec_id")))
+      val stale = intercept[IllegalArgumentException] {
+        Knn.ResidentGraphIndex.load(spark, dir)
+      }
+      assert(stale.getMessage.contains("rebuild"))
+      // the one-pass sidecar rebuild restores serving, appended nodes
+      // findable (query AT a new node finds it at distance ~0)
+      Knn.buildGraphCodes(spark, dir, m = 32, ksub = 16)
+      val served = Knn.ResidentGraphIndex.load(spark, dir)
+        .servingTopK(ManifoldCorpus.vector(N + 11L), 5, 0, None)
+      assert(served.head.getLong(0) == N + 11L, served.toSeq.toString)
+    } finally rmTree(dir)
+  }
+}
