@@ -230,9 +230,9 @@ object Cli {
     //              [--attrs col1,col2,…]
     //     graph:   [--graph-k 5] [--cells 64] [--nprobe 2] [--buckets 64]
     //              [--fp16 true]   (flat beam-walk serving: --graph-index)
-    //              [--codes true [--pq-m 32] [--pq-ksub 64]]
-    //                              (+pq-code sidecar: --graph-resident)
-    //     graph-codes: [--pq-m 32] [--pq-ksub 64]
+    //              [--codes true [--codec pq|int8] [--pq-m 64]
+    //               [--pq-ksub 256]] (+code sidecar: --graph-resident)
+    //     graph-codes: [--codec pq|int8] [--pq-m 64] [--pq-ksub 256]
     //                    (sidecar-only rebuild over an existing layout)
     //     hnsw:    [--graph-k 5] [--levels 2] [--upper-m 3] [--cells 64]
     //              [--nprobe 2] [--buckets 16] [--fp16 true]
@@ -324,17 +324,23 @@ object Cli {
                   // refuses a sidecar that no longer covers the live set)
                   val codes = f.get("codes").contains("true")
                   if (codes) {
-                    val pm = intOf("pq-m", 32)
+                    val codecV = f.getOrElse("codec", "pq")
+                    if (!Seq("pq", "int8").contains(codecV)) {
+                      System.err.println(
+                        s"--codec must be pq or int8, got '$codecV'")
+                      return 2
+                    }
+                    val pm = intOf("pq-m", 64)
                     val dims = df.filter(col("embedding").isNotNull)
                       .select(org.apache.spark.sql.functions
                         .size(col("embedding"))).head().getInt(0)
-                    if (dims % pm != 0) {
+                    if (codecV == "pq" && dims % pm != 0) {
                       System.err.println(s"--pq-m $pm must divide the " +
                         s"embedding dim $dims")
                       return 2
                     }
                     graft.similarity.Knn.buildGraphCodes(spark, out,
-                      m = pm, ksub = intOf("pq-ksub", 64))
+                      m = pm, ksub = intOf("pq-ksub", 256), codec = codecV)
                   }
                   println(Json.write(Map("indexed" -> out, "type" -> "graph",
                     "graph_k" -> gk, "cells" -> c, "codes" -> codes)))
@@ -346,24 +352,30 @@ object Cli {
                   // covers the live set; this one pass re-covers it)
                   if (!graft.similarity.Knn.graphIndexReady(out)) {
                     System.err.println(s"no adjacency index at $out — " +
-                      "--type graph-codes rebuilds the pq-code sidecar of " +
+                      "--type graph-codes rebuilds the code sidecar of " +
                       "an existing graph index (build one with --type graph)")
                     return 1
                   }
-                  val pm = intOf("pq-m", 32)
+                  val codecV = f.getOrElse("codec", "pq")
+                  if (!Seq("pq", "int8").contains(codecV)) {
+                    System.err.println(
+                      s"--codec must be pq or int8, got '$codecV'")
+                    return 2
+                  }
+                  val pm = intOf("pq-m", 64)
                   val dims = df.filter(col("embedding").isNotNull)
                     .select(org.apache.spark.sql.functions
                       .size(col("embedding"))).head().getInt(0)
-                  if (dims % pm != 0) {
+                  if (codecV == "pq" && dims % pm != 0) {
                     System.err.println(s"--pq-m $pm must divide the " +
                       s"embedding dim $dims")
                     return 2
                   }
                   graft.similarity.Knn.buildGraphCodes(spark, out,
-                    m = pm, ksub = intOf("pq-ksub", 64))
+                    m = pm, ksub = intOf("pq-ksub", 256), codec = codecV)
                   println(Json.write(Map("indexed" -> out,
-                    "type" -> "graph-codes", "pq_m" -> pm,
-                    "pq_ksub" -> intOf("pq-ksub", 64))))
+                    "type" -> "graph-codes", "codec" -> codecV,
+                    "pq_m" -> pm, "pq_ksub" -> intOf("pq-ksub", 256))))
                   0
                 case "hnsw" =>
                   if (!numericIdsOk()) return 2

@@ -356,11 +356,16 @@ object ConcurrencyProbe {
         graft.similarity.Knn.buildAdjacencyIndex(edges, fp32, "embedding",
           "id", indexDir, buckets = 64)
       }
-      if (!graft.similarity.Knn.graphCodesReady(indexDir))
+      val pqM = sys.env.getOrElse("CONC_RESIDENT_M", "64").toInt
+      val pqKsub = sys.env.getOrElse("CONC_RESIDENT_KSUB", "256").toInt
+      val codec = sys.env.getOrElse("CONC_RESIDENT_CODEC", "pq")
+      if (!graft.similarity.Knn.graphCodesReady(indexDir) ||
+          sys.env.get("CONC_RESIDENT_REBUILD").contains("1"))
         // train on ~2000 nodes — codebook quality saturates long before
         // the corpus; encode is the full narrow pass either way
         graft.similarity.Knn.buildGraphCodes(spark, indexDir,
-          m = 32, ksub = 64, trainMod = math.max(1L, n / 2000L))
+          m = pqM, ksub = pqKsub, trainMod = math.max(1L, n / 2000L),
+          codec = codec)
       val entryIvf =
         if (!sys.env.get("CONC_ENTRY").contains("ivf")) None
         else {
@@ -379,10 +384,12 @@ object ConcurrencyProbe {
       val index = graft.similarity.Knn.ResidentGraphIndex.load(spark,
         indexDir, entryIvf, ef = ef)
       val tag = if (entryIvf.isDefined) ",entry=ivf" else ",entry=fixed"
-      recall10(spark, corpus, n, s"resident(k=$gk,ef=$ef$tag)", qvec) {
+      val lbl =
+        if (codec == "int8") s"resident(k=$gk,ef=$ef,codec=int8$tag)"
+        else s"resident(k=$gk,ef=$ef,m=$pqM,ksub=$pqKsub$tag)"
+      recall10(spark, corpus, n, lbl, qvec) {
         qv => index.servingTopK(qv, 10, 0, None).map(_.getLong(0)) }
-      run(spark, s"resident(k=$gk,ef=$ef$tag)", n, users,
-        reqsPerUser) { seed =>
+      run(spark, lbl, n, users, reqsPerUser) { seed =>
           val qv = qvec(seed)
           require(index.servingTopK(qv, 10, 0, None).nonEmpty)
       }

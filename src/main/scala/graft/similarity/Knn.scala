@@ -1410,10 +1410,21 @@ object Knn {
     /** The representative member of the query's nearest non-empty cell
       * — 0 Spark jobs, numCells·dim driver flops. */
     def entryFor(queryVec: Array[Float]): Long =
-      reps(cents
+      entriesFor(queryVec, 1).head
+
+    /** Representatives of the query's `count` nearest non-empty cells,
+      * nearest first — multi-entry seeding for walks (the nprobe idea
+      * applied to entry selection: one entry can strand a walk in a
+      * region with no path to the target; seeding one per nearby cell
+      * covers the query's neighborhood from `count` sides). Same zero
+      * jobs, same driver flops. */
+    def entriesFor(queryVec: Array[Float], count: Int): Seq[Long] =
+      cents
         .map { case (cid, cv) =>
           (cid, graft.functions.VectorMath.cosineDistance(cv, queryVec)) }
-        .minBy { case (cid, d) => (d, cid) }._1)
+        .sortBy { case (cid, d) => (d, cid) }
+        .take(math.max(1, count))
+        .map(c => reps(c._1)).toSeq
   }
 
   /** Build [[GraphEntries]] from a persistent IVF index: per cell, the
@@ -2147,17 +2158,22 @@ object Knn {
   // ------------------------------------ resident-code graph serving
 
   /** Whether [[buildGraphCodes]] has committed its sidecar under a
-    * [[buildAdjacencyIndex]] layout. */
+    * [[buildAdjacencyIndex]] layout (meta carries the codec; codes is
+    * written last, so its marker is the commit). */
   def graphCodesReady(indexDir: String): Boolean =
-    new java.io.File(s"$indexDir/pqcodes/codebooks/_SUCCESS").isFile &&
+    new java.io.File(s"$indexDir/pqcodes/meta/_SUCCESS").isFile &&
       new java.io.File(s"$indexDir/pqcodes/codes/_SUCCESS").isFile
 
-  /** Build the PQ-code sidecar that turns an adjacency layout into a
+  /** Build the code sidecar that turns an adjacency layout into a
     * [[ResidentGraphIndex]]: every LIVE node's vector (read from the
     * index's own self-rows, so tombstones and appends are honored as of
-    * this build) unit-normalizes, trains an `m`×`ksub` product
-    * quantizer, and encodes to `m` bytes under
-    * `indexDir/pqcodes/{codebooks,codes}`.
+    * this build) unit-normalizes and encodes under
+    * `indexDir/pqcodes/{meta,codebooks,codes}`. `codec` picks the
+    * fidelity/footprint point: `pq` trains an `m`×`ksub` product
+    * quantizer (m bytes a node — the scale path; ADC noise costs walk
+    * recall, measured in SCALE.md §r13's resident ladder), `int8`
+    * quantizes per dimension (dim bytes a node — near-lossless
+    * distances the walk can navigate on, ~48× pq's footprint at m=64).
     *
     * Unit-normalizing BEFORE train/encode is what makes the walk's ADC
     * ordering correct for this engine's metric: on unit vectors,
@@ -2175,10 +2191,13 @@ object Knn {
     * [[ResidentGraphIndex.load]] refuses a sidecar that no longer
     * covers the live set rather than serving nodes it cannot score. */
   def buildGraphCodes(spark: org.apache.spark.sql.SparkSession,
-      indexDir: String, m: Int = 32, ksub: Int = 64, iters: Int = 2,
-      trainMod: Long = 1L): Unit = {
-    require(m >= 1 && ksub >= 1 && trainMod >= 1,
-      s"buildGraphCodes: need m, ksub, trainMod >= 1, got $m/$ksub/$trainMod")
+      indexDir: String, m: Int = 64, ksub: Int = 256, iters: Int = 2,
+      trainMod: Long = 1L, codec: String = "pq"): Unit = {
+    require(m >= 1 && ksub >= 1 && ksub <= 256 && trainMod >= 1,
+      s"buildGraphCodes: need m >= 1, 1 <= ksub <= 256, trainMod >= 1, " +
+        s"got $m/$ksub/$trainMod")
+    require(Set("pq", "int8").contains(codec),
+      s"buildGraphCodes: codec must be pq or int8, got $codec")
     val rel = AdjIndex.load(spark, indexDir).relation
     val fp16 = rel.schema("dvec").dataType ==
       org.apache.spark.sql.types.BinaryType
@@ -2207,14 +2226,27 @@ object Knn {
             .cast("float")))
         .otherwise(col("v")).as("v"))
       .localCheckpoint()
-    val books = pqTrain(self.filter(col("id") % trainMod === 0),
-      "v", "id", m, ksub, iters)
-    // codebooks first: a crash between the writes leaves codes absent
-    // and graphCodesReady false — never codes against foreign codebooks
-    books.coalesce(1).write.mode("overwrite")
-      .parquet(s"$indexDir/pqcodes/codebooks")
-    pqEncode(self, "v", "id", collectCodebooks(books))
-      .write.mode("overwrite").parquet(s"$indexDir/pqcodes/codes")
+    // meta (codec) then codebooks then codes: a crash mid-build leaves
+    // codes absent and graphCodesReady false — never codes against
+    // foreign codebooks or a mislabeled codec
+    spark.range(1).select(lit(codec).as("codec"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/pqcodes/meta")
+    codec match {
+      case "pq" =>
+        val books = pqTrain(self.filter(col("id") % trainMod === 0),
+          "v", "id", m, ksub, iters)
+        books.coalesce(1).write.mode("overwrite")
+          .parquet(s"$indexDir/pqcodes/codebooks")
+        pqEncode(self, "v", "id", collectCodebooks(books))
+          .write.mode("overwrite").parquet(s"$indexDir/pqcodes/codes")
+      case "int8" =>
+        // near-lossless per-dimension quantization (dim bytes a node —
+        // ~48× PQ's footprint at m=64, for distance fidelity the walk
+        // can NAVIGATE on; one codegen pass, no training)
+        self.select(col("id"),
+            graft.functions.int8_encode(col("v")).as("codes"))
+          .write.mode("overwrite").parquet(s"$indexDir/pqcodes/codes")
+    }
   }
 
   /** Graph-ANN serving with the WALK off the job path — the r13 answer
@@ -2222,31 +2254,41 @@ object Knn {
     * on navigable data the beam walk reaches competitive recall only at
     * hops ≥ 5, and every hop is a serialized planned job (~50 ms floor
     * under load), so multi-hop-as-jobs prices at seconds. Here the hops
-    * cost driver flops instead: topology (out-adjacency) and `m`-byte
-    * PQ codes ([[buildGraphCodes]]) are held driver-resident, a request
-    * runs the full best-first graph search (Malkov & Yashunin's
-    * SEARCH-LAYER, candidate/result heaps, natural termination — no hop
-    * cap) over ADC distances at ~µs per expansion, and exactly ONE
-    * Spark job runs per request: the bucket-pruned exact re-rank of the
-    * ef-wide shortlist against the index's self-rows
-    * ([[AdjIndex.selfScores]] — the same one-pruned-read shape as the
-    * IVF probe that serves 269 ms p95).
+    * cost driver flops instead: topology (SYMMETRIZED at load — stored
+    * out-lists plus their reverse edges, the DPG/NSG trick that gives
+    * every walk escape routes a directed kNN digraph lacks) and
+    * `m`-byte PQ codes ([[buildGraphCodes]]) are held driver-resident,
+    * a request seeds from `entryCount` query-near IVF cells and runs
+    * the best-first graph search (Malkov & Yashunin's SEARCH-LAYER,
+    * candidate/result heaps) over ADC distances at ~µs per expansion
+    * under an expansion budget (default 16·ef — ADC noise makes
+    * unbudgeted best-first wander, and unbounded driver CPU per request
+    * is a serving hazard under concurrency), and exactly ONE Spark job
+    * runs per request: the bucket-pruned exact re-rank of the ef-wide
+    * shortlist against the index's self-rows ([[AdjIndex.selfScores]] —
+    * the same one-pruned-read shape as the IVF probe that serves
+    * 269 ms p95).
     *
-    * Residency budget: ~(8 + 4·degree + m) bytes a node — 200 k nodes
-    * at degree 10, m=32 is ~16 MB; the default `maxResidentNodes` bound
-    * (2 M) caps driver heap at ~160 MB, centroid-sidecar-sized state.
-    * Past the budget [[load]] REFUSES (the job walk and the IVF modes
-    * remain); at true corpus scale the resident walk is a per-replica
-    * shard choice, not a single-driver structure — the same posture as
-    * [[HnswIndex.load]]'s resident upper layers.
+    * Residency budget: ~(8 + 8·degree + codeBytes) a node, where
+    * codeBytes is m for the pq codec and dim for int8 — 200 k nodes at
+    * degree 10 (symmetrized ≈ 20) is ~50 MB pq / ~680 MB int8 at
+    * 3072-dim; the default `maxResidentNodes` bound (2 M) caps pq
+    * state at centroid-sidecar scale and int8 at a documented ~7 GB
+    * ceiling a serving driver sizes for. Past the budget [[load]]
+    * REFUSES (the job walk and the IVF modes remain); at true corpus
+    * scale the resident walk is a per-replica shard choice, not a
+    * single-driver structure — the same posture as [[HnswIndex.load]]'s
+    * resident upper layers.
     *
     * `attrColumns` is empty — the walk reads resident codes, not
     * attribute cells — so the gateway routes filtered requests to the
     * store scan, [[GraphIndex]]'s exact contract. */
   final class ResidentGraphIndex private[Knn] (adj: AdjIndex,
       ids: Array[Long], nbrs: Array[Array[Int]], codes: Array[Array[Byte]],
-      codebooks: Array[Array[Array[Float]]], entries: Option[GraphEntries],
-      ef: Int, idOf: Long => Any) extends DenseIndex {
+      codebooks: Array[Array[Array[Float]]], codec: String,
+      entries: Option[GraphEntries],
+      ef: Int, entryCount: Int, visitBudget: Int,
+      idOf: Long => Any) extends DenseIndex {
     val attrColumns: Seq[String] = Nil
 
     private val idToIdx: java.util.HashMap[Long, Integer] = {
@@ -2255,6 +2297,20 @@ object Knn {
       while (i < ids.length) { m.put(ids(i), i); i += 1 }
       m
     }
+
+    // int8: per-node code norms precomputed ONCE at load (scale cancels
+    // in cosine), so the per-expansion hot loop is a single integer
+    // dot product — the int8_cosine_codes kernel split across
+    // load/request time. Measured necessity: the dequantizing scorer's
+    // ~3 double ops/dim put ~200 ms of driver CPU in every request and
+    // 20-user queueing took p50 328 → 777 ms.
+    private val codeNorms: Array[Double] =
+      if (codec != "int8") null
+      else codes.map { b =>
+        var s = 0L; var i = 8
+        while (i < b.length) { val v = b(i).toLong; s += v * v; i += 1 }
+        math.sqrt(s.toDouble)
+      }
 
     /** The ef best node ids by ADC distance, best-first from `entry` —
       * all driver flops, zero jobs. Deterministic: `ids` is sorted, so
@@ -2267,11 +2323,45 @@ object Knn {
         val n = math.sqrt(s)
         if (n > 0) queryVec.map(x => (x / n).toFloat) else queryVec
       }
-      val lut = graft.functions.PqMath.lut(qn, codebooks)
-      val entryIdx = entries
-        .map(_.entryFor(queryVec))
-        .flatMap(e => Option(idToIdx.get(e)).map(_.intValue()))
-        .getOrElse(0)
+      // per-codec scorer: pq = m LUT adds a node over the query's ADC
+      // table (approximate squared L2, monotone with cosine on unit
+      // vectors); int8 = code-domain cosine (the int8_cosine_codes
+      // kernel: query encoded ONCE per request, node norms precomputed
+      // at load, the hot loop one INTEGER dot/dim — near-lossless
+      // ranking at ~µs a node)
+      val score: Int => Double =
+        if (codec == "int8") {
+          val qb = graft.functions.Int8.encode(qn)
+          val qNorm0 = {
+            var s = 0L; var i = 8
+            while (i < qb.length) { val v = qb(i).toLong; s += v * v; i += 1 }
+            math.sqrt(s.toDouble)
+          }
+          i => {
+            val cb = codes(i)
+            val n0 = codeNorms(i)
+            if (n0 == 0.0 || qNorm0 == 0.0) 1.0
+            else {
+              val len = math.min(cb.length, qb.length)
+              var dot = 0L; var j = 8
+              while (j < len) { dot += cb(j).toLong * qb(j).toLong; j += 1 }
+              1.0 - dot.toDouble / (n0 * qNorm0)
+            }
+          }
+        } else {
+          val lut = graft.functions.PqMath.lut(qn, codebooks)
+          i => graft.functions.PqMath.adc(codes(i), lut)
+        }
+      // multi-entry seeding: one entry per query-near IVF cell. A
+      // single entry strands the walk when the target sits outside the
+      // entry's reachable region (measured: recall@10 min 0.000 on the
+      // manifold gate with one ivf entry); entryCount nearby reps cover
+      // the neighborhood from several sides for the same zero jobs.
+      val seedIdxs: Seq[Int] = entries
+        .map(_.entriesFor(queryVec, entryCount)
+          .flatMap(e => Option(idToIdx.get(e)).map(_.intValue())))
+        .filter(_.nonEmpty)
+        .getOrElse(Seq(0))
       val visited = new java.util.BitSet(ids.length)
       // candidates: min-heap by (dist, idx); results: max-heap, head =
       // worst kept — SEARCH-LAYER's two-heap form
@@ -2279,21 +2369,39 @@ object Knn {
         .empty[(Double, Int)](Ordering.Tuple2[Double, Int].reverse)
       val res = scala.collection.mutable.PriorityQueue
         .empty[(Double, Int)](Ordering.Tuple2[Double, Int])
-      visited.set(entryIdx)
-      val d0 = graft.functions.PqMath.adc(codes(entryIdx), lut)
-      cand.enqueue((d0, entryIdx)); res.enqueue((d0, entryIdx))
+      seedIdxs.foreach { e =>
+        if (!visited.get(e)) {
+          visited.set(e)
+          val d0 = score(e)
+          cand.enqueue((d0, e)); res.enqueue((d0, e))
+        }
+      }
+      while (res.size > ef) res.dequeue()
+      // expansion budget: ADC noise keeps far candidates "promising",
+      // so unbudgeted best-first can wander a large fraction of the
+      // graph — unbounded driver CPU per request is a serving hazard
+      // under concurrency (measured: p50 217 → 849 ms at 20 users).
+      // The budget bounds work like HNSW's efSearch bounds it: recall
+      // dials are ef / entryCount / budget, all driver-flop-priced.
+      // int8 distances are ~exact, so the walk converges like HNSW's
+      // SEARCH-LAYER (≈ef expansions plus the approach path) — 4·ef
+      // bounds it; pq's ADC noise needs wandering room — 16·ef
+      val budget = if (visitBudget > 0) visitBudget
+        else if (codec == "int8") 4 * ef else 16 * ef
+      var expansions = 0
       var done = false
-      while (!done && cand.nonEmpty) {
+      while (!done && cand.nonEmpty && expansions < budget) {
         val (cd, ci) = cand.dequeue()
         if (res.size >= ef && cd > res.head._1) done = true
         else {
+          expansions += 1
           val ns = nbrs(ci)
           var j = 0
           while (j < ns.length) {
             val nb = ns(j)
             if (!visited.get(nb)) {
               visited.set(nb)
-              val d = graft.functions.PqMath.adc(codes(nb), lut)
+              val d = score(nb)
               if (res.size < ef) { res.enqueue((d, nb)); cand.enqueue((d, nb)) }
               else if (Ordering.Tuple2[Double, Int]
                   .lt((d, nb), res.head)) {
@@ -2337,8 +2445,11 @@ object Knn {
     def load(spark: org.apache.spark.sql.SparkSession, indexDir: String,
         entryIvfDir: Option[String] = None, ef: Int = 64,
         maxResidentNodes: Long = DefaultMaxResidentNodes,
-        idOf: Long => Any = identity[Long] _): ResidentGraphIndex = {
-      require(ef >= 1, s"ResidentGraphIndex: need ef >= 1, got $ef")
+        idOf: Long => Any = identity[Long] _, entryCount: Int = 4,
+        visitBudget: Int = 0): ResidentGraphIndex = {
+      require(ef >= 1 && entryCount >= 1 && visitBudget >= 0,
+        s"ResidentGraphIndex: need ef >= 1, entryCount >= 1, " +
+          s"visitBudget >= 0, got ef=$ef/$entryCount/$visitBudget")
       require(graphCodesReady(indexDir),
         s"no pq-code sidecar at $indexDir/pqcodes — run buildGraphCodes " +
           "(Cli index --type graph --codes true) before resident serving")
@@ -2355,14 +2466,24 @@ object Knn {
           s"budget $maxResidentNodes — serve --graph-index (job walk) or " +
           "shard the corpus per replica")
       val idToIdx = ids.iterator.zipWithIndex.toMap
+      // SYMMETRIZED adjacency: the stored kNN edges are DIRECTED
+      // out-lists, and a best-first walk over them can only reach a
+      // node's out-component — measured on the manifold gate as
+      // recall@10 min 0.000 (targets unreachable from the entry).
+      // In-edges are free at load time (the same collected pairs read
+      // backwards) and give every walk escape routes — the DPG/NSG
+      // symmetrization, applied to the resident view only (the job
+      // walk keeps the stored layout's semantics).
       val nbrs = Array.fill(ids.length)(List.empty[Int])
       pairs.foreach { r =>
         val s = r.getLong(0); val d = r.getLong(1)
         if (s != d)
           // edges to nodes outside the live set were already masked by
           // the relation's tombstone anti-joins; both lookups hit
-          for (si <- idToIdx.get(s); di <- idToIdx.get(d))
+          for (si <- idToIdx.get(s); di <- idToIdx.get(d)) {
             nbrs(si) = di :: nbrs(si)
+            nbrs(di) = si :: nbrs(di)
+          }
       }
       val codeRows = spark.read.parquet(s"$indexDir/pqcodes/codes")
         .select(col("id"), col("codes")).collect()
@@ -2373,12 +2494,16 @@ object Knn {
         s"ResidentGraphIndex: $missing live nodes have no PQ code — the " +
           s"sidecar at $indexDir/pqcodes predates an append; rebuild it " +
           "with buildGraphCodes")
-      val codebooks = collectCodebooks(
-        spark.read.parquet(s"$indexDir/pqcodes/codebooks"))
+      val codec = spark.read.parquet(s"$indexDir/pqcodes/meta")
+        .head().getAs[String]("codec")
+      val codebooks =
+        if (codec == "pq") collectCodebooks(
+          spark.read.parquet(s"$indexDir/pqcodes/codebooks"))
+        else Array.empty[Array[Array[Float]]]
       new ResidentGraphIndex(adj, ids,
-        nbrs.map(_.toArray.sorted), ids.map(codeMap),
-        codebooks, entryIvfDir.map(d => ivfGraphEntries(spark, d)),
-        ef, idOf)
+        nbrs.map(_.distinct.toArray.sorted), ids.map(codeMap),
+        codebooks, codec, entryIvfDir.map(d => ivfGraphEntries(spark, d)),
+        ef, entryCount, visitBudget, idOf)
     }
 
     /** [[load]] behind a generation check spanning the adjacency
@@ -2388,17 +2513,19 @@ object Knn {
     def reloading(spark: org.apache.spark.sql.SparkSession, indexDir: String,
         entryIvfDir: Option[String] = None, ef: Int = 64,
         maxResidentNodes: Long = DefaultMaxResidentNodes,
-        idOf: Long => Any = identity[Long] _, minCheckIntervalMs: Long = 0L)
+        idOf: Long => Any = identity[Long] _, minCheckIntervalMs: Long = 0L,
+        entryCount: Int = 4, visitBudget: Int = 0)
         : graft.sync.Reloading[ResidentGraphIndex] =
       graft.sync.Reloading.withFingerprint(() =>
         (Seq(graft.sync.Reloading.fingerprintOf(spark, indexDir, Seq("meta")),
           graft.sync.Reloading.fingerprintOf(spark, s"$indexDir/pqcodes",
-            Seq("codebooks", "codes"))) ++
+            Seq("meta", "codebooks", "codes"))) ++
           entryIvfDir.map(d => graft.sync.Reloading
             .fingerprintOf(spark, d, Seq("centroids"))))
           .mkString("||"),
         minCheckIntervalMs)(
-        load(spark, indexDir, entryIvfDir, ef, maxResidentNodes, idOf))
+        load(spark, indexDir, entryIvfDir, ef, maxResidentNodes, idOf,
+          entryCount, visitBudget))
   }
 
   /** Exact re-rank of an ADC shortlist (the refinement stage FAISS calls

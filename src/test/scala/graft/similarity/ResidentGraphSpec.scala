@@ -94,6 +94,35 @@ class ResidentGraphSpec extends SparkTestBase {
     } finally { rmTree(dir); rmTree(ivf) }
   }
 
+  test("int8 codec: near-lossless walk distances; recall at a 4·ef budget") {
+    val dir = java.nio.file.Files.createTempDirectory("resgi8").toString + "/i"
+    val ivf = java.nio.file.Files.createTempDirectory("resgv8").toString + "/i"
+    try {
+      Knn.buildAdjacencyIndex(edges, corpus, "embedding", "vec_id", dir,
+        buckets = 8)
+      Knn.buildGraphCodes(spark, dir, codec = "int8")
+      Knn.ivfBuildIndex(corpus, "embedding", "vec_id", ivf, k = 8,
+        iters = 2, trainFilter = lit(true), fp16 = true)
+      val idx = Knn.ResidentGraphIndex.load(spark, dir, Some(ivf), ef = 32)
+      val recalls = Seq(7L, 131L, 263L).map { q =>
+        val qv = ManifoldCorpus.vector(q)
+        val got = idx.servingTopK(qv, 10, 0, None).map(_.getLong(0)).toSet
+        val want = Knn.topK(corpus, "embedding", qv, 10, "vec_id")
+          .collect().map(_.getLong(0)).toSet
+        (got & want).size / 10.0
+      }
+      // int8 distances are ~exact: the budgeted walk (4·ef = 128
+      // expansions over an 800-edge graph) recovers the true top-10 —
+      // the property the r13 resident gate measured at 200 k (recall
+      // 1.000; SCALE.md §r13)
+      assert(recalls.sum / recalls.size >= 0.9, s"recall@10 $recalls")
+      // an unknown codec is refused at build
+      intercept[IllegalArgumentException] {
+        Knn.buildGraphCodes(spark, dir, codec = "fp8")
+      }
+    } finally { rmTree(dir); rmTree(ivf) }
+  }
+
   test("tombstoned nodes leave the walk; a stale sidecar refuses; rebuild serves appends") {
     val dir = java.nio.file.Files.createTempDirectory("resgt").toString + "/i"
     try {
