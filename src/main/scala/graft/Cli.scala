@@ -19,7 +19,7 @@ import graft.sync.{HighlightStore, Sync}
   *   graft.Cli sync --backfill --pages-dir D --store S --ckpt C [--pooled [--chunk-words N]]
   *   graft.Cli sync --since 2024-01-01T00:00:00Z --pages-dir D --store S --ckpt C
   *   graft.Cli refresh --pages-dir D --store S --ckpt C [--lex-index L]
-  *     [--ivf-index I] [--hnsw-index H]
+  *     [--ivf-index I] [--hnsw-index H] [--graph-index G]
   *   graft.Cli index --store S --out D [--type ivf|graph|hnsw|lexical]
   *     [--cells 64] [--fp16 true] [--attrs c1,c2] [--graph-k 5] [--buckets N]
   *   graft.Cli export --store S --out D [--shard-tokens 2048]
@@ -147,8 +147,8 @@ object Cli {
     case "refresh" +: rest =>
       val f = flags(rest)
       val resolved = GraftConfig.resolve(
-        f -- Seq("lex-index", "ivf-index", "hnsw-index"), env,
-        GraftConfig.Command.Sync,
+        f -- Seq("lex-index", "ivf-index", "hnsw-index", "graph-index"),
+        env, GraftConfig.Command.Sync,
         pooledFlag = rest.contains("--pooled"))
       resolved match {
         case Left(errs) => errs.foreach(System.err.println); 2
@@ -163,6 +163,7 @@ object Cli {
               lexIndexDir = f.get("lex-index"),
               ivfIndexDir = f.get("ivf-index"),
               hnswIndexDir = f.get("hnsw-index"),
+              graphIndexDir = f.get("graph-index"),
               embedder = cfg.embedder,
               pooledChunkWords = cfg.pooledChunkWords)
             println(Json.write(counts.map { case (k, v) => k -> v } +

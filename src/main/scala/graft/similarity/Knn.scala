@@ -1759,32 +1759,47 @@ object Knn {
     (0 to maxLevel).foreach { l =>
       val newAtL = b.filter(col("level") >= l)
         .select(col("id"), col("v"))
-      if (!newAtL.isEmpty) {
-        val layerDir = s"$indexDir/layer$l"
-        val fp16 = spark.read.parquet(s"$layerDir/meta").head()
-          .getAs[Boolean]("fp16")
-        val rel = AdjIndex.load(spark, layerDir).relation
-        val members = rel.filter(col("src") === col("dst"))
-          .select(col("dst").as("id"),
-            (if (fp16) graft.functions.fp16_decode(col("dvec"))
-             else col("dvec")).as("v"))
-        // M = the live layer's max out-degree; a layer too small to have
-        // edges yet (one member) falls back to linking every member
-        val m = rel.filter(col("src") =!= col("dst"))
-          .groupBy(col("src")).agg(count(lit(1)).as("d"))
-          .agg(max(col("d"))).head() match {
-            case r if r.isNullAt(0) => members.count().toInt.max(1)
-            case r => r.getLong(0).toInt
-          }
-        val fwd = knnJoin(newAtL, members, "v", "id", "v", "id", k = m)
-          .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
-        val edges = fwd.unionByName(
-          fwd.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-        appendAdjacencyIndex(edges,
-          members.unionByName(newAtL), "v", "id", layerDir,
-          newNodes = Some(newAtL.select(col("id"))))
-      }
+      if (!newAtL.isEmpty)
+        adjInsertIndex(newAtL, "v", "id", s"$indexDir/layer$l")
     }
+  }
+
+  /** Bulk insertion into ONE [[buildAdjacencyIndex]] layout — the flat
+    * graph's maintenance form (and [[hnswAppendIndex]]'s per-layer
+    * body): each new node links to its M nearest LIVE members (M = the
+    * layer's max live out-degree, so insertion matches the build's
+    * degree discipline), forward + reverse edges in one O(batch)
+    * segment — reverse edges make new nodes reachable from day one.
+    * Differences from a rebuild are the documented HNSW trade:
+    * insertion links new↔old only. Batch ids must be new. */
+  def adjInsertIndex(batch: DataFrame, vecCol: String, keyCol: String,
+      indexDir: String): Unit = {
+    val spark = batch.sparkSession
+    val newNodes = batch.filter(col(vecCol).isNotNull)
+      .select(col(keyCol).cast("long").as("id"), col(vecCol).as("v"))
+    if (newNodes.isEmpty) return
+    val fp16 = spark.read.parquet(s"$indexDir/meta").head()
+      .getAs[Boolean]("fp16")
+    val rel = AdjIndex.load(spark, indexDir).relation
+    val members = rel.filter(col("src") === col("dst"))
+      .select(col("dst").as("id"),
+        (if (fp16) graft.functions.fp16_decode(col("dvec"))
+         else col("dvec")).as("v"))
+    // M = the live layout's max out-degree; a graph too small to have
+    // edges yet (one member) falls back to linking every member
+    val m = rel.filter(col("src") =!= col("dst"))
+      .groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .agg(max(col("d"))).head() match {
+        case r if r.isNullAt(0) => members.count().toInt.max(1)
+        case r => r.getLong(0).toInt
+      }
+    val fwd = knnJoin(newNodes, members, "v", "id", "v", "id", k = m)
+      .select(col("query_id").as("id_a"), col("neighbor_id").as("id_b"))
+    val edges = fwd.unionByName(
+      fwd.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    appendAdjacencyIndex(edges,
+      members.unionByName(newNodes), "v", "id", indexDir,
+      newNodes = Some(newNodes.select(col("id"))))
   }
 
   /** Delete nodes from EVERY layer of a [[buildHnswIndex]] stack — the
@@ -2226,10 +2241,13 @@ object Knn {
             .cast("float")))
         .otherwise(col("v")).as("v"))
       .localCheckpoint()
-    // meta (codec) then codebooks then codes: a crash mid-build leaves
-    // codes absent and graphCodesReady false — never codes against
-    // foreign codebooks or a mislabeled codec
-    spark.range(1).select(lit(codec).as("codec"))
+    // meta (codec + dials, so a refresh can REPLAY this build) then
+    // codebooks then codes: a crash mid-build leaves codes absent and
+    // graphCodesReady false — never codes against foreign codebooks or
+    // a mislabeled codec
+    spark.range(1)
+      .select(lit(codec).as("codec"), lit(m).as("m"), lit(ksub).as("ksub"),
+        lit(iters).as("iters"), lit(trainMod).as("train_mod"))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/pqcodes/meta")
     codec match {
       case "pq" =>
@@ -2247,6 +2265,22 @@ object Knn {
             graft.functions.int8_encode(col("v")).as("codes"))
           .write.mode("overwrite").parquet(s"$indexDir/pqcodes/codes")
     }
+  }
+
+  /** Re-cover an existing code sidecar after the layout changed
+    * (refresh/append/compaction): replays [[buildGraphCodes]] with the
+    * sidecar's OWN recorded dials — the maintenance hook
+    * [[graft.sync.CorpusRefresh]] calls so `--graph-resident` serving
+    * follows a refresh without operator intervention. */
+  def rebuildGraphCodes(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Unit = {
+    require(graphCodesReady(indexDir),
+      s"rebuildGraphCodes: no committed sidecar at $indexDir/pqcodes")
+    val meta = spark.read.parquet(s"$indexDir/pqcodes/meta").head()
+    buildGraphCodes(spark, indexDir, m = meta.getAs[Int]("m"),
+      ksub = meta.getAs[Int]("ksub"), iters = meta.getAs[Int]("iters"),
+      trainMod = meta.getAs[Long]("train_mod"),
+      codec = meta.getAs[String]("codec"))
   }
 
   /** Graph-ANN serving with the WALK off the job path — the r13 answer

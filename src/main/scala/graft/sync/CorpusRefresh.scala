@@ -64,7 +64,8 @@ object CorpusRefresh {
       ivfIndexDir: Option[String] = None,
       vecCol: String = "embedding",
       maxSegments: Int = DefaultMaxSegments,
-      hnswIndexDir: Option[String] = None): DataFrame = {
+      hnswIndexDir: Option[String] = None,
+      graphIndexDir: Option[String] = None): DataFrame = {
     val old = HighlightStore.read(spark, storeDir).getOrElse(
       throw new IllegalStateException(
         s"CorpusRefresh.refresh: no store at $storeDir (writeAtomic first)"))
@@ -89,6 +90,24 @@ object CorpusRefresh {
         graft.similarity.Knn.ivfAppendIndex(upserts, vecCol, keyCol, dir)
         if (overThreshold(dir))
           graft.similarity.Knn.ivfCompactIndex(spark, dir)
+      }
+      // the flat adjacency layout under the same delete-then-append
+      // discipline: delta keys tombstone (masking every touching edge),
+      // added+changed nodes re-insert against the LIVE members
+      // (adjInsertIndex — forward + reverse edges, one O(batch)
+      // segment). If a resident-serving code sidecar exists, re-cover
+      // it LAST with its own recorded dials — the ResidentGraphIndex
+      // load contract refuses a sidecar that no longer covers the live
+      // set, so a refresh without this pass would stop --graph-resident
+      // serving at the next reload instead of serving stale vectors.
+      graphIndexDir.foreach { dir =>
+        graft.similarity.Knn.adjDeleteIndex(spark, dir, deltaKeys, keyCol)
+        if (!upserts.isEmpty)
+          graft.similarity.Knn.adjInsertIndex(upserts, vecCol, keyCol, dir)
+        if (overThreshold(dir))
+          graft.similarity.Knn.adjCompactIndex(spark, dir)
+        if (graft.similarity.Knn.graphCodesReady(dir))
+          graft.similarity.Knn.rebuildGraphCodes(spark, dir)
       }
       // the HNSW stack under the same delete-then-append discipline:
       // every delta key is tombstoned from every layer (entry re-pinned

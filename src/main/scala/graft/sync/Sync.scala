@@ -420,7 +420,8 @@ object Sync {
       now: () => Instant = () => Instant.now(),
       spoolDir: Option[String] = None,
       pooledChunkWords: Option[Int] = None,
-      hnswIndexDir: Option[String] = None): Map[String, Long] =
+      hnswIndexDir: Option[String] = None,
+      graphIndexDir: Option[String] = None): Map[String, Long] =
     timed {
       val spool = spoolDir.getOrElse(
         s"$checkpointDir/refresh-spool-${System.nanoTime()}")
@@ -429,7 +430,7 @@ object Sync {
           embedder, version = now().toEpochMilli, pooledChunkWords)
         val delta = CorpusRefresh.refresh(spark, snapshot, "text", "id",
           storeDir, lexIndexDir = lexIndexDir, ivfIndexDir = ivfIndexDir,
-          hnswIndexDir = hnswIndexDir)
+          hnswIndexDir = hnswIndexDir, graphIndexDir = graphIndexDir)
         val counts = delta.groupBy(col("status")).count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         delta.unpersist()

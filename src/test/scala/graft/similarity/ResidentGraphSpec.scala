@@ -71,6 +71,17 @@ class ResidentGraphSpec extends SparkTestBase {
         Knn.ResidentGraphIndex.load(spark, dir, maxResidentNodes = 10L)
       }
       assert(e.getMessage.contains("resident budget"))
+      // plan guard: the refine read prunes to the shortlist's buckets
+      // (a PartitionFilter, not a post-scan filter) — the property that
+      // keeps the one job a point read at any corpus size
+      val fewIds = shortlist.take(3).toSeq
+      val plan = Knn.AdjIndex.load(spark, dir).selfScores(fewIds, qv)
+        .queryExecution.executedPlan
+      val scans = plan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      val expected = fewIds.map(_ % 8).distinct.size
+      assert(scans.map(_.selectedPartitions.partitionCount).sum == expected,
+        scans.map(_.metadata("PartitionFilters")).mkString("\n"))
     } finally rmTree(dir)
   }
 

@@ -139,6 +139,48 @@ class CorpusRefreshSpec extends SparkTestBase {
     } finally { Seq(store, hnsw).foreach(rmrf) }
   }
 
+  test("refresh drives the flat graph + code sidecar: resident serving follows the delta") {
+    val store = tmp("cr6-store"); val g = tmp("cr6-graph") + "/i"
+    try {
+      HighlightStore.writeAtomic(snapA, store)
+      val edges = graft.similarity.Knn.knnGraph(snapA, "embedding",
+        "doc_id", topK = 5).select($"id_a", $"id_b")
+      graft.similarity.Knn.buildAdjacencyIndex(edges, snapA, "embedding",
+        "doc_id", g, buckets = 4)
+      graft.similarity.Knn.buildGraphCodes(spark, g, codec = "int8")
+      // ivf alongside, as `Cli serve --graph-resident --graph-entry-ivf`
+      // deploys it: this corpus is exact-duplicate clusters with no
+      // inter-cluster gradient (the hnsw test's documented degeneracy),
+      // so entry selection — not the walk — must land queries in their
+      // own cluster; the refresh maintains both artifacts in one pass
+      val ivf = tmp("cr6-ivf") + "/i"
+      graft.similarity.Knn.ivfBuildIndex(snapA, "embedding", "doc_id",
+        ivf, k = 8, iters = 2, trainFilter = col("doc_id") % 5 === 0,
+        fp16 = true)
+      CorpusRefresh.refresh(spark, snapB, "text", "doc_id", store,
+        ivfIndexDir = Some(ivf), graphIndexDir = Some(g)).unpersist()
+      // the sidecar was re-covered in the SAME pass: the resident load
+      // (which refuses stale sidecars) serves the refreshed corpus —
+      // removed doc gone, added doc findable at its own query, changed
+      // doc serving its NEW vector
+      val idx = graft.similarity.Knn.ResidentGraphIndex.load(spark, g,
+        Some(ivf), ef = 16)
+      // 62's cluster holds exact duplicates (10/36/49/62 tie at 0.0 and
+      // break by id) — the add is served if it appears at distance ~0
+      val got62 = idx.servingTopK(vec(62L, 0), 5, 0, None)
+      assert(got62.exists(r => r.getLong(0) == 62L && r.getDouble(1) < 1e-3),
+        got62.toSeq.toString)
+      val got23 = idx.servingTopK(vec(23L, 5), 5, 0, None)
+      assert(got23.exists(r => r.getLong(0) == 23L && r.getDouble(1) < 1e-3),
+        got23.toSeq.toString)
+      val got7 = idx.servingTopK(vec(7L, 0), 10, 0, None)
+      assert(got7.nonEmpty && got7.forall(_.getLong(0) != 7L))
+      // meta replay: the re-covered sidecar kept its codec
+      assert(spark.read.parquet(s"$g/pqcodes/meta").head()
+        .getAs[String]("codec") == "int8")
+    } finally { Seq(store, g).foreach(rmrf) }
+  }
+
   test("churn: the compaction trigger keeps repeated refreshes' segment lists bounded") {
     val store = tmp("cr3-store"); val lex = tmp("cr3-lex"); val ivf = tmp("cr3-ivf")
     val lexRef = tmp("cr3-lexref"); val ivfRef = tmp("cr3-ivfref")
