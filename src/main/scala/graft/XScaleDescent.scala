@@ -33,7 +33,12 @@ object XScaleDescent {
       else graft.similarity.Knn.nnDescentGraphCompressed(
         corpus, "embedding", "vec_id", k = 5, rounds = 3, buildK = bk,
         codec = codec, m = 32, ksub = 64,
-        pqTrainFilter = Some(col("vec_id") % 400 === 0))
+        pqTrainFilter = Some(col("vec_id") % 400 === 0),
+        // XSD_CAP: reverse-neighbor cap (Dong's ρ) — REQUIRED on the
+        // manifold fixture, whose hub in-degrees blow the proposal
+        // self-join up quadratically (measured: 100 k spilled >50 GB
+        // uncapped vs 19 GB for the whole uniform build)
+        maxInDegree = sys.env.getOrElse("XSD_CAP", "0").toInt)
     val rows = g.count()
     Thread.sleep(2000)
     println(f"SCALEDESC|$codec|fixture=$fixtureName|n=$n|dim=3072|rounds=3|buildK=$bk|rows=$rows|" +

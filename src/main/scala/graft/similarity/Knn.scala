@@ -291,14 +291,15 @@ object Knn {
     * one big exchange is n·nprobe vector rows. */
   def nnDescentGraph(corpus: DataFrame, vecCol: String, keyCol: String,
       k: Int, rounds: Int, buildK: Int = -1,
-      checkpointEvery: Int = 1): DataFrame = {
+      checkpointEvery: Int = 1, maxInDegree: Int = 0): DataFrame = {
     val bk = if (buildK <= 0) 2 * k else buildK
     require(k >= 1 && rounds >= 0 && bk >= k && checkpointEvery >= 1,
       s"need 1 <= k <= buildK, rounds >= 0, checkpointEvery >= 1")
     val v = corpus.filter(col(vecCol).isNotNull)
       .select(col(keyCol).cast("long").as("id"), col(vecCol).as("v"))
     val kept = nnDescentRounds(v.select(col("id"), col("v").as("c")),
-      (a, b) => cosine_distance(a, b), rounds, bk, checkpointEvery)
+      (a, b) => cosine_distance(a, b), rounds, bk, checkpointEvery,
+      maxInDegree)
     nnDescentFinish(kept, v, k)
   }
 
@@ -334,7 +335,8 @@ object Knn {
       keyCol: String, k: Int, rounds: Int, buildK: Int = -1,
       checkpointEvery: Int = 1, codec: String = "int8",
       m: Int = 32, ksub: Int = 64, pqIters: Int = 2,
-      pqTrainFilter: Option[Column] = None): DataFrame = {
+      pqTrainFilter: Option[Column] = None,
+      maxInDegree: Int = 0): DataFrame = {
     val bk = if (buildK <= 0) 2 * k else buildK
     require(k >= 1 && rounds >= 0 && bk >= k && checkpointEvery >= 1,
       s"need 1 <= k <= buildK, rounds >= 0, checkpointEvery >= 1")
@@ -345,7 +347,7 @@ object Knn {
         nnDescentRounds(
           v.select(col("id"), graft.functions.int8_encode(col("v")).as("c")),
           (a, b) => graft.functions.int8_cosine_codes(a, b),
-          rounds, bk, checkpointEvery)
+          rounds, bk, checkpointEvery, maxInDegree)
       case "pq" =>
         // unit-normalize so the symmetric L2² tables rank like cosine.
         // TWO checkpointed steps, deliberately: HOFs run interpreted
@@ -387,7 +389,7 @@ object Knn {
           unit.select(col("id"),
             graft.functions.pq_encode(col("u"), cb).as("c")),
           (a, b) => graft.functions.pq_sdc_score(a, b, tables),
-          rounds, bk, checkpointEvery)
+          rounds, bk, checkpointEvery, maxInDegree)
       case other => throw new IllegalArgumentException(
         s"nnDescentGraphCompressed: codec must be int8 or pq, got $other")
     }
@@ -415,7 +417,7 @@ object Knn {
 
   private def nnDescentRounds(codes: DataFrame,
       dist: (Column, Column) => Column, rounds: Int, bk: Int,
-      checkpointEvery: Int): DataFrame = {
+      checkpointEvery: Int, maxInDegree: Int = 0): DataFrame = {
     val n = codes.count()
     // glibc LCG over (rank, j) — partner ranks scatter uniformly, so the
     // seed graph is an expander; (x % 2^31) keeps every intermediate in
@@ -434,9 +436,30 @@ object Knn {
       .distinct()
     var r = 0
     while (r < rounds) {
-      val und = edges.unionByName(
+      val undAll = edges.unionByName(
           edges.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
         .distinct()
+      // maxInDegree > 0 caps each node's PROPOSAL adjacency — Dong et
+      // al.'s reverse-neighbor sampling (WWW'11 §2.3, the ρ dial).
+      // Out-degree is ≤ bk by construction, but in-degree is unbounded,
+      // and the self-join's cost at a hub is (in-degree)² — on
+      // hub-skewed data (low intrinsic dimension, i.e. real embedding
+      // corpora) a single popular node can own millions of proposal
+      // rows per round (measured: the manifold fixture at 100 k spilled
+      // >50 GB where the uniform fixture's whole build shuffles 19 GB).
+      // The kept sample is pseudo-random via the same replayable LCG
+      // arithmetic as the seed graph — deterministic, unbiased across
+      // id ranges, SQL-reproducible if an oracle ever needs it.
+      val und =
+        if (maxInDegree <= 0) undAll
+        else {
+          val wCap = Window.partitionBy(col("id_a")).orderBy(
+            (((col("id_b") % 2147483648L) * 1103515245L +
+              col("id_a") * 12345L) % 2147483648L).asc, col("id_b").asc)
+          undAll.withColumn("__r", row_number().over(wCap))
+            .filter(col("__r") <= maxInDegree)
+            .drop("__r")
+        }
       val prop = und.as("e1")
         .join(und.as("e2"), col("e1.id_b") === col("e2.id_a"))
         .select(col("e1.id_a").as("id_a"), col("e2.id_b").as("id_b"))

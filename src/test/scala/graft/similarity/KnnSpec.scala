@@ -644,6 +644,41 @@ class KnnSpec extends SparkTestBase {
     assert(nested.isEmpty, s"n²-shaped join in NN-Descent plan:\n$plan")
   }
 
+  test("nnDescent maxInDegree: a cap >= n is a no-op; a tight cap still converges on hub-skewed data") {
+    // the reverse-neighbor sampling dial (Dong WWW'11 §2.3): proposal
+    // adjacency is capped per node, bounding the self-join's hub cost —
+    // the manifold fixture's measured failure mode (SCALE.md §r13:
+    // 100 k spilled >50 GB uncapped where the whole uniform build
+    // shuffles 19 GB)
+    val sub = emb.filter($"vec_id" < 200)
+    def edgesOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val base = edgesOf(Knn.nnDescentGraph(sub, "embedding", "vec_id",
+      k = 5, rounds = 3))
+    // cap past any possible in-degree: IDENTICAL result (the sample
+    // keeps everything, ordering is a no-op)
+    val loose = edgesOf(Knn.nnDescentGraph(sub, "embedding", "vec_id",
+      k = 5, rounds = 3, maxInDegree = 1000))
+    assert(loose == base, "a non-binding cap changed the result")
+    // a tight cap (2·buildK) on the HUB-SKEWED manifold corpus: the
+    // descent must still converge — hubs lose excess proposals, not
+    // the gradient
+    import graft.fixtures.ManifoldCorpus
+    val mani = (0L until 300L)
+      .map(v => (v, ManifoldCorpus.vector(v).toSeq))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    val exactM = Knn.knnGraph(mani, "embedding", "vec_id", topK = 5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val capped = edgesOf(Knn.nnDescentGraph(mani, "embedding", "vec_id",
+      k = 5, rounds = 3, maxInDegree = 20))
+    val r = exactM.intersect(capped).size.toDouble / exactM.size
+    assert(r >= 0.6, s"capped descent recall $r on manifold data")
+    // determinism: the pseudo-random sample replays bit-identically
+    val capped2 = edgesOf(Knn.nnDescentGraph(mani, "embedding", "vec_id",
+      k = 5, rounds = 3, maxInDegree = 20))
+    assert(capped2 == capped)
+  }
+
   test("nnDescentGraphCompressed: int8 rounds match fp32 descent within 0.02; pq descends; output dist is exact") {
     val sub = emb.filter($"vec_id" < 200)
     val exactE = Knn.knnGraph(sub, "embedding", "vec_id", topK = 5)
