@@ -38,8 +38,11 @@ import org.apache.spark.sql.functions._
   * env: CONC_VECS (default 200000), CONC_USERS (default 20),
   * CONC_REQS per user (default 10), CONC_MODE (`dense` — the default
   * serving mode, PQ codes + fp16 cosine refine; `ivf`, `brute`, `pq`,
-  * `filtered`, `graph`, `resident` (the driver-resident code walk,
-  * CONC_RESIDENT_EF default 64), `hnsw`, `hybrid`, `lex`, or `both` =
+  * `filtered`, `graph`, `resident` (the driver-resident code walk —
+  * CONC_RESIDENT_EF default 64, CONC_RESIDENT_CODEC pq|int8,
+  * CONC_RESIDENT_M/CONC_RESIDENT_KSUB pq dials,
+  * CONC_RESIDENT_REBUILD=1 forces a sidecar rebuild), `hnsw`,
+  * `hybrid`, `lex`, or `both` =
   * dense + ivf + hybrid + brute), CONC_CELLS
   * (default 64), CONC_NPROBE (default 4), CONC_DENSE_REFINE (default 64),
   * CONC_THINK_MS (mean think time; default 1000 = locust's

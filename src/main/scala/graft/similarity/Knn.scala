@@ -2369,10 +2369,11 @@ object Knn {
         math.sqrt(s.toDouble)
       }
 
-    /** The ef best node ids by ADC distance, best-first from `entry` —
-      * all driver flops, zero jobs. Deterministic: `ids` is sorted, so
-      * (distance, idx) ordering is (distance, id) ordering. */
-    private[similarity] def walk(queryVec: Array[Float]): Array[Long] = {
+    /** The `efEff` best node ids by code distance, best-first from the
+      * seeds — all driver flops, zero jobs. Deterministic: `ids` is
+      * sorted, so (distance, idx) ordering is (distance, id) ordering. */
+    private[similarity] def walk(queryVec: Array[Float],
+        efEff: Int): Array[Long] = {
       val qn = {
         var s = 0.0; var i = 0
         while (i < queryVec.length) {
@@ -2433,7 +2434,7 @@ object Knn {
           cand.enqueue((d0, e)); res.enqueue((d0, e))
         }
       }
-      while (res.size > ef) res.dequeue()
+      while (res.size > efEff) res.dequeue()
       // expansion budget: ADC noise keeps far candidates "promising",
       // so unbudgeted best-first can wander a large fraction of the
       // graph — unbounded driver CPU per request is a serving hazard
@@ -2444,12 +2445,12 @@ object Knn {
       // SEARCH-LAYER (≈ef expansions plus the approach path) — 4·ef
       // bounds it; pq's ADC noise needs wandering room — 16·ef
       val budget = if (visitBudget > 0) visitBudget
-        else if (codec == "int8") 4 * ef else 16 * ef
+        else if (codec == "int8") 4 * efEff else 16 * efEff
       var expansions = 0
       var done = false
       while (!done && cand.nonEmpty && expansions < budget) {
         val (cd, ci) = cand.dequeue()
-        if (res.size >= ef && cd > res.head._1) done = true
+        if (res.size >= efEff && cd > res.head._1) done = true
         else {
           expansions += 1
           val ns = nbrs(ci)
@@ -2459,7 +2460,7 @@ object Knn {
             if (!visited.get(nb)) {
               visited.set(nb)
               val d = score(nb)
-              if (res.size < ef) { res.enqueue((d, nb)); cand.enqueue((d, nb)) }
+              if (res.size < efEff) { res.enqueue((d, nb)); cand.enqueue((d, nb)) }
               else if (Ordering.Tuple2[Double, Int]
                   .lt((d, nb), res.head)) {
                 res.dequeue(); res.enqueue((d, nb)); cand.enqueue((d, nb))
@@ -2474,12 +2475,15 @@ object Knn {
     }
 
     /** ≤ k (id, score) rows by (score, id); `nprobe` is ignored — the
-      * recall dial is ef, fixed per deployment. One Spark job. */
+      * recall dial is ef, fixed per deployment (widened to k when a
+      * request asks for more rows than the deployed beam, GraphIndex's
+      * contract — ef bounds the shortlist, never the row count). One
+      * Spark job. */
     def servingTopK(queryVec: Array[Float], k: Int, nprobe: Int,
         filter: Option[Column]): Array[org.apache.spark.sql.Row] = {
       require(filter.isEmpty, "ResidentGraphIndex cannot evaluate attribute " +
         "predicates; the gateway must route filtered requests to the store")
-      adj.selfScores(walk(queryVec).toSeq, queryVec)
+      adj.selfScores(walk(queryVec, math.max(ef, k)).toSeq, queryVec)
         .orderBy(col("score").asc, col("id").asc)
         .limit(k)
         .collect()

@@ -46,8 +46,11 @@ class ResidentGraphSpec extends SparkTestBase {
       buildAt(dir)
       val idx = Knn.ResidentGraphIndex.load(spark, dir, ef = 32)
       val qv = ManifoldCorpus.vector(7L)
-      val shortlist = idx.walk(qv)
+      val shortlist = idx.walk(qv, 32)
       assert(shortlist.length == 32)
+      // a request wider than the deployed ef widens the walk instead of
+      // silently under-returning (GraphIndex's max(ef, k) contract)
+      assert(idx.servingTopK(qv, 40, 0, None).length == 40)
       val sc = spark.sparkContext
       val before = sc.statusTracker.getJobIdsForGroup(null).length
       val got = idx.servingTopK(qv, 5, 0, None).toSeq
