@@ -262,7 +262,8 @@ object Cli {
             case None =>
               System.err.println(s"no highlight store at $storeDir"); 1
             case Some(df) =>
-              import org.apache.spark.sql.functions.{col, crc32, sum, when}
+              import org.apache.spark.sql.functions.{col, crc32, sum, when,
+                coalesce, lit}
               // the graph family keys nodes by LONG ids; the store's ids
               // are numeric strings (Readwise highlight ids), so the cast
               // round-trips — verified here in one aggregate, because a
@@ -271,9 +272,13 @@ object Cli {
               def numericIdsOk(): Boolean = {
                 // try_cast (ANSI cast throws on 'h1') + null-safe compare
                 // (NULL =!= 'h1' is NULL, not true — <=> catches it)
+                // coalesce: SUM over zero rows (empty store / all-null
+                // ids) is NULL — getLong would NPE instead of passing
+                // the empty store through to the builder's own error
                 val bad = df.filter(col("id").isNotNull)
-                  .agg(sum(when(col("id").try_cast("long").cast("string")
-                    <=> col("id"), 0).otherwise(1)))
+                  .agg(coalesce(sum(when(col("id").try_cast("long")
+                    .cast("string") <=> col("id"), 0).otherwise(1)),
+                    lit(0L)))
                   .head().getLong(0)
                 if (bad > 0) System.err.println(s"--type $typ needs numeric " +
                   s"store ids (graph nodes key by long); $bad ids do not " +

@@ -1592,13 +1592,17 @@ object Knn {
         queryVec: Array[Float]): DataFrame = {
       // IN-list literals typed to the inferred partition-column type, so
       // the predicate stays a PartitionFilter (a cast around the column
-      // would defeat pruning — the IvfIndex lesson)
+      // would defeat pruning — the IvfIndex lesson). floorMod, NOT %:
+      // the writer buckets by pmod (always non-negative), so a JVM %
+      // over a negative node id would probe the wrong bucket and
+      // silently drop the row
       val bs: Seq[Any] = rel.schema("src_bucket").dataType match {
         case org.apache.spark.sql.types.IntegerType =>
-          srcs.map(s => (s % buckets).toInt).distinct
+          srcs.map(s => Math.floorMod(s, buckets.toLong).toInt).distinct
         case org.apache.spark.sql.types.LongType =>
-          srcs.map(_ % buckets.toLong).distinct
-        case _ => srcs.map(s => (s % buckets).toString).distinct
+          srcs.map(Math.floorMod(_, buckets.toLong)).distinct
+        case _ => srcs.map(s => Math.floorMod(s, buckets.toLong).toString)
+          .distinct
       }
       rel.filter(col("src_bucket").isin(bs: _*)
           && col("src").isin(srcs.map(x => x: Any): _*))
@@ -1619,12 +1623,14 @@ object Knn {
       * storage precision — identical to what [[search]]'s beam scores. */
     private[similarity] def selfScores(ids: Seq[Long],
         queryVec: Array[Float]): DataFrame = {
+      // floorMod to match the writer's pmod — see frontierFrame
       val bs: Seq[Any] = rel.schema("src_bucket").dataType match {
         case org.apache.spark.sql.types.IntegerType =>
-          ids.map(s => (s % buckets).toInt).distinct
+          ids.map(s => Math.floorMod(s, buckets.toLong).toInt).distinct
         case org.apache.spark.sql.types.LongType =>
-          ids.map(_ % buckets.toLong).distinct
-        case _ => ids.map(s => (s % buckets).toString).distinct
+          ids.map(Math.floorMod(_, buckets.toLong)).distinct
+        case _ => ids.map(s => Math.floorMod(s, buckets.toLong).toString)
+          .distinct
       }
       rel.filter(col("src_bucket").isin(bs: _*)
           && col("src") === col("dst")
@@ -2047,17 +2053,24 @@ object Knn {
         val rel = layers(l).relation
         val fp16 = rel.schema("dvec").dataType ==
           org.apache.spark.sql.types.BinaryType
-        // one narrow job per resident layer, at LOAD time: self-rows
-        // carry each member's vector, non-self rows ONLY the 16-byte
-        // adjacency pair — dvec is masked at the scan so the collect
-        // moves nodes·dim vector bytes, not edges·dim (a 50 k-node
-        // layer at upperM=5 would otherwise pull ~6× the vector
-        // payload in edge rows it immediately discards)
-        val rows = rel.select(col("src"), col("dst"),
-          when(col("src") === col("dst"), col("dvec")).as("dvec")).collect()
-        val memberRows = rows.filter(r => r.getLong(0) == r.getLong(1))
-        if (memberRows.length > budget) fits = false
+        // budget check BEFORE the collect (one cheap count of the
+        // layer's self-rows): a layer past the budget is the exact case
+        // the budget exists to protect against, so it must be SKIPPED
+        // without first materializing its members+edges on the driver —
+        // collect-then-check would OOM at precisely the load the
+        // docstring promises to refuse
+        val memberCount = rel.filter(col("src") === col("dst")).count()
+        if (memberCount > budget) fits = false
         else {
+          // one narrow job per resident layer, at LOAD time: self-rows
+          // carry each member's vector, non-self rows ONLY the 16-byte
+          // adjacency pair — dvec is masked at the scan so the collect
+          // moves nodes·dim vector bytes, not edges·dim (a 50 k-node
+          // layer at upperM=5 would otherwise pull ~6× the vector
+          // payload in edge rows it immediately discards)
+          val rows = rel.select(col("src"), col("dst"),
+            when(col("src") === col("dst"), col("dvec")).as("dvec")).collect()
+          val memberRows = rows.filter(r => r.getLong(0) == r.getLong(1))
           budget -= memberRows.length
           val nbrs = rows.filter(r => r.getLong(0) != r.getLong(1))
             .groupBy(_.getLong(0))
@@ -2196,17 +2209,91 @@ object Knn {
   // ------------------------------------ resident-code graph serving
 
   /** Whether [[buildGraphCodes]] has committed its sidecar under a
-    * [[buildAdjacencyIndex]] layout (meta carries the codec; codes is
-    * written last, so its marker is the commit). */
+    * [[buildAdjacencyIndex]] layout. The sidecar is a
+    * [[graft.sync.SegmentedIndex]] root (`pqcodes/CURRENT`), so
+    * readiness is ONE atomic pointer — a crash mid-build or mid-rebuild
+    * leaves the previous generation serving, never fresh codebooks
+    * beside stale codes. */
   def graphCodesReady(indexDir: String): Boolean =
-    new java.io.File(s"$indexDir/pqcodes/meta/_SUCCESS").isFile &&
-      new java.io.File(s"$indexDir/pqcodes/codes/_SUCCESS").isFile
+    new java.io.File(s"$indexDir/pqcodes/CURRENT").isFile
+
+  /** The live sidecar's recorded codec + dials + train-time
+    * reconstruction error: the BASE segment's meta (append segments
+    * copy it forward; a rebuild's fresh base re-records it). */
+  def graphCodesMeta(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): org.apache.spark.sql.Row = {
+    val root = s"$indexDir/pqcodes"
+    val base = graft.sync.SegmentedIndex.resolve(spark, root)
+      .getOrElse(throw new IllegalStateException(
+        s"no committed code sidecar at $root")).head
+    spark.read.parquet(s"$root/$base/meta").head()
+  }
+
+  /** Unit-normalize an (id, v: array<float>) frame in TWO checkpointed
+    * steps, deliberately — the HOF-per-element trap (see
+    * [[nnDescentGraphCompressed]]'s pq codec for the measured failure):
+    * an inline `x / sqrt(aggregate(v))` re-evaluates the whole-array
+    * aggregate (AND any fp16 decode below it) per element once Catalyst
+    * collapses the projects; the second barrier keeps [[pqTrain]]'s
+    * m×iters Lloyd actions from re-running decode+normalize per
+    * subspace action. Zero-norm vectors pass through unnormalized (the
+    * [[graft.embed.Pooling]] guard) — they encode to SOME code and are
+    * re-ranked exactly anyway. */
+  private def unitNormalized(df: DataFrame): DataFrame = {
+    val norm = sqrt(aggregate(col("v"), lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val withNorm = df
+      .select(col("id"), col("v"), norm.as("__n"))
+      .localCheckpoint()
+    withNorm.select(col("id"),
+      when(col("__n") > 0d,
+          transform(col("v"), x => (x.cast("double") / col("__n"))
+            .cast("float")))
+        .otherwise(col("v")).as("v"))
+      .localCheckpoint()
+  }
+
+  /** Mean squared PQ reconstruction error over the first `cap` rows of
+    * `self` by id — the drift statistic [[appendGraphCodes]] compares
+    * against the base segment's recorded train-time value (the q126
+    * cell-stats shape applied to the code sidecar): codebooks frozen at
+    * build stay valid while upsert batches reconstruct about as well as
+    * the corpus they trained on, and a distribution shift shows up as
+    * this ratio instead of forcing a blind per-refresh retrain.
+    * O(cap·dim) driver flops over a TakeOrdered sample — never a corpus
+    * pass. */
+  private def pqReconError(self: DataFrame,
+      books: Array[Array[Array[Float]]], cap: Int = 256): Double = {
+    val rows = self.orderBy(col("id")).limit(cap).select(col("v")).collect()
+    if (rows.isEmpty) 0.0
+    else {
+      var sum = 0.0
+      rows.foreach { r =>
+        val v = r.getSeq[Float](0).toArray
+        val ad = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(v)
+        sum += graft.functions.PqMath.adc(
+          graft.functions.PqMath.encode(ad, books),
+          graft.functions.PqMath.lut(v, books))
+      }
+      sum / rows.length
+    }
+  }
+
+  private def writeCodesSegMeta(spark: org.apache.spark.sql.SparkSession,
+      root: String, seg: String, codec: String, m: Int, ksub: Int,
+      iters: Int, trainMod: Long, trainErr: Double): Unit =
+    spark.range(1)
+      .select(lit(codec).as("codec"), lit(m).as("m"), lit(ksub).as("ksub"),
+        lit(iters).as("iters"), lit(trainMod).as("train_mod"),
+        lit(trainErr).as("train_err"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/$seg/meta")
 
   /** Build the code sidecar that turns an adjacency layout into a
     * [[ResidentGraphIndex]]: every LIVE node's vector (read from the
     * index's own self-rows, so tombstones and appends are honored as of
     * this build) unit-normalizes and encodes under
-    * `indexDir/pqcodes/{meta,codebooks,codes}`. `codec` picks the
+    * `indexDir/pqcodes/<segment>/{meta,codebooks,codes}` behind a
+    * `pqcodes/CURRENT` pointer. `codec` picks the
     * fidelity/footprint point: `pq` trains an `m`×`ksub` product
     * quantizer (m bytes a node — the scale path; ADC noise costs walk
     * recall, measured in SCALE.md §r13's resident ladder), `int8`
@@ -2223,11 +2310,17 @@ object Knn {
     *
     * Scale shape: one narrow pass over n self-rows (train on a
     * `trainMod` sample, encode all — [[graft.functions.PqEncode]]
-    * codegen); output is n·(8+m) bytes. The sidecar is a snapshot of
-    * the graph's membership: after appends or compaction, rebuild it
-    * (one pass) before reloading a resident handle —
-    * [[ResidentGraphIndex.load]] refuses a sidecar that no longer
-    * covers the live set rather than serving nodes it cannot score. */
+    * codegen); output is n·(8+m) bytes. The sidecar commits as ONE
+    * immutable [[graft.sync.SegmentedIndex]] segment carrying its codes,
+    * its meta (codec, dials, train-time reconstruction error) and — for
+    * pq — the codebooks those codes were encoded against, then a single
+    * atomic pointer flip: a rebuild writes the new generation COMPLETE
+    * before the flip, so a crash leaves the old sidecar serving and a
+    * concurrently-reloading server never observes new codebooks beside
+    * old codes. Day-to-day maintenance never calls this per delta:
+    * [[appendGraphCodes]] covers upsert batches in O(batch), and this
+    * full pass is the retrain/compaction cadence
+    * ([[rebuildGraphCodes]]). */
   def buildGraphCodes(spark: org.apache.spark.sql.SparkSession,
       indexDir: String, m: Int = 64, ksub: Int = 256, iters: Int = 2,
       trainMod: Long = 1L, codec: String = "pq"): Unit = {
@@ -2242,64 +2335,110 @@ object Knn {
     val vec =
       if (fp16) graft.functions.fp16_decode(col("dvec")).cast("array<float>")
       else col("dvec")
-    // TWO checkpointed steps, deliberately — the HOF-per-element trap
-    // (see nnDescentGraphCompressed's pq codec for the measured
-    // failure): an inline `x / sqrt(aggregate(v))` re-evaluates the
-    // whole-array aggregate (AND the fp16 decode) per element once
-    // Catalyst collapses the projects; the second barrier keeps
-    // pqTrain's m×iters Lloyd actions from re-running decode+normalize
-    // per subspace action
-    val norm = sqrt(aggregate(col("v"), lit(0.0d),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    val withNorm = rel.filter(col("src") === col("dst"))
-      .select(col("src").as("id"), vec.as("v"))
-      .select(col("id"), col("v"), norm.as("__n"))
-      .localCheckpoint()
-    // zero-norm guard (Pooling's CASE WHEN): all-zero vectors pass
-    // through unnormalized — they encode to SOME code and the exact
-    // refine re-ranks them anyway
-    val self = withNorm.select(col("id"),
-      when(col("__n") > 0d,
-          transform(col("v"), x => (x.cast("double") / col("__n"))
-            .cast("float")))
-        .otherwise(col("v")).as("v"))
-      .localCheckpoint()
-    // meta (codec + dials, so a refresh can REPLAY this build) then
-    // codebooks then codes: a crash mid-build leaves codes absent and
-    // graphCodesReady false — never codes against foreign codebooks or
-    // a mislabeled codec
-    spark.range(1)
-      .select(lit(codec).as("codec"), lit(m).as("m"), lit(ksub).as("ksub"),
-        lit(iters).as("iters"), lit(trainMod).as("train_mod"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/pqcodes/meta")
-    codec match {
+    val self = unitNormalized(rel.filter(col("src") === col("dst"))
+      .select(col("src").as("id"), vec.as("v")))
+    val root = s"$indexDir/pqcodes"
+    val seg = graft.sync.SegmentedIndex.newSegmentName()
+    val trainErr = codec match {
       case "pq" =>
         val books = pqTrain(self.filter(col("id") % trainMod === 0),
           "v", "id", m, ksub, iters)
         books.coalesce(1).write.mode("overwrite")
-          .parquet(s"$indexDir/pqcodes/codebooks")
-        pqEncode(self, "v", "id", collectCodebooks(books))
-          .write.mode("overwrite").parquet(s"$indexDir/pqcodes/codes")
-      case "int8" =>
+          .parquet(s"$root/$seg/codebooks")
+        val collected = collectCodebooks(books)
+        pqEncode(self, "v", "id", collected)
+          .write.mode("overwrite").parquet(s"$root/$seg/codes")
+        pqReconError(self, collected)
+      case _ =>
         // near-lossless per-dimension quantization (dim bytes a node —
         // ~48× PQ's footprint at m=64, for distance fidelity the walk
-        // can NAVIGATE on; one codegen pass, no training)
+        // can NAVIGATE on; one codegen pass, no training, no drift)
         self.select(col("id"),
             graft.functions.int8_encode(col("v")).as("codes"))
-          .write.mode("overwrite").parquet(s"$indexDir/pqcodes/codes")
+          .write.mode("overwrite").parquet(s"$root/$seg/codes")
+        0.0
     }
+    writeCodesSegMeta(spark, root, seg, codec, m, ksub, iters, trainMod,
+      trainErr)
+    // the flip: old generation's segments are swept AFTER the pointer
+    // replace (commit's retention pass), the SegmentedIndex discipline
+    graft.sync.SegmentedIndex.commit(spark, root, Seq(seg))
   }
 
-  /** Re-cover an existing code sidecar after the layout changed
-    * (refresh/append/compaction): replays [[buildGraphCodes]] with the
-    * sidecar's OWN recorded dials — the maintenance hook
-    * [[graft.sync.CorpusRefresh]] calls so `--graph-resident` serving
-    * follows a refresh without operator intervention. */
+  /** O(delta) sidecar maintenance — encode ONLY an upsert batch into a
+    * new codes segment against the live sidecar's recorded codec and
+    * (for pq) its FROZEN base codebooks. This is what a refresh runs:
+    * int8 codes are per-node independent (no training), and pq codes
+    * against frozen codebooks stay ADC-comparable with the base
+    * segment's, so a 10-document refresh writes 10 rows instead of
+    * replaying the corpus build. Changed docs re-encode under the same
+    * id — [[ResidentGraphIndex.load]] reads segments in commit order
+    * and the NEWEST code per id wins — and tombstoned ids need no
+    * sidecar work at all (the live set comes from the adjacency
+    * relation; dead codes are never consulted and compact away with the
+    * next [[rebuildGraphCodes]]). The batch's vectors round-trip
+    * through the index's storage precision first (fp16 when the layout
+    * stores fp16), so appended codes are byte-identical to what a
+    * from-scratch build would derive from the index's own self-rows.
+    *
+    * Returns the pq drift ratio: the batch's mean reconstruction error
+    * under the frozen codebooks over the base segment's recorded
+    * train-time error (0.0 for int8, which cannot drift) — callers
+    * retrain past a threshold
+    * ([[graft.sync.CorpusRefresh.DefaultCodesDriftRatio]]) instead of
+    * on every delta. */
+  def appendGraphCodes(batch: DataFrame, vecCol: String, keyCol: String,
+      indexDir: String): Double = {
+    val spark = batch.sparkSession
+    require(graphCodesReady(indexDir),
+      s"appendGraphCodes: no committed sidecar at $indexDir/pqcodes")
+    val root = s"$indexDir/pqcodes"
+    val list = graft.sync.SegmentedIndex.resolve(spark, root).get
+    val meta = spark.read.parquet(s"$root/${list.head}/meta").head()
+    val codec = meta.getAs[String]("codec")
+    val fp16 = spark.read.parquet(s"$indexDir/meta").head()
+      .getAs[Boolean]("fp16")
+    val vec =
+      if (fp16) graft.functions.fp16_decode(
+          graft.functions.fp16_encode(col(vecCol))).cast("array<float>")
+      else col(vecCol)
+    val self = unitNormalized(batch.filter(col(vecCol).isNotNull)
+      .select(col(keyCol).cast("long").as("id"), vec.as("v")))
+    val seg = graft.sync.SegmentedIndex.newSegmentName()
+    val drift = codec match {
+      case "pq" =>
+        val books = collectCodebooks(
+          spark.read.parquet(s"$root/${list.head}/codebooks"))
+        pqEncode(self, "v", "id", books)
+          .write.mode("overwrite").parquet(s"$root/$seg/codes")
+        val trainErr = meta.getAs[Double]("train_err")
+        if (trainErr > 0.0) pqReconError(self, books) / trainErr else 0.0
+      case _ =>
+        self.select(col("id"),
+            graft.functions.int8_encode(col("v")).as("codes"))
+          .write.mode("overwrite").parquet(s"$root/$seg/codes")
+        0.0
+    }
+    // the append segment carries the dials it encoded with forward (the
+    // base's, verbatim) so a later rebuild replays the same geometry
+    spark.read.parquet(s"$root/${list.head}/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/$seg/meta")
+    graft.sync.SegmentedIndex.commit(spark, root, list :+ seg)
+    drift
+  }
+
+  /** Full sidecar retrain — replays [[buildGraphCodes]] over the live
+    * corpus with the sidecar's OWN recorded dials and flips the pointer
+    * to ONE fresh segment (superseded segments swept after the commit).
+    * O(corpus) by design: this is the sidecar's COMPACTION/retrain
+    * cadence — [[graft.sync.CorpusRefresh]] runs the O(delta)
+    * [[appendGraphCodes]] per refresh and reaches for this only on a pq
+    * drift signal or segment fan-out, never per delta. */
   def rebuildGraphCodes(spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Unit = {
     require(graphCodesReady(indexDir),
       s"rebuildGraphCodes: no committed sidecar at $indexDir/pqcodes")
-    val meta = spark.read.parquet(s"$indexDir/pqcodes/meta").head()
+    val meta = graphCodesMeta(spark, indexDir)
     buildGraphCodes(spark, indexDir, m = meta.getAs[Int]("m"),
       ksub = meta.getAs[Int]("ksub"), iters = meta.getAs[Int]("iters"),
       trainMod = meta.getAs[Long]("train_mod"),
@@ -2496,13 +2635,16 @@ object Knn {
     val DefaultMaxResidentNodes = 2000000L
 
     /** Load a resident-walk handle: topology from the index's
-      * tombstone-masked edge relation (one narrow collect of 16-byte
-      * pairs), codes from the [[buildGraphCodes]] sidecar, entries from
-      * an IVF sidecar ([[ivfGraphEntries]] — zero jobs per request) or
-      * the min live id. Refuses when the live set exceeds
-      * `maxResidentNodes` or the sidecar predates an append (a node the
-      * walk cannot SCORE is a node it silently never returns — rebuild
-      * the one-pass sidecar instead). */
+      * tombstone-masked edge relation (collected as primitive long
+      * chunks — ~16 B an edge in transit, matching the steady state),
+      * codes from the [[buildGraphCodes]]/[[appendGraphCodes]] segment
+      * list (newest per id wins), entries from an IVF sidecar
+      * ([[ivfGraphEntries]] — zero jobs per request) or the min live
+      * id. Refuses BEFORE collecting when the live set exceeds
+      * `maxResidentNodes` (one count job, so an over-budget corpus
+      * cannot OOM the load), and when the sidecar predates an append (a
+      * node the walk cannot SCORE is a node it silently never returns —
+      * rebuild the one-pass sidecar instead). */
     def load(spark: org.apache.spark.sql.SparkSession, indexDir: String,
         entryIvfDir: Option[String] = None, ef: Int = 64,
         maxResidentNodes: Long = DefaultMaxResidentNodes,
@@ -2515,18 +2657,38 @@ object Knn {
         s"no pq-code sidecar at $indexDir/pqcodes — run buildGraphCodes " +
           "(Cli index --type graph --codes true) before resident serving")
       val adj = AdjIndex.load(spark, indexDir)
-      // one narrow job: ids only for self-rows, 16-byte pairs for edges
-      val pairs = adj.relation.select(col("src"), col("dst")).collect()
-      val ids = pairs.iterator
-        .filter(r => r.getLong(0) == r.getLong(1)).map(_.getLong(0))
-        .toArray.sorted
-      require(ids.nonEmpty,
+      import spark.implicits._
+      // budget check BEFORE any collect (one cheap count job): a corpus
+      // past the resident budget must refuse with the live count, not
+      // OOM the driver halfway through pulling its edges
+      val liveCount = adj.relation
+        .filter(col("src") === col("dst")).count()
+      require(liveCount > 0,
         s"ResidentGraphIndex: adjacency index at $indexDir has no live nodes")
-      require(ids.length <= maxResidentNodes,
-        s"ResidentGraphIndex: ${ids.length} live nodes exceed the resident " +
+      require(liveCount <= maxResidentNodes,
+        s"ResidentGraphIndex: $liveCount live nodes exceed the resident " +
           s"budget $maxResidentNodes — serve --graph-index (job walk) or " +
           "shard the corpus per replica")
-      val idToIdx = ids.iterator.zipWithIndex.toMap
+      // two narrow jobs, both collected as PRIMITIVES: the load
+      // transient must price like the steady state (~16 B an edge), not
+      // like boxed Rows (~100+ B each) — at the 2 M-node budget the Row
+      // form roughly doubled peak driver heap exactly at the ceiling
+      // the class advertises
+      val ids = adj.relation.filter(col("src") === col("dst"))
+        .select(col("src")).as[Long].collect().sorted
+      val edgeChunks: Array[Array[Long]] = adj.relation
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).as[(Long, Long)]
+        .mapPartitions { it =>
+          val b = scala.collection.mutable.ArrayBuilder.make[Long]
+          it.foreach { case (s, d) => b += s; b += d }
+          Iterator.single(b.result())
+        }.collect()
+      val idToIdx = new java.util.HashMap[Long, Integer](ids.length * 2)
+      locally {
+        var i = 0
+        while (i < ids.length) { idToIdx.put(ids(i), i); i += 1 }
+      }
       // SYMMETRIZED adjacency: the stored kNN edges are DIRECTED
       // out-lists, and a best-first walk over them can only reach a
       // node's out-component — measured on the manifold gate as
@@ -2534,35 +2696,75 @@ object Knn {
       // In-edges are free at load time (the same collected pairs read
       // backwards) and give every walk escape routes — the DPG/NSG
       // symmetrization, applied to the resident view only (the job
-      // walk keeps the stored layout's semantics).
-      val nbrs = Array.fill(ids.length)(List.empty[Int])
-      pairs.foreach { r =>
-        val s = r.getLong(0); val d = r.getLong(1)
-        if (s != d)
+      // walk keeps the stored layout's semantics). Built in two
+      // primitive passes (degree count, then fill) so the topology
+      // transient is int-array-sized, never cons cells.
+      val deg = new Array[Int](ids.length)
+      edgeChunks.foreach { ch =>
+        var i = 0
+        while (i < ch.length) {
           // edges to nodes outside the live set were already masked by
           // the relation's tombstone anti-joins; both lookups hit
-          for (si <- idToIdx.get(s); di <- idToIdx.get(d)) {
-            nbrs(si) = di :: nbrs(si)
-            nbrs(di) = si :: nbrs(di)
+          val si = idToIdx.get(ch(i)); val di = idToIdx.get(ch(i + 1))
+          if (si != null && di != null) {
+            deg(si.intValue) += 1; deg(di.intValue) += 1
           }
+          i += 2
+        }
       }
-      val codeRows = spark.read.parquet(s"$indexDir/pqcodes/codes")
-        .select(col("id"), col("codes")).collect()
-      val codeMap = codeRows.iterator
-        .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
-      val missing = ids.count(!codeMap.contains(_))
+      val nbrs = Array.tabulate(ids.length)(i => new Array[Int](deg(i)))
+      val cur = new Array[Int](ids.length)
+      edgeChunks.foreach { ch =>
+        var i = 0
+        while (i < ch.length) {
+          val si = idToIdx.get(ch(i)); val di = idToIdx.get(ch(i + 1))
+          if (si != null && di != null) {
+            val s = si.intValue; val d = di.intValue
+            nbrs(s)(cur(s)) = d; cur(s) += 1
+            nbrs(d)(cur(d)) = s; cur(d) += 1
+          }
+          i += 2
+        }
+      }
+      // sort + dedupe each list in place (sorted order also pins the
+      // walk's deterministic neighbor visit order)
+      var ni = 0
+      while (ni < nbrs.length) {
+        val a = nbrs(ni)
+        java.util.Arrays.sort(a)
+        var w = 0; var r = 0
+        while (r < a.length) {
+          if (w == 0 || a(r) != a(w - 1)) { a(w) = a(r); w += 1 }
+          r += 1
+        }
+        nbrs(ni) = if (w == a.length) a else java.util.Arrays.copyOf(a, w)
+        ni += 1
+      }
+      // codes: segments in commit order, NEWEST code per id wins (an
+      // appendGraphCodes re-encode of a changed doc supersedes its base
+      // code); codes for since-tombstoned ids load into the map but are
+      // never consulted — they compact away with the next rebuild
+      val root = s"$indexDir/pqcodes"
+      val segs = graft.sync.SegmentedIndex.resolve(spark, root).get
+      val codeMap = new java.util.HashMap[Long, Array[Byte]](ids.length * 2)
+      segs.foreach { seg =>
+        spark.read.parquet(s"$root/$seg/codes")
+          .select(col("id"), col("codes")).as[(Long, Array[Byte])]
+          .collect()
+          .foreach { case (id, c) => codeMap.put(id, c) }
+      }
+      val missing = ids.count(id => !codeMap.containsKey(id))
       require(missing == 0,
         s"ResidentGraphIndex: $missing live nodes have no PQ code — the " +
           s"sidecar at $indexDir/pqcodes predates an append; rebuild it " +
           "with buildGraphCodes")
-      val codec = spark.read.parquet(s"$indexDir/pqcodes/meta")
-        .head().getAs[String]("codec")
+      val meta = spark.read.parquet(s"$root/${segs.head}/meta").head()
+      val codec = meta.getAs[String]("codec")
       val codebooks =
         if (codec == "pq") collectCodebooks(
-          spark.read.parquet(s"$indexDir/pqcodes/codebooks"))
+          spark.read.parquet(s"$root/${segs.head}/codebooks"))
         else Array.empty[Array[Array[Float]]]
-      new ResidentGraphIndex(adj, ids,
-        nbrs.map(_.distinct.toArray.sorted), ids.map(codeMap),
+      new ResidentGraphIndex(adj, ids, nbrs, ids.map(codeMap.get(_)),
         codebooks, codec, entryIvfDir.map(d => ivfGraphEntries(spark, d)),
         ef, entryCount, visitBudget, idOf)
     }
@@ -2579,8 +2781,10 @@ object Knn {
         : graft.sync.Reloading[ResidentGraphIndex] =
       graft.sync.Reloading.withFingerprint(() =>
         (Seq(graft.sync.Reloading.fingerprintOf(spark, indexDir, Seq("meta")),
+          // the sidecar is a segment root now: its CURRENT pointer's
+          // content covers build, append and rebuild in one token
           graft.sync.Reloading.fingerprintOf(spark, s"$indexDir/pqcodes",
-            Seq("meta", "codebooks", "codes"))) ++
+            Nil)) ++
           entryIvfDir.map(d => graft.sync.Reloading
             .fingerprintOf(spark, d, Seq("centroids"))))
           .mkString("||"),

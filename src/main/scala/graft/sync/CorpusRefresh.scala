@@ -42,6 +42,16 @@ object CorpusRefresh {
     * ingest doesn't compact on every batch. */
   val DefaultMaxSegments: Int = 8
 
+  /** pq retrain trigger for the resident-serving code sidecar: rebuild
+    * when an upsert batch reconstructs this many times worse under the
+    * FROZEN codebooks than the corpus those books trained on — a
+    * distribution shift the frozen geometry no longer covers (the q126
+    * cell-stats shape, applied to codes; int8 reports 0.0 because
+    * per-dimension quantization cannot drift). Below the threshold the
+    * sidecar re-covers in O(delta) ([[graft.similarity.Knn.appendGraphCodes]]),
+    * never by replaying the corpus build. */
+  val DefaultCodesDriftRatio: Double = 4.0
+
   /** Apply `newSnap` to the store at `storeDir` and any of the two
     * index roots; returns the materialized delta (keyCol, status) so
     * callers can fan further delta-only work (re-embed, re-dedup)
@@ -65,7 +75,8 @@ object CorpusRefresh {
       vecCol: String = "embedding",
       maxSegments: Int = DefaultMaxSegments,
       hnswIndexDir: Option[String] = None,
-      graphIndexDir: Option[String] = None): DataFrame = {
+      graphIndexDir: Option[String] = None,
+      codesDriftRatio: Double = DefaultCodesDriftRatio): DataFrame = {
     val old = HighlightStore.read(spark, storeDir).getOrElse(
       throw new IllegalStateException(
         s"CorpusRefresh.refresh: no store at $storeDir (writeAtomic first)"))
@@ -96,18 +107,32 @@ object CorpusRefresh {
       // added+changed nodes re-insert against the LIVE members
       // (adjInsertIndex — forward + reverse edges, one O(batch)
       // segment). If a resident-serving code sidecar exists, re-cover
-      // it LAST with its own recorded dials — the ResidentGraphIndex
-      // load contract refuses a sidecar that no longer covers the live
-      // set, so a refresh without this pass would stop --graph-resident
+      // it LAST and in O(delta): encode ONLY the upsert batch into a
+      // new codes segment (int8 needs no training; pq encodes against
+      // the frozen base codebooks) — the ResidentGraphIndex load
+      // contract refuses a sidecar that no longer covers the live set,
+      // so a refresh without this pass would stop --graph-resident
       // serving at the next reload instead of serving stale vectors.
+      // Tombstoned ids need no sidecar work (the resident load keys
+      // codes by the adjacency relation's LIVE set). The O(corpus)
+      // rebuild runs only when the pq drift signal fires or the
+      // sidecar's segment list hits the same fan-out threshold every
+      // other index compacts at — never per delta: a 10-document upsert
+      // against a 10⁹-node graph writes 10 code rows.
       graphIndexDir.foreach { dir =>
         graft.similarity.Knn.adjDeleteIndex(spark, dir, deltaKeys, keyCol)
         if (!upserts.isEmpty)
           graft.similarity.Knn.adjInsertIndex(upserts, vecCol, keyCol, dir)
         if (overThreshold(dir))
           graft.similarity.Knn.adjCompactIndex(spark, dir)
-        if (graft.similarity.Knn.graphCodesReady(dir))
-          graft.similarity.Knn.rebuildGraphCodes(spark, dir)
+        if (graft.similarity.Knn.graphCodesReady(dir)) {
+          val drift =
+            if (upserts.isEmpty) 0.0
+            else graft.similarity.Knn
+              .appendGraphCodes(upserts, vecCol, keyCol, dir)
+          if (drift > codesDriftRatio || overThreshold(s"$dir/pqcodes"))
+            graft.similarity.Knn.rebuildGraphCodes(spark, dir)
+        }
       }
       // the HNSW stack under the same delete-then-append discipline:
       // every delta key is tombstoned from every layer (entry re-pinned

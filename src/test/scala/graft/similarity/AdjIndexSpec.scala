@@ -293,6 +293,40 @@ class AdjIndexSpec extends SparkTestBase {
     }
   }
 
+  test("negative node ids: probe buckets match the writer's pmod — self-rows refine, resident serving finds them") {
+    val dir = java.nio.file.Files.createTempDirectory("adjneg").toString + "/i"
+    try {
+      // ids straddling zero: the layout partitions by pmod (always
+      // non-negative) while a JVM % maps a negative id to a negative
+      // bucket literal — the old probe silently read the wrong bucket
+      // and DROPPED negative ids from the refine
+      val c = emb.filter($"vec_id" < 40)
+        .select(($"vec_id" - 20L).as("vec_id"), $"embedding")
+        .localCheckpoint()
+      val knn = Knn.knnGraph(c, "embedding", "vec_id", topK = 5)
+        .select($"id_a", $"id_b")
+      // a chain over the id range keeps the symmetrized graph connected,
+      // so the exhaustive walk below visits every node deterministically
+      val chain = c.select($"vec_id".as("id_a"), ($"vec_id" + 1L).as("id_b"))
+        .filter($"id_b" < 20L)
+      Knn.buildAdjacencyIndex(knn.unionByName(chain), c, "embedding",
+        "vec_id", dir, buckets = 8, fp16 = false)
+      val qv = c.filter($"vec_id" === -13L).select($"embedding")
+        .head().getSeq[Float](0).toArray
+      val scored = Knn.AdjIndex.load(spark, dir)
+        .selfScores(Seq(-13L, -1L, 7L), qv).collect()
+      assert(scored.map(_.getLong(0)).toSet == Set(-13L, -1L, 7L),
+        scored.toSeq.toString)
+      // end-to-end: the resident mode's one job is exactly that refine —
+      // the query's own (negative) id must come back at distance ~0
+      Knn.buildGraphCodes(spark, dir, codec = "int8")
+      val got = Knn.ResidentGraphIndex.load(spark, dir, ef = 40)
+        .servingTopK(qv, 5, 0, None)
+      assert(got.head.getLong(0) == -13L && got.head.getDouble(1) < 1e-6,
+        got.toSeq.toString)
+    } finally rmTree(dir)
+  }
+
   test("adjDeleteIndex: delete == build-without; re-append revives; compaction erases and preserves the walk") {
     val del = java.nio.file.Files.createTempDirectory("adjdel").toString + "/i"
     val ref = java.nio.file.Files.createTempDirectory("adjref").toString + "/i"

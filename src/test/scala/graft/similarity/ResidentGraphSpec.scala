@@ -137,6 +137,39 @@ class ResidentGraphSpec extends SparkTestBase {
     } finally { rmTree(dir); rmTree(ivf) }
   }
 
+  test("appendGraphCodes: pq drift signal separates in-distribution batches from shifted ones; int8 reports 0") {
+    val root = java.nio.file.Files.createTempDirectory("resgd").toString
+    val root8 = java.nio.file.Files.createTempDirectory("resgd8").toString
+    val dir = root + "/i"; val dir8 = root8 + "/i"
+    try {
+      buildAt(dir) // pq m=32 ksub=16 over the manifold corpus
+      // in-distribution: manifold points the build never saw reconstruct
+      // about as well as the train corpus — drift ratio near 1, far
+      // under the retrain threshold
+      val same = (N until N + 32L)
+        .map(v => (v, ManifoldCorpus.vector(v).toSeq))
+        .toDF("vec_id", "embedding")
+      val dSame = Knn.appendGraphCodes(same, "embedding", "vec_id", dir)
+      // shifted: noise-dominated points OFF the manifold (the corpus is
+      // a linear subspace symmetric around the origin, so negation or
+      // scaling would stay IN-distribution after unit-normalization —
+      // the shift has to leave the subspace) reconstruct measurably
+      // worse under the frozen codebooks
+      val shifted = (N until N + 32L)
+        .map(v => (v + 1000L,
+          ManifoldCorpus.vector(v, noise = 50.0).toSeq))
+        .toDF("vec_id", "embedding")
+      val dShift = Knn.appendGraphCodes(shifted, "embedding", "vec_id", dir)
+      assert(dSame > 0.0 && dSame < 2.0, s"in-distribution drift $dSame")
+      assert(dShift > 2.0 * dSame, s"shifted $dShift vs same $dSame")
+      // int8 is per-node independent — no trained geometry to drift from
+      Knn.buildAdjacencyIndex(edges, corpus, "embedding", "vec_id", dir8,
+        buckets = 8)
+      Knn.buildGraphCodes(spark, dir8, codec = "int8")
+      assert(Knn.appendGraphCodes(same, "embedding", "vec_id", dir8) == 0.0)
+    } finally { rmTree(root); rmTree(root8) }
+  }
+
   test("tombstoned nodes leave the walk; a stale sidecar refuses; rebuild serves appends") {
     val dir = java.nio.file.Files.createTempDirectory("resgt").toString + "/i"
     try {

@@ -176,8 +176,89 @@ class CorpusRefreshSpec extends SparkTestBase {
       val got7 = idx.servingTopK(vec(7L, 0), 10, 0, None)
       assert(got7.nonEmpty && got7.forall(_.getLong(0) != 7L))
       // meta replay: the re-covered sidecar kept its codec
-      assert(spark.read.parquet(s"$g/pqcodes/meta").head()
+      assert(graft.similarity.Knn.graphCodesMeta(spark, g)
         .getAs[String]("codec") == "int8")
+    } finally { Seq(store, g).foreach(rmrf) }
+  }
+
+  test("sidecar re-cover is O(delta): one new segment of exactly the upsert rows; append == full rebuild byte-for-byte") {
+    val store = tmp("cr7-store"); val g = tmp("cr7-graph") + "/i"
+    try {
+      HighlightStore.writeAtomic(snapA, store)
+      val edges = graft.similarity.Knn.knnGraph(snapA, "embedding",
+        "doc_id", topK = 5).select($"id_a", $"id_b")
+      graft.similarity.Knn.buildAdjacencyIndex(edges, snapA, "embedding",
+        "doc_id", g, buckets = 4)
+      graft.similarity.Knn.buildGraphCodes(spark, g, codec = "int8")
+      val before = SegmentedIndex.resolve(spark, s"$g/pqcodes").get
+      assert(before.size == 1)
+      CorpusRefresh.refresh(spark, snapB, "text", "doc_id", store,
+        graphIndexDir = Some(g)).unpersist()
+      // O(delta): the base segment is UNTOUCHED, exactly one appended
+      // segment holding exactly the upsert rows (2 changed + 5 added) —
+      // never a corpus replay (the r13 re-cover replayed the full build
+      // on every delta)
+      val after = SegmentedIndex.resolve(spark, s"$g/pqcodes").get
+      assert(after.size == 2 && after.head == before.head, after.toString)
+      assert(spark.read.parquet(s"$g/pqcodes/${after(1)}/codes")
+        .count() == 7)
+      // append == rebuild: the O(delta) codes are byte-identical (over
+      // the LIVE set — stale rows for removed/changed ids are never
+      // consulted and compact away) to a full replay over the refreshed
+      // adjacency, so resident serving is row-identical too
+      def liveCodes(): Map[Long, Seq[Byte]] = {
+        val live = graft.similarity.Knn.AdjIndex.load(spark, g).relation
+          .filter($"src" === $"dst").select($"src").as[Long].collect().toSet
+        SegmentedIndex.resolve(spark, s"$g/pqcodes").get
+          .foldLeft(Map.empty[Long, Seq[Byte]]) { (m, seg) =>
+            m ++ spark.read.parquet(s"$g/pqcodes/$seg/codes").collect()
+              .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq)
+          }.filter { case (id, _) => live(id) }
+      }
+      val qv = vec(23L, 5)
+      val servedAppend = graft.similarity.Knn.ResidentGraphIndex
+        .load(spark, g).servingTopK(qv, 10, 0, None).toSeq
+      val codesAppend = liveCodes()
+      graft.similarity.Knn.rebuildGraphCodes(spark, g)
+      // the rebuild COMPACTED: one fresh segment behind the same pointer
+      assert(SegmentedIndex.resolve(spark, s"$g/pqcodes").get.size == 1)
+      assert(liveCodes() == codesAppend)
+      assert(graft.similarity.Knn.ResidentGraphIndex.load(spark, g)
+        .servingTopK(qv, 10, 0, None).toSeq == servedAppend)
+    } finally { Seq(store, g).foreach(rmrf) }
+  }
+
+  test("pq sidecar: in-distribution churn appends; the drift trigger retrains; fan-out compacts") {
+    val store = tmp("cr8-store"); val g = tmp("cr8-graph") + "/i"
+    try {
+      HighlightStore.writeAtomic(snapA, store)
+      val edges = graft.similarity.Knn.knnGraph(snapA, "embedding",
+        "doc_id", topK = 5).select($"id_a", $"id_b")
+      graft.similarity.Knn.buildAdjacencyIndex(edges, snapA, "embedding",
+        "doc_id", g, buckets = 4)
+      graft.similarity.Knn.buildGraphCodes(spark, g, m = 2, ksub = 4)
+      // in-distribution delta (same vec() family): encodes against the
+      // FROZEN base codebooks — appended, not retrained
+      CorpusRefresh.refresh(spark, snapB, "text", "doc_id", store,
+        graphIndexDir = Some(g)).unpersist()
+      assert(SegmentedIndex.resolve(spark, s"$g/pqcodes").get.size == 2)
+      // drift trigger plumbing: a ratio below any batch's drift forces
+      // the retrain — pointer collapses to one fresh segment
+      val snapC = snap((0L until 60L).filterNot(_ == 7L) ++ (60L to 64L),
+        Set(11L, 23L, 40L))
+      CorpusRefresh.refresh(spark, snapC, "text", "doc_id", store,
+        graphIndexDir = Some(g), codesDriftRatio = -1.0).unpersist()
+      assert(SegmentedIndex.resolve(spark, s"$g/pqcodes").get.size == 1)
+      // resident serving follows throughout: the load's coverage check
+      // (refuses any live node without a code) passing after the
+      // retrain proves the fresh segment covers snapC's live set, and
+      // the codec survived the replay. (No walk-reaches-40 assertion:
+      // this corpus is exact-duplicate clusters — the cr6 test's
+      // documented degeneracy — where navigation needs ivf entries.)
+      assert(graft.similarity.Knn.graphCodesMeta(spark, g)
+        .getAs[String]("codec") == "pq")
+      assert(graft.similarity.Knn.ResidentGraphIndex.load(spark, g)
+        .servingTopK(vec(40L, 5), 5, 0, None).length == 5)
     } finally { Seq(store, g).foreach(rmrf) }
   }
 
