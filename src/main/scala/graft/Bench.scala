@@ -65,8 +65,41 @@ object Bench {
         .foreach(_.unpersist(blocking = true))
       spark.catalog.clearCache()
     }
+    // phase calibration: the r13 board ran 26% over r12's at identical
+    // code for every untouched query — a whole-run VM contention phase —
+    // and nothing in the protocol could distinguish that from a
+    // board-wide code regression without re-deriving it by hand. One
+    // fixed CPU+shuffle probe (independent of SF_DIR and of every
+    // query's code path: 16M xxhash64 rows, 256k-group partial agg,
+    // shuffle, TakeOrdered) is timed once per pass; its median over the
+    // recorded quiet-phase reference is the run's PHASE FACTOR,
+    // published in the wire line so cross-round per-query deltas divide
+    // the phase out mechanically.
+    // the anchor is IN-BENCH (median probe across a full r14 run), not a
+    // standalone JVM: the probe deliberately shares the bench JVM's heap
+    // and scheduler so it sees the same conditions the queries do (the
+    // same probe measured 1.03 s in a fresh JVM — bench-resident state
+    // costs it ~25%, and that tax is part of what queries pay too)
+    val CalibRef = 1.30 // seconds; recorded r14, the cross-round anchor
+    def calibrate(): Double = {
+      sweep()
+      val t0 = System.nanoTime()
+      spark.range(0, 1L << 24, 1, 32)
+        .selectExpr("xxhash64(id) AS h")
+        .selectExpr("pmod(h, 262144) AS b", "h")
+        .groupBy("b").agg(Map("h" -> "max"))
+        .toDF("b", "s")
+        .orderBy("s").limit(7).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // two untimed probe runs: the probe's own JIT/codegen warmup is
+    // measured at ~8s cold vs ~1s steady — timing it cold would fold
+    // compilation into the phase factor
+    calibrate(); calibrate()
     val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+    var calibSamples = List.empty[Double]
     (1 to Runs).foreach { _ =>
+      calibSamples = calibrate() :: calibSamples
       names.foreach { name =>
         sweep()
         try SparkEntry.queries(name)(spark, sfDir).count()
@@ -78,6 +111,8 @@ object Bench {
         samples(name) = dt :: samples.getOrElse(name, Nil)
       }
     }
+    val calib = calibSamples.sorted.apply(Runs / 2)
+    val phase = calib / CalibRef
     val results = names.map(n => n -> samples(n).sorted.apply(Runs / 2))
     // the driver captures only the LAST 2000 chars of output: rounds 8/9
     // overflowed it (135 full-name queries ≈ 3 KB even at 3 decimals), so
@@ -91,10 +126,16 @@ object Bench {
     def f2(v: Double): String = "%.2f".format(v)
     def short(k: String): String = k.takeWhile(_ != '_')
     val total = results.map(_._2).sum
+    // calib: this run's probe median; phase: calib / the recorded quiet
+    // reference (1.0 = quiet, >1 = the whole run was that much hot);
+    // value_norm: total with the phase divided out — the cross-round
+    // comparable number
+    val calibFields = s""""calib":${f(calib)},"phase":${f2(phase)},""" +
+      s""""value_norm":${f(total / phase)},"""
     def wire(prec: Double => String): String = {
       val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + prec(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$Runs}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",$calibFields"queries":$qs,"sf":"$sfDir","runs":$Runs}"""
     }
     // if the query set outgrows the window even at centiseconds, shed
     // precision rather than the line's head
@@ -104,7 +145,7 @@ object Bench {
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench_last.json"),
-      (s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir","runs":$Runs}""" + "\n")
+      (s"""{"metric":"total","value":${f(total)},"unit":"sec",$calibFields"queries":$qsFull,"sf":"$sfDir","runs":$Runs}""" + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

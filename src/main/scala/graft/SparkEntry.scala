@@ -1837,6 +1837,37 @@ object SparkEntry {
         .orderBy(col("id_a"), col("rank"))
     }),
 
+    // ---- the resident-code walk ORACLE-GATED end-to-end (adjacency
+    //      build → int8 sidecar → driver best-first walk → the ONE
+    //      exact refine job): with an exhaustive beam (ef = n) over a
+    //      connected graph the walk's shortlist is the whole live set,
+    //      so serving MUST equal brute-force top-10 by exact fp32
+    //      cosine — the deterministic form of the resident contract
+    //      (selective-beam RECALL stays spec-gated in ResidentGraphSpec,
+    //      where a floor, not equality, is the honest gate). A chain
+    //      over the contiguous ids keeps the symmetrized graph
+    //      connected by construction ----
+    "q150_resident_walk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val n = e.count().toInt
+      val knn = Knn.knnGraph(e, "embedding", "vec_id", topK = 5)
+        .select(col("id_a"), col("id_b"))
+      val chain = e.select(col("vec_id").as("id_a"),
+        (col("vec_id") + 1L).as("id_b")).filter(col("id_b") < 300)
+      val qv = e.filter(col("vec_id") === 299).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-resident").toString + "/adj"
+      Knn.buildAdjacencyIndex(knn.unionByName(chain), e, "embedding",
+        "vec_id", idxDir, buckets = 16, fp16 = false)
+      Knn.buildGraphCodes(s, idxDir, codec = "int8")
+      val rows = Knn.ResidentGraphIndex.load(s, idxDir, ef = n)
+        .servingTopK(qv, 10, 0, None)
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      import s.implicits._
+      rows.toDF("vec_id", "score")
+    }),
+
     // ---- positional phrase search: "customer join merge" must occur as
     //      CONSECUTIVE words — posexplode filtered to the 3 terms at the
     //      generator, two (id, position) equi-joins, per-doc exact
@@ -4618,6 +4649,21 @@ object SparkEntry {
          |    JOIN v vb ON vb.id = c.id_b)
          |WHERE rank <= $k ORDER BY id_a, rank""".stripMargin
     },
+
+    // the resident walk's exhaustive-beam form is exactly brute-force
+    // top-10 by fp32 cosine: the graph (kNN ∪ chain, symmetrized at
+    // load) is connected, ef = n puts every node in the shortlist, and
+    // the one refine job scores the shortlist's self-rows exact — so
+    // the oracle needs no walk replay at all, just the scan the contract
+    // reduces to
+    "q150_resident_walk" ->
+      s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
+         |    CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 300 AND embedding IS NOT NULL),
+         |q AS MATERIALIZED (SELECT v AS qv FROM v WHERE id = 299)
+         |SELECT v.id AS vec_id, ${sqlCosine("v.v", "q.qv")} AS score
+         |FROM v CROSS JOIN q
+         |ORDER BY score, vec_id LIMIT 10""".stripMargin,
 
     // consecutive-word phrase occurrences counted over the split word
     // array — every start position where all three words line up

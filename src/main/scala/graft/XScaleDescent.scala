@@ -8,6 +8,15 @@ object XScaleDescent {
     val n = sys.env.getOrElse("XSD_N", "200000").toInt
     val codec = sys.env.getOrElse("XSD_CODEC", "pq")
     val bk = sys.env.getOrElse("XSD_BK", "10").toInt
+    // XSD_ROUNDS: the r14 convergence ladder's dial — the r13 table
+    // measured recall DECAY at fixed rounds/buildK as n grows; the rule
+    // for holding recall flat needs rounds (and buildK) swept per n
+    val rounds = sys.env.getOrElse("XSD_ROUNDS", "3").toInt
+    // XSD_DIM: prefix-slice the 3072-dim fixtures so the 100 k manifold
+    // ladder fits this VM's disk (shuffle scales with dim; the hub
+    // structure — the thing the capped descent is priced on — does not:
+    // the manifold's 8-dim latent projects into any prefix)
+    val dim = sys.env.getOrElse("XSD_DIM", "3072").toInt
     // XSD_FIXTURE=manifold measures the descent on low-intrinsic-dim
     // data (ManifoldCorpus) instead of the quasi-uniform mix — graph
     // quality is fixture-shaped; shuffle bytes are not
@@ -17,10 +26,14 @@ object XScaleDescent {
         graft.fixtures.ManifoldCorpus.prepared(spark, 200000L)
       else graft.fixtures.Fp16Corpus
         .prepared(spark, "/root/testdata/sf0.1", 200000L)
+    val vecCol = {
+      val full = graft.functions.fp16_decode(col("emb16"))
+        .cast("array<float>")
+      if (dim >= 3072) full else slice(full, 1, dim)
+    }
     val corpus = fixtureDf
       .filter(col("vec_id") < n)
-      .select(col("vec_id"), graft.functions.fp16_decode(col("emb16"))
-        .cast("array<float>").as("embedding"))
+      .select(col("vec_id"), vecCol.as("embedding"))
     @volatile var shuffleBytes = 0L
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
@@ -29,9 +42,9 @@ object XScaleDescent {
     val t0 = System.nanoTime()
     val g =
       if (codec == "fp32") graft.similarity.Knn.nnDescentGraph(
-        corpus, "embedding", "vec_id", k = 5, rounds = 3, buildK = bk)
+        corpus, "embedding", "vec_id", k = 5, rounds = rounds, buildK = bk)
       else graft.similarity.Knn.nnDescentGraphCompressed(
-        corpus, "embedding", "vec_id", k = 5, rounds = 3, buildK = bk,
+        corpus, "embedding", "vec_id", k = 5, rounds = rounds, buildK = bk,
         codec = codec, m = 32, ksub = 64,
         pqTrainFilter = Some(col("vec_id") % 400 === 0),
         // XSD_CAP: reverse-neighbor cap (Dong's ρ) — REQUIRED on the
@@ -41,7 +54,7 @@ object XScaleDescent {
         maxInDegree = sys.env.getOrElse("XSD_CAP", "0").toInt)
     val rows = g.count()
     Thread.sleep(2000)
-    println(f"SCALEDESC|$codec|fixture=$fixtureName|n=$n|dim=3072|rounds=3|buildK=$bk|rows=$rows|" +
+    println(f"SCALEDESC|$codec|fixture=$fixtureName|n=$n|dim=$dim|rounds=$rounds|buildK=$bk|rows=$rows|" +
       f"shuffleGB=${shuffleBytes / 1e9}%.1f|min=${(System.nanoTime() - t0) / 6e10}%.1f")
     // recall@5 vs exact brute force on 20 sampled nodes
     val gC = g.cache(); gC.count()
