@@ -24,6 +24,12 @@ object XResidentScale {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.get()
     spark.sparkContext.setLogLevel("ERROR")
+    // the session default (32) leaves the cell-kNN build's per-task rank
+    // sorts at ~100M rows each at n=2M — the pointer array overflows and
+    // the spill dies under the same pressure. More partitions = smaller
+    // per-task sorts; AQE coalesces the small stages back down.
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("XRS_SHUFFLE", "256"))
     val n = sys.env.getOrElse("XRS_N", "2000000").toLong
     val dim = sys.env.getOrElse("XRS_DIM", "128").toInt
     val deg = sys.env.getOrElse("XRS_DEG", "10").toInt

@@ -710,15 +710,45 @@ object Knn {
       .select(col("id"), col("v"), col("centroid_id"))
     val index = c.join(picks.filter(col("crank") === 1), Seq("id"))
       .select(col("id"), col("v"), col("centroid_id"))
-    val w = Window.partitionBy(col("id_a"))
-      .orderBy(col("dist").asc, col("id_b").asc)
-    probe.as("a").join(index.as("b"),
+    val pairs = probe.as("a").join(index.as("b"),
         col("a.centroid_id") === col("b.centroid_id") &&
           col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         cosine_distance(col("a.v"), col("b.v")).as("dist"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
+    val idT = c.schema("id").dataType
+    val integralId = idT match {
+      case org.apache.spark.sql.types.LongType
+         | org.apache.spark.sql.types.IntegerType
+         | org.apache.spark.sql.types.ShortType
+         | org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    // per-node rank via the partial-aggregatable bounded heap, not a
+    // window: the window form SORTS every candidate pair under one
+    // exchange — Σ_cell |probe_cell|·|index_cell| rows, which at the r14
+    // budget-edge run (2 M × 2500 cells) measured 3.2e9 pair rows /
+    // ~100 GB of sort spill and killed the build on local disk, and at
+    // 100 TB is the difference between shuffling everything and
+    // shuffling k rows per node per task. topk_pairs keeps a size-k
+    // heap per node per task (map-side combine), the kept SET is
+    // partition-independent, and ties break (dist, id) exactly like the
+    // window — bit-identical output for integral ids (KnnSpec pins it).
+    // Non-integral key domains keep the window form: topk_pairs carries
+    // ids as BIGINT, and a lossy cast there would corrupt, not rank.
+    if (integralId)
+      pairs.groupBy(col("id_a"))
+        .agg(graft.functions.topk_pairs(col("dist"), col("id_b"), topK)
+          .as("tk"))
+        .select(col("id_a"), posexplode(col("tk")))
+        .select(col("id_a"), col("col.id").cast(idT).as("id_b"),
+          col("col.ord").as("dist"),
+          (col("pos") + 1).cast("int").as("rank"))
+    else {
+      val w = Window.partitionBy(col("id_a"))
+        .orderBy(col("dist").asc, col("id_b").asc)
+      pairs.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+    }
   }
 
   /** Squared L2 via the dot-product expansion — the SAME float tree as
@@ -754,11 +784,23 @@ object Knn {
         .select(col("id"), col("dc.centroid_id").as("centroid_id"),
           lit(1).as("crank"))
     else {
-      val w = Window.partitionBy(col("id"))
-        .orderBy(col("cdist").asc, col("centroid_id").asc)
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= nprobe)
-        .select(col("id"), col("centroid_id"), col("crank"))
+      // nprobe ≥ 2: bounded-heap rank ([[graft.functions.TopKPairs]]),
+      // not a window — `scored` is n×cells rows, and the window form
+      // sorts ALL of them under one exchange (the r14 2 M budget-edge
+      // build priced the nprobe=2 pick window alone at ~5e9 narrow
+      // rows). The heap partial-aggregates map-side, bounding the
+      // exchange at nprobe rows per id per task, with the identical
+      // (cdist asc, centroid_id asc) tie-break — and centroid ids are
+      // the trainer's own longs, so the aggregate's BIGINT id is
+      // lossless and the output is bit-identical to the window's
+      // (the q105/q138 oracles gate exactly that).
+      val cidT = scored.schema("centroid_id").dataType
+      scored.groupBy(col("id"))
+        .agg(graft.functions.topk_pairs(col("cdist"), col("centroid_id"),
+          nprobe).as("tk"))
+        .select(col("id"), posexplode(col("tk")))
+        .select(col("id"), col("col.id").cast(cidT).as("centroid_id"),
+          (col("pos") + 1).cast("int").as("crank"))
     }
   }
 

@@ -533,6 +533,30 @@ class KnnSpec extends SparkTestBase {
     assert(recall >= 0.65, s"cell-graph recall $recall vs exact")
   }
 
+  test("cellKnnGraph ranks via the partial-aggregatable heap: window-identical order, no pair-wide sort in the plan") {
+    val e = table("embeddings").filter(col("vec_id") < 300)
+    val cell = Knn.cellKnnGraph(e, "embedding", "vec_id", topK = 5,
+      cells = 4, nprobe = 2)
+    // the window contract the agg must reproduce bit-for-bit: per node,
+    // ranks are contiguous from 1 in ascending (dist, id_b) order (the
+    // kept-SET equivalence rides the previous test's deterministic
+    // recall and exact-distance cross-check)
+    val rows = cell.collect()
+    rows.groupBy(_.getLong(0)).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to rs.length),
+        sorted.map(_.getInt(3)).toSeq.toString)
+      val pairs = sorted.map(r => (r.getDouble(2), r.getLong(1))).toSeq
+      assert(pairs == pairs.sorted, pairs.toString)
+    }
+    // plan guard: the rank is a map-side-combinable aggregate, never a
+    // window sort over every candidate pair (the shape that measured
+    // ~100 GB of sort spill at the 2 M budget-edge build)
+    val plan = cell.queryExecution.executedPlan.toString
+    assert(plan.contains("topk_pairs"), plan.take(500))
+    assert(!plan.contains("Window"), "pair-wide window sort resurrected")
+  }
+
   test("ivfCellStats: counts cover the corpus; drifted appends raise residuals") {
     val dir = java.nio.file.Files.createTempDirectory("ivfstats").toString
     try {

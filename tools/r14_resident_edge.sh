@@ -14,4 +14,8 @@ env XRS_N=1000000 XRS_DIM=128 \
 echo "== 2M — the declared DefaultMaxResidentNodes edge ==" >> $log
 env XRS_N=2000000 XRS_DIM=128 \
   sbt -batch "runMain graft.XResidentScale" 2>&1 | grep -E "^\[info\] XRS_" >> $log
+echo "== 2M under a 4g heap: the transient BOUND (artifacts cached; " >> $log
+echo "   boxed-Row collects would not fit — primitives + GC headroom do) ==" >> $log
+env XRS_N=2000000 XRS_DIM=128 SPARK_DRIVER_MEM=4g \
+  sbt -batch "runMain graft.XResidentScale" 2>&1 | grep -E "^\[info\] XRS_" >> $log
 echo EDGE_DONE >> $log
