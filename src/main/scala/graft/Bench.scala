@@ -22,6 +22,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // see GraftSession.builder: ≥cores splits for GB-scale local scans
       .config("spark.sql.files.maxPartitionBytes", "32m")
+      // keep TypedImperativeAggregates hash-based (see GraftSession)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 21).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -43,6 +43,17 @@ object GraftSession {
       // Set membership per row-group stat is a sorted-array probe; the
       // eval cost is noise next to one decompressed 128 KB row group.
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
+      // ObjectHashAggregate (the executor of TypedImperativeAggregates
+      // like topk_pairs) falls back to SORT-based aggregation after
+      // only 128 distinct keys per task by default — which silently
+      // resurrects exactly the all-rows sort the bounded-heap aggregate
+      // exists to avoid (measured: the 2 M cell-kNN build's partial agg
+      // fell back and died in sort spill — r14, SCALE.md). Keys here
+      // are node/doc ids: ~n/tasks per task, each buffer a k-entry
+      // heap, so 2^21 hashed keys is ~100 MB worst-case — hash stays
+      // the right plan far past any local task's key count.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 21).toString)
       .config("spark.ui.enabled", "false")
 
   def get(): SparkSession = {

@@ -17,6 +17,9 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // see GraftSession.builder: ≥cores splits for GB-scale local scans
       .config("spark.sql.files.maxPartitionBytes", "32m")
+      // keep TypedImperativeAggregates hash-based (see GraftSession)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (1 << 21).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -766,35 +766,45 @@ object Knn {
     * exchanges n×cells rows each dragging the full vector: at 200 k ×
     * 3072-dim × 250 cells that is ~600 GB of shuffle (measured to
     * exhaust local disk). Here the crossJoin projects down to
-    * (id, centroid_id, cdist) ~24 B rows BEFORE any exchange; nprobe=1
-    * goes further — a partial-aggregatable min over (cdist, cid)
-    * structs, so map-side combine bounds the exchange at one row per id
-    * per task. Tie-break (cdist asc, centroid_id asc) in both branches,
-    * identical to the window form bit-for-bit. Vectors re-attach via
-    * one id equi-join (n rows, each shipped once). */
+    * (id, centroid_id, cdist) ~24 B rows BEFORE any exchange, and the
+    * per-id rank is the bounded-heap [[graft.functions.TopKPairs]]
+    * aggregate (ObjectHashAggregate: map-side combine bounds the
+    * exchange at nprobe rows per id per task, and — unlike a window or
+    * a struct-min, which plan sorts over ALL scored rows — nothing ever
+    * sorts more than the heap). Tie-break (cdist asc, centroid_id asc)
+    * in both branches, identical to the window form bit-for-bit.
+    * Vectors re-attach via one id equi-join (n rows, each shipped
+    * once). */
   private[graft] def cellPicks(c: DataFrame, cents: DataFrame, nprobe: Int,
       dist: (Column, Column) => Column): DataFrame = {
     val scored = c.crossJoin(broadcast(cents))
       .select(col("id"), col("centroid_id"),
         dist(col("v"), col("cvec")).as("cdist"))
+    // BOTH branches rank through the bounded-heap aggregate
+    // ([[graft.functions.TopKPairs]], ObjectHashAggregate) — never a
+    // window and never a struct-min: `min(struct(...))` is not
+    // hash-aggregable, so it planned as SortAggregateExec, whose
+    // partial pass SORTS all n×cells scored rows per task — measured
+    // at the r14 2 M budget-edge build as the disk-filling stage
+    // (~5e9 narrow rows of sort spill inside every Lloyd iteration).
+    // The heap's (Double, Long) total order matches the SQL struct
+    // order here: cosine arithmetic cannot produce -0.0 (1−x yields
+    // +0.0 at x=1), and NaN sorts last under both.
+    val cidT = scored.schema("centroid_id").dataType
     if (nprobe == 1)
-      scored
-        .select(col("id"), struct(col("cdist"), col("centroid_id")).as("dc"))
-        .groupBy(col("id")).agg(min(col("dc")).as("dc"))
-        .select(col("id"), col("dc.centroid_id").as("centroid_id"),
+      scored.groupBy(col("id"))
+        .agg(graft.functions.topk_pairs(col("cdist"), col("centroid_id"), 1)
+          .as("tk"))
+        .select(col("id"),
+          col("tk").getItem(0).getField("id").cast(cidT).as("centroid_id"),
           lit(1).as("crank"))
     else {
-      // nprobe ≥ 2: bounded-heap rank ([[graft.functions.TopKPairs]]),
-      // not a window — `scored` is n×cells rows, and the window form
-      // sorts ALL of them under one exchange (the r14 2 M budget-edge
-      // build priced the nprobe=2 pick window alone at ~5e9 narrow
-      // rows). The heap partial-aggregates map-side, bounding the
-      // exchange at nprobe rows per id per task, with the identical
-      // (cdist asc, centroid_id asc) tie-break — and centroid ids are
-      // the trainer's own longs, so the aggregate's BIGINT id is
-      // lossless and the output is bit-identical to the window's
-      // (the q105/q138 oracles gate exactly that).
-      val cidT = scored.schema("centroid_id").dataType
+      // nprobe ≥ 2: same aggregate at width nprobe (the window form
+      // sorted all n×cells rows under one exchange); ties break
+      // (cdist asc, centroid_id asc) exactly like the window, and
+      // centroid ids are the trainer's own longs so the BIGINT pair id
+      // is lossless — bit-identical output (the q105/q138 oracles gate
+      // exactly that).
       scored.groupBy(col("id"))
         .agg(graft.functions.topk_pairs(col("cdist"), col("centroid_id"),
           nprobe).as("tk"))
@@ -1517,8 +1527,12 @@ object Knn {
       .select(col("__cid"), col("id").cast("long").as("__id"),
         dist.as("__d"))
       .groupBy(col("__cid"))
-      .agg(min(struct(col("__d"), col("__id"))).as("m"))
-      .select(col("__cid"), col("m.__id"))
+      // bounded-heap min, not min(struct(...)): the struct form plans
+      // SortAggregate (not hash-aggregable) and sorts all n member rows
+      // per load — same ordering ((__d, __id) asc; the distance
+      // arithmetic cannot produce -0.0), O(n) instead of O(n log n)
+      .agg(graft.functions.topk_pairs(col("__d"), col("__id"), 1).as("tk"))
+      .select(col("__cid"), col("tk").getItem(0).getField("id").as("__id"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     new GraphEntries(cents.filter(c => reps.contains(c._1)), reps)
   }
