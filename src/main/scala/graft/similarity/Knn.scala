@@ -330,7 +330,22 @@ object Knn {
     * At 200 k × 3072-dim fp32 a round shuffles ~2 TB and exhausts local
     * disk (the documented failure); int8 brings it to ~½ TB and pq m=32
     * to ~5 GB — the graph-index build path at the reference's
-    * corpus-wide ingest scale. */
+    * corpus-wide ingest scale.
+    *
+    * DIAL RULE (measured, SCALE.md §r14 ladder): at FIXED rounds/buildK
+    * edge recall DECAYS as n grows (~0.53→0.35→0.13 over 25k→50k→100k
+    * on uniform data) — the descent propagates neighborhoods roughly
+    * one hop per round and the graph's effective diameter grows with
+    * log n. Grow `rounds` by ONE PER DOUBLING of n at fixed buildK:
+    * that held recall ~flat on both the uniform fixture (0.93 at
+    * 50k/rounds=4 and 100k/rounds=5) and the hub-capped manifold
+    * fixture (0.70→0.88 over the same ladder). Rounds are the cheap
+    * dial — each adds one ~constant-size shuffle — where buildK grows
+    * every round's shuffle AND the final re-score quadratically-ish
+    * (rounds=5/buildK=10 matched rounds=4/buildK=14's recall at 40% of
+    * its wall). Anchor: rounds ≈ 4 + log2(n / 50_000) at buildK = 2k.
+    * On hub-skewed (realistic) data always set `maxInDegree` ≈
+    * 2·buildK — see the cap note below. */
   def nnDescentGraphCompressed(corpus: DataFrame, vecCol: String,
       keyCol: String, k: Int, rounds: Int, buildK: Int = -1,
       checkpointEvery: Int = 1, codec: String = "int8",
