@@ -48,10 +48,16 @@ object GraftSession {
       // only 128 distinct keys per task by default — which silently
       // resurrects exactly the all-rows sort the bounded-heap aggregate
       // exists to avoid (measured: the 2 M cell-kNN build's partial agg
-      // fell back and died in sort spill — r14, SCALE.md). Keys here
-      // are node/doc ids: ~n/tasks per task, each buffer a k-entry
-      // heap, so 2^21 hashed keys is ~100 MB worst-case — hash stays
-      // the right plan far past any local task's key count.
+      // fell back and died in sort spill — r14, SCALE.md). Honest memory
+      // math: each buffer is a PriorityQueue of boxed (Double, Long)
+      // tuples, ~0.5–1 KB at k=10, so 2^21 keys in ONE task's hash map
+      // is 1–2 GB worst-case — fine on this local[32] profile (driver =
+      // executor, 128 GiB heap, and the kNN builds that actually reach
+      // 2 M keys/task run alone), but NOT free. The pin is session-wide
+      // because conf is read at execution time, so scoping it around a
+      // lazily-built DataFrame doesn't stick; a memory-tight cluster
+      // deployment should set this per job profile (or lower k · keys),
+      // trading the sort fallback's spill for heap headroom.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         (1 << 21).toString)
       .config("spark.ui.enabled", "false")

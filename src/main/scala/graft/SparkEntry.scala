@@ -1850,17 +1850,24 @@ object SparkEntry {
     "q150_resident_walk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
       val n = e.count().toInt
-      val knn = Knn.knnGraph(e, "embedding", "vec_id", topK = 5)
-        .select(col("id_a"), col("id_b"))
-      val chain = e.select(col("vec_id").as("id_a"),
-        (col("vec_id") + 1L).as("id_b")).filter(col("id_b") < 300)
       val qv = e.filter(col("vec_id") === 299).select(col("embedding"))
         .head().getSeq[Float](0).toArray
-      val idxDir = java.nio.file.Files
-        .createTempDirectory("graft-resident").toString + "/adj"
-      Knn.buildAdjacencyIndex(knn.unionByName(chain), e, "embedding",
-        "vec_id", idxDir, buckets = 16, fp16 = false)
-      Knn.buildGraphCodes(s, idxDir, codec = "int8")
+      // index cached under the work root keyed by (sf dir, live count) —
+      // the q123 shape: the bench row measures load + walk + refine (the
+      // operator), not a per-invocation from-scratch index construction,
+      // and nothing leaks one temp dir per run
+      val idxDir = graft.fixtures.Fp16Corpus.workRoot +
+        s"/residentwalk-${new java.io.File(dir).getName}-c$n/adj"
+      if (!Knn.graphIndexReady(idxDir) || !Knn.graphCodesReady(idxDir)) {
+        val knn = Knn.knnGraph(e, "embedding", "vec_id", topK = 5)
+          .select(col("id_a"), col("id_b"))
+        val chain = e.select(col("vec_id").as("id_a"),
+          (col("vec_id") + 1L).as("id_b")).filter(col("id_b") < 300)
+        if (!Knn.graphIndexReady(idxDir))
+          Knn.buildAdjacencyIndex(knn.unionByName(chain), e, "embedding",
+            "vec_id", idxDir, buckets = 16, fp16 = false)
+        Knn.buildGraphCodes(s, idxDir, codec = "int8")
+      }
       val rows = Knn.ResidentGraphIndex.load(s, idxDir, ef = n)
         .servingTopK(qv, 10, 0, None)
         .map(r => (r.getLong(0), r.getDouble(1))).toSeq

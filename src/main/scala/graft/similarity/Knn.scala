@@ -2133,27 +2133,53 @@ object Knn {
         val memberCount = rel.filter(col("src") === col("dst")).count()
         if (memberCount > budget) fits = false
         else {
-          // one narrow job per resident layer, at LOAD time: self-rows
-          // carry each member's vector, non-self rows ONLY the 16-byte
-          // adjacency pair — dvec is masked at the scan so the collect
-          // moves nodes·dim vector bytes, not edges·dim (a 50 k-node
-          // layer at upperM=5 would otherwise pull ~6× the vector
-          // payload in edge rows it immediately discards)
-          val rows = rel.select(col("src"), col("dst"),
-            when(col("src") === col("dst"), col("dvec")).as("dvec")).collect()
-          val memberRows = rows.filter(r => r.getLong(0) == r.getLong(1))
-          budget -= memberRows.length
-          val nbrs = rows.filter(r => r.getLong(0) != r.getLong(1))
-            .groupBy(_.getLong(0))
-            .map { case (s, rs) => s -> rs.map(_.getLong(1)).sorted }
-          val v16 =
-            if (fp16) memberRows
-              .map(r => r.getLong(0) -> r.getAs[Array[Byte]](2)).toMap
-            else Map.empty[Long, Array[Byte]]
-          val v32 =
-            if (fp16) Map.empty[Long, Array[Float]]
-            else memberRows
-              .map(r => r.getLong(0) -> r.getSeq[Float](2).toArray).toMap
+          // two narrow jobs per resident layer, at LOAD time, both
+          // collected as PRIMITIVES (the ResidentGraphIndex.load shape):
+          // self-rows carry each member's vector, non-self rows ONLY the
+          // 16-byte adjacency pair packed into long chunks — the collect
+          // moves nodes·dim vector bytes + 16 B an edge, never ~100+ B
+          // of boxed Row per edge (bounded here by the 250 k layer
+          // budget, but the transient should price like the steady state
+          // at ANY budget)
+          import spark.implicits._
+          val edgeChunks: Array[Array[Long]] = rel
+            .filter(col("src") =!= col("dst"))
+            .select(col("src"), col("dst")).as[(Long, Long)]
+            .mapPartitions { it =>
+              val b = scala.collection.mutable.ArrayBuilder.make[Long]
+              it.foreach { case (s, d) => b += s; b += d }
+              Iterator.single(b.result())
+            }.collect()
+          val selfRel = rel.filter(col("src") === col("dst"))
+            .select(col("src"), col("dvec"))
+          val (memberCountGot, v16, v32) =
+            if (fp16) {
+              val ms = selfRel.as[(Long, Array[Byte])].collect()
+              (ms.length, ms.toMap, Map.empty[Long, Array[Float]])
+            } else {
+              val ms = selfRel.as[(Long, Array[Float])].collect()
+              (ms.length, Map.empty[Long, Array[Byte]], ms.toMap)
+            }
+          budget -= memberCountGot
+          val nbrsB = new java.util.HashMap[Long,
+            scala.collection.mutable.ArrayBuilder.ofLong]()
+          edgeChunks.foreach { ch =>
+            var i = 0
+            while (i < ch.length) {
+              var b = nbrsB.get(ch(i))
+              if (b == null) {
+                b = new scala.collection.mutable.ArrayBuilder.ofLong
+                nbrsB.put(ch(i), b)
+              }
+              b += ch(i + 1)
+              i += 2
+            }
+          }
+          val nbrs = scala.collection.mutable.HashMap
+            .empty[Long, Array[Long]]
+          nbrsB.forEach { (s, b) =>
+            val a = b.result(); java.util.Arrays.sort(a); nbrs.put(s, a); ()
+          }
           resident += l -> new ResidentLayer(nbrs, v16, v32)
           l -= 1
         }
@@ -2288,6 +2314,81 @@ object Knn {
   def graphCodesReady(indexDir: String): Boolean =
     new java.io.File(s"$indexDir/pqcodes/CURRENT").isFile
 
+  /** Whether `indexDir/pqcodes` holds the PRE-SEGMENTATION flat layout
+    * (`meta`/`codes` directly under the root, no `CURRENT` pointer) —
+    * the shape [[buildGraphCodes]] wrote before the sidecar became a
+    * [[graft.sync.SegmentedIndex]] root. Such a sidecar is real but
+    * invisible to [[graphCodesReady]]; [[migrateGraphCodes]] adopts it. */
+  def legacyFlatGraphCodes(indexDir: String): Boolean =
+    !new java.io.File(s"$indexDir/pqcodes/CURRENT").isFile &&
+      new java.io.File(s"$indexDir/pqcodes/meta/_SUCCESS").isFile &&
+      new java.io.File(s"$indexDir/pqcodes/codes/_SUCCESS").isFile
+
+  /** Adopt a pre-segmentation flat code sidecar in place: copy the
+    * existing codebooks/codes into ONE immutable segment, re-record the
+    * meta with the train-time reconstruction error the flat layout never
+    * carried (measured NOW, over the live corpus sample under the FROZEN
+    * flat codebooks — the same measurement a fresh build records, so
+    * append-time drift ratios compare like with like; 0.0 for int8),
+    * commit the `CURRENT` pointer, and delete the flat directories.
+    * Returns true when a flat layout was found and migrated, false as a
+    * no-op. Crash-safe in the segment discipline: the pointer commits
+    * only after the segment is complete, a crash before the commit
+    * leaves the flat layout intact for a re-run (the partial segment is
+    * swept by the next successful commit), and the flat directories are
+    * removed only after the pointer lands. */
+  def migrateGraphCodes(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Boolean = {
+    if (!legacyFlatGraphCodes(indexDir)) false
+    else {
+      import org.apache.hadoop.fs.{FileUtil, Path => HPath}
+      val root = s"$indexDir/pqcodes"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val rootP = new HPath(root)
+      val fs = rootP.getFileSystem(conf)
+      val seg = graft.sync.SegmentedIndex.newSegmentName()
+      val flatMeta = spark.read.parquet(s"$root/meta").head()
+      val codec = flatMeta.getAs[String]("codec")
+      FileUtil.copy(fs, new HPath(root, "codes"),
+        fs, new HPath(s"$root/$seg/codes"), false, conf)
+      val trainErr = codec match {
+        case "pq" =>
+          FileUtil.copy(fs, new HPath(root, "codebooks"),
+            fs, new HPath(s"$root/$seg/codebooks"), false, conf)
+          val rel = AdjIndex.load(spark, indexDir).relation
+          val fp16 = rel.schema("dvec").dataType ==
+            org.apache.spark.sql.types.BinaryType
+          val vec =
+            if (fp16) graft.functions.fp16_decode(col("dvec"))
+              .cast("array<float>")
+            else col("dvec")
+          pqReconError(
+            unitNormalized(rel.filter(col("src") === col("dst"))
+              .select(col("src").as("id"), vec.as("v"))),
+            collectCodebooks(spark.read.parquet(s"$root/codebooks")))
+        case _ => 0.0
+      }
+      writeCodesSegMeta(spark, root, seg, codec, flatMeta.getAs[Int]("m"),
+        flatMeta.getAs[Int]("ksub"), flatMeta.getAs[Int]("iters"),
+        flatMeta.getAs[Long]("train_mod"), trainErr)
+      graft.sync.SegmentedIndex.commit(spark, root, Seq(seg))
+      sweepFlatGraphCodes(fs, rootP)
+      true
+    }
+  }
+
+  /** Remove the flat-layout directories a segmented commit supersedes —
+    * `commit`'s own retention pass sweeps only `seg-`/`del-` names, so
+    * without this the orphaned flat dirs would sit beside the pointer
+    * forever. */
+  private def sweepFlatGraphCodes(fs: org.apache.hadoop.fs.FileSystem,
+      rootP: org.apache.hadoop.fs.Path): Unit =
+    Seq("meta", "codebooks", "codes").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(rootP, d)
+      try { if (fs.exists(p)) { fs.delete(p, true); () } }
+      catch { case _: Exception => () }
+    }
+
   /** The live sidecar's recorded codec + dials + train-time
     * reconstruction error: the BASE segment's meta (append segments
     * copy it forward; a rebuild's fresh base re-records it). */
@@ -2324,18 +2425,28 @@ object Knn {
       .localCheckpoint()
   }
 
-  /** Mean squared PQ reconstruction error over the first `cap` rows of
-    * `self` by id — the drift statistic [[appendGraphCodes]] compares
+  /** Mean squared PQ reconstruction error over a deterministic `cap`-row
+    * sample of `self` — the drift statistic [[appendGraphCodes]] compares
     * against the base segment's recorded train-time value (the q126
     * cell-stats shape applied to the code sidecar): codebooks frozen at
     * build stay valid while upsert batches reconstruct about as well as
     * the corpus they trained on, and a distribution shift shows up as
     * this ratio instead of forcing a blind per-refresh retrain.
-    * O(cap·dim) driver flops over a TakeOrdered sample — never a corpus
-    * pass. */
+    *
+    * Sampled by HASH order, not id order: ids typically correlate with
+    * insertion time and content (monotonic doc ids), so "the `cap`
+    * smallest ids" would anchor the train-time error on the OLDEST slice
+    * of the corpus and systematically mis-trigger retrains against the
+    * fixed threshold. The `cap` rows with the smallest xxhash64(id) are
+    * a uniform deterministic sample of the id domain — same plan shape
+    * (one TakeOrdered, O(cap·dim) driver flops), never a corpus pass —
+    * and both sides of the ratio (build-time anchor, append-time batch)
+    * sample the same way. */
   private def pqReconError(self: DataFrame,
       books: Array[Array[Array[Float]]], cap: Int = 256): Double = {
-    val rows = self.orderBy(col("id")).limit(cap).select(col("v")).collect()
+    val rows = self
+      .orderBy(xxhash64(col("id")), col("id")).limit(cap)
+      .select(col("v")).collect()
     if (rows.isEmpty) 0.0
     else {
       var sum = 0.0
@@ -2434,6 +2545,12 @@ object Knn {
     // the flip: old generation's segments are swept AFTER the pointer
     // replace (commit's retention pass), the SegmentedIndex discipline
     graft.sync.SegmentedIndex.commit(spark, root, Seq(seg))
+    // a rebuild over a pre-segmentation flat sidecar supersedes it — the
+    // commit's own sweep only touches seg-/del- names, so clean the flat
+    // dirs here or they sit beside the pointer forever
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    sweepFlatGraphCodes(
+      rootP.getFileSystem(spark.sparkContext.hadoopConfiguration), rootP)
   }
 
   /** O(delta) sidecar maintenance — encode ONLY an upsert batch into a
@@ -2725,8 +2842,13 @@ object Knn {
         s"ResidentGraphIndex: need ef >= 1, entryCount >= 1, " +
           s"visitBudget >= 0, got ef=$ef/$entryCount/$visitBudget")
       require(graphCodesReady(indexDir),
-        s"no pq-code sidecar at $indexDir/pqcodes — run buildGraphCodes " +
-          "(Cli index --type graph --codes true) before resident serving")
+        if (legacyFlatGraphCodes(indexDir))
+          s"pre-segmentation flat code sidecar at $indexDir/pqcodes — " +
+            "adopt it with Knn.migrateGraphCodes (any CorpusRefresh.refresh " +
+            "does this automatically) or rebuild with buildGraphCodes"
+        else
+          s"no pq-code sidecar at $indexDir/pqcodes — run buildGraphCodes " +
+            "(Cli index --type graph --codes true) before resident serving")
       val adj = AdjIndex.load(spark, indexDir)
       import spark.implicits._
       // budget check BEFORE any collect (one cheap count job): a corpus

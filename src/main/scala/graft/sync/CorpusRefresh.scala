@@ -125,6 +125,11 @@ object CorpusRefresh {
           graft.similarity.Knn.adjInsertIndex(upserts, vecCol, keyCol, dir)
         if (overThreshold(dir))
           graft.similarity.Knn.adjCompactIndex(spark, dir)
+        // adopt a pre-segmentation flat sidecar BEFORE the readiness
+        // check: without this a sidecar built under the r13 flat layout
+        // reads as absent and the refresh silently stops maintaining it
+        // — the next resident load then hard-fails on coverage
+        graft.similarity.Knn.migrateGraphCodes(spark, dir)
         if (graft.similarity.Knn.graphCodesReady(dir)) {
           val drift =
             if (upserts.isEmpty) 0.0

@@ -262,6 +262,60 @@ class CorpusRefreshSpec extends SparkTestBase {
     } finally { Seq(store, g).foreach(rmrf) }
   }
 
+  test("a pre-segmentation flat sidecar is adopted: refresh migrates it in place, then maintains it O(delta)") {
+    val store = tmp("cr9-store"); val g = tmp("cr9-graph") + "/i"
+    try {
+      HighlightStore.writeAtomic(snapA, store)
+      val edges = graft.similarity.Knn.knnGraph(snapA, "embedding",
+        "doc_id", topK = 5).select($"id_a", $"id_b")
+      graft.similarity.Knn.buildAdjacencyIndex(edges, snapA, "embedding",
+        "doc_id", g, buckets = 4)
+      graft.similarity.Knn.buildGraphCodes(spark, g, m = 2, ksub = 4)
+      // devolve to the r13 flat layout the old writer produced: contents
+      // up one level, no CURRENT pointer, meta WITHOUT the train_err
+      // field (the flat writer never recorded it)
+      val root = s"$g/pqcodes"
+      val seg = SegmentedIndex.resolve(spark, root).get.head
+      val flatMeta = spark.read.parquet(s"$root/$seg/meta")
+        .drop("train_err").collect().head
+      spark.createDataFrame(java.util.List.of(flatMeta),
+          flatMeta.schema)
+        .coalesce(1).write.parquet(s"$root/meta")
+      import java.nio.file.{Files, Paths}
+      Seq("codes", "codebooks").foreach { d =>
+        Files.move(Paths.get(s"$root/$seg/$d"), Paths.get(s"$root/$d")) }
+      rmrf(s"$root/$seg"); Files.delete(Paths.get(s"$root/CURRENT"))
+      assert(graft.similarity.Knn.legacyFlatGraphCodes(g))
+      assert(!graft.similarity.Knn.graphCodesReady(g))
+      // the resident load refuses LOUDLY, naming the adoption path
+      val e = intercept[IllegalArgumentException] {
+        graft.similarity.Knn.ResidentGraphIndex.load(spark, g)
+      }
+      assert(e.getMessage.contains("migrateGraphCodes"), e.getMessage)
+      // a refresh ADOPTS the flat sidecar instead of silently dropping
+      // its maintenance: migrated to one segment + the delta appended
+      // O(delta) against the migrated (frozen) codebooks
+      CorpusRefresh.refresh(spark, snapB, "text", "doc_id", store,
+        graphIndexDir = Some(g)).unpersist()
+      val segs = SegmentedIndex.resolve(spark, root).get
+      assert(segs.size == 2, segs.toString)
+      assert(spark.read.parquet(s"$root/${segs(1)}/codes").count() == 7)
+      // the migrated meta carries a MEASURED train-time anchor (the flat
+      // layout had none), so the drift ratio has a denominator
+      assert(graft.similarity.Knn.graphCodesMeta(spark, g)
+        .getAs[Double]("train_err") > 0.0)
+      // flat dirs are swept by the first segmented commit
+      assert(!new java.io.File(s"$root/codes").exists())
+      assert(!new java.io.File(s"$root/codebooks").exists())
+      // resident serving works off the adopted sidecar (coverage check
+      // passes over migrated base + appended delta)
+      assert(graft.similarity.Knn.ResidentGraphIndex.load(spark, g)
+        .servingTopK(vec(40L, 0), 5, 0, None).length == 5)
+      // idempotent: nothing left to migrate
+      assert(!graft.similarity.Knn.migrateGraphCodes(spark, g))
+    } finally { Seq(store, g).foreach(rmrf) }
+  }
+
   test("churn: the compaction trigger keeps repeated refreshes' segment lists bounded") {
     val store = tmp("cr3-store"); val lex = tmp("cr3-lex"); val ivf = tmp("cr3-ivf")
     val lexRef = tmp("cr3-lexref"); val ivfRef = tmp("cr3-ivfref")
