@@ -2362,10 +2362,11 @@ object Knn {
             if (fp16) graft.functions.fp16_decode(col("dvec"))
               .cast("array<float>")
             else col("dvec")
-          pqReconError(
+          pqAnchorError(
             unitNormalized(rel.filter(col("src") === col("dst"))
               .select(col("src").as("id"), vec.as("v"))),
-            collectCodebooks(spark.read.parquet(s"$root/codebooks")))
+            collectCodebooks(spark.read.parquet(s"$root/codebooks")),
+            flatMeta.getAs[Long]("train_mod"))
         case _ => 0.0
       }
       writeCodesSegMeta(spark, root, seg, codec, flatMeta.getAs[Int]("m"),
@@ -2442,6 +2443,26 @@ object Knn {
     * (one TakeOrdered, O(cap·dim) driver flops), never a corpus pass —
     * and both sides of the ratio (build-time anchor, append-time batch)
     * sample the same way. */
+  /** The BUILD-TIME drift anchor: [[pqReconError]] over rows HELD OUT of
+    * the training sample when there are any (`id % trainMod =!= 0`),
+    * falling back to the full corpus sample at trainMod=1 (everything
+    * trained — no held-out rows exist). Anchoring on training rows
+    * understates the denominator by the overfit gap — measured on a
+    * 400-doc corpus at m=64/ksub=256 (256 centroids over 400 points per
+    * subspace), IN-DISTRIBUTION batches ratio'd 4.4× against the
+    * in-sample anchor, which would retrain on every healthy delta —
+    * while a held-out anchor puts in-distribution batches at ~1.0× by
+    * construction, so the ratio measures distribution shift, not
+    * memorization. */
+  private def pqAnchorError(self: DataFrame,
+      books: Array[Array[Array[Float]]], trainMod: Long): Double = {
+    val held =
+      if (trainMod > 1L)
+        pqReconError(self.filter(col("id") % trainMod =!= 0), books)
+      else 0.0
+    if (held > 0.0) held else pqReconError(self, books)
+  }
+
   private def pqReconError(self: DataFrame,
       books: Array[Array[Array[Float]]], cap: Int = 256): Double = {
     val rows = self
@@ -2530,7 +2551,7 @@ object Knn {
         val collected = collectCodebooks(books)
         pqEncode(self, "v", "id", collected)
           .write.mode("overwrite").parquet(s"$root/$seg/codes")
-        pqReconError(self, collected)
+        pqAnchorError(self, collected, trainMod)
       case _ =>
         // near-lossless per-dimension quantization (dim bytes a node —
         // ~48× PQ's footprint at m=64, for distance fidelity the walk

@@ -44,13 +44,32 @@ object CorpusRefresh {
 
   /** pq retrain trigger for the resident-serving code sidecar: rebuild
     * when an upsert batch reconstructs this many times worse under the
-    * FROZEN codebooks than the corpus those books trained on — a
-    * distribution shift the frozen geometry no longer covers (the q126
-    * cell-stats shape, applied to codes; int8 reports 0.0 because
-    * per-dimension quantization cannot drift). Below the threshold the
-    * sidecar re-covers in O(delta) ([[graft.similarity.Knn.appendGraphCodes]]),
-    * never by replaying the corpus build. */
-  val DefaultCodesDriftRatio: Double = 4.0
+    * FROZEN codebooks than the recorded HELD-OUT anchor of the corpus
+    * those books trained on — a distribution shift the frozen geometry
+    * no longer covers (the q126 cell-stats shape, applied to codes;
+    * int8 reports 0.0 because per-dimension quantization cannot drift).
+    * Below the threshold the sidecar re-covers in O(delta)
+    * ([[graft.similarity.Knn.appendGraphCodes]]), never by replaying
+    * the corpus build.
+    *
+    * 1.5 is DERIVED FROM MEASUREMENT, not guessed (r15; manifold
+    * fixture, ResidentGraphSpec's drift test pins both sides at default
+    * dials): against a healthy anchor, in-distribution batches measure
+    * ~1.0× by construction, while genuinely off-manifold batches
+    * measure 1.8–2.3× at m=32/ksub=16 and 3.0–3.8× at m=64/ksub=256 —
+    * the ratio's ceiling DEPENDS on the dials, because reconstruction
+    * error saturates on unit vectors (squared L2 ≤ 4), so coarse
+    * codebooks with a large baseline error compress every shift's
+    * ratio. The previous default of 4.0 sat ABOVE the measured ceiling
+    * at coarse dials: no realistic batch could ever fire it, and every
+    * drifted batch would have appended against stale codebooks forever
+    * — the exact silent ADC decay the signal exists to prevent. 1.5 is
+    * the geometric midpoint of in-dist (~1.0) and the WORST measured
+    * true shift (~1.8, mild noise at coarse dials), margined up from
+    * 1.35; a spurious retrain costs one O(corpus) rebuild, a missed
+    * one costs silent quality decay, so the default errs toward
+    * firing. */
+  val DefaultCodesDriftRatio: Double = 1.5
 
   /** Apply `newSnap` to the store at `storeDir` and any of the two
     * index roots; returns the materialized delta (keyCol, status) so

@@ -162,6 +162,17 @@ class ResidentGraphSpec extends SparkTestBase {
       val dShift = Knn.appendGraphCodes(shifted, "embedding", "vec_id", dir)
       assert(dSame > 0.0 && dSame < 2.0, s"in-distribution drift $dSame")
       assert(dShift > 2.0 * dSame, s"shifted $dShift vs same $dSame")
+      // the DEFAULT threshold actually separates these (the property
+      // CorpusRefresh relies on): in-distribution churn appends, a
+      // realistic off-manifold batch FIRES the retrain at default dials
+      // — if this fails, the default threshold is decorative and every
+      // drifted batch appends against stale codebooks forever (measured
+      // r15: dSame ≈ 1.0 against the held-out anchor, dShift ≈ 2.3 at
+      // these dials; the old 4.0 default sat above the ratio's
+      // saturation ceiling here and could NEVER fire)
+      val thr = graft.sync.CorpusRefresh.DefaultCodesDriftRatio
+      assert(dSame < thr, s"in-dist $dSame would spuriously retrain at $thr")
+      assert(dShift > thr, s"shifted $dShift cannot fire the default $thr")
       // int8 is per-node independent — no trained geometry to drift from
       Knn.buildAdjacencyIndex(edges, corpus, "embedding", "vec_id", dir8,
         buckets = 8)
