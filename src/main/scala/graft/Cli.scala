@@ -27,7 +27,7 @@ import graft.sync.{HighlightStore, Sync}
   *     [--lm-store L] [--mix-alpha A --mix-frac F] [--shard-tokens 2048] [--report-only]
   *   graft.Cli search "query text" --k 5 --store S [--source-type T] [--hybrid true] [--mmr 0.3]
   *   graft.Cli serve --store S [--ivf-index I | --pq-index P [--pq-refine 8]
-  *     | --graph-index G [--graph-entry-ivf I] [--graph-resident]
+  *     | --graph-index G[,G2,...] [--graph-entry-ivf I[,I2,...]] [--graph-resident]
   *     | --hnsw-index H]
   *     [--graph-ef 20] [--graph-hops 3] [--nprobe 4]
   *   graft.Cli health
@@ -594,8 +594,54 @@ object Cli {
           // SCALE.md §r12): same gateway contract, 1 + hops bucket-
           // pruned point reads per request. Filtered requests fall back
           // to the store scan (a walk reads edge rows, not attr cells).
+          // --graph-index accepts a COMMA-SEPARATED shard list under
+          // --graph-resident: one adjacency+sidecar per shard, served
+          // through the fan-and-merge ShardedResidentIndex (the path a
+          // corpus past the per-replica residency budget takes —
+          // Knn.ShardedResidentIndex's scaladoc). --graph-entry-ivf
+          // then pairs positionally (entries are node ids, which only
+          // resolve in their own shard).
           val denseOpt: Option[() => graft.similarity.Knn.DenseIndex] =
             cfg.graphIndexDir match {
+              case Some(dd) if dd.contains(',') =>
+                val shards = dd.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+                if (!cfg.graphResident) {
+                  System.err.println("a sharded --graph-index list needs " +
+                    "--graph-resident (the job-walk mode serves one layout)")
+                  return 2
+                }
+                shards.foreach { s0 =>
+                  if (!graft.similarity.Knn.graphIndexReady(s0) ||
+                      !graft.similarity.Knn.graphCodesReady(s0)) {
+                    System.err.println(s"shard $s0 is missing its adjacency " +
+                      "index or pq-code sidecar (build each shard with " +
+                      "`graft.Cli index --type graph --codes true`)")
+                    return 1
+                  }
+                }
+                val entries: Seq[Option[String]] = cfg.graphEntryIvfDir match {
+                  case None => Seq.fill(shards.length)(None)
+                  case Some(ee) =>
+                    val es = ee.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
+                    if (es.length != shards.length) {
+                      System.err.println(s"--graph-entry-ivf lists " +
+                        s"${es.length} IVF dirs for ${shards.length} shards " +
+                        "— entry IVFs pair with shards positionally")
+                      return 2
+                    }
+                    es.foreach { e =>
+                      if (!graft.similarity.Knn.ivfIndexReady(e)) {
+                        System.err.println(s"no IVF index at $e for " +
+                          "--graph-entry-ivf")
+                        return 1
+                      }
+                    }
+                    es.map(Some(_))
+                }
+                val h = graft.similarity.Knn.ShardedResidentIndex.reloading(
+                  spark, shards.zip(entries), cfg.graphEf,
+                  idOf = (id: Long) => id.toString)
+                Some(() => h.get)
               case Some(d) =>
                 if (!graft.similarity.Knn.graphIndexReady(d)) {
                   System.err.println(s"no adjacency index at $d (build one " +

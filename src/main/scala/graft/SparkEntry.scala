@@ -1875,6 +1875,45 @@ object SparkEntry {
       rows.toDF("vec_id", "score")
     }),
 
+    // ---- q150's contract over the SHARDED gateway (the mechanism the
+    //      resident budget refusal points at): the corpus splits by id
+    //      parity into two shards that never communicate, each gets its
+    //      OWN adjacency (kNN ∪ intra-shard chain — connected by
+    //      construction) + int8 sidecar, and one request fans the
+    //      driver walk + refine across both and k-way merges by
+    //      (score, id). With exhaustive per-shard beams every shard's
+    //      shortlist is its whole live set, so the merge MUST equal
+    //      brute-force top-10 by exact fp32 cosine over the union —
+    //      sharding is lossless relative to the beams ----
+    "q151_sharded_resident" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val n = e.count().toInt
+      val qv = e.filter(col("vec_id") === 157).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val root = graft.fixtures.Fp16Corpus.workRoot +
+        s"/shardedres-${new java.io.File(dir).getName}-c$n"
+      val dirs = Seq(0, 1).map(p => (p, s"$root/shard$p"))
+      dirs.foreach { case (p, d) =>
+        if (!Knn.graphIndexReady(d) || !Knn.graphCodesReady(d)) {
+          val members = e.filter(col("vec_id") % 2 === p)
+          val knn = Knn.knnGraph(members, "embedding", "vec_id", topK = 5)
+            .select(col("id_a"), col("id_b"))
+          val chain = members.select(col("vec_id").as("id_a"),
+            (col("vec_id") + 2L).as("id_b")).filter(col("id_b") < 300)
+          if (!Knn.graphIndexReady(d))
+            Knn.buildAdjacencyIndex(knn.unionByName(chain), members,
+              "embedding", "vec_id", d, buckets = 8, fp16 = false)
+          Knn.buildGraphCodes(s, d, codec = "int8")
+        }
+      }
+      val rows = Knn.ShardedResidentIndex
+        .load(s, dirs.map(_._2 -> None), ef = n)
+        .servingTopK(qv, 10, 0, None)
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      import s.implicits._
+      rows.toDF("vec_id", "score")
+    }),
+
     // ---- positional phrase search: "customer join merge" must occur as
     //      CONSECUTIVE words — posexplode filtered to the 3 terms at the
     //      generator, two (id, position) equi-joins, per-doc exact
@@ -4668,6 +4707,20 @@ object SparkEntry {
          |    CAST(embedding AS DOUBLE[]) AS v
          |  FROM embeddings WHERE vec_id < 300 AND embedding IS NOT NULL),
          |q AS MATERIALIZED (SELECT v AS qv FROM v WHERE id = 299)
+         |SELECT v.id AS vec_id, ${sqlCosine("v.v", "q.qv")} AS score
+         |FROM v CROSS JOIN q
+         |ORDER BY score, vec_id LIMIT 10""".stripMargin,
+
+    // the sharded fan-and-merge with exhaustive per-shard beams reduces
+    // to the same scan q150's contract does — brute-force cosine top-10
+    // over the union: each shard's shortlist is its whole live set and
+    // the global top-10's members are each in their own shard's local
+    // top-10 by definition, so the merge loses nothing
+    "q151_sharded_resident" ->
+      s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
+         |    CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings WHERE vec_id < 300 AND embedding IS NOT NULL),
+         |q AS MATERIALIZED (SELECT v AS qv FROM v WHERE id = 157)
          |SELECT v.id AS vec_id, ${sqlCosine("v.v", "q.qv")} AS score
          |FROM v CROSS JOIN q
          |ORDER BY score, vec_id LIMIT 10""".stripMargin,

@@ -36,6 +36,13 @@ object XResidentScale {
     val ef = sys.env.getOrElse("XRS_EF", "16").toInt
     val users = sys.env.getOrElse("XRS_USERS", "20").toInt
     val reqs = sys.env.getOrElse("XRS_REQS", "25").toInt
+    // the bucket-density dial (r14 verdict): the refine job's task count
+    // is ≤ef (one per distinct shortlist bucket) regardless of `buckets`,
+    // but each task SCANS its whole bucket's row groups — at 2 M nodes ×
+    // 64 buckets that is ~344 k rows/task vs the gated 200 k fixture's
+    // ~50 k. buckets ≈ adjacencyRows / 50 k keeps each task a point probe
+    val buckets = sys.env.get("XRS_BUCKETS").map(_.toInt)
+      .getOrElse(64)
     val root = graft.fixtures.Fp16Corpus.workRoot + s"/residentscale-n$n-d$dim"
     val fixturePath = s"$root/corpus.parquet"
     if (!new java.io.File(fixturePath, "_SUCCESS").isFile) {
@@ -51,16 +58,34 @@ object XResidentScale {
     val corpus = spark.read.parquet(fixturePath)
       .select(col("vec_id"), graft.functions.fp16_decode(col("emb16"))
         .cast("array<float>").as("embedding"))
-    val idxDir = s"$root/adj"
+    val idxDir = if (buckets == 64) s"$root/adj" else s"$root/adj-b$buckets"
     val ivfDir = s"$root/ivf"
     if (!graft.similarity.Knn.graphIndexReady(idxDir)) {
       val tb = System.nanoTime()
-      val edges = graft.similarity.Knn.cellKnnGraph(corpus, "embedding",
-        "vec_id", topK = deg, cells = (n / 800L).max(8L).toInt, iters = 2,
-        nprobe = 2).select(col("id_a"), col("id_b"))
+      // the kNN GRAPH is bucket-independent — when a layout at another
+      // bucket count already exists for this (n, dim), re-bucket its
+      // edges (one shuffle + write) instead of re-running the ~26 min
+      // 2 M cellKnnGraph, so the density dial measures layout, not build
+      val donor = Option(new java.io.File(root).listFiles()).toSeq.flatten
+        .map(_.getPath)
+        .filter(p => { val b = new java.io.File(p).getName
+          (b == "adj" || b.startsWith("adj-b")) && p != idxDir })
+        .find(graft.similarity.Knn.graphIndexReady)
+      val edges = donor match {
+        case Some(d) =>
+          println(s"XRS_BUILD|rebucket_from=$d")
+          graft.similarity.Knn.AdjIndex.load(spark, d).relation
+            .filter(col("src") =!= col("dst"))
+            .select(col("src").as("id_a"), col("dst").as("id_b"))
+        case None =>
+          graft.similarity.Knn.cellKnnGraph(corpus, "embedding",
+            "vec_id", topK = deg, cells = (n / 800L).max(8L).toInt, iters = 2,
+            nprobe = 2).select(col("id_a"), col("id_b"))
+      }
       graft.similarity.Knn.buildAdjacencyIndex(edges, corpus, "embedding",
-        "vec_id", idxDir, buckets = 64)
-      println(f"XRS_BUILD|graph_min=${(System.nanoTime() - tb) / 6e10}%.1f")
+        "vec_id", idxDir, buckets = buckets)
+      println(f"XRS_BUILD|graph_min=${(System.nanoTime() - tb) / 6e10}%.1f" +
+        s"|buckets=$buckets")
     }
     if (!graft.similarity.Knn.graphCodesReady(idxDir)) {
       val tc = System.nanoTime()
@@ -139,7 +164,8 @@ object XResidentScale {
     val ls = lat.asScala.map(_.doubleValue()).toSeq.sorted
     def pct(p: Double): Double = ls(math.min((ls.size * p).toInt, ls.size - 1))
     println(f"XRS_SERVE|users=$users|reqs=${ls.size}|wall_s=$wall%.1f|" +
-      f"p50_ms=${pct(0.5)}%.0f|p95_ms=${pct(0.95)}%.0f|ef=$ef")
+      f"p50_ms=${pct(0.5)}%.0f|p95_ms=${pct(0.95)}%.0f|ef=$ef|" +
+      s"buckets=$buckets")
     spark.stop()
   }
 }

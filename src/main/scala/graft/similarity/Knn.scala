@@ -2881,8 +2881,10 @@ object Knn {
         s"ResidentGraphIndex: adjacency index at $indexDir has no live nodes")
       require(liveCount <= maxResidentNodes,
         s"ResidentGraphIndex: $liveCount live nodes exceed the resident " +
-          s"budget $maxResidentNodes — serve --graph-index (job walk) or " +
-          "shard the corpus per replica")
+          s"budget $maxResidentNodes — serve --graph-index (job walk), or " +
+          "split the corpus into per-shard layouts behind " +
+          "ShardedResidentIndex (fan-and-merge; each shard stays inside " +
+          "this budget)")
       // two narrow jobs, both collected as PRIMITIVES: the load
       // transient must price like the steady state (~16 B an edge), not
       // like boxed Rows (~100+ B each) — at the 2 M-node budget the Row
@@ -3004,6 +3006,111 @@ object Knn {
           .mkString("||"),
         minCheckIntervalMs)(
         load(spark, indexDir, entryIvfDir, ef, maxResidentNodes, idOf,
+          entryCount, visitBudget))
+  }
+
+  /** N [[ResidentGraphIndex]] shards behind one [[DenseIndex]] face —
+    * the mechanism the single-index refusal message promises when a
+    * corpus outgrows [[ResidentGraphIndex.DefaultMaxResidentNodes]]:
+    * partition the corpus by any disjoint rule (id range, hash — the
+    * shards never communicate), build one adjacency + code sidecar per
+    * shard, and serve them as one index. A request fans the driver-flop
+    * walk + one-refine-job pipeline across all shards CONCURRENTLY
+    * (Spark schedules the per-shard refine jobs in parallel from their
+    * own threads) and k-way merges the per-shard top-k by (score, id).
+    *
+    * The merge is LOSSLESS relative to the per-shard shortlists: refine
+    * scores are exact, and every member of the global top-k is by
+    * definition in its own shard's local top-k — so sharded recall
+    * equals the per-shard walk recall, and with exhaustive beams the
+    * merged result is exactly brute force over the union (the q151
+    * oracle form). Wall-clock per request stays ~one shard's latency
+    * (the fan is parallel), driver heap is the SUM of shard residencies
+    * — each shard individually bounded by `maxResidentNodesPerShard`,
+    * which is the point: total corpus = shards × budget.
+    *
+    * Ids must be globally unique across shards (they key the merge's
+    * deterministic tie order); `idOf` is applied once, after the merge,
+    * so shard loads stay on raw longs. */
+  final class ShardedResidentIndex private[Knn] (
+      shards: IndexedSeq[ResidentGraphIndex],
+      idOf: Long => Any) extends DenseIndex {
+    require(shards.nonEmpty, "ShardedResidentIndex: need >= 1 shard")
+    val attrColumns: Seq[String] = Nil
+
+    def numShards: Int = shards.length
+
+    /** ≤ k (id, score) rows by (score, id) over the shard union —
+      * [[ResidentGraphIndex.servingTopK]]'s contract, fanned. One Spark
+      * job per shard, all in flight together. */
+    def servingTopK(queryVec: Array[Float], k: Int, nprobe: Int,
+        filter: Option[Column]): Array[org.apache.spark.sql.Row] = {
+      require(filter.isEmpty, "ShardedResidentIndex cannot evaluate " +
+        "attribute predicates; the gateway must route filtered requests " +
+        "to the store")
+      val perShard =
+        new Array[Array[org.apache.spark.sql.Row]](shards.length)
+      val errs = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val threads = shards.indices.map { i =>
+        val t = new Thread(() => {
+          try perShard(i) = shards(i).servingTopK(queryVec, k, nprobe, None)
+          catch { case e: Throwable => errs.compareAndSet(null, e) }
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      threads.foreach(_.join())
+      if (errs.get() != null) throw errs.get()
+      perShard.iterator.flatMap(_.iterator)
+        .map(r => (r.getDouble(1), r.getLong(0)))
+        .toArray.sorted
+        .take(k)
+        .map { case (score, id) => org.apache.spark.sql.Row(idOf(id), score) }
+    }
+  }
+
+  object ShardedResidentIndex {
+    /** Load one resident handle per shard layout. `shardDirs` pairs each
+      * adjacency root with its OWN entry-IVF sidecar (per-shard
+      * centroids — entries are node ids, which only resolve in their
+      * shard); every shard is individually budget-checked, so the
+      * refuse-before-collect contract holds per shard and the total
+      * residency is `shards × maxResidentNodesPerShard` by
+      * construction. Shards load with raw long ids; `idOf` renders the
+      * merged winners once. */
+    def load(spark: org.apache.spark.sql.SparkSession,
+        shardDirs: Seq[(String, Option[String])], ef: Int = 64,
+        maxResidentNodesPerShard: Long =
+          ResidentGraphIndex.DefaultMaxResidentNodes,
+        idOf: Long => Any = identity[Long] _, entryCount: Int = 4,
+        visitBudget: Int = 0): ShardedResidentIndex =
+      new ShardedResidentIndex(
+        shardDirs.toIndexedSeq.map { case (d, ivf) =>
+          ResidentGraphIndex.load(spark, d, ivf, ef,
+            maxResidentNodesPerShard, identity[Long] _, entryCount,
+            visitBudget)
+        }, idOf)
+
+    /** [[load]] behind ONE generation check spanning every shard's
+      * adjacency pointer, code sidecar and entry IVF — any shard's
+      * append/refresh/rebuild swaps the whole gateway handle at the
+      * next request (shard loads are independent, but a half-updated
+      * VIEW must never serve: the fingerprint is the concatenation). */
+    def reloading(spark: org.apache.spark.sql.SparkSession,
+        shardDirs: Seq[(String, Option[String])], ef: Int = 64,
+        maxResidentNodesPerShard: Long =
+          ResidentGraphIndex.DefaultMaxResidentNodes,
+        idOf: Long => Any = identity[Long] _, minCheckIntervalMs: Long = 0L,
+        entryCount: Int = 4, visitBudget: Int = 0)
+        : graft.sync.Reloading[ShardedResidentIndex] =
+      graft.sync.Reloading.withFingerprint(() =>
+        shardDirs.flatMap { case (d, ivf) =>
+          Seq(graft.sync.Reloading.fingerprintOf(spark, d, Seq("meta")),
+            graft.sync.Reloading.fingerprintOf(spark, s"$d/pqcodes", Nil)) ++
+            ivf.map(e => graft.sync.Reloading
+              .fingerprintOf(spark, e, Seq("centroids")))
+        }.mkString("||"),
+        minCheckIntervalMs)(
+        load(spark, shardDirs, ef, maxResidentNodesPerShard, idOf,
           entryCount, visitBudget))
   }
 

@@ -183,6 +183,21 @@ class CliSpec extends SparkTestBase {
     assert(capture(Cli.run(Array("index", "--store", store,
       "--out", s"$graph-none", "--type", "graph-codes"), spark))._1 == 1)
 
+    // sharded --graph-index list (`serve --graph-index a,b
+    // --graph-resident`): the list is resident-only, every shard must
+    // be ready, and the gateway serves through the fan-and-merge
+    // handle with the same string-id round-trip
+    assert(capture(Cli.run(Array("serve", "--store", store,
+      "--graph-index", s"$graph,$graph-none"), spark))._1 == 2)
+    assert(capture(Cli.run(Array("serve", "--store", store,
+      "--graph-index", s"$graph,$graph-none", "--graph-resident"),
+      spark))._1 == 1)
+    val sh = graft.similarity.Knn.ShardedResidentIndex.load(spark,
+      Seq(graph -> None), ef = 8, idOf = (id: Long) => id.toString)
+    val rowsS = ask(gw(sh), "spark shuffles and joins again", 3)
+    assert(rowsS.nonEmpty && rowsS.head("id") == "2", rowsS.map(_("id")))
+    assert(!rowsS.exists(_("id") == "1"), rowsS.map(_("id")))
+
     // hnsw stack via the CLI, then `refresh --hnsw-index` drives it:
     // id 5 removed upstream, id 2 edited, id 9 added
     assert(capture(Cli.run(Array("index", "--store", store, "--out", hnsw,
