@@ -321,8 +321,15 @@ object Cli {
                       iters = intOf("iters", 2),
                       nprobe = math.min(nprobe, c))
                     .select(col("id_a"), col("id_b"))
+                  // --buckets absent → the measured density dial (~50 k
+                  // adjacency rows per bucket, Knn.bucketsFor): bucket
+                  // count never adds probe tasks but bounds what each
+                  // task scans, and 64-at-any-n served 1.5× slower than
+                  // density-sized at the 2 M edge (SCALE.md §r15)
+                  val gbuckets = f.get("buckets").map(_.toInt).getOrElse(
+                    graft.similarity.Knn.bucketsFor(n * (gk + 1L)))
                   graft.similarity.Knn.buildAdjacencyIndex(edges, corpus,
-                    "embedding", "id", out, buckets = intOf("buckets", 64),
+                    "embedding", "id", out, buckets = gbuckets,
                     fp16 = fp16)
                   // --codes true: also build the pq-code sidecar that
                   // `serve --graph-resident` needs (one narrow pass;
@@ -349,7 +356,8 @@ object Cli {
                       m = pm, ksub = intOf("pq-ksub", 256), codec = codecV)
                   }
                   println(Json.write(Map("indexed" -> out, "type" -> "graph",
-                    "graph_k" -> gk, "cells" -> c, "codes" -> codes)))
+                    "graph_k" -> gk, "cells" -> c, "codes" -> codes,
+                    "buckets" -> gbuckets)))
                   0
                 case "graph-codes" =>
                   // sidecar-only (re)build over an EXISTING adjacency

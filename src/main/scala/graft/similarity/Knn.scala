@@ -1430,6 +1430,16 @@ object Knn {
 
   // ------------------------------------------- adjacency serving index
 
+  /** The measured bucket-density dial for [[buildAdjacencyIndex]]:
+    * ~50 k adjacency rows per bucket keeps every bucket-pruned probe
+    * task a point read (r15, 2 M-node same-graph comparison — see the
+    * builder's scaladoc). `adjRows` ≈ nodes × (degree + 1): directed
+    * out-edges plus one self-row per node. Clamped to [16, 4096]:
+    * below, partition pruning has nothing to prune; above, the
+    * partition-directory fan-out starts costing listing/commit time. */
+  def bucketsFor(adjRows: Long): Int =
+    math.min(4096L, math.max(16L, adjRows / 50000L)).toInt
+
   /** Persist a kNN graph ([[knnGraph]] / [[nnDescentGraph]]) as the
     * SERVING adjacency index the [[graphBeamSearch]] docs promise: edge
     * rows `(src_bucket, src, dst, dvec)` partitioned by `src_bucket =
@@ -1443,7 +1453,17 @@ object Knn {
     * pointer-chasing RAM; a distributed store buys the one-scan hop
     * with it). A self-row `(src, src, vec)` per corpus node serves the
     * entry point's exact score and id→vector point reads. Appends are
-    * O(batch) immutable segments like every index here. */
+    * O(batch) immutable segments like every index here.
+    *
+    * `buckets` is a serving-latency dial, not just a layout choice —
+    * size it with [[bucketsFor]] (~50 k rows/bucket): a probe prunes to
+    * the frontier's/shortlist's ≤ef DISTINCT buckets regardless of the
+    * count, so more buckets never adds tasks, but each task scans its
+    * whole bucket's row groups — measured at the 2 M-node edge
+    * (SCALE.md §r15, same graph re-bucketed): 64 buckets (~344 k
+    * rows each) served p95 882 ms at 20 users / 265 ms at 5, 440
+    * buckets (~50 k rows each) 603 / 165 ms — a 1.5× latency factor
+    * from density alone. */
   def buildAdjacencyIndex(edges: DataFrame, corpus: DataFrame,
       vecCol: String, keyCol: String, indexDir: String, buckets: Int = 64,
       fp16: Boolean = true): Unit = {

@@ -26,6 +26,13 @@ class AdjIndexSpec extends SparkTestBase {
   private lazy val qv = emb.filter($"vec_id" === 7).select($"embedding")
     .head().getSeq[Float](0).toArray
 
+  test("bucketsFor: the ~50k rows/bucket density dial, clamped to [16, 4096]") {
+    assert(Knn.bucketsFor(1000L) == 16)
+    // the r15 2M-edge point: 2M nodes x (deg 10 + self) = 22M rows -> 440
+    assert(Knn.bucketsFor(22000000L) == 440)
+    assert(Knn.bucketsFor(1000000000L) == 4096)
+  }
+
   test("fp32 index walk is row-identical to graphBeamSearch; fp16 matches the rounded corpus walk") {
     val d32 = java.nio.file.Files.createTempDirectory("adj32").toString + "/i"
     val d16 = java.nio.file.Files.createTempDirectory("adj16").toString + "/i"
