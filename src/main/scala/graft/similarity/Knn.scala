@@ -3089,26 +3089,88 @@ object Knn {
   }
 
   object ShardedResidentIndex {
-    /** Load one resident handle per shard layout. `shardDirs` pairs each
-      * adjacency root with its OWN entry-IVF sidecar (per-shard
-      * centroids — entries are node ids, which only resolve in their
-      * shard); every shard is individually budget-checked, so the
-      * refuse-before-collect contract holds per shard and the total
-      * residency is `shards × maxResidentNodesPerShard` by
-      * construction. Shards load with raw long ids; `idOf` renders the
-      * merged winners once. */
+    /** Load one resident handle per shard layout — CONCURRENTLY, one
+      * loader thread per shard (a shard load is a handful of narrow
+      * collect jobs; Spark schedules jobs from multiple threads, so N
+      * shard loads overlap instead of summing — the same fan the
+      * serving path uses). `shardDirs` pairs each adjacency root with
+      * its OWN entry-IVF sidecar (per-shard centroids — entries are
+      * node ids, which only resolve in their shard); every shard is
+      * individually budget-checked, so the refuse-before-collect
+      * contract holds per shard and the total residency is
+      * `shards × maxResidentNodesPerShard` by construction. Shards
+      * load with raw long ids; `idOf` renders the merged winners
+      * once. */
     def load(spark: org.apache.spark.sql.SparkSession,
         shardDirs: Seq[(String, Option[String])], ef: Int = 64,
         maxResidentNodesPerShard: Long =
           ResidentGraphIndex.DefaultMaxResidentNodes,
         idOf: Long => Any = identity[Long] _, entryCount: Int = 4,
-        visitBudget: Int = 0): ShardedResidentIndex =
+        visitBudget: Int = 0): ShardedResidentIndex = {
+      val dirs = shardDirs.toIndexedSeq
+      val handles = new Array[ResidentGraphIndex](dirs.length)
+      val errs = new java.util.concurrent.atomic.AtomicReference[Throwable]
+      val threads = dirs.indices.map { i =>
+        val t = new Thread(() => {
+          try {
+            val (d, ivf) = dirs(i)
+            handles(i) = ResidentGraphIndex.load(spark, d, ivf, ef,
+              maxResidentNodesPerShard, identity[Long] _, entryCount,
+              visitBudget)
+          } catch { case e: Throwable => errs.compareAndSet(null, e) }
+        })
+        t.setDaemon(true); t.start(); t
+      }
+      threads.foreach(_.join())
+      if (errs.get() != null) throw errs.get()
       new ShardedResidentIndex(
-        shardDirs.toIndexedSeq.map { case (d, ivf) =>
-          ResidentGraphIndex.load(spark, d, ivf, ef,
-            maxResidentNodesPerShard, identity[Long] _, entryCount,
-            visitBudget)
-        }, idOf)
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(handles), idOf)
+    }
+
+    /** Build a complete sharded resident deployment from ONE corpus
+      * under `rootDir`: rows route to `shards` disjoint shards by
+      * `pmod(key, shards)` — the rule an append/refresh must replay to
+      * route a delta batch to its shard — and each shard gets its OWN
+      * cell-kNN adjacency (buckets by [[bucketsFor]]), code sidecar,
+      * and entry IVF: exactly the layouts [[load]] consumes, returned
+      * in shard order. Shard builds are INDEPENDENT — this helper runs
+      * them sequentially on one session; at real scale run one build
+      * job per shard (r15 measured 2 × 1 M building in 10.7 + 9.4 min
+      * vs 26–47 min for the unsharded 2 M — per-shard cost shrinks
+      * super-linearly, so sharding is also the build-parallelism
+      * story). */
+    def build(corpus: DataFrame, vecCol: String, keyCol: String,
+        rootDir: String, shards: Int, topK: Int = 10, iters: Int = 2,
+        nprobe: Int = 2, codec: String = "int8", entryCells: Int = 256)
+        : Seq[(String, Option[String])] = {
+      require(shards >= 1, s"need shards >= 1, got $shards")
+      val spark = corpus.sparkSession
+      (0 until shards).map { s =>
+        val dir = s"$rootDir/shard$s"
+        val ivfDir = s"$rootDir/shard$s-ivf"
+        val members = corpus.filter(col(vecCol).isNotNull &&
+          pmod(col(keyCol).cast("long"), lit(shards.toLong)) === s)
+        val n = members.count()
+        require(n > 0, s"shard $s of $shards is empty — shard count " +
+          "exceeds the key spread under pmod")
+        val cells = math.min((n / 800L).max(8L), math.max(1L, n / 4L)).toInt
+        val edges = cellKnnGraph(members, vecCol, keyCol, topK = topK,
+          cells = cells, iters = iters, nprobe = math.min(nprobe, cells))
+          .select(col("id_a"), col("id_b"))
+        buildAdjacencyIndex(edges, members, vecCol, keyCol, dir,
+          buckets = bucketsFor(n * (topK + 1L)))
+        buildGraphCodes(spark, dir, codec = codec)
+        // entry IVF trains on a ~20 k-row hash sample (geometry only
+        // needs a representative slice — the ivfBuildIndex contract)
+        val every = (n / 20000L).max(1L)
+        ivfBuildIndex(members, vecCol, keyCol, ivfDir,
+          k = math.min(entryCells.toLong, math.max(1L, n / 4L)).toInt,
+          iters = iters,
+          trainFilter = pmod(hash(col(keyCol)), lit(every)) === 0,
+          fp16 = true)
+        (dir, Option(ivfDir))
+      }
+    }
 
     /** [[load]] behind ONE generation check spanning every shard's
       * adjacency pointer, code sidecar and entry IVF — any shard's

@@ -102,6 +102,39 @@ class ShardedResidentSpec extends SparkTestBase {
     } finally rmTree(root)
   }
 
+  test("build: one call lays out routed shards the loader serves at >= 0.9 recall") {
+    val root = java.nio.file.Files.createTempDirectory("shbld").toString
+    try {
+      // the pmod routing rule, per-shard adjacency + sidecar + entry
+      // IVF, loadable as one gateway (loads run CONCURRENTLY)
+      val dirs = Knn.ShardedResidentIndex.build(corpus, "embedding",
+        "vec_id", root, shards = 2, topK = 8)
+      assert(dirs == Seq(s"$root/shard0" -> Some(s"$root/shard0-ivf"),
+        s"$root/shard1" -> Some(s"$root/shard1-ivf")), dirs.toString)
+      dirs.foreach { case (d, ivf) =>
+        assert(Knn.graphIndexReady(d) && Knn.graphCodesReady(d), d)
+        assert(Knn.ivfIndexReady(ivf.get), ivf.get)
+      }
+      val sharded = Knn.ShardedResidentIndex.load(spark, dirs, ef = 32)
+      assert(sharded.numShards == 2)
+      val recalls = Seq(7L, 131L, 263L).map { q =>
+        val qv = ManifoldCorpus.vector(q)
+        val got = sharded.servingTopK(qv, 10, 0, None)
+          .map(_.getLong(0)).toSet
+        val want = Knn.topK(corpus, "embedding", qv, 10, "vec_id")
+          .collect().map(_.getLong(0)).toSet
+        (got & want).size / 10.0
+      }
+      assert(recalls.sum / recalls.size >= 0.9, s"recall@10 $recalls")
+      // more shards than the key spread fails loudly, not silently thin
+      intercept[IllegalArgumentException] {
+        Knn.ShardedResidentIndex.build(
+          corpus.filter($"vec_id" === 2L), "embedding", "vec_id",
+          s"$root/thin", shards = 2)
+      }
+    } finally rmTree(root)
+  }
+
   test("selective-beam recall over shards matches the per-shard walks; ivf entries accepted") {
     val root = java.nio.file.Files.createTempDirectory("shrec").toString
     val dirA = s"$root/a"; val dirB = s"$root/b"
