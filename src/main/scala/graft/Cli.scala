@@ -19,7 +19,8 @@ import graft.sync.{HighlightStore, Sync}
   *   graft.Cli sync --backfill --pages-dir D --store S --ckpt C [--pooled [--chunk-words N]]
   *   graft.Cli sync --since 2024-01-01T00:00:00Z --pages-dir D --store S --ckpt C
   *   graft.Cli refresh --pages-dir D --store S --ckpt C [--lex-index L]
-  *     [--ivf-index I] [--hnsw-index H] [--graph-index G]
+  *     [--ivf-index I] [--hnsw-index H] [--graph-index G[,G2,...]
+  *      [--graph-entry-ivf I[,I2,...]]]
   *   graft.Cli index --store S --out D [--type ivf|graph|hnsw|lexical]
   *     [--cells 64] [--fp16 true] [--attrs c1,c2] [--graph-k 5] [--buckets N]
   *   graft.Cli export --store S --out D [--shard-tokens 2048]
@@ -147,7 +148,8 @@ object Cli {
     case "refresh" +: rest =>
       val f = flags(rest)
       val resolved = GraftConfig.resolve(
-        f -- Seq("lex-index", "ivf-index", "hnsw-index", "graph-index"),
+        f -- Seq("lex-index", "ivf-index", "hnsw-index", "graph-index",
+          "graph-entry-ivf"),
         env, GraftConfig.Command.Sync,
         pooledFlag = rest.contains("--pooled"))
       resolved match {
@@ -158,12 +160,39 @@ object Cli {
               "run sync --backfill first (refresh reconciles an existing store)")
             1
           } else {
+            // --graph-index a,b,... (shard order!) routes the delta by
+            // the build's pmod rule and refreshes each touched shard —
+            // the maintenance half of `serve --graph-index a,b
+            // --graph-resident`. --graph-entry-ivf pairs positionally
+            // (each shard's entry IVF follows its shard's slice).
+            val graphDirs = f.get("graph-index").toSeq
+              .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+            val entryIvfs = f.get("graph-entry-ivf").toSeq
+              .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+            if (graphDirs.length > 1 && entryIvfs.nonEmpty &&
+                entryIvfs.length != graphDirs.length) {
+              System.err.println(s"--graph-entry-ivf lists " +
+                s"${entryIvfs.length} IVF dirs for ${graphDirs.length} " +
+                "shards — entry IVFs pair with shards positionally")
+              return 2
+            }
             val counts = Sync.refresh(spark, dirClient(cfg.pagesDir.get),
               cfg.storeDir, cfg.checkpointDir.get,
               lexIndexDir = f.get("lex-index"),
               ivfIndexDir = f.get("ivf-index"),
               hnswIndexDir = f.get("hnsw-index"),
-              graphIndexDir = f.get("graph-index"),
+              graphIndexDir = graphDirs match {
+                case Seq(one) => Some(one)
+                case _ => None
+              },
+              graphShardDirs =
+                if (graphDirs.length > 1) {
+                  val es: Seq[Option[String]] =
+                    if (entryIvfs.isEmpty)
+                      Seq.fill(graphDirs.length)(None)
+                    else entryIvfs.map(Some(_))
+                  graphDirs.zip(es)
+                } else Nil,
               embedder = cfg.embedder,
               pooledChunkWords = cfg.pooledChunkWords)
             println(Json.write(counts.map { case (k, v) => k -> v } +

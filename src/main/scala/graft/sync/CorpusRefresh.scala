@@ -95,7 +95,8 @@ object CorpusRefresh {
       maxSegments: Int = DefaultMaxSegments,
       hnswIndexDir: Option[String] = None,
       graphIndexDir: Option[String] = None,
-      codesDriftRatio: Double = DefaultCodesDriftRatio): DataFrame = {
+      codesDriftRatio: Double = DefaultCodesDriftRatio,
+      graphShardDirs: Seq[(String, Option[String])] = Nil): DataFrame = {
     val old = HighlightStore.read(spark, storeDir).getOrElse(
       throw new IllegalStateException(
         s"CorpusRefresh.refresh: no store at $storeDir (writeAtomic first)"))
@@ -138,10 +139,10 @@ object CorpusRefresh {
       // sidecar's segment list hits the same fan-out threshold every
       // other index compacts at — never per delta: a 10-document upsert
       // against a 10⁹-node graph writes 10 code rows.
-      graphIndexDir.foreach { dir =>
-        graft.similarity.Knn.adjDeleteIndex(spark, dir, deltaKeys, keyCol)
-        if (!upserts.isEmpty)
-          graft.similarity.Knn.adjInsertIndex(upserts, vecCol, keyCol, dir)
+      def graphRefresh(dir: String, dk: DataFrame, ups: DataFrame): Unit = {
+        graft.similarity.Knn.adjDeleteIndex(spark, dir, dk, keyCol)
+        if (!ups.isEmpty)
+          graft.similarity.Knn.adjInsertIndex(ups, vecCol, keyCol, dir)
         if (overThreshold(dir))
           graft.similarity.Knn.adjCompactIndex(spark, dir)
         // adopt a pre-segmentation flat sidecar BEFORE the readiness
@@ -151,11 +152,46 @@ object CorpusRefresh {
         graft.similarity.Knn.migrateGraphCodes(spark, dir)
         if (graft.similarity.Knn.graphCodesReady(dir)) {
           val drift =
-            if (upserts.isEmpty) 0.0
+            if (ups.isEmpty) 0.0
             else graft.similarity.Knn
-              .appendGraphCodes(upserts, vecCol, keyCol, dir)
+              .appendGraphCodes(ups, vecCol, keyCol, dir)
           if (drift > codesDriftRatio || overThreshold(s"$dir/pqcodes"))
             graft.similarity.Knn.rebuildGraphCodes(spark, dir)
+        }
+      }
+      graphIndexDir.foreach(graphRefresh(_, deltaKeys, upserts))
+      // sharded deployments ([[graft.similarity.Knn.ShardedResidentIndex
+      // .build]]): the delta routes to shards by the SAME pmod(key,
+      // shards) rule the build routed rows by — dirs must be passed in
+      // shard order — and each shard then runs the exact single-dir
+      // cycle above on its own slice (tombstones, insert against its
+      // OWN live members, O(delta) sidecar re-cover, per-shard drift +
+      // fan-out triggers). A shard the delta never touches is skipped
+      // entirely: no empty tombstone segments, no pointer churn, and
+      // the gateway's reloading fingerprint only swaps when some shard
+      // actually moved.
+      locally {
+        val nsh = graphShardDirs.length
+        graphShardDirs.zipWithIndex.foreach { case ((dir, entryIvf), s) =>
+          val dk = deltaKeys.filter(
+            pmod(col(keyCol).cast("long"), lit(nsh.toLong)) === s)
+          val ups = upserts.filter(
+            pmod(col(keyCol).cast("long"), lit(nsh.toLong)) === s)
+          if (!dk.isEmpty) {
+            graphRefresh(dir, dk, ups)
+            // the shard's entry IVF is an ordinary IVF index over the
+            // same members — maintain it with the routed slice so
+            // entries keep tracking the shard's live set (a stale
+            // entry IVF still SERVES — tombstoned entries drop at
+            // walk seeding — but entry quality decays with churn)
+            entryIvf.foreach { iv =>
+              graft.similarity.Knn.ivfDeleteIndex(spark, iv, dk, keyCol)
+              if (!ups.isEmpty)
+                graft.similarity.Knn.ivfAppendIndex(ups, vecCol, keyCol, iv)
+              if (overThreshold(iv))
+                graft.similarity.Knn.ivfCompactIndex(spark, iv)
+            }
+          }
         }
       }
       // the HNSW stack under the same delete-then-append discipline:

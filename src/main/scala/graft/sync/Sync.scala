@@ -421,7 +421,8 @@ object Sync {
       spoolDir: Option[String] = None,
       pooledChunkWords: Option[Int] = None,
       hnswIndexDir: Option[String] = None,
-      graphIndexDir: Option[String] = None): Map[String, Long] =
+      graphIndexDir: Option[String] = None,
+      graphShardDirs: Seq[(String, Option[String])] = Nil): Map[String, Long] =
     timed {
       val spool = spoolDir.getOrElse(
         s"$checkpointDir/refresh-spool-${System.nanoTime()}")
@@ -430,7 +431,8 @@ object Sync {
           embedder, version = now().toEpochMilli, pooledChunkWords)
         val delta = CorpusRefresh.refresh(spark, snapshot, "text", "id",
           storeDir, lexIndexDir = lexIndexDir, ivfIndexDir = ivfIndexDir,
-          hnswIndexDir = hnswIndexDir, graphIndexDir = graphIndexDir)
+          hnswIndexDir = hnswIndexDir, graphIndexDir = graphIndexDir,
+          graphShardDirs = graphShardDirs)
         val counts = delta.groupBy(col("status")).count()
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
         delta.unpersist()

@@ -181,6 +181,57 @@ class CorpusRefreshSpec extends SparkTestBase {
     } finally { Seq(store, g).foreach(rmrf) }
   }
 
+  test("sharded refresh: the delta routes by the build's pmod rule; untouched shards don't churn") {
+    val store = tmp("cr9-store"); val root = tmp("cr9-shards")
+    try {
+      HighlightStore.writeAtomic(snapA, store)
+      // the one-call sharded deployment (adjacency + int8 sidecar +
+      // entry IVF per pmod(doc_id, 2) shard)
+      val dirs = graft.similarity.Knn.ShardedResidentIndex.build(snapA,
+        "embedding", "doc_id", root, shards = 2, topK = 5)
+      CorpusRefresh.refresh(spark, snapB, "text", "doc_id", store,
+        graphShardDirs = dirs).unpersist()
+      // the gateway (which refuses stale sidecars per shard) serves the
+      // refreshed corpus: add 62 (shard 0) findable at ~0, change 23
+      // (shard 1) serves its NEW vector, removal 7 (shard 1) gone
+      val idx = graft.similarity.Knn.ShardedResidentIndex.load(spark, dirs,
+        ef = 16)
+      val got62 = idx.servingTopK(vec(62L, 0), 5, 0, None)
+      assert(got62.exists(r => r.getLong(0) == 62L && r.getDouble(1) < 1e-3),
+        got62.toSeq.toString)
+      val got23 = idx.servingTopK(vec(23L, 5), 5, 0, None)
+      assert(got23.exists(r => r.getLong(0) == 23L && r.getDouble(1) < 1e-3),
+        got23.toSeq.toString)
+      val got7 = idx.servingTopK(vec(7L, 0), 20, 0, None)
+      assert(got7.nonEmpty && got7.forall(_.getLong(0) != 7L))
+      // a delta touching ONLY shard 0 (doc 60 changes) leaves every
+      // shard-1 pointer alone: no tombstone churn, no sidecar segment,
+      // no entry-IVF segment — the gateway fingerprint only moves
+      // because shard 0 moved
+      val s1 = dirs(1)._1; val s1ivf = dirs(1)._2.get
+      def pointers(): (Option[Seq[String]], Option[Seq[String]],
+          Option[Seq[String]]) =
+        (SegmentedIndex.resolve(spark, s1),
+          SegmentedIndex.resolve(spark, s"$s1/pqcodes"),
+          SegmentedIndex.resolve(spark, s1ivf))
+      val before = pointers()
+      val snapC = snap((0L until 60L).filterNot(_ == 7L) ++ (60L to 64L),
+        Set(11L, 23L, 60L))
+      val d2 = CorpusRefresh.refresh(spark, snapC, "text", "doc_id", store,
+        graphShardDirs = dirs)
+      assert(d2.as[(Long, String)].collect().toSet ==
+        Set((60L, "changed")))
+      d2.unpersist()
+      assert(pointers() == before)
+      // ...and shard 0 serves the change through the reloaded gateway
+      val idx2 = graft.similarity.Knn.ShardedResidentIndex.load(spark, dirs,
+        ef = 16)
+      val got60 = idx2.servingTopK(vec(60L, 5), 5, 0, None)
+      assert(got60.exists(r => r.getLong(0) == 60L && r.getDouble(1) < 1e-3),
+        got60.toSeq.toString)
+    } finally { Seq(store, root).foreach(rmrf) }
+  }
+
   test("sidecar re-cover is O(delta): one new segment of exactly the upsert rows; append == full rebuild byte-for-byte") {
     val store = tmp("cr7-store"); val g = tmp("cr7-graph") + "/i"
     try {
