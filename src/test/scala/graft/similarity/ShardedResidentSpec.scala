@@ -135,6 +135,25 @@ class ShardedResidentSpec extends SparkTestBase {
     } finally rmTree(root)
   }
 
+  test("reloading: one fingerprint spans every shard; any shard's sidecar rebuild swaps the handle") {
+    val root = java.nio.file.Files.createTempDirectory("shrel").toString
+    try {
+      val dirs = Knn.ShardedResidentIndex.build(corpus, "embedding",
+        "vec_id", root, shards = 2, topK = 8)
+      val h = Knn.ShardedResidentIndex.reloading(spark, dirs, ef = 32)
+      val first = h.get
+      assert(h.get eq first) // nothing moved -> same instance
+      // one shard's sidecar rebuild (a refresh's O(corpus) fallback)
+      // moves that shard's pqcodes pointer -> the WHOLE gateway handle
+      // swaps at the next request (a half-updated view never serves)
+      Knn.rebuildGraphCodes(spark, dirs(1)._1)
+      val second = h.get
+      assert(!(second eq first), "stale gateway served after a shard moved")
+      val got = second.servingTopK(ManifoldCorpus.vector(7L), 5, 0, None)
+      assert(got.length == 5)
+    } finally rmTree(root)
+  }
+
   test("selective-beam recall over shards matches the per-shard walks; ivf entries accepted") {
     val root = java.nio.file.Files.createTempDirectory("shrec").toString
     val dirA = s"$root/a"; val dirB = s"$root/b"
