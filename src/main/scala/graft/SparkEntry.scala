@@ -1914,6 +1914,21 @@ object SparkEntry {
       rows.toDF("vec_id", "score")
     }),
 
+    // ---- DSIR data selection (Xie et al. 2023, importance resampling):
+    //      src0's docs are the TARGET domain; every other doc scores
+    //      logw = Σ [ln p_t(b) − ln p_r(b)] over its hashed bigrams
+    //      (add-one-smoothed 4096-bucket categoricals, DECIMAL-summed)
+    //      and Gumbel-top-k keeps 25 with inclusion odds ∝ exp(logw) —
+    //      the "make 100 TB look like my seed set" selector, hash-seeded
+    //      so shards/re-runs/engines agree bit-for-bit ----
+    "q152_dsir_select" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      graft.text.CorpusPrep.dsirSelect(
+          d.filter(col("source") =!= "src0"), "text", "doc_id",
+          d.filter(col("source") === "src0"), "text", k = 25)
+        .orderBy(col("gk").desc, col("doc_id"))
+    }),
+
     // ---- positional phrase search: "customer join merge" must occur as
     //      CONSECUTIVE words — posexplode filtered to the 3 terms at the
     //      generator, two (id, position) equi-joins, per-doc exact
@@ -4724,6 +4739,46 @@ object SparkEntry {
          |SELECT v.id AS vec_id, ${sqlCosine("v.v", "q.qv")} AS score
          |FROM v CROSS JOIN q
          |ORDER BY score, vec_id LIMIT 10""".stripMargin,
+
+    // the DSIR chain replayed wholesale: hashed-bigram buckets on both
+    // sides, add-one-smoothed bucket log-ratios, per-doc DECIMAL sums,
+    // the content-hash Gumbel, and the top-25 by (logw + g) — every
+    // intermediate is integer counts or IEEE double, so the selection
+    // is engine-exact
+    "q152_dsir_select" ->
+      s"""WITH raw AS (SELECT doc_id, text FROM documents
+         |  WHERE source <> 'src0'),
+         |tgt AS (SELECT text FROM documents WHERE source = 'src0'),
+         |rw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM raw),
+         |rb AS (SELECT doc_id, ${sqlPolyHash("bg")} % 4096 AS b FROM (
+         |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2 THEN
+         |    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+         |    ELSE CAST([] AS VARCHAR[]) END) AS bg FROM rw)),
+         |tw AS (SELECT string_split(text, ' ') AS ws FROM tgt),
+         |tb AS (SELECT ${sqlPolyHash("bg")} % 4096 AS b FROM (
+         |  SELECT unnest(CASE WHEN len(ws) >= 2 THEN
+         |    list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+         |    ELSE CAST([] AS VARCHAR[]) END) AS bg FROM tw)),
+         |rc AS (SELECT b, count(*) AS cr FROM rb GROUP BY b),
+         |tcnt AS (SELECT b, count(*) AS ct FROM tb GROUP BY b),
+         |tot AS (SELECT (SELECT count(*) FROM rb) AS tr,
+         |               (SELECT count(*) FROM tb) AS tt),
+         |ratio AS (SELECT rc.b,
+         |    ln((CAST(COALESCE(tcnt.ct, 0) AS DOUBLE) + 1.0) /
+         |       (CAST(tot.tt AS DOUBLE) + 4096.0)) -
+         |    ln((CAST(rc.cr AS DOUBLE) + 1.0) /
+         |       (CAST(tot.tr AS DOUBLE) + 4096.0)) AS lr
+         |  FROM rc LEFT JOIN tcnt ON tcnt.b = rc.b CROSS JOIN tot),
+         |wts AS (SELECT rb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(SUM(CAST(ratio.lr AS DECIMAL(25,12))) AS DOUBLE) AS logw
+         |  FROM rb JOIN ratio ON ratio.b = rb.b GROUP BY rb.doc_id),
+         |gum AS (SELECT doc_id,
+         |    -ln(-ln((CAST(${sqlPolyHash("text")} AS DOUBLE) + 1.0) /
+         |      1000000008.0)) AS g
+         |  FROM raw)
+         |SELECT w.doc_id, w.n_feats, w.logw, w.logw + g.g AS gk
+         |FROM wts w JOIN gum g USING (doc_id)
+         |ORDER BY gk DESC, doc_id LIMIT 25""".stripMargin,
 
     // consecutive-word phrase occurrences counted over the split word
     // array — every start position where all three words line up

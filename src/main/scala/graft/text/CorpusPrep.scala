@@ -460,4 +460,85 @@ object CorpusPrep {
               col("n_docs").cast("double")))
           .cast("long").as("rate_ppm"))
   }
+
+  /** DSIR importance weights (Xie et al., NeurIPS 2023 — "Data Selection
+    * for Language Models via Importance Resampling"): score every RAW
+    * document by how much more likely its hashed-bigram bag is under a
+    * TARGET corpus's feature distribution than under the raw corpus's
+    * own — the domain-targeting selector that turns "I have 100 TB of
+    * web text and 100 MB that looks like what I want" into per-doc
+    * log-importance. Features are ALL word bigrams (multiplicity kept,
+    * [[TextAnalysis.ngramsAll]]) hashed into `buckets` cells with the
+    * engine-portable [[TextAnalysis.polyHash]]; both sides become
+    * add-one-smoothed bucket categoricals and
+    * `logw(x) = Σ_features [ln p_t(b) − ln p_r(b)]` accumulates in
+    * DECIMAL(25,12) — the q133 discipline, so the score is
+    * partition-order-deterministic. Documents with no bigram (single
+    * word) carry no evidence and are omitted.
+    *
+    * Scale shape: the bucket-count sides partial-aggregate to ≤
+    * `buckets` rows each and the per-bucket log-ratio relation
+    * BROADCASTS back, so the raw corpus pays one explode + one
+    * broadcast equi-join + one per-doc agg — no shuffle wider than its
+    * own feature stream, and the target side (a benchmark or curated
+    * seed set, tiny by construction) is scanned once. */
+  def dsirWeights(raw: DataFrame, textCol: String, keyCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 4096): DataFrame = {
+    require(buckets >= 1, s"dsirWeights: need buckets >= 1, got $buckets")
+    def feats(df: DataFrame, tc: String, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ explode(
+          TextAnalysis.ngramsAll(col(tc), 2)).as("bg"): _*)
+        .withColumn("b", pmod(TextAnalysis.polyHash(col("bg")),
+          lit(buckets.toLong)))
+        .drop("bg")
+    val rawFeats = feats(raw, textCol, Seq(col(keyCol).as("id")))
+    val tgtCounts = feats(target, targetTextCol, Nil)
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rawCounts = rawFeats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val totals = tgtCounts.agg(coalesce(sum(col("ct")), lit(0L)).as("tt"))
+      .crossJoin(rawCounts.agg(sum(col("cr")).as("tr")))
+    // every raw feature's bucket is in rawCounts by construction, so the
+    // ratio relation LEFT-joins the target side in; smoothing keeps
+    // target-unseen buckets finite (they score the floor, not -inf)
+    val ratio = rawCounts
+      .join(tgtCounts, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)).cast("double") + lit(1.0)) /
+          (col("tt").cast("double") + lit(buckets.toDouble))) -
+         log((col("cr").cast("double") + lit(1.0)) /
+          (col("tr").cast("double") + lit(buckets.toDouble)))).as("lr"))
+    rawFeats
+      .join(broadcast(ratio), Seq("b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(col("lr").cast("decimal(25,12)")).cast("double").as("logw"))
+      .select(col("id").as(keyCol), col("n_feats"), col("logw"))
+  }
+
+  /** DSIR selection on top of [[dsirWeights]]: keep the `k` raw docs
+    * with the largest `logw + Gumbel` — Gumbel-top-k resampling, whose
+    * inclusion odds are ∝ exp(logw) WITHOUT ever exponentiating (long
+    * documents put `logw` at ±hundreds; `exp` would over/underflow to
+    * ties). The Gumbel draw is the house content-hash uniform
+    * (`g = −ln(−ln u)`, u from `polyHash(text)` — [[weightedSample]]'s
+    * seeding), so selection is deterministic across runs, partitionings
+    * and engines; ties break by key. One TakeOrdered over the weighted
+    * relation — the selection never shuffles more than k rows. */
+  def dsirSelect(raw: DataFrame, textCol: String, keyCol: String,
+      target: DataFrame, targetTextCol: String, k: Int,
+      buckets: Int = 4096): DataFrame = {
+    require(k >= 0, s"dsirSelect: need k >= 0, got $k")
+    val mod = TextMath.Mod
+    val u = (TextAnalysis.polyHash(col(textCol)).cast("double") + lit(1.0)) /
+      lit((mod + 1).toDouble)
+    raw.select(col(keyCol), (-log(-log(u))).as("g"))
+      .join(dsirWeights(raw, textCol, keyCol, target, targetTextCol,
+        buckets), Seq(keyCol))
+      .select(col(keyCol), col("n_feats"), col("logw"),
+        (col("logw") + col("g")).as("gk"))
+      .orderBy(col("gk").desc, col(keyCol).asc)
+      .limit(k)
+  }
 }

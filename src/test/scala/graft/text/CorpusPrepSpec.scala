@@ -224,6 +224,39 @@ class CorpusPrepSpec extends SparkTestBase {
     assert(math.abs(keptHi.size - 480) < 60, s"kept ${keptHi.size}, want ~480")
   }
 
+  test("dsirWeights/dsirSelect: target-like docs outscore off-domain; selection is deterministic") {
+    // target domain: cooking phrases; raw = 10 target-like + 10 code-like
+    // docs, phrases repeated so the logw gap dwarfs Gumbel noise (scale
+    // 1) and the selection must be exactly the target-like half
+    val cook = "stir the onion butter sauce simmer garlic pepper salt slow"
+    val code = "compile the linker stack heap pointer thread mutex lock fast"
+    val raw = ((0L until 10L).map(i => (i, s"$cook $cook $cook doc$i")) ++
+      (10L until 20L).map(i => (i, s"$code $code $code doc$i")))
+      .toDF("doc_id", "text")
+    val target = Seq.tabulate(3)(i => s"$cook seed$i").toDF("t")
+    val w = graft.text.CorpusPrep.dsirWeights(raw, "text", "doc_id",
+      target, "t", buckets = 1024)
+    val byId = w.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId.size == 20)
+    val worstCook = (0L until 10L).map(byId).min
+    val bestCode = (10L until 20L).map(byId).max
+    assert(worstCook > bestCode,
+      s"cooking floor $worstCook vs code ceiling $bestCode")
+    // partition-order determinism: the DECIMAL accumulation makes logw
+    // bit-stable under repartition
+    val w7 = graft.text.CorpusPrep.dsirWeights(raw.repartition(7), "text",
+      "doc_id", target, "t", buckets = 1024)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w7 == byId)
+    // selection keeps exactly the target-like half; a doc with no
+    // bigram carries no evidence and never surfaces
+    val single = raw.unionByName(Seq((99L, "loneword")).toDF("doc_id", "text"))
+    val picked = graft.text.CorpusPrep.dsirSelect(single, "text", "doc_id",
+      target, "t", k = 10, buckets = 1024)
+      .collect().map(_.getLong(0)).toSet
+    assert(picked == (0L until 10L).toSet, picked.toString)
+  }
+
   test("crossCorpusPairs: only cross-side pairs, never corpus- or bench-internal") {
     // two identical docs INSIDE the corpus (internal dup must not appear),
     // one of them duplicated into the bench side
