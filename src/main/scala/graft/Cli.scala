@@ -169,24 +169,28 @@ object Cli {
               .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
             val entryIvfs = f.get("graph-entry-ivf").toSeq
               .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-            if (graphDirs.length > 1 && entryIvfs.nonEmpty &&
-                entryIvfs.length != graphDirs.length) {
+            if (entryIvfs.nonEmpty && entryIvfs.length != graphDirs.length) {
               System.err.println(s"--graph-entry-ivf lists " +
                 s"${entryIvfs.length} IVF dirs for ${graphDirs.length} " +
-                "shards — entry IVFs pair with shards positionally")
+                "graph dirs — entry IVFs pair with --graph-index " +
+                "positionally")
               return 2
             }
+            // a single dir WITH an entry IVF routes through the shard
+            // path too (pmod(key, 1) keeps every key): same adjacency
+            // cycle, plus the entry IVF maintained — dropping the flag
+            // silently would let entries drift from the live set
             val counts = Sync.refresh(spark, dirClient(cfg.pagesDir.get),
               cfg.storeDir, cfg.checkpointDir.get,
               lexIndexDir = f.get("lex-index"),
               ivfIndexDir = f.get("ivf-index"),
               hnswIndexDir = f.get("hnsw-index"),
               graphIndexDir = graphDirs match {
-                case Seq(one) => Some(one)
+                case Seq(one) if entryIvfs.isEmpty => Some(one)
                 case _ => None
               },
               graphShardDirs =
-                if (graphDirs.length > 1) {
+                if (graphDirs.length > 1 || entryIvfs.nonEmpty) {
                   val es: Seq[Option[String]] =
                     if (entryIvfs.isEmpty)
                       Seq.fill(graphDirs.length)(None)

@@ -58,18 +58,29 @@ object XResidentScale {
     val corpus = spark.read.parquet(fixturePath)
       .select(col("vec_id"), graft.functions.fp16_decode(col("emb16"))
         .cast("array<float>").as("embedding"))
-    val idxDir = if (buckets == 64) s"$root/adj" else s"$root/adj-b$buckets"
+    // layouts key by buckets AND (non-default) degree — a donor graph
+    // is bucket-independent but NOT deg-independent, so re-bucketing a
+    // deg-10 graph into a deg-20 run would measure a config that never
+    // existed
+    val degTag = if (deg == 10) "" else s"-deg$deg"
+    val idxDir = if (buckets == 64 && deg == 10) s"$root/adj"
+      else s"$root/adj-b$buckets$degTag"
     val ivfDir = s"$root/ivf"
     if (!graft.similarity.Knn.graphIndexReady(idxDir)) {
       val tb = System.nanoTime()
       // the kNN GRAPH is bucket-independent — when a layout at another
-      // bucket count already exists for this (n, dim), re-bucket its
-      // edges (one shuffle + write) instead of re-running the ~26 min
-      // 2 M cellKnnGraph, so the density dial measures layout, not build
+      // bucket count already exists for this (n, dim, deg), re-bucket
+      // its edges (one shuffle + write) instead of re-running the
+      // ~26 min 2 M cellKnnGraph, so the density dial measures layout,
+      // not build
       val donor = Option(new java.io.File(root).listFiles()).toSeq.flatten
         .map(_.getPath)
         .filter(p => { val b = new java.io.File(p).getName
-          (b == "adj" || b.startsWith("adj-b")) && p != idxDir })
+          val sameDeg =
+            if (deg == 10) b == "adj" || (b.startsWith("adj-b") &&
+              !b.contains("-deg"))
+            else b.startsWith("adj-b") && b.endsWith(degTag)
+          sameDeg && p != idxDir })
         .find(graft.similarity.Knn.graphIndexReady)
       val edges = donor match {
         case Some(d) =>

@@ -33,10 +33,10 @@ object XShardedScale {
     val ef = sys.env.getOrElse("XSH_EF", "16").toInt
     val users = sys.env.getOrElse("XSH_USERS", "20").toInt
     val reqs = sys.env.getOrElse("XSH_REQS", "25").toInt
-    // r15 bucket-density dial: ~50 k adjacency rows per bucket keeps the
-    // refine's bucket-tasks point probes at any shard size
+    // r15 bucket-density dial — the ONE production rule (Knn.bucketsFor,
+    // ~50 k adjacency rows per bucket incl. its clamps), not a re-derive
     val buckets = sys.env.get("XSH_BUCKETS").map(_.toInt)
-      .getOrElse(math.max(64L, shardN * (deg + 1) / 50000L).toInt)
+      .getOrElse(graft.similarity.Knn.bucketsFor(shardN * (deg + 1L)))
     val n = shardN * shards
     import spark.implicits._
     val dirs = (0 until shards).map { s =>

@@ -105,9 +105,14 @@ object CorpusRefresh {
     if (delta.isEmpty) { delta.unpersist(); delta }
     else {
       val deltaKeys = delta.select(col(keyCol))
+      // PERSISTED: every index family below runs 2–4 actions over the
+      // upsert batch (isEmpty, append, sidecar, entry IVF), and the
+      // sharded loop multiplies that by shard count — unpersisted, each
+      // action re-scans the whole snapshot for a batch that is delta-
+      // sized by construction. Released before the store rewrite.
       val upserts = newSnap.join(
         delta.filter(col("status") =!= "removed").select(col(keyCol)),
-        Seq(keyCol), "left_semi")
+        Seq(keyCol), "left_semi").persist()
       def overThreshold(dir: String): Boolean =
         SegmentedIndex.resolve(spark, dir).exists(_.size > maxSegments)
       lexIndexDir.foreach { dir =>
@@ -228,6 +233,7 @@ object CorpusRefresh {
           else upserts
         df.join(deltaKeys, Seq(keyCol), "left_anti").unionByName(ups)
       })
+      upserts.unpersist()
       // stays persisted: callers fan delta-only follow-ups (re-embed,
       // re-dedup) off the returned frame and own the unpersist
       delta

@@ -478,10 +478,14 @@ object CorpusPrep {
     *
     * Scale shape: the bucket-count sides partial-aggregate to ≤
     * `buckets` rows each and the per-bucket log-ratio relation
-    * BROADCASTS back, so the raw corpus pays one explode + one
-    * broadcast equi-join + one per-doc agg — no shuffle wider than its
+    * BROADCASTS back; no shuffle is ever wider than the raw corpus's
     * own feature stream, and the target side (a benchmark or curated
-    * seed set, tiny by construction) is scanned once. */
+    * seed set, tiny by construction) scans once. The raw corpus
+    * tokenizes TWICE in one plan — once into its own bucket
+    * distribution, once for scoring (the same recompute the q133 LM
+    * chain accepts: both feeds are narrow explodes off the same scan,
+    * and Spark caches nothing across subplans unless told) — persist
+    * the raw frame upstream when the tokenize pass dominates. */
   def dsirWeights(raw: DataFrame, textCol: String, keyCol: String,
       target: DataFrame, targetTextCol: String,
       buckets: Int = 4096): DataFrame = {
