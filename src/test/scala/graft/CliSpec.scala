@@ -215,6 +215,11 @@ class CliSpec extends SparkTestBase {
     assert(cr == 0, outr)
     assert(outr.contains("\"added\":1") && outr.contains("\"changed\":1")
       && outr.contains("\"removed\":1"), outr)
+    // entry IVFs pair with --graph-index positionally at ANY dir count —
+    // a mismatch is rejected, never silently dropped
+    assert(capture(Cli.run(Array("refresh", "--pages-dir", pages2,
+      "--store", store, "--ckpt", ckpt, "--graph-index", graph,
+      "--graph-entry-ivf", "a,b"), spark))._1 == 2)
     val idx = graft.similarity.Knn.HnswIndex.load(spark, hnsw)
     val got9 = idx.search(embedder.embed("brand new quokka highlight"),
       k = 3, ef = 12, hops = 4).collect()
