@@ -1929,6 +1929,46 @@ object SparkEntry {
         .orderBy(col("gk").desc, col("doc_id"))
     }),
 
+    // ---- residual quantization + ADC (the sequential full-dimension
+    //      sibling of q109's subspace PQ): stage 0's codebook trains on
+    //      the vectors, stage 1's on the float-rounded residuals; the
+    //      ADC expansion carries the stage-pair cross term PQ never
+    //      has. The oracle replays both Lloyd chains, the residual
+    //      subtraction, both argmin encodes and the pinned-association
+    //      score arithmetic bit-for-bit; in_exact flags measure recall
+    //      vs the exact squared-L2 top-10 ----
+    "q153_rq_adc" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val cb = Knn.collectRqCodebooks(Knn.rqTrain(
+        emb, "embedding", "vec_id", stages = 2, ksub = 4, iters = 2))
+      val encoded = Knn.rqEncode(emb, "embedding", "vec_id", cb)
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val rq = Knn.rqTopK(encoded, cb, qv, k = 10)
+      val v = emb.filter(col("embedding").isNotNull)
+        .select(col("vec_id").as("id"), col("embedding").as("v"))
+      val exact = v.withColumn("d", Knn.l2sq(col("v"), typedLit(qv)))
+        .orderBy(col("d").asc, col("id").asc).limit(10)
+        .select(col("id"), lit(true).as("in_exact"))
+      rq.join(exact, Seq("id"), "left")
+        .na.fill(value = false, Seq("in_exact"))
+        .select(col("id"), col("score_adc"), col("in_exact"))
+        .orderBy(col("score_adc"), col("id"))
+    }),
+
+    // ---- k-means|| initialization (Bahmani et al. VLDB'12): 3
+    //      oversampling rounds (derandomized — the uniform draw is a
+    //      replayable LCG against ell·d²/φ with φ DECIMAL-exact), then
+    //      candidate weighting and the weighted farthest-first
+    //      reduction to k=4. The oracle replays every round's distance
+    //      field, threshold test, the weighting pass and all four
+    //      greedy selections ----
+    "q154_kmeans_par_init" -> ((s, dir) => {
+      Knn.kmeansParallelInit(t(s, dir, "embeddings"), "embedding",
+          "vec_id", k = 4, rounds = 3, ell = 8.0)
+        .orderBy(col("rank"))
+    }),
+
     // ---- positional phrase search: "customer join merge" must occur as
     //      CONSECUTIVE words — posexplode filtered to the 3 terms at the
     //      generator, two (id, position) equi-joins, per-doc exact
@@ -2607,6 +2647,63 @@ object SparkEntry {
        |  FROM enc0 e0 JOIN enc1 e1 USING (id)
        |  JOIN lut0 l0 ON e0.code = l0.code
        |  JOIN lut1 l1 ON e1.code = l1.code),""".stripMargin
+  }
+
+  /** The q153 residual-quantizer pipeline as WITH-list clauses (no
+    * `WITH` keyword, trailing comma style): stage 0's 2-iteration
+    * L2-Lloyd chain on the 300-vector corpus, the double-subtract-
+    * float-round residual, stage 1's identical chain on the residuals,
+    * both argmin encodes, and per-id ADC scores against vec 0 with the
+    * association-pinned expansion
+    * `(qq - 2·(l0+l1)) + ((n0+n1) + 2·x01)` — token-for-token the
+    * double tree [[graft.functions.RqMath.adc]] accumulates.
+    * Replicates [[graft.similarity.Knn.rqTrain]]/`rqEncode`/`rqTopK`
+    * with stages=2, ksub=4, iters=2 bit-for-bit. */
+  private lazy val sqlRqAdcPreamble: String = {
+    def chain(tag: String, src: String): String =
+      s"""${tag}_seed AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT)
+         |      AS centroid_id,
+         |    v AS cvec
+         |  FROM $src QUALIFY row_number() OVER (ORDER BY id) <= 4),
+         |${tag}_a1 AS (${sqlIvfAssignL2(src, s"${tag}_seed")}),
+         |${tag}_x1 AS (SELECT centroid_id, unnest(range(len(v))) AS pos,
+         |  unnest(v) AS x FROM ${tag}_a1),
+         |${tag}_m1 AS (${sqlIvfMean(s"${tag}_x1")}),
+         |${tag}_c1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec
+         |  FROM ${tag}_m1 GROUP BY 1),
+         |${tag}_a2 AS (${sqlIvfAssignL2(src, s"${tag}_c1")}),
+         |${tag}_x2 AS (SELECT centroid_id, unnest(range(len(v))) AS pos,
+         |  unnest(v) AS x FROM ${tag}_a2),
+         |${tag}_m2 AS (${sqlIvfMean(s"${tag}_x2")}),
+         |${tag}_c2 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec
+         |  FROM ${tag}_m2 GROUP BY 1)""".stripMargin
+    def dotd(a: String, b: String): String =
+      s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+    s"""corpus AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+       |  WHERE embedding IS NOT NULL AND vec_id < 300),
+       |${chain("rq0", "corpus")},
+       |renc0 AS (SELECT id, v, centroid_id AS code
+       |  FROM (${sqlIvfAssignL2("corpus", "rq0_c2")}) t0),
+       |res0_x AS (SELECT e.id, unnest(range(len(e.v))) AS pos,
+       |  unnest(e.v) AS x, unnest(cb.cvec) AS c
+       |  FROM renc0 e JOIN rq0_c2 cb ON cb.centroid_id = e.code),
+       |res0 AS (SELECT id,
+       |  list(CAST(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) AS REAL)
+       |    ORDER BY pos) AS v
+       |  FROM res0_x GROUP BY id),
+       |${chain("rq1", "res0")},
+       |renc1 AS (SELECT id, centroid_id AS code
+       |  FROM (${sqlIvfAssignL2("res0", "rq1_c2")}) t1),
+       |rqq AS (SELECT v AS qv FROM corpus WHERE id = 0),
+       |adc AS (SELECT e0.id,
+       |  (${dotd("qv", "qv")}
+       |    - 2 * (${dotd("qv", "c0.cvec")} + ${dotd("qv", "c1.cvec")}))
+       |  + ((${dotd("c0.cvec", "c0.cvec")} + ${dotd("c1.cvec", "c1.cvec")})
+       |    + 2 * ${dotd("c0.cvec", "c1.cvec")}) AS score_adc
+       |  FROM renc0 e0 JOIN renc1 e1 USING (id)
+       |  JOIN rq0_c2 c0 ON c0.centroid_id = e0.code
+       |  JOIN rq1_c2 c1 ON c1.centroid_id = e1.code, rqq),""".stripMargin
   }
 
   /** Exact decimal per-(cell, pos) mean cast to REAL — bit-identical to the
@@ -4779,6 +4876,74 @@ object SparkEntry {
          |SELECT w.doc_id, w.n_feats, w.logw, w.logw + g.g AS gk
          |FROM wts w JOIN gum g USING (doc_id)
          |ORDER BY gk DESC, doc_id LIMIT 25""".stripMargin,
+
+    // k-means|| replayed round-for-round: per round the min-d² field
+    // against the growing candidate set, the DECIMAL-exact φ, the LCG
+    // threshold test; then the nearest-candidate weighting and the four
+    // weighted farthest-first selections
+    "q154_kmeans_par_init" -> {
+      def round(r: Int): String =
+        s"""kd$r AS (SELECT c.id, MIN(${sqlL2Sq("c.v", "s.v")}) AS d
+           |  FROM kc c, kcand${r - 1} s GROUP BY c.id),
+           |kphi$r AS (SELECT CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE)
+           |  AS phi FROM kd$r),
+           |kp$r AS (SELECT id FROM kd$r, kphi$r
+           |  WHERE CAST(((id % 2147483648) * 1103515245 + ${r * 12345})
+           |      % 2147483648 % 1048576 AS DOUBLE) / 1048576.0
+           |    < 8.0 * d / phi),
+           |kcand$r AS (SELECT * FROM kcand${r - 1} UNION ALL
+           |  SELECT c.id, c.v FROM kc c JOIN kp$r USING (id))""".stripMargin
+      def pick(j: Int): String =
+        s"""kr$j AS (SELECT cw.cid, cw.v, cw.weight,
+           |  CAST(cw.weight AS DOUBLE) * MIN(${sqlL2Sq("cw.v", "s.v")}) AS sc
+           |  FROM kcw cw, ksel${j - 1} s
+           |  WHERE cw.cid NOT IN (SELECT cid FROM ksel${j - 1})
+           |  GROUP BY cw.cid, cw.v, cw.weight),
+           |kpick$j AS (SELECT cid, v, weight FROM kr$j
+           |  ORDER BY sc DESC, cid LIMIT 1),
+           |ksel$j AS (SELECT * FROM ksel${j - 1} UNION ALL
+           |  SELECT * FROM kpick$j)""".stripMargin
+      s"""WITH kc AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |kcand0 AS (SELECT id, v FROM kc ORDER BY id LIMIT 1),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |kasgn AS (SELECT c.id, s.id AS cid,
+         |  row_number() OVER (PARTITION BY c.id
+         |    ORDER BY ${sqlL2Sq("c.v", "s.v")}, s.id) AS rk
+         |  FROM kc c, kcand3 s QUALIFY rk = 1),
+         |kw AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS weight
+         |  FROM kasgn GROUP BY cid),
+         |kcw AS (SELECT s.id AS cid, s.v,
+         |  COALESCE(kw.weight, CAST(0 AS BIGINT)) AS weight
+         |  FROM kcand3 s LEFT JOIN kw ON kw.cid = s.id),
+         |ksel1 AS (SELECT cid, v, weight FROM kcw
+         |  ORDER BY weight DESC, cid LIMIT 1),
+         |${pick(2)},
+         |${pick(3)},
+         |${pick(4)},
+         |kranked AS (SELECT 1 AS rank, cid, weight FROM ksel1
+         |  UNION ALL SELECT 2, cid, weight FROM kpick2
+         |  UNION ALL SELECT 3, cid, weight FROM kpick3
+         |  UNION ALL SELECT 4, cid, weight FROM kpick4)
+         |SELECT CAST(rank AS INT) AS rank, cid AS cand_id, weight
+         |FROM kranked ORDER BY rank""".stripMargin
+    },
+
+    // the residual-quantizer pipeline replayed end-to-end: stage 0's
+    // Lloyd chain on the vectors, the float-rounded residual, stage 1's
+    // chain on the residuals, both argmin encodes, and the pinned-
+    // association ADC arithmetic (incl. the stage-pair cross term)
+    "q153_rq_adc" ->
+      s"""WITH $sqlRqAdcPreamble
+         |rq AS (SELECT id, score_adc FROM adc ORDER BY score_adc, id LIMIT 10),
+         |qex AS (SELECT v AS qv FROM corpus WHERE id = 0),
+         |exact AS (SELECT id FROM corpus, qex
+         |  ORDER BY ${sqlL2Sq("v", "qv")}, id LIMIT 10)
+         |SELECT r.id, r.score_adc,
+         |  (r.id IN (SELECT id FROM exact)) AS in_exact
+         |FROM rq r ORDER BY score_adc, id""".stripMargin,
 
     // consecutive-word phrase occurrences counted over the split word
     // array — every start position where all three words line up

@@ -122,6 +122,15 @@ package object functions {
   def pq_adc_score(c: Column, lut: Array[Array[Double]]): Column =
     shims.column(PqAdcScore(shims.expression(c), lut))
 
+  /** Residual-quantize a vector to `stages` full-dimension codes. */
+  def rq_encode(c: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    shims.column(RqEncode(shims.expression(c), codebooks))
+
+  /** ADC score of RQ codes against a query's precomputed tables. */
+  def rq_adc_score(c: Column, qq: Double, qLut: Array[Array[Double]],
+      nLut: Array[Array[Double]], xLut: Array[Array[Array[Double]]]): Column =
+    shims.column(RqAdcScore(shims.expression(c), qq, qLut, nLut, xLut))
+
   def fp16_encode(c: Column): Column =
     shims.column(Fp16Encode(shims.expression(c)))
 

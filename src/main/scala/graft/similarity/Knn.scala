@@ -1361,6 +1361,111 @@ object Knn {
     cents.toDF("centroid_id", "cvec")
   }
 
+  // ------------------------------------------------------- k-means||
+
+  /** k-means|| initialization (Bahmani et al., VLDB 2012) — the
+    * distributed seeding that replaces k-means++'s k SEQUENTIAL corpus
+    * passes with `rounds` passes that each sample ~`ell` candidates in
+    * parallel, then reduces the small weighted candidate set to k
+    * centers driver-side. This is the missing scale story for every
+    * Lloyd trainer here ([[trainCentroids]]/[[trainCentroidsL2]] seed
+    * by lowest key — deterministic but quality-blind): at 10⁹ rows,
+    * k-means++ is k dependent scans; k-means|| is O(rounds) scans
+    * total, each one broadcast-assign + one filter.
+    *
+    * Deterministic end-to-end (oracle-replicable):
+    *  - the "uniform" draws are a replayable LCG over the point id —
+    *    include x iff `lcg(id, round)/2²⁰ < ell·d²(x)/φ` (the paper's
+    *    expected-ell oversampling, derandomized);
+    *  - φ = Σd² accumulates in DECIMAL(38,12) (order-independent),
+    *    then one cast to double;
+    *  - the final reduction is weighted farthest-first: start at the
+    *    heaviest candidate, then greedily take
+    *    `argmax weight·min-d²-to-selected` (ties toward the lower id)
+    *    — the deterministic stand-in for the paper's "cluster the
+    *    candidates with any provable algorithm", replayable as k SQL
+    *    stages because k is small.
+    *
+    * Returns `(rank, cand_id, weight)` — rank 1..k in selection order;
+    * feed the ranked ids' vectors to a Lloyd loop as its seeds. */
+  def kmeansParallelInit(corpus: DataFrame, vecCol: String, keyCol: String,
+      k: Int, rounds: Int = 3, ell: Double = 8.0): DataFrame = {
+    require(k >= 1 && rounds >= 1 && ell > 0.0,
+      s"kmeansParallelInit: need k >= 1, rounds >= 1, ell > 0, got " +
+        s"k=$k rounds=$rounds ell=$ell")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(keyCol).as("id"), col(vecCol).as("v"))
+    // seed candidate: the lowest-id vector — the engine-wide
+    // deterministic stand-in for the uniform first draw
+    val seedRow = c.orderBy(col("id").asc).limit(1)
+      .as[(Long, Seq[Float])].head()
+    var cands: Seq[(Long, Seq[Float])] = Seq(seedRow)
+    for (r <- 1 to rounds) {
+      val cd = broadcast(cands.toDF("cid", "cvec"))
+      // min d² to the candidate set, per point — the exchange carries
+      // (id, d) only; vectors re-attach by one id join on the sampled
+      // WINNERS (≤ ~ell rows), never corpus-wide
+      val d2 = c.crossJoin(cd)
+        .select(col("id"), l2sq(col("v"), col("cvec")).as("d"))
+        .groupBy(col("id")).agg(min(col("d")).as("d"))
+      val phi = d2.agg(sum(col("d").cast("decimal(38,12)")))
+        .head().getDecimal(0).doubleValue()
+      // already-selected candidates sit at d = 0, so re-picks are
+      // structurally impossible and the plain append below stays
+      // duplicate-free
+      val lcgFrac = (((col("id") % 2147483648L) * 1103515245L
+        + lit(r * 12345L)) % 2147483648L % 1048576L).cast("double") /
+        lit(1048576.0)
+      val picked = d2
+        .filter(lcgFrac < lit(ell) * col("d") / lit(phi))
+        .join(c, Seq("id"))
+        .select(col("id"), col("v"))
+        .as[(Long, Seq[Float])].collect().toSeq.sortBy(_._1)
+      cands = cands ++ picked
+    }
+    require(cands.size >= k,
+      s"kmeansParallelInit: ${cands.size} candidates after $rounds " +
+        s"rounds at ell=$ell — fewer than k=$k; raise ell or rounds")
+    // weight each candidate by the corpus points it is nearest to
+    // ((d, cid) tie-break) — one more broadcast-assign pass
+    val cd = broadcast(cands.toDF("cid", "cvec"))
+    val weights = cellPicks(c, cd.select(col("cid").as("centroid_id"),
+        col("cvec")), nprobe = 1, l2sq(_, _))
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("weight"))
+      .as[(Long, Long)].collect().toMap
+    // weighted farthest-first reduction, driver-side over the tiny
+    // candidate set (sequential double min/mul — the SQL replay's trees)
+    def l2sqLocal(a: Seq[Float], b: Seq[Float]): Double = {
+      var aa = 0.0; var ab = 0.0; var bb = 0.0
+      var i = 0
+      while (i < a.length) {
+        aa += a(i).toDouble * a(i); ab += a(i).toDouble * b(i)
+        bb += b(i).toDouble * b(i); i += 1
+      }
+      aa - 2.0 * ab + bb
+    }
+    val weighted = cands.map { case (cid, v) =>
+      (cid, v, weights.getOrElse(cid, 0L))
+    }
+    val first = weighted.minBy { case (cid, _, w) => (-w, cid) }
+    val selected = scala.collection.mutable.ArrayBuffer(first)
+    while (selected.size < k) {
+      val next = weighted
+        .filterNot(c0 => selected.exists(_._1 == c0._1))
+        .map { case (cid, v, w) =>
+          val dMin = selected.map(s => l2sqLocal(v, s._2)).min
+          (cid, v, w, w.toDouble * dMin)
+        }
+        .minBy { case (cid, _, _, sc) => (-sc, cid) }
+      selected += ((next._1, next._2, next._3))
+    }
+    selected.toSeq.zipWithIndex
+      .map { case ((cid, _, w), i) => (i + 1, cid, w) }
+      .toDF("rank", "cand_id", "weight")
+  }
+
   // ---------------------------------------------------------------- PQ
 
   /** Product-quantizer codebooks (Jégou et al. 2011, the FAISS IVFADC
@@ -1423,6 +1528,92 @@ object Knn {
     encoded
       .withColumn("score_adc",
         graft.functions.pq_adc_score(col("codes"), lut))
+      .orderBy(col("score_adc").asc, col("id").asc)
+      .limit(k)
+      .select(col("id"), col("score_adc"))
+  }
+
+  // ---------------------------------------------------------------- RQ
+
+  /** Residual-quantizer codebooks (Chen, Guan & Wang 2010; FAISS
+    * `IndexResidualQuantizer`) — the sequential full-dimension sibling
+    * of [[pqTrain]]'s subspace split: stage 0's `ksub`-word codebook
+    * trains on the vectors with the deterministic L2 Lloyd
+    * ([[trainCentroidsL2]] — DECIMAL means, lowest-key seeds), then each
+    * later stage trains on the float-rounded residuals after the
+    * previous stages' assigned codewords subtract out. Where PQ spends
+    * its bits dimension-slice by dimension-slice, RQ's stages each see
+    * the FULL vector and specialize coarse-to-fine — the better
+    * quantizer when variance isn't axis-aligned. Returns
+    * `(stage, code, cvec)`; collect with [[collectRqCodebooks]].
+    * Whole chain oracle-replicable: the residual subtraction is
+    * double-subtract-then-float-round, DuckDB's
+    * `CAST(CAST(x AS DOUBLE) - CAST(c AS DOUBLE) AS REAL)`.
+    * At 100 TB: train on a sample like [[pqTrain]] — per stage the
+    * expensive pass is one broadcast assignment scan, and the returned
+    * codebooks are `stages·ksub·dim` floats of driver state. */
+  def rqTrain(corpus: DataFrame, vecCol: String, keyCol: String,
+      stages: Int, ksub: Int, iters: Int = 2): DataFrame = {
+    require(stages >= 1 && ksub >= 1 && ksub <= 256,
+      s"rqTrain: need stages >= 1 and 1 <= ksub <= 256, got " +
+        s"stages=$stages ksub=$ksub")
+    var resid = corpus.filter(col(vecCol).isNotNull)
+      .select(col(keyCol).as("id"), col(vecCol).as("v"))
+    (0 until stages).map { s =>
+      val cb = trainCentroidsL2(resid, "v", "id", ksub, iters)
+      if (s + 1 < stages) {
+        // subtract each row's assigned codeword; localCheckpoint bounds
+        // the next stage's lineage to this materialized residual frame
+        // (trainCore references it 2·iters+1 times)
+        resid = ivfAssignL2(resid, "v", "id", cb, "cvec", "centroid_id")
+          .join(broadcast(cb), Seq("centroid_id"))
+          .select(col("id"), zip_with(col("v"), col("cvec"),
+            (a, b) => (a.cast("double") - b.cast("double")).cast("float"))
+            .as("v"))
+          .localCheckpoint()
+      }
+      cb.select(lit(s).as("stage"), col("centroid_id").as("code"),
+        col("cvec"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** [[rqTrain]]'s frame → the nested array the expressions reference. */
+  def collectRqCodebooks(codebooks: DataFrame): Array[Array[Array[Float]]] =
+    codebooks.select(col("stage"), col("code"), col("cvec"))
+      .collect()
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map { case (_, rows) =>
+        rows.sortBy(_.getLong(1)).map(_.getSeq[Float](2).toArray).toArray
+      }.toArray
+
+  /** Encode a corpus to `stages`-byte RQ codes — one narrow codegen pass
+    * ([[graft.functions.RqEncode]]: the stagewise argmin+subtract loop
+    * runs per row inside whole-stage codegen, codebooks ride as a
+    * referenced object). Same at-rest economics as [[pqEncode]]. */
+  def rqEncode(corpus: DataFrame, vecCol: String, keyCol: String,
+      codebooks: Array[Array[Array[Float]]]): DataFrame =
+    corpus.filter(col(vecCol).isNotNull)
+      .select(col(keyCol).as("id"),
+        graft.functions.rq_encode(col(vecCol), codebooks).as("codes"))
+
+  /** Approximate top-k by asymmetric distance over RQ codes: with
+    * x̂ = Σ_s c_s the squared L2 expands to
+    * ⟨q,q⟩ − 2Σ_s⟨q,c_s⟩ + (Σ_s⟨c_s,c_s⟩ + 2Σ_{s<t}⟨c_s,c_t⟩) — per-query
+    * tables (incl. the stage-pair cross terms PQ never has) precompute
+    * driver-side once, each stored code scores via table loads + adds
+    * ([[graft.functions.RqAdcScore]], codegen, nothing decodes), and
+    * `TakeOrderedAndProject` keeps k. */
+  def rqTopK(encoded: DataFrame, codebooks: Array[Array[Array[Float]]],
+      queryVec: Array[Float], k: Int): DataFrame = {
+    val (qLut, nLut, xLut) = graft.functions.RqMath.tables(queryVec, codebooks)
+    var qq = 0.0
+    var i = 0
+    while (i < queryVec.length) {
+      qq += queryVec(i).toDouble * queryVec(i); i += 1
+    }
+    encoded
+      .withColumn("score_adc",
+        graft.functions.rq_adc_score(col("codes"), qq, qLut, nLut, xLut))
       .orderBy(col("score_adc").asc, col("id").asc)
       .limit(k)
       .select(col("id"), col("score_adc"))
