@@ -1956,6 +1956,30 @@ object SparkEntry {
         .orderBy(col("score_adc"), col("id"))
     }),
 
+    // ---- OPQ's structural contract, oracle-gated: the learned
+    //      rotation is orthonormal, so exact search in the ROTATED
+    //      space (corpus through MatVecRotate, query through
+    //      rotateLocal) must return the original space's exact top-10
+    //      — any deviation from orthonormality in the Procrustes/SVD
+    //      loop drifts the result set off the oracle. The learned
+    //      QUALITY half (rotated-PQ reconstruction beats plain PQ on
+    //      correlated data) is OpqSpec's measured gate ----
+    "q155_opq_rotation" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val (rot, _) = Knn.opqTrain(emb, "embedding", "vec_id",
+        m = 2, ksub = 4, iters = 2, sweeps = 2)
+      val qv = emb.filter(col("vec_id") === 299)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val rq = graft.functions.RotMath.rotateLocal(qv, rot)
+      emb.filter(col("embedding").isNotNull)
+        .select(col("vec_id").as("id"),
+          graft.functions.mat_vec_rotate(col("embedding"), rot).as("rv"))
+        .withColumn("score", Knn.l2sq(col("rv"), typedLit(rq)))
+        .orderBy(col("score").asc, col("id").asc).limit(10)
+        .select(col("id"))
+        .orderBy(col("id"))
+    }),
+
     // ---- k-means|| initialization (Bahmani et al. VLDB'12): 3
     //      oversampling rounds (derandomized — the uniform draw is a
     //      replayable LCG against ell·d²/φ with φ DECIMAL-exact), then
@@ -4876,6 +4900,16 @@ object SparkEntry {
          |SELECT w.doc_id, w.n_feats, w.logw, w.logw + g.g AS gk
          |FROM wts w JOIN gum g USING (doc_id)
          |ORDER BY gk DESC, doc_id LIMIT 25""".stripMargin,
+
+    // the oracle is exact top-10 in the ORIGINAL space: rotated-space
+    // search matches iff the learned rotation is orthonormal
+    "q155_opq_rotation" ->
+      s"""WITH c AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id < 300),
+         |q AS (SELECT v AS qv FROM c WHERE id = 299),
+         |top AS (SELECT id FROM c, q
+         |  ORDER BY ${sqlL2Sq("v", "qv")}, id LIMIT 10)
+         |SELECT id FROM top ORDER BY id""".stripMargin,
 
     // k-means|| replayed round-for-round: per round the min-d² field
     // against the growing candidate set, the DECIMAL-exact φ, the LCG

@@ -122,6 +122,14 @@ package object functions {
   def pq_adc_score(c: Column, lut: Array[Array[Double]]): Column =
     shims.column(PqAdcScore(shims.expression(c), lut))
 
+  /** Rotate a vector by a referenced orthonormal matrix (OPQ). */
+  def mat_vec_rotate(c: Column, rotation: Array[Array[Double]]): Column =
+    shims.column(MatVecRotate(shims.expression(c), rotation))
+
+  /** Reconstruct a PQ-coded vector from its codewords. */
+  def pq_decode(c: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    shims.column(PqDecode(shims.expression(c), codebooks))
+
   /** Residual-quantize a vector to `stages` full-dimension codes. */
   def rq_encode(c: Column, codebooks: Array[Array[Array[Float]]]): Column =
     shims.column(RqEncode(shims.expression(c), codebooks))

@@ -1533,6 +1533,75 @@ object Knn {
       .select(col("id"), col("score_adc"))
   }
 
+  // --------------------------------------------------------------- OPQ
+
+  /** Optimized product quantization (Ge, He, Ke & Sun, CVPR 2013 —
+    * the non-parametric OPQ-NP loop; FAISS `OPQMatrix`): learn an
+    * orthonormal rotation R so the product quantizer's subspace split
+    * lands on DECORRELATED dimensions, then quantize `R·x` with the
+    * ordinary [[pqTrain]] machinery. Plain PQ's bits are wasted
+    * wherever variance straddles a subspace boundary; the rotation
+    * moves the boundary instead of paying for it. Alternates:
+    *   1. codebooks ← [[pqTrain]] over the rotated corpus,
+    *   2. R ← argmin_{orthonormal} Σ‖R·x − x̂‖² (orthogonal Procrustes:
+    *      R = U·Vᵀ from the SVD of the cross-covariance M = Σ x̂·xᵀ),
+    * and finishes with one more codebook training under the final R.
+    *
+    * Scale shape: step 1 is the [[pqTrain]] cost (train on a sample);
+    * step 2's only corpus-scale work is M — d² per-(i,j) products
+    * accumulated in DECIMAL(38,12) (order-independent → deterministic
+    * under any partitioning), one narrow shuffle of d² partial
+    * aggregates; the d×d SVD is driver-side LAPACK (breeze), the same
+    * tiny-state discipline as every centroid sidecar here. The
+    * returned rotation rides query-side as [[graft.functions.MatVecRotate]]
+    * (one fused codegen pass over the scan; rotate the QUERY with
+    * [[graft.functions.RotMath.rotateLocal]] and both sides live in
+    * the rotated space — searching is otherwise unchanged PQ/ADC).
+    *
+    * Returns (rotation, codebooks-over-rotated-space). */
+  def opqTrain(corpus: DataFrame, vecCol: String, keyCol: String,
+      m: Int, ksub: Int, iters: Int = 2, sweeps: Int = 2)
+      : (Array[Array[Double]], Array[Array[Array[Float]]]) = {
+    require(sweeps >= 1, s"opqTrain: need sweeps >= 1, got $sweeps")
+    val c = corpus.filter(col(vecCol).isNotNull)
+      .select(col(keyCol).as("id"), col(vecCol).as("v"))
+    val dim = c.select(size(col("v"))).head().getInt(0)
+    var rot: Array[Array[Double]] =
+      Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var cb: Array[Array[Array[Float]]] = null
+    for (_ <- 1 to sweeps) {
+      val rotated = c.select(col("id"),
+        graft.functions.mat_vec_rotate(col("v"), rot).as("rv"))
+        .localCheckpoint()
+      cb = collectCodebooks(pqTrain(rotated, "rv", "id", m, ksub, iters))
+      // cross-covariance M = Σ x̂·xᵀ over (reconstruction, ORIGINAL
+      // vector) pairs — d² cells, DECIMAL-exact per cell
+      val pairs = c.join(rotated, Seq("id"))
+        .select(col("v"),
+          graft.functions.pq_decode(
+            graft.functions.pq_encode(col("rv"), cb), cb).as("xhat"))
+      val mCells = pairs
+        .select(posexplode(col("xhat")).as(Seq("i", "xh")), col("v"))
+        .select(col("i"), col("xh"), posexplode(col("v")).as(Seq("j", "xj")))
+        .groupBy(col("i"), col("j"))
+        .agg(sum((col("xh").cast("double") * col("xj").cast("double"))
+          .cast("decimal(38,12)")).as("mij"))
+        .collect()
+      val mMat = breeze.linalg.DenseMatrix.zeros[Double](dim, dim)
+      mCells.foreach { r =>
+        mMat(r.getInt(0), r.getInt(1)) = r.getDecimal(2).doubleValue()
+      }
+      val decomp = breeze.linalg.svd(mMat)
+      val rMat = decomp.U * decomp.Vt
+      rot = Array.tabulate(dim, dim)((i, j) => rMat(i, j))
+    }
+    // codebooks must describe the FINAL rotation's space
+    val rotated = c.select(col("id"),
+      graft.functions.mat_vec_rotate(col("v"), rot).as("rv"))
+    cb = collectCodebooks(pqTrain(rotated, "rv", "id", m, ksub, iters))
+    (rot, cb)
+  }
+
   // ---------------------------------------------------------------- RQ
 
   /** Residual-quantizer codebooks (Chen, Guan & Wang 2010; FAISS
