@@ -3499,12 +3499,32 @@ object Knn {
   def ivfPqBuildIndex(corpus: DataFrame, vecCol: String, keyCol: String,
       indexDir: String, cells: Int, m: Int, ksub: Int, iters: Int,
       trainFilter: Column, pqTrainFilter: Column = lit(true),
-      refine: Boolean = false, attrCols: Seq[String] = Nil): Unit = {
+      refine: Boolean = false, attrCols: Seq[String] = Nil,
+      opqSweeps: Int = 0): Unit = {
     require(!attrCols.exists(Set("id", "v", "rv", "codes", "emb16",
       "centroid_id")), "ivfPqBuildIndex: attrCols clash with layout columns")
-    val cents = trainCentroidsL2(corpus.filter(trainFilter), vecCol, keyCol,
+    // opqSweeps > 0: learn the OPQ rotation on the pq-train slice
+    // ([[opqTrain]] — FAISS's OPQMatrix pre-transform ahead of IVFPQ)
+    // and build the ENTIRE index in rotated space: coarse cells,
+    // residual codes and the fp16 refine payload all live there, and
+    // queries rotate once driver-side at search entry
+    // ([[IvfPqIndex.load]] reads the sidecar). Orthonormal R preserves
+    // L2, so every score contract is unchanged — the codes just waste
+    // fewer bits on cross-subspace correlation. Default 0 = bit-exact
+    // legacy layout, no sidecar.
+    val opqRot: Option[Array[Array[Double]]] =
+      if (opqSweeps > 0)
+        Some(opqTrain(corpus.filter(pqTrainFilter), vecCol, keyCol,
+          m, ksub, iters, opqSweeps)._1)
+      else None
+    val corpusR = opqRot match {
+      case Some(rot) => corpus.withColumn(vecCol,
+        graft.functions.mat_vec_rotate(col(vecCol), rot))
+      case None => corpus
+    }
+    val cents = trainCentroidsL2(corpusR.filter(trainFilter), vecCol, keyCol,
       cells, iters)
-    val assigned = ivfAssignL2(corpus, vecCol, keyCol, cents, "cvec",
+    val assigned = ivfAssignL2(corpusR, vecCol, keyCol, cents, "cvec",
       "centroid_id", attrCols)
     val residuals = assigned
       .join(broadcast(cents), Seq("centroid_id"))
@@ -3552,6 +3572,13 @@ object Knn {
       .mode("overwrite").parquet(s"$indexDir/cells")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     cbFrame.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
+    opqRot.foreach { rot =>
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      rot.toSeq.zipWithIndex.map { case (row, i) => (i, row.toSeq) }
+        .toDF("i", "rvec")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/rotation")
+    }
   }
 
   /** Probe an [[ivfPqBuildIndex]] layout: the query picks its nprobe
@@ -3562,12 +3589,27 @@ object Knn {
     * reads as its own partition-pruned scan scored by its own codegen'd
     * [[graft.functions.PqAdcScore]]; the union's top-k merges nprobe
     * pruned scans. Scores approximate squared L2 of (q − v). */
+  /** The OPQ rotation sidecar of an [[ivfPqBuildIndex]] layout, if the
+    * index was built with `opqSweeps > 0` (absent → identity). */
+  private[similarity] def loadRotation(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[Array[Array[Double]]] =
+    if (!new java.io.File(s"$indexDir/rotation/_SUCCESS").isFile) None
+    else Some(spark.read.parquet(s"$indexDir/rotation").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).map(_._2))
+
   def ivfPqSearch(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queryVec: Array[Float], k: Int, nprobe: Int): DataFrame = {
     val cents = spark.read.parquet(s"$indexDir/centroids")
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     require(cents.nonEmpty, s"no centroids at $indexDir")
     val cb = collectCodebooks(spark.read.parquet(s"$indexDir/codebooks"))
+    // OPQ layout: the index lives in rotated space — rotate the query
+    // into it once, then every downstream step is unchanged
+    val queryVecR = loadRotation(spark, indexDir)
+      .map(graft.functions.RotMath.rotateLocal(queryVec, _))
+      .getOrElse(queryVec)
     def l2sqLocal(a: Array[Float], b: Array[Float]): Double = {
       var aa = 0.0; var ab = 0.0; var bb = 0.0
       var i = 0
@@ -3578,14 +3620,14 @@ object Knn {
       aa - 2.0 * ab + bb
     }
     val probed = cents
-      .map { case (cid, cv) => (cid, l2sqLocal(queryVec, cv)) }
+      .map { case (cid, cv) => (cid, l2sqLocal(queryVecR, cv)) }
       .sortBy { case (cid, d) => (d, cid) }
       .take(nprobe)
     val cells = spark.read.parquet(s"$indexDir/cells")
     val inListType = cells.schema("centroid_id").dataType
     val legs = probed.map { case (cid, _) =>
       val cv = cents.find(_._1 == cid).get._2
-      val qr = queryVec.zip(cv).map { case (a, b) => a - b }
+      val qr = queryVecR.zip(cv).map { case (a, b) => a - b }
       val lut = graft.functions.PqMath.lut(qr, cb)
       val cidLit: Any = inListType match {
         case org.apache.spark.sql.types.IntegerType => cid.toInt
@@ -3615,7 +3657,18 @@ object Knn {
   final class IvfPqIndex private (
       cents: Array[(Long, Array[Float])],
       cb: Array[Array[Array[Float]]],
-      cells: DataFrame, inListType: org.apache.spark.sql.types.DataType) {
+      cells: DataFrame, inListType: org.apache.spark.sql.types.DataType,
+      rot: Option[Array[Array[Double]]]) {
+
+    /** Was the index built with an OPQ rotation (`opqSweeps > 0`)? */
+    val hasRotation: Boolean = rot.nonEmpty
+
+    /** Rotate a caller-space query into the index's space — applied
+      * exactly once at every PUBLIC search entry (the internals all
+      * take the already-rotated vector). */
+    private def rq(queryVec: Array[Float]): Array[Float] =
+      rot.map(graft.functions.RotMath.rotateLocal(queryVec, _))
+        .getOrElse(queryVec)
 
     /** Was the index built with `refine = true` ([[ivfPqBuildIndex]])?
       * Only then can [[search]]'s `refine > 1` re-rank run. */
@@ -3652,9 +3705,10 @@ object Knn {
       // the shortlist already satisfies it — stage 2 re-scores ids
       // id type follows the corpus key (long for numeric corpora, string
       // for the highlight store) — the IN-list carries whatever it is
+      val qR = rq(queryVec)
       val (probedCells, shortlist) = {
-        val stage1 = search(queryVec, k * refine, nprobe, filter)
-        (probe(queryVec, nprobe).map(_._1),
+        val stage1 = searchRotated(qR, k * refine, nprobe, filter)
+        (probe(qR, nprobe).map(_._1),
           stage1.select(col("id")).collect().map(_.get(0)).toSeq)
       }
       val inList: Seq[Any] = inListType match {
@@ -3669,9 +3723,9 @@ object Knn {
       // index without changing its score contract
       val rescore =
         if (cosineScore) graft.functions.fp16_cosine_distance(
-          col("emb16"), typedLit(queryVec))
+          col("emb16"), typedLit(qR))
         else l2sq(graft.functions.fp16_decode(col("emb16")),
-          typedLit(queryVec))
+          typedLit(qR))
       // chunkedIn, not isin: refine·k literals in one In would build a
       // left-deep parquet or-chain whose recursive evaluation overflows
       // default task stacks past ~1024 ids (refine=128·k=10, and the
@@ -3734,6 +3788,12 @@ object Knn {
       .take(nprobe)
 
     def search(queryVec: Array[Float], k: Int, nprobe: Int,
+        filter: Option[Column]): DataFrame =
+      searchRotated(rq(queryVec), k, nprobe, filter)
+
+    /** Stage-1 ADC over an ALREADY-ROTATED query (every public entry
+      * rotates exactly once, so internals must not re-apply). */
+    private def searchRotated(queryVec: Array[Float], k: Int, nprobe: Int,
         filter: Option[Column]): DataFrame = {
       val probed = probe(queryVec, nprobe)
       // ONE scan with a partition IN-filter + the per-cell LUT map —
@@ -3775,7 +3835,8 @@ object Knn {
         s"IVFADC index at $indexDir has an empty centroids sidecar")
       val cb = collectCodebooks(spark.read.parquet(s"$indexDir/codebooks"))
       val cells = spark.read.parquet(s"$indexDir/cells")
-      new IvfPqIndex(cents, cb, cells, cells.schema("centroid_id").dataType)
+      new IvfPqIndex(cents, cb, cells, cells.schema("centroid_id").dataType,
+        loadRotation(spark, indexDir))
     }
 
     /** [[load]] behind a generation check — the IVFADC layout has no

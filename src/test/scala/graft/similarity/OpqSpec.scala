@@ -63,6 +63,40 @@ class OpqSpec extends SparkTestBase {
     assert(cb.map(_.map(_.toSeq).toSeq).toSeq == cb2.map(_.map(_.toSeq).toSeq).toSeq)
   }
 
+  test("opqSweeps IVFADC index == plain index over the pre-rotated corpus, row-exact") {
+    // the serving integration's whole contract: opqSweeps>0 is EXACTLY a
+    // pre-transform — an index built with the learned R must answer
+    // (ids, cells, scores) identically to a rotation-free index built
+    // over the corpus rotated by that same R and queried with the
+    // rotated query, through BOTH stages (ADC + fp16 refine)
+    val dirA = java.nio.file.Files
+      .createTempDirectory("opq-ivfpq-a").toString + "/idx"
+    Knn.ivfPqBuildIndex(correlated, "v", "id", dirA, cells = 4, m = 2,
+      ksub = 8, iters = 2, trainFilter = lit(true), refine = true,
+      opqSweeps = 2)
+    val rot = Knn.loadRotation(spark, dirA).get
+    val dirB = java.nio.file.Files
+      .createTempDirectory("opq-ivfpq-b").toString + "/idx"
+    Knn.ivfPqBuildIndex(
+      correlated.withColumn("v",
+        graft.functions.mat_vec_rotate($"v", rot)),
+      "v", "id", dirB, cells = 4, m = 2, ksub = 8, iters = 2,
+      trainFilter = lit(true), refine = true, opqSweeps = 0)
+    val idxA = Knn.IvfPqIndex.load(spark, dirA)
+    val idxB = Knn.IvfPqIndex.load(spark, dirB)
+    assert(idxA.hasRotation && !idxB.hasRotation)
+    val qv = emb.filter($"vec_id" === 7).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val q64 = Seq.tabulate(64)(i =>
+      if (i < 32) qv(i) else 0.9f * qv(i - 32) + 0.1f * qv(i)).toArray
+    val qRot = graft.functions.RotMath.rotateLocal(q64, rot)
+    for (refine <- Seq(1, 2)) {
+      val a = idxA.search(q64, 10, 2, refine).collect().map(_.toSeq).toSeq
+      val b = idxB.search(qRot, 10, 2, refine).collect().map(_.toSeq).toSeq
+      assert(a == b, s"refine=$refine: rotated-index path diverged")
+    }
+  }
+
   test("on cross-boundary-correlated data the rotation cuts reconstruction error") {
     val dim = 64
     val identity = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
