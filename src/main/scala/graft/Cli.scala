@@ -262,6 +262,11 @@ object Cli {
     //   graft.Cli index --store S --out D [--type ivf|graph|hnsw|lexical]
     //     ivf:     [--cells 64] [--iters 2] [--train-every 5] [--fp16 true]
     //              [--attrs col1,col2,…]
+    //     ivfpq:   [--cells 64] [--iters 2] [--train-every 5] [--pq-m 8]
+    //              [--pq-ksub 256] [--opq-sweeps 0] [--attrs col1,col2,…]
+    //              (IVFADC with the fp16 refine payload `serve
+    //               --pq-index` requires; --opq-sweeps > 0 learns the
+    //               OPQ rotation and builds in rotated space)
     //     graph:   [--graph-k 5] [--cells 64] [--nprobe 2] [--buckets 64]
     //              [--fp16 true]   (flat beam-walk serving: --graph-index)
     //              [--codes true [--codec pq|int8] [--pq-m 64]
@@ -276,10 +281,10 @@ object Cli {
       (f.get("store"), f.get("out")) match {
         case (Some(storeDir), Some(out)) =>
           val typ = f.getOrElse("type", "ivf")
-          if (!Seq("ivf", "graph", "graph-codes", "hnsw", "lexical")
+          if (!Seq("ivf", "ivfpq", "graph", "graph-codes", "hnsw", "lexical")
               .contains(typ)) {
-            System.err.println(s"--type must be ivf, graph, graph-codes, " +
-              s"hnsw or lexical, got '$typ'")
+            System.err.println(s"--type must be ivf, ivfpq, graph, " +
+              s"graph-codes, hnsw or lexical, got '$typ'")
             return 2
           }
           val badInts = Seq("cells", "iters", "train-every", "graph-k",
@@ -335,6 +340,50 @@ object Cli {
                     fp16 = fp16, attrCols = attrs)
                   println(Json.write(Map("indexed" -> out, "type" -> "ivf",
                     "cells" -> cells, "attrs" -> attrs.mkString(","))))
+                  0
+                case "ivfpq" =>
+                  val every = intOf("train-every", 5)
+                  val attrs = f.get("attrs").toSeq.flatMap(_.split(","))
+                    .map(_.trim).filter(_.nonEmpty)
+                  val missing = attrs.filterNot(df.columns.contains)
+                  if (missing.nonEmpty) {
+                    System.err.println("--attrs name(s) not in the store: " +
+                      missing.mkString(", "))
+                    return 2
+                  }
+                  val pm = intOf("pq-m", 8)
+                  val dims = df.filter(col("embedding").isNotNull)
+                    .select(org.apache.spark.sql.functions
+                      .size(col("embedding"))).head().getInt(0)
+                  if (dims % pm != 0) {
+                    System.err.println(s"--pq-m $pm must divide the " +
+                      s"embedding dimension $dims")
+                    return 2
+                  }
+                  val sweeps = f.get("opq-sweeps").flatMap(_.toIntOption)
+                    .getOrElse(0)
+                  if (sweeps < 0 ||
+                      f.get("opq-sweeps").exists(_.toIntOption.isEmpty)) {
+                    System.err.println("--opq-sweeps must be a " +
+                      "non-negative integer, got '" +
+                      f("opq-sweeps") + "'")
+                    return 2
+                  }
+                  // refine is always on: `serve --pq-index` re-ranks
+                  // against the fp16 payload and refuses a payload-less
+                  // layout — a CLI build that serving rejects would be
+                  // a trap
+                  graft.similarity.Knn.ivfPqBuildIndex(df, "embedding",
+                    "id", out, cells = cells, m = pm,
+                    ksub = intOf("pq-ksub", 256),
+                    iters = intOf("iters", 2),
+                    trainFilter = crc32(col("id")) % every === 0,
+                    pqTrainFilter = crc32(col("id")) % every === 0,
+                    refine = true, attrCols = attrs, opqSweeps = sweeps)
+                  println(Json.write(Map("indexed" -> out,
+                    "type" -> "ivfpq", "cells" -> cells, "m" -> pm,
+                    "opq_sweeps" -> sweeps,
+                    "attrs" -> attrs.mkString(","))))
                   0
                 case "graph" =>
                   if (!numericIdsOk()) return 2

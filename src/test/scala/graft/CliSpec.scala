@@ -92,6 +92,44 @@ class CliSpec extends SparkTestBase {
     assert(hits.nonEmpty)
   }
 
+  test("index --type ivfpq builds the serving IVFADC layout; --opq-sweeps rotates it") {
+    val dir = Files.createTempDirectory("graft-cli-ivfpq").toString
+    val pages = s"$dir/pages"
+    Files.createDirectories(java.nio.file.Paths.get(pages))
+    Files.writeString(java.nio.file.Paths.get(pages, "page0.json"),
+      pageJson("h1", "spark joins and shuffles"))
+    Files.writeString(java.nio.file.Paths.get(pages, "page1.json"),
+      pageJson("h2", "completely different topic words"))
+    Files.writeString(java.nio.file.Paths.get(pages, "page2.json"),
+      pageJson("h3", "a third unrelated highlight"))
+    Files.writeString(java.nio.file.Paths.get(pages, "page3.json"),
+      pageJson("h4", "and a fourth one entirely"))
+    assert(capture(Cli.run(Array("sync", "--backfill",
+      "--pages-dir", pages, "--store", s"$dir/store",
+      "--ckpt", s"$dir/ckpt"), spark))._1 == 0)
+    // --pq-m must divide the embedding dimension
+    assert(capture(Cli.run(Array("index", "--store", s"$dir/store",
+      "--out", s"$dir/bad", "--type", "ivfpq", "--pq-m", "7"),
+      spark))._1 == 2)
+    assert(capture(Cli.run(Array("index", "--store", s"$dir/store",
+      "--out", s"$dir/bad", "--type", "ivfpq", "--opq-sweeps", "-1"),
+      spark))._1 == 2)
+    val (c, out) = capture(Cli.run(Array("index",
+      "--store", s"$dir/store", "--out", s"$dir/ivfpq", "--type", "ivfpq",
+      "--cells", "2", "--train-every", "1", "--pq-m", "8",
+      "--pq-ksub", "4", "--opq-sweeps", "1"), spark))
+    assert(c == 0, out)
+    assert(out.contains("\"opq_sweeps\":1"))
+    assert(graft.similarity.Knn.ivfPqIndexReady(s"$dir/ivfpq"))
+    val idx = graft.similarity.Knn.IvfPqIndex.load(spark, s"$dir/ivfpq")
+    assert(idx.hasRefine && idx.hasRotation)
+    // the rotated layout serves: callers pass ORIGINAL-space queries and
+    // the exact refine stage puts the matching highlight first
+    val qv = graft.embed.Embedder.Default.embed("spark joins and shuffles")
+    val hits = idx.search(qv, 2, idx.numCells, refine = 2).collect()
+    assert(hits.nonEmpty && hits.head.get(0) == "h1", hits.mkString("|"))
+  }
+
   test("index --type graph/hnsw/lexical: build → serve → delete → refresh round-trip") {
     val dir = Files.createTempDirectory("graft-cli-graph").toString
     val pages1 = s"$dir/pages1"; val pages2 = s"$dir/pages2"
