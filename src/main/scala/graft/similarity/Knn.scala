@@ -3572,13 +3572,7 @@ object Knn {
       .mode("overwrite").parquet(s"$indexDir/cells")
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     cbFrame.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
-    opqRot.foreach { rot =>
-      val spark = corpus.sparkSession
-      import spark.implicits._
-      rot.toSeq.zipWithIndex.map { case (row, i) => (i, row.toSeq) }
-        .toDF("i", "rvec")
-        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/rotation")
-    }
+    opqRot.foreach(saveRotation(corpus.sparkSession, indexDir, _))
   }
 
   /** Probe an [[ivfPqBuildIndex]] layout: the query picks its nprobe
@@ -3591,13 +3585,24 @@ object Knn {
     * pruned scans. Scores approximate squared L2 of (q − v). */
   /** The OPQ rotation sidecar of an [[ivfPqBuildIndex]] layout, if the
     * index was built with `opqSweeps > 0` (absent → identity). */
-  private[similarity] def loadRotation(
+  def loadRotation(
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String): Option[Array[Array[Double]]] =
     if (!new java.io.File(s"$indexDir/rotation/_SUCCESS").isFile) None
     else Some(spark.read.parquet(s"$indexDir/rotation").collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1).map(_._2))
+
+  /** Persist an OPQ rotation as `indexDir/rotation` ([[loadRotation]]'s
+    * layout) — shared by [[ivfPqBuildIndex]] and trained-artifact
+    * caches. */
+  def saveRotation(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, rot: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    rot.toSeq.zipWithIndex.map { case (row, i) => (i, row.toSeq) }
+      .toDF("i", "rvec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/rotation")
+  }
 
   def ivfPqSearch(spark: org.apache.spark.sql.SparkSession, indexDir: String,
       queryVec: Array[Float], k: Int, nprobe: Int): DataFrame = {
