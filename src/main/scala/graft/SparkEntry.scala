@@ -1956,6 +1956,33 @@ object SparkEntry {
         .orderBy(col("score_adc"), col("id"))
     }),
 
+    // ---- anisotropic (score-aware) assignment + the ScaNN MIPS
+    //      serving shape, oracle-gated: a replicable L2-Lloyd codebook,
+    //      every vector assigned by the ANISOTROPIC loss
+    //      (η−1)·⟨v−c,v⟩²/‖v‖² + ‖v−c‖² at η=4, stage 1 ranking by the
+    //      codeword's inner product with the query (the scan never
+    //      reads a vector), exact ⟨q,x⟩ re-rank of the 50-candidate
+    //      shortlist. The learned UPDATE (the d×d solve) is
+    //      AnisotropicSpec's measured gate — the OPQ split of oracle
+    //      duties ----
+    "q156_anisotropic_mips" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val cents = Knn.trainCentroidsL2(
+        emb.select(col("vec_id").as("id"), col("embedding").as("v")),
+        "v", "id", k = 4, iters = 2)
+      val assigned = graft.similarity.Anisotropic.assign(
+        emb, "embedding", "vec_id", cents, eta = 4.0)
+      val centsSeq = cents.collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+      val qv = emb.filter(col("vec_id") === 42)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      graft.similarity.Anisotropic
+        .mipsTopK(assigned, centsSeq, qv, k = 10, shortlist = 50)
+        .join(assigned.select(col("id"), col("centroid_id")), Seq("id"))
+        .select(col("id"), col("centroid_id"), col("ip"))
+        .orderBy(col("ip").desc, col("id"))
+    }),
+
     // ---- OPQ's structural contract, oracle-gated: the learned
     //      rotation is orthonormal, so exact search in the ROTATED
     //      space (corpus through MatVecRotate, query through
@@ -2694,25 +2721,31 @@ object SparkEntry {
     * double tree [[graft.functions.RqMath.adc]] accumulates.
     * Replicates [[graft.similarity.Knn.rqTrain]]/`rqEncode`/`rqTopK`
     * with stages=2, ksub=4, iters=2 bit-for-bit. */
+  /** A 2-iteration L2-Lloyd chain over `src` (id, v) as WITH-list
+    * clauses, k lowest-id seeds — the [[graft.similarity.Knn
+    * .trainCentroidsL2]] replay shared by q153's stages and q156's
+    * coarse codebook. Final codebook relation: `<tag>_c2`. */
+  private def sqlL2Chain(tag: String, src: String, k: Int = 4): String =
+    s"""${tag}_seed AS (
+       |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT)
+       |      AS centroid_id,
+       |    v AS cvec
+       |  FROM $src QUALIFY row_number() OVER (ORDER BY id) <= $k),
+       |${tag}_a1 AS (${sqlIvfAssignL2(src, s"${tag}_seed")}),
+       |${tag}_x1 AS (SELECT centroid_id, unnest(range(len(v))) AS pos,
+       |  unnest(v) AS x FROM ${tag}_a1),
+       |${tag}_m1 AS (${sqlIvfMean(s"${tag}_x1")}),
+       |${tag}_c1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec
+       |  FROM ${tag}_m1 GROUP BY 1),
+       |${tag}_a2 AS (${sqlIvfAssignL2(src, s"${tag}_c1")}),
+       |${tag}_x2 AS (SELECT centroid_id, unnest(range(len(v))) AS pos,
+       |  unnest(v) AS x FROM ${tag}_a2),
+       |${tag}_m2 AS (${sqlIvfMean(s"${tag}_x2")}),
+       |${tag}_c2 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec
+       |  FROM ${tag}_m2 GROUP BY 1)""".stripMargin
+
   private lazy val sqlRqAdcPreamble: String = {
-    def chain(tag: String, src: String): String =
-      s"""${tag}_seed AS (
-         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT)
-         |      AS centroid_id,
-         |    v AS cvec
-         |  FROM $src QUALIFY row_number() OVER (ORDER BY id) <= 4),
-         |${tag}_a1 AS (${sqlIvfAssignL2(src, s"${tag}_seed")}),
-         |${tag}_x1 AS (SELECT centroid_id, unnest(range(len(v))) AS pos,
-         |  unnest(v) AS x FROM ${tag}_a1),
-         |${tag}_m1 AS (${sqlIvfMean(s"${tag}_x1")}),
-         |${tag}_c1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec
-         |  FROM ${tag}_m1 GROUP BY 1),
-         |${tag}_a2 AS (${sqlIvfAssignL2(src, s"${tag}_c1")}),
-         |${tag}_x2 AS (SELECT centroid_id, unnest(range(len(v))) AS pos,
-         |  unnest(v) AS x FROM ${tag}_a2),
-         |${tag}_m2 AS (${sqlIvfMean(s"${tag}_x2")}),
-         |${tag}_c2 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec
-         |  FROM ${tag}_m2 GROUP BY 1)""".stripMargin
+    def chain(tag: String, src: String): String = sqlL2Chain(tag, src)
     def dotd(a: String, b: String): String =
       s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
     s"""corpus AS (SELECT vec_id AS id, embedding AS v FROM embeddings
@@ -4911,6 +4944,34 @@ object SparkEntry {
          |SELECT w.doc_id, w.n_feats, w.logw, w.logw + g.g AS gk
          |FROM wts w JOIN gum g USING (doc_id)
          |ORDER BY gk DESC, doc_id LIMIT 25""".stripMargin,
+
+    // the anisotropic-loss argmin, the codeword-IP stage-1 cut and the
+    // exact-IP re-rank replayed term for term over the Lloyd chain
+    "q156_anisotropic_mips" -> {
+      def dotd(a: String, b: String): String =
+        s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+      s"""WITH corpus AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id < 300),
+         |${sqlL2Chain("an0", "corpus")},
+         |asg AS (SELECT c.id, c.v, s.centroid_id,
+         |  row_number() OVER (PARTITION BY c.id ORDER BY
+         |    3.0 * (${dotd("c.v", "c.v")} - ${dotd("c.v", "s.cvec")})
+         |        * (${dotd("c.v", "c.v")} - ${dotd("c.v", "s.cvec")})
+         |        / ${dotd("c.v", "c.v")}
+         |      + ${sqlL2Sq("c.v", "s.cvec")},
+         |    s.centroid_id) AS crank
+         |  FROM corpus c, an0_c2 s QUALIFY crank = 1),
+         |qq AS (SELECT v AS qv FROM corpus WHERE id = 42),
+         |qcs AS (SELECT centroid_id, ${dotd("cvec", "qv")} AS qc
+         |  FROM an0_c2, qq),
+         |short AS (SELECT a.id, a.v, a.centroid_id
+         |  FROM asg a JOIN qcs USING (centroid_id)
+         |  ORDER BY qc DESC, a.id LIMIT 50),
+         |top AS (SELECT s.id, s.centroid_id, ${dotd("s.v", "qv")} AS ip
+         |  FROM short s, qq ORDER BY ip DESC, s.id LIMIT 10)
+         |SELECT id, centroid_id, ip FROM top ORDER BY ip DESC, id""".stripMargin
+    },
 
     // the oracle is exact top-10 in the ORIGINAL space: rotated-space
     // search matches iff the learned rotation is orthonormal
