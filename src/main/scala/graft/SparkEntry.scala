@@ -2031,6 +2031,41 @@ object SparkEntry {
         .orderBy(col("rank"))
     }),
 
+    // ---- SOAR spilled assignment (ScaNN's NeurIPS'23 index form):
+    //      primary = L2-nearest cell; secondary = argmin over the OTHER
+    //      cells of ‖x−c‖² + λ·⟨r, x−c⟩²/‖r‖² with r the primary
+    //      residual — the backup copy lands where the primary's failure
+    //      direction is covered. The oracle replays both argmins (dot
+    //      expansions, zero-residual guard, centroid-id tie-breaks)
+    //      over the q47 geometry: 256 vectors, cells 0–7 ----
+    "q157_soar_assign" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 256)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cvec"))
+      graft.similarity.Soar.assign(e, "embedding", "vec_id", cents,
+          lambda = 1.0)
+        .select(col("id"), col("crank"), col("centroid_id"))
+        .orderBy(col("id"), col("crank"))
+    }),
+
+    // ---- the nprobe dial measured, not guessed: recall@10 of
+    //      single-assignment IVF vs the exact scan at every probe width
+    //      1..8, averaged over a 4-query sample — the calibration table
+    //      calibrateNprobe picks a serving dial from. The oracle
+    //      replays assignment, per-query probe order, both top-k
+    //      rankings and the integer hit arithmetic ----
+    "q158_nprobe_calib" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 256)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("centroid_id"),
+          col("embedding").as("cvec"))
+      val qs = e.filter(col("vec_id") < 4)
+      Knn.nprobeRecallCurve(e, "embedding", "vec_id",
+        cents, "cvec", "centroid_id", qs, "embedding", "vec_id",
+        k = 10, maxNprobe = 8)
+    }),
+
     // ---- positional phrase search: "customer join merge" must occur as
     //      CONSECUTIVE words — posexplode filtered to the 3 terms at the
     //      generator, two (id, position) equi-joins, per-doc exact
@@ -5036,6 +5071,90 @@ object SparkEntry {
          |SELECT CAST(rank AS INT) AS rank, cid AS cand_id, weight
          |FROM kranked ORDER BY rank""".stripMargin
     },
+
+    // SOAR spilled assignment replayed argmin-for-argmin: the primary
+    // pick is the L2 window over cells 0–7; the secondary re-scores the
+    // OTHER cells under l2 + λ·⟨r, x−c⟩²/‖r‖² with the residual dot
+    // expanded bilinearly (the same left-assoc float tree the engine
+    // builds) and the ‖r‖² = 0 case guarded to plain l2
+    "q157_soar_assign" -> {
+      def dotd(a: String, b: String): String =
+        s"list_dot_product(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[]))"
+      s"""WITH corpus AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id < 256),
+         |cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id < 8),
+         |prim AS (SELECT c.id, c.v, s.centroid_id AS c1,
+         |    s.cvec AS c1vec,
+         |    row_number() OVER (PARTITION BY c.id
+         |      ORDER BY ${sqlL2Sq("c.v", "s.cvec")}, s.centroid_id)
+         |      AS crk
+         |  FROM corpus c, cents s QUALIFY crk = 1),
+         |sec0 AS (SELECT p.id, s.centroid_id,
+         |    ${sqlL2Sq("p.v", "s.cvec")} AS l2,
+         |    (${dotd("p.v", "p.v")} - ${dotd("p.v", "s.cvec")}
+         |      - ${dotd("p.c1vec", "p.v")}
+         |      + ${dotd("p.c1vec", "s.cvec")}) AS rdot,
+         |    ${sqlL2Sq("p.v", "p.c1vec")} AS rnorm
+         |  FROM prim p, cents s WHERE s.centroid_id <> p.c1),
+         |sec AS (SELECT id, centroid_id,
+         |    row_number() OVER (PARTITION BY id ORDER BY
+         |      CASE WHEN rnorm = 0 THEN l2
+         |           ELSE l2 + 1.0 * rdot * rdot / rnorm END,
+         |      centroid_id) AS srk
+         |  FROM sec0 QUALIFY srk = 1)
+         |SELECT id, 1 AS crank, c1 AS centroid_id FROM prim
+         |UNION ALL
+         |SELECT id, 2 AS crank, centroid_id FROM sec
+         |ORDER BY id, crank""".stripMargin
+    },
+
+    // the recall curve replayed width-for-width: cosine assignment, the
+    // per-query cell probe order, exact and per-width top-10s (both
+    // (score, id)-ranked), then integer hits over |queries|·k
+    "q158_nprobe_calib" ->
+      s"""WITH corpus AS (SELECT vec_id AS id, embedding AS v
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id < 256),
+         |cents AS (SELECT vec_id AS centroid_id, embedding AS cvec
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id < 8),
+         |qs AS (SELECT vec_id AS query_id, embedding AS qv
+         |  FROM embeddings
+         |  WHERE embedding IS NOT NULL AND vec_id < 4),
+         |asg AS (SELECT c.id, c.v, s.centroid_id,
+         |    row_number() OVER (PARTITION BY c.id
+         |      ORDER BY ${sqlCosine("c.v", "s.cvec")}, s.centroid_id)
+         |      AS crk
+         |  FROM corpus c, cents s QUALIFY crk = 1),
+         |cr AS (SELECT q.query_id, s.centroid_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${sqlCosine("s.cvec", "q.qv")}, s.centroid_id)
+         |      AS crank
+         |  FROM cents s, qs q QUALIFY crank <= 8),
+         |sc AS (SELECT q.query_id, a.id, a.centroid_id,
+         |    ${sqlCosine("a.v", "q.qv")} AS score
+         |  FROM asg a, qs q),
+         |exact AS (SELECT query_id, id,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score, id) AS rk
+         |  FROM sc QUALIFY rk <= 10),
+         |np AS (SELECT CAST(unnest(range(1, 9)) AS INT) AS nprobe),
+         |ivf AS (SELECT s.query_id, n.nprobe, s.id,
+         |    row_number() OVER (PARTITION BY s.query_id, n.nprobe
+         |      ORDER BY s.score, s.id) AS rk
+         |  FROM sc s
+         |  JOIN cr ON cr.query_id = s.query_id
+         |    AND cr.centroid_id = s.centroid_id
+         |  JOIN np n ON cr.crank <= n.nprobe
+         |  QUALIFY rk <= 10),
+         |hits AS (SELECT i.nprobe, count(*) AS h FROM ivf i
+         |  JOIN exact e ON e.query_id = i.query_id AND e.id = i.id
+         |  GROUP BY 1)
+         |SELECT n.nprobe, CAST(COALESCE(h, 0) AS DOUBLE) / 40.0 AS recall
+         |FROM np n LEFT JOIN hits USING (nprobe) ORDER BY nprobe""".stripMargin,
 
     // the residual-quantizer pipeline replayed end-to-end: stage 0's
     // Lloyd chain on the vectors, the float-rounded residual, stage 1's

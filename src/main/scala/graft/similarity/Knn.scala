@@ -893,6 +893,100 @@ object Knn {
       .select(col("id"), col("centroid_id"), col("score"))
   }
 
+  /** The nprobe dial MEASURED instead of guessed: recall@k of
+    * single-assignment IVF search vs the exact scan, for every probe
+    * width 1..`maxNprobe`, averaged over a query sample — one
+    * DataFrame `(nprobe, recall)`. This is the calibration pass a
+    * serving deployment runs once per (corpus, centroid) generation so
+    * [[calibrateNprobe]] can pick the cheapest dial meeting a recall
+    * target, rather than shipping a folklore constant.
+    *
+    * Scale shape: centroids and the query sample broadcast; the corpus
+    * is scanned ONCE — the (query × corpus) scoring narrows to
+    * (query_id, id, cell, score) map-side before any exchange, every
+    * per-(query, width) ranking is the bounded-heap
+    * [[graft.functions.TopKPairs]] aggregate (never a window over the
+    * scored set), and the width dimension multiplies the narrow rows by
+    * ≤ `maxNprobe` via one generator. Queries are a SAMPLE by
+    * contract (tens–hundreds): at 100 TB the corpus pass dominates and
+    * runs at scan speed; recall's denominator is exact integer
+    * arithmetic (hits / (|queries|·k)), so the curve replays
+    * bit-for-bit in the q158 oracle. */
+  def nprobeRecallCurve(corpus: DataFrame, vecCol: String, keyCol: String,
+      centroids: DataFrame, centVec: String, centKey: String,
+      queries: DataFrame, qVecCol: String, qKeyCol: String,
+      k: Int, maxNprobe: Int): DataFrame = {
+    require(k >= 1 && maxNprobe >= 1,
+      s"nprobeRecallCurve: need k >= 1, maxNprobe >= 1, got k=$k " +
+        s"maxNprobe=$maxNprobe")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val c = corpus.select(col(keyCol).as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+    val cents = centroids.select(col(centKey).as("centroid_id"),
+      col(centVec).as("cvec"))
+    val qs = queries.select(col(qKeyCol).as("query_id"),
+        col(qVecCol).as("qv"))
+      .filter(col("qv").isNotNull)
+    val nQ = qs.count()
+    require(nQ > 0, "nprobeRecallCurve: empty query sample")
+    // the single-assignment relation the curve calibrates (the
+    // ivfAssign/ivfTopKProbes serving family's cosine metric)
+    val asg = c.join(cellPicks(c, cents, nprobe = 1, cosine_distance)
+      .drop("crank"), Seq("id"))
+    // per-query probe order over the cells: queries × cells rows, tiny
+    val cellrank = cellPicks(
+        qs.select(col("query_id").as("id"), col("qv").as("v")),
+        cents, maxNprobe, cosine_distance)
+      .select(col("id").as("query_id"), col("centroid_id"), col("crank"))
+    // ONE corpus pass scores every (query, row); rows narrow before any
+    // exchange — the vector never rides past this projection
+    val scored = asg.crossJoin(broadcast(qs))
+      .select(col("query_id"), col("id"), col("centroid_id"),
+        cosine_distance(col("v"), col("qv")).as("score"))
+    val exact = scored.groupBy(col("query_id"))
+      .agg(graft.functions.topk_pairs(col("score"), col("id"), k).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(col("query_id"), col("e.id").as("id"))
+    // a row in cell of probe-rank r is scanned by every width ≥ r
+    val probed = scored
+      .join(broadcast(cellrank), Seq("query_id", "centroid_id"))
+      .select(col("query_id"), col("id"), col("score"),
+        explode(sequence(col("crank"), lit(maxNprobe))).as("nprobe"))
+    val ivf = probed.groupBy(col("query_id"), col("nprobe"))
+      .agg(graft.functions.topk_pairs(col("score"), col("id"), k).as("tk"))
+      .select(col("query_id"), col("nprobe"), explode(col("tk")).as("e"))
+      .select(col("query_id"), col("nprobe"), col("e.id").as("id"))
+    val hits = ivf.join(exact, Seq("query_id", "id"))
+      .groupBy(col("nprobe")).agg(count(lit(1)).as("h"))
+    // every width present even at zero hits (an all-miss dial is a
+    // curve point, not an absent row)
+    val grid = (1 to maxNprobe).toDF("nprobe")
+    grid.join(hits, Seq("nprobe"), "left")
+      .select(col("nprobe"),
+        (coalesce(col("h"), lit(0L)).cast("double") /
+          lit((nQ * k).toDouble)).as("recall"))
+      .orderBy(col("nprobe"))
+  }
+
+  /** The smallest probe width whose measured mean recall@k meets
+    * `targetRecall` — [[nprobeRecallCurve]] collected (maxNprobe rows)
+    * and scanned. Returns `maxNprobe` when the target is unreachable
+    * at the given widths: the caller asked for more recall than the
+    * cell geometry offers, and the widest dial is the closest
+    * available answer (raise maxNprobe, retrain with more cells, or
+    * lower the target). */
+  def calibrateNprobe(corpus: DataFrame, vecCol: String, keyCol: String,
+      centroids: DataFrame, centVec: String, centKey: String,
+      queries: DataFrame, qVecCol: String, qKeyCol: String,
+      k: Int, maxNprobe: Int, targetRecall: Double): Int = {
+    val curve = nprobeRecallCurve(corpus, vecCol, keyCol, centroids,
+        centVec, centKey, queries, qVecCol, qKeyCol, k, maxNprobe)
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+    curve.collectFirst { case (np, r) if r >= targetRecall => np }
+      .getOrElse(maxNprobe)
+  }
+
   private def writeCellSegment(assigned: DataFrame, segDir: String,
       fp16: Boolean): Unit = {
     // fp16 cells: assignment ran at full precision (centroid choice is a
