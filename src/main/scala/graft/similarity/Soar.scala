@@ -28,8 +28,17 @@ import org.apache.spark.sql.functions._
   * a window, never a struct-min (the r14 2 M build post-mortem). The
   * storage price is explicit and linear: the spilled index holds every
   * vector twice, so probed cells scan ~2× the rows of a single-assigned
-  * index at equal nprobe — recall-per-probe is what the λ term buys,
-  * recall-per-scanned-byte is measured, not assumed (SoarSpec).
+  * index at equal nprobe.
+  *
+  * Measured at 2 M (SCALE.md §r15 SOAR): the SPILL is the big dial —
+  * +0.12 recall@10 at nprobe=1 over single assignment, i.e. any given
+  * recall at HALF the probes (and at 100 TB a probe is a scheduled
+  * scan task, so probe count is tail-latency exposure) — while the λ
+  * term itself is neutral vs plain second-nearest under EXACT in-cell
+  * scoring, as theory predicts: orthogonal-residual coverage pays off
+  * when in-cell scoring is ADC-approximate (quantization error lives
+  * along r), and costs nothing at serving time either way. SoarSpec
+  * pins the geometry preference itself on a hand fixture.
   *
   * Reference tie-in: the reference serves exact pgvector `<=>` scans
   * (readwise_vector_db/core/search.py:44-122); this is the 100-TB
