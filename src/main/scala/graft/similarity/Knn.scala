@@ -1029,21 +1029,53 @@ object Knn {
     * "ivfflat + WHERE" shape — instead of joining winners back to the
     * store and hoping enough survive. Attrs are tiny next to the
     * vectors and ride the existing re-attach join; appends sniff and
-    * require them, compaction and tombstones preserve them. */
+    * require them, compaction and tombstones preserve them.
+    *
+    * `spill` builds a SOAR-spilled layout ([[Soar.assign]] with this
+    * family's cosine primary, so the primary copy lands in exactly the
+    * cell the unspilled build would use — spilling is purely ADDITIVE):
+    * every vector also gets a secondary cell chosen by the
+    * orthogonality-amplified residual loss, recorded in a `spillmeta`
+    * sidecar so appends spill identically and loads dedup. Measured at
+    * 2 M (SCALE.md §r15 SOAR): a given recall at HALF the probes for a
+    * 2× storage price — buy it when probe count (scheduled scan tasks)
+    * is the bottleneck, not bytes. */
   def ivfBuildIndex(corpus: DataFrame, vecCol: String, keyCol: String,
       indexDir: String, k: Int, iters: Int,
       trainFilter: Column, fp16: Boolean = false,
-      attrCols: Seq[String] = Nil): Unit = {
+      attrCols: Seq[String] = Nil, spill: Boolean = false,
+      spillLambda: Double = 1.0): Unit = {
     require(!attrCols.exists(Set("id", "v", "emb16", "centroid_id")),
       s"ivfBuildIndex: attrCols clash with index layout columns")
     val cents = trainCentroids(corpus.filter(trainFilter), vecCol, keyCol, k, iters)
-    val assigned = ivfAssign(corpus, vecCol, keyCol, cents, "cvec",
-      "centroid_id", attrCols)
+    val assigned =
+      if (spill) Soar.assign(corpus, vecCol, keyCol, cents, spillLambda,
+        attrCols, cosine_distance).drop("crank")
+      else ivfAssign(corpus, vecCol, keyCol, cents, "cvec",
+        "centroid_id", attrCols)
     val seg = graft.sync.SegmentedIndex.newSegmentName()
     writeCellSegment(assigned, s"$indexDir/$seg", fp16)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
-    graft.sync.SegmentedIndex.commit(corpus.sparkSession, indexDir, Seq(seg))
+    val spark = corpus.sparkSession
+    if (spill) {
+      import spark.implicits._
+      Seq(spillLambda).toDF("lambda").coalesce(1)
+        .write.mode("overwrite").parquet(s"$indexDir/spillmeta")
+    }
+    graft.sync.SegmentedIndex.commit(spark, indexDir, Seq(seg))
   }
+
+  /** The spilled-layout marker of [[ivfBuildIndex]]`(spill = true)` —
+    * Some(λ) when the index at `indexDir` is SOAR-spilled. Appends read
+    * it to spill identically; [[IvfIndex.load]] reads it to collapse
+    * the duplicate copies at probe time. */
+  private[graft] def ivfSpillMeta(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[Double] =
+    if (new java.io.File(s"$indexDir/spillmeta/_SUCCESS").isFile)
+      Some(spark.read.parquet(s"$indexDir/spillmeta")
+        .head().getDouble(0))
+    else None
 
   /** Append a batch to an existing IVF index: assign the batch to the
     * EXISTING centroids (one broadcast-assign pass over the batch — the
@@ -1078,8 +1110,15 @@ object Knn {
     require(missing.isEmpty,
       s"ivfAppendIndex: batch lacks index attr column(s) ${missing.mkString(", ")}")
     val cents = spark.read.parquet(s"$indexDir/centroids")
-    val assigned = ivfAssign(batch, vecCol, keyCol, cents, "cvec",
-      "centroid_id", attrCols)
+    // a spilled index spills its appends too (same λ, same cosine
+    // primary) — otherwise appended vectors would silently carry half
+    // the boundary coverage the build promised
+    val assigned = ivfSpillMeta(spark, indexDir) match {
+      case Some(lambda) => Soar.assign(batch, vecCol, keyCol, cents,
+        lambda, attrCols, cosine_distance).drop("crank")
+      case None => ivfAssign(batch, vecCol, keyCol, cents, "cvec",
+        "centroid_id", attrCols)
+    }
     val seg = graft.sync.SegmentedIndex.newSegmentName()
     writeCellSegment(assigned, s"$indexDir/$seg", fp16)
     graft.sync.SegmentedIndex.commit(spark, indexDir, existing :+ seg)
@@ -1198,7 +1237,7 @@ object Knn {
   final class IvfIndex private (spark: org.apache.spark.sql.SparkSession,
       centroids: Array[(Long, Array[Float])],
       cells: DataFrame, inListType: org.apache.spark.sql.types.DataType,
-      fp16: Boolean) extends DenseIndex {
+      fp16: Boolean, spilled: Boolean) extends DenseIndex {
 
     /** Number of cells in the frozen geometry — the nprobe ceiling. */
     def numCells: Int = centroids.length
@@ -1225,13 +1264,28 @@ object Knn {
         if (fp16) graft.functions.fp16_cosine_distance(
           col("emb16"), typedLit(queryVec))
         else cosine_distance(col("v"), typedLit(queryVec))
-      filter.foldLeft(cells.filter(col("centroid_id").isin(inList: _*)))(
+      val scored = filter
+        .foldLeft(cells.filter(col("centroid_id").isin(inList: _*)))(
           _ filter _)
         .withColumn("score", score)
+      // spilled layout: a vector whose primary AND secondary cells are
+      // both probed scores twice with the same distance — collapse via
+      // a map-side-combinable min on narrow (id, score, cell) rows, the
+      // Soar.topKProbes shape; unspilled indexes keep the untouched
+      // single-job plan
+      val ranked =
+        if (!spilled) scored
+          .select(col("id"),
+            col("centroid_id").cast("long").as("centroid_id"),
+            col("score"))
+        else scored.groupBy(col("id"))
+          .agg(min(col("score")).as("score"),
+            min(col("centroid_id").cast("long")).as("centroid_id"))
+          .select(col("id"), col("centroid_id"), col("score"))
+      ranked
         .orderBy(col("score").asc, col("id").asc)
         .limit(k)
-        .select(col("id"), col("centroid_id").cast("long").as("centroid_id"),
-          col("score"))
+        .select(col("id"), col("centroid_id"), col("score"))
     }
 
     /** Filtered search with adaptive probe widening: a selective
@@ -1294,7 +1348,8 @@ object Knn {
       val cells = readCells(spark, indexDir)
       new IvfIndex(spark, cents, cells,
         cells.schema("centroid_id").dataType,
-        cells.columns.contains("emb16"))
+        cells.columns.contains("emb16"),
+        spilled = ivfSpillMeta(spark, indexDir).isDefined)
     }
 
     /** [[load]] behind a per-request generation check

@@ -74,17 +74,26 @@ object Soar {
   }
 
   /** Spilled assignment: (id, v, centroid_id, crank) with crank = 1 the
-    * L2-nearest cell and crank = 2 the SOAR secondary (argmin of
-    * [[secondaryLoss]] over the OTHER cells, ties toward the lower
+    * `primaryDist`-nearest cell (L2 by default; the lifecycle index
+    * passes its own cosine so spilling is purely ADDITIVE over the
+    * single-assignment layout) and crank = 2 the SOAR secondary (argmin
+    * of [[secondaryLoss]] over the OTHER cells — always the L2-residual
+    * form, which is what the loss is derived in — ties toward the lower
     * centroid id). Needs ≥ 2 cells. Output rows = 2·|corpus|: the
-    * doubled footprint is the operator's contract, not an accident. */
+    * doubled footprint is the operator's contract, not an accident.
+    * `attrCols` ride the id re-attach join like [[Knn.ivfAssign]]'s —
+    * never the rank exchange. */
   def assign(corpus: DataFrame, vecCol: String, keyCol: String,
-      centroids: DataFrame, lambda: Double = 1.0): DataFrame = {
-    val c = corpus.select(col(keyCol).as("id"), col(vecCol).as("v"))
+      centroids: DataFrame, lambda: Double = 1.0,
+      attrCols: Seq[String] = Nil,
+      primaryDist: (Column, Column) => Column = Knn.l2sq): DataFrame = {
+    val c = corpus.select(col(keyCol).as("id") +: col(vecCol).as("v") +:
+        attrCols.map(col): _*)
       .filter(col("v").isNotNull)
     val cents = centroids.select(col("centroid_id"), col("cvec"))
     val cidT = cents.schema("centroid_id").dataType
-    val primary = Knn.cellPicks(c, cents, nprobe = 1, Knn.l2sq)
+    val primary = Knn.cellPicks(c.select(col("id"), col("v")), cents,
+        nprobe = 1, primaryDist)
       .drop("crank")
     // primary codeword re-attached via the broadcast side (cells are
     // KBs); the corpus row itself ships once, on the id equi-join
@@ -105,12 +114,11 @@ object Soar {
         .as("tk"))
       .select(col("id"),
         col("tk").getItem(0).getField("id").cast(cidT).as("centroid_id"))
+    val outCols = col("id") +: col("v") +: attrCols.map(col)
     val prim = c.join(primary, Seq("id"))
-      .select(col("id"), col("v"), col("centroid_id"),
-        lit(1).as("crank"))
+      .select(outCols :+ col("centroid_id") :+ lit(1).as("crank"): _*)
     val sec = c.join(secondary, Seq("id"))
-      .select(col("id"), col("v"), col("centroid_id"),
-        lit(2).as("crank"))
+      .select(outCols :+ col("centroid_id") :+ lit(2).as("crank"): _*)
     prim.unionByName(sec)
   }
 
