@@ -100,7 +100,10 @@ object XSoarScale {
       .orderBy(col("d").asc, col("centroid_id").asc).limit(w)
       .select(col("centroid_id")).as[Long].collect().toSeq
 
-    Seq(1, 2, 4).foreach { w =>
+    // XS_SKIP_EXACT: jump straight to the ADC section (shortlist-dial
+    // re-runs — the exact-scoring ladder doesn't change with it)
+    val widths = if (sys.env.contains("XS_SKIP_EXACT")) Nil else Seq(1, 2, 4)
+    widths.foreach { w =>
       def run(tag: String, assigned: org.apache.spark.sql.DataFrame,
           sizes: Map[Long, Long]): Unit = {
         val walls = new Array[Double](queries.length)
@@ -122,6 +125,57 @@ object XSoarScale {
       run("single", single, cellSizes)
       run("multi", multi, multiSizes)
       run("soar", soar, soarSizes)
+    }
+
+    // ---- the λ term's PAYOFF REGIME: ADC-approximate in-cell scoring
+    // (the IVFADC serving default — ADC shortlist, exact refine). The
+    // orthogonality-amplified loss exists to cover the primary
+    // residual's failure direction, which is precisely the direction
+    // PQ codes mis-score; under exact scoring above it measures
+    // neutral vs plain second-nearest, so THIS is where any λ payoff
+    // must show.
+    val mPq = sys.env.getOrElse("XS_PQ_M", "8").toInt
+    val ksub = sys.env.getOrElse("XS_PQ_KSUB", "256").toInt
+    val shortlist = sys.env.getOrElse("XS_SHORTLIST", "50").toInt
+    val cb = Knn.collectCodebooks(
+      Knn.pqTrain(sample, "v", "id", mPq, ksub, iters = 2))
+    val codes = Knn.pqEncode(corpus, "v", "id", cb)
+    def withCodes(assigned: org.apache.spark.sql.DataFrame) = {
+      val a = assigned.select(col("id"), col("centroid_id"))
+        .join(codes, Seq("id")).localCheckpoint()
+      a.count(); a
+    }
+    val singleC = withCodes(single)
+    val multiC = withCodes(multi)
+    val soarC = withCodes(soar)
+    println(s"XS_ADC_SETUP|m=$mPq|ksub=$ksub|shortlist=$shortlist")
+    Seq(1, 2).foreach { w =>
+      def runAdc(tag: String,
+          coded: org.apache.spark.sql.DataFrame): Unit = {
+        val recalls = queries.zipWithIndex.map { case (qv, i) =>
+          val probed = probedCells(qv, w)
+          val lut = graft.functions.PqMath.lut(qv, cb)
+          // ADC shortlist over the probed cells (duplicate copies
+          // collapse on the narrow min), then exact fp32 refine
+          val short = coded
+            .filter(col("centroid_id").isin(probed: _*))
+            .withColumn("s",
+              graft.functions.pq_adc_score(col("codes"), lut))
+            .groupBy(col("id")).agg(min(col("s")).as("s"))
+            .orderBy(col("s").asc, col("id").asc).limit(shortlist)
+            .select(col("id")).as[Long].collect()
+          val ids = corpus.filter(col("id").isin(short: _*))
+            .withColumn("d", Knn.l2sq(col("v"), typedLit(qv)))
+            .orderBy(col("d").asc, col("id").asc).limit(10)
+            .select(col("id")).as[Long].collect().toSet
+          (ids intersect exactTop(i)).size / 10.0
+        }
+        println(f"XS_ADC_RECALL|mode=$tag|nprobe=$w|recall10=" +
+          f"${recalls.sum / recalls.length}%.3f")
+      }
+      runAdc("single", singleC)
+      runAdc("multi", multiC)
+      runAdc("soar", soarC)
     }
     spark.stop()
   }

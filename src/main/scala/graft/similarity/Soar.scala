@@ -31,14 +31,17 @@ import org.apache.spark.sql.functions._
   * index at equal nprobe.
   *
   * Measured at 2 M (SCALE.md §r15 SOAR): the SPILL is the big dial —
-  * +0.12 recall@10 at nprobe=1 over single assignment, i.e. any given
-  * recall at HALF the probes (and at 100 TB a probe is a scheduled
-  * scan task, so probe count is tail-latency exposure) — while the λ
-  * term itself is neutral vs plain second-nearest under EXACT in-cell
-  * scoring, as theory predicts: orthogonal-residual coverage pays off
-  * when in-cell scoring is ADC-approximate (quantization error lives
-  * along r), and costs nothing at serving time either way. SoarSpec
-  * pins the geometry preference itself on a hand fixture.
+  * +0.12 recall@10 at nprobe=1 over single assignment under exact
+  * scoring, +0.10 under the IVFADC serving shape once the ADC
+  * shortlist scales with the spilled list (≳1–2% of probed rows) —
+  * i.e. any given recall at HALF the probes, and at 100 TB a probe is
+  * a scheduled scan task, so probe count is tail-latency exposure.
+  * The λ term itself measured within one-hit noise of plain
+  * second-nearest on that fixture under BOTH exact and ADC scoring
+  * (its residuals are isotropic-noise-dominated — little exploitable
+  * structure along r; the published gains target real embedding
+  * anisotropy at larger cell counts); it costs nothing at serving
+  * time, and SoarSpec pins the geometry preference on a hand fixture.
   *
   * Reference tie-in: the reference serves exact pgvector `<=>` scans
   * (readwise_vector_db/core/search.py:44-122); this is the 100-TB
