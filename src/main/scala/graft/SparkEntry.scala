@@ -2066,6 +2066,36 @@ object SparkEntry {
         k = 10, maxNprobe = 8)
     }),
 
+    // ---- cost-routed filtered ANN over the q132 attr index: measure
+    //      the predicate's match count, then route — rare predicate
+    //      (label = 5) → one exhaustive filtered scan (exact; the plan
+    //      adaptive widening reaches only after log2(cells) wasted
+    //      probes), plentiful (label % 3 = 1) → the standard pruned
+    //      probe. The oracle computes the same count, takes the same
+    //      CASE branch, and must match the rows AND the route ----
+    "q159_routed_filtered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val indexDir = graft.fixtures.Fp16Corpus.workRoot +
+        s"/ivfindexattr-${new java.io.File(dir).getName}-c${e.count()}"
+      if (!Knn.ivfIndexReady(indexDir))
+        Knn.ivfBuildIndex(e, "embedding", "vec_id", indexDir, k = 4,
+          iters = 2, trainFilter = col("vec_id") % 5 === 0,
+          attrCols = Seq("label"))
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      val narrow = Knn.ivfRoutedSearchIndex(s, indexDir, qv, k = 10,
+          nprobe = 2, filter = col("label") === 5, bruteThreshold = 100L)
+        .withColumn("case_id", lit("narrow"))
+      val broad = Knn.ivfRoutedSearchIndex(s, indexDir, qv, k = 10,
+          nprobe = 2, filter = col("label") % 3 === 1,
+          bruteThreshold = 100L)
+        .withColumn("case_id", lit("broad"))
+      narrow.unionByName(broad)
+        .select(col("case_id"), col("id"), col("centroid_id"),
+          col("score"), col("route"))
+        .orderBy(col("case_id"), col("score"), col("id"))
+    }),
+
     // ---- positional phrase search: "customer join merge" must occur as
     //      CONSECUTIVE words — posexplode filtered to the 3 terms at the
     //      generator, two (id, position) equi-joins, per-doc exact
@@ -5155,6 +5185,69 @@ object SparkEntry {
          |  GROUP BY 1)
          |SELECT n.nprobe, CAST(COALESCE(h, 0) AS DOUBLE) / 40.0 AS recall
          |FROM np n LEFT JOIN hits USING (nprobe) ORDER BY nprobe""".stripMargin,
+
+    // the router replayed: the q132 index preamble (Lloyd chain +
+    // assignment), the SAME match counts, the SAME <= 100 CASE, and
+    // whichever branch fires must produce the same rows — per case, the
+    // un-taken branch's CTE emits nothing under the count predicate
+    "q159_routed_filtered" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id AS id, embedding AS v FROM embeddings
+         |  WHERE embedding IS NOT NULL),
+         |lab AS (SELECT vec_id AS id, label FROM embeddings),
+         |sample AS (SELECT * FROM corpus WHERE id % 5 = 0),
+         |seed AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS centroid_id,
+         |    v AS cvec
+         |  FROM sample QUALIFY row_number() OVER (ORDER BY id) <= 4),
+         |a1 AS (${sqlIvfAssign("sample", "seed")}),
+         |x1 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a1),
+         |m1 AS (${sqlIvfMean("x1")}),
+         |cent1 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m1 GROUP BY 1),
+         |a2 AS (${sqlIvfAssign("sample", "cent1")}),
+         |x2 AS (SELECT centroid_id, unnest(range(len(v))) AS pos, unnest(v) AS x FROM a2),
+         |m2 AS (${sqlIvfMean("x2")}),
+         |cent2 AS (SELECT centroid_id, list(m ORDER BY pos) AS cvec FROM m2 GROUP BY 1),
+         |af AS (${sqlIvfAssign("corpus", "cent2")}),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |probed AS (
+         |  SELECT centroid_id FROM cent2, q
+         |  ORDER BY ${sqlCosine("cvec", "qv")}, centroid_id LIMIT 2),
+         |ncnt AS (SELECT count(*) AS c FROM af JOIN lab USING (id)
+         |  WHERE lab.label = 5),
+         |bcnt AS (SELECT count(*) AS c FROM af JOIN lab USING (id)
+         |  WHERE lab.label % 3 = 1),
+         |nscan AS (SELECT af.id, af.centroid_id,
+         |    ${sqlCosine("af.v", "qv")} AS score
+         |  FROM af JOIN lab USING (id), q WHERE lab.label = 5
+         |  ORDER BY score, af.id LIMIT 10),
+         |nprobe AS (SELECT af.id, af.centroid_id,
+         |    ${sqlCosine("af.v", "qv")} AS score
+         |  FROM af JOIN probed USING (centroid_id) JOIN lab USING (id), q
+         |  WHERE lab.label = 5
+         |  ORDER BY score, af.id LIMIT 10),
+         |bscan AS (SELECT af.id, af.centroid_id,
+         |    ${sqlCosine("af.v", "qv")} AS score
+         |  FROM af JOIN lab USING (id), q WHERE lab.label % 3 = 1
+         |  ORDER BY score, af.id LIMIT 10),
+         |bprobe AS (SELECT af.id, af.centroid_id,
+         |    ${sqlCosine("af.v", "qv")} AS score
+         |  FROM af JOIN probed USING (centroid_id) JOIN lab USING (id), q
+         |  WHERE lab.label % 3 = 1
+         |  ORDER BY score, af.id LIMIT 10)
+         |SELECT 'narrow' AS case_id, id, centroid_id, score,
+         |  'scan' AS route
+         |FROM nscan WHERE (SELECT c FROM ncnt) <= 100
+         |UNION ALL
+         |SELECT 'narrow', id, centroid_id, score, 'probe'
+         |FROM nprobe WHERE (SELECT c FROM ncnt) > 100
+         |UNION ALL
+         |SELECT 'broad', id, centroid_id, score, 'scan'
+         |FROM bscan WHERE (SELECT c FROM bcnt) <= 100
+         |UNION ALL
+         |SELECT 'broad', id, centroid_id, score, 'probe'
+         |FROM bprobe WHERE (SELECT c FROM bcnt) > 100
+         |ORDER BY case_id, score, id""".stripMargin,
 
     // the residual-quantizer pipeline replayed end-to-end: stage 0's
     // Lloyd chain on the vectors, the float-rounded residual, stage 1's

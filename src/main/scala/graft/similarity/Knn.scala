@@ -1203,6 +1203,51 @@ object Knn {
         col("score"))
   }
 
+  /** Cost-ROUTED filtered search — the strategy picker every filtered
+    * ANN deployment otherwise hardcodes: measure the predicate's match
+    * count, then either
+    *  - `route = "scan"` (matches ≤ `bruteThreshold`): ONE exhaustive
+    *    filtered scan over the index — exact by construction. A rare
+    *    predicate is the case where the probe ladder pays worst: cells
+    *    hold ~no matches, so [[IvfIndex.searchAdaptive]] burns
+    *    log₂(cells) widening jobs to arrive at exactly this plan, and
+    *    recall before the last widening is luck. The scan reads the
+    *    attr column first (parquet row-group stats prune on the
+    *    predicate), so "exhaustive" costs matching row groups, not the
+    *    corpus;
+    *  - `route = "probe"` (matches > threshold): the standard pruned
+    *    probe ([[ivfSearchIndex]]) — plentiful matches mean the probed
+    *    cells hold ≥ k of them and pruning pays.
+    * The count job reads ONLY the predicate's columns (column pruning);
+    * at 100 TB replace it with a per-cell attr-stats sidecar read (the
+    * [[ivfCellStats]] discipline) — the routing CONTRACT is the same:
+    * route on measured selectivity, never folklore. Returns
+    * (id, centroid_id, score, route), the route constant per request —
+    * oracle-gated end-to-end (q159: the replay computes the same count,
+    * takes the same CASE branch, and must produce the same rows). */
+  def ivfRoutedSearchIndex(spark: org.apache.spark.sql.SparkSession,
+      indexDir: String, queryVec: Array[Float], k: Int, nprobe: Int,
+      filter: Column, bruteThreshold: Long): DataFrame = {
+    val cells = readCells(spark, indexDir)
+    val matches = cells.filter(filter).count()
+    if (matches <= bruteThreshold) {
+      val score =
+        if (cells.columns.contains("emb16"))
+          graft.functions.fp16_cosine_distance(col("emb16"),
+            typedLit(queryVec))
+        else cosine_distance(col("v"), typedLit(queryVec))
+      cells.filter(filter)
+        .withColumn("score", score)
+        .orderBy(col("score").asc, col("id").asc)
+        .limit(k)
+        .select(col("id"),
+          col("centroid_id").cast("long").as("centroid_id"),
+          col("score"), lit("scan").as("route"))
+    } else
+      ivfSearchIndex(spark, indexDir, queryVec, k, nprobe, Some(filter))
+        .withColumn("route", lit("probe"))
+  }
+
   /** Serving handle over a persistent IVF index: the k-row centroid
     * sidecar is collected ONCE at load and lives on the driver (it is
     * query-plan state, like a query vector — k × dim floats), so each
