@@ -89,6 +89,20 @@ class SoarSpec extends SparkTestBase {
     assert(pick(0.0) == (0L, 1L))
   }
 
+  test("assignment plans bounded-heap aggregates — no window, no " +
+      "sort-aggregate") {
+    // the r14 lesson applied to the new operator: both argmins rank
+    // through topk_pairs (ObjectHashAggregate) and the loss never rides
+    // a window or a struct-min, whose partial pass sorts all n×cells
+    // scored rows per task
+    val plan = Soar.assign(emb, "embedding", "vec_id", cents8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("topk_pairs"), plan.take(500))
+    assert(!plan.contains("Window"), "candidate-wide window resurrected")
+    assert(!plan.contains("SortAggregate"),
+      "secondary argmin fell back to sort aggregation")
+  }
+
   test("exhaustive probes equal brute-force L2 top-k (copies collapse)") {
     val a = Soar.assign(emb, "embedding", "vec_id", cents8).cache()
     val qv = emb.filter($"vec_id" === 13).select($"embedding")
