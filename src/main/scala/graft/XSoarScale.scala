@@ -75,9 +75,13 @@ object XSoarScale {
     println(f"XS_ASSIGN|single_s=$singleWall%.1f|soar_s=$soarWall%.1f|" +
       f"multi_s=$multiWall%.1f")
 
-    // held-out probes (odd ids stay off the even trainMod grid)
+    // held-out probes: ids >= n are OFF-CORPUS (vector() is a pure
+    // function of id, so these are same-manifold draws that exist in no
+    // cell) — a corpus-member query would guarantee itself as a
+    // recall@10 hit whenever its home cell is probed, inflating
+    // low-nprobe recall by up to ~0.1
     val queries = (0 until nQueries).map { q =>
-      graft.fixtures.ManifoldCorpus.vector(2L * q + 1).take(dim)
+      graft.fixtures.ManifoldCorpus.vector(n + 2L * q + 1).take(dim)
     }
     val exactTop: Seq[Set[Long]] = queries.map { qv =>
       corpus.withColumn("d", Knn.l2sq(col("v"), typedLit(qv)))

@@ -1061,6 +1061,16 @@ object Knn {
       import spark.implicits._
       Seq(spillLambda).toDF("lambda").coalesce(1)
         .write.mode("overwrite").parquet(s"$indexDir/spillmeta")
+    } else {
+      // an in-place rebuild (the compaction/re-train path after
+      // deletes) must also RETIRE a previous generation's spill
+      // marker — a stale sidecar would make the rebuilt
+      // single-assignment index load as spilled (needless dedup) and,
+      // worse, make future appends spill with the dead generation's λ,
+      // committing a mixed layout
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/spillmeta")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
     }
     graft.sync.SegmentedIndex.commit(spark, indexDir, Seq(seg))
   }
@@ -1068,14 +1078,21 @@ object Knn {
   /** The spilled-layout marker of [[ivfBuildIndex]]`(spill = true)` —
     * Some(λ) when the index at `indexDir` is SOAR-spilled. Appends read
     * it to spill identically; [[IvfIndex.load]] reads it to collapse
-    * the duplicate copies at probe time. */
+    * the duplicate copies at probe time. Probed through the Hadoop
+    * FileSystem of `indexDir` (NOT java.io): the marker gates
+    * load/append SEMANTICS — a local-only check would silently serve a
+    * spilled HDFS/S3 index without dedup and append unspilled segments
+    * into it. */
   private[graft] def ivfSpillMeta(
       spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Option[Double] =
-    if (new java.io.File(s"$indexDir/spillmeta/_SUCCESS").isFile)
+      indexDir: String): Option[Double] = {
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/spillmeta/_SUCCESS")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
       Some(spark.read.parquet(s"$indexDir/spillmeta")
         .head().getDouble(0))
     else None
+  }
 
   /** Append a batch to an existing IVF index: assign the batch to the
     * EXISTING centroids (one broadcast-assign pass over the batch — the
@@ -1194,13 +1211,27 @@ object Knn {
       if (cells.columns.contains("emb16"))
         graft.functions.fp16_cosine_distance(col("emb16"), typedLit(queryVec))
       else cosine_distance(col("v"), typedLit(queryVec))
-    filter.foldLeft(cells.filter(col("centroid_id").isin(inList: _*)))(
+    val scored = filter
+      .foldLeft(cells.filter(col("centroid_id").isin(inList: _*)))(
         _ filter _)
       .withColumn("score", score)
+    // a SOAR-spilled layout can hold BOTH copies of a vector inside the
+    // probed cells — collapse on a map-side-combinable min over narrow
+    // (id, score, cell) rows (the IvfIndex.search shape) so effective k
+    // is k distinct vectors, never k/2 + duplicates; unspilled indexes
+    // keep the untouched single-job plan
+    val ranked =
+      if (ivfSpillMeta(spark, indexDir).isEmpty) scored
+        .select(col("id"),
+          col("centroid_id").cast("long").as("centroid_id"), col("score"))
+      else scored.groupBy(col("id"))
+        .agg(min(col("score")).as("score"),
+          min(col("centroid_id").cast("long")).as("centroid_id"))
+        .select(col("id"), col("centroid_id"), col("score"))
+    ranked
       .orderBy(col("score").asc, col("id").asc)
       .limit(k)
-      .select(col("id"), col("centroid_id").cast("long").as("centroid_id"),
-        col("score"))
+      .select(col("id"), col("centroid_id"), col("score"))
   }
 
   /** Cost-ROUTED filtered search — the strategy picker every filtered
@@ -1229,21 +1260,38 @@ object Knn {
       indexDir: String, queryVec: Array[Float], k: Int, nprobe: Int,
       filter: Column, bruteThreshold: Long): DataFrame = {
     val cells = readCells(spark, indexDir)
-    val matches = cells.filter(filter).count()
+    // a SOAR-spilled layout holds every vector twice: the selectivity
+    // measurement must count DISTINCT vectors (a plain count() reads 2×
+    // the true match count and mis-routes near the threshold), and the
+    // scan branch must collapse the copies before limit(k) — otherwise
+    // effective k halves and callers see duplicate ids
+    val spilled = ivfSpillMeta(spark, indexDir).isDefined
+    val matched = cells.filter(filter)
+    val matches =
+      if (spilled) matched.agg(countDistinct(col("id"))).head().getLong(0)
+      else matched.count()
     if (matches <= bruteThreshold) {
       val score =
         if (cells.columns.contains("emb16"))
           graft.functions.fp16_cosine_distance(col("emb16"),
             typedLit(queryVec))
         else cosine_distance(col("v"), typedLit(queryVec))
-      cells.filter(filter)
-        .withColumn("score", score)
+      val scored = matched.withColumn("score", score)
+      val ranked =
+        if (!spilled) scored.select(col("id"),
+          col("centroid_id").cast("long").as("centroid_id"), col("score"))
+        else scored.groupBy(col("id"))
+          .agg(min(col("score")).as("score"),
+            min(col("centroid_id").cast("long")).as("centroid_id"))
+          .select(col("id"), col("centroid_id"), col("score"))
+      ranked
         .orderBy(col("score").asc, col("id").asc)
         .limit(k)
-        .select(col("id"),
-          col("centroid_id").cast("long").as("centroid_id"),
-          col("score"), lit("scan").as("route"))
+        .select(col("id"), col("centroid_id"), col("score"),
+          lit("scan").as("route"))
     } else
+      // ivfSearchIndex carries its own spill dedup, so the probe branch
+      // returns distinct ids on either layout
       ivfSearchIndex(spark, indexDir, queryVec, k, nprobe, Some(filter))
         .withColumn("route", lit("probe"))
   }

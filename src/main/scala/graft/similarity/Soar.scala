@@ -94,6 +94,14 @@ object Soar {
         attrCols.map(col): _*)
       .filter(col("v").isNotNull)
     val cents = centroids.select(col("centroid_id"), col("cvec"))
+    // enforce the "needs ≥ 2 cells" contract: with one centroid the
+    // secondary argmin relation is EMPTY and the union would silently
+    // emit one copy per vector — an unspilled layout under a spillmeta
+    // sidecar that claims otherwise. The centroid set is driver-sized
+    // (it broadcasts below), so the count is a trivial job.
+    require(cents.count() >= 2,
+      "Soar.assign: spilled assignment needs >= 2 centroids (with one " +
+        "cell there is no secondary to spill to — build unspilled)")
     val cidT = cents.schema("centroid_id").dataType
     val primary = Knn.cellPicks(c.select(col("id"), col("v")), cents,
         nprobe = 1, primaryDist)

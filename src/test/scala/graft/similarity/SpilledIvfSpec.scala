@@ -102,4 +102,66 @@ class SpilledIvfSpec extends SparkTestBase {
       .collect().map(_.getLong(0))
     assert(!after.contains(405L))
   }
+
+  test("routed search on a spilled index counts distinct vectors and " +
+      "returns k distinct ids on both routes") {
+    val dir = freshDir("routed")
+    Knn.ivfBuildIndex(emb, "embedding", "vec_id", dir, k = 6, iters = 2,
+      trainFilter = $"vec_id" % 5 === 0, attrCols = Seq("label"),
+      spill = true)
+    val qv = emb.filter($"vec_id" === 123).select($"embedding")
+      .head().getSeq[Float](0).toArray
+    val cond = $"label" === 5
+    val trueMatches = emb.filter(cond).count()
+    // threshold == the TRUE (distinct) match count: a copy-doubled
+    // count would read 2× and route this to the probe branch
+    val scan = Knn.ivfRoutedSearchIndex(spark, dir, qv, k = 10,
+      nprobe = 1, filter = cond, bruteThreshold = trueMatches).collect()
+    assert(scan.forall(_.getString(3) == "scan"))
+    val scanIds = scan.map(_.getLong(0)).toSeq
+    assert(scanIds.distinct == scanIds)
+    // the scan route is exact over the filtered corpus despite the
+    // doubled layout
+    val exact = emb.filter(cond)
+      .select($"vec_id".as("id"),
+        graft.functions.cosine_distance($"embedding", typedLit(qv))
+          .as("score"))
+      .orderBy($"score".asc, $"id".asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(scan.map(r => (r.getLong(0), r.getDouble(2))).toSeq == exact)
+    val probe = Knn.ivfRoutedSearchIndex(spark, dir, qv, k = 10,
+      nprobe = 6, filter = $"label" % 3 === 1,
+      bruteThreshold = 1L).collect()
+    assert(probe.forall(_.getString(3) == "probe"))
+    val probeIds = probe.map(_.getLong(0)).toSeq
+    assert(probeIds.distinct == probeIds && probeIds.length == 10)
+  }
+
+  test("an in-place spill=false rebuild retires the spill sidecar: the " +
+      "rebuilt index loads unspilled and appends stay single-assignment") {
+    val dir = freshDir("rebuild")
+    Knn.ivfBuildIndex(emb, "embedding", "vec_id", dir, k = 6, iters = 2,
+      trainFilter = $"vec_id" % 5 === 0, spill = true)
+    assert(Knn.ivfSpillMeta(spark, dir).isDefined)
+    Knn.ivfBuildIndex(emb.filter($"vec_id" < 400), "embedding", "vec_id",
+      dir, k = 6, iters = 2, trainFilter = $"vec_id" % 5 === 0)
+    assert(Knn.ivfSpillMeta(spark, dir).isEmpty,
+      "stale spillmeta survived a spill=false rebuild")
+    val batch = emb.filter($"vec_id" >= 400 && $"vec_id" < 420)
+    Knn.ivfAppendIndex(batch, "embedding", "vec_id", dir)
+    val segs = graft.sync.SegmentedIndex.resolve(spark, dir).get
+    val appended = spark.read.parquet(s"$dir/${segs.last}/cells")
+    assert(appended.count() == batch.count(),
+      "append spilled against a rebuilt single-assignment index")
+  }
+
+  test("a spilled build against a single centroid is refused (no " +
+      "secondary cell exists)") {
+    val dir = freshDir("onecell")
+    val e = intercept[IllegalArgumentException] {
+      Knn.ivfBuildIndex(emb, "embedding", "vec_id", dir, k = 1,
+        iters = 1, trainFilter = $"vec_id" % 5 === 0, spill = true)
+    }
+    assert(e.getMessage.contains(">= 2 centroids"))
+  }
 }
