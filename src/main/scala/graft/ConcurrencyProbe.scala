@@ -225,6 +225,45 @@ object ConcurrencyProbe {
       }
     }
 
+    if (mode("routed")) {
+      // the NARROW-predicate case `filtered` mode's comment prices by
+      // implication (raise the modulus → the widening ladder): a
+      // predicate matching ~n/nmod ≈ 10 rows starves every probe, so
+      // searchAdaptive burns log₂(cells) widening jobs per request to
+      // arrive at the exhaustive scan. servingTopKRouted — the
+      // gateway's filtered default — measures the match count (one
+      // column-pruned job) and routes STRAIGHT to the pruned scan: two
+      // jobs flat. Both run here same-phase, so the ladder tax is one
+      // subtraction.
+      val cellsK = sys.env.getOrElse("CONC_CELLS", "64").toInt
+      val nprobe = sys.env.getOrElse("CONC_NPROBE", "4").toInt
+      val nmod = sys.env.getOrElse("CONC_ROUTE_MOD", (n / 10).toString).toLong
+      val indexDir = graft.fixtures.Fp16Corpus.workRoot +
+        s"/ivfserve3072nattr$ftag-n$n-c$cellsK-m$nmod"
+      if (!graft.similarity.Knn.ivfIndexReady(indexDir)) {
+        val fp32 = corpus.select(col("vec_id").as("id"),
+          graft.functions.fp16_decode(col("emb16")).as("embedding"),
+          pmod(col("vec_id"), lit(nmod)).as("nlabel"))
+        graft.similarity.Knn.ivfBuildIndex(fp32, "embedding", "id", indexDir,
+          k = cellsK, iters = 2,
+          trainFilter = col("id") % (n / 500).max(1L) === 0, fp16 = true,
+          attrCols = Seq("nlabel"))
+      }
+      val index = graft.similarity.Knn.IvfIndex.load(spark, indexDir)
+      run(spark, s"routed_ladder(cells=$cellsK,nprobe=$nprobe,mod=$nmod)",
+        n, users, reqsPerUser) { seed =>
+          val qv = qvec(seed)
+          index.searchAdaptiveRows(qv, k = 10, nprobe = nprobe,
+            Some(col("nlabel") === seed % nmod))
+      }
+      run(spark, s"routed(cells=$cellsK,nprobe=$nprobe,mod=$nmod)",
+        n, users, reqsPerUser) { seed =>
+          val qv = qvec(seed)
+          index.servingTopKRouted(qv, k = 10, nprobe = nprobe,
+            col("nlabel") === seed % nmod)
+      }
+    }
+
     if (mode("pq")) {
       // IVFADC serving: same cells/nprobe dial as `ivf`, but the probed
       // partitions hold m-byte PQ codes instead of fp16 vectors — per-

@@ -1914,6 +1914,43 @@ object SparkEntry {
       rows.toDF("vec_id", "score")
     }),
 
+    // ---- q151's gateway with an ATTRIBUTE FILTER fanned across the
+    //      shards (the r15 verdict's missing piece): shard layouts
+    //      carry `label` on their self-rows, each shard evaluates the
+    //      predicate inside its own refine job, and with exhaustive
+    //      beams the merged filtered top-k must equal brute-force
+    //      filtered cosine over the union — no store fallback anywhere
+    //      on the path ----
+    "q160_sharded_filtered" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").filter(col("vec_id") < 300)
+      val n = e.count().toInt
+      val qv = e.filter(col("vec_id") === 157).select(col("embedding"))
+        .head().getSeq[Float](0).toArray
+      val root = graft.fixtures.Fp16Corpus.workRoot +
+        s"/shardedresf-${new java.io.File(dir).getName}-c$n"
+      val dirs = Seq(0, 1).map(p => (p, s"$root/shard$p"))
+      dirs.foreach { case (p, d) =>
+        if (!Knn.graphIndexReady(d) || !Knn.graphCodesReady(d)) {
+          val members = e.filter(col("vec_id") % 2 === p)
+          val knn = Knn.knnGraph(members, "embedding", "vec_id", topK = 5)
+            .select(col("id_a"), col("id_b"))
+          val chain = members.select(col("vec_id").as("id_a"),
+            (col("vec_id") + 2L).as("id_b")).filter(col("id_b") < 300)
+          if (!Knn.graphIndexReady(d))
+            Knn.buildAdjacencyIndex(knn.unionByName(chain), members,
+              "embedding", "vec_id", d, buckets = 8, fp16 = false,
+              attrCols = Seq("label"))
+          Knn.buildGraphCodes(s, d, codec = "int8")
+        }
+      }
+      val rows = Knn.ShardedResidentIndex
+        .load(s, dirs.map(_._2 -> None), ef = n)
+        .servingTopK(qv, 10, 0, Some(col("label") % 3 === 1))
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      import s.implicits._
+      rows.toDF("vec_id", "score")
+    }),
+
     // ---- DSIR data selection (Xie et al. 2023, importance resampling):
     //      src0's docs are the TARGET domain; every other doc scores
     //      logw = Σ [ln p_t(b) − ln p_r(b)] over its hashed bigrams
@@ -4968,6 +5005,19 @@ object SparkEntry {
          |q AS MATERIALIZED (SELECT v AS qv FROM v WHERE id = 157)
          |SELECT v.id AS vec_id, ${sqlCosine("v.v", "q.qv")} AS score
          |FROM v CROSS JOIN q
+         |ORDER BY score, vec_id LIMIT 10""".stripMargin,
+
+    // q151's brute-force oracle with the attribute predicate applied to
+    // the CANDIDATES only (the query row is fetched unfiltered — a
+    // request's filter scopes results, never the query vector)
+    "q160_sharded_filtered" ->
+      s"""WITH v AS MATERIALIZED (SELECT vec_id AS id,
+         |    CAST(embedding AS DOUBLE[]) AS v, label
+         |  FROM embeddings WHERE vec_id < 300 AND embedding IS NOT NULL),
+         |q AS MATERIALIZED (SELECT v AS qv FROM v WHERE id = 157)
+         |SELECT v.id AS vec_id, ${sqlCosine("v.v", "q.qv")} AS score
+         |FROM v CROSS JOIN q
+         |WHERE v.label % 3 = 1
          |ORDER BY score, vec_id LIMIT 10""".stripMargin,
 
     // the DSIR chain replayed wholesale: hashed-bigram buckets on both

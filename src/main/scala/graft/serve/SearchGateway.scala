@@ -141,19 +141,23 @@ final class SearchGateway(storeFn: () => DataFrame, embedder: Embedder,
     rehydrate(idx.servingTopK(req.queryVec, SearchRequest.clampK(req.k),
       nprobe, None))
 
-  /** Filtered request through an attr-carrying index: the predicate
-    * evaluates INSIDE the pruned cell scan (same filter semantics as
-    * the store path — [[SemanticSearch.filterConditions]]), and the
-    * probe widens adaptively when the filter starves the first
-    * `nprobe` cells of k matches (each widening attempt is ONE job —
-    * the collect decides widening, no count pass). Store rehydration is
+  /** Filtered request through an attr-carrying index, COST-ROUTED
+    * ([[graft.similarity.Knn.DenseIndex.servingTopKRouted]]): the index
+    * measures the predicate's selectivity and sends rare filters — the
+    * reference's single-author / rare-tag requests, its core query
+    * dimension (db/supabase_ops.py:239-259) — to its pruned exhaustive
+    * scan instead of burning the adaptive ladder's widening attempts to
+    * arrive at the same plan; plentiful filters take the standard
+    * pruned probe, where the predicate evaluates INSIDE the cell scan
+    * (same filter semantics as the store path —
+    * [[SemanticSearch.filterConditions]]). Store rehydration is
     * identical to the filterless path — by construction the k winners
     * already satisfy the predicate. */
   private def filteredIndexSearch(idx: graft.similarity.Knn.DenseIndex,
       req: SearchRequest,
       conds: Seq[org.apache.spark.sql.Column]): Iterator[Map[String, Any]] =
-    rehydrate(idx.servingTopK(req.queryVec, SearchRequest.clampK(req.k),
-      nprobe, conds.reduceOption(_ && _)))
+    rehydrate(idx.servingTopKRouted(req.queryVec,
+      SearchRequest.clampK(req.k), nprobe, conds.reduce(_ && _)))
 
   private def rehydrate(
       top: Array[Row]): Iterator[Map[String, Any]] = {

@@ -1325,6 +1325,18 @@ object Knn {
       * cells of k matches (each attempt is one pruned job). */
     def servingTopK(queryVec: Array[Float], k: Int, nprobe: Int,
         filter: Option[Column]): Array[org.apache.spark.sql.Row]
+
+    /** Filtered serving under the [[ivfRoutedSearchIndex]] routing
+      * contract — route on MEASURED selectivity, never folklore: an
+      * index that can price the predicate overrides this to send rare
+      * filters to its pruned exhaustive scan (exact, one job) instead
+      * of burning the adaptive ladder's log₂(cells) widenings to
+      * arrive at the same plan. Default: the index's own adaptive
+      * filtered path, so layouts with no cheaper route are unchanged.
+      * Same row contract as [[servingTopK]]. */
+    def servingTopKRouted(queryVec: Array[Float], k: Int, nprobe: Int,
+        filter: Column): Array[org.apache.spark.sql.Row] =
+      servingTopK(queryVec, k, nprobe, Some(filter))
   }
 
   final class IvfIndex private (spark: org.apache.spark.sql.SparkSession,
@@ -1425,6 +1437,39 @@ object Knn {
         filter: Option[Column]): Array[org.apache.spark.sql.Row] =
       searchAdaptiveRows(queryVec, k, nprobe, filter)
         .map(r => org.apache.spark.sql.Row(r.get(0), r.getDouble(2)))
+
+    /** Mean rows per cell — the routing yardstick: a probe attempt at
+      * width w reads ~w·avgCellRows rows, so a predicate matching fewer
+      * than that is cheaper to scan outright. Priced ONCE, lazily (one
+      * column-pruned count on the first routed request); distinct ids
+      * on a spilled layout. */
+    private lazy val avgCellRows: Double = {
+      val n =
+        if (spilled) cells.agg(countDistinct(col("id"))).head().getLong(0)
+        else cells.count()
+      n.toDouble / math.max(1, numCells)
+    }
+
+    /** [[DenseIndex.servingTopKRouted]]: measure the predicate's match
+      * count (one scan of ONLY its columns — vectors never read), then
+      *  - matches ≤ nprobe·avgCellRows → ONE exhaustive filtered scan
+      *    (exact by construction; fewer vector rows than even the
+      *    first probe attempt would touch, and none of the adaptive
+      *    ladder's widening jobs);
+      *  - otherwise → the standard adaptive probe, which now starts
+      *    with enough matches in reach that widening is rare. */
+    override def servingTopKRouted(queryVec: Array[Float], k: Int,
+        nprobe: Int, filter: Column): Array[org.apache.spark.sql.Row] = {
+      val matched = cells.filter(filter)
+      val matches =
+        if (spilled) matched.agg(countDistinct(col("id"))).head().getLong(0)
+        else matched.count()
+      val np0 = math.max(1, math.min(nprobe, numCells))
+      if (matches <= (avgCellRows * np0).toLong)
+        search(queryVec, k, numCells, Some(filter)).collect()
+          .map(r => org.apache.spark.sql.Row(r.get(0), r.getDouble(2)))
+      else servingTopK(queryVec, k, nprobe, Some(filter))
+    }
   }
 
   object IvfIndex {
@@ -1968,8 +2013,10 @@ object Knn {
     * from density alone. */
   def buildAdjacencyIndex(edges: DataFrame, corpus: DataFrame,
       vecCol: String, keyCol: String, indexDir: String, buckets: Int = 64,
-      fp16: Boolean = true): Unit = {
+      fp16: Boolean = true, attrCols: Seq[String] = Nil): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(!attrCols.exists(Set("src_bucket", "src", "dst", "dvec")),
+      "buildAdjacencyIndex: attrCols clash with index layout columns")
     val spark = edges.sparkSession
     require(graft.sync.SegmentedIndex.resolve(spark, indexDir).isEmpty,
       s"buildAdjacencyIndex: index already exists at $indexDir (append instead)")
@@ -1979,7 +2026,7 @@ object Knn {
       .select(lit(buckets).as("buckets"), lit(fp16).as("fp16"))
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
     writeAdjSegment(edges, corpus, vecCol, keyCol, indexDir, buckets, fp16,
-      selfRows = true)
+      selfRows = true, attrCols = attrCols)
   }
 
   /** Append a batch of edges (+ self-rows for any NEW nodes in
@@ -1991,12 +2038,26 @@ object Knn {
       vecCol: String, keyCol: String, indexDir: String,
       newNodes: Option[DataFrame] = None): Unit = {
     val spark = edges.sparkSession
-    require(graft.sync.SegmentedIndex.resolve(spark, indexDir).isDefined,
-      s"appendAdjacencyIndex: no index at $indexDir (build first)")
+    val existing = graft.sync.SegmentedIndex.resolve(spark, indexDir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"appendAdjacencyIndex: no index at $indexDir (build first)"))
     val meta = spark.read.parquet(s"$indexDir/meta").head()
+    // attr columns are schema contract (the ivfAppendIndex discipline):
+    // sniff them from a live segment and demand them of the corpus, so
+    // an appended segment never silently drops the metadata filtered
+    // resident walks evaluate
+    val attrCols = spark.read
+      .parquet(s"$indexDir/${existing.filterNot(
+        graft.sync.SegmentedIndex.isTombstone).head}/edges")
+      .columns.toSeq
+      .filterNot(Set("src_bucket", "src", "dst", "dvec"))
+    val missing = attrCols.filterNot(corpus.columns.contains)
+    require(missing.isEmpty,
+      s"appendAdjacencyIndex: corpus lacks index attr column(s) " +
+        missing.mkString(", "))
     writeAdjSegment(edges, corpus, vecCol, keyCol, indexDir,
       meta.getAs[Int]("buckets"), meta.getAs[Boolean]("fp16"),
-      selfRows = false, selfFor = newNodes)
+      selfRows = false, selfFor = newNodes, attrCols = attrCols)
   }
 
   /** Driver-local entry selection for graph-ANN serving — the measured
@@ -2122,10 +2183,12 @@ object Knn {
   private def writeAdjSegment(edges: DataFrame, corpus: DataFrame,
       vecCol: String, keyCol: String, indexDir: String, buckets: Int,
       fp16: Boolean, selfRows: Boolean,
-      selfFor: Option[DataFrame] = None): Unit = {
+      selfFor: Option[DataFrame] = None,
+      attrCols: Seq[String] = Nil): Unit = {
     val spark = edges.sparkSession
     val v = corpus.filter(col(vecCol).isNotNull)
-      .select(col(keyCol).cast("long").as("dst"), col(vecCol).as("__dv"))
+      .select(col(keyCol).cast("long").as("dst") +:
+        col(vecCol).as("__dv") +: attrCols.map(col): _*)
     val e = edges.select(col("id_a").cast("long").as("src"),
       col("id_b").cast("long").as("dst"))
     val self =
@@ -2146,10 +2209,17 @@ object Knn {
     // made each hop decompress the WHOLE bucket's dvec chunk — measured
     // p95 6.2 s on the 200 k serving corpus vs 543 ms for the one-scan
     // ivf mode; sorted groups read ~ef·(K̃+1) rows instead.
+    // attr columns live on SELF-ROWS only (the rows filtered refine
+    // reads touch — src = dst): an edge row's dst-side attr would be
+    // misleading next to its src, and parquet nulls cost definition
+    // levels, not data pages, so the edge rows stay as narrow as the
+    // attr-less layout
+    val attrOut = attrCols.map(a =>
+      when(col("src") === col("dst"), col(a)).as(a))
     e.unionByName(self)
       .join(v, Seq("dst"))
-      .select(pmod(col("src"), lit(buckets.toLong)).as("src_bucket"),
-        col("src"), col("dst"), dvec.as("dvec"))
+      .select(pmod(col("src"), lit(buckets.toLong)).as("src_bucket") +:
+        col("src") +: col("dst") +: dvec.as("dvec") +: attrOut: _*)
       .repartition(col("src_bucket"))
       .sortWithinPartitions(col("src_bucket"), col("src"))
       .write.partitionBy("src_bucket")
@@ -2175,6 +2245,12 @@ object Knn {
       * self-rows) — maintenance code ([[Knn.hnswAppendIndex]]) reads
       * members and degrees from it, and the q145 gate audits it. */
     private[graft] def relation: DataFrame = rel
+
+    /** Metadata columns the layout carries on its SELF-ROWS
+      * ([[Knn.buildAdjacencyIndex]]'s `attrCols`) — the predicates a
+      * filtered refine may evaluate. Empty for an attr-less layout. */
+    val attrColumns: Seq[String] = rel.columns.toSeq
+      .filterNot(Set("src_bucket", "src", "dst", "dvec"))
 
     private def scoreCol(queryVec: Array[Float]): Column =
       if (fp16) graft.functions.fp16_cosine_distance(col("dvec"),
@@ -2215,7 +2291,8 @@ object Knn {
       * the one vector-carrying row per node. Scores carry the index's
       * storage precision — identical to what [[search]]'s beam scores. */
     private[similarity] def selfScores(ids: Seq[Long],
-        queryVec: Array[Float]): DataFrame = {
+        queryVec: Array[Float],
+        filter: Option[Column] = None): DataFrame = {
       // floorMod to match the writer's pmod — see frontierFrame
       val bs: Seq[Any] = rel.schema("src_bucket").dataType match {
         case org.apache.spark.sql.types.IntegerType =>
@@ -2225,11 +2302,30 @@ object Knn {
         case _ => ids.map(s => Math.floorMod(s, buckets.toLong).toString)
           .distinct
       }
-      rel.filter(col("src_bucket").isin(bs: _*)
-          && col("src") === col("dst")
-          && chunkedIn(col("src"), ids.map(x => x: Any)))
+      // the optional attr predicate evaluates INSIDE the pruned scan
+      // (self-rows carry the attr columns) — the q132 filter-in-index
+      // discipline applied to the refine read
+      filter.foldLeft(
+          rel.filter(col("src_bucket").isin(bs: _*)
+            && col("src") === col("dst")
+            && chunkedIn(col("src"), ids.map(x => x: Any))))(_ filter _)
         .select(col("src").as("id"), scoreCol(queryVec).as("score"))
     }
+
+    /** Exhaustive filtered top-k over the layout's SELF-ROWS — the
+      * correctness backstop a filtered walk degrades to when the
+      * predicate starves its shortlist (the walk navigates on geometry
+      * and cannot prune on attributes, so a rare predicate can leave
+      * any beam empty while matches exist elsewhere in the graph). One
+      * job over the vector-carrying rows only (src = dst skips ~K̃
+      * edge rows per node on row-group stats; the attr predicate
+      * prunes further). */
+    private[similarity] def filteredSelfTopK(queryVec: Array[Float],
+        k: Int, filter: Column): DataFrame =
+      rel.filter(col("src") === col("dst") && filter)
+        .select(col("src").as("id"), scoreCol(queryVec).as("score"))
+        .orderBy(col("score").asc, col("id").asc)
+        .limit(k)
 
     def search(queryVec: Array[Float], k: Int, ef: Int, hops: Int,
         entryId: Long): DataFrame = {
@@ -3216,7 +3312,12 @@ object Knn {
       entries: Option[GraphEntries],
       ef: Int, entryCount: Int, visitBudget: Int,
       idOf: Long => Any) extends DenseIndex {
-    val attrColumns: Seq[String] = Nil
+    /** Attr columns the adjacency layout carries on its self-rows
+      * ([[buildAdjacencyIndex]]'s `attrCols`) — filtered requests
+      * evaluate them in the refine job, so the gateway routes filtered
+      * traffic here instead of a full store scan. Empty (attr-less
+      * layout) keeps the old route-to-store behavior. */
+    val attrColumns: Seq[String] = adj.attrColumns
 
     private val idToIdx: java.util.HashMap[Long, Integer] = {
       val m = new java.util.HashMap[Long, Integer](ids.length * 2)
@@ -3351,13 +3452,73 @@ object Knn {
       * Spark job. */
     def servingTopK(queryVec: Array[Float], k: Int, nprobe: Int,
         filter: Option[Column]): Array[org.apache.spark.sql.Row] = {
-      require(filter.isEmpty, "ResidentGraphIndex cannot evaluate attribute " +
-        "predicates; the gateway must route filtered requests to the store")
-      adj.selfScores(walk(queryVec, math.max(ef, k)).toSeq, queryVec)
-        .orderBy(col("score").asc, col("id").asc)
-        .limit(k)
-        .collect()
-        .map(r => org.apache.spark.sql.Row(idOf(r.getLong(0)), r.getDouble(1)))
+      filter.foreach { _ =>
+        require(attrColumns.nonEmpty,
+          "ResidentGraphIndex: this layout carries no attr columns " +
+            "(rebuild with buildAdjacencyIndex attrCols = ...); the " +
+            "gateway must route filtered requests to the store") }
+      filter match {
+        case None =>
+          adj.selfScores(walk(queryVec, math.max(ef, k)).toSeq, queryVec)
+            .orderBy(col("score").asc, col("id").asc)
+            .limit(k)
+            .collect()
+            .map(r =>
+              org.apache.spark.sql.Row(idOf(r.getLong(0)), r.getDouble(1)))
+        case Some(f) => filteredTopK(queryVec, k, f)
+      }
+    }
+
+    /** Filtered resident serving: the walk navigates on GEOMETRY and
+      * cannot prune on attributes, so the predicate applies in the
+      * refine job (self-rows carry the attr columns) and the shortlist
+      * widens when it starves — the [[IvfIndex.searchAdaptiveRows]]
+      * discipline with the widening MEASURED, not laddered blindly:
+      *  1. walk at the deployed ef; refine + filter (one job). k
+      *     survivors → done, same job shape as a filterless request;
+      *  2. else the first pass's survivor fraction prices one informed
+      *     re-walk (shortlist ≈ 2k / measured selectivity, driver-flop
+      *     cost only) + one more refine job;
+      *  3. else — including a shortlist with ZERO survivors, where the
+      *     selectivity estimate carries no information — degrade to
+      *     [[AdjIndex.filteredSelfTopK]], the exhaustive filtered scan
+      *     that is the only correct answer for a predicate rarer than
+      *     the walk can see (matches < k anywhere included).
+      * Worst case: 3 jobs, exact; common (broad-predicate) case: 1 job.
+      * The exhaustive fallback scans THIS shard's self-rows — at the
+      * sharded tier that is corpus/shards rows fanned in parallel,
+      * never the gateway's full store scan. */
+    private[similarity] def filteredTopK(queryVec: Array[Float], k: Int,
+        f: Column): Array[org.apache.spark.sql.Row] = {
+      def attempt(efEff: Int): Array[org.apache.spark.sql.Row] = {
+        val short = walk(queryVec, efEff)
+        adj.selfScores(short.toSeq, queryVec, Some(f))
+          .orderBy(col("score").asc, col("id").asc)
+          .limit(k)
+          .collect()
+      }
+      val ef0 = math.max(ef, k)
+      val first = attempt(ef0)
+      val out =
+        if (first.length >= k) first
+        else if (first.length == 0) null
+        else {
+          // survivors/shortlist estimates the predicate's density along
+          // the walk; aim for 2k survivors, cap the re-walk at 4096
+          // resident expansions (past that the exhaustive scan's one
+          // clean job beats driver-flop wandering)
+          val ef1 = math.min(4096L,
+            ef0.toLong * 2L * k / math.max(1, first.length)).toInt
+          if (ef1 <= ef0) first else {
+            val second = attempt(ef1)
+            if (second.length >= k) second else null
+          }
+        }
+      val rows =
+        if (out != null) out
+        else adj.filteredSelfTopK(queryVec, k, f).collect()
+      rows.map(r =>
+        org.apache.spark.sql.Row(idOf(r.getLong(0)), r.getDouble(1)))
     }
   }
 
@@ -3406,7 +3567,9 @@ object Knn {
           s"budget $maxResidentNodes — serve --graph-index (job walk), or " +
           "split the corpus into per-shard layouts behind " +
           "ShardedResidentIndex (fan-and-merge; each shard stays inside " +
-          "this budget)")
+          "this budget): one call, `graft.Cli index --type graph " +
+          "--shards N` (or `--shards auto`), then `serve --graph-index " +
+          "<root> --graph-resident`")
       // two narrow jobs, both collected as PRIMITIVES: the load
       // transient must price like the steady state (~16 B an edge), not
       // like boxed Rows (~100+ B each) — at the 2 M-node budget the Row
@@ -3558,24 +3721,40 @@ object Knn {
       shards: IndexedSeq[ResidentGraphIndex],
       idOf: Long => Any) extends DenseIndex {
     require(shards.nonEmpty, "ShardedResidentIndex: need >= 1 shard")
-    val attrColumns: Seq[String] = Nil
+
+    /** Columns EVERY shard's layout carries — a predicate must
+      * evaluate on all shards or the merge silently drops matches, so
+      * the gateway routes on the intersection (shards built by
+      * [[build]] share one attr schema and intersect to it). */
+    val attrColumns: Seq[String] =
+      shards.map(_.attrColumns.toSet).reduce(_ intersect _).toSeq.sorted
 
     def numShards: Int = shards.length
 
     /** ≤ k (id, score) rows by (score, id) over the shard union —
       * [[ResidentGraphIndex.servingTopK]]'s contract, fanned. One Spark
-      * job per shard, all in flight together. */
+      * job per shard filterless (up to 3 filtered — the per-shard
+      * adaptive ladder), all in flight together. A filtered request
+      * fans the per-shard filtered walk and merges: every member of
+      * the union's filtered top-k is in its own shard's filtered
+      * top-k, so the merge loses nothing relative to the per-shard
+      * shortlists, and a shard whose walk starves degrades to ITS OWN
+      * exhaustive self-row scan (corpus/shards rows, in parallel with
+      * the other shards) — never the gateway's full store scan. */
     def servingTopK(queryVec: Array[Float], k: Int, nprobe: Int,
         filter: Option[Column]): Array[org.apache.spark.sql.Row] = {
-      require(filter.isEmpty, "ShardedResidentIndex cannot evaluate " +
-        "attribute predicates; the gateway must route filtered requests " +
-        "to the store")
+      filter.foreach { _ =>
+        require(attrColumns.nonEmpty,
+          "ShardedResidentIndex: shard layouts carry no shared attr " +
+            "columns (rebuild with attrCols = ...); the gateway must " +
+            "route filtered requests to the store") }
       val perShard =
         new Array[Array[org.apache.spark.sql.Row]](shards.length)
       val errs = new java.util.concurrent.atomic.AtomicReference[Throwable]
       val threads = shards.indices.map { i =>
         val t = new Thread(() => {
-          try perShard(i) = shards(i).servingTopK(queryVec, k, nprobe, None)
+          try perShard(i) = shards(i).servingTopK(queryVec, k, nprobe,
+            filter)
           catch { case e: Throwable => errs.compareAndSet(null, e) }
         })
         t.setDaemon(true); t.start(); t
@@ -3643,11 +3822,12 @@ object Knn {
       * story). */
     def build(corpus: DataFrame, vecCol: String, keyCol: String,
         rootDir: String, shards: Int, topK: Int = 10, iters: Int = 2,
-        nprobe: Int = 2, codec: String = "int8", entryCells: Int = 256)
+        nprobe: Int = 2, codec: String = "int8", entryCells: Int = 256,
+        attrCols: Seq[String] = Nil)
         : Seq[(String, Option[String])] = {
       require(shards >= 1, s"need shards >= 1, got $shards")
       val spark = corpus.sparkSession
-      (0 until shards).map { s =>
+      val dirs = (0 until shards).map { s =>
         val dir = s"$rootDir/shard$s"
         val ivfDir = s"$rootDir/shard$s-ivf"
         val members = corpus.filter(col(vecCol).isNotNull &&
@@ -3660,7 +3840,7 @@ object Knn {
           cells = cells, iters = iters, nprobe = math.min(nprobe, cells))
           .select(col("id_a"), col("id_b"))
         buildAdjacencyIndex(edges, members, vecCol, keyCol, dir,
-          buckets = bucketsFor(n * (topK + 1L)))
+          buckets = bucketsFor(n * (topK + 1L)), attrCols = attrCols)
         buildGraphCodes(spark, dir, codec = codec)
         // entry IVF trains on a ~20 k-row hash sample (geometry only
         // needs a representative slice — the ivfBuildIndex contract)
@@ -3672,7 +3852,83 @@ object Knn {
           fp16 = true)
         (dir, Option(ivfDir))
       }
+      // gateway manifest LAST — it is the build's completion marker
+      // (ShardedResidentIndex.loadRoot refuses a root whose manifest
+      // is absent, so a crash mid-build reads as absent, never as a
+      // half-sharded gateway)
+      writeManifest(spark, rootDir,
+        dirs.map { case (d, ivf) =>
+          (d.stripPrefix(s"$rootDir/"),
+            ivf.map(_.stripPrefix(s"$rootDir/"))) })
+      dirs
     }
+
+    /** Write the gateway MANIFEST at a sharded root: one line per shard
+      * in shard order — `<shardDir>` or `<shardDir>\t<entryIvfDir>`,
+      * paths RELATIVE to the root so the whole deployment can move —
+      * committed with the CURRENT pointer's atomic-replace discipline
+      * (readers see the old complete manifest or the new one, never a
+      * torn file). */
+    def writeManifest(spark: org.apache.spark.sql.SparkSession,
+        rootDir: String, dirs: Seq[(String, Option[String])]): Unit = {
+      require(dirs.nonEmpty, "writeManifest: empty shard list")
+      import org.apache.hadoop.fs.{Path => HPath}
+      val rootP = new HPath(rootDir)
+      val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.mkdirs(rootP)
+      val tmp = new HPath(rootP, s".MANIFEST.tmp-${System.nanoTime()}")
+      val body = dirs.map { case (d, ivf) =>
+        ivf.fold(d)(e => s"$d\t$e") }.mkString("\n")
+      scala.util.Using.resource(fs.create(tmp, true))(
+        _.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      graft.sync.FsUtil.atomicReplace(fs,
+        spark.sparkContext.hadoopConfiguration,
+        tmp, new HPath(rootP, "MANIFEST"))
+    }
+
+    /** The shard list a root's MANIFEST declares — (adjacencyDir,
+      * entryIvfDir) pairs with paths resolved against the root — or
+      * None when no manifest exists (callers fall back to explicit
+      * shard lists). */
+    def loadManifest(spark: org.apache.spark.sql.SparkSession,
+        rootDir: String): Option[Seq[(String, Option[String])]] = {
+      import org.apache.hadoop.fs.{Path => HPath}
+      val rootP = new HPath(rootDir)
+      val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val ptr = new HPath(rootP, "MANIFEST")
+      if (!fs.exists(ptr)) None
+      else {
+        val text = scala.util.Using.resource(fs.open(ptr)) { in =>
+          new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+        }
+        def abs(p: String): String =
+          if (p.startsWith("/") || p.contains("://")) p else s"$rootDir/$p"
+        Some(text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+          .map { line =>
+            line.split('\t') match {
+              case Array(d) => (abs(d), None)
+              case Array(d, e) => (abs(d), Some(abs(e)))
+              case _ => throw new IllegalStateException(
+                s"malformed MANIFEST line at $rootDir: '$line'")
+            }
+          })
+      }
+    }
+
+    /** [[load]] via the root's MANIFEST — the one-call serving form of
+      * a `Cli index --type graph --shards N` build. */
+    def loadRoot(spark: org.apache.spark.sql.SparkSession, rootDir: String,
+        ef: Int = 64,
+        maxResidentNodesPerShard: Long =
+          ResidentGraphIndex.DefaultMaxResidentNodes,
+        idOf: Long => Any = identity[Long] _, entryCount: Int = 4,
+        visitBudget: Int = 0): ShardedResidentIndex =
+      load(spark, loadManifest(spark, rootDir).getOrElse(
+          throw new IllegalArgumentException(
+            s"no sharded-gateway MANIFEST at $rootDir — build one with " +
+              "`graft.Cli index --type graph --shards N`")),
+        ef, maxResidentNodesPerShard, idOf, entryCount, visitBudget)
 
     /** [[load]] behind ONE generation check spanning every shard's
       * adjacency pointer, code sidecar and entry IVF — any shard's
@@ -4014,6 +4270,30 @@ object Knn {
               cosineScore = true).collect()
           }
           rows.map(r => org.apache.spark.sql.Row(r.get(0), r.getDouble(2)))
+        }
+
+        // routing yardstick, priced once on first routed request —
+        // codes rows are one id + m bytes, so the count scans only the
+        // predicate's columns
+        private lazy val avgCellRows: Double =
+          cells.count().toDouble / math.max(1, numCells)
+
+        /** [[DenseIndex.servingTopKRouted]]: rare predicates (matches
+          * ≤ nprobe·avgCellRows, measured per request on a
+          * column-pruned count) jump STRAIGHT to the full-width probe
+          * — identical rows to the adaptive ladder's final widening,
+          * without paying its intermediate attempts (each a 2-job
+          * shortlist+refine pass); plentiful predicates take the
+          * standard adaptive path, which then rarely widens. */
+        override def servingTopKRouted(queryVec: Array[Float], k: Int,
+            nprobe: Int, filter: Column): Array[org.apache.spark.sql.Row] = {
+          val matches = cells.filter(filter).count()
+          val np0 = math.max(1, math.min(nprobe, numCells))
+          if (matches <= (avgCellRows * np0).toLong)
+            self.search(queryVec, k, numCells, refine, Some(filter),
+                cosineScore = true).collect()
+              .map(r => org.apache.spark.sql.Row(r.get(0), r.getDouble(2)))
+          else servingTopK(queryVec, k, nprobe, Some(filter))
         }
       }
     }

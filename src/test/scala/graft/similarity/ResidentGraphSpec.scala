@@ -181,6 +181,43 @@ class ResidentGraphSpec extends SparkTestBase {
     } finally { rmTree(root); rmTree(root8) }
   }
 
+  test("drift default separates at the SERVING dials (m=8, ksub=256 — " +
+      "the q109/q124 shape), not only the test corpus' m=32/ksub=16") {
+    val root = java.nio.file.Files.createTempDirectory("resgdp").toString
+    val dir = root + "/i"
+    try {
+      // production-representative regime: training rows ≫ ksub, so the
+      // sub-quantizers generalize instead of memorizing (at N=400 a
+      // ksub=256 codebook would near-memorize the corpus, the anchor
+      // error would sit at ~0, and the ratio would be meaningless —
+      // which is exactly why the threshold must be pinned HERE)
+      val Nbig = 4000L
+      val big = (0L until Nbig)
+        .map(v => (v, ManifoldCorpus.vector(v).toSeq))
+        .toDF("vec_id", "embedding").localCheckpoint()
+      // codes train on SELF-ROWS only — a chain adjacency is enough
+      val ids = (0L until Nbig)
+      val chain = ids.zip(ids.drop(1)).toDF("id_a", "id_b")
+      Knn.buildAdjacencyIndex(chain, big, "embedding", "vec_id", dir,
+        buckets = 8)
+      Knn.buildGraphCodes(spark, dir, m = 8, ksub = 256)
+      val same = (Nbig until Nbig + 32L)
+        .map(v => (v, ManifoldCorpus.vector(v).toSeq))
+        .toDF("vec_id", "embedding")
+      val dSame = Knn.appendGraphCodes(same, "embedding", "vec_id", dir)
+      val shifted = (Nbig until Nbig + 32L)
+        .map(v => (v + 100000L,
+          ManifoldCorpus.vector(v, noise = 50.0).toSeq))
+        .toDF("vec_id", "embedding")
+      val dShift = Knn.appendGraphCodes(shifted, "embedding", "vec_id", dir)
+      val thr = graft.sync.CorpusRefresh.DefaultCodesDriftRatio
+      assert(dSame > 0.0 && dSame < thr,
+        s"in-dist $dSame would spuriously retrain at $thr (serving dials)")
+      assert(dShift > thr,
+        s"shifted $dShift cannot fire the default $thr (serving dials)")
+    } finally rmTree(root)
+  }
+
   test("tombstoned nodes leave the walk; a stale sidecar refuses; rebuild serves appends") {
     val dir = java.nio.file.Files.createTempDirectory("resgt").toString + "/i"
     try {
@@ -215,5 +252,64 @@ class ResidentGraphSpec extends SparkTestBase {
         .servingTopK(ManifoldCorpus.vector(N + 11L), 5, 0, None)
       assert(served.head.getLong(0) == N + 11L, served.toSeq.toString)
     } finally rmTree(dir)
+  }
+
+  test("filtered serving: refine-job predicate, informed widening, " +
+      "exhaustive fallback, attr-less refusal") {
+    val root = java.nio.file.Files.createTempDirectory("resgflt").toString
+    val dir = s"$root/i"
+    try {
+      // attr-carrying layout: `label` broad (~57 rows a value), `grp`
+      // rare (4 rows a value — BELOW k, so only the exhaustive
+      // fallback can answer exactly); an id chain guarantees the
+      // exhaustive-ef walk reaches every node
+      val labeled = corpus
+        .withColumn("label", pmod($"vec_id", lit(7L)))
+        .withColumn("grp", floor($"vec_id" / 4).cast("long"))
+      val ids = (0L until N)
+      val chain = ids.zip(ids.drop(1)).toDF("id_a", "id_b")
+      Knn.buildAdjacencyIndex(edges.unionByName(chain), labeled,
+        "embedding", "vec_id", dir, buckets = 8,
+        attrCols = Seq("label", "grp"))
+      Knn.buildGraphCodes(spark, dir, m = 32, ksub = 16)
+      val idx = Knn.ResidentGraphIndex.load(spark, dir, ef = N.toInt)
+      assert(idx.attrColumns.toSet == Set("label", "grp"))
+      val qv = ManifoldCorpus.vector(7L)
+      def brute(cond: org.apache.spark.sql.Column,
+          k: Int): Seq[org.apache.spark.sql.Row] = labeled.filter(cond)
+        .select($"vec_id", graft.functions.fp16_cosine_distance(
+          graft.functions.fp16_encode($"embedding"), typedLit(qv))
+          .as("score"))
+        .orderBy($"score".asc, $"vec_id".asc).limit(k)
+        .collect().map(r => org.apache.spark.sql.Row(r.getLong(0),
+          r.getDouble(1))).toSeq
+      // broad predicate at exhaustive ef: the walk covers the graph,
+      // the refine job filters in-scan → exactly the filtered brute
+      // top-k (fp16 storage precision, the layout's score contract)
+      val broad = idx.servingTopK(qv, 10, 0, Some($"label" === 3)).toSeq
+      assert(broad == brute($"label" === 3, 10), broad.toString)
+      // rare predicate (4 matches < k): every walk starves → the
+      // exhaustive self-row scan answers, returning ALL matches exactly
+      val rare = idx.servingTopK(qv, 10, 0, Some($"grp" === 17)).toSeq
+      assert(rare.length == 4 && rare == brute($"grp" === 17, 10),
+        rare.toString)
+      // a SELECTIVE beam (ef 16 ≪ matches' spread): the first attempt
+      // under-fills, the informed re-walk or the fallback must still
+      // return k rows, every one satisfying the predicate
+      val sel = Knn.ResidentGraphIndex.load(spark, dir, ef = 16)
+        .servingTopK(qv, 10, 0, Some($"label" === 3))
+      assert(sel.length == 10, sel.length.toString)
+      assert(sel.forall(_.getLong(0) % 7 == 3), sel.toSeq.toString)
+      val selScores = sel.map(_.getDouble(1)).toSeq
+      assert(selScores == selScores.sorted)
+      // an attr-less layout refuses filters toward the store route
+      val plain = s"$root/plain"
+      buildAt(plain)
+      val e = intercept[IllegalArgumentException] {
+        Knn.ResidentGraphIndex.load(spark, plain, ef = 16)
+          .servingTopK(qv, 5, 0, Some($"label" === 1))
+      }
+      assert(e.getMessage.contains("attr"))
+    } finally rmTree(root)
   }
 }

@@ -17,7 +17,7 @@ class RoutedSearchSpec extends SparkTestBase {
 
   private lazy val indexDir: String = {
     val dir = Files.createTempDirectory("graft-routed").toString + "/ivf"
-    Knn.ivfBuildIndex(emb, "embedding", "vec_id", dir, k = 4, iters = 2,
+    Knn.ivfBuildIndex(emb, "embedding", "vec_id", dir, k = 8, iters = 2,
       trainFilter = $"vec_id" % 5 === 0, attrCols = Seq("label"))
     dir
   }
@@ -49,6 +49,44 @@ class RoutedSearchSpec extends SparkTestBase {
         nprobe = 2, filter = Some(cond))
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
     assert(got.map(r => (r.getLong(0), r.getDouble(2))).toSeq == plain)
+  }
+
+  test("servingTopKRouted: a rare predicate answers in two jobs (count " +
+      "+ pruned scan) with the exhaustive plan's exact rows; a broad " +
+      "one matches the adaptive path") {
+    val idx = Knn.IvfIndex.load(spark, indexDir)
+    // 6 matches < k — the predicate shape that starves EVERY probe, so
+    // the adaptive ladder walks its full doubling to numCells
+    val starved = $"id" % 97 === 0
+    // prime the lazy avgCellRows yardstick (one count job, once per
+    // load) so the steady-state request shape is what's measured
+    idx.servingTopKRouted(qv, 10, 1, starved)
+    val sc = spark.sparkContext
+    def jobs(f: => Unit): Int = {
+      val before = sc.statusTracker.getJobIdsForGroup(null).length
+      f
+      sc.statusTracker.getJobIdsForGroup(null).length - before
+    }
+    var got: Array[org.apache.spark.sql.Row] = null
+    val routedJobs = jobs { got = idx.servingTopKRouted(qv, 10, 1, starved) }
+    val ladderJobs = jobs { idx.searchAdaptiveRows(qv, 10, 1, Some(starved)) }
+    // the routed request is count + ONE pruned scan; the adaptive
+    // ladder on the same starved predicate pays a widening attempt per
+    // doubling (log₂(cells) jobs) to arrive at the same plan
+    assert(routedJobs <= 3 && ladderJobs >= 4 && routedJobs < ladderJobs,
+      s"narrow routed request ran $routedJobs jobs vs the ladder's " +
+        s"$ladderJobs — the widening ladder is back")
+    val want = idx.search(qv, 10, idx.numCells, Some(starved)).collect()
+      .map(r => (r.get(0), r.getDouble(2))).toSeq
+    assert(got.map(r => (r.get(0), r.getDouble(1))).toSeq == want
+      && want.length == 6)
+    // broad: routed takes the standard adaptive path — identical rows
+    val broad = $"label" % 3 === 1
+    val gotB = idx.servingTopKRouted(qv, 10, 2, broad)
+      .map(r => (r.get(0), r.getDouble(1))).toSeq
+    val wantB = idx.searchAdaptiveRows(qv, 10, 2, Some(broad))
+      .map(r => (r.get(0), r.getDouble(2))).toSeq
+    assert(gotB == wantB)
   }
 
   test("the threshold boundary is inclusive: matches == threshold scans") {

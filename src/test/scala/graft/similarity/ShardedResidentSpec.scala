@@ -33,13 +33,13 @@ class ShardedResidentSpec extends SparkTestBase {
     * guaranteed connectivity (the q150 recipe), fp32 vectors so the
     * exhaustive form is bit-comparable to brute-force fp32 cosine. */
   private def buildShard(members: org.apache.spark.sql.DataFrame,
-      dir: String): Unit = {
+      dir: String, attrCols: Seq[String] = Nil): Unit = {
     val knn = Knn.knnGraph(members, "embedding", "vec_id", topK = 8)
       .select($"id_a", $"id_b")
     val ids = members.select($"vec_id").as[Long].collect().sorted
     val chain = ids.zip(ids.drop(1)).toSeq.toDF("id_a", "id_b")
     Knn.buildAdjacencyIndex(knn.unionByName(chain), members, "embedding",
-      "vec_id", dir, buckets = 8, fp16 = false)
+      "vec_id", dir, buckets = 8, fp16 = false, attrCols = attrCols)
     Knn.buildGraphCodes(spark, dir, codec = "int8")
   }
 
@@ -179,6 +179,63 @@ class ShardedResidentSpec extends SparkTestBase {
         (got & want).size / 10.0
       }
       assert(recalls.sum / recalls.size >= 0.9, s"recall@10 $recalls")
+    } finally rmTree(root)
+  }
+
+  test("filtered fan-out: sharded filtered top-k equals the unsharded " +
+      "filtered top-k; rare predicates fall to per-shard scans, never " +
+      "the store; attr-less shards refuse") {
+    val root = java.nio.file.Files.createTempDirectory("shflt").toString
+    try {
+      val labeled = corpus
+        .withColumn("label", pmod($"vec_id", lit(7L)))
+        .withColumn("grp", floor($"vec_id" / 4).cast("long"))
+        .localCheckpoint()
+      buildShard(labeled.filter($"vec_id" % 2 === 0), s"$root/a",
+        attrCols = Seq("label", "grp"))
+      buildShard(labeled.filter($"vec_id" % 2 =!= 0), s"$root/b",
+        attrCols = Seq("label", "grp"))
+      buildShard(labeled, s"$root/all", attrCols = Seq("label", "grp"))
+      // exhaustive per-shard beams → per-shard filtered top-k is exact,
+      // so the merge must equal BOTH the unsharded filtered result and
+      // brute force over the filtered union
+      val sharded = Knn.ShardedResidentIndex.load(spark,
+        Seq(s"$root/a" -> None, s"$root/b" -> None), ef = N.toInt)
+      assert(sharded.attrColumns == Seq("grp", "label"))
+      val unsharded = Knn.ResidentGraphIndex.load(spark, s"$root/all",
+        ef = N.toInt)
+      val qv = ManifoldCorpus.vector(7L)
+      def brute(cond: org.apache.spark.sql.Column,
+          k: Int): Seq[(Long, Double)] = labeled.filter(cond)
+        .select($"vec_id", graft.functions.cosine_distance(
+          $"embedding", typedLit(qv)).as("score"))
+        .orderBy($"score".asc, $"vec_id".asc).limit(k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      def rows(a: Array[org.apache.spark.sql.Row]): Seq[(Long, Double)] =
+        a.map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      // broad predicate: both shards contribute, merge is lossless
+      val broadCond = $"label" === 3
+      val viaShards = rows(sharded.servingTopK(qv, 10, 0, Some(broadCond)))
+      assert(viaShards == rows(
+        unsharded.servingTopK(qv, 10, 0, Some(broadCond))))
+      assert(viaShards == brute(broadCond, 10), viaShards.toString)
+      // rare predicate (4 matches — starves every walk): each shard
+      // degrades to ITS OWN exhaustive self-row scan and the merge
+      // still returns every match exactly — no store fallback exists
+      // on this path by construction
+      val rareCond = $"grp" === 17
+      val viaRare = rows(sharded.servingTopK(qv, 10, 0, Some(rareCond)))
+      assert(viaRare.length == 4 && viaRare == brute(rareCond, 10),
+        viaRare.toString)
+      // attr-less shards refuse filters toward the store route
+      buildShard(labeled.filter($"vec_id" % 2 === 0), s"$root/p0")
+      buildShard(labeled.filter($"vec_id" % 2 =!= 0), s"$root/p1")
+      val plain = Knn.ShardedResidentIndex.load(spark,
+        Seq(s"$root/p0" -> None, s"$root/p1" -> None), ef = 16)
+      val e = intercept[IllegalArgumentException] {
+        plain.servingTopK(qv, 5, 0, Some($"label" === 1))
+      }
+      assert(e.getMessage.contains("attr"))
     } finally rmTree(root)
   }
 }
