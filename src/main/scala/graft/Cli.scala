@@ -23,6 +23,7 @@ import graft.sync.{HighlightStore, Sync}
   *      [--graph-entry-ivf I[,I2,...]]]
   *   graft.Cli index --store S --out D [--type ivf|graph|hnsw|lexical]
   *     [--cells 64] [--fp16 true] [--attrs c1,c2] [--graph-k 5] [--buckets N]
+  *     [--shards N|auto]   (graph: one-call sharded gateway + MANIFEST)
   *   graft.Cli export --store S --out D [--shard-tokens 2048]
   *   graft.Cli curate --docs D.parquet --out O [--quality 0.6] [--lm-threshold -6.0]
   *     [--lm-store L] [--mix-alpha A --mix-frac F] [--shard-tokens 2048] [--report-only]
@@ -165,10 +166,20 @@ object Cli {
             // the maintenance half of `serve --graph-index a,b
             // --graph-resident`. --graph-entry-ivf pairs positionally
             // (each shard's entry IVF follows its shard's slice).
-            val graphDirs = f.get("graph-index").toSeq
+            val graphArg = f.get("graph-index").toSeq
               .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
-            val entryIvfs = f.get("graph-entry-ivf").toSeq
-              .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+            // a single dir carrying a sharded-gateway MANIFEST expands
+            // to its shard list + entry IVFs — the maintenance half of
+            // `index --type graph --shards N` under one flag
+            val manifest = graphArg match {
+              case Seq(root) => graft.similarity.Knn.ShardedResidentIndex
+                .loadManifest(spark, root)
+              case _ => None
+            }
+            val graphDirs = manifest.map(_.map(_._1)).getOrElse(graphArg)
+            val entryIvfs = manifest.map(_.flatMap(_._2)).getOrElse(
+              f.get("graph-entry-ivf").toSeq
+                .flatMap(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty)))
             if (entryIvfs.nonEmpty && entryIvfs.length != graphDirs.length) {
               System.err.println(s"--graph-entry-ivf lists " +
                 s"${entryIvfs.length} IVF dirs for ${graphDirs.length} " +
@@ -186,17 +197,18 @@ object Cli {
               ivfIndexDir = f.get("ivf-index"),
               hnswIndexDir = f.get("hnsw-index"),
               graphIndexDir = graphDirs match {
-                case Seq(one) if entryIvfs.isEmpty => Some(one)
+                case Seq(one) if entryIvfs.isEmpty && manifest.isEmpty =>
+                  Some(one)
                 case _ => None
               },
-              graphShardDirs =
+              graphShardDirs = manifest.getOrElse(
                 if (graphDirs.length > 1 || entryIvfs.nonEmpty) {
                   val es: Seq[Option[String]] =
                     if (entryIvfs.isEmpty)
                       Seq.fill(graphDirs.length)(None)
                     else entryIvfs.map(Some(_))
                   graphDirs.zip(es)
-                } else Nil,
+                } else Nil),
               embedder = cfg.embedder,
               pooledChunkWords = cfg.pooledChunkWords)
             println(Json.write(counts.map { case (k, v) => k -> v } +
@@ -269,6 +281,11 @@ object Cli {
     //               OPQ rotation and builds in rotated space)
     //     graph:   [--graph-k 5] [--cells 64] [--nprobe 2] [--buckets 64]
     //              [--fp16 true]   (flat beam-walk serving: --graph-index)
+    //              [--shards N|auto [--codec pq|int8] [--attrs c1,c2]]
+    //                (pmod-split sharded gateway: per-shard adjacency +
+    //                 codes + entry IVF under one root MANIFEST that
+    //                 `serve --graph-index <root> --graph-resident` and
+    //                 `refresh --graph-index <root>` consume)
     //              [--codes true [--codec pq|int8] [--pq-m 64]
     //               [--pq-ksub 256]] (+code sidecar: --graph-resident)
     //     graph-codes: [--codec pq|int8] [--pq-m 64] [--pq-ksub 256]
@@ -389,6 +406,59 @@ object Cli {
                   if (!numericIdsOk()) return 2
                   val gk = intOf("graph-k", 5)
                   val nprobe = intOf("nprobe", 2)
+                  // --shards N|auto: the ONE-CALL sharded deployment a
+                  // corpus past the per-replica residency budget needs
+                  // (the ResidentGraphIndex.load refusal points here) —
+                  // pmod-split shards, each with adjacency + code
+                  // sidecar + entry IVF, plus the root MANIFEST that
+                  // `serve --graph-index <root> --graph-resident`
+                  // consumes. `auto` sizes the shard count from the
+                  // live corpus against the resident budget.
+                  f.get("shards").foreach { sv =>
+                    val live = df.filter(col("embedding").isNotNull).count()
+                    val shards = sv match {
+                      case "auto" => math.max(1L, (live +
+                        graft.similarity.Knn.ResidentGraphIndex
+                          .DefaultMaxResidentNodes - 1) /
+                        graft.similarity.Knn.ResidentGraphIndex
+                          .DefaultMaxResidentNodes).toInt
+                      case v => v.toIntOption.filter(_ >= 1).getOrElse {
+                        System.err.println("--shards must be a positive " +
+                          s"integer or 'auto', got '$v'")
+                        return 2
+                      }
+                    }
+                    val codecV = f.getOrElse("codec", "int8")
+                    if (!Seq("pq", "int8").contains(codecV)) {
+                      System.err.println(
+                        s"--codec must be pq or int8, got '$codecV'")
+                      return 2
+                    }
+                    val attrs = f.get("attrs").toSeq.flatMap(_.split(","))
+                      .map(_.trim).filter(_.nonEmpty)
+                    val missingA = attrs.filterNot(df.columns.contains)
+                    if (missingA.nonEmpty) {
+                      System.err.println("--attrs name(s) not in the " +
+                        "store: " + missingA.mkString(", "))
+                      return 2
+                    }
+                    val corpus = df.filter(col("embedding").isNotNull)
+                      .select(col("id").cast("long").as("id") +:
+                        col("embedding") +: attrs.map(col): _*)
+                    val dirs = graft.similarity.Knn.ShardedResidentIndex
+                      .build(corpus, "embedding", "id", out,
+                        shards = shards, topK = gk,
+                        iters = intOf("iters", 2), nprobe = nprobe,
+                        codec = codecV, entryCells = cells,
+                        attrCols = attrs)
+                    println(Json.write(Map("indexed" -> out,
+                      "type" -> "graph", "shards" -> shards,
+                      "graph_k" -> gk, "codec" -> codecV,
+                      "attrs" -> attrs.mkString(","),
+                      "manifest" -> s"$out/MANIFEST",
+                      "shard_dirs" -> dirs.map(_._1).mkString(","))))
+                    return 0
+                  }
                   // the 100-TB construction: neighbors searched inside
                   // k-means cells (cellKnnGraph — the nprobe dial buys
                   // recall linearly), never the O(n²) exact pair join.
@@ -693,6 +763,39 @@ object Cli {
           // resolve in their own shard).
           val denseOpt: Option[() => graft.similarity.Knn.DenseIndex] =
             cfg.graphIndexDir match {
+              // a single dir that carries a sharded-gateway MANIFEST
+              // (`index --type graph --shards N`) expands to its shard
+              // list — the one-flag serving form
+              case Some(root) if !root.contains(',') &&
+                  graft.similarity.Knn.ShardedResidentIndex
+                    .loadManifest(spark, root).isDefined =>
+                if (!cfg.graphResident) {
+                  System.err.println("a sharded gateway root (MANIFEST " +
+                    s"at $root) needs --graph-resident")
+                  return 2
+                }
+                val dirs = graft.similarity.Knn.ShardedResidentIndex
+                  .loadManifest(spark, root).get
+                dirs.foreach { case (s0, e) =>
+                  if (!graft.similarity.Knn.graphIndexReady(s0) ||
+                      !graft.similarity.Knn.graphCodesReady(s0)) {
+                    System.err.println(s"manifest shard $s0 is missing " +
+                      "its adjacency index or pq-code sidecar (rebuild " +
+                      "with `graft.Cli index --type graph --shards N`)")
+                    return 1
+                  }
+                  e.foreach { ivf =>
+                    if (!graft.similarity.Knn.ivfIndexReady(ivf)) {
+                      System.err.println(s"manifest shard $s0 names a " +
+                        s"missing entry IVF at $ivf")
+                      return 1
+                    }
+                  }
+                }
+                val h = graft.similarity.Knn.ShardedResidentIndex.reloading(
+                  spark, dirs, cfg.graphEf,
+                  idOf = (id: Long) => id.toString)
+                Some(() => h.get)
               case Some(dd) if dd.contains(',') =>
                 val shards = dd.split(',').toSeq.map(_.trim).filter(_.nonEmpty)
                 if (!cfg.graphResident) {

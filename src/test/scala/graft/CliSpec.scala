@@ -296,6 +296,96 @@ class CliSpec extends SparkTestBase {
     assert(lexHits == Seq("9"), lexHits)
   }
 
+  test("index --type graph --shards: one-call sharded gateway — " +
+      "manifest, loadRoot serving, serve/refresh routing, auto sizing") {
+    val dir = Files.createTempDirectory("graft-cli-shards").toString
+    val pages = s"$dir/pages"
+    val store = s"$dir/store"; val ckpt = s"$dir/ckpt"
+    val root = s"$dir/gateway"
+    Files.createDirectories(java.nio.file.Paths.get(pages))
+    val texts = Seq(
+      "1" -> "spark joins and shuffles",
+      "2" -> "spark shuffles and joins again",
+      "3" -> "completely different topic words",
+      "4" -> "quantum entanglement and physics",
+      "5" -> "gardening tips for tomato plants",
+      "6" -> "spark partitions and shuffles tuning",
+      "7" -> "tomato garden watering schedule",
+      "8" -> "physics of entangled particles")
+    texts.zipWithIndex.foreach { case ((id, tx), i) =>
+      Files.writeString(java.nio.file.Paths.get(pages, f"page$i%02d.json"),
+        pageJson(id, tx)) }
+    assert(capture(Cli.run(Array("sync", "--backfill", "--pages-dir", pages,
+      "--store", store, "--ckpt", ckpt), spark))._1 == 0)
+    // bad --shards fails fast
+    assert(capture(Cli.run(Array("index", "--store", store, "--out", root,
+      "--type", "graph", "--shards", "0"), spark))._1 == 2)
+    assert(capture(Cli.run(Array("index", "--store", store, "--out", root,
+      "--type", "graph", "--shards", "bogus"), spark))._1 == 2)
+    // ONE call: pmod split, per-shard adjacency + codes + entry IVF,
+    // root MANIFEST
+    val (c, out) = capture(Cli.run(Array("index", "--store", store,
+      "--out", root, "--type", "graph", "--shards", "2",
+      "--graph-k", "3", "--cells", "2"), spark))
+    assert(c == 0, out)
+    assert(out.contains("\"shards\":2") && out.contains("MANIFEST"), out)
+    val dirs = graft.similarity.Knn.ShardedResidentIndex
+      .loadManifest(spark, root).get
+    assert(dirs.length == 2)
+    dirs.foreach { case (d, ivf) =>
+      assert(graft.similarity.Knn.graphIndexReady(d) &&
+        graft.similarity.Knn.graphCodesReady(d), d)
+      assert(ivf.exists(graft.similarity.Knn.ivfIndexReady), ivf.toString)
+    }
+    // the manifest-driven gateway serves through the same
+    // fan-and-merge handle `serve --graph-index <root>` builds
+    val sh = graft.similarity.Knn.ShardedResidentIndex.loadRoot(spark,
+      root, ef = 8, idOf = (id: Long) => id.toString)
+    assert(sh.numShards == 2)
+    val gw = new graft.serve.SearchGateway(
+      () => graft.sync.HighlightStore.read(spark, store).get,
+      graft.embed.Embedder.Default, Some(() => sh), 4)
+    val Right(p) = graft.serve.SearchParams.fromHttp(
+      "spark shuffles and joins again", 3): @unchecked
+    val rows = gw.search(p).toSeq
+    assert(rows.nonEmpty && rows.head("id") == "2", rows.map(_("id")))
+    // serve refuses a manifest root without --graph-resident (the job
+    // walk serves one layout)
+    assert(capture(Cli.run(Array("serve", "--store", store,
+      "--graph-index", root), spark))._1 == 2)
+    // refresh --graph-index <root> expands the manifest and routes the
+    // delta to its pmod shard; the re-loaded gateway serves the new doc
+    val pages2 = s"$dir/pages2"
+    Files.createDirectories(java.nio.file.Paths.get(pages2))
+    (texts :+ ("9" -> "brand new zebra migration patterns"))
+      .zipWithIndex.foreach { case ((id, tx), i) =>
+        Files.writeString(java.nio.file.Paths.get(pages2, f"page$i%02d.json"),
+          pageJson(id, tx)) }
+    val (cr, outr) = capture(Cli.run(Array("refresh", "--pages-dir", pages2,
+      "--store", store, "--ckpt", ckpt, "--graph-index", root), spark))
+    assert(cr == 0, outr)
+    val sh2 = graft.similarity.Knn.ShardedResidentIndex.loadRoot(spark,
+      root, ef = 8, idOf = (id: Long) => id.toString)
+    val gw2 = new graft.serve.SearchGateway(
+      () => graft.sync.HighlightStore.read(spark, store).get,
+      graft.embed.Embedder.Default, Some(() => sh2), 4)
+    val Right(p9) = graft.serve.SearchParams.fromHttp(
+      "brand new zebra migration patterns", 1): @unchecked
+    assert(gw2.search(p9).toSeq.map(_("id")) == Seq("9"))
+    // loadRoot without a manifest names the build flag
+    val e = intercept[IllegalArgumentException] {
+      graft.similarity.Knn.ShardedResidentIndex.loadRoot(spark,
+        s"$dir/nothing")
+    }
+    assert(e.getMessage.contains("--shards"))
+    // --shards auto sizes from the corpus against the resident budget:
+    // 8 rows → 1 shard
+    val (ca, outa) = capture(Cli.run(Array("index", "--store", store,
+      "--out", s"$dir/auto", "--type", "graph", "--shards", "auto",
+      "--graph-k", "3", "--cells", "2"), spark))
+    assert(ca == 0 && outa.contains("\"shards\":1"), outa)
+  }
+
   test("index --type graph refuses non-numeric store ids with a specific message") {
     val dir = Files.createTempDirectory("graft-cli-gnn").toString
     val pages = s"$dir/pages"
