@@ -28,7 +28,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // BENCH_ONLY=q48,q49 — LOCAL ITERATION ONLY: restrict the board to
+    // queries whose short name is listed, so a single row's stability
+    // can be probed without a 90 s full board. The driver never sets it.
+    val only = sys.env.get("BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n.takeWhile(_ != '_'))))
     // warmup: tiny SF, same plans → codegen/JIT compiled before timing
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
@@ -181,22 +187,59 @@ object Bench {
       if (ratios.isEmpty) ""
       else s""""ratio_median":${f2(ratios(ratios.size / 2))},""" +
         s""""ratio_n":${ratios.size},"""
-    val calibFields = s""""calib":${f(calib)},"phase":${f2(phase)},""" +
+    // self-adjudication (r15 verdict item: a row inflated by one hot
+    // pass must be identifiable from the wire line alone, without a
+    // judge re-run):
+    //  - calib_passes: the three per-pass probe readings in pass order
+    //    — a hot PASS shows as one inflated entry, and any query row
+    //    whose slow sample aligns with it is phase, not code;
+    //  - spread: per-pass samples (pass order) for the rows where
+    //    max/min ≥ 2 and max ≥ 0.2 s — the unstable rows themselves,
+    //    capped at the 12 widest so the line stays inside the driver's
+    //    2000-char capture window. The full per-pass table for EVERY
+    //    row lands in the /tmp artifact.
+    val calibPassesField = s""""calib_passes":[${
+      calibSamples.reverse.map(f2).mkString(",")}],"""
+    val spreadRows = results.flatMap { case (k, _) =>
+      val ss = samples(k).reverse // pass order
+      val mx = ss.max; val mn = math.max(ss.min, 1e-9)
+      if (mx >= 0.2 && mx / mn >= 2.0) Some((k, ss, mx / mn)) else None
+    }.sortBy(-_._3)
+    def spreadField(cap: Int): String =
+      if (spreadRows.isEmpty || cap == 0) ""
+      else s""""spread":{${spreadRows.take(cap).map { case (k, ss, _) =>
+        "\"" + shortName(k) + "\":[" + ss.map(f2).mkString(",") + "]"
+      }.mkString(",")}},"""
+    def calibFields(spreadCap: Int): String =
+      s""""calib":${f(calib)},"phase":${f2(phase)},""" +
+      calibPassesField + spreadField(spreadCap) +
       ratioFields + s""""value_norm":${f(total / phase)},"""
-    def wire(prec: Double => String): String = {
+    def wire(prec: Double => String, spreadCap: Int): String = {
       val qs = results.map { case (k, v) => "\"" + short(k) + "\":" + prec(v) }
         .mkString("{", ",", "}")
-      s"""{"metric":"total","value":${f(total)},"unit":"sec",$calibFields"queries":$qs,"sf":"$sfDir","runs":$Runs}"""
+      s"""{"metric":"total","value":${f(total)},"unit":"sec",${
+        calibFields(spreadCap)}"queries":$qs,"sf":"$sfDir","runs":$Runs}"""
     }
-    // if the query set outgrows the window even at centiseconds, shed
-    // precision rather than the line's head
-    val line = Seq(wire(f2), wire(v => "%.1f".format(v)))
-      .find(_.length <= 1950).getOrElse(wire(v => "%.0f".format(v)))
+    // fit inside the driver's ~2000-char capture window by shedding the
+    // LEAST load-bearing content first: spread rows narrow before the
+    // queries map loses precision (the medians are the board contract;
+    // the spread is adjudication detail whose full table lives in the
+    // artifact regardless)
+    val p1 = (v: Double) => "%.1f".format(v)
+    val line = Seq(wire(f2, 12), wire(f2, 6), wire(f2, 3), wire(f2, 0),
+        wire(p1, 6), wire(p1, 3), wire(p1, 0))
+      .find(_.length <= 1950).getOrElse(wire(v => "%.0f".format(v), 0))
     println(line)
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
+    // full-name artifact additionally carries EVERY row's per-pass
+    // samples (pass order) — the complete self-adjudication table
+    val samplesFull = results.map { case (k, _) =>
+      "\"" + k + "\":[" + samples(k).reverse.map(f).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     java.nio.file.Files.write(java.nio.file.Paths.get("/tmp/bench_last.json"),
-      (s"""{"metric":"total","value":${f(total)},"unit":"sec",$calibFields"queries":$qsFull,"sf":"$sfDir","runs":$Runs}""" + "\n")
+      (s"""{"metric":"total","value":${f(total)},"unit":"sec",${
+        calibFields(spreadRows.size)}"queries":$qsFull,"samples":$samplesFull,"sf":"$sfDir","runs":$Runs}""" + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
