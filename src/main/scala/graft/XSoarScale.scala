@@ -30,15 +30,30 @@ object XSoarScale {
     val trainN = sys.env.getOrElse("XS_TRAIN_N", "20000").toLong
     val nQueries = sys.env.getOrElse("XS_QUERIES", "20").toInt
     val lambda = sys.env.getOrElse("XS_LAMBDA", "1.0").toDouble
+    // XS_FIXTURE=manifold|aniso — `aniso` is the λ term's PAYOFF regime
+    // (AnisoCorpus: clustered corpus whose within-cell residuals carry
+    // a dominant principal direction; the manifold fixture's residuals
+    // are isotropic-noise-dominated and twice measured λ-neutral)
+    val fixture = sys.env.getOrElse("XS_FIXTURE", "manifold")
+    require(Set("manifold", "aniso").contains(fixture),
+      s"XS_FIXTURE must be manifold|aniso, got $fixture")
     import spark.implicits._
 
-    val corpus = graft.fixtures.ManifoldCorpus.prepared(spark, n)
+    val prepared =
+      if (fixture == "aniso") graft.fixtures.AnisoCorpus.prepared(spark, n)
+      else graft.fixtures.ManifoldCorpus.prepared(spark, n)
+    val qgen: Long => Array[Float] =
+      if (fixture == "aniso")
+        id => graft.fixtures.AnisoCorpus.vector(id).take(dim)
+      else id => graft.fixtures.ManifoldCorpus.vector(id).take(dim)
+    val corpus = prepared
       .select(col("vec_id").as("id"),
         slice(graft.functions.fp16_decode(col("emb16")), 1, dim).as("v"))
       .localCheckpoint()
     val trainMod = math.max(1L, n / trainN)
     val sample = corpus.filter(col("id") % trainMod === 0)
-    println(s"XS_SETUP|n=$n|dim=$dim|cells=$cells|lambda=$lambda")
+    println(s"XS_SETUP|fixture=$fixture|n=$n|dim=$dim|cells=$cells|" +
+      s"lambda=$lambda")
 
     def timed[T](f: => T): (T, Double) = {
       val t0 = System.nanoTime()
@@ -76,13 +91,11 @@ object XSoarScale {
       f"multi_s=$multiWall%.1f")
 
     // held-out probes: ids >= n are OFF-CORPUS (vector() is a pure
-    // function of id, so these are same-manifold draws that exist in no
-    // cell) — a corpus-member query would guarantee itself as a
+    // function of id, so these are same-distribution draws that exist
+    // in no cell) — a corpus-member query would guarantee itself as a
     // recall@10 hit whenever its home cell is probed, inflating
     // low-nprobe recall by up to ~0.1
-    val queries = (0 until nQueries).map { q =>
-      graft.fixtures.ManifoldCorpus.vector(n + 2L * q + 1).take(dim)
-    }
+    val queries = (0 until nQueries).map(q => qgen(n + 2L * q + 1))
     val exactTop: Seq[Set[Long]] = queries.map { qv =>
       corpus.withColumn("d", Knn.l2sq(col("v"), typedLit(qv)))
         .orderBy(col("d").asc, col("id").asc).limit(10)
