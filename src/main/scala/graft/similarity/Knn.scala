@@ -3702,7 +3702,11 @@ object Knn {
     * shard, and serve them as one index. A request fans the driver-flop
     * walk + one-refine-job pipeline across all shards CONCURRENTLY
     * (Spark schedules the per-shard refine jobs in parallel from their
-    * own threads) and k-way merges the per-shard top-k by (score, id).
+    * own threads) and merges the per-shard top-k by (score, id) — a
+    * flat sort of ≤ k×shards tuples: at k ≤ 100 and any realistic fan
+    * that is thousands of driver comparisons, so a heap-based k-way
+    * merge would buy nothing (stated so the flat sort is not
+    * cargo-culted into a hotter path).
     *
     * The merge is LOSSLESS relative to the per-shard shortlists: refine
     * scores are exact, and every member of the global top-k is by
