@@ -36,12 +36,17 @@ import org.apache.spark.sql.functions._
   * shortlist scales with the spilled list (≳1–2% of probed rows) —
   * i.e. any given recall at HALF the probes, and at 100 TB a probe is
   * a scheduled scan task, so probe count is tail-latency exposure.
-  * The λ term itself measured within one-hit noise of plain
-  * second-nearest on that fixture under BOTH exact and ADC scoring
-  * (its residuals are isotropic-noise-dominated — little exploitable
-  * structure along r; the published gains target real embedding
-  * anisotropy at larger cell counts); it costs nothing at serving
-  * time, and SoarSpec pins the geometry preference on a hand fixture.
+  * The λ term's effect is regime-dependent and measured on BOTH sides
+  * (SCALE.md §r16): on the manifold fixture (isotropic within-cell
+  * residuals — little exploitable structure along r) λ=1 sits within
+  * one-hit noise of plain second-nearest under exact AND ADC scoring;
+  * on [[graft.fixtures.AnisoCorpus]] (per-cell principal residual
+  * directions, cells splitting clusters — the paper's target regime)
+  * λ=1 beats λ=0 by +0.010 recall@10 at every unsaturated point, four
+  * conditions same-direction, at equal-or-fewer scanned rows. λ costs
+  * nothing at serving time (assignment-time only, identical plans), so
+  * it ships on by default; SoarSpec pins the geometry preference on a
+  * hand fixture.
   *
   * Reference tie-in: the reference serves exact pgvector `<=>` scans
   * (readwise_vector_db/core/search.py:44-122); this is the 100-TB
