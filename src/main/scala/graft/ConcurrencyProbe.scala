@@ -262,6 +262,21 @@ object ConcurrencyProbe {
           index.servingTopKRouted(qv, k = 10, nprobe = nprobe,
             col("nlabel") === seed % nmod)
       }
+      // the same routed request with the predicate in a shape the
+      // attr-stats parser declines (isin ≡ equality here): the router
+      // must MEASURE the match count — one extra column-pruned job per
+      // request. At CONC_ROUTE_MOD ≤ 4096 the `routed` arm above prices
+      // from the build-time sidecar instead (r16), so routed vs
+      // routed_measured is the per-request cost of that count job,
+      // same-phase. At the default mod=20000 the sidecar overflows its
+      // value budget and both arms measure — dial mod down to see the
+      // stats win.
+      run(spark, s"routed_measured(cells=$cellsK,nprobe=$nprobe,mod=$nmod)",
+        n, users, reqsPerUser) { seed =>
+          val qv = qvec(seed)
+          index.servingTopKRouted(qv, k = 10, nprobe = nprobe,
+            col("nlabel").isin(seed % nmod))
+      }
     }
 
     if (mode("pq")) {

@@ -987,6 +987,161 @@ object Knn {
       .getOrElse(maxNprobe)
   }
 
+  /** Distinct-value budget per attr column for the [[writeCellSegment]]
+    * stats sidecar: a column whose segment exceeds it gets an overflow
+    * marker instead of rows (routing falls back to the measured count
+    * for it), so the sidecar stays driver-collectable no matter what a
+    * user passes as `attrCols` — 4096 values × a handful of columns is
+    * KBs; a unique-id attr would otherwise write n rows. */
+  private[graft] val AttrStatsMaxValues = 4096L
+
+  /** Per-cell attr-value counts of one written cell segment — the
+    * sidecar [[IvfIndex.servingTopKRouted]] prices equality predicates
+    * from WITHOUT a count job (the 100-TB routing contract stated in
+    * SCALE.md §r16: at scale the selectivity read must come from
+    * build-time stats, not a per-request scan). Schema
+    * `(centroid_id, acol, value, cnt)`; `value` is the SQL string cast
+    * so engines agree on the key; counts are per cell ROW counts (scan-
+    * cost semantics — on a SOAR-spilled layout every id appears exactly
+    * twice, so a global match count divides by 2, exactly). Covered
+    * types: string / integral / boolean equality — the label/source/
+    * author shape; anything else is left to the measured-count path. A
+    * column whose distinct values exceed [[AttrStatsMaxValues]] writes
+    * one marker row `(-1, acol, NULL, -1)` and is excluded from
+    * coverage. Cost: one column-pruned read-back of the segment just
+    * written (vectors never decoded) + one narrow-row shuffle. */
+  private def writeAttrStatsSidecar(
+      spark: org.apache.spark.sql.SparkSession, segDir: String): Unit = {
+    import org.apache.spark.sql.types._
+    val cellsPath = new org.apache.hadoop.fs.Path(s"$segDir/cells")
+    val fs = cellsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // no sidecar for THIS generation → retire any stale one (the
+    // spillmeta lesson: an in-place rebuild without attrs must not
+    // leave the dead generation's counts pricing the new layout)
+    def retire(): Unit = {
+      val sp = new org.apache.hadoop.fs.Path(s"$segDir/attrstats")
+      if (fs.exists(sp)) fs.delete(sp, true)
+    }
+    // an empty batch's segment holds only _SUCCESS — no files, no
+    // schema, nothing to price (and nothing a probe would scan)
+    if (!fs.exists(cellsPath) || !fs.listStatus(cellsPath)
+        .exists(_.getPath.getName != "_SUCCESS")) { retire(); return }
+    val cells = spark.read.parquet(s"$segDir/cells")
+    val statsable: DataType => Boolean = {
+      case StringType | IntegerType | LongType | ShortType | ByteType |
+          BooleanType => true
+      case _ => false
+    }
+    val acols = cells.schema.fields
+      .filterNot(f => Set("id", "v", "emb16", "centroid_id")(f.name))
+      .filter(f => statsable(f.dataType)).map(_.name).toSeq
+    if (acols.isEmpty) { retire(); return }
+    val stacked = acols.map { c =>
+      cells.select(col("centroid_id").cast("long").as("centroid_id"),
+        lit(c).as("acol"), col(c).cast("string").as("value"))
+    }.reduce(_ unionByName _)
+    val stats = stacked
+      .groupBy(col("centroid_id"), col("acol"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val overflowed = stats.groupBy(col("acol"))
+      .agg(countDistinct(col("value")).as("nv"))
+      .filter(col("nv") > AttrStatsMaxValues)
+      .select(col("acol")).collect().map(_.getString(0)).toSeq
+    val kept =
+      if (overflowed.isEmpty) stats
+      else {
+        import spark.implicits._
+        val markers = overflowed
+          .map(c => (-1L, c, null.asInstanceOf[String], -1L))
+          .toDF("centroid_id", "acol", "value", "cnt")
+        stats.filter(!col("acol").isin(overflowed: _*))
+          .unionByName(markers)
+      }
+    kept.coalesce(1).write.mode("overwrite").parquet(s"$segDir/attrstats")
+  }
+
+  /** The live attr-stats relation of a segmented IVF index, summed
+    * across data segments with overflow-marked columns dropped —
+    * `Some((centroid_id, acol, value, cnt))` only when EVERY live data
+    * segment carries the sidecar (an index appended to by a pre-stats
+    * writer has no complete coverage and must price by measurement).
+    * Probed via the Hadoop FileSystem (the spillmeta lesson — this
+    * gates serving semantics, not fixture caching). Tombstones do NOT
+    * subtract: after deletes the counts are upper bounds, which only
+    * biases routing toward the probe branch — both routes stay exact,
+    * and [[ivfCompactIndex]] rewrites the sidecar exactly. */
+  private[graft] def ivfAttrStats(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    def sidecarReady(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(s"$p/_SUCCESS")
+      hp.getFileSystem(conf).exists(hp)
+    }
+    def cleanSum(all: DataFrame): DataFrame = {
+      val overflowed = all.filter(col("cnt") < 0)
+        .select(col("acol")).distinct().collect().map(_.getString(0)).toSeq
+      val clean =
+        if (overflowed.isEmpty) all
+        else all.filter(col("cnt") >= 0 && !col("acol").isin(overflowed: _*))
+      clean.groupBy(col("centroid_id"), col("acol"), col("value"))
+        .agg(sum(col("cnt")).as("cnt"))
+    }
+    graft.sync.SegmentedIndex.resolve(spark, indexDir) match {
+      case Some(list) =>
+        val dataSegs = list.filterNot(graft.sync.SegmentedIndex.isTombstone)
+        val paths = dataSegs.map(s => s"$indexDir/$s/attrstats")
+        if (dataSegs.isEmpty || !paths.forall(sidecarReady)) None
+        else Some(cleanSum(
+          paths.map(spark.read.parquet(_)).reduce(_ unionByName _)))
+      case None =>
+        // flat layouts (the IVFADC build writes cells in place) carry
+        // ONE root sidecar — same schema, no segment summing
+        if (sidecarReady(s"$indexDir/attrstats"))
+          Some(cleanSum(spark.read.parquet(s"$indexDir/attrstats")))
+        else None
+    }
+  }
+
+  /** [[ivfAttrStats]] aggregated to driver state for the serving
+    * router: covered-column set + global `(column, value) → match
+    * count` ([[AttrStatsMaxValues]]-bounded per column, so this is
+    * query-plan-sized like a centroid sidecar). `denom` divides the
+    * per-cell row counts down to distinct vectors — 2 on a SOAR-spilled
+    * layout (every id holds exactly two copies), 1 otherwise. */
+  private def collectAttrStats(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      denom: Long): Option[(Set[String], Map[(String, String), Long])] =
+    ivfAttrStats(spark, indexDir).map { st =>
+      val rows = st.groupBy(col("acol"), col("value"))
+        .agg(sum(col("cnt")).as("cnt")).collect()
+      val covered = rows.map(_.getString(0)).toSet
+      val m = rows.filterNot(_.isNullAt(1)).map(r =>
+        (r.getString(0), r.getString(1)) -> r.getLong(2) / denom).toMap
+      (covered, m)
+    }
+
+  /** Price `filter` against [[collectAttrStats]] state: exact for a
+    * single covered `attr === literal` (absent value → 0 — the stats
+    * are complete for covered columns), the min over priced branches
+    * for a conjunction (an upper bound — routing-safe), None otherwise.
+    * The node literal carries the plain Scala value, so toString IS the
+    * SQL string cast for the covered types. */
+  private def statsPrice(
+      stats: Option[(Set[String], Map[(String, String), Long])],
+      filter: Column): Option[Long] =
+    stats.flatMap { case (covered, m) =>
+      val priced = org.apache.spark.sql.graft.shims.equalityLeaves(filter)
+        .collect {
+          case (c, v: String) if covered(c) => m.getOrElse((c, v), 0L)
+          case (c, v @ (_: Int | _: Long | _: Short | _: Byte |
+              _: Boolean)) if covered(c) =>
+            m.getOrElse((c, v.toString), 0L)
+        }
+      if (priced.isEmpty) None else Some(priced.min)
+    }
+
   private def writeCellSegment(assigned: DataFrame, segDir: String,
       fp16: Boolean): Unit = {
     // fp16 cells: assignment ran at full precision (centroid choice is a
@@ -1006,6 +1161,10 @@ object Knn {
     // the signal to raise `k` — which bounds per-probe scan size too
     cells.repartition(col("centroid_id")).write.partitionBy("centroid_id")
       .mode("overwrite").parquet(s"$segDir/cells")
+    // attr columns present → price them for the router while the
+    // segment is hot (reads back ONLY centroid_id + attrs — parquet
+    // column pruning keeps the vectors untouched)
+    writeAttrStatsSidecar(assigned.sparkSession, segDir)
   }
 
   /** Build a persistent IVF index: train centroids on `trainFilter`'s
@@ -1342,7 +1501,8 @@ object Knn {
   final class IvfIndex private (spark: org.apache.spark.sql.SparkSession,
       centroids: Array[(Long, Array[Float])],
       cells: DataFrame, inListType: org.apache.spark.sql.types.DataType,
-      fp16: Boolean, spilled: Boolean) extends DenseIndex {
+      fp16: Boolean, spilled: Boolean,
+      indexDir: Option[String] = None) extends DenseIndex {
 
     /** Number of cells in the frozen geometry — the nprobe ceiling. */
     def numCells: Int = centroids.length
@@ -1450,20 +1610,51 @@ object Knn {
       n.toDouble / math.max(1, numCells)
     }
 
-    /** [[DenseIndex.servingTopKRouted]]: measure the predicate's match
-      * count (one scan of ONLY its columns — vectors never read), then
+    /** Build-time attr stats, aggregated to the driver ONCE per load:
+      * covered-column set + global `(column, value) → distinct match
+      * count` (per-cell row counts summed; exactly ÷2 on a spilled
+      * layout, where every id holds two copies). ≤ AttrStatsMaxValues
+      * entries per column by the sidecar's cap, so this is query-plan-
+      * sized state like the centroids. None when any live segment
+      * predates the sidecar — routing then prices by measurement. */
+    private lazy val attrStats: Option[(Set[String], Map[(String, String), Long])] =
+      indexDir.flatMap(d =>
+        Knn.collectAttrStats(spark, d, if (spilled) 2L else 1L))
+
+    /** The predicate's match count from [[attrStats]] — exact for a
+      * single `attr === literal` on a stats-covered column of a
+      * string/integral/boolean type (the shapes whose internal-literal
+      * string form equals the SQL cast the sidecar stored; a covered
+      * column with an absent value keys to 0 — the stats are complete
+      * for covered columns), and an UPPER BOUND for a conjunction with
+      * at least one such branch (min over the priced branches — the
+      * reference's author+tag combos route on their rarest attr). An
+      * upper bound only ever biases the route toward the probe branch,
+      * and both branches are exact. Anything else → None → measured. */
+    private def statsMatchCount(filter: Column): Option[Long] =
+      Knn.statsPrice(attrStats, filter)
+
+    /** [[DenseIndex.servingTopKRouted]]: price the predicate — an
+      * equality on a stats-covered attr reads its match count from the
+      * build-time sidecar (FREE: driver map lookup, the 100-TB routing
+      * contract), anything else measures it (one scan of ONLY its
+      * columns — vectors never read) — then
       *  - matches ≤ nprobe·avgCellRows → ONE exhaustive filtered scan
       *    (exact by construction; fewer vector rows than even the
       *    first probe attempt would touch, and none of the adaptive
       *    ladder's widening jobs);
       *  - otherwise → the standard adaptive probe, which now starts
-      *    with enough matches in reach that widening is rare. */
+      *    with enough matches in reach that widening is rare.
+      * After deletes the sidecar counts are upper bounds (tombstones
+      * don't subtract), which only biases the route toward the probe
+      * branch — both branches stay exact; compaction re-exacts them. */
     override def servingTopKRouted(queryVec: Array[Float], k: Int,
         nprobe: Int, filter: Column): Array[org.apache.spark.sql.Row] = {
-      val matched = cells.filter(filter)
-      val matches =
+      val matches = statsMatchCount(filter).getOrElse {
+        val matched = cells.filter(filter)
         if (spilled) matched.agg(countDistinct(col("id"))).head().getLong(0)
         else matched.count()
+      }
       val np0 = math.max(1, math.min(nprobe, numCells))
       if (matches <= (avgCellRows * np0).toLong)
         search(queryVec, k, numCells, Some(filter)).collect()
@@ -1487,7 +1678,8 @@ object Knn {
       new IvfIndex(spark, cents, cells,
         cells.schema("centroid_id").dataType,
         cells.columns.contains("emb16"),
-        spilled = ivfSpillMeta(spark, indexDir).isDefined)
+        spilled = ivfSpillMeta(spark, indexDir).isDefined,
+        indexDir = Some(indexDir))
     }
 
     /** [[load]] behind a per-request generation check
@@ -1566,6 +1758,10 @@ object Knn {
     readCells(spark, indexDir)
       .repartition(col("centroid_id")).write.partitionBy("centroid_id")
       .mode("overwrite").parquet(s"$indexDir/$seg/cells")
+    // tombstoned rows are gone from the compacted union, so the attr
+    // stats this writes are EXACT again (post-delete they were upper
+    // bounds) — and a pre-stats index gains the sidecar here
+    writeAttrStatsSidecar(spark, s"$indexDir/$seg")
     graft.sync.SegmentedIndex.commit(spark, indexDir, Seq(seg))
   }
 
@@ -4072,6 +4268,10 @@ object Knn {
       else enc).write.partitionBy("centroid_id")
     (if (refine) writer.option("parquet.block.size", 131072) else writer)
       .mode("overwrite").parquet(s"$indexDir/cells")
+    // attr-carrying layouts price their attrs for the router at build
+    // time (flat-layout root sidecar — the IvfIndex segment contract's
+    // one-segment form); reads back only centroid_id + attrs
+    writeAttrStatsSidecar(corpus.sparkSession, indexDir)
     cents.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/centroids")
     cbFrame.coalesce(1).write.mode("overwrite").parquet(s"$indexDir/codebooks")
     opqRot.foreach(saveRotation(corpus.sparkSession, indexDir, _))
@@ -4165,7 +4365,9 @@ object Knn {
       cents: Array[(Long, Array[Float])],
       cb: Array[Array[Array[Float]]],
       cells: DataFrame, inListType: org.apache.spark.sql.types.DataType,
-      rot: Option[Array[Array[Double]]]) {
+      rot: Option[Array[Array[Double]]],
+      statsSource: Option[(org.apache.spark.sql.SparkSession, String)] =
+        None) {
 
     /** Was the index built with an OPQ rotation (`opqSweeps > 0`)? */
     val hasRotation: Boolean = rot.nonEmpty
@@ -4282,16 +4484,26 @@ object Knn {
         private lazy val avgCellRows: Double =
           cells.count().toDouble / math.max(1, numCells)
 
+        // the build-time sidecar's driver form (never spilled here:
+        // the IVFADC layout is single-assignment)
+        private lazy val attrStats
+            : Option[(Set[String], Map[(String, String), Long])] =
+          statsSource.flatMap { case (sp, d) =>
+            Knn.collectAttrStats(sp, d, denom = 1L) }
+
         /** [[DenseIndex.servingTopKRouted]]: rare predicates (matches
-          * ≤ nprobe·avgCellRows, measured per request on a
-          * column-pruned count) jump STRAIGHT to the full-width probe
-          * — identical rows to the adaptive ladder's final widening,
-          * without paying its intermediate attempts (each a 2-job
-          * shortlist+refine pass); plentiful predicates take the
-          * standard adaptive path, which then rarely widens. */
+          * ≤ nprobe·avgCellRows — read FREE from the build-time attr
+          * stats for covered equalities/conjunctions, else measured
+          * per request on a column-pruned count) jump STRAIGHT to the
+          * full-width probe — identical rows to the adaptive ladder's
+          * final widening, without paying its intermediate attempts
+          * (each a 2-job shortlist+refine pass); plentiful predicates
+          * take the standard adaptive path, which then rarely
+          * widens. */
         override def servingTopKRouted(queryVec: Array[Float], k: Int,
             nprobe: Int, filter: Column): Array[org.apache.spark.sql.Row] = {
-          val matches = cells.filter(filter).count()
+          val matches = Knn.statsPrice(attrStats, filter)
+            .getOrElse(cells.filter(filter).count())
           val np0 = math.max(1, math.min(nprobe, numCells))
           if (matches <= (avgCellRows * np0).toLong)
             self.search(queryVec, k, numCells, refine, Some(filter),
@@ -4367,7 +4579,7 @@ object Knn {
       val cb = collectCodebooks(spark.read.parquet(s"$indexDir/codebooks"))
       val cells = spark.read.parquet(s"$indexDir/cells")
       new IvfPqIndex(cents, cb, cells, cells.schema("centroid_id").dataType,
-        loadRotation(spark, indexDir))
+        loadRotation(spark, indexDir), Some((spark, indexDir)))
     }
 
     /** [[load]] behind a generation check — the IVFADC layout has no
