@@ -62,10 +62,15 @@ class RoutedSearchSpec extends SparkTestBase {
     // load) so the steady-state request shape is what's measured
     idx.servingTopKRouted(qv, 10, 1, starved)
     val sc = spark.sparkContext
+    // count via the MAX retained job id, not the list length: the status
+    // tracker evicts old jobs past spark.ui.retainedJobs, so under a full
+    // sbt-test session the length can DROP across `f` (measured -96) while
+    // job ids stay monotonic per context
     def jobs(f: => Unit): Int = {
-      val before = sc.statusTracker.getJobIdsForGroup(null).length
+      def hi = sc.statusTracker.getJobIdsForGroup(null).foldLeft(-1)(math.max)
+      val before = hi
       f
-      sc.statusTracker.getJobIdsForGroup(null).length - before
+      hi - before
     }
     var got: Array[org.apache.spark.sql.Row] = null
     val routedJobs = jobs { got = idx.servingTopKRouted(qv, 10, 1, starved) }
@@ -113,10 +118,15 @@ class RoutedSearchSpec extends SparkTestBase {
     idx.servingTopKRouted(qv, 10, 1, $"label" === 3)
     idx.servingTopKRouted(qv, 10, 1, $"label".isin(3))
     val sc = spark.sparkContext
+    // count via the MAX retained job id, not the list length: the status
+    // tracker evicts old jobs past spark.ui.retainedJobs, so under a full
+    // sbt-test session the length can DROP across `f` (measured -96) while
+    // job ids stay monotonic per context
     def jobs(f: => Unit): Int = {
-      val before = sc.statusTracker.getJobIdsForGroup(null).length
+      def hi = sc.statusTracker.getJobIdsForGroup(null).foldLeft(-1)(math.max)
+      val before = hi
       f
-      sc.statusTracker.getJobIdsForGroup(null).length - before
+      hi - before
     }
     var gotS: Array[org.apache.spark.sql.Row] = null
     var gotM: Array[org.apache.spark.sql.Row] = null
@@ -224,10 +234,15 @@ class RoutedSearchSpec extends SparkTestBase {
     dense.servingTopKRouted(qv, 10, 1, $"label" === 3)
     dense.servingTopKRouted(qv, 10, 1, $"label".isin(3))
     val sc = spark.sparkContext
+    // count via the MAX retained job id, not the list length: the status
+    // tracker evicts old jobs past spark.ui.retainedJobs, so under a full
+    // sbt-test session the length can DROP across `f` (measured -96) while
+    // job ids stay monotonic per context
     def jobs(f: => Unit): Int = {
-      val before = sc.statusTracker.getJobIdsForGroup(null).length
+      def hi = sc.statusTracker.getJobIdsForGroup(null).foldLeft(-1)(math.max)
+      val before = hi
       f
-      sc.statusTracker.getJobIdsForGroup(null).length - before
+      hi - before
     }
     var gotS: Array[org.apache.spark.sql.Row] = null
     var gotM: Array[org.apache.spark.sql.Row] = null
