@@ -31,4 +31,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // queries; at 8g the later iterative queries ran under GC/execution-
   // memory pressure (q46-q50 measurably slower late in the run)
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
-)
+) ++ sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc*=info:file=$f").toSeq

@@ -72,6 +72,14 @@ object GraftSession {
   def init(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // engine posture, not a builder-only nicety: the PQ refine stage's
+    // id IN-shortlist pushdown (see the builder comment above) silently
+    // range-degrades at the 10-value default, so a session that reached
+    // the query path without this conf (Bench and Verify build their own
+    // sessions) timed/served the degraded probe while GraftSession.get()
+    // sessions served the pushed one. Runtime-settable SQLConf, so
+    // pinning it here makes every entry point serve the same plan.
+    spark.conf.set("spark.sql.parquet.pushdown.inFilterThreshold", "4096")
     functions.registerAll(spark)
     spark
   }

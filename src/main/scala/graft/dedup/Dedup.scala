@@ -278,7 +278,16 @@ object Dedup {
     val vsCorpus = crossCorpusPairs(batch, corpus, textCol, keyCol,
       threshold, k, maxShingleDf)
     val dupOfCorpus = vsCorpus.select(col("corpus_id").as(keyCol)).distinct()
+    // materialize the surviving batch ONCE: stage 2 references it four
+    // ways (postings self-join both sides, the component left-join, the
+    // survivor filter), and each un-truncated reference re-inlines the
+    // whole stage-1 cross-corpus postings subtree — the q76 plan carried
+    // 267 operators / 50 exchanges before truncation. The checkpoint is
+    // batch-sized by design (stage 1 exists to keep cost scaling with
+    // the batch), so pinning it is the cheap side of the trade at any
+    // corpus scale.
     val fresh = batch.join(dupOfCorpus, Seq(keyCol), "left_anti")
+      .localCheckpoint()
     deduplicate(fresh, textCol, keyCol, threshold, k, maxShingleDf)
   }
 
