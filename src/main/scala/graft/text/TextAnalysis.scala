@@ -425,7 +425,19 @@ object TextAnalysis {
 
   /** The model's three count relations over [[lmGrams]] rows — RAW
     * counts (pruning belongs at scoring assembly: raw counts are what
-    * stays additive across [[LmStore]] segments). */
+    * stays additive across [[LmStore]] segments).
+    *
+    * Deliberately UNSHARED relations: [[lmScoreWith]] references uni
+    * twice, big twice, tri once plus totals(uni), so a wholesale score
+    * plan re-inlines this explode + lag-window subtree ~7x (q140's plan
+    * holds 9 document scans). Measured r16 at sf0.1: cutting that to one
+    * pass (aggregate once at (w1,w2,w), localCheckpoint, derive c1/c2 by
+    * integer re-sums) LOST — q133 0.44→1.20 s, q140 1.52→2.30 s at a
+    * cooler calib — because the eager materialization is a blocking job
+    * + store pass while the redundant explodes are parallel codegen work.
+    * When the token stream dominates (the 100 TB regime), persist the
+    * model instead: that is [[LmStore]], whose segments ARE these
+    * relations materialized. */
   private[text] def lmCounts(train: org.apache.spark.sql.DataFrame)
       : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
          org.apache.spark.sql.DataFrame) = (
