@@ -1954,9 +1954,20 @@ object Knn {
   /** Product-quantizer codebooks (Jégou et al. 2011, the FAISS IVFADC
     * compression half): the vector splits into `m` contiguous subspaces
     * of dim/m dimensions, and each subspace trains its own `ksub`-word
-    * codebook with the deterministic L2 Lloyd ([[trainCentroidsL2]]) —
-    * per-subspace means in DECIMAL, seeds = the ksub lowest-key
-    * sub-vectors, so the whole training chain is oracle-replicable.
+    * codebook with the deterministic L2 Lloyd — per-subspace means in
+    * DECIMAL, seeds = the ksub lowest-key sub-vectors, so the whole
+    * training chain is oracle-replicable.
+    *
+    * All `m` subspaces train in ONE fused chain: the slices ride a
+    * single posexplode'd relation keyed by `subspace` and every Lloyd
+    * iteration is ONE broadcast-assign + mean pass + collect for the
+    * whole quantizer, not one chain per subspace. The per-subspace math
+    * is bit-identical to training each slice with [[trainCentroidsL2]]
+    * (same lowest-key seeds, same (cdist, centroid_id) tie-break, same
+    * order-independent DECIMAL(25,6) means — the q109/q124 oracles gate
+    * exactly that); what changes is the action count, iters+2 jobs flat
+    * instead of m·(iters+1)+1 — at the m=64 serving default that is the
+    * difference between 65 and 4 scheduled passes per training sweep.
     * Returns (subspace, code, cvec); collect with [[collectCodebooks]]
     * for the encode/ADC expression literals. At 100 TB: train on a
     * sample — the codebooks are m·ksub·(dim/m) floats of driver state,
@@ -1965,17 +1976,54 @@ object Knn {
       m: Int, ksub: Int, iters: Int = 2): DataFrame = {
     require(m >= 1 && ksub >= 1 && ksub <= 256,
       s"pqTrain: need m >= 1 and 1 <= ksub <= 256, got m=$m ksub=$ksub")
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val c = corpus.filter(col(vecCol).isNotNull)
     val dim = c.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
     val sub = dim / m
-    (0 until m).map { s =>
-      val sliced = c.select(col(keyCol),
-        slice(col(vecCol), s * sub + 1, sub).as("__sv"))
-      trainCentroidsL2(sliced, "__sv", keyCol, ksub, iters)
-        .select(lit(s).as("subspace"), col("centroid_id").as("code"),
-          col("cvec"))
-    }.reduce(_ unionByName _)
+    // every subspace's slice in one relation: (subspace, id, sv)
+    val sliced = c.select(col(keyCol).as("id"),
+        posexplode(array((0 until m).map(s =>
+          slice(col(vecCol), s * sub + 1, sub)): _*)))
+      .select(col("id"), col("pos").as("subspace"), col("col").as("sv"))
+    // seeds: the ksub lowest-key vectors collected ONCE and sliced
+    // driver-side — exactly the per-subspace seeds the unfused trainer
+    // derived, one job instead of m
+    val seedRows = c.orderBy(col(keyCol).asc).limit(ksub)
+      .select(col(vecCol)).collect()
+    var cents: Seq[(Int, Long, Seq[Float])] =
+      seedRows.toSeq.zipWithIndex.flatMap { case (r, i) =>
+        val v = r.getSeq[Float](0)
+        (0 until m).map(s => (s, i.toLong, v.slice(s * sub, (s + 1) * sub)))
+      }
+    for (_ <- 0 until iters) {
+      val centsDf = broadcast(cents.toDF("subspace", "centroid_id", "cvec"))
+      // sv is functionally dependent on (subspace, id), so grouping by
+      // it too re-attaches the slice without assignCore's join back
+      val assigned = sliced.join(centsDf, Seq("subspace"))
+        .select(col("subspace"), col("id"), col("sv"),
+          l2sq(col("sv"), col("cvec")).as("cdist"), col("centroid_id"))
+        .groupBy(col("subspace"), col("id"), col("sv"))
+        .agg(graft.functions.topk_pairs(col("cdist"), col("centroid_id"), 1)
+          .as("tk"))
+        .select(col("subspace"),
+          col("tk").getItem(0).getField("id").cast("long")
+            .as("centroid_id"),
+          col("sv"))
+      val means = assigned
+        .select(col("subspace"), col("centroid_id"), posexplode(col("sv")))
+        .groupBy(col("subspace"), col("centroid_id"), col("pos"))
+        .agg((sum(col("col").cast("double").cast("decimal(25,6)"))
+          .cast("double") / count(lit(1))).as("m"))
+        .groupBy(col("subspace"), col("centroid_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m").cast("float")).as("cvec"))
+      cents = means.as[(Int, Long, Seq[Float])].collect().toSeq
+        .sortBy(t => (t._1, t._2))
+    }
+    cents.toDF("subspace", "code", "cvec")
   }
 
   /** [[pqTrain]]'s frame → the nested array the expressions reference. */
