@@ -994,11 +994,13 @@ object SparkEntry {
         .join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
         .select(col("vec_id"),
           coalesce(col("comp"), col("vec_id")).as("comp"))
-      val sizes = labeled.groupBy(col("comp"))
+      // one keeper row exists per component (comp = the min member's id,
+      // and that member's own label is comp), so filtering keepers and
+      // re-joining the sizes is the identity on the size table — emit it
+      // directly: one aggregation, no second corpus scan, no join
+      labeled.groupBy(col("comp"))
         .agg(count(lit(1)).as("group_size"))
-      labeled.filter(col("vec_id") === col("comp"))
-        .join(sizes, Seq("comp"))
-        .select(col("vec_id"), col("group_size"))
+        .select(col("comp").as("vec_id"), col("group_size"))
         .orderBy(col("vec_id"))
     }),
 
@@ -2243,15 +2245,17 @@ object SparkEntry {
     //      Refresh is idempotent, so the cached-store re-run is a no-op ----
     "q112_cdc_refresh" -> ((s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val mx = d.agg(max(col("doc_id"))).head().getLong(0)
+      // max key and the snapshot fingerprint in ONE scan, not two
+      val head = d.agg(max(col("doc_id")),
+        expr("bit_xor(xxhash64(doc_id, md5(text)))").cast("string")).head()
+      val mx = head.getLong(0)
+      val fp = head.getString(1)
       val newSnap = d.filter(col("doc_id") % 17 =!= 2)
         .withColumn("text", when(col("doc_id") % 13 === 1,
           concat(col("text"), lit(" changed join"))).otherwise(col("text")))
         .unionByName(d.filter(col("doc_id") % 29 === 3)
           .select((col("doc_id") + mx + 1).as("doc_id"),
             concat(col("text"), lit(" merge added")).as("text")))
-      val fp = d.agg(expr("bit_xor(xxhash64(doc_id, md5(text)))")
-        .cast("string")).head().getString(0)
       val root = graft.fixtures.Fp16Corpus.workRoot + s"/cdcrefresh-$fp"
       val storeDir = s"$root/store"; val lexDir = s"$root/lex"
       if (!new java.io.File(s"$storeDir/CURRENT").isFile) {
