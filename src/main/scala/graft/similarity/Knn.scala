@@ -2681,14 +2681,31 @@ object Knn {
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
     val build = graphFn.getOrElse(
       (df: DataFrame, m: Int) => knnGraph(df, vecCol, keyCol, topK = m))
-    (0 to maxLevel).foreach { l =>
-      val sub = (if (l == 0) lev else lev.filter(col("level") >= l))
-        .select(col("id").as(keyCol), col("v").as(vecCol))
-      val m = if (l == 0) k0 else upperM
-      val edges = build(sub, m).select(col("id_a"), col("id_b"))
-      buildAdjacencyIndex(edges, sub, vecCol, keyCol,
-        s"$indexDir/layer$l", buckets, fp16)
-    }
+    // layer builds are independent (disjoint output dirs, no shared
+    // state): overlap them from a small driver pool (guide §2.6) so one
+    // layer's commit/straggler tail back-fills with the next layer's
+    // scan work — upper layers are 4^-l of the corpus, so serially they
+    // were pure fixed-cost (plan + commit floor) appended to layer 0.
+    // Results are unchanged: each layer's graph derivation and segment
+    // content are deterministic and land in their own layer dir.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(maxLevel + 1, 4))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val layers = (0 to maxLevel).map { l =>
+        scala.concurrent.Future {
+          val sub = (if (l == 0) lev else lev.filter(col("level") >= l))
+            .select(col("id").as(keyCol), col("v").as(vecCol))
+          val m = if (l == 0) k0 else upperM
+          val edges = build(sub, m).select(col("id_a"), col("id_b"))
+          buildAdjacencyIndex(edges, sub, vecCol, keyCol,
+            s"$indexDir/layer$l", buckets, fp16)
+        }
+      }
+      layers.foreach(scala.concurrent.Await.result(_,
+        scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
   }
 
   /** Append a node batch to a [[buildHnswIndex]] stack — HNSW's
