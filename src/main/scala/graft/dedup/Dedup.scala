@@ -240,11 +240,13 @@ object Dedup {
     val labeled = df.select(col(keyCol))
       .join(comp.withColumnRenamed("id", keyCol), Seq(keyCol), "left")
       .select(col(keyCol), coalesce(col("comp"), col(keyCol)).as("comp"))
-    val sizes = labeled.groupBy(col("comp"))
+    // one keeper row exists per component (comp = the min member's id,
+    // and that member's own label is comp), so filtering keepers and
+    // re-joining the size table is the identity on it — emit the
+    // aggregation directly: no second pass over `labeled`, no join
+    labeled.groupBy(col("comp"))
       .agg(count(lit(1)).as("group_size"))
-    labeled.filter(col(keyCol) === col("comp"))
-      .join(sizes, Seq("comp"))
-      .select(col(keyCol), col("group_size"))
+      .select(col("comp").as(keyCol), col("group_size"))
   }
 
   /** Incremental deduplication — the STEADY-STATE production shape: a
@@ -773,10 +775,12 @@ object Dedup {
     val labeled = df.select(col(keyCol))
       .join(comp.withColumnRenamed("id", keyCol), Seq(keyCol), "left")
       .select(col(keyCol), coalesce(col("comp"), col(keyCol)).as("comp"))
-    val sizes = labeled.groupBy(col("comp"))
+    // the q71/deduplicate keeper identity: comp IS the keeper's key, so
+    // the size aggregation already holds one row per keeper — join only
+    // the centroid attachment, never a second labeled pass
+    labeled.groupBy(col("comp"))
       .agg(count(lit(1)).as("group_size"))
-    labeled.filter(col(keyCol) === col("comp"))
-      .join(sizes, Seq("comp"))
+      .select(col("comp").as(keyCol), col("group_size"))
       .join(assigned.select(col("id").as(keyCol), col("centroid_id")),
         Seq(keyCol), "left")
       .select(col(keyCol), col("centroid_id"), col("group_size"))
