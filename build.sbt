@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench's one-line JSON wire contract from the TAIL
+// of `sbt "runMain graft.Bench"` output. The sbt logger broke that contract
+// two ways for 16 rounds straight (BENCH_r01..r16 all record parsed:null):
+// it prefixes the forked JVM's stdout with "[info] " (so no captured line
+// starts with '{'), and it appends a "[success] Total time…" banner after
+// main returns (so the wire line is never the last line). Pass the forked
+// process's output through verbatim and drop the banner; the wire line is
+// then the final stdout line of the sbt invocation. Exit codes unchanged.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

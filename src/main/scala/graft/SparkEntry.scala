@@ -1472,9 +1472,15 @@ object SparkEntry {
     //      production steady state silently diverges from the rebuild ----
     "q106_lexical_append" -> ((s, dir) => {
       val d = t(s, dir, "documents")
-      val half = d.agg(max(col("doc_id"))).head().getLong(0) / 2
-      val fp = d.agg(expr("bit_xor(xxhash64(doc_id, md5(text)))")
-        .cast("string")).head().getString(0)
+      // max(doc_id) + the content fingerprint in ONE scan (the q112 head
+      // fusion): the fingerprint already reads every (doc_id, text) row,
+      // so the max rides the same pass — identical values, one fewer
+      // full-text scan + driver action
+      val head = d.agg(max(col("doc_id")).as("mx"),
+        expr("bit_xor(xxhash64(doc_id, md5(text)))")
+          .cast("string").as("fp")).head()
+      val half = head.getLong(0) / 2
+      val fp = head.getString(1)
       val indexDir = graft.fixtures.Fp16Corpus.workRoot + s"/lexappend-$fp"
       if (!new java.io.File(s"$indexDir/CURRENT").isFile) {
         graft.text.TextRank.buildLexicalIndex(
@@ -1494,9 +1500,13 @@ object SparkEntry {
     //      assignment CTE sees the full corpus ----
     "q107_ivf_append" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
-      val half = e.agg(max(col("vec_id"))).head().getLong(0) / 2
+      // max(vec_id) + the cache-key row count in ONE scan (q112 head
+      // fusion) — identical values, one fewer driver action
+      val head = e.agg(max(col("vec_id")).as("mx"),
+        count(lit(1)).as("n")).head()
+      val half = head.getLong(0) / 2
       val indexDir = graft.fixtures.Fp16Corpus.workRoot +
-        s"/ivfappend-${new java.io.File(dir).getName}-c${e.count()}"
+        s"/ivfappend-${new java.io.File(dir).getName}-c${head.getLong(1)}"
       if (!Knn.ivfIndexReady(indexDir)) {
         Knn.ivfBuildIndex(e.filter(col("vec_id") < half), "embedding",
           "vec_id", indexDir, k = 4, iters = 2,

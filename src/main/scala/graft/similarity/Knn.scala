@@ -2662,9 +2662,17 @@ object Knn {
     * `graphFn` swaps the per-layer graph construction: the default is
     * the exact [[knnGraph]] (the oracle form — O(subset²)); at corpus
     * scale pass `(df, m) => nnDescentGraph(df, vecCol, keyCol, k = m,
-    * rounds = …)` so every layer builds in O(n·K̃²·rounds). Layers
-    * write bottom-up after meta, so `layer<maxLevel>/CURRENT` is the
-    * build's completion marker. */
+    * rounds = …)` so every layer builds in O(n·K̃²·rounds).
+    *
+    * Layer builds OVERLAP from a driver pool, so no single layer's
+    * pointer marks completion — the completion probe is
+    * [[hnswIndexReady]] (meta + EVERY layer's CURRENT), which is
+    * order-independent and therefore also crash-safe. Failure is clean:
+    * the first layer failure cancels the build's outstanding Spark jobs
+    * (shared job group), every in-flight future is then awaited to
+    * completion, and the whole stack (meta + all layer dirs) is removed
+    * before the failure rethrows — no partial `layer*` dir or stale
+    * pointer survives for a later guard to mistake for a built index. */
   def buildHnswIndex(corpus: DataFrame, vecCol: String, keyCol: String,
       indexDir: String, maxLevel: Int = 2, upperM: Int = 3, k0: Int = 5,
       buckets: Int = 16, fp16: Boolean = true,
