@@ -475,8 +475,9 @@ object ConcurrencyProbe {
       val k0 = sys.env.getOrElse("CONC_HNSW_K0", "5").toInt
       val indexDir = graft.fixtures.Fp16Corpus.workRoot +
         s"/hnswserve3072$ftag-n$n-k$k0"
-      // layer<maxLevel> writes LAST — its pointer is the completion marker
-      if (!new java.io.File(s"$indexDir/layer2/CURRENT").isFile) {
+      // layers build CONCURRENTLY (no single pointer is a completion
+      // marker) — the order-independent ready probe guards the rebuild
+      if (!graft.similarity.Knn.hnswIndexReady(spark, indexDir)) {
         val fp32 = corpus.select(col("vec_id").as("id"),
           graft.functions.fp16_decode(col("emb16")).as("embedding"))
         graft.similarity.Knn.buildHnswIndex(fp32, "embedding", "id",

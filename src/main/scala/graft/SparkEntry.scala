@@ -998,6 +998,7 @@ object SparkEntry {
       // and that member's own label is comp), so filtering keepers and
       // re-joining the sizes is the identity on the size table — emit it
       // directly: one aggregation, no second corpus scan, no join
+      // (identity assumes CONVERGED min-labels; see Dedup.deduplicate)
       labeled.groupBy(col("comp"))
         .agg(count(lit(1)).as("group_size"))
         .select(col("comp").as("vec_id"), col("group_size"))
@@ -2714,7 +2715,9 @@ object SparkEntry {
         .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
       val root = graft.fixtures.Fp16Corpus.workRoot +
         s"/hnswapp-${new java.io.File(dir).getName}-c${e.count()}"
-      if (!new java.io.File(s"$root/layer0/CURRENT").isFile) {
+      // layers build concurrently — guard on the order-independent ready
+      // probe (all layers + meta), not one layer's pointer
+      if (!Knn.hnswIndexReady(s, root)) {
         Knn.buildHnswIndex(base, "embedding", "vec_id", root, maxLevel = 2,
           upperM = 3, k0 = 5, buckets = 8, fp16 = false)
         Knn.hnswAppendIndex(batch, "embedding", "vec_id", root)

@@ -23,8 +23,12 @@ object XPlans {
     else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // EXACTLY Bench's session configs: the captured plans must be the
-    // plans the bench times, not GraftSession.builder's (which differs
-    // in spark.sql.parquet.pushdown.inFilterThreshold)
+    // plans the bench times. (Since r16, GraftSession.init pins
+    // inFilterThreshold=4096 at runtime for EVERY entry point — Bench,
+    // Verify, XPlans, and GraftSession.get() all serve the same
+    // pushdown plan; the builder configs below only need to match
+    // Bench's remaining settings: shuffle partitions, AQE, split size,
+    // agg fallback threshold.)
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

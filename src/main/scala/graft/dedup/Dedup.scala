@@ -243,7 +243,13 @@ object Dedup {
     // one keeper row exists per component (comp = the min member's id,
     // and that member's own label is comp), so filtering keepers and
     // re-joining the size table is the identity on it — emit the
-    // aggregation directly: no second pass over `labeled`, no join
+    // aggregation directly: no second pass over `labeled`, no join.
+    // Precondition: CONVERGED min-labels (connectedComponents ran to a
+    // fixed point, the normal case well inside maxIter). If the maxIter
+    // cap ever truncated a deep component, labels need not be
+    // self-labeled and both shapes are approximate — the old one
+    // dropped groups whose label node carried a smaller label, this one
+    // emits one row per label value.
     labeled.groupBy(col("comp"))
       .agg(count(lit(1)).as("group_size"))
       .select(col("comp").as(keyCol), col("group_size"))
@@ -273,7 +279,17 @@ object Dedup {
     * surviving batch only. A cap tuned for batch-internal dedup is
     * therefore STRICTER against the corpus union; size it against the
     * corpus (or pass None and rely on the LSH path) when the corpus
-    * dwarfs the batch. */
+    * dwarfs the batch.
+    *
+    * Storage note: the surviving batch is `localCheckpoint`ed (stage 2
+    * references it four ways — see the body comment) and, like
+    * [[connectedComponents]]' final generation, that batch-sized block
+    * set stays pinned until the session ends or the caller sweeps
+    * persistent RDDs after consuming the result (checkpointed blocks
+    * have truncated lineage, so the storage layer can never evict them
+    * on its own). Long-lived sessions calling this per batch should
+    * sweep between batches; the blocks are batch-sized by design, never
+    * corpus-sized. */
   def incrementalDeduplicate(corpus: DataFrame, batch: DataFrame,
       textCol: String, keyCol: String, threshold: Double, k: Int = 3,
       maxShingleDf: Option[Long] = None): DataFrame = {
@@ -777,7 +793,8 @@ object Dedup {
       .select(col(keyCol), coalesce(col("comp"), col(keyCol)).as("comp"))
     // the q71/deduplicate keeper identity: comp IS the keeper's key, so
     // the size aggregation already holds one row per keeper — join only
-    // the centroid attachment, never a second labeled pass
+    // the centroid attachment, never a second labeled pass (identity
+    // assumes CONVERGED min-labels; see deduplicate's comment)
     labeled.groupBy(col("comp"))
       .agg(count(lit(1)).as("group_size"))
       .select(col("comp").as(keyCol), col("group_size"))

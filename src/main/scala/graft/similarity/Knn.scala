@@ -2700,19 +2700,55 @@ object Knn {
       math.min(maxLevel + 1, 4))
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutor(pool)
+    // one job group per build: the first layer failure cancels the
+    // siblings' ACTIVE jobs instead of letting them run on (and commit)
+    // after the build is already doomed
+    val group = s"hnsw-build-$indexDir"
+    val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
     try {
       val layers = (0 to maxLevel).map { l =>
         scala.concurrent.Future {
-          val sub = (if (l == 0) lev else lev.filter(col("level") >= l))
-            .select(col("id").as(keyCol), col("v").as(vecCol))
-          val m = if (l == 0) k0 else upperM
-          val edges = build(sub, m).select(col("id_a"), col("id_b"))
-          buildAdjacencyIndex(edges, sub, vecCol, keyCol,
-            s"$indexDir/layer$l", buckets, fp16)
+          // job group is thread-local: set it on each pool thread
+          spark.sparkContext.setJobGroup(group,
+            s"buildHnswIndex layer $l", interruptOnCancel = true)
+          try {
+            // a sibling already failed: don't start new jobs for a
+            // stack that is about to be deleted (cancelJobGroup only
+            // reaches jobs that are running at cancel time)
+            if (failed.get()) throw new IllegalStateException(
+              s"buildHnswIndex: sibling layer failed, layer $l aborted")
+            val sub = (if (l == 0) lev else lev.filter(col("level") >= l))
+              .select(col("id").as(keyCol), col("v").as(vecCol))
+            val m = if (l == 0) k0 else upperM
+            val edges = build(sub, m).select(col("id_a"), col("id_b"))
+            buildAdjacencyIndex(edges, sub, vecCol, keyCol,
+              s"$indexDir/layer$l", buckets, fp16)
+          } catch { case e: Throwable =>
+            if (failed.compareAndSet(false, true))
+              spark.sparkContext.cancelJobGroup(group)
+            throw e
+          } finally spark.sparkContext.clearJobGroup()
         }
       }
-      layers.foreach(scala.concurrent.Await.result(_,
-        scala.concurrent.duration.Duration.Inf))
+      // QUIESCE before inspecting: every future runs to completion
+      // (success, failure, or cancellation) so nothing is still writing
+      // under indexDir when the failure path cleans it up
+      val done = layers.map(f => scala.util.Try(scala.concurrent.Await
+        .result(f, scala.concurrent.duration.Duration.Inf)))
+      done.collectFirst { case scala.util.Failure(e) => e }.foreach { e =>
+        // no partial stack survives a failed build: remove meta and every
+        // layer dir (committed or half-written) so ready-probes and
+        // rebuild guards see a clean absence, not a torn index
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+            .foreach(rm)
+          f.delete(); ()
+        }
+        rm(new java.io.File(s"$indexDir/meta"))
+        (0 to maxLevel).foreach(l =>
+          rm(new java.io.File(s"$indexDir/layer$l")))
+        throw e
+      }
     } finally pool.shutdown()
   }
 

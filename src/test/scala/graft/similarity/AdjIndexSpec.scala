@@ -458,4 +458,42 @@ class AdjIndexSpec extends SparkTestBase {
         .filter($"src" === entry0 && $"dst" === entry0).count() == 1L)
     } finally { rmTree(dir) }
   }
+
+  test("buildHnswIndex failure is clean: no partial layer dirs, rebuild works") {
+    val sub = emb.filter($"vec_id" < 300)
+    val root = java.nio.file.Files.createTempDirectory("hnswfail").toString
+    val dir = root + "/i"
+    try {
+      // layers build CONCURRENTLY: throw only in the upper-layer graphs
+      // (m == upperM) so layer 0 (m == k0) can run — and possibly
+      // commit — before the failure surfaces. The cleanup contract is
+      // that NOTHING survives, committed sibling layers included.
+      val boom = new RuntimeException("upper layer boom")
+      val ex = intercept[RuntimeException] {
+        Knn.buildHnswIndex(sub, "embedding", "vec_id", dir, maxLevel = 2,
+          upperM = 3, k0 = 5, buckets = 8, fp16 = false,
+          graphFn = Some { (df, m) =>
+            if (m == 3) throw boom
+            Knn.knnGraph(df, "embedding", "vec_id", topK = m)
+          })
+      }
+      assert(ex.getMessage == "upper layer boom")
+      // no torn stack: every layer dir AND meta are gone, the ready
+      // probe reports absent, and no stale CURRENT pointer survives for
+      // a workRoot-style rebuild guard to trust
+      (0 to 2).foreach { l =>
+        assert(!new java.io.File(s"$dir/layer$l").exists(),
+          s"layer$l survived the failed build")
+      }
+      assert(!new java.io.File(s"$dir/meta").exists(),
+        "meta survived the failed build")
+      assert(!Knn.hnswIndexReady(spark, dir))
+      // the same dir rebuilds cleanly afterwards (guards see absence)
+      Knn.buildHnswIndex(sub, "embedding", "vec_id", dir, maxLevel = 2,
+        upperM = 3, k0 = 5, buckets = 8, fp16 = false)
+      assert(Knn.hnswIndexReady(spark, dir))
+      assert(Knn.HnswIndex.load(spark, dir)
+        .search(qv, k = 5, ef = 12, hops = 3).collect().nonEmpty)
+    } finally rmTree(root)
+  }
 }
