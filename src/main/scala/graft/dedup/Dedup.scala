@@ -822,11 +822,36 @@ object Dedup {
       s"semDeDupPairs: need 1 <= nprobe <= k, got $nprobe/$k")
     val cents = centroids.getOrElse(
       graft.similarity.Knn.trainCentroids(df, vecCol, keyCol, k, iters))
+    // BLOCKED pair join (guide §2.5 — the few-distinct-keys form of
+    // skew): the within-cell join's only key is centroid_id, so at most
+    // k reduce partitions ever hold rows — with k = 8 cells a 32-core
+    // run leaves 3/4 of the machine idle through the O(Σ n_c²) verify,
+    // and ONE hot cell serializes its whole n_c² block on one task (the
+    // r17 ×10 ladder measured q91 at 16 s/32c vs 20 s/8c — core-blind).
+    // Each side salts by a deterministic id hash into s buckets and
+    // explodes the OTHER side's bucket axis, so the join key becomes
+    // (centroid_id, sa, sb): every pair meets in EXACTLY ONE of the s²
+    // blocks (sa, sb are functions of the two ids), nothing is lost,
+    // nothing duplicates, and the verify spreads over k·s² tasks. Costs
+    // s× shuffle bytes per side — vectors are the payload, so s stays
+    // small: s² ≈ 2·parallelism/k, capped at 8. s is derived from the
+    // session's parallelism, not a local[32] constant (a 4000-core
+    // cluster with k=1024 cells derives s=3 and splits hot cells 9×).
+    val spark = df.sparkSession
+    val salts = {
+      val want = 2.0 * spark.sparkContext.defaultParallelism / math.max(k, 1)
+      math.min(8, math.max(1, math.ceil(math.sqrt(want)).toInt))
+    }
+    def salted(side: DataFrame, own: String, other: String): DataFrame =
+      side.withColumn(own, pmod(xxhash64(col("id")), lit(salts)))
+        .withColumn(other, explode(array((0 until salts).map(lit): _*)))
     if (nprobe == 1) {
       val assigned = graft.similarity.Knn.ivfAssign(df, vecCol, keyCol,
         cents, "cvec", "centroid_id")
-      assigned.as("a").join(assigned.as("b"),
+      salted(assigned, "sa", "sb").as("a")
+        .join(salted(assigned, "sb", "sa").as("b"),
           col("a.centroid_id") === col("b.centroid_id") &&
+            col("a.sa") === col("b.sa") && col("a.sb") === col("b.sb") &&
             col("a.id") < col("b.id"))
         .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
           cosine_distance(col("a.v"), col("b.v")).as("distance"))
@@ -843,8 +868,10 @@ object Dedup {
         .select(col("id"), col("v"), col("centroid_id"))
       val probe = c.join(picks, Seq("id"))
         .select(col("id"), col("v"), col("centroid_id"))
-      probe.as("a").join(index.as("b"),
+      salted(probe, "sa", "sb").as("a")
+        .join(salted(index, "sb", "sa").as("b"),
           col("a.centroid_id") === col("b.centroid_id") &&
+            col("a.sa") === col("b.sa") && col("a.sb") === col("b.sb") &&
             col("a.id") =!= col("b.id"))
         .select(least(col("a.id"), col("b.id")).as("id_a"),
           greatest(col("a.id"), col("b.id")).as("id_b"),

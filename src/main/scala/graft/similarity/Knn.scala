@@ -599,11 +599,37 @@ object Knn {
         col("centroid_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").asc, col("neighbor_id").asc)
-    probe.join(index, Seq("centroid_id"))
+    // BLOCKED cell join (guide §2.5; same construction as
+    // Dedup.semDeDupPairs): centroid_id has only `cells` distinct
+    // values, so the scoring join would run on ≤cells reduce tasks and
+    // a hot cell would serialize its whole block. Salting each side by
+    // its own id and exploding the other side's axis spreads the work
+    // over cells·s² tasks; every (query, neighbor) pair still meets in
+    // EXACTLY ONE block, so the joined set — and the deterministic
+    // (score, neighbor_id) window rank over it — is unchanged.
+    val salts = pairJoinSalts(queries.sparkSession, cells)
+    val pa = probe
+      .withColumn("sa", pmod(xxhash64(col("query_id")), lit(salts)))
+      .withColumn("sb", explode(array((0 until salts).map(lit): _*)))
+    val ib = index
+      .withColumn("sb", pmod(xxhash64(col("neighbor_id")), lit(salts)))
+      .withColumn("sa", explode(array((0 until salts).map(lit): _*)))
+    pa.join(ib, Seq("centroid_id", "sa", "sb"))
       .withColumn("score", cosine_distance(col("cv"), col("qv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("score"), col("rank"))
+  }
+
+  /** Salt-bucket count for a blocked pair join over `keys` distinct join
+    * values (guide §2.5): s² blocks per key sized so keys·s² ≈ 2× the
+    * session's parallelism, capped at 8 — derived from the session, not
+    * a local[32] constant (a 4000-core cluster over 1024 cells derives
+    * s = 3 and splits hot cells 9 ways). */
+  private[graft] def pairJoinSalts(
+      spark: org.apache.spark.sql.SparkSession, keys: Int): Int = {
+    val want = 2.0 * spark.sparkContext.defaultParallelism / math.max(keys, 1)
+    math.min(8, math.max(1, math.ceil(math.sqrt(want)).toInt))
   }
 
   /** Batch probe of a PERSISTENT index ([[ivfBuildIndex]]): the serving
@@ -638,6 +664,13 @@ object Knn {
       else cosine_distance(col("v"), col("qv"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").asc, col("id").asc)
+    // NOT blocked-salted like ivfKnnJoin: here the cell count is index
+    // metadata (the centroids relation), so deriving the salt width
+    // would cost an extra driver action per call; the cells relation is
+    // also disk-partitioned by centroid_id, so the scan side arrives
+    // pre-split by cell. A deployment hitting the few-cells parallelism
+    // cap on THIS form should derive s from the layout's partition dirs
+    // at load time and apply the semDeDupPairs/ivfKnnJoin construction.
     cells.join(probe, Seq("centroid_id"))
       .withColumn("score", score)
       .withColumn("rank", row_number().over(w))
