@@ -827,7 +827,8 @@ object Dedup {
     // k reduce partitions ever hold rows — with k = 8 cells a 32-core
     // run leaves 3/4 of the machine idle through the O(Σ n_c²) verify,
     // and ONE hot cell serializes its whole n_c² block on one task (the
-    // r17 ×10 ladder measured q91 at 16 s/32c vs 20 s/8c — core-blind).
+    // r17 ×10 ladder measured q91 at 16.1 s/32c vs 29.2 s/8c — ratio
+    // 1.81 against a core ratio of 4; salted: 10.0 vs 16.7).
     // Each side salts by a deterministic id hash into s buckets and
     // explodes the OTHER side's bucket axis, so the join key becomes
     // (centroid_id, sa, sb): every pair meets in EXACTLY ONE of the s²
