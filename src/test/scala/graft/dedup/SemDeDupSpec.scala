@@ -87,4 +87,33 @@ class SemDeDupSpec extends SparkTestBase {
     assert(r2 > r1, s"no recall lift: nprobe=1 $r1 vs nprobe=2 $r2")
     info(f"semDeDupPairs recall vs exact: nprobe=1 $r1%.3f, nprobe=2 $r2%.3f")
   }
+
+  test("blocked pair join: row-identical to the unsalted self-join, every pair exactly once") {
+    // the r17 salting spreads the within-cell verify over (cell, sa, sb)
+    // blocks — each pair must surface in EXACTLY ONE block (sa/sb are
+    // functions of the two ids), so the nprobe=1 branch (which has no
+    // distinct() downstream) must emit no duplicates and the full rows
+    // (ids AND verified distance) must equal the unsalted reference
+    val sub = table("embeddings").filter(col("vec_id") < 300)
+    val cents = graft.similarity.Knn.trainCentroids(sub, "embedding",
+      "vec_id", k = 8, iters = 2)
+    val salted = Dedup.semDeDupPairs(sub, "embedding", "vec_id",
+      maxDistance = 0.6, k = 8, nprobe = 1, centroids = Some(cents))
+    assert(salted.groupBy(col("id_a"), col("id_b")).count()
+      .filter(col("count") > 1).isEmpty, "a pair surfaced in two blocks")
+    // unsalted reference: the pre-r17 join shape, inlined
+    val assigned = graft.similarity.Knn.ivfAssign(sub, "embedding",
+      "vec_id", cents, "cvec", "centroid_id")
+    val reference = assigned.as("a").join(assigned.as("b"),
+        col("a.centroid_id") === col("b.centroid_id") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.functions.cosine_distance(col("a.v"), col("b.v"))
+          .as("distance"))
+      .filter(col("distance") < 0.6)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    assert(rows(salted) == rows(reference))
+  }
 }
